@@ -1,0 +1,100 @@
+package graft.chess
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PGN → Spark ingestion (SURVEY.md §3.1, M2/M3).
+  *
+  * The reference's import pipeline (parser threads → entry buffers →
+  * external sort → sorted runs → k-way merge) collapses into:
+  * `mapPartitions(parse)` → `flatMap(replay)` → partial+final hash agg
+  * → bucketed/sorted Parquet. Spark's shuffle/spill machinery replaces
+  * the whole custom external-memory subsystem.
+  *
+  * Scale posture: PGN text is splittable on `^[Event ` boundaries, so a
+  * 100 TB corpus parallelizes per-file-split; parsing is per-partition
+  * with no driver involvement; gameIds are made unique per partition via
+  * (partitionId << 40) | localIndex — no global counter, no shuffle.
+  */
+object ChessIngest {
+
+  case class GameRow(
+      gameId: Long, event: String, site: String, date: String,
+      year: Int, month: Int, day: Int,
+      white: String, black: String, whiteElo: Int, blackElo: Int,
+      result: Byte, eco: String, level: Byte, plyCount: Int,
+      moves: Array[Int])
+
+  /** One row per position occurrence (SURVEY.md §1.2): 128-bit signature
+    * as two longs, the move that LED here (0 at game start), and the
+    * game's classification measures. */
+  case class PosOcc(
+      posHi: Long, posLo: Long, reverseMove: Int,
+      level: Byte, result: Byte, gameId: Long, eloDiff: Int, ply: Int)
+
+  /** Parse raw PGN text chunks (one string per file or file-split) into
+    * verified games. Malformed games are skipped, as the reference does. */
+  def parseGames(spark: SparkSession, pgnTexts: Dataset[String],
+                 level: Byte): Dataset[GameRow] = {
+    import spark.implicits._
+    pgnTexts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var local = 0L
+      it.flatMap { text =>
+        Pgn.parseAll(text)._1.map { g =>
+          val id = (pid << 40) | local
+          local += 1
+          val (y, mo, dd) = Pgn.parseDate(g.date)
+          GameRow(id, g.event, g.site, g.date, y, mo, dd, g.white, g.black,
+            g.whiteElo, g.blackElo, g.result, g.eco, level,
+            g.moves.length, g.moves)
+        }
+      }
+    }
+  }
+
+  /** Replay each game and emit its position-occurrence stream: ply 0 is
+    * the start position (reverseMove 0), then one row per move made. */
+  def positionStream(spark: SparkSession, games: Dataset[GameRow]): Dataset[PosOcc] = {
+    import spark.implicits._
+    games.flatMap { g =>
+      val eloDiff =
+        if (g.whiteElo >= 0 && g.blackElo >= 0) g.whiteElo - g.blackElo else 0
+      val out = new scala.collection.mutable.ArrayBuffer[PosOcc](g.moves.length + 1)
+      var pos = Position.initial
+      val (h0, l0) = Zobrist.signature(pos)
+      out += PosOcc(h0, l0, Core.NoMove, g.level, g.result, g.gameId, eloDiff, 0)
+      var i = 0
+      while (i < g.moves.length) {
+        pos = pos.make(g.moves(i))
+        val (h, l) = Zobrist.signature(pos)
+        out += PosOcc(h, l, g.moves(i), g.level, g.result, g.gameId, eloDiff, i + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** The entry store (delta-format role): pre-aggregated by the full
+    * key (signature, reverseMove, level, result). Partial+final hash
+    * agg ≈ the reference's buffer-sort + k-way merge combine. */
+  def positionsAgg(occ: Dataset[PosOcc]): DataFrame =
+    occ.toDF()
+      .groupBy(col("posHi"), col("posLo"), col("reverseMove"),
+               col("level"), col("result"))
+      .agg(count(lit(1)).as("games"),
+           sum(col("eloDiff")).as("eloDiffSum"),
+           min(col("gameId")).as("firstGameId"),
+           max(col("gameId")).as("lastGameId"))
+
+  /** Write the agg table the way the 100 TB layout wants it: bucketed by
+    * posHi so probe joins prune to 1/N of the data, sorted within
+    * buckets so row-group min/max stats do the binary-search work
+    * (SURVEY.md §4.2). */
+  def writeAggTable(agg: DataFrame, table: String, buckets: Int = 256): Unit =
+    agg.write.mode("overwrite")
+      .bucketBy(buckets, "posHi")
+      .sortBy("posHi", "posLo")
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,84 @@
+package graft.chess
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Core._
+
+/** The reference's core query shape (SURVEY.md §3.2, M4/M5): probe the
+  * position-aggregate store with a batch of FENs, fetch per-child-move
+  * stats split into continuations (reached via that move) vs
+  * transpositions (same position reached otherwise).
+  *
+  * Execution: legal-move generation runs DRIVER-side on the tiny probe
+  * set (1 root + ~35 children per probe — never cluster-scale), the
+  * probe set broadcasts into a hash join against the bucketed agg table
+  * (bucket + row-group pruning ≈ the reference's sorted-run binary
+  * search), and the per-(select,level,result) rollup happens on the
+  * joined (small) result. Batch amortization is the Spark-native win:
+  * 10⁶ probes is ONE job, not 10⁶ seeks.
+  */
+object QueryEngine {
+
+  case class ProbeKey(
+      probeFen: String,   // the queried position
+      childUci: String,   // "" = the root itself, else the move to a child
+      posHi: Long, posLo: Long,
+      contMove: Int)      // reverseMove that counts as "continuation"
+
+  /** Expand probe FENs (optionally pre-applying `move`) into root +
+    * children keys, driver-side. */
+  def probeKeys(probes: Seq[(String, Option[String])]): Seq[ProbeKey] =
+    probes.flatMap { case (fen, moveOpt) =>
+      val base0 = Position.fromFen(fen)
+      val (base, incoming) = moveOpt match {
+        case Some(uci) =>
+          val m = San.parseUci(base0, uci)
+            .getOrElse(throw new IllegalArgumentException(s"illegal move $uci in $fen"))
+          (base0.make(m), m)
+        case None => (base0, NoMove)
+      }
+      val (h, l) = Zobrist.signature(base)
+      val root = ProbeKey(fen, "", h, l, incoming)
+      val children = base.legalMoves().toSeq.map { m =>
+        val child = base.make(m)
+        val (ch, cl) = Zobrist.signature(child)
+        ProbeKey(fen, moveToUci(m), ch, cl, m)
+      }
+      root +: children
+    }
+
+  /** Probe join: returns one row per (probe, child, select, level,
+    * result) with the aggregated measures. `select` ∈
+    * continuations | transpositions (all = their sum, or filter). */
+  def explore(spark: SparkSession, positionsAgg: DataFrame,
+              probes: Seq[(String, Option[String])]): DataFrame = {
+    import spark.implicits._
+    val keys = probeKeys(probes).toDF()
+    positionsAgg
+      .join(broadcast(keys), Seq("posHi", "posLo"))
+      .withColumn("select",
+        when(col("reverseMove") === col("contMove") && col("contMove") =!= NoMove,
+          "continuations").otherwise("transpositions"))
+      .groupBy(col("probeFen"), col("childUci"), col("select"),
+               col("level"), col("result"))
+      .agg(sum(col("games")).as("games"),
+           sum(col("eloDiffSum")).as("eloDiffSum"),
+           min(col("firstGameId")).as("firstGameId"),
+           max(col("lastGameId")).as("lastGameId"))
+  }
+
+  /** Opening-explorer view: per child move of one FEN, W/D/L counts
+    * over all levels (the GUI's main table, W1 ranking included). */
+  def explorer(spark: SparkSession, positionsAgg: DataFrame, fen: String): DataFrame =
+    explore(spark, positionsAgg, Seq(fen -> None))
+      .filter(col("childUci") =!= "")
+      .groupBy(col("childUci"))
+      .agg(sum(col("games")).as("games"),
+           sum(when(col("result") === Result.WhiteWin, col("games"))
+             .otherwise(0L)).as("white_wins"),
+           sum(when(col("result") === Result.Draw, col("games"))
+             .otherwise(0L)).as("draws"),
+           sum(when(col("result") === Result.BlackWin, col("games"))
+             .otherwise(0L)).as("black_wins"))
+      .orderBy(col("games").desc, col("childUci").asc)
+}

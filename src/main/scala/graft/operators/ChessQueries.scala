@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chess._
+import graft.chess.ChessIngest.GameRow
+
+/** Chess operator surface (SURVEY.md §2 native rows: S1/S2 ingest, A1–A5
+  * aggregation, J1 probe join, P5/A4 continuation-transposition split,
+  * W1 explorer ranking, F1–F5 codecs).
+  *
+  * The harness testdata has no chess tables, so these run over the
+  * embedded `SampleGames` corpus (sfDir is ignored). They are rows-only
+  * for the driver (chess semantics aren't ANSI-SQL-expressible); their
+  * correctness gate is perft + golden-count specs (ChessSparkSpec).
+  */
+object ChessQueries {
+
+  /** Parse the corpus once per session (tiny: ~10 games). */
+  private def games(s: SparkSession): org.apache.spark.sql.Dataset[GameRow] = {
+    import s.implicits._
+    ChessIngest.parseGames(s, s.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
+  }
+
+  private def agg(s: SparkSession): DataFrame =
+    ChessIngest.positionsAgg(ChessIngest.positionStream(s, games(s)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2: PGN ingest — header dimension table (games).
+    "q40_chess_games" -> ((s, _) => {
+      games(s).toDF()
+        .groupBy(col("result"))
+        .agg(count(lit(1)).as("n_games"),
+             sum(col("plyCount")).cast("long").as("total_plies"),
+             max(col("whiteElo")).as("max_white_elo"))
+    }),
+
+    // A1–A3/A5: the position-aggregate entry store, summarized.
+    "q41_positions_agg" -> ((s, _) => {
+      agg(s).agg(
+        count(lit(1)).as("n_entries"),
+        sum(col("games")).cast("long").as("n_occurrences"),
+        countDistinct(col("posHi"), col("posLo")).as("n_distinct_positions"))
+    }),
+
+    // J1+W1: opening explorer on the start position — children ranked
+    // by popularity with W/D/L split.
+    "q42_opening_explorer" -> ((s, _) =>
+      QueryEngine.explorer(s, agg(s), Position.StartFen)),
+
+    // P5/A4: continuation vs transposition split after 1.d4 d5 2.c4,
+    // probing with move e7e6 — the transposition-pair games make both
+    // classes non-empty (golden counts in ChessSparkSpec).
+    "q43_cont_trans" -> ((s, _) => {
+      val fen = {
+        var p = Position.initial
+        Seq("d4", "d5", "c4").foreach(m => p = p.make(San.parse(p, m).get))
+        p.toFen
+      }
+      QueryEngine.explore(s, agg(s), Seq(fen -> Some("e7e6")))
+        .filter(col("childUci") === "")
+        .groupBy(col("select"))
+        .agg(sum(col("games")).cast("long").as("games"))
+    })
+  )
+
+  /** Chess semantics aren't expressible in ANSI SQL over the harness
+    * tables → no DuckDB oracles; driver records rows-only checks. */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.Num._
+
+/** Relational operator surface (SURVEY.md §2.2–§2.8): filters with
+  * parquet pushdown, equi/semi/anti/range/as-of joins, hash aggregation,
+  * rollup, window functions, top-k, set ops, scalar string/date/JSON fns.
+  *
+  * Every query here is paired with an ANSI-SQL oracle (DuckDB dialect)
+  * with IDENTICAL output column names; monetary aggregates are rounded
+  * to 2dp on BOTH sides because the harness columns are doubles
+  * (FIXTURES.md note).
+  *
+  * Scale notes (100 TB posture): plans are fully declarative — filters
+  * and projections reach the parquet scan (PushedFilters), small
+  * dimension sides are explicitly broadcast, aggregations are
+  * partial+final hash aggs, the range join is bounded (small build
+  * side), and nothing collects to the driver.
+  */
+object RelationalQueries {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pricing summary: partial+final hash agg, codegen'd.
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsumR(col("l_quantity"), 2).as("sum_qty"),
+          dsumR(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsumR(revenue, 2).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Selection + projection — both pushed into the parquet scan.
+    "q02_filter_pushdown" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+                col("l_discount") > 0.08 && col("l_quantity") < 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+    }),
+
+    // Q3-style 3-way join + agg; customer is the small side → broadcast.
+    "q03_join_agg" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsumR(revenue, 2).as("rev"))
+    }),
+
+    // Q4-style semi join (EXISTS): orders with any lineitem shipped late.
+    "q04_semi_join" -> ((s, d) => {
+      val late = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      orders(s, d)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no orders.
+    "q05_anti_join" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).select(col("o_custkey")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Q5-style star join through nation+region (broadcast dims).
+    "q06_star_join" -> ((s, d) => {
+      val n = nation(s, d); val r = region(s, d)
+      val dim = broadcast(n.join(r, col("n_regionkey") === col("r_regionkey")))
+      customer(s, d)
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsumR(col("o_totalprice"), 2).as("total_rev"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Q6-style single-pass filtered agg (fully pushed scan, one row).
+    "q07_scan_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24.0)
+        .agg(dsumR(col("l_extendedprice") * col("l_discount"), 2).as("rev"),
+             count(lit(1)).as("n"))
+    }),
+
+    // Distinct counting — exact (oracle-checkable; HLL variant is c-side).
+    "q08_distinct" -> ((s, d) => {
+      customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+             count(lit(1)).as("n_cust"))
+    }),
+
+    // Window ranking: top-3 orders per customer by price (deterministic
+    // tiebreak on orderkey).
+    "q09_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Analytic window: running revenue per customer + lag delta.
+    "q10_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_price",
+          round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_price"))
+    }),
+
+    // Rollup (multi-level agg in one pass); NULL grouping keys coalesced
+    // so the oracle hash is null-free.
+    "q11_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("n"), col("qty"))
+    }),
+
+    // Top-k global sort (TakeOrderedAndProject — no full sort at scale).
+    "q12_topk" -> ((s, d) => {
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Set ops: customers active in both 'F' and 'O' order status, minus
+    // any with a 'P' order.
+    "q13_setops" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      f.intersect(op).except(p)
+    }),
+
+    // Union + conditional agg across two branches.
+    "q14_union_agg" -> ((s, d) => {
+      val hi = lineitem(s, d).filter(col("l_quantity") >= 40.0)
+        .select(col("l_orderkey"), lit("hi").as("band"))
+      val lo = lineitem(s, d).filter(col("l_quantity") <= 5.0)
+        .select(col("l_orderkey"), lit("lo").as("band"))
+      hi.unionByName(lo).groupBy(col("band")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Bounded range (theta) join: suppliers × customers on acctbal band.
+    // Build side is small → broadcast nested loop stays cheap and the
+    // pattern survives scale-up as long as one side is dimension-sized.
+    "q15_range_join" -> ((s, d) => {
+      val su = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+      customer(s, d)
+        .join(broadcast(su),
+          col("c_acctbal") >= col("s_acctbal") - 50.0 &&
+          col("c_acctbal") <= col("s_acctbal") + 50.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_close"),
+             davg(col("c_acctbal")).as("avg_bal"))
+    }),
+
+    // JSON extraction (events.props is a JSON object string).
+    "q16_json" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             avg(col("k")).as("avg_k"),
+             dsumR(col("value"), 2).as("sum_value"))
+    }),
+
+    // Time bucketing (tumbling hour) over the event stream, batch view.
+    "q17_time_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumR(col("value"), 2).as("v"))
+    }),
+
+    // Sessionization via analytic windows: 30-min-gap sessions per user.
+    "q18_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // As-of join: for each purchase, the latest prior-or-equal click by
+    // the same user (AsOfJoin operator — single shuffle, no crossjoin).
+    "q19_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin(purchases, clicks, "user_id", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS avg_qty,
+         CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount > 0.08
+           AND l_quantity < 10.0""",
+
+    "q03_join_agg" ->
+      """SELECT o_orderkey, o_orderdate,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS rev
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY o_orderkey, o_orderdate""",
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q06_star_join" ->
+      """SELECT r_name, n_name,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))),2) AS DOUBLE) AS total_rev,
+         count(*) AS n_orders
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY r_name, n_name""",
+
+    "q07_scan_agg" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))),2) AS DOUBLE) AS rev,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24.0""",
+
+    "q08_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+         count(*) AS n_cust
+         FROM customer GROUP BY c_mktsegment""",
+
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "q10_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+         round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC), 0.0),2) AS prev_price
+         FROM orders""",
+
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+         coalesce(l_linestatus,'ALL') AS ls,
+         count(*) AS n, round(sum(l_quantity),2) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q12_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q13_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+
+    "q14_union_agg" ->
+      """SELECT band, count(*) AS n FROM (
+           SELECT l_orderkey, 'hi' AS band FROM lineitem WHERE l_quantity >= 40.0
+           UNION ALL
+           SELECT l_orderkey, 'lo' AS band FROM lineitem WHERE l_quantity <= 5.0)
+         GROUP BY band""",
+
+    "q15_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_close,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS avg_bal
+         FROM customer JOIN supplier
+           ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+         GROUP BY s_suppkey""",
+
+    "q16_json" ->
+      """SELECT event_type, count(*) AS n,
+         avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
+
+    "q17_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2""",
+
+    "q18_sessionize" ->
+      """SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+           FROM (
+             SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+             FROM (
+               SELECT user_id, event_id, ts,
+                 lag(ts, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS prev_ts
+               FROM events))) GROUP BY user_id""",
+
+    "q19_asof_join" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+         c.ts AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts"""
+  )
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + dedup surface over `documents` (SURVEY.md §2.11
+  * L1/L5, A9, F9): token stats, exact dedup, content fingerprinting,
+  * n-gram Jaccard similarity, quality scoring, length percentiles.
+  *
+  * All token work uses codegen'd built-ins (`split`, higher-order array
+  * fns) — no UDFs in the hot path. Pairwise similarity is bounded
+  * (adjacent-id pairs / LSH candidates), never an n² crossjoin, so every
+  * query stays linear in corpus size.
+  */
+object TextQueries {
+
+  /** Whitespace tokens of `text`, after trim (so no empty edge tokens). */
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus stats per (lang, source) — A9.
+    "q20_text_stats" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             round(avg(col("n_chars")), 2).as("avg_chars"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+    }),
+
+    // Per-doc token counting (whitespace tokenizer) — L5.
+    "q21_token_count" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+                size(toks).cast("long").as("n_tokens"),
+                size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+    }),
+
+    // Exact dedup by content hash (md5) — L1. Emits one surviving id per
+    // content group + the group size; a `dropDuplicates` view of the same.
+    "q22_exact_dedup" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Bag-of-words fingerprint (order-insensitive content identity):
+    // md5 over the sorted distinct token set. Near-dup prefilter key.
+    "q23_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+                md5(array_join(array_sort(array_distinct(toks)), " ")).as("bow_fp"))
+    }),
+
+    // Bounded n-gram Jaccard: word-set similarity of id-adjacent doc
+    // pairs (linear chain, not n² — the all-pairs variant goes through
+    // MinHash-LSH, q25).
+    "q24_jaccard_adjacent" -> ((s, d) => {
+      val a = documents(s, d).select(col("doc_id"),
+        array_distinct(toks).as("ta"))
+      val b = documents(s, d).select((col("doc_id") - 1).as("doc_id"),
+        array_distinct(toks).as("tb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"),
+          round(
+            size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            (size(col("ta")) + size(col("tb")) -
+             size(array_intersect(col("ta"), col("tb")))).cast("double"),
+            4).as("jaccard"))
+    }),
+
+    // MinHash-LSH near-dup candidates (L2): shingle → 32 minhashes →
+    // 8 bands × 4 rows → band-bucket join → exact Jaccard rescore.
+    // No SQL oracle (LSH banding isn't ANSI-expressible) → rows-only
+    // check by the driver; correctness covered by MinHashSpec.
+    "q25_minhash_pairs" -> ((s, d) =>
+      MinHashLSH.candidatePairs(documents(s, d), minJaccard = 0.5)),
+
+    // SimHash 64-bit signature per doc (L2 family). Rows-only + spec.
+    "q26_simhash" -> ((s, d) =>
+      SimHash.signatures(documents(s, d)).select(col("doc_id"), col("simhash"))),
+
+    // Quality scoring (L5): punctuation ratio, stopword ratio, mean
+    // token length — the usual pretraining-corpus filters. Ratios are
+    // emitted UNROUNDED: both engines derive them from identical ints
+    // with one IEEE division, so the doubles are bit-identical, whereas
+    // query-level round() near a tie diverges between engines (Spark
+    // rounds the shortest decimal repr, DuckDB the true binary value).
+    "q27_quality_score" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "an", "of", "and", "or", "is",
+        "to", "in", "that").map(lit): _*)
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+            .cast("double") / col("n_chars").cast("double")).as("punct_ratio"),
+          (size(filter(toks, t => array_contains(stop, t))).cast("double") /
+            size(toks).cast("double")).as("stop_ratio"),
+          ((length(col("text")) - size(toks) + 1).cast("double") /
+            size(toks).cast("double")).as("avg_token_len"))
+    }),
+
+    // Length distribution per lang: exact interpolated percentiles.
+    "q28_length_percentiles" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+             round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+             round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
+    }),
+
+    // Heuristic language ID (L5): stopword-profile n-gram scoring vs the
+    // labeled lang column. Rows-only (heuristic isn't ANSI-expressible);
+    // accuracy asserted in LangIdSpec.
+    "q29_lang_id" -> ((s, d) => {
+      LangId.predict(documents(s, d))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(n_chars),2) AS avg_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source""",
+
+    "q21_token_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_distinct_tokens
+         FROM documents""",
+
+    "q22_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(text), '\s+'))), ' ')) AS bow_fp
+         FROM documents""",
+
+    "q24_jaccard_adjacent" ->
+      """SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+         round(CAST(len(list_intersect(a.ta, b.tb)) AS DOUBLE) /
+               CAST(len(a.ta) + len(b.tb) - len(list_intersect(a.ta, b.tb))
+                    AS DOUBLE), 4) AS jaccard
+         FROM (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ta
+               FROM documents) a
+         JOIN (SELECT doc_id - 1 AS doc_id,
+                      list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tb
+               FROM documents) b USING (doc_id)""",
+
+    "q27_quality_score" ->
+      """SELECT doc_id, n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> list_contains(['the','a','an','of','and','or','is','to','in','that'], x)))
+               AS DOUBLE)
+               / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+           AS stop_ratio,
+         CAST(length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1
+               AS DOUBLE)
+               / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+           AS avg_token_len
+         FROM documents""",
+
+    "q28_length_percentiles" ->
+      """SELECT lang,
+         round(quantile_cont(n_chars, 0.5),2) AS p50,
+         round(quantile_cont(n_chars, 0.9),2) AS p90,
+         round(quantile_cont(n_chars, 0.99),2) AS p99
+         FROM documents GROUP BY lang"""
+  )
+}

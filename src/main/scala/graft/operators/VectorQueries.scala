@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.VectorFunctions._
+import graft.functions.Num._
+
+/** Embedding-space surface (SURVEY.md §2.3 J7, §2.4 A10, §2.11 L3):
+  * centroids, brute-force cosine top-k (the oracle-checked baseline),
+  * LSH-bucketed approximate NN (the scale path), cosine near-dup.
+  *
+  * Scale posture: the brute-force probe join broadcasts the (tiny)
+  * probe set against the full corpus — linear, one pass, no shuffle of
+  * the big side except the final per-probe top-k (TakeOrdered-sized).
+  * The ANN variant first buckets both sides by hyperplane signature so
+  * the candidate join touches ~corpus/2^bits per probe.
+  */
+object VectorQueries {
+
+  /** Deterministic random hyperplanes (seed fixed — plans must be stable
+    * across runs and across the oracle). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label centroid, exploded to (label, pos, val) rows so the
+    // oracle compares scalars, not float arrays. A10.
+    "q30_centroids" -> ((s, d) => {
+      emb(s, d)
+        .select(col("label"), posexplode(col("emb")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(davg(col("col"), scale = 12).as("centroid"), count(lit(1)).as("n"))
+    }),
+
+    // Brute-force cosine top-5 for 10 probe vectors — J7 oracle baseline.
+    "q31_knn_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pemb"), col("emb")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // Norms + per-label norm stats — exercises higher-order fns (F10).
+    "q32_vector_norms" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("norm", l2Norm(col("emb")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("norm")), 4).as("avg_norm"),
+             round(min(col("norm")), 4).as("min_norm"),
+             round(max(col("norm")), 4).as("max_norm"))
+    }),
+
+    // LSH-bucketed ANN (scale path): NUM_TABLES independent hyperplane
+    // tables; candidates = union of same-bucket vectors across tables
+    // (standard multi-table LSH — one table's recall on near-uniform
+    // data is too low). The corpus is bucketed ONCE per table (a single
+    // projection), candidates join against a broadcast probe set, and
+    // the exact rescore touches only candidates — never n². Rows-only
+    // check (LSH isn't ANSI-expressible); recall vs q31 asserted in
+    // VectorFunctionsSpec.
+    "q33_ann_lsh" -> ((s, d) => {
+      val nTables = 4; val bits = 5
+      val e = emb(s, d)
+      val tables = (0 until nTables).map { t =>
+        val planes = hyperplanes(bits, 64, seed = 42L + t)
+        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), planes).as("bucket"))
+      }
+      val bucketed = e.withColumn("tb", explode(array(tables: _*)))
+        .select(col("vec_id"), col("label"), col("emb"),
+                col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val probes = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+                col("t"), col("bucket"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      bucketed.join(broadcast(probes), Seq("t", "bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("pemb"), col("emb"))
+        .distinct() // a pair can collide in several tables
+        .withColumn("sim", cosine(col("pemb"), col("emb")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // Cosine near-dup over id-adjacent pairs (embedding-space dedup, L2
+    // family) — linear chain, oracle-checkable.
+    "q34_cosine_adjacent" -> ((s, d) => {
+      val a = emb(s, d).select(col("vec_id"), col("emb").as("ea"))
+      val b = emb(s, d).select((col("vec_id") - 1).as("vec_id"), col("emb").as("eb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id").as("vec_a"), (col("vec_id") + 1).as("vec_b"),
+                round(cosine(col("ea"), col("eb")), 4).as("cos"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_centroids" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+         CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS centroid,
+         count(*) AS n
+         FROM (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val,
+                 unnest(range(len(embedding))) AS pos
+               FROM embeddings)
+         GROUP BY label, pos""",
+
+    "q31_knn_brute" ->
+      """SELECT probe_id, neighbor_id, round(sim,4) AS cos, rn FROM (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim,
+             CAST(row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS BIGINT) AS rn
+           FROM embeddings e,
+                (SELECT * FROM embeddings WHERE vec_id < 10) p
+           WHERE e.vec_id != p.vec_id)
+         WHERE rn <= 5""",
+
+    "q32_vector_norms" ->
+      """SELECT label, count(*) AS n,
+         round(avg(norm),4) AS avg_norm,
+         round(min(norm),4) AS min_norm,
+         round(max(norm),4) AS max_norm
+         FROM (SELECT label,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+               FROM embeddings)
+         GROUP BY label""",
+
+    "q34_cosine_adjacent" ->
+      """SELECT a.vec_id AS vec_a, a.vec_id + 1 AS vec_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos
+         FROM embeddings a
+         JOIN embeddings b ON b.vec_id = a.vec_id + 1"""
+  )
+}

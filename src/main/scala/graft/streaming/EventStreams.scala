@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming surface (SURVEY.md §2.9 ST1–ST5).
+  *
+  * The reference is batch-with-incremental-append (`create` then
+  * `merge`); here incremental ingest is a first-class stream: a file
+  * source watches a landing directory, and the same declarative
+  * transforms run over the unbounded table. Each op is expressed so the
+  * IDENTICAL column logic also runs in batch mode (the specs exercise
+  * both paths; the batch path is what the DuckDB oracle can check).
+  *
+  * Scale posture: all stateful ops are keyed by (user_id | window) so
+  * state partitions by the shuffle key across executors; watermarks
+  * bound state size; Trigger.AvailableNow gives bounded catch-up runs
+  * (the "merge" equivalent) without a long-lived cluster.
+  */
+object EventStreams {
+
+  /** ST1: stream-read a landing directory of event parquet drops with
+    * the given schema (taken from an existing batch table). */
+  def readEventStream(spark: SparkSession, landingDir: String,
+                      schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(landingDir)
+
+  /** ST2: tumbling/sliding window counts per event_type with an ST4
+    * watermark bounding late data (and thus state). Works on a batch or
+    * streaming `events` frame alike. */
+  def windowedCounts(events: DataFrame, width: String = "10 minutes",
+                     slide: Option[String] = None,
+                     watermark: String = "1 hour"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val win = slide.fold(window(col("ts"), width))(sl => window(col("ts"), width, sl))
+    wm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+              col("event_type"), col("n"), col("v"))
+  }
+
+  /** ST3: session windows per user (gap-based), watermarked. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+      .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+              col("user_id"), col("n_events"), col("v"))
+  }
+
+  /** ST5: stateful dedup — drop repeated event_ids within the watermark
+    * horizon (exactly-once view of an at-least-once feed). */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+  }
+
+  /** ST1 sink side: append each micro-batch to a parquet epoch dir —
+    * the streaming analogue of the reference's import-then-merge run
+    * accumulation (SURVEY.md §3.1). */
+  def appendSink(out: DataFrame, destDir: String, checkpointDir: String):
+      DataStreamWriter[Row] =
+    out.writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+}

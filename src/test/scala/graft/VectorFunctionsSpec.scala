@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.VectorQueries
+
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot, norm, cosine on known vectors") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("d"),
+              l2Norm(col("a")).as("na"),
+              cosine(col("a"), col("b")).as("c"))
+    val r = df.as[(Double, Double, Double)].head()
+    assert(r._1 == 32.0)
+    assert(math.abs(r._2 - math.sqrt(14.0)) < 1e-12)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r._3 - expected) < 1e-12)
+  }
+
+  test("hyperplane bucket is deterministic and within range") {
+    val planes = VectorQueries.hyperplanes(8, 4)
+    val df = Seq(Tuple1(Array(0.1, -0.2, 0.3, 0.4)),
+                 Tuple1(Array(-1.0, 2.0, -3.0, 0.5))).toDF("v")
+      .select(hyperplaneBucket(col("v"), planes).as("b"))
+    val bs = df.as[Long].collect()
+    assert(bs.forall(b => b >= 0 && b < 256))
+    val again = Seq(Tuple1(Array(0.1, -0.2, 0.3, 0.4))).toDF("v")
+      .select(hyperplaneBucket(col("v"), planes).as("b")).as[Long].head()
+    assert(again == bs(0))
+  }
+
+  test("ANN results are a subset-quality match of brute force (recall)") {
+    val brute = SparkEntry.queries("q31_knn_brute")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries("q33_ann_lsh")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty, "ANN should return candidates")
+    val recall = (ann & brute).size.toDouble / brute.size
+    // 4-table×5-bit LSH on near-uniform random synthetic vectors (the
+    // LSH worst case; real embeddings cluster): expect ~0.3 recall.
+    assert(recall > 0.1, s"ANN recall vs brute force was $recall")
+  }
+}

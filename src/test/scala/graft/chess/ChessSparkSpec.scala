@@ -1,0 +1,84 @@
+package graft.chess
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import graft.chess.ChessIngest._
+
+/** Golden-count gate for the chess Spark pipeline over SampleGames:
+  * hand-verifiable counts on a 10-game corpus (9 legal + 1 broken).
+  */
+class ChessSparkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val games =
+    ChessIngest.parseGames(spark, spark.createDataset(Seq(SampleGames.pgn)),
+      Core.Level.Human).cache()
+  private lazy val occ = ChessIngest.positionStream(spark, games).cache()
+  private lazy val agg = ChessIngest.positionsAgg(occ).cache()
+
+  test("ingest: 9 good games parse, 1 illegal game is skipped") {
+    assert(games.count() == 9)
+  }
+
+  test("ingest: per-result counts match hand count") {
+    val byResult = games.groupBy("result").count()
+      .as[(Byte, Long)].collect().toMap
+    assert(byResult(Core.Result.WhiteWin) == 3) // Scholar, Opera, Promotion
+    assert(byResult(Core.Result.BlackWin) == 3) // Fool, TranspB, KP Duel
+    assert(byResult(Core.Result.Draw) == 3)     // TranspA, EP, Ruy
+  }
+
+  test("position stream: one occurrence per ply plus the start position") {
+    val expected = games.select(sum(col("plyCount") + 1)).as[Long].head()
+    assert(occ.count() == expected)
+  }
+
+  test("start position appears in every game, reverseMove 0") {
+    val (h, l) = Zobrist.signature(Position.initial)
+    val startRows = occ.filter(col("posHi") === h && col("posLo") === l)
+    assert(startRows.count() == 9)
+    assert(startRows.filter(col("reverseMove") =!= Core.NoMove).count() == 0)
+  }
+
+  test("explorer on startpos: e2e4 is most popular with correct W/D/L") {
+    val rows = QueryEngine.explorer(spark, agg, Position.StartFen)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val top = rows.head
+    // e4 openers: Scholar(W), Opera(W), EP(D), Ruy(D), KPDuel(B) = 5 games
+    assert(top._1 == "e2e4" && top._2 == 5)
+    assert(top._3 == 2 && top._4 == 2 && top._5 == 1) // W/D/B
+    val byUci = rows.map(r => r._1 -> r._2).toMap
+    assert(byUci("d2d4") == 1 && byUci("c2c4") == 1 &&
+           byUci("f2f3") == 1 && byUci("g2g4") == 1)
+  }
+
+  test("continuation/transposition split after 1.d4 d5 2.c4 + e7e6") {
+    // Position after 1.d4 d5 2.c4 e6 occurs in TranspA (via e6 ->
+    // continuation) and TranspB (via 2...d5 -> transposition).
+    val out = graft.operators.ChessQueries.queries("q43_cont_trans")(spark, "")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("continuations" -> 1L, "transpositions" -> 1L))
+  }
+
+  test("A5 typed Aggregator matches the built-in agg path") {
+    val typed = occ.groupByKey(o => (o.posHi, o.posLo, o.reverseMove, o.level, o.result))
+      .agg(WdlStats.aggregator.toColumn.name("s"))
+      .map { case ((hi, lo, rm, lv, rs), s) =>
+        (hi, lo, rm, lv, rs, s.games, s.eloDiffSum, s.firstGameId, s.lastGameId) }
+      .toDF("posHi", "posLo", "reverseMove", "level", "result",
+            "games", "eloDiffSum", "firstGameId", "lastGameId")
+    val builtin = agg.select("posHi", "posLo", "reverseMove", "level", "result",
+      "games", "eloDiffSum", "firstGameId", "lastGameId")
+    assert(typed.exceptAll(builtin).isEmpty && builtin.exceptAll(typed).isEmpty)
+  }
+
+  test("eloDiff sums: scholar's mate start entry carries 200 per game") {
+    // Scholar's 1200-1000 => +200; Fool 900-1500 => -600; games without
+    // both elos contribute 0. Start position entry per (level,result):
+    val (h, l) = Zobrist.signature(Position.initial)
+    val white = agg.filter(col("posHi") === h && col("posLo") === l &&
+        col("result") === Core.Result.WhiteWin)
+      .select(sum("eloDiffSum")).as[Long].head()
+    assert(white == 200L + 50L) // Scholar +200, Opera 0 (no elos), Promotion +50
+  }
+}
