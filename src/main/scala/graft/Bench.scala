@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/catalog once so the first measured query
+    // doesn't absorb one-time session startup (~3-5s otherwise).
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

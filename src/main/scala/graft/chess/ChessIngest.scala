@@ -90,7 +90,13 @@ object ChessIngest {
   /** Write the agg table the way the 100 TB layout wants it: bucketed by
     * posHi so probe joins prune to 1/N of the data, sorted within
     * buckets so row-group min/max stats do the binary-search work
-    * (SURVEY.md §4.2). */
+    * (SURVEY.md §4.2).
+    *
+    * NOTE for point-probe (filter, not join) readers: set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` —
+    * otherwise the planner drops bucketed handling for a bare filter
+    * scan and with it the SelectedBucketsCount pruning
+    * (EntryStoreSpec demonstrates both sides). */
   def writeAggTable(agg: DataFrame, table: String, buckets: Int = 256): Unit =
     agg.write.mode("overwrite")
       .bucketBy(buckets, "posHi")

@@ -1,0 +1,143 @@
+package graft.chess
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON query protocol (SURVEY.md §2.1 S8, §3.2; role of the reference's
+  * TCP server + `Query.h` Request/Response used by the companion GUI).
+  *
+  * v1 transport is CLI/file line-in line-out (the TCP loop is a thin
+  * wrapper to add later — the protocol codec and execution path are the
+  * substance). Request:
+  * {{{
+  * {"token":"t1","query":{
+  *   "positions":[{"fen":"...","move":"e2e4"?}, ...],
+  *   "levels":["human","engine","server"]?,
+  *   "results":["w","l","d"]?,
+  *   "fetchChildren":true?}}
+  * }}}
+  * Response: per position -> per select -> per level -> per result
+  * counts (+eloDiffSum, first/last gameId), and per child move the same,
+  * mirroring the reference's nested response the GUI consumes.
+  *
+  * Execution: ONE Spark job for the whole request batch — all probe
+  * keys (roots + children) go into a single broadcast join against the
+  * agg store (J1), then the driver nests the few returned rows.
+  */
+object ChessServer {
+  implicit private val fmts: Formats = DefaultFormats
+
+  case class ReqPosition(fen: String, move: Option[String])
+  case class Request(token: String, positions: Seq[ReqPosition],
+                     levels: Seq[String], results: Seq[String],
+                     fetchChildren: Boolean)
+
+  private val levelNames = Map("human" -> Core.Level.Human,
+    "engine" -> Core.Level.Engine, "server" -> Core.Level.Server)
+  private val levelBack = levelNames.map(_.swap)
+  private val resultNames = Map("w" -> Core.Result.WhiteWin,
+    "l" -> Core.Result.BlackWin, "d" -> Core.Result.Draw)
+  private val resultBack = resultNames.map(_.swap)
+
+  def parseRequest(json: String): Request = {
+    val j = JsonMethods.parse(json)
+    val q = j \ "query"
+    // json4s extracts a MISSING key as Seq() for Seq[String], so
+    // extractOrElse never falls back — test JNothing explicitly.
+    def seqOr(v: JValue, default: Seq[String]): Seq[String] = v match {
+      case JNothing => default
+      case other => other.extract[Seq[String]]
+    }
+    Request(
+      token = (j \ "token").extractOrElse[String](""),
+      positions = (q \ "positions").extract[Seq[JValue]].map { p =>
+        ReqPosition((p \ "fen").extract[String], (p \ "move").extractOpt[String])
+      },
+      levels = seqOr(q \ "levels", levelNames.keys.toSeq),
+      results = seqOr(q \ "results", resultNames.keys.toSeq),
+      fetchChildren = (q \ "fetchChildren").extractOrElse[Boolean](true))
+  }
+
+  /** Execute a request against the agg store; returns the response as a
+    * JSON string. */
+  def execute(spark: SparkSession, positionsAgg: DataFrame, req: Request): String = {
+    import org.apache.spark.sql.functions._
+    val levelSet = req.levels.flatMap(levelNames.get)
+    val resultSet = req.results.flatMap(resultNames.get)
+    val probes = req.positions.map(p => p.fen -> p.move)
+
+    val rows = QueryEngine.explore(spark, positionsAgg, probes)
+      .filter(col("level").isin(levelSet.map(_.toInt): _*) &&
+              col("result").isin(resultSet.map(_.toInt): _*))
+      .collect()
+
+    // driver-side nesting of the (small) aggregated result
+    def statsJson(rs: Seq[org.apache.spark.sql.Row]): JValue =
+      JObject(rs.groupBy(_.getAs[String]("select")).toList.sortBy(_._1).map {
+        case (sel, perSel) =>
+          sel -> JObject(perSel.groupBy(_.getAs[Byte]("level")).toList
+            .sortBy(_._1).map { case (lv, perLv) =>
+              levelBack(lv) -> JObject(perLv.groupBy(_.getAs[Byte]("result"))
+                .toList.sortBy(_._1).map { case (rz, perR) =>
+                  val r = perR.head
+                  resultBack(rz) -> JObject(List(
+                    "count" -> JLong(perR.map(_.getAs[Long]("games")).sum),
+                    "eloDiffSum" -> JLong(perR.map(_.getAs[Long]("eloDiffSum")).sum),
+                    "firstGameId" -> JLong(perR.map(_.getAs[Long]("firstGameId")).min),
+                    "lastGameId" -> JLong(perR.map(_.getAs[Long]("lastGameId")).max)))
+                })
+            })
+      })
+
+    val results = req.positions.map { p =>
+      val mine = rows.filter(_.getAs[String]("probeFen") == p.fen)
+      val root = mine.filter(_.getAs[String]("childUci") == "")
+      val children =
+        if (!req.fetchChildren) JNothing
+        else JObject(mine.filter(_.getAs[String]("childUci") != "")
+          .groupBy(_.getAs[String]("childUci")).toList.sortBy(_._1)
+          .map { case (uci, rs) => uci -> statsJson(rs.toSeq) })
+      JObject(List(
+        "fen" -> JString(p.fen)) ++
+        p.move.map(m => "move" -> JString(m)).toList ++ List(
+        "stats" -> statsJson(root.toSeq),
+        "children" -> children))
+    }
+    JsonMethods.compact(JsonMethods.render(
+      JObject(List("token" -> JString(req.token), "results" -> JArray(results.toList)))))
+  }
+
+  /** CLI loop: line-delimited JSON requests on stdin (or a file arg),
+    * responses on stdout — the v1 stand-in for the TCP server. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // default corpus: embedded sample games; args(1) may point at a PGN file
+    val pgn = if (args.length > 1)
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
+    else SampleGames.pgn
+    val games = ChessIngest.parseGames(spark, spark.createDataset(Seq(pgn)),
+      Core.Level.Human)
+    val agg = ChessIngest.positionsAgg(
+      ChessIngest.positionStream(spark, games)).cache()
+    val in: Iterator[String] =
+      if (args.nonEmpty && args(0) != "-")
+        scala.io.Source.fromFile(args(0)).getLines()
+      else scala.io.Source.stdin.getLines()
+    in.filter(_.trim.nonEmpty).foreach { line =>
+      val out = try execute(spark, agg, parseRequest(line)) catch {
+        case e: Exception =>
+          s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
+      }
+      println(out)
+    }
+    spark.stop()
+  }
+}

@@ -48,6 +48,35 @@ object ChessQueries {
     "q42_opening_explorer" -> ((s, _) =>
       QueryEngine.explorer(s, agg(s), Position.StartFen)),
 
+    // Bulk import throughput (reference `bench` role): generate random
+    // games ON EXECUTORS, replay to a position stream, aggregate — the
+    // full import path at volume. Row reports corpus-level totals.
+    "q45_chess_bulk_import" -> ((s, _) => {
+      val games = RandomGames.generate(s, nGames = 500, maxPlies = 60)
+      ChessIngest.positionsAgg(ChessIngest.positionStream(s, games))
+        .agg(count(lit(1)).as("n_entries"),
+             sum(col("games")).cast("long").as("n_occurrences"))
+    }),
+
+    // Batch probe (J1 at volume): probe a 300-game random corpus with
+    // the 6-ply prefixes of its own first 64 games (root + children
+    // keys, ~2300 probe keys) in ONE broadcast join — the reference
+    // answers these one binary-search seek at a time; Spark answers the
+    // whole batch in one job (SURVEY.md §3.2).
+    "q46_chess_batch_probe" -> ((s, _) => {
+      import s.implicits._
+      val corpus = RandomGames.generate(s, nGames = 300, maxPlies = 60)
+      val store = ChessIngest.positionsAgg(ChessIngest.positionStream(s, corpus))
+      // same seeds as corpus games 0..63 -> prefixes exist in the store
+      val probeFens = RandomGames.generate(s, nGames = 64, maxPlies = 6)
+        .collect().toSeq.map { g =>
+          g.moves.foldLeft(Position.initial)((p, m) => p.make(m)).toFen -> None
+        }
+      QueryEngine.explore(s, store, probeFens)
+        .agg(count(lit(1)).as("n_result_rows"),
+             countDistinct(col("probeFen")).as("n_probes_hit"))
+    }),
+
     // P5/A4: continuation vs transposition split after 1.d4 d5 2.c4,
     // probing with move e7e6 — the transposition-pair games make both
     // classes non-empty (golden counts in ChessSparkSpec).

@@ -218,6 +218,17 @@ object RelationalQueries {
         .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Cube (A7): all grouping-set combinations in one pass; NULL keys
+    // coalesced so the oracle hash is null-free.
+    "q44_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsumR(col("o_totalprice"), 2).as("rev"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+                col("n"), col("rev"))
+    }),
+
     // As-of join: for each purchase, the latest prior-or-equal click by
     // the same user (AsOfJoin operator — single shuffle, no crossjoin).
     "q19_asof_join" -> ((s, d) => {
@@ -371,6 +382,13 @@ object RelationalQueries {
                  lag(ts, 1) OVER (PARTITION BY user_id
                    ORDER BY ts ASC, event_id ASC) AS prev_ts
                FROM events))) GROUP BY user_id""",
+
+    "q44_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st,
+         coalesce(o_orderpriority,'ALL') AS pri,
+         count(*) AS n,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))),2) AS DOUBLE) AS rev
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
 
     "q19_asof_join" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression gate (the 100 TB posture, SURVEY.md §4):
+  * filters/projections must reach the parquet scan, dimension joins
+  * must broadcast, aggregates must have a partial (map-side) phase,
+  * and top-k must not globally sort. A correct-but-badly-planned query
+  * regresses HERE even while the oracle stays green.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q02: scan reads only the projected columns") {
+    val p = plan("q02_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"column pruning failed: $readSchema")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_discount"), p)
+  }
+
+  test("q03: customer dimension joins via broadcast, not shuffle") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q06: star-dim join broadcasts nation x region") {
+    assert(plan("q06_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q12: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregates run partial then final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected partial+final HashAggregate pair\n" + p)
+  }
+
+  test("q31 knn: probe side is broadcast against the corpus scan") {
+    assert(plan("q31_knn_brute").contains("BroadcastNestedLoopJoin") ||
+           plan("q31_knn_brute").contains("BroadcastHashJoin"))
+  }
+
+  test("q42 chess explorer: probe keys broadcast into the agg store") {
+    assert(plan("q42_opening_explorer").contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the q01 aggregation path") {
+    // AQE only materializes codegen stages on execution; the '*(n)'
+    // markers appear in the executed plan's simple string.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no WholeStageCodegen stage in:\n$p")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.chess
+
+import graft.SparkTestBase
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+class ChessServerSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit private val fmts: Formats = DefaultFormats
+
+  private lazy val agg = ChessIngest.positionsAgg(
+    ChessIngest.positionStream(spark,
+      ChessIngest.parseGames(spark, spark.createDataset(Seq(SampleGames.pgn)),
+        Core.Level.Human))).cache()
+
+  test("request parses with defaults") {
+    val r = ChessServer.parseRequest(
+      s"""{"token":"t1","query":{"positions":[{"fen":"${Position.StartFen}"}]}}""")
+    assert(r.token == "t1" && r.positions.head.move.isEmpty)
+    assert(r.levels.toSet == Set("human", "engine", "server"))
+    assert(r.fetchChildren)
+  }
+
+  test("explorer request returns nested counts matching golden corpus") {
+    val req = ChessServer.parseRequest(
+      s"""{"token":"q","query":{"positions":[{"fen":"${Position.StartFen}"}]}}""")
+    val resp = JsonMethods.parse(ChessServer.execute(spark, agg, req))
+    assert((resp \ "token").extract[String] == "q")
+    val res0 = (resp \ "results") (0)
+    // root: all 9 games transposed into "transpositions" bucket (no
+    // incoming move specified -> nothing counts as continuation)
+    val rootCount = (res0 \ "stats" \ "transpositions" \ "human")
+      .extract[Map[String, Map[String, Long]]].values.map(_("count")).sum
+    assert(rootCount == 9)
+    // children: e2e4 seen 5 times, 2 white wins
+    val e4w = (res0 \ "children" \ "e2e4" \ "continuations" \ "human" \ "w" \ "count")
+      .extract[Long]
+    assert(e4w == 2)
+  }
+
+  test("move field applies before probing and yields continuations") {
+    // Probe (fen after 1.d4 d5 2.c4) + move e7e6: the TranspA game
+    // reached the resulting position via e6 -> continuation count 1.
+    val fen = {
+      var p = Position.initial
+      Seq("d4", "d5", "c4").foreach(m => p = p.make(San.parse(p, m).get))
+      p.toFen
+    }
+    val req = ChessServer.parseRequest(
+      s"""{"token":"m","query":{"positions":[{"fen":"$fen","move":"e7e6"}],"fetchChildren":false}}""")
+    val resp = JsonMethods.parse(ChessServer.execute(spark, agg, req))
+    val res0 = (resp \ "results") (0)
+    val cont = (res0 \ "stats" \ "continuations" \ "human" \ "d" \ "count").extract[Long]
+    assert(cont == 1, "TranspA (draw) reached it via e6")
+    val trans = (res0 \ "stats" \ "transpositions" \ "human" \ "l" \ "count").extract[Long]
+    assert(trans == 1, "TranspB (0-1) transposed into it")
+  }
+
+  test("level/result filters narrow the response") {
+    val req = ChessServer.parseRequest(
+      s"""{"token":"f","query":{"positions":[{"fen":"${Position.StartFen}"}],
+          "results":["w"],"fetchChildren":false}}""")
+    val resp = JsonMethods.parse(ChessServer.execute(spark, agg, req))
+    val stats = ((resp \ "results") (0) \ "stats" \ "transpositions" \ "human")
+      .extract[Map[String, Map[String, Long]]]
+    assert(stats.keySet == Set("w"))
+    assert(stats("w")("count") == 3)
+  }
+
+  test("malformed move reports an error, not a crash") {
+    val req = ChessServer.parseRequest(
+      s"""{"token":"x","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e5"}]}}""")
+    val out = try { ChessServer.execute(spark, agg, req); "ok" }
+      catch { case e: IllegalArgumentException => "caught" }
+    assert(out == "caught")
+  }
+}

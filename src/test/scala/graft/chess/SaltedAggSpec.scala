@@ -1,0 +1,16 @@
+package graft.chess
+
+import graft.SparkTestBase
+
+class SaltedAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted two-level aggregation equals direct aggregation exactly") {
+    val occ = ChessIngest.positionStream(spark,
+      ChessIngest.parseGames(spark, spark.createDataset(Seq(SampleGames.pgn)),
+        Core.Level.Human)).toDF()
+    val a = SaltedAgg.direct(occ)
+    val b = SaltedAgg.salted(occ, salts = 7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
