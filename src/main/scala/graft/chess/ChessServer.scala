@@ -43,6 +43,12 @@ object ChessServer {
   def parseRequest(json: String): Request = {
     val j = JsonMethods.parse(json)
     val q = j \ "query"
+    // a structurally-wrong request must error, not yield an empty
+    // response — json4s maps missing keys to empty collections.
+    if (q == JNothing)
+      throw new IllegalArgumentException("request has no 'query' object")
+    if ((q \ "positions") == JNothing)
+      throw new IllegalArgumentException("query has no 'positions' array")
     // json4s extracts a MISSING key as Seq() for Seq[String], so
     // extractOrElse never falls back — test JNothing explicitly.
     def seqOr(v: JValue, default: Seq[String]): Seq[String] = v match {
@@ -108,8 +114,40 @@ object ChessServer {
       JObject(List("token" -> JString(req.token), "results" -> JArray(results.toList)))))
   }
 
+  /** Serve line-delimited JSON over TCP (the reference's GUI transport):
+    * one response line per request line, connection-per-client loop. */
+  def serveTcp(spark: SparkSession, positionsAgg: DataFrame, port: Int,
+               maxRequests: Long = Long.MaxValue): Unit = {
+    val server = new java.net.ServerSocket(port)
+    try {
+      var served = 0L
+      while (served < maxRequests) {
+        val sock = server.accept()
+        try {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          val out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+          var line = in.readLine()
+          while (line != null && served < maxRequests) {
+            if (line.trim.nonEmpty) {
+              val resp = try execute(spark, positionsAgg, parseRequest(line)) catch {
+                case e: Exception =>
+                  s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
+              }
+              out.println(resp)
+              served += 1
+            }
+            line = if (served < maxRequests) in.readLine() else null
+          }
+        } finally sock.close()
+      }
+    } finally server.close()
+  }
+
   /** CLI loop: line-delimited JSON requests on stdin (or a file arg),
-    * responses on stdout — the v1 stand-in for the TCP server. */
+    * responses on stdout; `--tcp <port>` serves the reference's socket
+    * transport instead. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -119,14 +157,21 @@ object ChessServer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    // default corpus: embedded sample games; args(1) may point at a PGN file
-    val pgn = if (args.length > 1)
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
-    else SampleGames.pgn
+    // default corpus: embedded sample games; trailing arg may point at a
+    // PGN file
+    val pgnArg = args.drop(if (args.headOption.contains("--tcp")) 2 else 1)
+    val pgn = pgnArg.headOption.map(p =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      .getOrElse(SampleGames.pgn)
     val games = ChessIngest.parseGames(spark, spark.createDataset(Seq(pgn)),
       Core.Level.Human)
     val agg = ChessIngest.positionsAgg(
       ChessIngest.positionStream(spark, games)).cache()
+    if (args.headOption.contains("--tcp")) {
+      serveTcp(spark, agg, args(1).toInt)
+      spark.stop()
+      return
+    }
     val in: Iterator[String] =
       if (args.nonEmpty && args(0) != "-")
         scala.io.Source.fromFile(args(0)).getLines()

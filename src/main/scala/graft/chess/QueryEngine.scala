@@ -67,6 +67,27 @@ object QueryEngine {
            max(col("lastGameId")).as("lastGameId"))
   }
 
+  /** Retractions (reference F6 role, SURVEY.md §2.8): which moves LED
+    * to this position, with what stats. The entry store is keyed by
+    * (signature, reverseMove), so this is a keyed probe + group-by —
+    * no retro-move generation needed (the store only ever contains
+    * reverse moves that actually occurred). reverseMove 0 = the
+    * position occurred as a game start. */
+  def retractions(spark: SparkSession, positionsAgg: DataFrame, fen: String): DataFrame = {
+    val (h, l) = Zobrist.signature(Position.fromFen(fen))
+    positionsAgg
+      .filter(col("posHi") === h && col("posLo") === l)
+      .groupBy(col("reverseMove"))
+      .agg(sum(col("games")).as("games"),
+           sum(when(col("result") === Result.WhiteWin, col("games")).otherwise(0L)).as("white_wins"),
+           sum(when(col("result") === Result.Draw, col("games")).otherwise(0L)).as("draws"),
+           sum(when(col("result") === Result.BlackWin, col("games")).otherwise(0L)).as("black_wins"))
+      .withColumn("uci", when(col("reverseMove") === NoMove, lit("start"))
+        .otherwise(udf((m: Int) => moveToUci(m)).apply(col("reverseMove"))))
+      .select("uci", "games", "white_wins", "draws", "black_wins")
+      .orderBy(col("games").desc, col("uci").asc)
+  }
+
   /** Opening-explorer view: per child move of one FEN, W/D/L counts
     * over all levels (the GUI's main table, W1 ranking included). */
   def explorer(spark: SparkSession, positionsAgg: DataFrame, fen: String): DataFrame =

@@ -3,20 +3,26 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` columns (SURVEY.md §2.8 F10)
-  * using codegen'd higher-order functions — no UDFs, stays inside
-  * whole-stage codegen, evaluates left-to-right (deterministic float
-  * accumulation order, matching the DuckDB oracle's sequential loops).
+/** Vector math over `array<double>` columns (SURVEY.md §2.8 F10).
+  *
+  * dot/cosine are native codegen'd Catalyst expressions
+  * (VectorExpressions.scala) — the higher-order-function formulation
+  * (`aggregate(zip_with(...))`) is CodegenFallback and interpreted
+  * per element, which dominated the KNN profile. Both accumulate
+  * left-to-right, so results stay bit-identical to the DuckDB oracle's
+  * sequential loops.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+
   /** Elementwise dot product; inputs should already be array<double>. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    toCol(CosineSim(toExpr(a), toExpr(b)))
 
   /** Random-hyperplane LSH bucket id: sign bit of `vec · plane_j` for
     * each of the given literal hyperplanes, packed into a long. */

@@ -77,6 +77,17 @@ object ChessQueries {
              countDistinct(col("probeFen")).as("n_probes_hit"))
     }),
 
+    // F6 retractions: which moves led to the position after
+    // 1.d4 d5 2.c4 e6 (golden: e7e6 from TranspA, d7d5 from TranspB).
+    "q47_retractions" -> ((s, _) => {
+      val fen = {
+        var p = Position.initial
+        Seq("d4", "d5", "c4", "e6").foreach(m => p = p.make(San.parse(p, m).get))
+        p.toFen
+      }
+      QueryEngine.retractions(s, agg(s), fen)
+    }),
+
     // P5/A4: continuation vs transposition split after 1.d4 d5 2.c4,
     // probing with move e7e6 — the transposition-pair games make both
     // classes non-empty (golden counts in ChessSparkSpec).

@@ -1,15 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Heuristic language identification (SURVEY.md §2.11 L5): score text
   * against per-language function-word profiles, predict the argmax.
   *
-  * A deliberately simple, fully-codegen'd n-gram/stopword profile — the
-  * point is the Spark surface (pure column expressions, no UDF, linear
-  * scan), not SOTA accuracy. argmax is computed via array_max over
-  * (score, lang) structs → deterministic lexicographic tie-break.
+  * Scoring is ONE native UDF pass: the column-expression formulation
+  * (per-language `filter(toks, array_contains(...))`) runs on
+  * interpreted higher-order functions — 4 langs × every token ×
+  * 10-word profile per row dominated the sf0.1 bench. Tie-break is
+  * lexicographically-largest language at equal score (identical to the
+  * previous `array_max` over (score, lang) structs).
   */
 object LangId {
   val profiles: Map[String, Seq[String]] = Map(
@@ -20,26 +22,43 @@ object LangId {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他")
   )
 
-  /** Adds `lang_pred` to any DataFrame with a `text` column. The token
-    * array is materialized ONCE into a temp column — inlining it would
-    * re-evaluate the split regex once per language profile (measured
-    * ~6× slower at sf0.001). */
-  def predict(docs: DataFrame): DataFrame = {
-    val withToks = docs.withColumn("__toks", split(trim(lower(col("text"))), "\\s+"))
-    val scored: Seq[Column] = profiles.toSeq.sortBy(_._1).map {
-      case (lang, words) =>
-        val wordArr = array(words.map(lit): _*)
-        val hits = size(filter(col("__toks"), t => array_contains(wordArr, t)))
-        // zh has no spaces: count profile-char occurrences instead.
-        val score =
-          if (lang == "zh")
-            words.map(w => size(split(col("text"), w, -1)) - 1)
-              .reduce(_ + _)
-          else hits
-        struct(score.cast("long").as("score"), lit(lang).as("lang"))
+  private val wordProfiles: Array[(String, Set[String])] =
+    profiles.toArray.sortBy(_._1).collect {
+      case (lang, words) if lang != "zh" => lang -> words.toSet
     }
-    withToks.withColumn("lang_pred",
-      array_max(array(scored: _*)).getField("lang"))
-      .drop("__toks")
+  private val zhChars: Array[Char] = profiles("zh").map(_.charAt(0)).toArray
+
+  /** Pure scoring function: language with the most profile hits. */
+  def classify(text: String): String = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    var bestLang = ""
+    var bestScore = Long.MinValue
+    def consider(lang: String, score: Long): Unit =
+      if (score > bestScore || (score == bestScore && lang > bestLang)) {
+        bestLang = lang; bestScore = score
+      }
+    wordProfiles.foreach { case (lang, words) =>
+      var hits = 0L
+      var i = 0
+      while (i < toks.length) { if (words.contains(toks(i))) hits += 1; i += 1 }
+      consider(lang, hits)
+    }
+    // zh has no spaces: count profile-char occurrences in the raw text
+    var zh = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      var j = 0
+      while (j < zhChars.length) { if (c == zhChars(j)) zh += 1; j += 1 }
+      i += 1
+    }
+    consider("zh", zh)
+    bestLang
   }
+
+  private val classifyUdf = udf(classify _)
+
+  /** Adds `lang_pred` to any DataFrame with a `text` column. */
+  def predict(docs: DataFrame): DataFrame =
+    docs.withColumn("lang_pred", classifyUdf(col("text")))
 }

@@ -60,6 +60,25 @@ class ChessSparkSpec extends SparkTestBase {
     assert(out == Map("continuations" -> 1L, "transpositions" -> 1L))
   }
 
+  test("retractions after 1.d4 d5 2.c4 e6: exactly e7e6 and d7d5 led here") {
+    val out = graft.operators.ChessQueries.queries("q47_retractions")(spark, "")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out == Map("e7e6" -> 1L, "d7d5" -> 1L))
+  }
+
+  test("S3 role: games table round-trips through parquet with moves intact") {
+    val dir = java.nio.file.Files.createTempDirectory("games-pq").toString
+    games.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[GameRow]
+    assert(back.count() == 9)
+    val orig = games.collect().map(g => g.gameId -> g.moves.toSeq).toMap
+    back.collect().foreach(g => assert(orig(g.gameId) == g.moves.toSeq))
+    // replaying from the re-read table gives the identical agg store
+    val agg2 = ChessIngest.positionsAgg(ChessIngest.positionStream(spark, back))
+    assert(agg2.exceptAll(agg).isEmpty && agg.exceptAll(agg2).isEmpty)
+  }
+
   test("A5 typed Aggregator matches the built-in agg path") {
     val typed = occ.groupByKey(o => (o.posHi, o.posLo, o.reverseMove, o.level, o.result))
       .agg(WdlStats.aggregator.toColumn.name("s"))
