@@ -31,7 +31,9 @@ object ChessServer {
   case class ReqPosition(fen: String, move: Option[String])
   case class Request(token: String, positions: Seq[ReqPosition],
                      levels: Seq[String], results: Seq[String],
-                     fetchChildren: Boolean)
+                     fetchChildren: Boolean,
+                     fetchFirstGame: Boolean = false,
+                     fetchLastGame: Boolean = false)
 
   private val levelNames = Map("human" -> Core.Level.Human,
     "engine" -> Core.Level.Engine, "server" -> Core.Level.Server)
@@ -62,21 +64,41 @@ object ChessServer {
       },
       levels = seqOr(q \ "levels", levelNames.keys.toSeq),
       results = seqOr(q \ "results", resultNames.keys.toSeq),
-      fetchChildren = (q \ "fetchChildren").extractOrElse[Boolean](true))
+      fetchChildren = (q \ "fetchChildren").extractOrElse[Boolean](true),
+      fetchFirstGame = (q \ "fetchFirstGame").extractOrElse[Boolean](false),
+      fetchLastGame = (q \ "fetchLastGame").extractOrElse[Boolean](false))
   }
 
   /** Execute a request against the agg store; returns the response as a
-    * JSON string. */
-  def execute(spark: SparkSession, positionsAgg: DataFrame, req: Request): String = {
+    * JSON string. Pass `games` to honor fetchFirstGame/fetchLastGame
+    * (J2 header join). */
+  def execute(spark: SparkSession, positionsAgg: DataFrame, req: Request,
+              games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): String = {
     import org.apache.spark.sql.functions._
     val levelSet = req.levels.flatMap(levelNames.get)
     val resultSet = req.results.flatMap(resultNames.get)
     val probes = req.positions.map(p => p.fen -> p.move)
 
-    val rows = QueryEngine.explore(spark, positionsAgg, probes)
+    val explored = QueryEngine.explore(spark, positionsAgg, probes)
       .filter(col("level").isin(levelSet.map(_.toInt): _*) &&
               col("result").isin(resultSet.map(_.toInt): _*))
-      .collect()
+    val wantHeaders = (req.fetchFirstGame || req.fetchLastGame) && games.isDefined
+    val rows = (if (wantHeaders) QueryEngine.withHeaders(explored, games.get)
+                else explored).collect()
+
+    def hdrJson(r: org.apache.spark.sql.Row, field: String): List[(String, JValue)] =
+      if (!wantHeaders || r.schema.fieldNames.contains(field) == false) Nil
+      else Option(r.getAs[org.apache.spark.sql.Row](field)).toList.map { h =>
+        field -> JObject(List(
+          "event" -> JString(h.getAs[String]("event")),
+          "date" -> JString(h.getAs[String]("date")),
+          "white" -> JString(h.getAs[String]("white")),
+          "black" -> JString(h.getAs[String]("black")),
+          "whiteElo" -> JInt(h.getAs[Int]("whiteElo")),
+          "blackElo" -> JInt(h.getAs[Int]("blackElo")),
+          "result" -> JString(resultBack(h.getAs[Byte]("result"))),
+          "eco" -> JString(h.getAs[String]("eco"))))
+      }
 
     // driver-side nesting of the (small) aggregated result
     def statsJson(rs: Seq[org.apache.spark.sql.Row]): JValue =
@@ -86,12 +108,15 @@ object ChessServer {
             .sortBy(_._1).map { case (lv, perLv) =>
               levelBack(lv) -> JObject(perLv.groupBy(_.getAs[Byte]("result"))
                 .toList.sortBy(_._1).map { case (rz, perR) =>
-                  val r = perR.head
+                  val firstRow = perR.minBy(_.getAs[Long]("firstGameId"))
+                  val lastRow = perR.maxBy(_.getAs[Long]("lastGameId"))
                   resultBack(rz) -> JObject(List(
                     "count" -> JLong(perR.map(_.getAs[Long]("games")).sum),
                     "eloDiffSum" -> JLong(perR.map(_.getAs[Long]("eloDiffSum")).sum),
-                    "firstGameId" -> JLong(perR.map(_.getAs[Long]("firstGameId")).min),
-                    "lastGameId" -> JLong(perR.map(_.getAs[Long]("lastGameId")).max)))
+                    "firstGameId" -> JLong(firstRow.getAs[Long]("firstGameId")),
+                    "lastGameId" -> JLong(lastRow.getAs[Long]("lastGameId"))) ++
+                    (if (req.fetchFirstGame) hdrJson(firstRow, "firstGame") else Nil) ++
+                    (if (req.fetchLastGame) hdrJson(lastRow, "lastGame") else Nil))
                 })
             })
       })
@@ -117,7 +142,8 @@ object ChessServer {
   /** Serve line-delimited JSON over TCP (the reference's GUI transport):
     * one response line per request line, connection-per-client loop. */
   def serveTcp(spark: SparkSession, positionsAgg: DataFrame, port: Int,
-               maxRequests: Long = Long.MaxValue): Unit = {
+               maxRequests: Long = Long.MaxValue,
+               games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): Unit = {
     val server = new java.net.ServerSocket(port)
     try {
       var served = 0L
@@ -131,7 +157,7 @@ object ChessServer {
           var line = in.readLine()
           while (line != null && served < maxRequests) {
             if (line.trim.nonEmpty) {
-              val resp = try execute(spark, positionsAgg, parseRequest(line)) catch {
+              val resp = try execute(spark, positionsAgg, parseRequest(line), games) catch {
                 case e: Exception =>
                   s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
               }
@@ -168,7 +194,7 @@ object ChessServer {
     val agg = ChessIngest.positionsAgg(
       ChessIngest.positionStream(spark, games)).cache()
     if (args.headOption.contains("--tcp")) {
-      serveTcp(spark, agg, args(1).toInt)
+      serveTcp(spark, agg, args(1).toInt, games = Some(games))
       spark.stop()
       return
     }
@@ -177,7 +203,7 @@ object ChessServer {
         scala.io.Source.fromFile(args(0)).getLines()
       else scala.io.Source.stdin.getLines()
     in.filter(_.trim.nonEmpty).foreach { line =>
-      val out = try execute(spark, agg, parseRequest(line)) catch {
+      val out = try execute(spark, agg, parseRequest(line), Some(games)) catch {
         case e: Exception =>
           s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
       }

@@ -67,6 +67,27 @@ object QueryEngine {
            max(col("lastGameId")).as("lastGameId"))
   }
 
+  /** J2 header join: resolve first/last gameIds of explore() output to
+    * game headers. The aggregated result is small, so IT is the
+    * broadcast side against the (arbitrarily large) games table —
+    * at 100 TB this is a broadcast-semi-join fetch, not a full-table
+    * shuffle. */
+  def withHeaders(explored: DataFrame,
+                  games: org.apache.spark.sql.Dataset[ChessIngest.GameRow]): DataFrame = {
+    val headers = games.toDF().select(col("gameId"),
+      struct(col("event"), col("date"), col("white"), col("black"),
+             col("whiteElo"), col("blackElo"), col("result"), col("eco"))
+        .as("__hdr"))
+    // right joins so the SMALL explored result broadcasts and the big
+    // games table streams past it (explored rows all survive)
+    val withFirst = headers
+      .join(broadcast(explored), col("gameId") === col("firstGameId"), "right")
+      .withColumnRenamed("__hdr", "firstGame").drop("gameId")
+    headers
+      .join(broadcast(withFirst), col("gameId") === col("lastGameId"), "right")
+      .withColumnRenamed("__hdr", "lastGame").drop("gameId")
+  }
+
   /** Retractions (reference F6 role, SURVEY.md §2.8): which moves LED
     * to this position, with what stats. The entry store is keyed by
     * (signature, reverseMove), so this is a keyed probe + group-by —

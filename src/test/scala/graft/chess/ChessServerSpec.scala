@@ -67,6 +67,23 @@ class ChessServerSpec extends SparkTestBase {
     assert(stats("w")("count") == 3)
   }
 
+  test("fetchFirstGame resolves headers via the J2 join") {
+    val games = ChessIngest.parseGames(spark,
+      spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
+    val req = ChessServer.parseRequest(
+      s"""{"token":"h","query":{"positions":[{"fen":"${Position.StartFen}"}],
+          "results":["w"],"fetchChildren":false,"fetchFirstGame":true,"fetchLastGame":true}}""")
+    val resp = JsonMethods.parse(
+      ChessServer.execute(spark, agg, req, Some(games)))
+    val w = (resp \ "results") (0) \ "stats" \ "transpositions" \ "human" \ "w"
+    // first white-win game in the corpus is Scholar's Mate (gameId 0)
+    assert((w \ "firstGame" \ "white").extract[String] == "Alpha")
+    assert((w \ "firstGame" \ "event").extract[String] == "Scholar's Mate")
+    // last white-win is the Promotion Game
+    assert((w \ "lastGame" \ "white").extract[String] == "Ivy")
+    assert((w \ "lastGame" \ "result").extract[String] == "w")
+  }
+
   test("malformed move reports an error, not a crash") {
     val req = ChessServer.parseRequest(
       s"""{"token":"x","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e5"}]}}""")
