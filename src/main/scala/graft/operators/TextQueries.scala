@@ -111,6 +111,31 @@ object TextQueries {
              round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
     }),
 
+    // Composed pretraining-corpus pipeline (L1+L5 end-to-end): exact
+    // dedup (keep lowest doc_id per content hash) -> length band ->
+    // stopword-ratio quality floor -> per-lang survivor stats. One
+    // declarative plan; Catalyst fuses the filters and both aggs.
+    "q48_corpus_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val keep = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val stopRatio =
+        size(filter(toks, t => array_contains(
+          array(Seq("the", "a", "an", "of", "and", "or", "is", "to", "in",
+            "that").map(lit): _*), t))).cast("double") /
+          size(toks).cast("double")
+      docs.join(keep, "doc_id")
+        .filter(col("n_chars") >= 80 && col("n_chars") <= 5000)
+        .withColumn("sr", stopRatio)
+        .filter(col("lang") =!= "en" || col("sr") >= 0.02)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             sum(size(toks)).cast("long").as("total_tokens"))
+    }),
+
     // Heuristic language ID (L5): stopword-profile n-gram scoring vs the
     // labeled lang column. Rows-only (heuristic isn't ANSI-expressible);
     // accuracy asserted in LangIdSpec.
@@ -173,6 +198,27 @@ object TextQueries {
                / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
            AS avg_token_len
          FROM documents""",
+
+    "q48_corpus_pipeline" ->
+      """WITH keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         ),
+         survivors AS (
+           SELECT d.lang, d.n_chars, d.text,
+             CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+               x -> list_contains(['the','a','an','of','and','or','is','to','in','that'], x)))
+               AS DOUBLE)
+               / CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE) AS sr
+           FROM documents d JOIN keep USING (doc_id)
+           WHERE d.n_chars >= 80 AND d.n_chars <= 5000
+         )
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens
+         FROM survivors
+         WHERE lang != 'en' OR sr >= 0.02
+         GROUP BY lang""",
 
     "q28_length_percentiles" ->
       """SELECT lang,
