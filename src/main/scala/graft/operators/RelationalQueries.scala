@@ -218,6 +218,32 @@ object RelationalQueries {
         .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Pivot: orderstatus becomes columns (fixed value list -> single
+    // pass, no second job to discover values; the 100 TB-safe form).
+    "q49_pivot" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+                coalesce(col("F"), lit(0L)).as("n_f"),
+                coalesce(col("O"), lit(0L)).as("n_o"),
+                coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // min_by/max_by (A3 tie-broken first/last semantics): per segment,
+    // the customer holding the extreme account balance. DuckDB 1.0 has
+    // no struct comparator for min_by, so ties break through a
+    // collision-free integer key: floor(acctbal*100)*1e7 + custkey
+    // (acctbal has 2 decimals; values stay exact in int64).
+    "q50_minmax_by" -> ((s, d) => {
+      val ord = floor(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")
+      customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(min_by(col("c_custkey"), ord).as("poorest"),
+             max_by(col("c_custkey"), ord).as("richest"))
+    }),
+
     // Cube (A7): all grouping-set combinations in one pass; NULL keys
     // coalesced so the oracle hash is null-free.
     "q44_cube" -> ((s, d) => {
@@ -382,6 +408,19 @@ object RelationalQueries {
                  lag(ts, 1) OVER (PARTITION BY user_id
                    ORDER BY ts ASC, event_id ASC) AS prev_ts
                FROM events))) GROUP BY user_id""",
+
+    "q49_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q50_minmax_by" ->
+      """SELECT c_mktsegment,
+         min_by(c_custkey, CAST(floor(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS poorest,
+         max_by(c_custkey, CAST(floor(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS richest
+         FROM customer GROUP BY c_mktsegment""",
 
     "q44_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS st,
