@@ -91,9 +91,12 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id").asc)
       bucketed.join(broadcast(probes), Seq("t", "bucket"))
         .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"), col("pemb"), col("emb"))
+        // score BEFORE dedup so distinct() shuffles 3 scalars, not two
+        // 64-dim arrays (cosine is the codegen'd native expression, so
+        // re-scoring multi-table collisions is cheaper than array rows)
+        .select(col("probe_id"), col("vec_id"),
+                cosine(col("pemb"), col("emb")).as("sim"))
         .distinct() // a pair can collide in several tables
-        .withColumn("sim", cosine(col("pemb"), col("emb")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
