@@ -62,12 +62,15 @@ object ChessIngest {
         if (g.whiteElo >= 0 && g.blackElo >= 0) g.whiteElo - g.blackElo else 0
       val out = new scala.collection.mutable.ArrayBuffer[PosOcc](g.moves.length + 1)
       var pos = Position.initial
-      val (h0, l0) = Zobrist.signature(pos)
-      out += PosOcc(h0, l0, Core.NoMove, g.level, g.result, g.gameId, eloDiff, 0)
+      var (h, l) = Zobrist.signature(pos)
+      out += PosOcc(h, l, Core.NoMove, g.level, g.result, g.gameId, eloDiff, 0)
       var i = 0
       while (i < g.moves.length) {
-        pos = pos.make(g.moves(i))
-        val (h, l) = Zobrist.signature(pos)
+        val next = pos.make(g.moves(i))
+        // incremental update — O(changed squares), not a board rescan
+        val hl = Zobrist.applyMove(pos, g.moves(i), next, h, l)
+        h = hl._1; l = hl._2
+        pos = next
         out += PosOcc(h, l, g.moves(i), g.level, g.result, g.gameId, eloDiff, i + 1)
         i += 1
       }
