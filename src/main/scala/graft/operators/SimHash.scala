@@ -26,9 +26,36 @@ object SimHash {
       bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  /** All-pairs near-dup candidates at Hamming distance <= maxHamming.
+    * Pigeonhole banding: split the 64-bit signature into 4 x 16-bit
+    * bands — any pair within Hamming 3 agrees EXACTLY on at least one
+    * band, so the band-equality self-join finds every such pair while
+    * touching only same-band buckets (never n²). Exact popcount
+    * rescore filters false candidates. Same shuffle shape as
+    * MinHashLSH.verifiedPairs, so it scales identically.
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only to Hamming 3")
+    val sigs = signatures(docs)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Pairs of id-adjacent docs with Hamming distance of signatures —
-    * bounded demo surface; all-pairs clustering goes via band-join on
-    * signature prefixes like MinHashLSH. */
+    * bounded demo surface; all-pairs clustering goes via nearDupPairs. */
   def hammingAdjacent(docs: DataFrame): DataFrame = {
     val s = signatures(docs)
     val a = s.select(col("doc_id"), col("simhash").as("sh_a"))
