@@ -103,6 +103,26 @@ object VectorQueries {
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
 
+    // IVF ANN (the second scale path next to LSH): corpus partitioned
+    // into nlist Voronoi cells around sampled centroids; probes search
+    // only their nprobe nearest cells. Cell assignment is one
+    // broadcast-centroid pass with the native cosine expression;
+    // candidates shrink to ~corpus*nprobe/nlist per probe. Rows-only
+    // (not ANSI-expressible); recall vs q31 asserted in
+    // VectorFunctionsSpec.
+    "q37_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      IvfIndex.topK(e, e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+          nlist = 16, nprobe = 4, k = 5)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
     // Cosine near-dup over id-adjacent pairs (embedding-space dedup, L2
     // family) — linear chain, oracle-checkable.
     "q34_cosine_adjacent" -> ((s, d) => {

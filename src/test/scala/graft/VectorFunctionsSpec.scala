@@ -43,4 +43,15 @@ class VectorFunctionsSpec extends SparkTestBase {
     // LSH worst case; real embeddings cluster): expect ~0.3 recall.
     assert(recall > 0.1, s"ANN recall vs brute force was $recall")
   }
+
+  test("IVF ANN recall vs brute force (nprobe=4 of nlist=16 cells)") {
+    val brute = SparkEntry.queries("q31_knn_brute")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("q37_ann_ivf")(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // searching 1/4 of the cells on near-uniform vectors: modest floor
+    assert(recall > 0.15, s"IVF recall vs brute force was $recall")
+  }
 }
