@@ -67,6 +67,32 @@ object QueryEngine {
            max(col("lastGameId")).as("lastGameId"))
   }
 
+  /** Distributed batch probe (SURVEY.md §3.2 "10⁶ probes in one job"):
+    * when the probe set is itself large, driver-side movegen and a
+    * broadcast join both stop scaling. Here probe FENs arrive as a
+    * Dataset, children expand in a flatMap ON EXECUTORS (the F5
+    * movegen as a distributed generator), and the store join is a
+    * plain equi-join — against a posHi-bucketed store only the
+    * (smaller) key side shuffles. Semantics identical to explore();
+    * asserted equal in BatchProbeSpec.
+    */
+  def exploreBatch(spark: SparkSession, positionsAgg: DataFrame,
+                   probeFens: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    import spark.implicits._
+    val keys = probeFens.flatMap(fen => probeKeys(Seq(fen -> None)))
+    positionsAgg
+      .join(keys, Seq("posHi", "posLo"))
+      .withColumn("select",
+        when(col("reverseMove") === col("contMove") && col("contMove") =!= NoMove,
+          "continuations").otherwise("transpositions"))
+      .groupBy(col("probeFen"), col("childUci"), col("select"),
+               col("level"), col("result"))
+      .agg(sum(col("games")).as("games"),
+           sum(col("eloDiffSum")).as("eloDiffSum"),
+           min(col("firstGameId")).as("firstGameId"),
+           max(col("lastGameId")).as("lastGameId"))
+  }
+
   /** J2 header join: resolve first/last gameIds of explore() output to
     * game headers. The aggregated result is small, so IT is the
     * broadcast side against the (arbitrarily large) games table —

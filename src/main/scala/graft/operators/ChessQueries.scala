@@ -64,20 +64,19 @@ object ChessQueries {
     }),
 
     // Batch probe (J1 at volume): probe a 300-game random corpus with
-    // the 6-ply prefixes of its own first 64 games (root + children
-    // keys, ~2300 probe keys) in ONE broadcast join — the reference
-    // answers these one binary-search seek at a time; Spark answers the
-    // whole batch in one job (SURVEY.md §3.2).
+    // the 6-ply prefixes of its own first 64 games — probe expansion
+    // (root + children keys, ~2300) runs ON EXECUTORS via
+    // exploreBatch, the fully-distributed path that scales to 10⁶
+    // probes in one job (SURVEY.md §3.2). The reference answers these
+    // one binary-search seek at a time.
     "q46_chess_batch_probe" -> ((s, _) => {
       import s.implicits._
       val corpus = RandomGames.generate(s, nGames = 300, maxPlies = 60)
       val store = ChessIngest.positionsAgg(ChessIngest.positionStream(s, corpus))
       // same seeds as corpus games 0..63 -> prefixes exist in the store
       val probeFens = RandomGames.generate(s, nGames = 64, maxPlies = 6)
-        .collect().toSeq.map { g =>
-          g.moves.foldLeft(Position.initial)((p, m) => p.make(m)).toFen -> None
-        }
-      QueryEngine.explore(s, store, probeFens)
+        .map(g => g.moves.foldLeft(Position.initial)((p, m) => p.make(m)).toFen)
+      QueryEngine.exploreBatch(s, store, probeFens)
         .agg(count(lit(1)).as("n_result_rows"),
              countDistinct(col("probeFen")).as("n_probes_hit"))
     }),
