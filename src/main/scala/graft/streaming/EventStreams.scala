@@ -63,6 +63,20 @@ object EventStreams {
     else events.dropDuplicates("event_id")
   }
 
+  /** F11 typed variant: parse the `props` JSON string into a typed
+    * struct with an explicit schema (vs per-path `get_json_object` in
+    * q16) — one parse per row however many fields are read, and
+    * malformed JSON degrades to null fields instead of failing the
+    * batch. Works identically on the streaming path. */
+  def withTypedProps(events: DataFrame): DataFrame =
+    events.withColumn("props_t",
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))))
+      .withColumn("prop_k", col("props_t.k"))
+      .drop("props_t")
+
   /** ST1 sink side: append each micro-batch to a parquet epoch dir —
     * the streaming analogue of the reference's import-then-merge run
     * accumulation (SURVEY.md §3.1). */

@@ -57,6 +57,18 @@ class StreamingSpec extends SparkTestBase {
     assert(deduped.count() == batchEvents.count())
   }
 
+  test("F11 typed from_json props equals per-path extraction") {
+    val typed = EventStreams.withTypedProps(batchEvents)
+      .select(col("event_id"), col("prop_k"))
+    val pathBased = batchEvents.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+    assert(typed.exceptAll(pathBased).isEmpty &&
+           pathBased.exceptAll(typed).isEmpty)
+    // malformed JSON -> null field, not a failure
+    val bad = Seq(("x", "not json")).toDF("event_id", "props")
+    assert(EventStreams.withTypedProps(bad).select("prop_k").head().isNullAt(0))
+  }
+
   test("ST4 watermark is applied on the streaming path") {
     val landing = tmp("graft-landing2")
     batchEvents.limit(10).write.mode("overwrite").parquet(landing)
