@@ -48,7 +48,7 @@ class EntryStoreSpec extends SparkTestBase {
     // must equal the single-shot import (SURVEY.md §1.2 LSM mapping).
     val all = ChessIngest.parseGames(spark,
       spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human).cache()
-    val ids = all.select("gameId").as[Long].collect().sorted
+    val ids = all.select("gameId").as[Long].collect().sorted.toIndexedSeq
     val (aIds, bIds) = ids.splitAt(ids.length / 2)
     val epochA = ChessIngest.positionsAgg(
       ChessIngest.positionStream(spark, all.filter(col("gameId").isin(aIds: _*))))
