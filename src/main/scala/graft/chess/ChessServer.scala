@@ -64,10 +64,28 @@ object ChessServer {
       },
       levels = seqOr(q \ "levels", levelNames.keys.toSeq),
       results = seqOr(q \ "results", resultNames.keys.toSeq),
-      fetchChildren = (q \ "fetchChildren").extractOrElse[Boolean](true),
-      fetchFirstGame = (q \ "fetchFirstGame").extractOrElse[Boolean](false),
-      fetchLastGame = (q \ "fetchLastGame").extractOrElse[Boolean](false))
+      fetchChildren = flag(q, "fetchChildren", default = true),
+      fetchFirstGame = flag(q, "fetchFirstGame", default = false),
+      fetchLastGame = flag(q, "fetchLastGame", default = false))
   }
+
+  /** Flags are accepted flat (`query.fetchChildren`) or in the
+    * reference GUI's nested shape (`query.fetchingOptions.<select>.
+    * fetchChildren` — OR across selects, since we always return both
+    * select classes in one pass). */
+  private def flag(q: JValue, name: String, default: Boolean): Boolean =
+    (q \ name) match {
+      case JBool(b) => b
+      case _ =>
+        (q \ "fetchingOptions") match {
+          case JObject(fields) =>
+            val set = fields.exists { case (_, v) => (v \ name) == JBool(true) }
+            val unset = fields.nonEmpty &&
+              fields.forall { case (_, v) => (v \ name) == JNothing }
+            if (set) true else if (unset) default else false
+          case _ => default
+        }
+    }
 
   /** Execute a request against the agg store; returns the response as a
     * JSON string. Pass `games` to honor fetchFirstGame/fetchLastGame

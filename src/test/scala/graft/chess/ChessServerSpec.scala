@@ -84,6 +84,20 @@ class ChessServerSpec extends SparkTestBase {
     assert((w \ "lastGame" \ "result").extract[String] == "w")
   }
 
+  test("nested fetchingOptions shape (reference GUI protocol) is accepted") {
+    val r = ChessServer.parseRequest(
+      s"""{"token":"n","query":{"positions":[{"fen":"${Position.StartFen}"}],
+          "fetchingOptions":{
+            "continuations":{"fetchChildren":true,"fetchFirstGame":true},
+            "transpositions":{"fetchChildren":false}}}}""")
+    assert(r.fetchChildren, "OR across selects")
+    assert(r.fetchFirstGame)
+    assert(!r.fetchLastGame, "unmentioned flag in a present options object stays off")
+    val r2 = ChessServer.parseRequest(
+      s"""{"token":"n2","query":{"positions":[{"fen":"${Position.StartFen}"}]}}""")
+    assert(r2.fetchChildren && !r2.fetchFirstGame, "flat defaults unchanged")
+  }
+
   test("malformed move reports an error, not a crash") {
     val req = ChessServer.parseRequest(
       s"""{"token":"x","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e5"}]}}""")
