@@ -123,6 +123,16 @@ object VectorQueries {
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
 
+    // Embedding-cosine near-dup, ALL pairs (L2 dedup mode): candidates
+    // from the multi-table hyperplane buckets, exact cosine >= 0.95
+    // rescore — same join shape as MinHash banding, never n². Summary
+    // row (rows-only; pair-level correctness in VectorFunctionsSpec).
+    "q38_cosine_near_dup" -> ((s, d) => {
+      VectorQueries.cosineNearDupPairs(emb(s, d), minCos = 0.95)
+        .agg(count(lit(1)).as("n_near_dup_pairs"),
+             coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
+    }),
+
     // Cosine near-dup over id-adjacent pairs (embedding-space dedup, L2
     // family) — linear chain, oracle-checkable.
     "q34_cosine_adjacent" -> ((s, d) => {
@@ -133,6 +143,31 @@ object VectorQueries {
                 round(cosine(col("ea"), col("eb")), 4).as("cos"))
     })
   )
+
+  /** All-pairs cosine near-duplicates above `minCos`: multi-table
+    * hyperplane-bucket self-join for candidates, exact rescore with the
+    * native cosine expression. Recall rises with tables exactly like
+    * the ANN path (near-identical vectors collide in some table with
+    * overwhelming probability — at cos >= 0.95 the angle is < 18°, so
+    * a 5-bit table agrees with p ≈ 0.9^5 ≈ 0.59; 4 tables ≈ 0.97). */
+  def cosineNearDupPairs(embDf: org.apache.spark.sql.DataFrame,
+                         minCos: Double, nTables: Int = 4,
+                         bits: Int = 5): org.apache.spark.sql.DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(bits, 64, seed = 42L + t)
+      struct(lit(t).as("t"), hyperplaneBucket(col("emb"), planes).as("bucket"))
+    }
+    val bucketed = embDf.withColumn("tb", explode(array(tables: _*)))
+      .select(col("vec_id"), col("emb"),
+              col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+              cosine(col("x.emb"), col("y.emb")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= minCos)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q30_centroids" ->

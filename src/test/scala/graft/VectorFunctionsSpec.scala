@@ -44,6 +44,24 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(recall > 0.1, s"ANN recall vs brute force was $recall")
   }
 
+  test("cosine near-dup finds planted duplicates, skips unrelated") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = vec()
+    val nearDup = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01 else v }
+    val rows = Seq((0L, base), (1L, nearDup), (2L, vec()), (3L, vec()),
+                   (4L, base)) // exact dup of 0
+    val df = rows.toDF("vec_id", "emb")
+    val pairs = graft.operators.VectorQueries
+      .cosineNearDupPairs(df, minCos = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)), "exact dup must be found")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 4L)), "near dup must be found")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L),
+      "random vectors must not pair at cos>=0.95")
+  }
+
   test("IVF ANN recall vs brute force (nprobe=4 of nlist=16 cells)") {
     val brute = SparkEntry.queries("q31_knn_brute")(spark, sf)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
