@@ -15,6 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // chess oracle inputs: export the deterministic position streams +
+    // probe key sets so the DuckDB side of ChessOracle.oracleSql can
+    // read them (they are recomputed-from-scratch relational inputs,
+    // not copies of any query result)
+    try graft.chess.ChessOracle.export(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] chess oracle export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

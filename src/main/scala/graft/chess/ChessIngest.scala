@@ -23,7 +23,8 @@ object ChessIngest {
       year: Int, month: Int, day: Int,
       white: String, black: String, whiteElo: Int, blackElo: Int,
       result: Byte, eco: String, level: Byte, plyCount: Int,
-      moves: Array[Int])
+      moves: Array[Int],
+      startFen: String = "")          // "" = standard start position
 
   /** One row per position occurrence (SURVEY.md §1.2): 128-bit signature
     * as two longs, the move that LED here (0 at game start), and the
@@ -47,7 +48,7 @@ object ChessIngest {
           val (y, mo, dd) = Pgn.parseDate(g.date)
           GameRow(id, g.event, g.site, g.date, y, mo, dd, g.white, g.black,
             g.whiteElo, g.blackElo, g.result, g.eco, level,
-            g.moves.length, g.moves)
+            g.moves.length, g.moves, g.startFen)
         }
       }
     }
@@ -61,7 +62,9 @@ object ChessIngest {
       val eloDiff =
         if (g.whiteElo >= 0 && g.blackElo >= 0) g.whiteElo - g.blackElo else 0
       val out = new scala.collection.mutable.ArrayBuffer[PosOcc](g.moves.length + 1)
-      var pos = Position.initial
+      // games verified against a custom FEN start tag replay from it
+      var pos = if (g.startFen.isEmpty) Position.initial
+                else Position.fromFen(g.startFen)
       var (h, l) = Zobrist.signature(pos)
       out += PosOcc(h, l, Core.NoMove, g.level, g.result, g.gameId, eloDiff, 0)
       var i = 0

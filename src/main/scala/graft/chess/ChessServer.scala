@@ -139,8 +139,11 @@ object ChessServer {
             })
       })
 
-    val results = req.positions.map { p =>
-      val mine = rows.filter(_.getAs[String]("probeFen") == p.fen)
+    // each request entry resolves by its batch index, not its FEN — a
+    // batch may repeat one FEN with different 'move' values and those
+    // must not merge
+    val results = req.positions.zipWithIndex.map { case (p, idx) =>
+      val mine = rows.filter(_.getAs[Int]("probeIdx") == idx)
       val root = mine.filter(_.getAs[String]("childUci") == "")
       val children =
         if (!req.fetchChildren) JNothing

@@ -25,7 +25,8 @@ object EpdDump {
     import spark.implicits._
     games.flatMap { g =>
       val out = new scala.collection.mutable.ArrayBuffer[PosOccFen](g.moves.length + 1)
-      var pos = Position.initial
+      var pos = if (g.startFen.isEmpty) Position.initial
+                else Position.fromFen(g.startFen)
       val (h0, l0) = Zobrist.signature(pos)
       out += PosOccFen(h0, l0, pos.toFen, g.result, g.gameId)
       var i = 0

@@ -20,7 +20,8 @@ object Pgn {
       whiteElo: Int, blackElo: Int,   // -1 when absent
       result: Byte,                   // Core.Result
       eco: String,
-      moves: Array[Int])              // verified legal move encodings
+      moves: Array[Int],              // verified legal move encodings
+      startFen: String)               // "" = standard start position
 
   case class ImportStats(games: Long, skipped: Long, positions: Long)
 
@@ -79,10 +80,14 @@ object Pgn {
   /** Replay SAN against the rules; None if any token is illegal. */
   def verify(raw: RawGame): Option[ParsedGame] = {
     Result.parse(raw.tags.getOrElse("Result", "*")).flatMap { res =>
-      var pos = raw.tags.get("FEN") match {
-        case Some(f) => try Position.fromFen(f) catch { case _: Exception => return None }
-        case None => Position.initial
-      }
+      // Carry the custom start FEN through so replay (positionStream,
+      // EpdDump) starts from it too — verifying against the FEN here but
+      // replaying from the standard start would silently write garbage
+      // signatures into the entry store.
+      val startFen = raw.tags.getOrElse("FEN", "")
+      var pos =
+        if (startFen.isEmpty) Position.initial
+        else try Position.fromFen(startFen) catch { case _: Exception => return None }
       val moves = new Array[Int](raw.sanMoves.length)
       var i = 0
       while (i < raw.sanMoves.length) {
@@ -99,7 +104,7 @@ object Pgn {
         raw.tags.getOrElse("Date", "????.??.??"), raw.tags.getOrElse("Round", "?"),
         raw.tags.getOrElse("White", "?"), raw.tags.getOrElse("Black", "?"),
         elo("WhiteElo"), elo("BlackElo"), res,
-        raw.tags.getOrElse("ECO", ""), moves))
+        raw.tags.getOrElse("ECO", ""), moves, startFen))
     }
   }
 

@@ -20,6 +20,9 @@ import Core._
 object QueryEngine {
 
   case class ProbeKey(
+      probeIdx: Int,      // position's index in the request batch — a
+                          // batch may repeat a FEN with different 'move'
+                          // values; idx keeps those probes distinct
       probeFen: String,   // the queried position
       childUci: String,   // "" = the root itself, else the move to a child
       posHi: Long, posLo: Long,
@@ -28,7 +31,7 @@ object QueryEngine {
   /** Expand probe FENs (optionally pre-applying `move`) into root +
     * children keys, driver-side. */
   def probeKeys(probes: Seq[(String, Option[String])]): Seq[ProbeKey] =
-    probes.flatMap { case (fen, moveOpt) =>
+    probes.zipWithIndex.flatMap { case ((fen, moveOpt), idx) =>
       val base0 = Position.fromFen(fen)
       val (base, incoming) = moveOpt match {
         case Some(uci) =>
@@ -38,11 +41,11 @@ object QueryEngine {
         case None => (base0, NoMove)
       }
       val (h, l) = Zobrist.signature(base)
-      val root = ProbeKey(fen, "", h, l, incoming)
+      val root = ProbeKey(idx, fen, "", h, l, incoming)
       val children = base.legalMoves().toSeq.map { m =>
         val child = base.make(m)
         val (ch, cl) = Zobrist.signature(child)
-        ProbeKey(fen, moveToUci(m), ch, cl, m)
+        ProbeKey(idx, fen, moveToUci(m), ch, cl, m)
       }
       root +: children
     }
@@ -59,7 +62,7 @@ object QueryEngine {
       .withColumn("select",
         when(col("reverseMove") === col("contMove") && col("contMove") =!= NoMove,
           "continuations").otherwise("transpositions"))
-      .groupBy(col("probeFen"), col("childUci"), col("select"),
+      .groupBy(col("probeIdx"), col("probeFen"), col("childUci"), col("select"),
                col("level"), col("result"))
       .agg(sum(col("games")).as("games"),
            sum(col("eloDiffSum")).as("eloDiffSum"),
@@ -79,9 +82,11 @@ object QueryEngine {
   def exploreBatch(spark: SparkSession, positionsAgg: DataFrame,
                    probeFens: org.apache.spark.sql.Dataset[String]): DataFrame = {
     import spark.implicits._
+    // In the batch path a probe's identity IS its fen (no per-probe
+    // 'move' shapes here), so probeIdx is constant-0 and dropped.
     val keys = probeFens.flatMap(fen => probeKeys(Seq(fen -> None)))
     positionsAgg
-      .join(keys, Seq("posHi", "posLo"))
+      .join(keys.drop("probeIdx"), Seq("posHi", "posLo"))
       .withColumn("select",
         when(col("reverseMove") === col("contMove") && col("contMove") =!= NoMove,
           "continuations").otherwise("transpositions"))

@@ -10,9 +10,10 @@ import graft.chess.ChessIngest.GameRow
   * W1 explorer ranking, F1–F5 codecs).
   *
   * The harness testdata has no chess tables, so these run over the
-  * embedded `SampleGames` corpus (sfDir is ignored). They are rows-only
-  * for the driver (chess semantics aren't ANSI-SQL-expressible); their
-  * correctness gate is perft + golden-count specs (ChessSparkSpec).
+  * embedded `SampleGames` corpus / seeded RandomGames (sfDir is
+  * ignored). Movegen/Zobrist are gated by perft + property specs; the
+  * relational half of every query has a REAL DuckDB oracle over the
+  * position streams ChessOracle exports (see ChessOracle.scala).
   */
 object ChessQueries {
 
@@ -24,8 +25,12 @@ object ChessQueries {
 
   // The sample-corpus agg store is immutable per session — cache it so
   // the six chess queries don't each re-run parse -> replay -> agg.
-  private val aggCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  // Weak keys: a long-lived JVM that starts and stops many sessions
+  // (test suites, notebooks) must not pin stopped sessions or their
+  // cached blocks.
+  private val aggCache: java.util.Map[SparkSession, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DataFrame]())
   private def agg(s: SparkSession): DataFrame =
     aggCache.computeIfAbsent(s, s2 =>
       ChessIngest.positionsAgg(ChessIngest.positionStream(s2, games(s2))).cache())
@@ -57,7 +62,7 @@ object ChessQueries {
     // games ON EXECUTORS, replay to a position stream, aggregate — the
     // full import path at volume. Row reports corpus-level totals.
     "q45_chess_bulk_import" -> ((s, _) => {
-      val games = RandomGames.generate(s, nGames = 500, maxPlies = 60)
+      val games = RandomGames.generate(s, ChessOracle.BulkN, ChessOracle.MaxPlies)
       ChessIngest.positionsAgg(ChessIngest.positionStream(s, games))
         .agg(count(lit(1)).as("n_entries"),
              sum(col("games")).cast("long").as("n_occurrences"))
@@ -71,10 +76,10 @@ object ChessQueries {
     // one binary-search seek at a time.
     "q46_chess_batch_probe" -> ((s, _) => {
       import s.implicits._
-      val corpus = RandomGames.generate(s, nGames = 300, maxPlies = 60)
+      val corpus = RandomGames.generate(s, ChessOracle.RandN, ChessOracle.MaxPlies)
       val store = ChessIngest.positionsAgg(ChessIngest.positionStream(s, corpus))
       // same seeds as corpus games 0..63 -> prefixes exist in the store
-      val probeFens = RandomGames.generate(s, nGames = 64, maxPlies = 6)
+      val probeFens = RandomGames.generate(s, ChessOracle.ProbeN, ChessOracle.ProbePlies)
         .map(g => g.moves.foldLeft(Position.initial)((p, m) => p.make(m)).toFen)
       QueryEngine.exploreBatch(s, store, probeFens)
         .agg(count(lit(1)).as("n_result_rows"),
@@ -83,32 +88,22 @@ object ChessQueries {
 
     // F6 retractions: which moves led to the position after
     // 1.d4 d5 2.c4 e6 (golden: e7e6 from TranspA, d7d5 from TranspB).
-    "q47_retractions" -> ((s, _) => {
-      val fen = {
-        var p = Position.initial
-        Seq("d4", "d5", "c4", "e6").foreach(m => p = p.make(San.parse(p, m).get))
-        p.toFen
-      }
-      QueryEngine.retractions(s, agg(s), fen)
-    }),
+    "q47_retractions" -> ((s, _) =>
+      QueryEngine.retractions(s, agg(s), ChessOracle.retractFen)),
 
     // P5/A4: continuation vs transposition split after 1.d4 d5 2.c4,
     // probing with move e7e6 — the transposition-pair games make both
     // classes non-empty (golden counts in ChessSparkSpec).
-    "q43_cont_trans" -> ((s, _) => {
-      val fen = {
-        var p = Position.initial
-        Seq("d4", "d5", "c4").foreach(m => p = p.make(San.parse(p, m).get))
-        p.toFen
-      }
-      QueryEngine.explore(s, agg(s), Seq(fen -> Some("e7e6")))
+    "q43_cont_trans" -> ((s, _) =>
+      QueryEngine.explore(s, agg(s), Seq(ChessOracle.contTransFen -> Some("e7e6")))
         .filter(col("childUci") === "")
         .groupBy(col("select"))
-        .agg(sum(col("games")).cast("long").as("games"))
-    })
+        .agg(sum(col("games")).cast("long").as("games")))
   )
 
-  /** Chess semantics aren't expressible in ANSI SQL over the harness
-    * tables → no DuckDB oracles; driver records rows-only checks. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Movegen/Zobrist stay perft/property-gated, but the aggregation/join
+    * half of every chess query IS relational — ChessOracle exports the
+    * position streams + probe keys as parquet and these SQL strings let
+    * DuckDB recompute each query independently. */
+  val oracleSql: Map[String, String] = ChessOracle.oracleSql
 }

@@ -1,17 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Heuristic language identification (SURVEY.md §2.11 L5): score text
   * against per-language function-word profiles, predict the argmax.
   *
-  * Scoring is ONE native UDF pass: the column-expression formulation
-  * (per-language `filter(toks, array_contains(...))`) runs on
-  * interpreted higher-order functions — 4 langs × every token ×
-  * 10-word profile per row dominated the sf0.1 bench. Tie-break is
-  * lexicographically-largest language at equal score (identical to the
-  * previous `array_max` over (score, lang) structs).
+  * Scoring is ONE pass per row through a native codegen'd expression
+  * (`LangIdExpr`): the column-expression formulation (per-language
+  * `filter(toks, array_contains(...))`) runs on interpreted
+  * higher-order functions, and the earlier Scala-UDF form paid the
+  * encoder ser/de round trip per row — the expression stays inside
+  * whole-stage codegen and calls the scoring loop directly. Tie-break
+  * is lexicographically-largest language at equal score.
   */
 object LangId {
   val profiles: Map[String, Seq[String]] = Map(
@@ -56,9 +61,28 @@ object LangId {
     bestLang
   }
 
-  private val classifyUdf = udf(classify _)
-
   /** Adds `lang_pred` to any DataFrame with a `text` column. */
   def predict(docs: DataFrame): DataFrame =
-    docs.withColumn("lang_pred", classifyUdf(col("text")))
+    docs.withColumn("lang_pred",
+      GraftSqlBridge.column(LangIdExpr(GraftSqlBridge.expression(col("text")))))
+}
+
+/** Codegen'd classifier: generated code calls `LangId.classify` on the
+  * UTF8String directly — no UDF encoder round trip, and the expression
+  * participates in whole-stage codegen so the surrounding project/agg
+  * stays in one generated stage. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(t: Any): Any =
+    UTF8String.fromString(LangId.classify(t.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.operators.LangId.classify($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
 }

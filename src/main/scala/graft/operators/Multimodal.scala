@@ -90,10 +90,13 @@ object Multimodal {
     * explodes bounded by duration, keyed for downstream per-frame ops. */
   def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): DataFrame =
     assets.toDF()
-      .filter(col("modality") === "video")
+      // zero-length videos yield no frames (a duration-0 asset has
+      // nothing to sample; emitting a phantom frame 0 diverged from the
+      // frame-count arithmetic downstream)
+      .filter(col("modality") === "video" && col("duration_ms") > 0)
       .select(col("asset_id"), col("duration_ms"),
         explode(sequence(lit(0L),
-          greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))).as("frame_ts_ms"))
+          col("duration_ms") - 1, lit(everyMs))).as("frame_ts_ms"))
       .withColumn("frame_idx",
         (col("frame_ts_ms") / everyMs).cast("int"))
 

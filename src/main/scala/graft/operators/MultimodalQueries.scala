@@ -50,10 +50,12 @@ object MultimodalQueries {
                        ELSE 1 END) AS BIGINT) AS total_frames
          FROM documents GROUP BY 1""",
 
+    // n_chars > 0 mirrors sampleFrames' duration_ms > 0 guard: a
+    // zero-length video emits no frames on either side.
     "q36_frame_sample" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_videos,
          CAST(sum((n_chars * 10 - 1) // 1000 + 1) AS BIGINT) AS total_frames,
          CAST(max((n_chars * 10 - 1) // 1000) AS BIGINT) AS max_frame_idx
-         FROM documents WHERE doc_id % 3 = 2"""
+         FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0"""
   )
 }

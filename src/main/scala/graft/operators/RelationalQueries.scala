@@ -153,13 +153,19 @@ object RelationalQueries {
     }),
 
     // Set ops: customers active in both 'F' and 'O' order status, minus
-    // any with a 'P' order.
+    // any with a 'P' order. INTERSECT/EXCEPT over the same table plan as
+    // cascaded aggregate+exchange pairs reading orders three times; the
+    // equivalent one-scan form is a single groupBy with three presence
+    // flags — one scan, one shuffle (the oracle keeps the set-op SQL, so
+    // the rewrite is verified equivalent every round).
     "q13_setops" -> ((s, d) => {
-      val o = orders(s, d)
-      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
-      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
-      f.intersect(op).except(p)
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("has_f"),
+             max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("has_o"),
+             max(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("has_p"))
+        .filter(col("has_f") === 1 && col("has_o") === 1 && col("has_p") === 0)
+        .select(col("o_custkey"))
     }),
 
     // Union + conditional agg across two branches.

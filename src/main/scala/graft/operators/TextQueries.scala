@@ -136,9 +136,10 @@ object TextQueries {
              sum(size(toks)).cast("long").as("total_tokens"))
     }),
 
-    // Heuristic language ID (L5): stopword-profile n-gram scoring vs the
-    // labeled lang column. Rows-only (heuristic isn't ANSI-expressible);
-    // accuracy asserted in LangIdSpec.
+    // Heuristic language ID (L5): stopword-profile scoring vs the
+    // labeled lang column. The scoring is plain counting + argmax, so it
+    // gets a REAL DuckDB oracle (generated from the same profiles —
+    // see langIdOracle); accuracy asserted in LangIdSpec.
     "q29_lang_id" -> ((s, d) => {
       LangId.predict(documents(s, d))
         .groupBy(col("lang"), col("lang_pred"))
@@ -146,7 +147,38 @@ object TextQueries {
     })
   )
 
+  /** DuckDB mirror of LangId.classify, generated from LangId.profiles so
+    * the two can never drift: per-language token-profile hit counts
+    * (zh counts profile CHARS in the raw text — no spaces), argmax with
+    * lexicographically-largest language winning ties (the same order
+    * classify's consider() loop produces). */
+  private def langIdOracle: String = {
+    val langs = LangId.profiles.keys.toSeq.sorted // de,en,es,fr,zh
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = langs.map {
+      case "zh" => LangId.profiles("zh")
+        .map(ch => s"(length(text) - length(replace(text, '$ch', '')))")
+        .mkString("(", " + ", ") AS s_zh")
+      case l =>
+        s"len(list_filter(toks, x -> list_contains(${lst(LangId.profiles(l))}, x))) AS s_$l"
+    }.mkString(", ")
+    val desc = langs.reverse // descending = tie-break winner first
+    val cases = desc.init.zipWithIndex.map { case (l, i) =>
+      val smaller = desc.drop(i + 1).map("s_" + _)
+      s"WHEN s_$l >= greatest(${smaller.mkString(", ")}) THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT lang, lang_pred, count(*) AS n FROM (
+       SELECT lang, CASE $cases ELSE '${desc.last}' END AS lang_pred
+       FROM (SELECT lang, $scores
+             FROM (SELECT lang, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                   FROM documents)))
+       GROUP BY lang, lang_pred"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q29_lang_id" -> langIdOracle,
+
     "q20_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -20,6 +20,7 @@ class BatchProbeSpec extends SparkTestBase {
         p.toFen
       })
     val viaDriver = QueryEngine.explore(spark, agg, fens.map(_ -> None))
+      .drop("probeIdx") // batch path has no per-request index
     val viaBatch = QueryEngine.exploreBatch(spark, agg, fens.toDS())
     assert(viaBatch.count() > 0)
     assert(viaBatch.exceptAll(viaDriver).isEmpty &&

@@ -56,6 +56,28 @@ class ChessServerSpec extends SparkTestBase {
     assert(trans == 1, "TranspB (0-1) transposed into it")
   }
 
+  test("duplicate FEN with different moves resolves each entry independently") {
+    // Same fen twice — bare, and with move d7d5 pre-applied. Probe
+    // identity must be the batch index, not the fen: merging them would
+    // report the post-d5 position's stats for the bare entry too.
+    val fen = Position.initial.make(San.parse(Position.initial, "d4").get).toFen
+    val req = ChessServer.parseRequest(
+      s"""{"token":"dup","query":{"positions":[{"fen":"$fen"},{"fen":"$fen","move":"d7d5"}],"fetchChildren":false}}""")
+    val resp = JsonMethods.parse(ChessServer.execute(spark, agg, req))
+    val counts = (0 to 1).map { i =>
+      ((resp \ "results") (i) \ "stats" \ "transpositions" \ "human")
+        .extract[Map[String, Map[String, Long]]].values.map(_("count")).sum
+    }
+    // entry 0 must match a direct single-probe query of the bare fen —
+    // and the two entries must NOT merge into one number
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val expected0 = QueryEngine.explore(spark, agg, Seq(fen -> None))
+      .filter(col("childUci") === "" && col("select") === "transpositions")
+      .agg(ssum(col("games"))).collect()(0).getLong(0)
+    assert(counts(0) == expected0, s"bare entry drifted: $counts vs $expected0")
+    assert(counts(0) != counts(1), "entries with same fen must not merge")
+  }
+
   test("level/result filters narrow the response") {
     val req = ChessServer.parseRequest(
       s"""{"token":"f","query":{"positions":[{"fen":"${Position.StartFen}"}],

@@ -100,4 +100,38 @@ class ChessSparkSpec extends SparkTestBase {
       .select(sum("eloDiffSum")).as[Long].head()
     assert(white == 200L + 50L) // Scholar +200, Opera 0 (no elos), Promotion +50
   }
+
+  test("FEN start-tag games replay from the tagged position, not startpos") {
+    // verify() accepts a game whose moves are legal from its FEN tag;
+    // replay must start THERE — replaying from the standard start would
+    // write garbage signatures into the entry store.
+    val customFen = "4k3/8/8/8/8/8/4P3/4K3 w - - 0 1"
+    val pgn =
+      s"""[Event "fen-start"]
+         |[Site "?"]
+         |[Date "2024.01.01"]
+         |[Round "1"]
+         |[White "A"]
+         |[Black "B"]
+         |[Result "1-0"]
+         |[FEN "$customFen"]
+         |
+         |1. e4 Kd7 1-0
+         |""".stripMargin
+    val g = ChessIngest.parseGames(spark, spark.createDataset(Seq(pgn)),
+      Core.Level.Human)
+    assert(g.count() == 1, "FEN-tagged game with legal moves must parse")
+    val stream = ChessIngest.positionStream(spark, g).collect()
+    val (h0, l0) = Zobrist.signature(Position.fromFen(customFen))
+    val ply0 = stream.find(_.ply == 0).get
+    assert((ply0.posHi, ply0.posLo) == (h0, l0),
+      "ply-0 signature must be the FEN position")
+    val (hs, ls) = Zobrist.signature(Position.initial)
+    assert(!stream.exists(o => o.posHi == hs && o.posLo == ls),
+      "the standard start position must not appear in the stream")
+    // EpdDump's replay takes the same path
+    val epd0 = EpdDump.positionStreamWithFen(spark, g).collect()
+      .find(o => o.posHi == h0 && o.posLo == l0)
+    assert(epd0.isDefined && epd0.get.fen == customFen)
+  }
 }
