@@ -26,22 +26,49 @@ object SimHash {
       bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** All-pairs near-dup candidates at Hamming distance <= maxHamming.
-    * Pigeonhole banding: split the 64-bit signature into 4 x 16-bit
-    * bands — any pair within Hamming 3 agrees EXACTLY on at least one
-    * band, so the band-equality self-join finds every such pair while
-    * touching only same-band buckets (never n²). Exact popcount
-    * rescore filters false candidates. Same shuffle shape as
-    * MinHashLSH.verifiedPairs, so it scales identically.
+  /** All-pairs near-dup candidates at Hamming distance <= maxHamming,
+    * via block-combination keys (the construction Manku et al. used for
+    * web-scale simhash dedup, WWW'07): split the 64-bit signature into
+    * `blocks` blocks; a pair within Hamming k differs in at most k
+    * blocks, so it agrees EXACTLY on some (blocks−k)-subset — keying
+    * one table per C(blocks, blocks−k) subset finds every such pair.
+    *
+    * Scale: key width is (blocks−k)/blocks × 64 bits — the default
+    * (6 blocks, k=3) gives ~32-bit keys ≈ 4·10⁹ buckets per table, so
+    * bucket population (and candidate volume) stays linear far past
+    * 10⁹ docs, where the old fixed 16-bit bands (a 4-block instance of
+    * the same scheme) capped at 65k buckets and went ~n²/65k. The cost
+    * is C(6,3)=20 exploded rows per doc instead of 4 — linear, and the
+    * shuffle rows are (doc_id, simhash, key) triples, not documents.
+    * Exact popcount rescore filters false candidates.
     */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only to Hamming 3")
-    val sigs = signatures(docs)
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                   blocks: Int = 6): DataFrame =
+    bandedCandidates(signatures(docs), maxHamming, blocks)
+      .filter(col("hamming") <= maxHamming)
+
+  /** Candidate pairs (exact Hamming attached) from the block-combination
+    * self-join — exposed so specs can assert recall and that candidate
+    * volume grows linearly with the corpus. */
+  def bandedCandidates(sigs: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
+    require(maxHamming < blocks,
+      "pigeonhole needs more blocks than differing bits")
+    require(blocks <= 16, "key construction packs block values into one long")
+    val base = 64 / blocks; val rem = 64 % blocks
+    val sizes = Array.tabulate(blocks)(i => base + (if (i < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column =
+      shiftright(col("simhash"), offsets(b))
+        .bitwiseAND(lit((1L << sizes(b)) - 1L))
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.foldLeft(lit(0L): Column) { (acc, b) =>
+        shiftleft(acc, sizes(b)).bitwiseOR(blockVal(b))
+      }
+      struct(lit(ci).as("band_idx"), key.as("band_val"))
+    }
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_idx"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
-            .as("band_val"))): _*)).as("b"))
+        explode(array(keys: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -51,7 +78,6 @@ object SimHash {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
           .cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Pairs of id-adjacent docs with Hamming distance of signatures —

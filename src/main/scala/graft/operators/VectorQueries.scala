@@ -124,9 +124,10 @@ object VectorQueries {
     }),
 
     // Embedding-cosine near-dup, ALL pairs (L2 dedup mode): candidates
-    // from the multi-table hyperplane buckets, exact cosine >= 0.95
-    // rescore — same join shape as MinHash banding, never n². Summary
-    // row (rows-only; pair-level correctness in VectorFunctionsSpec).
+    // from multi-table hyperplane buckets whose COUNT scales with the
+    // corpus (lshParams — candidate volume stays linear, asserted in
+    // VectorFunctionsSpec), exact cosine >= 0.95 rescore. Summary row
+    // (rows-only; pair-level correctness in VectorFunctionsSpec).
     "q38_cosine_near_dup" -> ((s, d) => {
       VectorQueries.cosineNearDupPairs(emb(s, d), minCos = 0.95)
         .agg(count(lit(1)).as("n_near_dup_pairs"),
@@ -144,15 +145,34 @@ object VectorQueries {
     })
   )
 
-  /** All-pairs cosine near-duplicates above `minCos`: multi-table
-    * hyperplane-bucket self-join for candidates, exact rescore with the
-    * native cosine expression. Recall rises with tables exactly like
-    * the ANN path (near-identical vectors collide in some table with
-    * overwhelming probability — at cos >= 0.95 the angle is < 18°, so
-    * a 5-bit table agrees with p ≈ 0.9^5 ≈ 0.59; 4 tables ≈ 0.97). */
-  def cosineNearDupPairs(embDf: org.apache.spark.sql.DataFrame,
-                         minCos: Double, nTables: Int = 4,
-                         bits: Int = 5): org.apache.spark.sql.DataFrame = {
+  /** LSH geometry for all-pairs near-dup at `minCos` over ~`n` rows.
+    *
+    * `bits` grows with the corpus so bucket count ≈ n / targetBucketRows
+    * — FIXED bits would cap buckets at a constant and make expected
+    * candidate pairs quadratic in n (n²/2^bits); scaling bits keeps the
+    * per-bucket population (and so the candidate join) linear. `nTables`
+    * then grows to hold recall at the threshold: a random hyperplane
+    * agrees on a pair at angle θ with p = 1 − θ/π per bit, so one
+    * b-bit table catches it with p^b and T tables with 1 − (1−p^b)^T.
+    * At the small-corpus floor (n ≤ 32k) this reduces to the original
+    * 4 tables × 5 bits. */
+  def lshParams(n: Long, minCos: Double, targetBucketRows: Long = 1024L,
+                recallTarget: Double = 0.95): (Int, Int) = {
+    val bits = math.max(5, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.min(1.0, minCos)) / math.Pi
+    val pTable = math.pow(p, bits)
+    val nTables = math.max(4, math.min(32,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-pTable)).toInt))
+    (nTables, bits)
+  }
+
+  /** Candidate pairs (with exact cosine attached) from the multi-table
+    * hyperplane-bucket self-join — exposed separately so specs can
+    * assert candidate volume scales linearly with the corpus. */
+  def cosineNearDupCandidates(embDf: org.apache.spark.sql.DataFrame,
+                              nTables: Int, bits: Int): org.apache.spark.sql.DataFrame = {
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(bits, 64, seed = 42L + t)
       struct(lit(t).as("t"), hyperplaneBucket(col("emb"), planes).as("bucket"))
@@ -166,7 +186,23 @@ object VectorQueries {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
               cosine(col("x.emb"), col("y.emb")).as("cos"))
       .distinct()
-      .filter(col("cos") >= minCos)
+  }
+
+  /** All-pairs cosine near-duplicates above `minCos`: multi-table
+    * hyperplane-bucket self-join for candidates (bucket count scaled to
+    * the corpus via lshParams — never n²), exact rescore with the
+    * native cosine expression. `approxRows` lets production callers
+    * supply the row count from catalog/ingest stats; absent that, one
+    * count() pass sizes the buckets (parquet answers it from footer
+    * metadata). */
+  def cosineNearDupPairs(embDf: org.apache.spark.sql.DataFrame,
+                         minCos: Double,
+                         approxRows: Option[Long] = None,
+                         targetBucketRows: Long = 1024L,
+                         recallTarget: Double = 0.95): org.apache.spark.sql.DataFrame = {
+    val n = approxRows.getOrElse(embDf.count())
+    val (nTables, bits) = lshParams(n, minCos, targetBucketRows, recallTarget)
+    cosineNearDupCandidates(embDf, nTables, bits).filter(col("cos") >= minCos)
   }
 
   val oracleSql: Map[String, String] = Map(
