@@ -99,23 +99,35 @@ object QueryEngine {
   }
 
   /** J2 header join: resolve first/last gameIds of explore() output to
-    * game headers. The aggregated result is small, so IT is the
-    * broadcast side against the (arbitrarily large) games table —
-    * at 100 TB this is a broadcast-semi-join fetch, not a full-table
-    * shuffle. */
+    * game headers. Two broadcast stages, neither of which shuffles the
+    * (arbitrarily large) games table: (1) the tiny distinct id set from
+    * the aggregated probe result broadcasts into a semi-join that
+    * filters games down to just the fetched headers; (2) that small
+    * header table broadcasts into left joins from the explored rows.
+    *
+    * NOTE a right outer join with `broadcast(explored)` does NOT work
+    * here: Spark cannot build the preserved side of an outer join, so
+    * the hint is silently dropped (HintErrorLogger) and the games table
+    * full-shuffles into a sort-merge join — asserted against in
+    * PlanAuditSpec ("J2 header join"). */
   def withHeaders(explored: DataFrame,
                   games: org.apache.spark.sql.Dataset[ChessIngest.GameRow]): DataFrame = {
-    val headers = games.toDF().select(col("gameId"),
-      struct(col("event"), col("date"), col("white"), col("black"),
-             col("whiteElo"), col("blackElo"), col("result"), col("eco"))
-        .as("__hdr"))
-    // right joins so the SMALL explored result broadcasts and the big
-    // games table streams past it (explored rows all survive)
-    val withFirst = headers
-      .join(broadcast(explored), col("gameId") === col("firstGameId"), "right")
+    val ids = explored.select(col("firstGameId").as("gameId"))
+      .union(explored.select(col("lastGameId").as("gameId")))
+      .distinct()
+    val headers = games.toDF()
+      .join(broadcast(ids), Seq("gameId"), "left_semi")
+      .select(col("gameId"),
+        struct(col("event"), col("date"), col("white"), col("black"),
+               col("whiteElo"), col("blackElo"), col("result"), col("eco"))
+          .as("__hdr"))
+    // one header table serves both joins — identical broadcast subtrees,
+    // so ReuseExchange ships it once
+    val withFirst = explored
+      .join(broadcast(headers), col("gameId") === col("firstGameId"), "left")
       .withColumnRenamed("__hdr", "firstGame").drop("gameId")
-    headers
-      .join(broadcast(withFirst), col("gameId") === col("lastGameId"), "right")
+    withFirst
+      .join(broadcast(headers), col("gameId") === col("lastGameId"), "left")
       .withColumnRenamed("__hdr", "lastGame").drop("gameId")
   }
 

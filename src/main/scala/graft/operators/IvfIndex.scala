@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{NearestCentroid, NearestCentroids}
 import graft.functions.VectorFunctions._
 
 /** IVF (inverted-file) approximate nearest neighbor (SURVEY.md §2.3 J7
@@ -10,60 +13,61 @@ import graft.functions.VectorFunctions._
   * Index: `nlist` centroids sampled deterministically from the corpus
   * (every (n/nlist)-th vector by id — data-dependent, unlike random
   * hyperplanes, so cells track the actual distribution); each vector is
-  * assigned to its nearest centroid in ONE projection over a broadcast
-  * centroid array. Search: a probe ranks the same centroid list,
+  * assigned to its nearest centroid in ONE codegen'd projection over a
+  * BROADCAST centroid matrix (CentroidExpressions — plan size stays
+  * O(1) in nlist, where literal centroid arrays would explode codegen
+  * at production nlist). Search: a probe ranks the same centroid list,
   * searches its `nprobe` best cells, and rescores candidates exactly.
   *
-  * Scale: centroids are a driver-side array of nlist*dim doubles
-  * (bounded, not data-scaled); assignment is a narrow codegen'd pass
-  * (native cosine); the probe join touches ~corpus*nprobe/nlist rows.
-  * At 100 TB the assignment column is written once at ingest and the
-  * cell id becomes a partition/bucket key.
+  * Scale: the corpus row count comes from `approxRows` (catalog/ingest
+  * stats) when the caller has it — no counting scan; assignment is a
+  * narrow codegen'd pass; the probe join touches ~corpus*nprobe/nlist
+  * rows. At 100 TB the assignment column is written once at ingest and
+  * the cell id becomes a partition/bucket key.
   */
 object IvfIndex {
 
-  /** Deterministic centroid sample: ids 0, step, 2*step, ... */
-  def centroids(corpus: DataFrame, nlist: Int): Array[(Int, Array[Double])] = {
-    val n = corpus.count()
+  /** Deterministic centroid sample: vectors at ids 0, step, 2*step, ...
+    * `approxRows` skips the count() scan when the caller knows the
+    * corpus size (even approximately — it only sets the sample stride). */
+  def centroids(corpus: DataFrame, nlist: Int,
+                approxRows: Option[Long] = None): Array[Array[Double]] = {
+    val n = approxRows.getOrElse(corpus.count())
     val step = math.max(1L, n / nlist)
     corpus.filter(col("vec_id") % step === 0 && col("vec_id") < step * nlist)
       .select(col("vec_id"), col("emb"))
       .collect()
       .sortBy(_.getLong(0))
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+      .map(_.getSeq[Double](1).toArray)
   }
 
-  /** Column: id of the nearest centroid (greatest cosine). */
-  private def cellOf(v: Column, cents: Array[(Int, Array[Double])]): Column = {
-    val scored = cents.map { case (id, c) =>
-      struct(cosine(v, array(c.map(lit).toSeq: _*)).as("s"), lit(id).as("id"))
-    }
-    array_max(array(scored.toSeq: _*)).getField("id")
-  }
+  import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
 
-  /** Columns: ids of the `nprobe` nearest centroids for a probe. */
-  private def cellsOf(v: Column, cents: Array[(Int, Array[Double])],
-                      nprobe: Int): Column = {
-    val scored = cents.map { case (id, c) =>
-      struct(cosine(v, array(c.map(lit).toSeq: _*)).as("s"), lit(id).as("id"))
-    }
-    slice(reverse(array_sort(array(scored.toSeq: _*))), 1, nprobe)
-      .getField("id")
-  }
+  private def cellOf(v: Column, bc: Broadcast[Array[Array[Double]]]): Column =
+    toCol(NearestCentroid(toExpr(v), bc))
 
-  /** Candidate rows (probe_id, vec_id, sim) from the nprobe best cells
-    * of each probe; callers apply their own top-k. */
+  private def cellsOf(v: Column, bc: Broadcast[Array[Array[Double]]],
+                      nprobe: Int): Column =
+    toCol(NearestCentroids(toExpr(v), bc, nprobe))
+
+  /** Per-probe top-`k` neighbors (probe_id, vec_id, sim, rn) from the
+    * `nprobe` best cells of each probe, exact-cosine rescored. */
   def topK(corpus: DataFrame, probes: DataFrame,
-           nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    val cents = centroids(corpus, nlist)
-    val assigned = corpus.withColumn("cell", cellOf(col("emb"), cents))
+           nlist: Int, nprobe: Int, k: Int,
+           approxRows: Option[Long] = None): DataFrame = {
+    val cents = centroids(corpus, nlist, approxRows)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assigned = corpus.withColumn("cell", cellOf(col("emb"), bc))
     val probed = probes
-      .withColumn("cell", explode(cellsOf(col("pemb"), cents, nprobe)))
+      .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
               cosine(col("pemb"), col("emb")).as("sim"))
       .distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
   }
 }

@@ -112,13 +112,9 @@ object VectorQueries {
     // VectorFunctionsSpec.
     "q37_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
       IvfIndex.topK(e, e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
           nlist = 16, nprobe = 4, k = 5)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),

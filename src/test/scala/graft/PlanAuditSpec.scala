@@ -59,6 +59,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("q42_opening_explorer").contains("BroadcastHashJoin"))
   }
 
+  test("J2 header join: explored broadcasts, games table never shuffles") {
+    import graft.chess._
+    import spark.implicits._
+    val games = ChessIngest.parseGames(spark,
+      spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
+    val agg = ChessIngest.positionsAgg(ChessIngest.positionStream(spark, games))
+    val explored = QueryEngine.explore(spark, agg,
+      Seq(Position.StartFen -> None))
+    val df = QueryEngine.withHeaders(explored, games)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "games table must not shuffle into a sort-merge join on the J2 path\n" + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -62,6 +62,26 @@ class VectorFunctionsSpec extends SparkTestBase {
       "random vectors must not pair at cos>=0.95")
   }
 
+  test("IVF plan stays O(1) in nlist: broadcast centroids, no plan literals") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val n = e.count()
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    // nlist=64: the old literal-array formulation put 64×64 doubles in
+    // the projection (~100KB of plan text and growing with nlist); the
+    // broadcast-expression plan is constant-size.
+    val df = graft.operators.IvfIndex.topK(e, probes,
+      nlist = 64, nprobe = 8, k = 3, approxRows = Some(n))
+    val planText = df.queryExecution.optimizedPlan.toString
+    assert(planText.length < 20000,
+      s"plan text is ${planText.length} chars — centroids leaked into the plan?")
+    // k is honored: no probe returns more than k neighbors
+    val perProbe = df.groupBy(col("probe_id")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(perProbe <= 3)
+  }
+
   test("IVF ANN recall vs brute force (nprobe=4 of nlist=16 cells)") {
     val brute = SparkEntry.queries("q31_knn_brute")(spark, sf)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
