@@ -27,5 +27,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
-      ChessQueries.oracleSql ++ MultimodalQueries.oracleSql
+      ChessQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      operators.ApproxOracle.oracleSql
 }

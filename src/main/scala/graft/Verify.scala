@@ -15,13 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // chess oracle inputs: export the deterministic position streams +
-    // probe key sets so the DuckDB side of ChessOracle.oracleSql can
-    // read them (they are recomputed-from-scratch relational inputs,
-    // not copies of any query result)
-    try graft.chess.ChessOracle.export(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] chess oracle export failed: ${e.getMessage}")
+    // oracle inputs: export the deterministic non-ANSI artifacts (chess
+    // position streams + probe keys; minhash/simhash/LSH/IVF per-row
+    // signatures) so the DuckDB side of the oracle SQL can read them
+    // (recomputed-from-scratch relational inputs, never copies of any
+    // query result). On ANY failure the export dir is deleted so the
+    // oracle fails loudly instead of comparing against stale parquet
+    // from a previous run.
+    try {
+      graft.chess.ChessOracle.export(spark)
+      graft.operators.ApproxOracle.export(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle export failed: ${e.getMessage}")
+      graft.OracleExport.clear()
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

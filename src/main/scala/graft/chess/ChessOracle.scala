@@ -23,11 +23,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object ChessOracle {
 
-  /** Export root — a build artifact written by Verify, read back by the
-    * driver's DuckDB via absolute-path read_parquet. Outside target/ so
-    * an `sbt clean` between Verify and the compare can't wipe it;
-    * gitignored (never committed). */
-  val ExportDir = "/root/repo/.chess_oracle"
+  // Export root + read_parquet plumbing shared with ApproxOracle —
+  // see graft.OracleExport (configurable, not a baked-in path).
 
   // Corpus parameters shared by the queries (ChessQueries) and the
   // export — a drifted literal would silently break the oracle.
@@ -67,7 +64,7 @@ object ChessOracle {
   def export(spark: SparkSession): Unit = {
     import spark.implicits._
     def write(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$ExportDir/$name")
+      graft.OracleExport.write(df, name)
 
     val sample = ChessIngest.parseGames(spark,
       spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
@@ -89,7 +86,7 @@ object ChessOracle {
       "probes_cont")
   }
 
-  private def p(name: String) = s"read_parquet('$ExportDir/$name/*.parquet')"
+  private def p(name: String) = graft.OracleExport.p(name)
   private val W = Core.Result.WhiteWin
   private val D = Core.Result.Draw
   private val B = Core.Result.BlackWin

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.OracleExport
+import graft.Tables
+
+/** Hard DuckDB oracles for the approximate family (q25 minhash, q26
+  * simhash, q33 LSH ANN, q37 IVF ANN, q38 cosine near-dup) — the same
+  * export pattern ChessOracle established for the chess path.
+  *
+  * The non-ANSI half of each operator is a PURE PER-ROW function
+  * (minhash band keys, shingle hashes, token hashes, hyperplane
+  * buckets, IVF cell ids): Verify exports those as parquet, and the
+  * oracle SQL recomputes the RELATIONAL half — band/bucket/cell
+  * self-joins, candidate distinct, exact Jaccard / Hamming-majority /
+  * cosine rescore, ranking, summary — independently in DuckDB. The
+  * rescore reads the `embeddings` table directly (list_cosine_similarity
+  * is bit-identical to the native CosineSim loop — proven by q31/q34),
+  * so the oracle never reads a Spark query RESULT, only per-row
+  * signatures it joins and scores itself.
+  */
+object ApproxOracle {
+
+  // Thresholds shared with the queries (TextQueries q25, VectorQueries
+  // q38) — a drifted literal would silently break the oracle.
+  val MinJaccard = 0.5
+  val MinCos = 0.95
+
+  /** Write every table the oracle SQL reads. Runs at Verify's sfDir so
+    * exports and queries see the same corpus. */
+  def export(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    OracleExport.write(MinHashLSH.bandsOf(docs), "minhash_bands")
+    OracleExport.write(MinHashLSH.shingleHashes(docs), "minhash_shingles")
+    // q26: the token-hash multiset each signature majority-votes over
+    OracleExport.write(
+      docs.select(col("doc_id"),
+        explode(transform(array_distinct(split(trim(col("text")), "\\s+")),
+          t => xxhash64(t))).as("th")),
+      "simhash_tokens")
+
+    val e = VectorQueries.emb(spark, sfDir)
+    OracleExport.write(
+      VectorQueries.lshBucketed(e, VectorQueries.AnnTables, VectorQueries.AnnBits)
+        .select(col("vec_id"), col("t"), col("bucket")),
+      "lsh_buckets")
+    val n = e.count()
+    val (ndTables, ndBits) = VectorQueries.lshParams(n, MinCos)
+    OracleExport.write(
+      VectorQueries.lshBucketed(e, ndTables, ndBits)
+        .select(col("vec_id"), col("t"), col("bucket")),
+      "neardup_buckets")
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    OracleExport.write(
+      IvfIndex.cellAssignments(e, VectorQueries.IvfNList, Some(n)), "ivf_cells")
+    OracleExport.write(
+      IvfIndex.probeCells(e, probes, VectorQueries.IvfNList,
+        VectorQueries.IvfNProbe, Some(n)), "ivf_probe_cells")
+  }
+
+  private def p(name: String) = OracleExport.p(name)
+
+  /** Shared ANN tail: candidates -> exact cosine rescore from the
+    * embeddings table -> per-probe rank -> top 5. */
+  private def annRescore(candCte: String): String =
+    s"""WITH cand AS ($candCte),
+       scored AS (
+         SELECT c.probe_id, c.vec_id,
+           list_cosine_similarity(CAST(pe.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])) AS sim
+         FROM cand c
+         JOIN embeddings pe ON pe.vec_id = c.probe_id
+         JOIN embeddings e  ON e.vec_id  = c.vec_id)
+       SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS cos, rn
+       FROM (SELECT probe_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+             FROM scored)
+       WHERE rn <= 5"""
+
+  val oracleSql: Map[String, String] = Map(
+    // band self-join -> distinct candidate pairs -> exact set Jaccard
+    // from the shingle-hash table -> threshold -> summary
+    "q25_minhash_pairs" ->
+      s"""WITH cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM ${p("minhash_bands")} x JOIN ${p("minhash_bands")} y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id),
+         sizes AS (
+           SELECT doc_id, count(*) AS n
+           FROM ${p("minhash_shingles")} GROUP BY doc_id),
+         common AS (
+           SELECT c.doc_a, c.doc_b, count(sb.sh) AS ci
+           FROM cand c
+           JOIN ${p("minhash_shingles")} sa ON sa.doc_id = c.doc_a
+           LEFT JOIN ${p("minhash_shingles")} sb
+             ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT round(CAST(m.ci AS DOUBLE) / (na.n + nb.n - m.ci), 4) AS jaccard
+           FROM common m JOIN sizes na ON na.doc_id = m.doc_a
+                         JOIN sizes nb ON nb.doc_id = m.doc_b)
+         SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+           coalesce(round(avg(jaccard), 4), 0.0) AS avg_jaccard
+         FROM jac WHERE jaccard >= $MinJaccard""",
+
+    // per-(doc, bit) majority vote over the token-hash multiset, packed
+    // back into the signed 64-bit signature (bit 63 contributes the
+    // negative 2^63 — DuckDB's << overflows at 63 where Java wraps)
+    "q26_simhash" ->
+      s"""SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash FROM (
+           SELECT doc_id, i,
+             CASE WHEN 2 * sum((th >> i) & 1) > count(*)
+                  THEN CASE WHEN i = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << CAST(i AS INTEGER)) END
+                  ELSE 0 END AS contrib
+           FROM ${p("simhash_tokens")} CROSS JOIN range(64) t(i)
+           GROUP BY doc_id, i)
+         GROUP BY doc_id""",
+
+    "q33_ann_lsh" -> annRescore(
+      s"""SELECT DISTINCT pb.vec_id AS probe_id, x.vec_id AS vec_id
+          FROM ${p("lsh_buckets")} x JOIN ${p("lsh_buckets")} pb
+            ON x.t = pb.t AND x.bucket = pb.bucket
+          WHERE pb.vec_id < 10 AND x.vec_id <> pb.vec_id"""),
+
+    "q37_ann_ivf" -> annRescore(
+      s"""SELECT DISTINCT pc.probe_id, a.vec_id
+          FROM ${p("ivf_cells")} a JOIN ${p("ivf_probe_cells")} pc
+            ON a.cell = pc.cell
+          WHERE a.vec_id <> pc.probe_id"""),
+
+    "q38_cosine_near_dup" ->
+      s"""WITH cand AS (
+           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           FROM ${p("neardup_buckets")} x JOIN ${p("neardup_buckets")} y
+             ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         scored AS (
+           SELECT list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) AS cos
+           FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a
+                       JOIN embeddings eb ON eb.vec_id = c.vec_b)
+         SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+           coalesce(round(avg(cos), 4), 0.0) AS avg_cos
+         FROM scored WHERE cos >= $MinCos"""
+  )
+}

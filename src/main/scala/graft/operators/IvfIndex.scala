@@ -50,6 +50,26 @@ object IvfIndex {
                       nprobe: Int): Column =
     toCol(NearestCentroids(toExpr(v), bc, nprobe))
 
+  /** (vec_id, cell) assignment of every corpus vector — the IVF index
+    * itself; also the oracle export (DuckDB redoes the probe join +
+    * rescore relationally from this). */
+  def cellAssignments(corpus: DataFrame, nlist: Int,
+                      approxRows: Option[Long] = None): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext
+      .broadcast(centroids(corpus, nlist, approxRows))
+    corpus.withColumn("cell", cellOf(col("emb"), bc))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** (probe_id, cell) — each probe exploded to its nprobe best cells. */
+  def probeCells(corpus: DataFrame, probes: DataFrame, nlist: Int,
+                 nprobe: Int, approxRows: Option[Long] = None): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext
+      .broadcast(centroids(corpus, nlist, approxRows))
+    probes.withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
+      .select(col("probe_id"), col("cell"))
+  }
+
   /** Per-probe top-`k` neighbors (probe_id, vec_id, sim, rn) from the
     * `nprobe` best cells of each probe, exact-cosine rescored. */
   def topK(corpus: DataFrame, probes: DataFrame,

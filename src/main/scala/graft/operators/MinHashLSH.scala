@@ -95,18 +95,32 @@ object MinHashLSH {
           element_at(toks, i + 2))))
   }
 
+  private val shingleHashUdf = udf((t: String) => shingleStrings(t).map(fnv1a))
+
   /** doc_id, sig (NumHashes minhash values). */
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
 
-  /** Candidate near-dup pairs (doc_a < doc_b) with exact Jaccard >= min. */
-  def verifiedPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val bands = signatures(docs).select(col("doc_id"),
+  /** One row per (doc_id, band_idx, band_hash) — the LSH bucket keys.
+    * Shared by the candidate join AND the oracle export (the oracle SQL
+    * recomputes the band self-join + Jaccard rescore relationally from
+    * these plus `shingleHashes`). */
+  def bandsOf(docs: DataFrame): DataFrame =
+    signatures(docs).select(col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band_idx"),
           xxhash64(slice(col("sig"), b * Rows + 1, Rows)).as("band_hash"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+
+  /** One row per (doc_id, sh): the doc's distinct shingle hashes —
+    * exact set Jaccard is then pure relational algebra over this. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleHashUdf(col("text"))).as("sh"))
+
+  /** Candidate near-dup pairs (doc_a < doc_b) with exact Jaccard >= min. */
+  def verifiedPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val bands = bandsOf(docs)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -73,12 +73,16 @@ object TextQueries {
 
     // MinHash-LSH near-dup candidates (L2): shingle → 32 minhashes →
     // 8 bands × 4 rows → band-bucket join → exact Jaccard rescore.
-    // No SQL oracle (LSH banding isn't ANSI-expressible) → rows-only
-    // check by the driver; correctness covered by MinHashSpec.
+    // Oracle: Verify exports band keys + shingle hashes (ApproxOracle)
+    // and DuckDB redoes the self-join + set-Jaccard rescore + summary
+    // relationally; MinHashSpec covers the signature math.
     "q25_minhash_pairs" -> ((s, d) =>
-      MinHashLSH.candidatePairs(documents(s, d), minJaccard = 0.5)),
+      MinHashLSH.candidatePairs(documents(s, d),
+        minJaccard = ApproxOracle.MinJaccard)),
 
-    // SimHash 64-bit signature per doc (L2 family). Rows-only + spec.
+    // SimHash 64-bit signature per doc (L2 family). Oracle: Verify
+    // exports each doc's token-hash multiset and DuckDB recomputes the
+    // per-bit majority vote + packing in SQL (ApproxOracle).
     "q26_simhash" -> ((s, d) =>
       SimHash.signatures(documents(s, d)).select(col("doc_id"), col("simhash"))),
 

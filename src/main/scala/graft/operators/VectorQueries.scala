@@ -26,9 +26,30 @@ object VectorQueries {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private[graft] def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
+
+  // q33 LSH geometry — shared with the oracle export (ApproxOracle) so
+  // the bucketed table DuckDB self-joins is the one the query used.
+  val AnnTables = 4
+  val AnnBits   = 5
+  // q37 IVF geometry — likewise shared with the export.
+  val IvfNList  = 16
+  val IvfNProbe = 4
+
+  /** Multi-table hyperplane bucket assignment: one row per (vec, table)
+    * with the table id and bucket signature. One projection + explode —
+    * no shuffle; the basis of q33 ANN and q38 all-pairs near-dup. */
+  def lshBucketed(e: DataFrame, nTables: Int, bits: Int): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(bits, 64, seed = 42L + t)
+      struct(lit(t).as("t"), hyperplaneBucket(col("emb"), planes).as("bucket"))
+    }
+    e.withColumn("tb", explode(array(tables: _*)))
+      .select(col("vec_id"), col("emb"), col("tb.t").as("t"),
+              col("tb.bucket").as("bucket"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label centroid, exploded to (label, pos, val) rows so the
@@ -66,24 +87,17 @@ object VectorQueries {
              round(max(col("norm")), 4).as("max_norm"))
     }),
 
-    // LSH-bucketed ANN (scale path): NUM_TABLES independent hyperplane
+    // LSH-bucketed ANN (scale path): AnnTables independent hyperplane
     // tables; candidates = union of same-bucket vectors across tables
     // (standard multi-table LSH — one table's recall on near-uniform
     // data is too low). The corpus is bucketed ONCE per table (a single
     // projection), candidates join against a broadcast probe set, and
-    // the exact rescore touches only candidates — never n². Rows-only
-    // check (LSH isn't ANSI-expressible); recall vs q31 asserted in
-    // VectorFunctionsSpec.
+    // the exact rescore touches only candidates — never n². Oracle:
+    // Verify exports the bucket table (ApproxOracle) and DuckDB redoes
+    // the self-join + rescore + rank relationally; recall vs q31
+    // additionally asserted in VectorFunctionsSpec.
     "q33_ann_lsh" -> ((s, d) => {
-      val nTables = 4; val bits = 5
-      val e = emb(s, d)
-      val tables = (0 until nTables).map { t =>
-        val planes = hyperplanes(bits, 64, seed = 42L + t)
-        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), planes).as("bucket"))
-      }
-      val bucketed = e.withColumn("tb", explode(array(tables: _*)))
-        .select(col("vec_id"), col("label"), col("emb"),
-                col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val bucketed = lshBucketed(emb(s, d), AnnTables, AnnBits)
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
                 col("t"), col("bucket"))
@@ -107,14 +121,15 @@ object VectorQueries {
     // into nlist Voronoi cells around sampled centroids; probes search
     // only their nprobe nearest cells. Cell assignment is one
     // broadcast-centroid pass with the native cosine expression;
-    // candidates shrink to ~corpus*nprobe/nlist per probe. Rows-only
-    // (not ANSI-expressible); recall vs q31 asserted in
-    // VectorFunctionsSpec.
+    // candidates shrink to ~corpus*nprobe/nlist per probe. Oracle:
+    // Verify exports cell + probe-cell assignments (ApproxOracle) and
+    // DuckDB redoes the join + rescore + rank; recall vs q31
+    // additionally asserted in VectorFunctionsSpec.
     "q37_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       IvfIndex.topK(e, e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
-          nlist = 16, nprobe = 4, k = 5)
+          nlist = IvfNList, nprobe = IvfNProbe, k = 5)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -122,10 +137,11 @@ object VectorQueries {
     // Embedding-cosine near-dup, ALL pairs (L2 dedup mode): candidates
     // from multi-table hyperplane buckets whose COUNT scales with the
     // corpus (lshParams — candidate volume stays linear, asserted in
-    // VectorFunctionsSpec), exact cosine >= 0.95 rescore. Summary row
-    // (rows-only; pair-level correctness in VectorFunctionsSpec).
+    // LshScalingSpec), exact cosine >= 0.95 rescore. Oracle: Verify
+    // exports the scaled bucket table (ApproxOracle) and DuckDB redoes
+    // the pair self-join + rescore + summary.
     "q38_cosine_near_dup" -> ((s, d) => {
-      VectorQueries.cosineNearDupPairs(emb(s, d), minCos = 0.95)
+      VectorQueries.cosineNearDupPairs(emb(s, d), minCos = ApproxOracle.MinCos)
         .agg(count(lit(1)).as("n_near_dup_pairs"),
              coalesce(round(avg(col("cos")), 4), lit(0.0)).as("avg_cos"))
     }),
@@ -166,16 +182,11 @@ object VectorQueries {
 
   /** Candidate pairs (with exact cosine attached) from the multi-table
     * hyperplane-bucket self-join — exposed separately so specs can
-    * assert candidate volume scales linearly with the corpus. */
+    * assert candidate volume scales linearly with the corpus
+    * (LshScalingSpec). */
   def cosineNearDupCandidates(embDf: org.apache.spark.sql.DataFrame,
                               nTables: Int, bits: Int): org.apache.spark.sql.DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val planes = hyperplanes(bits, 64, seed = 42L + t)
-      struct(lit(t).as("t"), hyperplaneBucket(col("emb"), planes).as("bucket"))
-    }
-    val bucketed = embDf.withColumn("tb", explode(array(tables: _*)))
-      .select(col("vec_id"), col("emb"),
-              col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val bucketed = lshBucketed(embDf, nTables, bits)
     bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
