@@ -48,8 +48,9 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
 
   /** Candidate pairs (exact Hamming attached) from the block-combination
-    * self-join — exposed so specs can assert recall and that candidate
-    * volume grows linearly with the corpus. */
+    * self-join — exposed separately so LshScalingSpec can assert total
+    * recall at Hamming<=k (pigeonhole) and linear candidate volume vs
+    * the 4-block control. */
   def bandedCandidates(sigs: DataFrame, maxHamming: Int, blocks: Int): DataFrame = {
     require(maxHamming < blocks,
       "pigeonhole needs more blocks than differing bits")
