@@ -16,10 +16,17 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     } catch { case _: Throwable => }
+    // Per-query MEDIAN of 3 runs: one pass per query made the artifact
+    // hostage to machine contention (round-2's committed bench was 4x
+    // the idle-machine truth); the median of three discards a noisy
+    // outlier run in either direction.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
