@@ -137,6 +137,20 @@ object QueryEngine {
     * no retro-move generation needed (the store only ever contains
     * reverse moves that actually occurred). reverseMove 0 = the
     * position occurred as a game start. */
+  /** Core.moveToUci as codegen'd built-ins (move encoding:
+    * from | to<<6 | promoKind<<12) — keeps the retraction plan UDF-free
+    * inside whole-stage codegen. */
+  private def uciCol(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def sqName(sq: org.apache.spark.sql.Column) =
+      concat(lit("abcdefgh").substr(sq.bitwiseAND(lit(7)) + 1, lit(1)),
+             (shiftright(sq, 3).bitwiseAND(lit(7)) + 1).cast("string"))
+    val promo = shiftright(m, 12).bitwiseAND(lit(15))
+    concat(sqName(m.bitwiseAND(lit(63))),
+           sqName(shiftright(m, 6).bitwiseAND(lit(63))),
+           when(promo =!= 0, lit("pnbrqk").substr(promo, lit(1)))
+             .otherwise(lit("")))
+  }
+
   def retractions(spark: SparkSession, positionsAgg: DataFrame, fen: String): DataFrame = {
     val (h, l) = Zobrist.signature(Position.fromFen(fen))
     positionsAgg
@@ -147,7 +161,7 @@ object QueryEngine {
            sum(when(col("result") === Result.Draw, col("games")).otherwise(0L)).as("draws"),
            sum(when(col("result") === Result.BlackWin, col("games")).otherwise(0L)).as("black_wins"))
       .withColumn("uci", when(col("reverseMove") === NoMove, lit("start"))
-        .otherwise(udf((m: Int) => moveToUci(m)).apply(col("reverseMove"))))
+        .otherwise(uciCol(col("reverseMove"))))
       .select("uci", "games", "white_wins", "draws", "black_wins")
       .orderBy(col("games").desc, col("uci").asc)
   }

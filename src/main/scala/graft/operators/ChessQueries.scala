@@ -25,15 +25,17 @@ object ChessQueries {
 
   // The sample-corpus agg store is immutable per session — cache it so
   // the six chess queries don't each re-run parse -> replay -> agg.
-  // Weak keys: a long-lived JVM that starts and stops many sessions
-  // (test suites, notebooks) must not pin stopped sessions or their
-  // cached blocks.
-  private val aggCache: java.util.Map[SparkSession, DataFrame] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, DataFrame]())
-  private def agg(s: SparkSession): DataFrame =
-    aggCache.computeIfAbsent(s, s2 =>
-      ChessIngest.positionsAgg(ChessIngest.positionStream(s2, games(s2))).cache())
+  // Strong keys + stopped-session purge on access. (A WeakHashMap
+  // cannot evict here: the cached DataFrame strongly references its
+  // session via queryExecution.sparkSession, pinning the weak key
+  // forever.)
+  private val aggCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+  private def agg(s: SparkSession): DataFrame = {
+    aggCache.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+    aggCache.getOrElseUpdate(s,
+      ChessIngest.positionsAgg(ChessIngest.positionStream(s, games(s))).cache())
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S2: PGN ingest — header dimension table (games).
