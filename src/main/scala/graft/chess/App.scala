@@ -83,7 +83,7 @@ object App {
         val t0 = System.nanoTime()
         val occ = ChessIngest.positionStream(spark, corpus).cache()
         val nOcc = occ.count()
-        val agg = ChessIngest.positionsAgg(occ).cache()
+        val agg = ChessIngest.positionsAgg(occ, approxGames = n).cache()
         val nEntries = agg.count()
         val tImport = (System.nanoTime() - t0) / 1e9
         println(f"""{"gen_s":$tGen%.2f}""")

@@ -81,17 +81,25 @@ object ChessIngest {
     }
   }
 
+  /** Above this corpus size the hottest keys (the start position occurs
+    * once per game; popular openings nearly as often) carry enough rows
+    * that the FINAL-agg reducer holding them becomes the straggler —
+    * map-side partial agg bounds per-task state but every partial for a
+    * key still lands on one reducer. The two-level salted plan spreads
+    * each key over SaltedAgg's sub-keys first. Below the threshold the
+    * extra shuffle stage costs more than it saves. */
+  val SkewGamesThreshold = 250000L
+
   /** The entry store (delta-format role): pre-aggregated by the full
     * key (signature, reverseMove, level, result). Partial+final hash
-    * agg ≈ the reference's buffer-sort + k-way merge combine. */
-  def positionsAgg(occ: Dataset[PosOcc]): DataFrame =
-    occ.toDF()
-      .groupBy(col("posHi"), col("posLo"), col("reverseMove"),
-               col("level"), col("result"))
-      .agg(count(lit(1)).as("games"),
-           sum(col("eloDiff")).as("eloDiffSum"),
-           min(col("gameId")).as("firstGameId"),
-           max(col("gameId")).as("lastGameId"))
+    * agg ≈ the reference's buffer-sort + k-way merge combine.
+    *
+    * `approxGames` (from catalog/ingest stats; 0 = unknown) switches to
+    * the salted two-level plan past SkewGamesThreshold — exactly equal
+    * output (all measures reassociative), asserted in SaltedAggSpec. */
+  def positionsAgg(occ: Dataset[PosOcc], approxGames: Long = 0L): DataFrame =
+    if (approxGames >= SkewGamesThreshold) SaltedAgg.salted(occ.toDF())
+    else SaltedAgg.direct(occ.toDF())
 
   /** Write the agg table the way the 100 TB layout wants it: bucketed by
     * posHi so probe joins prune to 1/N of the data, sorted within

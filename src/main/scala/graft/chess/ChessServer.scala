@@ -29,11 +29,30 @@ object ChessServer {
   implicit private val fmts: Formats = DefaultFormats
 
   case class ReqPosition(fen: String, move: Option[String])
+
+  /** Fetch flags for ONE select class (the reference GUI sends these
+    * per-select under `query.fetchingOptions.<select>`); the
+    * ForEachChild pair controls headers on child-move stats
+    * independently of the root's. */
+  case class FetchOpts(fetchChildren: Boolean,
+                       fetchFirstGame: Boolean, fetchLastGame: Boolean,
+                       fetchFirstGameForEachChild: Boolean,
+                       fetchLastGameForEachChild: Boolean)
+
   case class Request(token: String, positions: Seq[ReqPosition],
                      levels: Seq[String], results: Seq[String],
-                     fetchChildren: Boolean,
-                     fetchFirstGame: Boolean = false,
-                     fetchLastGame: Boolean = false)
+                     perSelect: Map[String, FetchOpts]) {
+    // aggregate views: the flat protocol's flags, and "does ANY select
+    // class want X" for execution planning
+    def fetchChildren: Boolean = perSelect.values.exists(_.fetchChildren)
+    def fetchFirstGame: Boolean = perSelect.values.exists(_.fetchFirstGame)
+    def fetchLastGame: Boolean = perSelect.values.exists(_.fetchLastGame)
+    def wantsHeaders: Boolean = perSelect.values.exists(o =>
+      o.fetchFirstGame || o.fetchLastGame ||
+      o.fetchFirstGameForEachChild || o.fetchLastGameForEachChild)
+  }
+
+  val SelectNames: Seq[String] = Seq("continuations", "transpositions")
 
   private val levelNames = Map("human" -> Core.Level.Human,
     "engine" -> Core.Level.Engine, "server" -> Core.Level.Server)
@@ -64,27 +83,47 @@ object ChessServer {
       },
       levels = seqOr(q \ "levels", levelNames.keys.toSeq),
       results = seqOr(q \ "results", resultNames.keys.toSeq),
-      fetchChildren = flag(q, "fetchChildren", default = true),
-      fetchFirstGame = flag(q, "fetchFirstGame", default = false),
-      fetchLastGame = flag(q, "fetchLastGame", default = false))
+      perSelect = parseFetchOpts(q))
   }
 
-  /** Flags are accepted flat (`query.fetchChildren`) or in the
-    * reference GUI's nested shape (`query.fetchingOptions.<select>.
-    * fetchChildren` — OR across selects, since we always return both
-    * select classes in one pass). */
-  private def flag(q: JValue, name: String, default: Boolean): Boolean =
+  private def flagDefault(name: String): Boolean = name == "fetchChildren"
+
+  /** A flat flag (`query.fetchChildren`), falling back to the protocol
+    * default. */
+  private def flatFlag(q: JValue, name: String): Boolean =
     (q \ name) match {
       case JBool(b) => b
+      case _ => flagDefault(name)
+    }
+
+  /** Flags are accepted flat (`query.fetchChildren` — applies to both
+    * select classes) or in the reference GUI's nested per-select shape
+    * (`query.fetchingOptions.<select>.fetchChildren`). When
+    * fetchingOptions is present, ONLY the selects it names appear in
+    * the response, each with its own flags; a flag no select mentions
+    * falls back to the flat/default value, while one some OTHER select
+    * mentions stays off here (an explicit options object opts out of
+    * defaults for the flags it competes on). */
+  private def parseFetchOpts(q: JValue): Map[String, FetchOpts] =
+    (q \ "fetchingOptions") match {
+      case JObject(fields) if fields.nonEmpty =>
+        def mentioned(name: String): Boolean =
+          fields.exists { case (_, v) => (v \ name) != JNothing }
+        fields.collect { case (sel, v) if SelectNames.contains(sel) =>
+          def fl(name: String): Boolean = (v \ name) match {
+            case JBool(b) => b
+            case _ => if (!mentioned(name)) flatFlag(q, name) else false
+          }
+          sel -> FetchOpts(fl("fetchChildren"),
+            fl("fetchFirstGame"), fl("fetchLastGame"),
+            fl("fetchFirstGameForEachChild"), fl("fetchLastGameForEachChild"))
+        }.toMap
       case _ =>
-        (q \ "fetchingOptions") match {
-          case JObject(fields) =>
-            val set = fields.exists { case (_, v) => (v \ name) == JBool(true) }
-            val unset = fields.nonEmpty &&
-              fields.forall { case (_, v) => (v \ name) == JNothing }
-            if (set) true else if (unset) default else false
-          case _ => default
-        }
+        val o = FetchOpts(flatFlag(q, "fetchChildren"),
+          flatFlag(q, "fetchFirstGame"), flatFlag(q, "fetchLastGame"),
+          flatFlag(q, "fetchFirstGameForEachChild"),
+          flatFlag(q, "fetchLastGameForEachChild"))
+        SelectNames.map(_ -> o).toMap
     }
 
   /** Execute a request against the agg store; returns the response as a
@@ -100,7 +139,7 @@ object ChessServer {
     val explored = QueryEngine.explore(spark, positionsAgg, probes)
       .filter(col("level").isin(levelSet.map(_.toInt): _*) &&
               col("result").isin(resultSet.map(_.toInt): _*))
-    val wantHeaders = (req.fetchFirstGame || req.fetchLastGame) && games.isDefined
+    val wantHeaders = req.wantsHeaders && games.isDefined
     val rows = (if (wantHeaders) QueryEngine.withHeaders(explored, games.get)
                 else explored).collect()
 
@@ -118,25 +157,33 @@ object ChessServer {
           "eco" -> JString(h.getAs[String]("eco"))))
       }
 
-    // driver-side nesting of the (small) aggregated result
-    def statsJson(rs: Seq[org.apache.spark.sql.Row]): JValue =
-      JObject(rs.groupBy(_.getAs[String]("select")).toList.sortBy(_._1).map {
-        case (sel, perSel) =>
-          sel -> JObject(perSel.groupBy(_.getAs[Byte]("level")).toList
-            .sortBy(_._1).map { case (lv, perLv) =>
-              levelBack(lv) -> JObject(perLv.groupBy(_.getAs[Byte]("result"))
-                .toList.sortBy(_._1).map { case (rz, perR) =>
-                  val firstRow = perR.minBy(_.getAs[Long]("firstGameId"))
-                  val lastRow = perR.maxBy(_.getAs[Long]("lastGameId"))
-                  resultBack(rz) -> JObject(List(
-                    "count" -> JLong(perR.map(_.getAs[Long]("games")).sum),
-                    "eloDiffSum" -> JLong(perR.map(_.getAs[Long]("eloDiffSum")).sum),
-                    "firstGameId" -> JLong(firstRow.getAs[Long]("firstGameId")),
-                    "lastGameId" -> JLong(lastRow.getAs[Long]("lastGameId"))) ++
-                    (if (req.fetchFirstGame) hdrJson(firstRow, "firstGame") else Nil) ++
-                    (if (req.fetchLastGame) hdrJson(lastRow, "lastGame") else Nil))
-                })
-            })
+    // driver-side nesting of the (small) aggregated result; only the
+    // select classes the request asked for appear, each honoring its
+    // own fetch flags (child stats use the ForEachChild pair)
+    def statsJson(rs: Seq[org.apache.spark.sql.Row], isChild: Boolean): JValue =
+      JObject(rs.groupBy(_.getAs[String]("select")).toList.sortBy(_._1).flatMap {
+        case (sel, perSel) => req.perSelect.get(sel) match {
+          case None => Nil
+          case Some(o) if isChild && !o.fetchChildren => Nil
+          case Some(o) =>
+            val wantFirst = if (isChild) o.fetchFirstGameForEachChild else o.fetchFirstGame
+            val wantLast = if (isChild) o.fetchLastGameForEachChild else o.fetchLastGame
+            List(sel -> JObject(perSel.groupBy(_.getAs[Byte]("level")).toList
+              .sortBy(_._1).map { case (lv, perLv) =>
+                levelBack(lv) -> JObject(perLv.groupBy(_.getAs[Byte]("result"))
+                  .toList.sortBy(_._1).map { case (rz, perR) =>
+                    val firstRow = perR.minBy(_.getAs[Long]("firstGameId"))
+                    val lastRow = perR.maxBy(_.getAs[Long]("lastGameId"))
+                    resultBack(rz) -> JObject(List(
+                      "count" -> JLong(perR.map(_.getAs[Long]("games")).sum),
+                      "eloDiffSum" -> JLong(perR.map(_.getAs[Long]("eloDiffSum")).sum),
+                      "firstGameId" -> JLong(firstRow.getAs[Long]("firstGameId")),
+                      "lastGameId" -> JLong(lastRow.getAs[Long]("lastGameId"))) ++
+                      (if (wantFirst) hdrJson(firstRow, "firstGame") else Nil) ++
+                      (if (wantLast) hdrJson(lastRow, "lastGame") else Nil))
+                  })
+              }))
+        }
       })
 
     // each request entry resolves by its batch index, not its FEN — a
@@ -149,11 +196,11 @@ object ChessServer {
         if (!req.fetchChildren) JNothing
         else JObject(mine.filter(_.getAs[String]("childUci") != "")
           .groupBy(_.getAs[String]("childUci")).toList.sortBy(_._1)
-          .map { case (uci, rs) => uci -> statsJson(rs.toSeq) })
+          .map { case (uci, rs) => uci -> statsJson(rs.toSeq, isChild = true) })
       JObject(List(
         "fen" -> JString(p.fen)) ++
         p.move.map(m => "move" -> JString(m)).toList ++ List(
-        "stats" -> statsJson(root.toSeq),
+        "stats" -> statsJson(root.toSeq, isChild = false),
         "children" -> children))
     }
     JsonMethods.compact(JsonMethods.render(

@@ -120,6 +120,50 @@ class ChessServerSpec extends SparkTestBase {
     assert(r2.fetchChildren && !r2.fetchFirstGame, "flat defaults unchanged")
   }
 
+  test("per-select fetchingOptions: only named selects, per-child headers honored") {
+    val games = ChessIngest.parseGames(spark,
+      spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
+    val req = ChessServer.parseRequest(
+      s"""{"token":"ps","query":{"positions":[{"fen":"${Position.StartFen}"}],
+          "fetchingOptions":{
+            "continuations":{"fetchChildren":true,"fetchFirstGameForEachChild":true},
+            "transpositions":{"fetchChildren":false}}}}""")
+    val resp = JsonMethods.parse(
+      ChessServer.execute(spark, agg, req, Some(games)))
+    val res0 = (resp \ "results") (0)
+    // children: transpositions opted out of fetchChildren -> only the
+    // continuations class appears under each child move
+    val e4 = res0 \ "children" \ "e2e4"
+    assert((e4 \ "continuations") != JNothing, "continuations child stats present")
+    assert((e4 \ "transpositions") == JNothing,
+      "transpositions set fetchChildren=false and must be omitted from children")
+    // per-child headers: firstGame resolves on child stats (Scholar's
+    // Mate, gameId 0, is the first game through 1.e4)
+    val firstWhite = (e4 \ "continuations" \ "human" \ "w" \ "firstGame" \ "white")
+    assert(firstWhite.extract[String] == "Alpha")
+    // root stats carry NO headers: fetchFirstGame was claimed by no
+    // select, and ForEachChild flags apply to children only
+    val rootStats = res0 \ "stats" \ "transpositions" \ "human" \ "w"
+    assert((rootStats \ "count") != JNothing)
+    assert((rootStats \ "firstGame") == JNothing,
+      "ForEachChild must not leak headers into root stats")
+  }
+
+  test("fetchingOptions naming one select omits the other everywhere") {
+    val req = ChessServer.parseRequest(
+      s"""{"token":"one","query":{"positions":[{"fen":"${Position.StartFen}"}],
+          "fetchingOptions":{"continuations":{"fetchChildren":true}}}}""")
+    assert(req.perSelect.keySet == Set("continuations"))
+    val resp = JsonMethods.parse(ChessServer.execute(spark, agg, req))
+    val res0 = (resp \ "results") (0)
+    // a bare probe's ROOT rows are all transpositions -> root stats empty
+    assert((res0 \ "stats").extract[Map[String, JValue]].isEmpty)
+    // children carry only continuation stats
+    val e4 = res0 \ "children" \ "e2e4"
+    assert((e4 \ "continuations") != JNothing)
+    assert((e4 \ "transpositions") == JNothing)
+  }
+
   test("malformed move reports an error, not a crash") {
     val req = ChessServer.parseRequest(
       s"""{"token":"x","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e5"}]}}""")
