@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * (create / merge / query-server / dump / bench — SURVEY.md §3):
   *
   * {{{
-  * runMain graft.chess.App create <pgnPath> <storeDir>     splittable import -> epoch 0
+  * runMain graft.chess.App create <pgn|bcgn> <storeDir>      splittable import -> epoch 0
   * runMain graft.chess.App append <pgnPath> <storeDir>     add another epoch (incremental)
   * runMain graft.chess.App merge  <storeDir> <outDir>      compact epochs to one
   * runMain graft.chess.App dump   <pgnPath> <outTsv> [min] EPD dump (book building)
   * runMain graft.chess.App server <pgnPath> <port>         TCP query server
   * runMain graft.chess.App bench  [nGames]                 synthetic import+probe bench
+  * runMain graft.chess.App tobcgn <pgnPath> <bcgnDir>      PGN -> S3 binary interchange
   * }}}
   */
 object App {
@@ -28,12 +29,26 @@ object App {
     s
   }
 
+  /** Games from either interchange format: a .bcgn dir/file (S3 binary
+    * codec) or PGN text (S1). */
+  private def readGames(spark: SparkSession, path: String) = {
+    val f = new java.io.File(path)
+    val isBcgn = path.endsWith(".bcgn") ||
+      (f.isDirectory && Option(f.list()).exists(_.exists(_.endsWith(".bcgn"))))
+    if (isBcgn) Bcgn.read(spark, if (f.isDirectory) path else f.getParent)
+    else PgnSource.readGames(spark, path)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
+      case "tobcgn" :: pgn :: out :: Nil =>
+        Bcgn.write(PgnSource.readGames(spark, pgn), out)
+        println(s"[tobcgn] wrote $out")
+
       case "create" :: pgn :: store :: Nil =>
         val agg = ChessIngest.positionsAgg(ChessIngest.positionStream(spark,
-          PgnSource.readGames(spark, pgn)))
+          readGames(spark, pgn)))
         agg.withColumn("epoch", lit(0L))
           .write.mode("overwrite").partitionBy("epoch").parquet(store)
         report(spark, store)
@@ -43,7 +58,7 @@ object App {
         val nextEpoch = spark.read.parquet(store)
           .agg(max(col("epoch").cast("long"))).head().getLong(0) + 1L
         ChessIngest.positionsAgg(ChessIngest.positionStream(spark,
-            PgnSource.readGames(spark, pgn)))
+            readGames(spark, pgn)))
           .withColumn("epoch", lit(nextEpoch))
           .write.mode("append").partitionBy("epoch").parquet(store)
         report(spark, store)
@@ -54,7 +69,7 @@ object App {
 
       case "dump" :: pgn :: out :: rest =>
         val minCount = rest.headOption.map(_.toLong).getOrElse(2L)
-        EpdDump.dump(spark, PgnSource.readGames(spark, pgn), minCount)
+        EpdDump.dump(spark, readGames(spark, pgn), minCount)
           .withColumn("line", concat_ws("\t", col("epd"), col("games"),
             col("white_wins"), col("draws"), col("black_wins")))
           .select("line")

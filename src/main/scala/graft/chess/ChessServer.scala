@@ -52,7 +52,13 @@ object ChessServer {
       o.fetchFirstGameForEachChild || o.fetchLastGameForEachChild)
   }
 
-  val SelectNames: Seq[String] = Seq("continuations", "transpositions")
+  /** The reference protocol's select classes: the two real partitions
+    * of the probe rows plus "all", their merge — synthesized at
+    * response-nesting time when a request names it. */
+  val SelectNames: Seq[String] = Seq("continuations", "transpositions", "all")
+  /** Flat-protocol requests (no fetchingOptions) return the two real
+    * classes, as the reference CLI does. */
+  val DefaultSelects: Seq[String] = Seq("continuations", "transpositions")
 
   private val levelNames = Map("human" -> Core.Level.Human,
     "engine" -> Core.Level.Engine, "server" -> Core.Level.Server)
@@ -123,7 +129,7 @@ object ChessServer {
           flatFlag(q, "fetchFirstGame"), flatFlag(q, "fetchLastGame"),
           flatFlag(q, "fetchFirstGameForEachChild"),
           flatFlag(q, "fetchLastGameForEachChild"))
-        SelectNames.map(_ -> o).toMap
+        DefaultSelects.map(_ -> o).toMap
     }
 
   /** Execute a request against the agg store; returns the response as a
@@ -160,8 +166,12 @@ object ChessServer {
     // driver-side nesting of the (small) aggregated result; only the
     // select classes the request asked for appear, each honoring its
     // own fetch flags (child stats use the ForEachChild pair)
-    def statsJson(rs: Seq[org.apache.spark.sql.Row], isChild: Boolean): JValue =
-      JObject(rs.groupBy(_.getAs[String]("select")).toList.sortBy(_._1).flatMap {
+    def statsJson(rs: Seq[org.apache.spark.sql.Row], isChild: Boolean): JValue = {
+      // "all" is the merge of both real classes, synthesized on demand
+      val classes = rs.groupBy(_.getAs[String]("select")).toList ++
+        (if (req.perSelect.contains("all") && rs.nonEmpty) List("all" -> rs)
+         else Nil)
+      JObject(classes.sortBy(_._1).flatMap {
         case (sel, perSel) => req.perSelect.get(sel) match {
           case None => Nil
           case Some(o) if isChild && !o.fetchChildren => Nil
@@ -185,6 +195,7 @@ object ChessServer {
               }))
         }
       })
+    }
 
     // each request entry resolves by its batch index, not its FEN — a
     // batch may repeat one FEN with different 'move' values and those

@@ -59,6 +59,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("q42_opening_explorer").contains("BroadcastHashJoin"))
   }
 
+  test("q33/q37 ANN: probe side broadcasts into the bucketed/assigned corpus") {
+    assert(plan("q33_ann_lsh").contains("BroadcastHashJoin"))
+    assert(plan("q37_ann_ivf").contains("BroadcastHashJoin"))
+  }
+
   test("J2 header join: explored broadcasts, games table never shuffles") {
     import graft.chess._
     import spark.implicits._

@@ -164,6 +164,28 @@ class ChessServerSpec extends SparkTestBase {
     assert((e4 \ "transpositions") == JNothing)
   }
 
+  test("'all' select class merges continuations and transpositions") {
+    val req = ChessServer.parseRequest(
+      s"""{"token":"a","query":{"positions":[{"fen":"${Position.StartFen}"}],
+          "fetchingOptions":{"all":{"fetchChildren":true}}}}""")
+    assert(req.perSelect.keySet == Set("all"))
+    val resp = JsonMethods.parse(ChessServer.execute(spark, agg, req))
+    val res0 = (resp \ "results") (0)
+    // root: only the synthesized class, totalling all 9 games
+    val rootStats = (res0 \ "stats").extract[Map[String, JValue]]
+    assert(rootStats.keySet == Set("all"))
+    val rootCount = (res0 \ "stats" \ "all" \ "human")
+      .extract[Map[String, Map[String, Long]]].values.map(_("count")).sum
+    assert(rootCount == 9)
+    // child e2e4: all = continuations(5 traversals) merged with any
+    // transpositions; must be >= the 2 continuation white-wins and the
+    // real classes must be absent
+    val e4 = (res0 \ "children" \ "e2e4").extract[Map[String, JValue]]
+    assert(e4.keySet == Set("all"))
+    val e4w = (res0 \ "children" \ "e2e4" \ "all" \ "human" \ "w" \ "count").extract[Long]
+    assert(e4w == 2)
+  }
+
   test("malformed move reports an error, not a crash") {
     val req = ChessServer.parseRequest(
       s"""{"token":"x","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e5"}]}}""")
