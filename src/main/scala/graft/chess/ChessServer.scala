@@ -146,8 +146,14 @@ object ChessServer {
       .filter(col("level").isin(levelSet.map(_.toInt): _*) &&
               col("result").isin(resultSet.map(_.toInt): _*))
     val wantHeaders = req.wantsHeaders && games.isDefined
-    val rows = (if (wantHeaders) QueryEngine.withHeaders(explored, games.get)
-                else explored).collect()
+    // withHeaders references the explored subtree twice (once under the
+    // id semi-join's broadcast, once as the probe side) — persist so the
+    // agg-store probe runs once per request, not twice
+    if (wantHeaders) explored.persist()
+    val rows =
+      try (if (wantHeaders) QueryEngine.withHeaders(explored, games.get)
+           else explored).collect()
+      finally if (wantHeaders) { explored.unpersist(blocking = false); () }
 
     def hdrJson(r: org.apache.spark.sql.Row, field: String): List[(String, JValue)] =
       if (!wantHeaders || r.schema.fieldNames.contains(field) == false) Nil

@@ -64,6 +64,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("q37_ann_ivf").contains("BroadcastHashJoin"))
   }
 
+  test("q38 near-dup candidates join on bucket keys, never a cross product") {
+    val p = plan("q38_cosine_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs near-dup must stay an equi-join on (t, bucket)\n" + p)
+  }
+
   test("J2 header join: explored broadcasts, games table never shuffles") {
     import graft.chess._
     import spark.implicits._
