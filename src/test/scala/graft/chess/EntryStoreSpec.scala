@@ -43,6 +43,38 @@ class EntryStoreSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS positions_agg_test")
   }
 
+  test("co-bucketed join on the bucket key plans with zero shuffle exchanges") {
+    val games = ChessIngest.parseGames(spark,
+      spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
+    val agg = ChessIngest.positionsAgg(ChessIngest.positionStream(spark, games))
+    spark.sql("DROP TABLE IF EXISTS positions_agg_cob")
+    val loc = new java.io.File("spark-warehouse/positions_agg_cob")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    ChessIngest.writeAggTable(agg, "positions_agg_cob", buckets = 16)
+    val t = spark.table("positions_agg_cob")
+    // force the at-scale join shape (no broadcast): two bucketed sides
+    // aligned on the bucket key must sort-merge WITHOUT any shuffle —
+    // the layout the 100 TB store relies on for store-to-store joins
+    // (epoch compaction, store diffing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = t.select(col("posHi"), col("posLo"))
+      val b = t.select(col("posHi"), col("games"))
+      val j = a.join(b, Seq("posHi"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS positions_agg_cob")
+    }
+  }
+
   test("epoch append + merge compaction preserves totals") {
     // Import in two halves (epochs), union, re-aggregate = compaction;
     // must equal the single-shot import (SURVEY.md §1.2 LSM mapping).
