@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * (create / merge / query-server / dump / bench — SURVEY.md §3):
   *
   * {{{
-  * runMain graft.chess.App create <pgn|bcgn> <storeDir>      splittable import -> epoch 0
+  * runMain graft.chess.App create <pgn|bcgn> <storeDir> [alpha|beta|delta|epsilon]
+  *                                                          splittable import -> epoch 0 (delta) or a format-generation store
   * runMain graft.chess.App append <pgnPath> <storeDir>     add another epoch (incremental)
   * runMain graft.chess.App merge  <storeDir> <outDir>      compact epochs to one
   * runMain graft.chess.App dump   <pgnPath> <outTsv> [min] EPD dump (book building)
@@ -46,12 +47,21 @@ object App {
         Bcgn.write(PgnSource.readGames(spark, pgn), out)
         println(s"[tobcgn] wrote $out")
 
-      case "create" :: pgn :: store :: Nil =>
+      case "create" :: pgn :: store :: rest =>
         val agg = ChessIngest.positionsAgg(ChessIngest.positionStream(spark,
           readGames(spark, pgn)))
-        agg.withColumn("epoch", lit(0L))
-          .write.mode("overwrite").partitionBy("epoch").parquet(store)
-        report(spark, store)
+        rest.headOption match {
+          // reference: create <format> ... — non-delta generations write
+          // their measure-set/layout profile (EntryFormats), no epochs
+          case Some(fmtName) if fmtName != "delta" =>
+            EntryFormats.write(agg, EntryFormats.byName(fmtName), store)
+            println(s"[store] $store: format=$fmtName, " +
+              s"${spark.read.parquet(store).count()} entries")
+          case _ =>
+            agg.withColumn("epoch", lit(0L))
+              .write.mode("overwrite").partitionBy("epoch").parquet(store)
+            report(spark, store)
+        }
 
       case "append" :: pgn :: store :: Nil =>
         // partition-dir inference yields int for epoch=N — cast first
