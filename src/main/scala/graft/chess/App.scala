@@ -36,7 +36,9 @@ object App {
     val f = new java.io.File(path)
     val isBcgn = path.endsWith(".bcgn") ||
       (f.isDirectory && Option(f.list()).exists(_.exists(_.endsWith(".bcgn"))))
-    if (isBcgn) Bcgn.read(spark, if (f.isDirectory) path else f.getParent)
+    // Bcgn.read takes the path as-is: a single file loads exactly that
+    // file (not its parent directory's sibling corpora)
+    if (isBcgn) Bcgn.read(spark, path)
     else PgnSource.readGames(spark, path)
   }
 

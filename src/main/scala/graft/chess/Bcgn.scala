@@ -111,11 +111,15 @@ object Bcgn {
     }
   }
 
-  /** Read a .bcgn directory back as games; decoding (and so legality
-    * verification) runs per file on executors. */
-  def read(spark: SparkSession, dir: String): Dataset[ChessIngest.GameRow] = {
+  /** Read a .bcgn directory (all *.bcgn inside) or a single .bcgn file
+    * back as games; decoding (and so legality verification) runs per
+    * file on executors. A file path loads exactly that file — never its
+    * siblings. */
+  def read(spark: SparkSession, path: String): Dataset[ChessIngest.GameRow] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.bcgn")
+    val src =
+      if (new java.io.File(path).isDirectory) s"$path/*.bcgn" else path
+    spark.read.format("binaryFile").load(src)
       .select("content").as[Array[Byte]]
       .flatMap(decodeFile _)
   }

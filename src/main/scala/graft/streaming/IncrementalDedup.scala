@@ -45,7 +45,16 @@ object IncrementalDedup {
   /** One ingest step (foreachBatch body, also callable in batch mode):
     * emits verified near-dup pairs (within-batch + batch-vs-store,
     * doc_a < doc_b) to `pairsDir` and appends the batch's keys to the
-    * store. */
+    * store.
+    *
+    * foreachBatch is at-least-once, so a restarted batch may re-run with
+    * the same batchId after a partial write. Every output is therefore
+    * partitioned by batch_id and written with dynamic partition
+    * overwrite: a replay rewrites exactly its own partitions and nothing
+    * else. Cross-batch candidates read only STRICTLY EARLIER batch_ids
+    * from the store, so a replay never joins against its own
+    * partially-written keys (which would emit jaccard-1.0 self-pairs and
+    * double-count shingles). */
   def processBatch(spark: SparkSession, storeDir: String, pairsDir: String,
                    minJaccard: Double)(batch: DataFrame, batchId: Long): Unit = {
     val bandsDir = s"$storeDir/bands"; val shDir = s"$storeDir/shingles"
@@ -55,24 +64,31 @@ object IncrementalDedup {
       val newShingles = MinHashLSH.shingleHashes(batch)
       val within = MinHashLSH.verifiedPairs(batch, minJaccard)
       val hasStore = new java.io.File(bandsDir).exists()
+      def earlier(dir: String) = spark.read.parquet(dir)
+        .filter(col("batch_id") < batchId).drop("batch_id")
       val pairs = if (!hasStore) within else {
-        val cands = spark.read.parquet(bandsDir).as("o")
+        val cands = earlier(bandsDir).as("o")
           .join(newBands.as("n"),
             col("o.band_idx") === col("n.band_idx") &&
             col("o.band_hash") === col("n.band_hash"))
           .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b")) // same id re-dropped later
           .distinct()
-        val cross = jaccardPairs(cands, spark.read.parquet(shDir),
-          newShingles, minJaccard)
+        val cross = jaccardPairs(cands, earlier(shDir), newShingles, minJaccard)
         // canonical orientation so stream output unions with batch output
         within.unionByName(cross.select(
           least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"),
           col("jaccard")))
       }
-      pairs.write.mode("append").parquet(pairsDir)
-      newBands.write.mode("append").parquet(bandsDir)
-      newShingles.write.mode("append").parquet(shDir)
+      def writeIdempotent(df: DataFrame, dir: String): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(dir)
+      writeIdempotent(pairs, pairsDir)
+      writeIdempotent(newBands, bandsDir)
+      writeIdempotent(newShingles, shDir)
     } finally { batch.unpersist(blocking = false); () }
   }
 

@@ -48,6 +48,29 @@ class StreamingDedupSpec extends SparkTestBase {
       "cross-batch dup")
   }
 
+  test("a replayed batch (at-least-once foreachBatch) is idempotent") {
+    val (b1, b2) = corpus()
+    val store = java.nio.file.Files.createTempDirectory("dedup_replay").toString
+    val pairs = java.nio.file.Files.createTempDirectory("dedup_rpairs").toString
+    val step = IncrementalDedup.processBatch(spark, store, pairs, 0.5) _
+    step(b1.toDF("doc_id", "text"), 0L)
+    step(b2.toDF("doc_id", "text"), 1L)
+    def snapshot() = (
+      spark.read.parquet(pairs).select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sorted.toSeq,
+      spark.read.parquet(s"$store/bands").count(),
+      spark.read.parquet(s"$store/shingles").count())
+    val before = snapshot()
+    // restart scenario: batch 1 re-fires with the same batchId after its
+    // state writes already landed — must not self-pair or double-append
+    step(b2.toDF("doc_id", "text"), 1L)
+    val after = snapshot()
+    assert(after == before,
+      s"replay changed state: pairs ${before._1.size}->${after._1.size}, " +
+        s"bands ${before._2}->${after._2}, shingles ${before._3}->${after._3}")
+    assert(!after._1.exists(p => p._1 == p._2), "self-pairs emitted")
+  }
+
   test("the real stream (AvailableNow, 1 file per micro-batch) matches too") {
     val (b1, b2) = corpus()
     val base = java.nio.file.Files.createTempDirectory("dedup_stream").toString

@@ -29,6 +29,21 @@ class BcgnSpec extends SparkTestBase {
     roundTrip(RandomGames.generate(spark, 200, maxPlies = 60))
   }
 
+  test("a single-file path reads exactly that file, never its siblings") {
+    val dir = java.nio.file.Files.createTempDirectory("bcgn_sib").toString
+    val games = RandomGames.generate(spark, 20, maxPlies = 40).collect()
+    def writeOne(name: String, gs: Array[ChessIngest.GameRow]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        Bcgn.encodeFile(gs.iterator))
+    writeOne("a.bcgn", games.take(5))
+    writeOne("b.bcgn", games.drop(5)) // sibling corpus that must NOT load
+    val one = Bcgn.read(spark, s"$dir/a.bcgn").collect().map(_.gameId).toSet
+    assert(one == games.take(5).map(_.gameId).toSet,
+      s"file read pulled in siblings: $one")
+    val all = Bcgn.read(spark, dir).count()
+    assert(all == 20, s"dir read should still see both files, got $all")
+  }
+
   test("bcgn is the compact fast-re-read format: smaller than the PGN text") {
     val games = ChessIngest.parseGames(spark,
       spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
