@@ -31,14 +31,15 @@ object App {
   }
 
   /** Games from either interchange format: a .bcgn dir/file (S3 binary
-    * codec) or PGN text (S1). */
+    * codec, via the DataSource V2 connector — a single-file path loads
+    * exactly that file, not its parent directory's sibling corpora) or
+    * PGN text (S1). */
   private def readGames(spark: SparkSession, path: String) = {
+    import spark.implicits._
     val f = new java.io.File(path)
     val isBcgn = path.endsWith(".bcgn") ||
       (f.isDirectory && Option(f.list()).exists(_.exists(_.endsWith(".bcgn"))))
-    // Bcgn.read takes the path as-is: a single file loads exactly that
-    // file (not its parent directory's sibling corpora)
-    if (isBcgn) Bcgn.read(spark, path)
+    if (isBcgn) spark.read.format("bcgn").load(path).as[ChessIngest.GameRow]
     else PgnSource.readGames(spark, path)
   }
 

@@ -66,6 +66,51 @@ object Bcgn {
       whiteElo, blackElo, result, eco, level, nMoves, moves, startFen))
   }
 
+  /** Decode only the header fields of one record — the column-pruned
+    * scan path (graft.sources.BcgnDataSource): movelist bytes are never
+    * read and no replay happens, so a header-only scan is IO+UTF decode
+    * only. `moves` comes back empty; plyCount is still exact (it is
+    * stored before the movelist). Legality verification only happens
+    * when movelists are materialized, like any columnar source that
+    * doesn't validate unprojected columns. */
+  def decodeGameHeader(in: DataInputStream): ChessIngest.GameRow = {
+    val gameId = in.readLong()
+    val event = in.readUTF(); val site = in.readUTF(); val date = in.readUTF()
+    val white = in.readUTF(); val black = in.readUTF()
+    val whiteElo = in.readInt(); val blackElo = in.readInt()
+    val result = in.readByte(); val eco = in.readUTF(); val level = in.readByte()
+    val startFen = in.readUTF()
+    val nMoves = in.readUnsignedShort()
+    val (y, mo, d) = Pgn.parseDate(date)
+    ChessIngest.GameRow(gameId, event, site, date, y, mo, d, white, black,
+      whiteElo, blackElo, result, eco, level, nMoves, Array.emptyIntArray,
+      startFen)
+  }
+
+  /** Iterate a file's records, decoding each with `one` — shared by the
+    * full and header-only scan paths. Corrupt records are skipped (as
+    * the PGN parser skips malformed games). */
+  def decodeRecords(bytes: Array[Byte],
+                    one: DataInputStream => Option[ChessIngest.GameRow])
+      : Iterator[ChessIngest.GameRow] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a graft bcgn file")
+    require(in.readByte() == Version, "unsupported bcgn version")
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChessIngest.GameRow]
+    while (in.available() >= 4) {
+      val len = in.readInt()
+      val rec = new Array[Byte](len)
+      in.readFully(rec)
+      one(new DataInputStream(new java.io.ByteArrayInputStream(rec)))
+        .foreach(out += _)
+    }
+    out.iterator
+  }
+
+  /** Headers of every record in a file; movelists untouched. */
+  def decodeFileHeaders(bytes: Array[Byte]): Iterator[ChessIngest.GameRow] =
+    decodeRecords(bytes, in => Some(decodeGameHeader(in)))
+
   def encodeFile(games: Iterator[ChessIngest.GameRow]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -80,22 +125,9 @@ object Bcgn {
     bos.toByteArray
   }
 
-  /** Decode a whole file; corrupt records are skipped (as the PGN
-    * parser skips malformed games). */
-  def decodeFile(bytes: Array[Byte]): Iterator[ChessIngest.GameRow] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    require(in.readInt() == Magic, "not a graft bcgn file")
-    require(in.readByte() == Version, "unsupported bcgn version")
-    val out = scala.collection.mutable.ArrayBuffer.empty[ChessIngest.GameRow]
-    while (in.available() >= 4) {
-      val len = in.readInt()
-      val rec = new Array[Byte](len)
-      in.readFully(rec)
-      decodeGame(new DataInputStream(new java.io.ByteArrayInputStream(rec)))
-        .foreach(out += _)
-    }
-    out.iterator
-  }
+  /** Decode a whole file, movelists included (replay-verified). */
+  def decodeFile(bytes: Array[Byte]): Iterator[ChessIngest.GameRow] =
+    decodeRecords(bytes, decodeGame _)
 
   /** One .bcgn file per partition, written executor-side. */
   def write(games: Dataset[ChessIngest.GameRow], dir: String): Unit = {
