@@ -261,6 +261,26 @@ object RelationalQueries {
                 col("n"), col("rev"))
     }),
 
+    // Binned interval join (J5 fact×fact scale path): late-shipping
+    // lineitems matched to every order window [o_orderdate,
+    // o_orderdate+2d] they fall in. Unlike q15 there is NO broadcast —
+    // the theta join is rewritten to an equi-join on a 4-day bin key
+    // (IntervalJoin), so both sides can be fact-sized. PlanAuditSpec
+    // asserts the plan has no nested-loop/cartesian node.
+    "q51_interval_join" -> ((s, d) => {
+      val pts = lineitem(s, d).filter(col("l_quantity") > 49.0)
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_extendedprice"))
+      val ivs = orders(s, d).select(
+        col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("o_until"),
+        col("o_orderpriority"))
+      IntervalJoin.pointInInterval(pts, "l_shipdate",
+          ivs, "o_orderdate", "o_until", binWidth = 4L * 86400L)
+        .groupBy(col("l_returnflag"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"),
+             dsumR(col("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // As-of join: for each purchase, the latest prior-or-equal click by
     // the same user (AsOfJoin operator — single shuffle, no crossjoin).
     "q19_asof_join" -> ((s, d) => {
@@ -440,6 +460,15 @@ object RelationalQueries {
          c.ts AS click_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts"""
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    "q51_interval_join" ->
+      """SELECT l_returnflag, o_orderpriority, count(*) AS n_pairs,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders
+           ON l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 2 DAY
+         WHERE l_quantity > 49.0
+         GROUP BY l_returnflag, o_orderpriority"""
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IntervalJoin
+
+/** IntervalJoin == the naive theta join, including bin-boundary and
+  * negative-axis edge cases, with no duplicate pairs. */
+class IntervalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binned join == theta join on an adversarial axis") {
+    val rnd = new scala.util.Random(7)
+    // points on bin boundaries, negatives, and interval endpoints
+    val pts = (Seq(-40L, -8L, -1L, 0L, 1L, 7L, 8L, 16L, 63L, 64L) ++
+      Seq.fill(200)(rnd.nextLong() % 300)).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }
+      .toDF("pid", "x")
+    // intervals: zero-length, bin-spanning, negative, nested
+    val ivs = (Seq((-40L, -40L), (-10L, 10L), (0L, 0L), (0L, 7L), (7L, 9L),
+      (60L, 200L)) ++
+      Seq.fill(120) { val a = rnd.nextLong() % 280; (a, a + rnd.nextInt(40)) })
+      .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+
+    val binned = IntervalJoin.pointInInterval(pts, "x", ivs, "lo", "hi", 8L)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    val naive = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(binned.length == binned.distinct.length,
+      "a pair must meet in exactly one bin (no duplicates)")
+    assert(binned.toSet == naive.toSet,
+      s"missing=${naive.toSet -- binned.toSet} extra=${binned.toSet -- naive.toSet}")
+    assert(naive.nonEmpty)
+  }
+
+  test("timestamps discretize on epoch seconds") {
+    val pts = Seq(1L, 100L, 86400L, 86401L)
+      .map(s => (s, new java.sql.Timestamp(s * 1000L))).toDF("pid", "t")
+    val ivs = Seq((0L, 0L, 86400L), (1L, 86400L, 200000L))
+      .map { case (i, a, b) => (i, new java.sql.Timestamp(a * 1000L),
+        new java.sql.Timestamp(b * 1000L)) }.toDF("iid", "lo", "hi")
+    val got = IntervalJoin.pointInInterval(pts, "t", ivs, "lo", "hi", 3600L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (100L, 0L), (86400L, 0L), (86400L, 1L),
+      (86401L, 1L)))
+  }
+}

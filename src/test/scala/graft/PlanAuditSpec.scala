@@ -70,6 +70,15 @@ class PlanAuditSpec extends SparkTestBase {
       "all-pairs near-dup must stay an equi-join on (t, bucket)\n" + p)
   }
 
+  test("q51 interval join: binning turns the theta join into an equi-join") {
+    val p = plan("q51_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fact×fact interval join must not nested-loop\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), // AQE may still broadcast at test SF
+      "expected a hash/merge equi-join on the bin key\n" + p)
+  }
+
   test("J2 header join: explored broadcasts, games table never shuffles") {
     import graft.chess._
     import spark.implicits._
