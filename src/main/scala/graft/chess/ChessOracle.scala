@@ -84,6 +84,11 @@ object ChessOracle {
       "probes_explorer")
     write(QueryEngine.probeKeys(Seq(contTransFen -> Some("e7e6"))).toDF(),
       "probes_cont")
+    // q52: retro-candidate set for the retraction-synthesis subject —
+    // generation is perft-gated pure compute (RetractSpec); the store
+    // join + aggregation is what DuckDB recomputes.
+    write(Retract.candidates(Position.fromFen(retractFen)).toDF()
+      .select("uci", "predHi", "predLo"), "retract_cands")
   }
 
   private def p(name: String) = graft.OracleExport.p(name)
@@ -165,7 +170,27 @@ object ChessOracle {
              ${wdl("result")}
            FROM ${p("positions_sample")}
            WHERE posHi = $q47Hi AND posLo = $q47Lo
-           GROUP BY 1 ORDER BY games DESC, uci ASC"""
+           GROUP BY 1 ORDER BY games DESC, uci ASC""",
+
+      // q52: each exported occurrence row joins at most one candidate
+      // variant (rights/ep variants have distinct signatures), so the
+      // per-uci count of matched rows equals the store's sum(games)
+      "q52_retract_synth" ->
+        s"""WITH pred AS (
+             SELECT c.uci, CAST(count(*) AS BIGINT) AS pred_games
+             FROM ${p("positions_sample")} o
+             JOIN ${p("retract_cands")} c
+               ON o.posHi = c.predHi AND o.posLo = c.predLo
+             GROUP BY 1),
+           played AS (
+             SELECT reverseUci AS uci, CAST(count(*) AS BIGINT) AS played_games
+             FROM ${p("positions_sample")}
+             WHERE posHi = $q47Hi AND posLo = $q47Lo AND reverseUci <> 'start'
+             GROUP BY 1)
+           SELECT p.uci AS uci, p.pred_games,
+             COALESCE(pl.played_games, 0) AS played_games
+           FROM pred p LEFT JOIN played pl ON p.uci = pl.uci
+           ORDER BY pred_games DESC, uci ASC"""
     )
   }
 }

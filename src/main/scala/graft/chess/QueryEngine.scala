@@ -166,6 +166,43 @@ object QueryEngine {
       .orderBy(col("games").desc, col("uci").asc)
   }
 
+  /** True retraction SYNTHESIS (reference ERAN role, SURVEY.md §7.3.6):
+    * unlike `retractions` (which can only report reverse moves that
+    * were actually PLAYED into the position — they're store keys), this
+    * enumerates every legally possible (predecessor, unmove) via
+    * `Retract.candidates` and joins the candidate predecessor
+    * signatures against the store. That surfaces predecessors that
+    * OCCURRED in games even when the transition into this position was
+    * never played — the transposition-analysis question.
+    *
+    * Scale posture: retro-candidate generation is driver-side pure
+    * compute on ONE position (≲ a few hundred candidates — same
+    * posture as probeKeys), the candidate set broadcasts into the
+    * (arbitrarily large) bucketed store, and only the few matching
+    * entry rows aggregate. Output per retro-move: how often the
+    * predecessor position occurred (`pred_games`) vs how often the
+    * move was actually played into this position (`played_games`). */
+  def retractSynth(spark: SparkSession, positionsAgg: DataFrame, fen: String): DataFrame = {
+    import spark.implicits._
+    val pos = Position.fromFen(fen)
+    val (h, l) = Zobrist.signature(pos)
+    val cands = Retract.candidates(pos).toDF()
+    val predOcc = positionsAgg
+      .join(broadcast(cands),
+        col("posHi") === col("predHi") && col("posLo") === col("predLo"))
+      .groupBy(col("uci"))
+      .agg(sum(col("games")).as("pred_games"))
+    val played = positionsAgg
+      .filter(col("posHi") === h && col("posLo") === l && col("reverseMove") =!= NoMove)
+      .groupBy(col("reverseMove"))
+      .agg(sum(col("games")).as("played_games"))
+      .select(uciCol(col("reverseMove")).as("uci"), col("played_games"))
+    predOcc.join(broadcast(played), Seq("uci"), "left")
+      .select(col("uci"), col("pred_games"),
+        coalesce(col("played_games"), lit(0L)).as("played_games"))
+      .orderBy(col("pred_games").desc, col("uci").asc)
+  }
+
   /** Opening-explorer view: per child move of one FEN, W/D/L counts
     * over all levels (the GUI's main table, W1 ranking included). */
   def explorer(spark: SparkSession, positionsAgg: DataFrame, fen: String): DataFrame =

@@ -93,6 +93,13 @@ object ChessQueries {
     "q47_retractions" -> ((s, _) =>
       QueryEngine.retractions(s, agg(s), ChessOracle.retractFen)),
 
+    // F6/ERAN true retraction synthesis: enumerate ALL legal unmoves of
+    // the q47 position (not just stored reverse moves) and join their
+    // predecessor signatures against the store — surfaces predecessors
+    // that occurred even when the transition was never played.
+    "q52_retract_synth" -> ((s, _) =>
+      QueryEngine.retractSynth(s, agg(s), ChessOracle.retractFen)),
+
     // P5/A4: continuation vs transposition split after 1.d4 d5 2.c4,
     // probing with move e7e6 — the transposition-pair games make both
     // classes non-empty (golden counts in ChessSparkSpec).
