@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star
+  * contractions (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — public literature). The dedup-pipeline step that
+  * turns near-dup PAIRS into dup CLUSTERS so one representative per
+  * cluster can be kept.
+  *
+  * Each round is two pure groupBy+join stages over the edge set — no
+  * driver-side graph state, no vertex program — and the edge set
+  * monotonically contracts toward a forest of stars whose centers are
+  * the component minima. Convergence is O(log² n) rounds on adversarial
+  * graphs and 2–3 rounds on dedup graphs (small-diameter clusters);
+  * each round shuffles only the current edge set, so the operator's
+  * peak cost is bounded by the near-dup pair volume, not the corpus.
+  *
+  * The driver loop watches a cheap (count, sum) checksum per round and
+  * confirms an apparent fixpoint with one exact set comparison — at
+  * 100 TB that exactness costs a single extra join on the final
+  * (maximally contracted) edge set.
+  */
+object ConnectedComponents {
+
+  /** large-star: every neighbor v > u links to m = min(N(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    nbr.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: orient edges high→low; every low neighbor (and u
+    * itself) links to the minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nbr = e.select(greatest(col("u"), col("v")).as("u"),
+                       least(col("u"), col("v")).as("v"))
+    val m = nbr.groupBy(col("u")).agg(min(col("v")).as("m"))
+    nbr.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(sum(col("u") + col("v")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Component labels for every endpoint of `edges` (src, dst):
+    * (doc_id, comp_id) with comp_id = the component's minimum id.
+    * Isolated vertices never appear in an edge list, so callers decide
+    * their fate (a dedup pipeline keeps them as-is). */
+  def labels(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // localCheckpoint (eager) after every round: an iterative DataFrame
+    // algorithm must TRUNCATE LINEAGE or the logical plan nests a copy
+    // of the previous round's plan per self-reference and grows
+    // exponentially — planning itself OOMs near round 10. On a real
+    // cluster with executor loss concerns, swap for reliable
+    // checkpoint(); the algorithm is unchanged.
+    var e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev = checksum(e)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(next)
+      if (cur == prev) {
+        // checksum collision is possible in theory — confirm exactly
+        done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      }
+      e = next
+      prev = cur
+      rounds += 1
+    }
+    require(done || rounds < maxRounds, s"CC did not converge in $maxRounds rounds")
+    // converged: e is a forest of stars (u -> component minimum)
+    e.select(col("u").as("doc_id"), col("v").as("comp_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("comp_id")))
+      .distinct()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact all-pairs n-gram Jaccard similarity self-join with PREFIX
+  * FILTERING (SURVEY.md §2.11 L2 "n-gram Jaccard" — the exact member of
+  * the dedup family, beside MinHash-LSH's approximate one). Technique:
+  * the prefix-filter set-similarity join of Chaudhuri et al. (ICDE'06)
+  * as distributed by Vernica/Carey/Li (SIGMOD'10) — public literature,
+  * re-expressed as a declarative Spark plan.
+  *
+  * Why not n²: a pair with Jaccard ≥ t must share at least one shingle
+  * inside each side's PREFIX — the first |S| - ⌈t·|S|⌉ + 1 shingles
+  * under any total order shared by all docs. Ordering by ascending
+  * document frequency (rarest first) makes those prefixes meet in the
+  * emptiest buckets of the inverted index, so the candidate join is
+  * driven by rare shingles instead of stop-phrases.
+  *
+  * Scale shape (100 TB): three shuffles — build the df table (agg on
+  * shingle), rank shingles within doc (window on doc_id), self-join the
+  * prefix index (on shingle). Only ~(1-t) of the exploded index ever
+  * shuffles into the join, candidate pairs dedupe before rescoring, and
+  * the exact rescore touches candidates only (never the n² cross
+  * product). Candidate-volume linearity is asserted in NgramJoinSpec.
+  */
+object NgramJoin {
+
+  /** Distinct word n-gram set per doc (docs with < n tokens drop out —
+    * their shingle set is empty, so they can never reach any pair). */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .as("shingles"))
+  }
+
+  /** Prefix index: the |S| - ⌈t·|S|⌉ + 1 globally-rarest shingles of
+    * each doc (df asc, shingle asc — one total order for every doc). */
+  private def prefixIndex(sets: DataFrame, minJaccard: Double): DataFrame = {
+    val exploded = sets.select(col("doc_id"),
+      size(col("shingles")).as("set_size"), explode(col("shingles")).as("shingle"))
+    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    exploded.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
+      .filter(col("rk") <= col("set_size") - ceil(col("set_size") * minJaccard) + 1)
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** Deduped candidate pairs whose prefixes share a shingle — exposed
+    * (pre-rescore) so specs can assert the pruning actually prunes. */
+  def candidatePairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val idx = prefixIndex(shingleSets(docs, n), minJaccard)
+    idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** All pairs with exact n-gram Jaccard ≥ minJaccard:
+    * (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def similarPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter).cast("double")
+    candidatePairs(docs, n, minJaccard)
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -140,6 +140,33 @@ object TextQueries {
              sum(size(toks)).cast("long").as("total_tokens"))
     }),
 
+    // Exact n-gram Jaccard near-dup pairs (L2, the EXACT member of the
+    // dedup family): trigram shingles, prefix-filtered inverted-index
+    // self-join, exact rescore — never n². Pure SQL oracle below redoes
+    // the UNFILTERED all-pairs join, so the comparison also proves the
+    // prefix filter loses nothing.
+    "q53_ngram_neardup" -> ((s, d) =>
+      NgramJoin.similarPairs(documents(s, d), NgramN, NgramMinJ)),
+
+    // Dup-cluster resolution (L2 end-game): near-dup pairs → connected
+    // components (alternating large-star/small-star) → keep the best
+    // doc per cluster (longest, then lowest id). Oracle: DuckDB
+    // recomputes components via a recursive transitive-closure CTE.
+    "q54_dup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val pairs = NgramJoin.similarPairs(docs, NgramN, NgramMinJ)
+      val lab = ConnectedComponents.labels(s,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      lab.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("comp_id"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .groupBy(col("comp_id"))
+        .agg(count(lit(1)).as("n_members"),
+             min(when(col("rn") === 1, col("doc_id"))).as("keep_id"))
+    }),
+
     // Heuristic language ID (L5): stopword-profile scoring vs the
     // labeled lang column. The scoring is plain counting + argmax, so it
     // gets a REAL DuckDB oracle (generated from the same profiles —
@@ -150,6 +177,35 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     })
   )
+
+  /** q53/q54 parameters — shared by the Spark queries and the oracle SQL
+    * (which hardcodes trigram concatenation, so NgramN stays 3). */
+  private val NgramN = 3
+  private val NgramMinJ = 0.8
+
+  /** Shared CTE chain computing the exact trigram-Jaccard pair list the
+    * NAIVE way (full inverted-index join, no prefix filter) — the
+    * independent recomputation both q53 and q54 oracles build on. */
+  private def ngramPairsCtes: String =
+    s"""sh AS (
+         SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents)
+         WHERE len(toks) >= $NgramN),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jac
+         FROM inter
+         JOIN sz na ON na.doc_id = doc_a
+         JOIN sz nb ON nb.doc_id = doc_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= $NgramMinJ)"""
 
   /** DuckDB mirror of LangId.classify, generated from LangId.profiles so
     * the two can never drift: per-language token-profile hit counts
@@ -182,6 +238,30 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q29_lang_id" -> langIdOracle,
+
+    "q53_ngram_neardup" ->
+      s"""WITH $ngramPairsCtes
+         SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs""",
+
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp_id
+           FROM reach GROUP BY a),
+         members AS (
+           SELECT l.comp_id, d.doc_id,
+             row_number() OVER (PARTITION BY l.comp_id
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+           FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         SELECT comp_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id
+         FROM members GROUP BY comp_id""",
 
     "q20_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
