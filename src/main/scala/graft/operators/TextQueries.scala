@@ -167,6 +167,59 @@ object TextQueries {
              min(when(col("rn") === 1, col("doc_id"))).as("keep_id"))
     }),
 
+    // TF-IDF top term per doc (L5). idf here is the RATIONAL N/df
+    // (no log dampening): every score is then one IEEE multiply +
+    // divide over exact integers, so Spark and DuckDB produce
+    // bit-identical doubles — a transcendental ln() differs in ulps
+    // between libm implementations and would poison the hash compare.
+    // Ranking order is unaffected for a fixed tf (N/df is monotone in
+    // 1/df exactly like ln(N/df)).
+    "q55_tfidf_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(dfr, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+                col("tf"), col("df"), col("score"))
+    }),
+
+    // Deterministic hash-based train/val/test split (80/10/10): bucket
+    // by the first md5 byte of the doc id — stable under reordering,
+    // re-partitioning, and incremental re-runs, unlike randomSplit.
+    "q56_train_split" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .withColumn("split", when(col("bkt") < 204, "train")
+          .when(col("bkt") < 230, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Stratified per-language sample (k docs per lang), deterministic:
+    // rank docs inside each language by md5(doc_id) — an unbiased,
+    // reproducible draw with no RNG state to coordinate across
+    // executors or reruns.
+    "q57_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      documents(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
     // Heuristic language ID (L5): stopword-profile scoring vs the
     // labeled lang column. The scoring is plain counting + argmax, so it
     // gets a REAL DuckDB oracle (generated from the same profiles —
@@ -242,6 +295,42 @@ object TextQueries {
     "q53_ngram_neardup" ->
       s"""WITH $ngramPairsCtes
          SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs""",
+
+    "q55_tfidf_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                 FROM documents)
+           GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) * n.n / df AS score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE) * n.n / df DESC, term ASC) AS rn
+           FROM tf JOIN dfr USING (term) CROSS JOIN n)
+         SELECT doc_id, term AS top_term, tf, df, score
+         FROM scored WHERE rn = 1""",
+
+    "q56_train_split" ->
+      """WITH b AS (
+           SELECT lang, n_chars,
+             (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bkt
+           FROM documents)
+         SELECT CASE WHEN bkt < 204 THEN 'train'
+                     WHEN bkt < 230 THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM b GROUP BY 1, 2""",
+
+    "q57_stratified_sample" ->
+      """WITH r AS (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+           FROM documents)
+         SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""",
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $ngramPairsCtes,
