@@ -220,6 +220,39 @@ object TextQueries {
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
 
+    // Sequence packing (contiguous variant): assign docs to fixed
+    // token-budget chunks per language via a window prefix sum — the
+    // deterministic, shuffle-once shape of LLM-pretraining sequence
+    // packing (greedy bin packing is inherently sequential; contiguous
+    // packing after a global shuffle is what pipelines actually run).
+    "q58_sequence_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      documents(s, d)
+        .select(col("lang"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("chunk_id", floor((col("cum") - 1) / 4096))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+    }),
+
+    // Intra-doc repetition ratio (Gopher-style quality filter): share
+    // of trigram occurrences that are repeats of an earlier trigram in
+    // the same doc. Integer counts + one IEEE division — exact oracle.
+    "q59_repetition" -> ((s, d) => {
+      val tris = transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3)))
+      documents(s, d)
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          size(tris).cast("long").as("n_trigrams"),
+          size(array_distinct(tris)).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
+    }),
+
     // Heuristic language ID (L5): stopword-profile scoring vs the
     // labeled lang column. The scoring is plain counting + argmax, so it
     // gets a REAL DuckDB oracle (generated from the same profiles —
@@ -331,6 +364,34 @@ object TextQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
            FROM documents)
          SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""",
+
+    "q58_sequence_pack" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT lang, CAST(floor((cum - 1) / 4096) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+         FROM c GROUP BY 1, 2""",
+
+    "q59_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3)
+         SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+               / CAST(len(tris) AS DOUBLE) AS rep_ratio
+         FROM t""",
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $ngramPairsCtes,

@@ -9,6 +9,8 @@ import graft.functions.{CosineSim, DotProduct}
   * (SURVEY.md §2.10): attach with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * and `SELECT dot_product(a, b)`, `cosine_sim(a, b)` work in spark.sql.
+  * Also injects the (opt-in, conf-gated) BinnedIntervalJoinRule so SQL
+  * range joins get the binned scale path without DataFrame-API calls.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectOptimizerRule(s => BinnedIntervalJoinRule(s))
   }
 }

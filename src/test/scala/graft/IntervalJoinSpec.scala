@@ -33,6 +33,47 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(naive.nonEmpty)
   }
 
+  test("optimizer rule rewrites a pure range join to the binned equi-join") {
+    import graft.plans.BinnedIntervalJoinRule
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(300)(rnd.nextLong() % 500).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+    val ivs = Seq.fill(80) { val a = rnd.nextLong() % 480; (a, a + rnd.nextInt(50)) }
+      .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    def rangeJoin = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+
+    val naive = rangeJoin.select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(rangeJoin.queryExecution.sparkPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "without the rule this is a BNLJ")
+
+    spark.experimental.extraOptimizations = Seq(BinnedIntervalJoinRule(spark))
+    spark.conf.set("spark.graft.intervalJoin.binWidth", "16")
+    try {
+      val rewritten = rangeJoin
+      val plan = rewritten.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+        s"rule must replace the nested loop:\n$plan")
+      assert(rewritten.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
+      assert(rewritten.columns.toSeq == Seq("pid", "x", "iid", "lo", "hi"),
+        "bin columns must not leak into the join output")
+
+      // an equi conjunct means Catalyst already has a hash key: stay out
+      val equi = pts.join(ivs, col("pid") === col("iid") &&
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+        "rule must not fire when an equi key exists")
+    } finally {
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+      spark.experimental.extraOptimizations = Nil
+    }
+    // conf unset -> rule inert even while registered
+    spark.experimental.extraOptimizations = Seq(BinnedIntervalJoinRule(spark))
+    try assert(rangeJoin.queryExecution.sparkPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "rule must be opt-in")
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("timestamps discretize on epoch seconds") {
     val pts = Seq(1L, 100L, 86400L, 86401L)
       .map(s => (s, new java.sql.Timestamp(s * 1000L))).toDF("pid", "t")

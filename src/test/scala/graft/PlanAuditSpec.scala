@@ -79,6 +79,19 @@ class PlanAuditSpec extends SparkTestBase {
       "expected a hash/merge equi-join on the bin key\n" + p)
   }
 
+  test("q52 retract synth: candidate set broadcasts into the store") {
+    val p = plan("q52_retract_synth")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the store must not shuffle for a single-position retraction probe\n" + p)
+  }
+
+  test("q53 ngram join: prefix-filtered candidates, never a cross product") {
+    val p = plan("q53_ngram_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "set-similarity join must stay an equi-join on the prefix shingle\n" + p)
+  }
+
   test("J2 header join: explored broadcasts, games table never shuffles") {
     import graft.chess._
     import spark.implicits._
