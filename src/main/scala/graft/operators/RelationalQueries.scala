@@ -224,6 +224,13 @@ object RelationalQueries {
         .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Session STATS with order-dependent payload (increasing-value
+    // steps, first-3 event types) — the batch window-function derivation
+    // of streaming/StatefulSessions; the flatMapGroupsWithState stream
+    // path is asserted equal in StatefulSessionsSpec.
+    "q60_session_stats" -> ((s, d) =>
+      graft.streaming.StatefulSessions.sessionStatsBatch(events(s, d))),
+
     // Pivot: orderstatus becomes columns (fixed value list -> single
     // pass, no second job to discover values; the 100 TB-safe form).
     "q49_pivot" -> ((s, d) => {
@@ -434,6 +441,32 @@ object RelationalQueries {
                  lag(ts, 1) OVER (PARTITION BY user_id
                    ORDER BY ts ASC, event_id ASC) AS prev_ts
                FROM events))) GROUP BY user_id""",
+
+    "q60_session_stats" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type, value,
+             epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                              THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM e),
+         w AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                        ORDER BY ts, event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id, sess
+                              ORDER BY ts, event_id) AS prev_v
+           FROM s)
+         SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN value > prev_v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_increasing,
+           string_agg(event_type, ',' ORDER BY ts, event_id)
+             FILTER (WHERE rn <= 3) AS first_types
+         FROM w GROUP BY user_id, sess""",
 
     "q49_pivot" ->
       """SELECT o_orderpriority,

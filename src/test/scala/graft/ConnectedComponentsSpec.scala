@@ -50,6 +50,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("a 1000-node path graph converges within the default round cap") {
+    // the adversarial case for star contraction: maximum diameter per
+    // edge count. Kiveris et al. bound rounds by O(log^2 n); in
+    // practice each large/small-star round roughly squares the
+    // contraction, so 1000 nodes must fit the default 50 cap easily.
+    val n = 1000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    assert(cc(chain) == (0L until n).map(_ -> 0L).toMap)
+  }
+
   test("edge order and duplicate/reversed edges do not change the labels") {
     val edges = Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L), (9L, 8L))
     assert(cc(edges) == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 8L -> 8L, 9L -> 8L))
