@@ -17,7 +17,9 @@ import Core._
   * P'.make(m) must equal P (board, side, castling, ep). Correctness thus
   * rests on the perft-gated forward engine, not on retro-logic; the
   * generator only has to not MISS candidates (completeness is
-  * property-tested against a brute-force forward scan in RetractSpec).
+  * property-tested in RetractSpec: every move played along ~2000 random
+  * game plies must be recovered as a retraction of its successor, plus
+  * crafted un-castle/un-promotion/un-en-passant/dead-ep cases).
   *
   * Ambiguity is modeled, not guessed: a predecessor's castling rights
   * and en-passant state are not fully determined by P, so all

@@ -42,16 +42,23 @@ object NgramJoin {
   }
 
   /** Prefix index: the |S| - ⌈t·|S|⌉ + 1 globally-rarest shingles of
-    * each doc (df asc, shingle asc — one total order for every doc). */
+    * each doc under ONE total order shared by every doc: (df, shingle
+    * string). The df table and both join shuffles carry xxhash64 keys,
+    * not ~25-byte shingle strings — a hash collision merges two df
+    * counts (df is only an ordering heuristic; the string tiebreak
+    * keeps the order total) or adds a candidate pair (discarded by the
+    * exact rescore), so correctness is unaffected — and the q53 oracle
+    * equality against the UNFILTERED join re-proves it every round. */
   private def prefixIndex(sets: DataFrame, minJaccard: Double): DataFrame = {
     val exploded = sets.select(col("doc_id"),
       size(col("shingles")).as("set_size"), explode(col("shingles")).as("shingle"))
-    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    exploded.join(dfreq, "shingle")
+      .withColumn("sh", xxhash64(col("shingle")))
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    exploded.join(dfreq, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
       .filter(col("rk") <= col("set_size") - ceil(col("set_size") * minJaccard) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("sh"))
   }
 
   /** Candidate join over a materialized shingle-set table. The set table
@@ -63,7 +70,7 @@ object NgramJoin {
   private def candidatesFromSets(sets: DataFrame, minJaccard: Double): DataFrame = {
     val idx = prefixIndex(sets, minJaccard).localCheckpoint()
     idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
