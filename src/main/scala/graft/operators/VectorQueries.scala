@@ -76,6 +76,26 @@ object VectorQueries {
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
 
+    // int8 scalar quantization + reconstruction-error audit (L3 storage
+    // path: 4x smaller vectors for the ANN candidate stage, exact
+    // rescore on the fp originals). Deterministic cross-engine: all
+    // math in doubles, floor() instead of round() (round on doubles
+    // diverges between Spark's shortest-repr HALF_UP and DuckDB's
+    // binary rounding near ties), per-row output so no aggregation
+    // order exists.
+    "q61_quantize" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("qscale", array_max(transform(col("emb"), x => abs(x))))
+        .filter(col("qscale") > 0)
+        .withColumn("q", transform(col("emb"),
+          x => floor(x / col("qscale") * 127.0)))
+        .withColumn("err", zip_with(col("emb"), col("q"),
+          (x, qq) => abs(x - qq * col("qscale") / lit(127.0))))
+        .select(col("vec_id"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+          array_max(col("err")).as("max_err"))
+    }),
+
     // Norms + per-label norm stats — exercises higher-order fns (F10).
     "q32_vector_norms" -> ((s, d) => {
       emb(s, d)
@@ -247,6 +267,23 @@ object VectorQueries {
                                        CAST(embedding AS DOUBLE[]))) AS norm
                FROM embeddings)
          GROUP BY label""",
+
+    "q61_quantize" ->
+      """SELECT vec_id,
+         CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+         CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max,
+         list_aggregate(err, 'max') AS max_err
+         FROM (
+           SELECT vec_id,
+             list_transform(embd, x -> floor(x / qscale * 127.0)) AS q,
+             list_transform(embd,
+               x -> abs(x - floor(x / qscale * 127.0) * qscale / 127.0)) AS err
+           FROM (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd,
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x)), 'max') AS qscale
+             FROM embeddings)
+           WHERE qscale > 0)""",
 
     "q34_cosine_adjacent" ->
       """SELECT a.vec_id AS vec_a, a.vec_id + 1 AS vec_b,

@@ -38,9 +38,16 @@ case class BinnedIntervalJoinRule(session: SparkSession)
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) if j.resolved =>
+        // the point may live on either side; output column order is
+        // preserved by the final Project either way
         matchRange(l, r, cond) match {
           case Some((p, lo, hi)) => rewrite(l, r, p, lo, hi, cond, hint, width)
-          case None => j
+          case None => matchRange(r, l, cond) match {
+            case Some((p, lo, hi)) =>
+              Project(l.output ++ r.output,
+                rewrite(r, l, p, lo, hi, cond, hint, width))
+            case None => j
+          }
         }
     }
   }

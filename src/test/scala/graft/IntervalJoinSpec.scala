@@ -58,6 +58,12 @@ class IntervalJoinSpec extends SparkTestBase {
       assert(rewritten.columns.toSeq == Seq("pid", "x", "iid", "lo", "hi"),
         "bin columns must not leak into the join output")
 
+      // point on the RIGHT side rewrites too, with column order kept
+      val flipped = ivs.join(pts, col("x") >= col("lo") && col("x") <= col("hi"))
+      assert(!flipped.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(flipped.columns.toSeq == Seq("iid", "lo", "hi", "pid", "x"))
+      assert(flipped.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
+
       // an equi conjunct means Catalyst already has a hash key: stay out
       val equi = pts.join(ivs, col("pid") === col("iid") &&
         col("x") >= col("lo") && col("x") <= col("hi"))
