@@ -84,8 +84,12 @@ object PipelineBench {
       p.count(); p
     }
     val ((nClusters, nMembers), tCC) = timed {
+      // driverThreshold=0 pins the DISTRIBUTED star-contraction path —
+      // this bench demonstrates the 100 TB shape, not the small-graph
+      // driver fast path the hybrid would pick at this edge count
       val lab = operators.ConnectedComponents.labels(spark,
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        driverThreshold = 0L)
       (lab.select("comp_id").distinct().count(), lab.count())
     }
     val total = tGen + tExact + tMinhash + tNgram + tCC

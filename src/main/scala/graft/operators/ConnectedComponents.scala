@@ -57,19 +57,50 @@ object ConnectedComponents {
   /** Component labels for every endpoint of `edges` (src, dst):
     * (doc_id, comp_id) with comp_id = the component's minimum id.
     * Isolated vertices never appear in an edge list, so callers decide
-    * their fate (a dedup pipeline keeps them as-is). */
-  def labels(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * their fate (a dedup pipeline keeps them as-is).
+    *
+    * Hybrid execution, same spirit as Catalyst's broadcast-vs-shuffle
+    * choice: below `driverThreshold` edges the graph is union-found on
+    * the driver in one pass (each star-contraction ROUND costs several
+    * scheduled jobs — pure overhead for a graph that fits in memory);
+    * above it, the distributed log-round contraction runs. A 100 TB
+    * corpus's near-dup edge list lands in the distributed path; a
+    * per-batch incremental run lands in the driver path. Both paths are
+    * asserted equal in ConnectedComponentsSpec. */
+  def labels(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
+             driverThreshold: Long = 100000L): DataFrame = {
+    val e0 = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    if (e0.count() <= driverThreshold) labelsDriver(spark, e0)
+    else labelsDistributed(e0, maxRounds)
+  }
+
+  /** Driver union-find with path compression; min id becomes the root. */
+  private def labelsDriver(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    e.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "comp_id")
+  }
+
+  private def labelsDistributed(e0: DataFrame, maxRounds: Int): DataFrame = {
     // localCheckpoint (eager) after every round: an iterative DataFrame
     // algorithm must TRUNCATE LINEAGE or the logical plan nests a copy
     // of the previous round's plan per self-reference and grows
     // exponentially — planning itself OOMs near round 10. On a real
     // cluster with executor loss concerns, swap for reliable
     // checkpoint(); the algorithm is unchanged.
-    var e = edges
-      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    var e = e0
     var prev = checksum(e)
     var rounds = 0
     var done = e.isEmpty

@@ -6,10 +6,17 @@ import graft.operators.ConnectedComponents
   * union-find reference. */
 class ConnectedComponentsSpec extends SparkTestBase {
 
+  /** Both execution paths must agree: driver union-find (default
+    * threshold) and distributed star contraction (threshold 0). */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.labels(spark, edges.toDF("src", "dst"))
+    val df = edges.toDF("src", "dst")
+    val driver = ConnectedComponents.labels(spark, df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.labels(spark, df, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist, "driver and distributed paths must agree")
+    dist
   }
 
   /** Union-find reference with min-id labels. */
