@@ -224,6 +224,50 @@ object ChessServer {
       JObject(List("token" -> JString(req.token), "results" -> JArray(results.toList)))))
   }
 
+  /** The retractions query kind (reference F6/ERAN surface): request
+    * `{"token":t,"retractions":{"fen":f,"synthesize":bool?}}`. The
+    * response's `retractions` array reports the STORED reverse moves
+    * ("which moves were actually played into f, with what W/D/L");
+    * with `synthesize:true` it adds `synthesized` — every legally
+    * possible unmove whose predecessor position occurred in the corpus
+    * (Retract.candidates joined against the store), including
+    * predecessors reached only by transposition. */
+  def executeRetractions(spark: SparkSession, positionsAgg: DataFrame,
+                         j: JValue): String = {
+    val fen = (j \ "retractions" \ "fen").extract[String]
+    val synth = (j \ "retractions" \ "synthesize").extractOrElse[Boolean](false)
+    val stored = QueryEngine.retractions(spark, positionsAgg, fen).collect()
+      .map { r => JObject(List(
+        "uci" -> JString(r.getAs[String]("uci")),
+        "count" -> JLong(r.getAs[Long]("games")),
+        "whiteWins" -> JLong(r.getAs[Long]("white_wins")),
+        "draws" -> JLong(r.getAs[Long]("draws")),
+        "blackWins" -> JLong(r.getAs[Long]("black_wins"))))
+      }
+    val synthesized =
+      if (!synth) Nil
+      else List("synthesized" -> JArray(
+        QueryEngine.retractSynth(spark, positionsAgg, fen).collect().map { r =>
+          JObject(List(
+            "uci" -> JString(r.getAs[String]("uci")),
+            "predGames" -> JLong(r.getAs[Long]("pred_games")),
+            "playedGames" -> JLong(r.getAs[Long]("played_games"))))
+        }.toList))
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "token" -> JString((j \ "token").extractOrElse[String]("")),
+      "fen" -> JString(fen),
+      "retractions" -> JArray(stored.toList)) ++ synthesized)))
+  }
+
+  /** Protocol dispatch: a line is either the explorer Request shape or
+    * the retractions query kind. */
+  def handle(spark: SparkSession, positionsAgg: DataFrame, line: String,
+             games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): String = {
+    val j = JsonMethods.parse(line)
+    if ((j \ "retractions") != JNothing) executeRetractions(spark, positionsAgg, j)
+    else execute(spark, positionsAgg, parseRequest(line), games)
+  }
+
   /** Serve line-delimited JSON over TCP (the reference's GUI transport):
     * one response line per request line, connection-per-client loop. */
   def serveTcp(spark: SparkSession, positionsAgg: DataFrame, port: Int,
@@ -242,7 +286,7 @@ object ChessServer {
           var line = in.readLine()
           while (line != null && served < maxRequests) {
             if (line.trim.nonEmpty) {
-              val resp = try execute(spark, positionsAgg, parseRequest(line), games) catch {
+              val resp = try handle(spark, positionsAgg, line, games) catch {
                 case e: Exception =>
                   s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
               }
@@ -288,7 +332,7 @@ object ChessServer {
         scala.io.Source.fromFile(args(0)).getLines()
       else scala.io.Source.stdin.getLines()
     in.filter(_.trim.nonEmpty).foreach { line =>
-      val out = try execute(spark, agg, parseRequest(line), Some(games)) catch {
+      val out = try handle(spark, agg, line, Some(games)) catch {
         case e: Exception =>
           s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
       }

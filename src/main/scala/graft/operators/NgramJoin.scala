@@ -58,6 +58,12 @@ object NgramJoin {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
       .filter(col("rk") <= col("set_size") - ceil(col("set_size") * minJaccard) + 1)
+      // a df=1 shingle occupies its prefix slot (the ranking above
+      // already counted it) but can never be SHARED — a shared shingle
+      // has df >= 2 by definition — so it contributes nothing to the
+      // self-join. On mostly-unique corpora this drops the bulk of the
+      // index rows.
+      .filter(col("df") > 1)
       .select(col("doc_id"), col("sh"))
   }
 

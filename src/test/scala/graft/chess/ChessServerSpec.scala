@@ -186,6 +186,34 @@ class ChessServerSpec extends SparkTestBase {
     assert(e4w == 2)
   }
 
+  test("retractions query kind: stored tier and synthesis tier") {
+    val fen = ChessOracle.retractFen // after 1.d4 d5 2.c4 e6
+    val resp = JsonMethods.parse(ChessServer.handle(spark, agg,
+      s"""{"token":"r1","retractions":{"fen":"$fen","synthesize":true}}"""))
+    assert((resp \ "token").extract[String] == "r1")
+    // stored tier: the corpus reaches this position via e7e6 (TranspA)
+    // and d7d5 (TranspB), one game each
+    val stored = (resp \ "retractions").extract[List[Map[String, JValue]]]
+      .map(m => m("uci").extract[String] -> m("count").extract[Long]).toMap
+    assert(stored == Map("e7e6" -> 1L, "d7d5" -> 1L))
+    // synthesis tier: both transitions were actually played, and their
+    // predecessors occurred at least as often as the transition
+    val syn = (resp \ "synthesized").extract[List[Map[String, JValue]]]
+      .map(m => m("uci").extract[String] ->
+        (m("predGames").extract[Long], m("playedGames").extract[Long])).toMap
+    assert(syn.contains("e7e6") && syn.contains("d7d5"))
+    assert(syn("e7e6")._2 == 1L && syn("d7d5")._2 == 1L)
+    assert(syn.values.forall { case (pred, played) => pred >= played })
+    // without synthesize the key is absent
+    val bare = JsonMethods.parse(ChessServer.handle(spark, agg,
+      s"""{"retractions":{"fen":"$fen"}}"""))
+    assert((bare \ "synthesized") == JNothing)
+    // explorer requests still route through handle()
+    val exp = JsonMethods.parse(ChessServer.handle(spark, agg,
+      s"""{"token":"e","query":{"positions":[{"fen":"${Position.StartFen}"}]}}"""))
+    assert((exp \ "token").extract[String] == "e")
+  }
+
   test("malformed move reports an error, not a crash") {
     val req = ChessServer.parseRequest(
       s"""{"token":"x","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e5"}]}}""")
