@@ -220,6 +220,19 @@ object TextQueries {
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
 
+    // BPE-ish token counting (L5 — the pretraining budget metric):
+    // a GPT-2-style pretokenizer regex (contraction suffixes, space-
+    // prefixed letter/digit/punctuation runs) alongside the whitespace
+    // count. The pattern stays in the RE2-compatible subset so Spark's
+    // Java regex and DuckDB's RE2 tokenize identically.
+    "q62_bpe_tokens" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+            .cast("long").as("n_bpe_tokens"),
+          size(toks).cast("long").as("n_ws_tokens"))
+    }),
+
     // Sequence packing (contiguous variant): assign docs to fixed
     // token-budget chunks per language via a window prefix sum — the
     // deterministic, shuffle-once shape of LLM-pretraining sequence
@@ -268,6 +281,13 @@ object TextQueries {
     * (which hardcodes trigram concatenation, so NgramN stays 3). */
   private val NgramN = 3
   private val NgramMinJ = 0.8
+
+  /** GPT-2-ish pretokenizer, restricted to the subset Java regex and
+    * RE2 treat identically (no lookarounds, no \\p classes): contraction
+    * suffixes, then optionally-space-prefixed letter / digit / other
+    * runs, then whitespace runs. Shared verbatim with the q62 oracle. */
+  private val BpePattern =
+    """''[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+"""
 
   /** Shared CTE chain computing the exact trigram-Jaccard pair list the
     * NAIVE way (full inverted-index join, no prefix filter) — the
@@ -364,6 +384,14 @@ object TextQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
            FROM documents)
          SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""",
+
+    "q62_bpe_tokens" ->
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$BpePattern', 0)) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_ws_tokens
+         FROM documents""",
 
     "q58_sequence_pack" ->
       """WITH t AS (
