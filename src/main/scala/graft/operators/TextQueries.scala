@@ -209,14 +209,14 @@ object TextQueries {
     // Stratified per-language sample (k docs per lang), deterministic:
     // rank docs inside each language by md5(doc_id) — an unbiased,
     // reproducible draw with no RNG state to coordinate across
-    // executors or reruns.
+    // executors or reruns. Ranking goes through the two-phase
+    // GroupedTopK: a plain per-lang window is one reducer per language
+    // (five groups over the whole corpus at 100 TB).
     "q57_stratified_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      documents(s, d)
-        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
-          .orderBy(col("h").asc, col("doc_id").asc)))
-        .filter(col("rn") <= 20)
+      GroupedTopK.topK(
+        documents(s, d)
+          .withColumn("h", md5(col("doc_id").cast("string").cast("binary"))),
+        Seq("lang"), Seq(col("h").asc, col("doc_id").asc), 20)
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
 
@@ -234,17 +234,20 @@ object TextQueries {
     }),
 
     // Sequence packing (contiguous variant): assign docs to fixed
-    // token-budget chunks per language via a window prefix sum — the
-    // deterministic, shuffle-once shape of LLM-pretraining sequence
-    // packing (greedy bin packing is inherently sequential; contiguous
-    // packing after a global shuffle is what pipelines actually run).
+    // token-budget chunks per language via a prefix sum — the
+    // deterministic shape of LLM-pretraining sequence packing (greedy
+    // bin packing is inherently sequential; contiguous packing after a
+    // global shuffle is what pipelines actually run). The cumulative
+    // sum runs through ScanSum's two-pass distributed scan: a plain
+    // `Window.partitionBy(lang)` would funnel each of the FIVE
+    // languages through one reducer — the q58 plan would not survive
+    // 100x data. The oracle recomputes with the naive window (DuckDB's
+    // single node doesn't care), so the scan's correctness is re-proven
+    // every round.
     "q58_sequence_pack" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      documents(s, d)
+      val tok = documents(s, d)
         .select(col("lang"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(
-          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ScanSum.runningSum(tok, "lang", "doc_id", "n_tokens")
         .withColumn("chunk_id", floor((col("cum") - 1) / 4096))
         .groupBy(col("lang"), col("chunk_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))

@@ -61,17 +61,20 @@ object VectorQueries {
         .agg(davg(col("col"), scale = 12).as("centroid"), count(lit(1)).as("n"))
     }),
 
-    // Brute-force cosine top-5 for 10 probe vectors — J7 oracle baseline.
+    // Brute-force cosine top-5 for 10 probe vectors — J7 oracle
+    // baseline. The per-probe ranking runs through two-phase
+    // GroupedTopK: a plain per-probe window would drag the ENTIRE
+    // scored corpus through one reducer per probe (10 groups at
+    // 100 TB); per-partition candidates first keeps every task bounded.
     "q31_knn_brute" -> ((s, d) => {
       val e = emb(s, d)
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .withColumn("sim", cosine(col("pemb"), col("emb")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
+      GroupedTopK.topK(scored, Seq("probe_id"),
+          Seq(col("sim").desc, col("vec_id").asc), 5)
+        .withColumn("rn", col("rn").cast("long"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
