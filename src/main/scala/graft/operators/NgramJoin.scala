@@ -42,21 +42,26 @@ object NgramJoin {
   }
 
   /** Prefix index: the |S| - ⌈t·|S|⌉ + 1 globally-rarest shingles of
-    * each doc under ONE total order shared by every doc: (df, shingle
-    * string). The df table and both join shuffles carry xxhash64 keys,
-    * not ~25-byte shingle strings — a hash collision merges two df
-    * counts (df is only an ordering heuristic; the string tiebreak
-    * keeps the order total) or adds a candidate pair (discarded by the
-    * exact rescore), so correctness is unaffected — and the q53 oracle
-    * equality against the UNFILTERED join re-proves it every round. */
+    * each doc under ONE total order shared by every doc: (df, xxhash64).
+    * The shingle STRING dies in the very first projection — every
+    * shuffle (df agg, df join, per-doc rank sort, candidate self-join)
+    * moves fixed-width longs, not ~25-byte text. The hash order is
+    * total up to true 64-bit collisions; a collision can merge two df
+    * counts (df is only an ordering heuristic) or add a candidate pair
+    * (discarded by the exact rescore), and the one theoretical harm — a
+    * tie at a prefix boundary splitting inconsistently across docs —
+    * needs two DISTINCT shingles with EQUAL hashes (~2⁻⁶⁴ per pair).
+    * The q53 oracle recomputes the UNFILTERED join in DuckDB every
+    * round, so even that case cannot pass silently. */
   private def prefixIndex(sets: DataFrame, minJaccard: Double): DataFrame = {
     val exploded = sets.select(col("doc_id"),
-      size(col("shingles")).as("set_size"), explode(col("shingles")).as("shingle"))
-      .withColumn("sh", xxhash64(col("shingle")))
+      size(col("shingles")).as("set_size"),
+      explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), col("set_size"), xxhash64(col("shingle")).as("sh"))
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     exploded.join(dfreq, "sh")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)))
       .filter(col("rk") <= col("set_size") - ceil(col("set_size") * minJaccard) + 1)
       // a df=1 shingle occupies its prefix slot (the ranking above
       // already counted it) but can never be SHARED — a shared shingle
