@@ -79,8 +79,14 @@ object NgramJoin {
     * measured 4× slowdown at sf0.1. localCheckpoint is the batch-job
     * idiom for "compute this shared intermediate once". */
   private def candidatesFromSets(sets: DataFrame, minJaccard: Double): DataFrame = {
+    // hint("merge"): a localCheckpoint table is a LogicalRDD with no
+    // catalog stats, and the planner's size guess can flip these joins
+    // to BROADCAST — at 500k docs that collected ~1 GiB of shingle sets
+    // to the driver and killed the job on maxResultSize. Pin the
+    // shuffle join; AQE may still downgrade to broadcast at runtime,
+    // but from REAL sizes, never an estimate.
     val idx = prefixIndex(sets, minJaccard).localCheckpoint()
-    idx.as("a").join(idx.as("b"),
+    idx.as("a").join(idx.as("b").hint("merge"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -99,8 +105,10 @@ object NgramJoin {
     val jac = inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter).cast("double")
     candidatesFromSets(sets, minJaccard)
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+        .hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+        .hint("merge"), "doc_b")
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
