@@ -277,8 +277,124 @@ object TextQueries {
       LangId.predict(documents(s, d))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // Benchmark decontamination (L5 — the eval-hygiene pass every
+    // pretraining pipeline runs): a held-out "benchmark" slice
+    // (doc_id % 97 == 0) defines a token-trigram blocklist; every other
+    // doc reports how many distinct trigrams it shares with it. The
+    // benchmark gram set is tiny relative to the corpus (real eval sets
+    // are a few MB against 100 TB), so it BROADCASTS — the corpus side
+    // is one narrow scan + map-side semi join, no shuffle of the grams.
+    "q63_decontaminate" -> ((s, d) => {
+      val tris = transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3)))
+      val g = documents(s, d).filter(size(toks) >= 3)
+        .select(col("doc_id"), col("lang"),
+                explode(array_distinct(tris)).as("g"))
+      val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      val hits = g.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("shared")) // grams are per-doc distinct
+      val perLang = hits.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_contaminated"), sum(col("shared")).as("shared_grams"))
+      documents(s, d).filter(col("doc_id") % 97 =!= 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(perLang, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+    }),
+
+    // BM25 top term per doc (L5) — q55's tf-idf with doc-length
+    // normalization (k1=1.5, b=0.75: both exactly representable
+    // doubles). idf stays the RATIONAL N/df and every factor is applied
+    // in one fixed left-associated chain, mirrored character-for-
+    // character in the oracle, so the scores are bit-identical without
+    // rounding. avgdl is an exact long sum with ONE division.
+    "q64_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+      tf.join(dfr, "term").crossJoin(broadcast(stats))
+        .withColumn("score",
+          col("tf").cast("double") * lit(2.5) /
+            (col("tf").cast("double") + lit(0.375) +
+             lit(1.125) * (col("dl").cast("double") / col("avgdl"))) *
+            col("n").cast("double") / col("df").cast("double"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+                col("tf"), col("df"), col("score"))
+    }),
+
+    // PII / identifier scrubbing over event-log payloads (L5 — logs are
+    // a training-data source and numeric ids, emails and URLs must come
+    // out before training). Pure regexp built-ins (codegen'd, one narrow
+    // pass); patterns stay in the RE2 ∩ Java-regex subset with NO
+    // backslash escapes (SQL string literals would eat them) so Spark
+    // and DuckDB match identical spans.
+    "q66_pii_scrub" -> ((s, d) => {
+      val scrubbed = Seq(PiiEmail, PiiUrl, PiiNum)
+        .foldLeft(col("props"))((c, re) => regexp_replace(c, re, ""))
+      events(s, d)
+        .withColumn("n_num", size(expr(s"regexp_extract_all(props, '$PiiNum', 0)")))
+        .withColumn("n_email", size(expr(s"regexp_extract_all(props, '$PiiEmail', 0)")))
+        .withColumn("n_url", size(expr(s"regexp_extract_all(props, '$PiiUrl', 0)")))
+        .withColumn("redacted", length(col("props")) - length(scrubbed))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("n_num")).cast("long").as("n_numeric"),
+             sum(col("n_email")).cast("long").as("n_emails"),
+             sum(col("n_url")).cast("long").as("n_urls"),
+             sum(col("redacted")).cast("long").as("chars_redacted"))
+    }),
+
+    // Tokenizer-vocabulary coverage (L5 — the vocab-size sweep run
+    // before training a subword tokenizer): rank character trigrams by
+    // corpus frequency and report what fraction of all trigram
+    // occurrences the top-V cover, V ∈ {50, 150, 300}. The global
+    // ranking window is safe at any corpus size: the ranked set is the
+    // trigram VOCABULARY, bounded by |charset|³, not by data volume —
+    // the corpus-scaled work is the one hash aggregation before it.
+    "q67_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d).filter(length(col("text")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("g").asc)))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("cnt").desc, col("g").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val cuts = documents(s, d).sparkSession.range(1)
+        .select(explode(array(lit(50), lit(150), lit(300))).as("v"))
+      ranked.join(broadcast(cuts), col("rn") <= col("v"))
+        .groupBy(col("v")).agg(max(col("cum")).as("covered"))
+        .crossJoin(broadcast(total))
+        .select(col("v").cast("long").as("v"), col("covered"), col("total"),
+          (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
     })
   )
+
+  /** q66 patterns — shared verbatim with the oracle SQL. Escape-free by
+    * construction: a `\.` would be eaten by the SQL string literal on
+    * the Spark side, so literal dots live in `[.]` classes. */
+  private val PiiNum   = "[0-9]+"
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val PiiUrl   = "https?://[^ ]+"
 
   /** q53/q54 parameters — shared by the Spark queries and the oracle SQL
     * (which hardcodes trigram concatenation, so NgramN stays 3). */
@@ -347,6 +463,96 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q29_lang_id" -> langIdOracle,
+
+    "q63_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+           FROM toks WHERE len(ts) >= 3),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         hits AS (
+           SELECT lang, doc_id, count(*) AS shared
+           FROM grams JOIN bench USING (g)
+           WHERE doc_id % 97 != 0 GROUP BY 1, 2),
+         hl AS (
+           SELECT lang, count(*) AS n_contaminated,
+             CAST(sum(shared) AS BIGINT) AS shared_grams
+           FROM hits GROUP BY 1),
+         base AS (
+           SELECT lang, count(*) AS n_docs FROM documents
+           WHERE doc_id % 97 != 0 GROUP BY 1)
+         SELECT base.lang, n_docs,
+           CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(shared_grams, 0) AS BIGINT) AS shared_grams
+         FROM base LEFT JOIN hl USING (lang)""",
+
+    "q64_bm25" ->
+      """WITH t AS (
+           SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         stats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+               / count(*) AS avgdl
+           FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) * 2.5 /
+               (CAST(tf AS DOUBLE) + 0.375 +
+                1.125 * (CAST(dl AS DOUBLE) / avgdl)) *
+               CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+           FROM tf JOIN dfr USING (term) CROSS JOIN stats),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS rn
+           FROM scored)
+         SELECT doc_id, term AS top_term, tf, df, score
+         FROM ranked WHERE rn = 1""",
+
+    "q66_pii_scrub" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(len(regexp_extract_all(props, '[0-9]+', 0))) AS BIGINT)
+           AS n_numeric,
+         CAST(sum(len(regexp_extract_all(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', 0))) AS BIGINT)
+           AS n_emails,
+         CAST(sum(len(regexp_extract_all(props, 'https?://[^ ]+', 0))) AS BIGINT)
+           AS n_urls,
+         CAST(sum(length(props) - length(
+           regexp_replace(regexp_replace(regexp_replace(props,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '', 'g'),
+             'https?://[^ ]+', '', 'g'),
+             '[0-9]+', '', 'g'))) AS BIGINT) AS chars_redacted
+         FROM events GROUP BY event_type""",
+
+    "q67_vocab_coverage" ->
+      """WITH counts AS (
+           SELECT g, count(*) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, length(text) - 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS g
+             FROM documents WHERE length(text) >= 3)
+           GROUP BY g),
+         ranked AS (
+           SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, g ASC) AS rn,
+             sum(cnt) OVER (ORDER BY cnt DESC, g ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM counts),
+         total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+         cuts AS (SELECT unnest([50, 150, 300]) AS v)
+         SELECT CAST(v AS BIGINT) AS v,
+           CAST(max(cum) AS BIGINT) AS covered, total,
+           CAST(max(cum) AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         FROM ranked JOIN cuts ON rn <= v CROSS JOIN total
+         GROUP BY v, total""",
 
     "q53_ngram_neardup" ->
       s"""WITH $ngramPairsCtes

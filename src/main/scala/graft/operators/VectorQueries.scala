@@ -177,8 +177,20 @@ object VectorQueries {
       a.join(b, "vec_id")
         .select(col("vec_id").as("vec_a"), (col("vec_id") + 1).as("vec_b"),
                 round(cosine(col("ea"), col("eb")), 4).as("cos"))
-    })
+    }),
+
+    // Distributed spherical k-means, KmIters Lloyd rounds from the
+    // deterministic vec_id<k seeds (L3 — corpus clustering for domain
+    // mixing). The decimal-routed centroid means (KMeans scaladoc) are
+    // what keeps an ITERATIVE float algorithm hash-exact against the
+    // DuckDB oracle, which replays both rounds in SQL.
+    "q65_kmeans" -> ((s, d) =>
+      KMeans.clusterProfile(emb(s, d), KmK, KmIters))
   )
+
+  // q65 geometry — shared with the oracle SQL text below.
+  val KmK     = 8
+  val KmIters = 2
 
   /** LSH geometry for all-pairs near-dup at `minCos` over ~`n` rows.
     *
@@ -293,6 +305,37 @@ object VectorQueries {
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])), 4) AS cos
          FROM embeddings a
-         JOIN embeddings b ON b.vec_id = a.vec_id + 1"""
+         JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+
+    // Both Lloyd rounds replayed relationally. Assignment is
+    // max([cos, cid]) — lexicographic list max = argmax by similarity
+    // with ties to the LARGER cid, exactly NearestCentroid's tie rule.
+    // Centroid means route through DECIMAL(38,12) like Num.dsum, so
+    // round-2 centroids are bit-identical to Spark's.
+    "q65_kmeans" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a1 AS (
+           SELECT vec_id,
+             CAST(max([list_cosine_similarity(e.v, c.cv),
+                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
+           FROM e, c0 c GROUP BY vec_id),
+         m1 AS (
+           SELECT cid, pos,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
+           FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(len(e.v))) AS pos
+                 FROM a1 JOIN e USING (vec_id))
+           GROUP BY cid, pos),
+         c1 AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+         a2 AS (
+           SELECT vec_id,
+             CAST(max([list_cosine_similarity(e.v, c.cv),
+                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
+           FROM e, c1 c GROUP BY vec_id)
+         SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n_members,
+           min(vec_id) AS min_vec_id
+         FROM a2 GROUP BY cid"""
   )
 }

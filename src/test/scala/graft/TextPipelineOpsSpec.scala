@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-4 pipeline ops (q63/q64/q66/q67); the
+  * hard value-level gate for each is its DuckDB oracle in Verify. */
+class TextPipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("q63 decontamination partitions the corpus and counts consistently") {
+    val out = SparkEntry.queries("q63_decontaminate")(spark, sf)
+      .select($"lang", $"n_docs", $"n_contaminated", $"shared_grams")
+      .as[(String, Long, Long, Long)].collect()
+    val nonBench = docs.filter($"doc_id" % 97 =!= 0).count()
+    assert(out.map(_._2).sum == nonBench, "every non-benchmark doc counted once")
+    assert(out.forall { case (_, n, c, g) => c <= n && g >= c },
+      "contaminated <= docs and each contaminated doc shares >= 1 gram")
+  }
+
+  test("q63 flags a doc that quotes a benchmark trigram") {
+    // doc 0 is in the benchmark slice (0 % 97 == 0); doc 1 quoting 3+
+    // consecutive tokens of doc 0 must be contaminated. Run the same
+    // pipeline over a crafted table via a temp view against the real
+    // query? The query reads parquet, so instead verify on real data:
+    // any doc sharing a trigram with the bench slice appears in hits.
+    val tri = transform(sequence(lit(0), size(split(trim($"text"), "\\s+")) - 3),
+      i => concat_ws(" ",
+        element_at(split(trim($"text"), "\\s+"), i + 1),
+        element_at(split(trim($"text"), "\\s+"), i + 2),
+        element_at(split(trim($"text"), "\\s+"), i + 3)))
+    val g = docs.filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id", $"lang", explode(array_distinct(tri)).as("g"))
+    val bench = g.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    val expected = g.filter($"doc_id" % 97 =!= 0).join(bench, "g")
+      .groupBy($"lang").agg(countDistinct($"doc_id").as("c"))
+      .as[(String, Long)].collect().toMap
+    val out = SparkEntry.queries("q63_decontaminate")(spark, sf)
+      .select($"lang", $"n_contaminated").as[(String, Long)].collect().toMap
+    expected.foreach { case (lang, c) => assert(out(lang) == c) }
+  }
+
+  test("q64 emits exactly one BM25 winner per doc with positive score") {
+    val out = SparkEntry.queries("q64_bm25")(spark, sf)
+    assert(out.count() == docs.count())
+    assert(out.filter($"score" <= 0 || $"tf" < 1 || $"df" < 1).isEmpty)
+    assert(out.select($"doc_id").distinct().count() == docs.count())
+  }
+
+  test("q64 length normalization demotes terms in long docs vs raw tf-idf") {
+    // For two docs with the same (tf, df) of their top term, the longer
+    // doc must score lower — the defining BM25 property.
+    val out = SparkEntry.queries("q64_bm25")(spark, sf)
+      .join(docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("dl")), "doc_id")
+      .select($"tf", $"df", $"dl", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+    val byKey = out.groupBy(t => (t._1, t._2)).filter(_._2.length >= 2)
+    val violations = byKey.values.flatMap { rows =>
+      rows.sortBy(_._3).sliding(2).collect {
+        case Array(a, b) if a._3 < b._3 && a._4 < b._4 => (a, b)
+      }
+    }
+    // shorter doc scores >= longer doc for identical (tf, df)
+    assert(violations.isEmpty, s"monotonicity violated: ${violations.headOption}")
+  }
+
+  test("q66 scrubbing accounts for every event and redacts the numerics") {
+    val out = SparkEntry.queries("q66_pii_scrub")(spark, sf)
+      .select($"n_events", $"n_numeric", $"n_emails", $"n_urls", $"chars_redacted")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).sum == Tables.events(spark, sf).count())
+    assert(out.map(_._2).sum > 0, "numeric ids exist in props and are counted")
+    assert(out.forall { case (_, n, _, _, red) => red >= n },
+      "each numeric run redacts at least one char")
+  }
+
+  test("q67 vocab coverage is monotone in V and bounded by 1") {
+    val out = SparkEntry.queries("q67_vocab_coverage")(spark, sf)
+      .orderBy($"v").select($"v", $"covered", $"total", $"coverage")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(50L, 150L, 300L))
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 })
+    assert(out.forall { case (_, c, t, r) => c <= t && r > 0 && r <= 1.0 })
+    assert(out.map(_._3).distinct.length == 1, "total is corpus-wide constant")
+  }
+}
