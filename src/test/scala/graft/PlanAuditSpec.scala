@@ -107,6 +107,39 @@ class PlanAuditSpec extends SparkTestBase {
       "games table must not shuffle into a sort-merge join on the J2 path\n" + p)
   }
 
+  test("q63 decontamination: benchmark gram set broadcasts, corpus never shuffles by gram") {
+    val p = plan("q63_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the benchmark blocklist must broadcast — shuffling corpus grams " +
+        "is the 100 TB failure mode\n" + p)
+  }
+
+  test("q64 bm25: per-doc winner uses WindowGroupLimit, corpus stats broadcast") {
+    val p = plan("q64_bm25")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=1 must push into a group-limit before the full window sort\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q65 kmeans final pass: one scan, map-side partial agg, one k-row exchange") {
+    val p = plan("q65_kmeans")
+    assert(p.contains("nearest_centroid"), "assignment must be the broadcast expression\n" + p)
+    assert(p.linesIterator.count(_.trim.startsWith("(")) > 0)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected only the k-row agg exchange, got $exchanges\n" + p)
+    assert(p.contains("partial_count"), "assignment agg must combine map-side\n" + p)
+  }
+
+  test("q66 pii scrub: single narrow scan with map-side partial sums") {
+    val p = plan("q66_pii_scrub")
+    assert(!p.contains("Join"), "scrubbing is one pass, no join\n" + p)
+    assert(p.contains("partial_sum"), p)
+    // node-detail headers "(n) Scan parquet" enumerate plan nodes once
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected one events scan, got $scans\n" + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
