@@ -55,6 +55,17 @@ object PipelineBench {
       .withColumn("n_chars", length(col("text")))
   }
 
+  /** Deterministic synthetic embedding: unit vector near one of
+    * `topics` well-separated planted centers (topic = id % topics, so
+    * ids 0..topics-1 — the k-means seeds — cover every topic once). */
+  def embFor(id: Long, dim: Int = 64, topics: Int = 100): Array[Double] = {
+    val c = new scala.util.Random(0xc0ffee ^ (id % topics))
+    val r = new scala.util.Random(0xe4bL ^ (id * 0x9e3779b97f4a7c15L))
+    val v = Array.fill(dim)(c.nextGaussian() + r.nextGaussian() * 0.3)
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / nrm)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,14 +103,47 @@ object PipelineBench {
         driverThreshold = 0L)
       (lab.select("comp_id").distinct().count(), lab.count())
     }
-    val total = tGen + tExact + tMinhash + tNgram + tCC
+    // Benchmark decontamination at volume: every 997th doc forms the
+    // held-out eval slice; its distinct-trigram blocklist broadcasts
+    // and the corpus side is one narrow scan + map-side semi join.
+    val (nContam, tDecon) = timed {
+      // ts materialized before the lambda — an expression referenced
+      // inside a higher-order-function lambda re-evaluates per element
+      val tris = transform(sequence(lit(0), size(col("ts")) - 3),
+        i => concat_ws(" ", element_at(col("ts"), i + 1),
+          element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
+      val g = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .select(col("doc_id"), explode(array_distinct(tris)).as("g"))
+      val bench = g.filter(col("doc_id") % 997 === 0).select(col("g")).distinct()
+      g.filter(col("doc_id") % 997 =!= 0).join(broadcast(bench), "g")
+        .select(col("doc_id")).distinct().count()
+    }
+    // Topic clustering at volume: 100 planted centers, 3 Lloyd rounds
+    // from the deterministic one-seed-per-topic start. Perfect recovery
+    // means 100 clusters of exactly n/100 members each.
+    val (kmStats, tKm) = timed {
+      import spark.implicits._
+      // checkpoint: lloyd makes 2 passes per round (assign + means) and
+      // would otherwise regenerate the corpus each time
+      val e = spark.range(n.toLong).map(id => (id, embFor(id)))
+        .toDF("vec_id", "emb").localCheckpoint()
+      val prof = operators.KMeans.clusterProfile(e, 100, 3)
+      val r = prof.agg(count(lit(1)), min(col("n_members")),
+        max(col("n_members"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val total = tGen + tExact + tMinhash + tNgram + tCC + tDecon + tKm
     println(s"""{"metric":"pipeline_bench","n_docs":$n,""" +
       s""""gen_s":${f"$tGen%.2f"},"exact_s":${f"$tExact%.2f"},""" +
       s""""minhash_s":${f"$tMinhash%.2f"},"ngram_s":${f"$tNgram%.2f"},""" +
-      s""""cc_s":${f"$tCC%.2f"},"total_s":${f"$total%.2f"},""" +
+      s""""cc_s":${f"$tCC%.2f"},"decon_s":${f"$tDecon%.2f"},""" +
+      s""""kmeans_s":${f"$tKm%.2f"},"total_s":${f"$total%.2f"},""" +
       s""""docs_per_s":${(n / total).toInt},""" +
       s""""exact_dup_groups":$nExact,"minhash_pairs":$nMinhash,""" +
-      s""""ngram_pairs":${pairs.count()},"clusters":$nClusters,"clustered_docs":$nMembers}""")
+      s""""ngram_pairs":${pairs.count()},"clusters":$nClusters,"clustered_docs":$nMembers,""" +
+      s""""contaminated_docs":$nContam,""" +
+      s""""km_clusters":${kmStats._1},"km_min_size":${kmStats._2},"km_max_size":${kmStats._3}}""")
     spark.stop()
   }
 }

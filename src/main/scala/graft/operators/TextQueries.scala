@@ -256,12 +256,14 @@ object TextQueries {
     // Intra-doc repetition ratio (Gopher-style quality filter): share
     // of trigram occurrences that are repeats of an earlier trigram in
     // the same doc. Integer counts + one IEEE division — exact oracle.
+    // ts materialized before the lambda (see q63 note).
     "q59_repetition" -> ((s, d) => {
-      val tris = transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2), element_at(toks, i + 3)))
+      val tris = transform(sequence(lit(0), size(col("ts")) - 3),
+        i => concat_ws(" ", element_at(col("ts"), i + 1),
+          element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
       documents(s, d)
-        .filter(size(toks) >= 3)
+        .select(col("doc_id"), toks.as("ts"))
+        .filter(size(col("ts")) >= 3)
         .select(col("doc_id"),
           size(tris).cast("long").as("n_trigrams"),
           size(array_distinct(tris)).cast("long").as("n_distinct"))
@@ -287,10 +289,16 @@ object TextQueries {
     // are a few MB against 100 TB), so it BROADCASTS — the corpus side
     // is one narrow scan + map-side semi join, no shuffle of the grams.
     "q63_decontaminate" -> ((s, d) => {
-      val tris = transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2), element_at(toks, i + 3)))
-      val g = documents(s, d).filter(size(toks) >= 3)
+      // ts is materialized as a column BEFORE the lambda: an expression
+      // referenced inside a higher-order-function lambda is re-evaluated
+      // per element (the split would run once per trigram position —
+      // O(tokens²) per doc, measured 30x on the 100k-doc pipeline).
+      val tris = transform(sequence(lit(0), size(col("ts")) - 3),
+        i => concat_ws(" ", element_at(col("ts"), i + 1),
+          element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
+      val g = documents(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("ts"))
+        .filter(size(col("ts")) >= 3)
         .select(col("doc_id"), col("lang"),
                 explode(array_distinct(tris)).as("g"))
       val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
