@@ -325,10 +325,16 @@ object TextQueries {
     "q64_bm25" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d)
+      // dl derives from tf (Σ tf per doc == token count) instead of
+      // riding in the grouping key: with dl in the key, column pruning
+      // makes the tf subtree under dfr DIFFER from the main one and the
+      // shuffle is computed twice; identical subtrees share one
+      // exchange (measured 4x on the bench).
       val tf = docs
-        .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val stats = docs.agg(count(lit(1)).as("n"),
         (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
