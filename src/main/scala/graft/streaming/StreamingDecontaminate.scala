@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming benchmark decontamination (SURVEY.md §2.9 × §2.11 L5e):
+  * documents arrive as a stream and must be tagged against a STATIC
+  * eval-set blocklist before entering the training corpus.
+  *
+  * This is the stream–static join pattern: the blocklist is a bounded
+  * table (eval sets are MBs), so it collapses to ONE broadcast row
+  * holding the distinct gram set, and tagging is a stateless
+  * `arrays_overlap` projection — no watermark, no state store, valid in
+  * append mode at any stream rate. The exact same code path runs in
+  * batch (the spec's equivalence gate), because nothing here is
+  * stream-specific.
+  *
+  * Deliberately NOT an exploded gram join on the stream side: explode +
+  * distinct-per-doc would need stateful aggregation (watermarked) to
+  * re-collapse to one row per doc; testing set overlap against the
+  * broadcast array keeps the stream side narrow.
+  */
+object StreamingDecontaminate {
+
+  /** Token-trigram array of a text column already split into `ts`. */
+  private def tris(ts: Column): Column =
+    transform(sequence(lit(0), size(ts) - 3),
+      i => concat_ws(" ", element_at(ts, i + 1),
+        element_at(ts, i + 2), element_at(ts, i + 3)))
+
+  /** Distinct trigrams of the benchmark (eval) docs — the static
+    * blocklist side. */
+  def blocklist(benchDocs: DataFrame): DataFrame =
+    benchDocs
+      .select(split(trim(col("text")), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(array_distinct(tris(col("ts")))).as("g"))
+      .distinct()
+
+  /** Tag each (streaming or batch) doc with `contaminated`: does it
+    * share any trigram with the blocklist? One stateless projection
+    * against a single broadcast row. */
+  def tag(docs: DataFrame, blocklistGrams: DataFrame): DataFrame = {
+    val bl = blocklistGrams.agg(collect_set(col("g")).as("bl"))
+    docs
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .withColumn("grams", array_distinct(tris(col("ts"))))
+      .crossJoin(broadcast(bl))
+      .withColumn("contaminated",
+        size(col("ts")) >= 3 && arrays_overlap(col("grams"), col("bl")))
+      .drop("ts", "grams", "bl")
+  }
+}
