@@ -185,7 +185,23 @@ object VectorQueries {
     // what keeps an ITERATIVE float algorithm hash-exact against the
     // DuckDB oracle, which replays both rounds in SQL.
     "q65_kmeans" -> ((s, d) =>
-      KMeans.clusterProfile(emb(s, d), KmK, KmIters))
+      KMeans.clusterProfile(emb(s, d), KmK, KmIters)),
+
+    // Cross-modal composition: nearest-seed topic assignment of the
+    // embedding corpus joined back to the document table it embeds
+    // (vec_id == doc_id) for per-(topic, lang) mixing stats — the
+    // "what is actually in each cluster" step of domain-mix planning.
+    // Assignment is the same broadcast projection as q65 round 1; the
+    // join is a plain co-partitionable equi-join of two corpus tables.
+    "q68_topic_profile" -> ((s, d) => {
+      val e = emb(s, d)
+      KMeans.assign(e, KMeans.seedCentroids(e, KmK))
+        .select(col("vec_id").as("doc_id"), col("cid"))
+        .join(documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+              "doc_id")
+        .groupBy(col("cid").cast("long").as("topic_id"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    })
   )
 
   // q65 geometry — shared with the oracle SQL text below.
@@ -336,6 +352,21 @@ object VectorQueries {
            FROM e, c1 c GROUP BY vec_id)
          SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n_members,
            min(vec_id) AS min_vec_id
-         FROM a2 GROUP BY cid"""
+         FROM a2 GROUP BY cid""",
+
+    "q68_topic_profile" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a1 AS (
+           SELECT vec_id,
+             CAST(max([list_cosine_similarity(e.v, c.cv),
+                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
+           FROM e, c0 c GROUP BY vec_id)
+         SELECT CAST(a1.cid AS BIGINT) AS topic_id, d.lang,
+           count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         FROM a1 JOIN documents d ON a1.vec_id = d.doc_id
+         GROUP BY 1, 2"""
   )
 }

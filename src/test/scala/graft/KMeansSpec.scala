@@ -66,6 +66,13 @@ class KMeansSpec extends SparkTestBase {
     assert(out == Set(1), s"expected all points in surviving cluster 1, got $out")
   }
 
+  test("q68 topic profile partitions every embedded doc exactly once") {
+    val prof = SparkEntry.queries("q68_topic_profile")(spark, sf)
+    val rows = prof.select($"topic_id", $"n_docs").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum == 500, "each (vec, doc) pair lands in one topic")
+    assert(rows.forall { case (t, _) => t >= 0 && t < 8 })
+  }
+
   test("q65 cluster profile covers the corpus with k clusters at most") {
     val prof = SparkEntry.queries("q65_kmeans")(spark, sf)
     val rows = prof.select($"cluster_id", $"n_members").as[(Long, Long)].collect()
