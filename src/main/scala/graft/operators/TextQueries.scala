@@ -373,6 +373,41 @@ object TextQueries {
              sum(col("redacted")).cast("long").as("chars_redacted"))
     }),
 
+    // Domain-mixing downsampler (L5 — q68 plans the mix, this enforces
+    // it): each language keeps docs with probability
+    // p = min(1, target_share / actual_share), decided per doc by the
+    // SAME md5 bucket as the q56 split — deterministic, coordination-
+    // free, stable under re-runs and re-partitioning. The comparison is
+    // INTEGER (bucket < floor(p*256)), so both engines agree exactly
+    // even though p is a computed double.
+    "q69_domain_mix" -> ((s, d) => {
+      val targets = Seq("de" -> 0.15, "en" -> 0.4, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15)
+      val tgt = targets.map { case (l, t) =>
+        struct(lit(l).as("lang"), lit(t).as("target"))
+      }
+      val targetDf = documents(s, d).sparkSession.range(1)
+        .select(explode(array(tgt: _*)).as("t"))
+        .select(col("t.lang").as("lang"), col("t.target").as("target"))
+      val docs = documents(s, d)
+      val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val thr = perLang.join(broadcast(targetDf), "lang")
+        .crossJoin(broadcast(total))
+        .withColumn("p", least(lit(1.0),
+          col("target") * col("n_total").cast("double") / col("n_lang").cast("double")))
+        .withColumn("thr", floor(col("p") * 256).cast("int"))
+      docs
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .join(broadcast(thr.select(col("lang"), col("n_lang"), col("thr"))), "lang")
+        .groupBy(col("lang"), col("n_lang"))
+        .agg(sum(when(col("bkt") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_lang").as("n_docs"), col("n_kept"))
+    }),
+
     // Tokenizer-vocabulary coverage (L5 — the vocab-size sweep run
     // before training a subword tokenizer): rank character trigrams by
     // corpus frequency and report what fraction of all trigram
@@ -546,6 +581,28 @@ object TextQueries {
              'https?://[^ ]+', '', 'g'),
              '[0-9]+', '', 'g'))) AS BIGINT) AS chars_redacted
          FROM events GROUP BY event_type""",
+
+    "q69_domain_mix" ->
+      """WITH targets(lang, target) AS (
+           VALUES ('de', 0.15), ('en', 0.4), ('es', 0.15),
+                  ('fr', 0.15), ('zh', 0.15)),
+         per_lang AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         total AS (SELECT count(*) AS n_total FROM documents),
+         thr AS (
+           SELECT p.lang, p.n_lang,
+             CAST(floor(least(1.0,
+               t.target * CAST(n_total AS DOUBLE) / CAST(p.n_lang AS DOUBLE))
+               * 256) AS INT) AS thr
+           FROM per_lang p JOIN targets t USING (lang) CROSS JOIN total),
+         b AS (
+           SELECT lang,
+             (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bkt
+           FROM documents)
+         SELECT b.lang, thr.n_lang AS n_docs,
+           CAST(sum(CASE WHEN b.bkt < thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM b JOIN thr ON b.lang = thr.lang
+         GROUP BY b.lang, thr.n_lang""",
 
     "q67_vocab_coverage" ->
       """WITH counts AS (

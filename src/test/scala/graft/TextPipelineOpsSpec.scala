@@ -76,6 +76,22 @@ class TextPipelineOpsSpec extends SparkTestBase {
       "each numeric run redacts at least one char")
   }
 
+  test("q69 mixing keeps under-represented languages whole and downsamples the rest") {
+    val total = docs.count().toDouble
+    val out = SparkEntry.queries("q69_domain_mix")(spark, sf)
+      .select($"lang", $"n_docs", $"n_kept").as[(String, Long, Long)].collect()
+    val targets = Map("de" -> 0.15, "en" -> 0.4, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    out.foreach { case (lang, n, kept) =>
+      assert(kept <= n)
+      val p = math.min(1.0, targets(lang) / (n / total))
+      if (p == 1.0) assert(kept == n, s"$lang is under target: keep everything")
+      // md5 buckets are near-uniform: kept/n within 10 buckets of floor(p*256)/256
+      else assert(math.abs(kept.toDouble / n - math.floor(p * 256) / 256) < 10.0 / 256,
+        s"$lang kept ratio ${kept.toDouble / n} vs p=$p")
+    }
+  }
+
   test("q67 vocab coverage is monotone in V and bounded by 1") {
     val out = SparkEntry.queries("q67_vocab_coverage")(spark, sf)
       .orderBy($"v").select($"v", $"covered", $"total", $"coverage")
