@@ -58,9 +58,28 @@ object ApproxOracle {
     OracleExport.write(
       IvfIndex.probeCells(e, probes, VectorQueries.IvfNList,
         VectorQueries.IvfNProbe, Some(n)), "ivf_probe_cells")
+
+    // q70: each BPE round's word-state, so DuckDB can recompute every
+    // round's pair-count argmax independently of the Spark run
+    BpeLearn.learn(spark, BpeLearn.wordVocab(docs), TextQueries.BpeMerges,
+      (i, words) => OracleExport.write(words, s"bpe_words_$i"))
+    ()
   }
 
   private def p(name: String) = OracleExport.p(name)
+
+  /** Generated q70 oracle: one argmax per exported round, unioned. The
+    * (cnt DESC, a, b) order is the same TOTAL order the operator's
+    * global top-1 uses, so ties cannot diverge. */
+  private def bpeOracle: String =
+    (0 until TextQueries.BpeMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, a, b, cnt FROM (
+           SELECT syms[j] AS a, syms[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+           FROM ${p(s"bpe_words_$i")},
+                unnest(generate_series(1, len(syms)-1)) AS t(j)
+           GROUP BY 1, 2
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+    }.mkString(" UNION ALL ")
 
   /** Shared ANN tail: candidates -> exact cosine rescore from the
     * embeddings table -> per-probe rank -> top 5. */
@@ -81,6 +100,8 @@ object ApproxOracle {
        WHERE rn <= 5"""
 
   val oracleSql: Map[String, String] = Map(
+    "q70_bpe_merges" -> bpeOracle,
+
     // band self-join -> distinct candidate pairs -> exact set Jaccard
     // from the shingle-hash table -> threshold -> summary
     "q25_minhash_pairs" ->

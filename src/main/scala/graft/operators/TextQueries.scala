@@ -271,6 +271,21 @@ object TextQueries {
           lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
     }),
 
+    // BPE merge learning (L5 — tokenizer TRAINING; q62 counts with a
+    // learned-tokenizer-shaped regex, this learns one): BpeMerges
+    // rounds of distributed pair-count + global argmax over the
+    // weighted word vocabulary. The result is the model-sized merge
+    // table. Oracle: Verify exports each round's word-state
+    // (ApproxOracle) and DuckDB recomputes every round's argmax
+    // independently.
+    "q70_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      BpeLearn.learnFromDocs(documents(s, d), BpeMerges)
+        .zipWithIndex
+        .map { case (((a, b), cnt), i) => (i.toLong, a, b, cnt) }
+        .toDF("rank", "a", "b", "cnt")
+    }),
+
     // Heuristic language ID (L5): stopword-profile scoring vs the
     // labeled lang column. The scoring is plain counting + argmax, so it
     // gets a REAL DuckDB oracle (generated from the same profiles —
@@ -449,6 +464,10 @@ object TextQueries {
     * (which hardcodes trigram concatenation, so NgramN stays 3). */
   private val NgramN = 3
   private val NgramMinJ = 0.8
+
+  /** q70 merge count — shared with ApproxOracle's per-round exports and
+    * generated oracle SQL. */
+  val BpeMerges = 8
 
   /** GPT-2-ish pretokenizer, restricted to the subset Java regex and
     * RE2 treat identically (no lookarounds, no \\p classes): contraction
