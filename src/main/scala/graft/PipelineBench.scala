@@ -107,14 +107,11 @@ object PipelineBench {
     // held-out eval slice; its distinct-trigram blocklist broadcasts
     // and the corpus side is one narrow scan + map-side semi join.
     val (nContam, tDecon) = timed {
-      // ts materialized before the lambda — an expression referenced
-      // inside a higher-order-function lambda re-evaluates per element
-      val tris = transform(sequence(lit(0), size(col("ts")) - 3),
-        i => concat_ws(" ", element_at(col("ts"), i + 1),
-          element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
       val g = docs
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
-        .select(col("doc_id"), explode(array_distinct(tris)).as("g"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          operators.TextQueries.tokenTrigrams(col("ts")))).as("g"))
       val bench = g.filter(col("doc_id") % 997 === 0).select(col("g")).distinct()
       g.filter(col("doc_id") % 997 =!= 0).join(broadcast(bench), "g")
         .select(col("doc_id")).distinct().count()

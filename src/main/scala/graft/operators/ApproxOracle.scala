@@ -60,10 +60,19 @@ object ApproxOracle {
         VectorQueries.IvfNProbe, Some(n)), "ivf_probe_cells")
 
     // q70: each BPE round's word-state, so DuckDB can recompute every
-    // round's pair-count argmax independently of the Spark run
-    BpeLearn.learn(spark, BpeLearn.wordVocab(docs), TextQueries.BpeMerges,
-      (i, words) => OracleExport.write(words, s"bpe_words_$i"))
-    ()
+    // round's pair-count argmax independently of the Spark run. If
+    // learning exhausts all pairs early, the remaining rounds export
+    // EMPTY states: their oracle argmax then yields 0 rows, matching
+    // the shorter Spark merge list instead of erroring on a missing
+    // table.
+    var exported = 0
+    val vocab = BpeLearn.wordVocab(docs)
+    BpeLearn.learn(spark, vocab, TextQueries.BpeMerges,
+      (i, words) => { OracleExport.write(words, s"bpe_words_$i"); exported = i + 1 })
+    val emptyWords = vocab.limit(0)
+      .select(split(col("word"), "").as("syms"), col("n"))
+    (exported until TextQueries.BpeMerges).foreach(i =>
+      OracleExport.write(emptyWords, s"bpe_words_$i"))
   }
 
   private def p(name: String) = OracleExport.p(name)

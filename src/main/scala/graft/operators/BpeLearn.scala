@@ -89,12 +89,13 @@ object BpeLearn {
       else {
         val (a, b, cnt) = top.head
         merges += (((a, b), cnt))
-        val prev = words
-        words = prev.as[(Seq[String], Long)]
+        // previous rounds' checkpointed blocks are reclaimed by the
+        // ContextCleaner once the Dataset reference drops out of scope;
+        // DataFrame.unpersist would be a no-op for a localCheckpoint
+        words = words.as[(Seq[String], Long)]
           .map { case (syms, n) => (applyMerge(syms, a, b), n) }
           .toDF("syms", "n")
           .localCheckpoint()
-        prev.unpersist()
         round += 1
       }
     }

@@ -36,13 +36,20 @@ object KMeans {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
 
   /** Deterministic seed centroids: the embedding vectors with
-    * vec_id < k, in id order (cid i = vector i). */
-  def seedCentroids(points: DataFrame, k: Int): Array[Array[Double]] =
-    points.filter(col("vec_id") < k)
+    * vec_id < k, in id order (cid i = vector i). The ids must densely
+    * cover 0..k-1 — cid is the POSITION in this array, and the q65/q68
+    * oracles equate it with vec_id, so a sparse id space would silently
+    * shift every label. */
+  def seedCentroids(points: DataFrame, k: Int): Array[Array[Double]] = {
+    val seeds = points.filter(col("vec_id") < k)
       .select(col("vec_id"), col("emb"))
       .collect()
       .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == k && seeds.zipWithIndex.forall {
+        case (r, i) => r.getLong(0) == i },
+      s"seed ids must be exactly 0..${k - 1}; got ${seeds.map(_.getLong(0)).mkString(",")}")
+    seeds.map(_.getSeq[Double](1).toArray)
+  }
 
   /** (vec_id, emb, cid) — one assignment pass against the given
     * centroid matrix. */

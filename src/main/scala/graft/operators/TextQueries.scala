@@ -18,6 +18,19 @@ object TextQueries {
   /** Whitespace tokens of `text`, after trim (so no empty edge tokens). */
   private def toks: Column = split(trim(col("text")), "\\s+")
 
+  /** Token trigrams of a token-array column. `ts` MUST be a
+    * materialized column attribute, not an inline expression: an
+    * expression referenced inside a higher-order-function lambda is
+    * re-evaluated per element (an inline split() here is O(tokens²)
+    * per doc — measured 10x on the 100k-doc pipeline). Callers must
+    * also guard size(ts) >= 3: below that, sequence(0, size-3)
+    * descends and element_at(ts, 0) throws. Shared by q59, q63,
+    * PipelineBench and StreamingDecontaminate. */
+  def tokenTrigrams(ts: Column): Column =
+    transform(sequence(lit(0), size(ts) - 3),
+      i => concat_ws(" ", element_at(ts, i + 1),
+        element_at(ts, i + 2), element_at(ts, i + 3)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus stats per (lang, source) — A9.
     "q20_text_stats" -> ((s, d) => {
@@ -256,11 +269,8 @@ object TextQueries {
     // Intra-doc repetition ratio (Gopher-style quality filter): share
     // of trigram occurrences that are repeats of an earlier trigram in
     // the same doc. Integer counts + one IEEE division — exact oracle.
-    // ts materialized before the lambda (see q63 note).
     "q59_repetition" -> ((s, d) => {
-      val tris = transform(sequence(lit(0), size(col("ts")) - 3),
-        i => concat_ws(" ", element_at(col("ts"), i + 1),
-          element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
+      val tris = tokenTrigrams(col("ts"))
       documents(s, d)
         .select(col("doc_id"), toks.as("ts"))
         .filter(size(col("ts")) >= 3)
@@ -304,13 +314,7 @@ object TextQueries {
     // are a few MB against 100 TB), so it BROADCASTS — the corpus side
     // is one narrow scan + map-side semi join, no shuffle of the grams.
     "q63_decontaminate" -> ((s, d) => {
-      // ts is materialized as a column BEFORE the lambda: an expression
-      // referenced inside a higher-order-function lambda is re-evaluated
-      // per element (the split would run once per trigram position —
-      // O(tokens²) per doc, measured 30x on the 100k-doc pipeline).
-      val tris = transform(sequence(lit(0), size(col("ts")) - 3),
-        i => concat_ws(" ", element_at(col("ts"), i + 1),
-          element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))
+      val tris = tokenTrigrams(col("ts"))
       val g = documents(s, d)
         .select(col("doc_id"), col("lang"), toks.as("ts"))
         .filter(size(col("ts")) >= 3)
@@ -401,7 +405,7 @@ object TextQueries {
       val tgt = targets.map { case (l, t) =>
         struct(lit(l).as("lang"), lit(t).as("target"))
       }
-      val targetDf = documents(s, d).sparkSession.range(1)
+      val targetDf = s.range(1)
         .select(explode(array(tgt: _*)).as("t"))
         .select(col("t.lang").as("lang"), col("t.target").as("target"))
       val docs = documents(s, d)
@@ -443,7 +447,7 @@ object TextQueries {
           Window.orderBy(col("cnt").desc, col("g").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val total = counts.agg(sum(col("cnt")).as("total"))
-      val cuts = documents(s, d).sparkSession.range(1)
+      val cuts = s.range(1)
         .select(explode(array(lit(50), lit(150), lit(300))).as("v"))
       ranked.join(broadcast(cuts), col("rn") <= col("v"))
         .groupBy(col("v")).agg(max(col("cum")).as("covered"))

@@ -323,21 +323,11 @@ object VectorQueries {
          FROM embeddings a
          JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
 
-    // Both Lloyd rounds replayed relationally. Assignment is
-    // max([cos, cid]) — lexicographic list max = argmax by similarity
-    // with ties to the LARGER cid, exactly NearestCentroid's tie rule.
+    // Both Lloyd rounds replayed relationally (kmAssignCtes below).
     // Centroid means route through DECIMAL(38,12) like Num.dsum, so
     // round-2 centroids are bit-identical to Spark's.
     "q65_kmeans" ->
-      """WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         a1 AS (
-           SELECT vec_id,
-             CAST(max([list_cosine_similarity(e.v, c.cv),
-                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
-           FROM e, c0 c GROUP BY vec_id),
+      s"""WITH $kmAssignCtes,
          m1 AS (
            SELECT cid, pos,
              CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
@@ -355,18 +345,25 @@ object VectorQueries {
          FROM a2 GROUP BY cid""",
 
     "q68_topic_profile" ->
-      """WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         a1 AS (
-           SELECT vec_id,
-             CAST(max([list_cosine_similarity(e.v, c.cv),
-                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
-           FROM e, c0 c GROUP BY vec_id)
+      s"""WITH $kmAssignCtes
          SELECT CAST(a1.cid AS BIGINT) AS topic_id, d.lang,
            count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          FROM a1 JOIN documents d ON a1.vec_id = d.doc_id
          GROUP BY 1, 2"""
   )
+
+  /** Shared q65/q68 round-1 assignment CTEs. max([cos, cid]) is a
+    * lexicographic list max = argmax by similarity with ties to the
+    * LARGER cid — exactly NearestCentroid's tie rule; the seed set is
+    * vec_id < KmK with cid = vec_id, mirroring seedCentroids. */
+  private def kmAssignCtes: String =
+    s"""e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $KmK),
+         a1 AS (
+           SELECT vec_id,
+             CAST(max([list_cosine_similarity(e.v, c.cv),
+                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
+           FROM e, c0 c GROUP BY vec_id)"""
 }

@@ -21,12 +21,7 @@ import org.apache.spark.sql.functions._
   * broadcast array keeps the stream side narrow.
   */
 object StreamingDecontaminate {
-
-  /** Token-trigram array of a text column already split into `ts`. */
-  private def tris(ts: Column): Column =
-    transform(sequence(lit(0), size(ts) - 3),
-      i => concat_ws(" ", element_at(ts, i + 1),
-        element_at(ts, i + 2), element_at(ts, i + 3)))
+  import graft.operators.TextQueries.tokenTrigrams
 
   /** Distinct trigrams of the benchmark (eval) docs — the static
     * blocklist side. */
@@ -34,20 +29,23 @@ object StreamingDecontaminate {
     benchDocs
       .select(split(trim(col("text")), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 3)
-      .select(explode(array_distinct(tris(col("ts")))).as("g"))
+      .select(explode(array_distinct(tokenTrigrams(col("ts")))).as("g"))
       .distinct()
 
   /** Tag each (streaming or batch) doc with `contaminated`: does it
     * share any trigram with the blocklist? One stateless projection
-    * against a single broadcast row. */
+    * against a single broadcast row. The trigram build is guarded
+    * INSIDE the expression: under 3 tokens, sequence(0, size-3)
+    * descends through index 0 and element_at throws — the && short
+    * circuit alone does not prevent `grams` from evaluating. */
   def tag(docs: DataFrame, blocklistGrams: DataFrame): DataFrame = {
     val bl = blocklistGrams.agg(collect_set(col("g")).as("bl"))
     docs
       .withColumn("ts", split(trim(col("text")), "\\s+"))
-      .withColumn("grams", array_distinct(tris(col("ts"))))
+      .withColumn("grams", when(size(col("ts")) >= 3,
+        array_distinct(tokenTrigrams(col("ts")))).otherwise(array().cast("array<string>")))
       .crossJoin(broadcast(bl))
-      .withColumn("contaminated",
-        size(col("ts")) >= 3 && arrays_overlap(col("grams"), col("bl")))
+      .withColumn("contaminated", arrays_overlap(col("grams"), col("bl")))
       .drop("ts", "grams", "bl")
   }
 }

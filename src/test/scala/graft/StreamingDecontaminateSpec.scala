@@ -51,6 +51,17 @@ class StreamingDecontaminateSpec extends SparkTestBase {
       assert(tagged.getOrElse(lang, 0L) == n, s"lang=$lang") }
   }
 
+  test("docs under 3 tokens tag cleanly as uncontaminated") {
+    // regression: sequence(0, size-3) descends below index 1 for short
+    // docs; the trigram build must be guarded inside the expression
+    val short = Seq((1L, "", "en"), (2L, "one", "en"), (3L, "two words", "en"),
+      (4L, "three word doc", "en")).toDF("doc_id", "text", "lang")
+    val out = StreamingDecontaminate.tag(short, bl)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(!out(1L) && !out(2L) && !out(3L))
+  }
+
   test("tag preserves the doc schema and only adds the flag") {
     val tagged = StreamingDecontaminate.tag(docs, bl)
     assert(tagged.columns.toSeq ==
