@@ -436,9 +436,12 @@ object TextQueries {
     // the corpus-scaled work is the one hash aggregation before it.
     "q67_vocab_coverage" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // explode the POSITIONS (an int array) and substring per output
+      // row, instead of materializing an array of 3-char strings per
+      // doc — same rows, far less per-row allocation
       val counts = documents(s, d).filter(length(col("text")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+        .select(col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+        .select(expr("substring(text, i, 3)").as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       val ranked = counts
         .withColumn("rn", row_number().over(
