@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *   exact dedup → MinHash-LSH candidates → exact n-gram Jaccard
   *   (prefix-filtered) → connected components → keep-best-per-cluster
   *
-  * Planted structure makes the output checkable: every 97th doc is an
-  * exact copy of its predecessor, every 20th a near-dup (3 tokens
-  * substituted out of ~200), so expected counts scale linearly with n.
+  * Planted structure makes the output checkable: each 20-block with a
+  * base id >= 20 is a 4-member dup cluster — the base doc, an exact
+  * copy at +1, and near-dups at +2/+3 (3-4 tokens substituted out of
+  * ~200) — so expected counts scale linearly with n (see textFor).
   *
   * Prints one JSON line: per-stage seconds + docs/s + found counts.
   * Run: sbt "runMain graft.PipelineBench [nDocs]"   (default 100000)

@@ -67,8 +67,9 @@ object ChessServer {
     "l" -> Core.Result.BlackWin, "d" -> Core.Result.Draw)
   private val resultBack = resultNames.map(_.swap)
 
-  def parseRequest(json: String): Request = {
-    val j = JsonMethods.parse(json)
+  def parseRequest(json: String): Request = parseRequest(JsonMethods.parse(json))
+
+  def parseRequest(j: org.json4s.JValue): Request = {
     val q = j \ "query"
     // a structurally-wrong request must error, not yield an empty
     // response — json4s maps missing keys to empty collections.
@@ -265,7 +266,7 @@ object ChessServer {
              games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): String = {
     val j = JsonMethods.parse(line)
     if ((j \ "retractions") != JNothing) executeRetractions(spark, positionsAgg, j)
-    else execute(spark, positionsAgg, parseRequest(line), games)
+    else execute(spark, positionsAgg, parseRequest(j), games)
   }
 
   /** Serve line-delimited JSON over TCP (the reference's GUI transport):

@@ -78,13 +78,23 @@ object ConnectedComponents {
     else labelsDistributed(e0, maxRounds)
   }
 
-  /** Driver union-find with path compression; min id becomes the root. */
+  /** Driver union-find with path compression; min id becomes the root.
+    * find() is ITERATIVE (path halving): a recursive walk overflows the
+    * driver stack on a ~100k-edge path whose parent chain never got
+    * compressed during construction. */
   private def labelsDriver(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElseUpdate(x, x)
+      while (p != x) {
+        val gp = parent.getOrElseUpdate(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElseUpdate(x, x)
+      }
+      x
     }
     e.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

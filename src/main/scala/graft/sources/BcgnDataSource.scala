@@ -182,7 +182,11 @@ class BcgnPartitionReader(file: String, required: StructType, conf: Configuratio
   private lazy val games: Iterator[ChessIngest.GameRow] = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen.toInt
+    val rawLen = fs.getFileStatus(p).getLen
+    require(rawLen <= Int.MaxValue,
+      s"$file is $rawLen bytes; single-file .bcgn reads are capped at 2 GiB — " +
+        "split the corpus across part files (the writer emits one per partition)")
+    val len = rawLen.toInt
     val bytes = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
@@ -237,8 +241,11 @@ class BcgnBatchWrite(path: String, schema: StructType, truncate: Boolean,
         .foreach(s => fs.delete(s.getPath, false))
     messages.foreach { case BcgnCommitMessage(tmp) =>
       val t = new Path(tmp)
-      fs.rename(t, new Path(path, t.getName.stripSuffix(".inprogress")))
-      ()
+      val dst = new Path(path, t.getName.stripSuffix(".inprogress"))
+      // Hadoop rename reports failure by RETURNING FALSE, not throwing;
+      // ignoring it would declare success with a partition missing
+      if (!fs.rename(t, dst))
+        throw new java.io.IOException(s"bcgn commit: rename $t -> $dst failed")
     }
   }
 

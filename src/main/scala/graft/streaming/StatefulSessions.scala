@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The batch twin (`sessionStatsBatch`) derives the SAME result through
   * ordered window functions — an independent computation path used both
   * as the q60 oracle query and as the stream==batch spec reference.
+  *
+  * Ordering contract: events are sorted WITHIN each micro-batch, so
+  * in-order arrival (per user, across batches) reproduces the batch
+  * derivation exactly — that is what the spec gates. A CROSS-BATCH late
+  * arrival (admitted by the watermark) cannot be re-ordered with O(1)
+  * state; it merges with monotone boundaries (sess_end never rewinds,
+  * counts stay complete) and the order-dependent summary fields remain
+  * the in-order best effort — see processGroup.
   */
 object StatefulSessions {
 
@@ -74,6 +82,25 @@ object StatefulSessions {
       var st = state.getOption
       batch.foreach { e =>
         st = st match {
+          // Cross-batch LATE arrival (the watermark admits up to
+          // `watermark` of disorder; the in-batch sort cannot see it).
+          // Never rewind the open session's boundaries: if the event
+          // plausibly belongs (>= start - gap) merge it with monotone
+          // boundaries — count it, widen start if needed, leave the
+          // order-dependent summary fields (lastValue, n_increasing,
+          // first_types) as the in-order best effort. If it predates
+          // even start - gap it belongs to an ALREADY-EMITTED session:
+          // emit it as its own 1-event session rather than corrupting
+          // the open one.
+          case Some(s) if micros(e.ts) < micros(s.last) =>
+            if (micros(e.ts) >= micros(s.start) - GapUs)
+              Some(s.copy(
+                start = if (micros(e.ts) < micros(s.start)) e.ts else s.start,
+                n = s.n + 1))
+            else {
+              out += SessOut(user, e.ts, e.ts, 1L, 0L, e.event_type)
+              Some(s)
+            }
           case Some(s) if micros(e.ts) - micros(s.last) <= GapUs => Some(extend(s, e))
           case Some(s) => out += close(user, s); Some(fresh(e))
           case None => Some(fresh(e))

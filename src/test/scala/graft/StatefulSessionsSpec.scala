@@ -53,6 +53,43 @@ class StatefulSessionsSpec extends SparkTestBase {
     assert(extra.isEmpty, s"stream fabricated: ${extra.take(5).mkString("; ")}")
   }
 
+  test("cross-batch late arrivals never rewind session boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val src = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StatefulSessions.sessionStats(spark, src).toDF()
+      .writeStream.format("memory").queryName("late_sess")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    val min = 60 * 1000L
+    def ts(at: Long) = new java.sql.Timestamp(at)
+    try {
+      ms.addData((1L, ts(t0), 7L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2, all within the 1h watermark: one event older than the
+      // open session minus the gap (belongs to an already-gone session),
+      // one late-but-mergeable, one in-order successor
+      ms.addData((2L, ts(t0 - 50 * min), 7L, "z", 0.0),
+                 (3L, ts(t0 - 25 * min), 7L, "b", 2.0),
+                 (4L, ts(t0 + 20 * min), 7L, "c", 3.0))
+      q.processAllAvailable()
+      // batch 3: far future successor closes the open session
+      ms.addData((5L, ts(t0 + 300 * min), 7L, "d", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_sess")
+      .select($"sess_start", $"sess_end", $"n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+    assert(rows.forall { case (s, e, _) => !e.before(s) },
+      s"corrupted boundaries: ${rows.mkString("; ")}")
+    // the too-old event surfaced as its own 1-event session
+    assert(rows.contains((ts(t0 - 50 * min), ts(t0 - 50 * min), 1L)), rows.mkString("; "))
+    // the open session absorbed the mergeable late event and the
+    // successor: start widened to the late event, end never rewound
+    assert(rows.contains((ts(t0 - 25 * min), ts(t0 + 20 * min), 3L)), rows.mkString("; "))
+  }
+
   test("fold semantics: gap boundary, ordering, increasing steps, first-3 types") {
     val t0 = 1700000000000L
     def ts(ms: Long) = new java.sql.Timestamp(ms)
