@@ -21,12 +21,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      ChessQueries.queries ++ MultimodalQueries.queries
+      ChessQueries.queries ++ MultimodalQueries.queries ++ streamingQueries
+
+  /** The streaming family (q71–q76) really runs Structured Streaming
+    * jobs to completion per call — correctness-equal to their batch
+    * oracles, but their wall time is micro-batch harness overhead, not
+    * operator throughput (Bench reports them separately). */
+  def streamingQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
       ChessQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      operators.ApproxOracle.oracleSql
+      operators.ApproxOracle.oracleSql ++ graft.streaming.StreamingQueries.oracleSql
 }

@@ -38,8 +38,12 @@ object EventStreams {
                      watermark: String = "1 hour"): DataFrame = {
     val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     val win = slide.fold(window(col("ts"), width))(sl => window(col("ts"), width, sl))
+    // decimal accumulate, round, THEN back to double: a double sum is
+    // association-order-dependent, so its hash would vary with the
+    // micro-batch slicing (and never match the DuckDB oracle of q74)
     wm.groupBy(win.as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,6)")), 2).cast("double").as("v"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
               col("event_type"), col("n"), col("v"))
   }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStreams, StatefulSessions, StreamingQueries}
+
+/** Local mirror of the q71–q76 DuckDB oracles: each streaming query
+  * (REAL micro-batch run over landing drops) must equal its independent
+  * batch derivation EXACTLY — including the timeout-flushed final
+  * sessions/windows that StatefulSessionsSpec's closed-by-successor
+  * comparison deliberately excludes. If the sentinel-flush mechanism
+  * ever stops firing timeouts, these go red before the driver does.
+  */
+class StreamingQueriesSpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame =
+    StreamingQueries.queries(name)(spark, sf)
+
+  private def assertSame(got: DataFrame, want: DataFrame, label: String): Unit = {
+    val missing = want.exceptAll(got)
+    val extra = got.exceptAll(want)
+    assert(missing.isEmpty, s"$label lost rows: ${missing.take(5).mkString("; ")}")
+    assert(extra.isEmpty, s"$label fabricated rows: ${extra.take(5).mkString("; ")}")
+  }
+
+  private lazy val events =
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").cache()
+
+  test("q71: streamed sessions equal the batch window derivation, finals included") {
+    val got = q("q71_stream_sessions")
+    val want = StatefulSessions.sessionStatsBatch(events)
+    assert(got.count() === want.count(), "timeout flush must close every session")
+    assertSame(got, want, "q71")
+  }
+
+  test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = q("q72_stream_neardup")
+    val want = operators.MinHashLSH.verifiedPairs(
+      docs, operators.ApproxOracle.MinJaccard)
+    assertSame(got, want, "q72")
+  }
+
+  test("q73: streamed decontamination tags equal the batch tags") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val bl = streaming.StreamingDecontaminate.blocklist(
+      docs.filter(col("doc_id") % 97 === 0))
+    val want = streaming.StreamingDecontaminate.tag(
+        docs.filter(col("doc_id") % 97 =!= 0), bl)
+      .select("doc_id", "contaminated")
+    val got = q("q73_stream_decontaminate")
+    assert(got.count() > 0)
+    assertSame(got, want, "q73")
+  }
+
+  test("q74: streamed watermarked windows equal the batch windows, finals included") {
+    val got = q("q74_stream_windows")
+    val want = EventStreams.windowedCounts(events)
+      .select("win_start", "win_end", "event_type", "n", "v")
+    assert(got.count() === want.count(), "watermark flush must finalize every window")
+    assertSame(got, want, "q74")
+  }
+
+  test("q75: exactly-once ingest returns the raw rows") {
+    assertSame(q("q75_stream_ingest"), events, "q75")
+  }
+
+  test("q76: stateful dedup collapses the doubled feed to the raw rows") {
+    assertSame(q("q76_stream_dedup"), events, "q76")
+  }
+}
