@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object PipelineBench {
 
+  // 5000-word vocab → ~1.25e11 possible trigram shingles. A 500-word
+  // vocab made ACCIDENTAL shingle sharing grow quadratically past
+  // ~200k docs (8e7 trigram draws over a 1.25e8 space — birthday
+  // regime), which billed generator artifact-noise to the join's scale
+  // curve; real corpora live in a vastly larger shingle space, like
+  // this one, where accidental candidate pairs stay negligible.
   private val Vocab: Array[String] = {
     val rnd = new scala.util.Random(1234567L)
-    Array.fill(500)(Iterator.continually(rnd.nextInt(26)).take(6)
+    Array.fill(5000)(Iterator.continually(rnd.nextInt(26)).take(6)
       .map(c => ('a' + c).toChar).mkString)
   }
 
@@ -67,35 +73,40 @@ object PipelineBench {
     v.map(_ / nrm)
   }
 
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(100000)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** One full pipeline pass at `n` docs: per-stage seconds + found
+    * counts. Factored out of main so the scale SWEEP (and the growth
+    * spec) can run the identical stages at several n. */
+  case class Result(n: Int, timings: Seq[(String, Double)],
+                    counts: Seq[(String, Long)]) {
+    def total: Double = timings.map(_._2).sum
+    def json: String =
+      s"""{"metric":"pipeline_bench","n_docs":$n,""" +
+        timings.map { case (k, v) => s""""${k}_s":${f"$v%.2f"}""" }.mkString(",") +
+        s""","total_s":${f"$total%.2f"},"docs_per_s":${(n / total).toInt},""" +
+        counts.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
+  }
 
-    def timed[T](f: => T): (T, Double) = {
+  def runOnce(spark: SparkSession, n: Int): Result = {
+    def timed[T](name: String)(f: => T): (T, Double) = {
+      System.err.println(s"[pipeline n=$n] stage $name")
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (docs, tGen) = timed {
+    val (docs, tGen) = timed("gen") {
       val d = generate(spark, n).localCheckpoint(); d.count(); d
     }
-    val (nExact, tExact) = timed {
+    val (nExact, tExact) = timed("exact") {
       docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
         .filter(col("c") > 1).count()
     }
-    val (nMinhash, tMinhash) = timed {
+    val (nMinhash, tMinhash) = timed("minhash") {
       operators.MinHashLSH.verifiedPairs(docs, minJaccard = 0.8).count()
     }
-    val (pairs, tNgram) = timed {
+    val (pairs, tNgram) = timed("ngram") {
       val p = operators.NgramJoin.similarPairs(docs, 3, 0.8).localCheckpoint()
       p.count(); p
     }
-    val ((nClusters, nMembers), tCC) = timed {
+    val ((nClusters, nMembers), tCC) = timed("cc") {
       // driverThreshold=0 pins the DISTRIBUTED star-contraction path —
       // this bench demonstrates the 100 TB shape, not the small-graph
       // driver fast path the hybrid would pick at this edge count
@@ -107,7 +118,7 @@ object PipelineBench {
     // Benchmark decontamination at volume: every 997th doc forms the
     // held-out eval slice; its distinct-trigram blocklist broadcasts
     // and the corpus side is one narrow scan + map-side semi join.
-    val (nContam, tDecon) = timed {
+    val (nContam, tDecon) = timed("decon") {
       val g = docs
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
         .filter(size(col("ts")) >= 3)
@@ -120,7 +131,7 @@ object PipelineBench {
     // Topic clustering at volume: 100 planted centers, 3 Lloyd rounds
     // from the deterministic one-seed-per-topic start. Perfect recovery
     // means 100 clusters of exactly n/100 members each.
-    val (kmStats, tKm) = timed {
+    val (kmStats, tKm) = timed("kmeans") {
       import spark.implicits._
       // checkpoint: lloyd makes 2 passes per round (assign + means) and
       // would otherwise regenerate the corpus each time
@@ -131,17 +142,63 @@ object PipelineBench {
         max(col("n_members"))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val total = tGen + tExact + tMinhash + tNgram + tCC + tDecon + tKm
-    println(s"""{"metric":"pipeline_bench","n_docs":$n,""" +
-      s""""gen_s":${f"$tGen%.2f"},"exact_s":${f"$tExact%.2f"},""" +
-      s""""minhash_s":${f"$tMinhash%.2f"},"ngram_s":${f"$tNgram%.2f"},""" +
-      s""""cc_s":${f"$tCC%.2f"},"decon_s":${f"$tDecon%.2f"},""" +
-      s""""kmeans_s":${f"$tKm%.2f"},"total_s":${f"$total%.2f"},""" +
-      s""""docs_per_s":${(n / total).toInt},""" +
-      s""""exact_dup_groups":$nExact,"minhash_pairs":$nMinhash,""" +
-      s""""ngram_pairs":${pairs.count()},"clusters":$nClusters,"clustered_docs":$nMembers,""" +
-      s""""contaminated_docs":$nContam,""" +
-      s""""km_clusters":${kmStats._1},"km_min_size":${kmStats._2},"km_max_size":${kmStats._3}}""")
+    Result(n,
+      Seq("gen" -> tGen, "exact" -> tExact, "minhash" -> tMinhash,
+        "ngram" -> tNgram, "cc" -> tCC, "decon" -> tDecon, "kmeans" -> tKm),
+      Seq("exact_dup_groups" -> nExact, "minhash_pairs" -> nMinhash,
+        "ngram_pairs" -> pairs.count(), "clusters" -> nClusters,
+        "clustered_docs" -> nMembers, "contaminated_docs" -> nContam,
+        "km_clusters" -> kmStats._1, "km_min_size" -> kmStats._2,
+        "km_max_size" -> kmStats._3))
+  }
+
+  /** Usage: `runMain graft.PipelineBench [n]` (one pass, JSON line) or
+    * `runMain graft.PipelineBench sweep n1 n2 ...` — the 100 TB design
+    * argument made measurable: per-n passes plus the fitted log-log
+    * growth exponent of wall time (1.0 = linear; the candidate counts
+    * are exactly linear by planted construction), written to
+    * PIPELINE_BENCH.json. */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (args.headOption.contains("sweep")) {
+      val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                  else Seq(100000, 200000, 400000)
+      val results = sizes.map { n =>
+        val r = runOnce(spark, n); println(r.json)
+        // drop the finished size's cached plans and nudge the
+        // ContextCleaner to reap its localCheckpoint blocks before the
+        // next (larger) size — leftover storage memory from run k
+        // starves run k+1's broadcast builds
+        spark.catalog.clearCache()
+        System.gc()
+        r
+      }
+      val exp = growthExponent(results.map(r => (r.n.toDouble, r.total)))
+      val json = s"""{"metric":"pipeline_sweep","sizes":${sizes.mkString("[", ",", "]")},""" +
+        s""""time_growth_exponent":${f"$exp%.3f"},""" +
+        s""""runs":[${results.map(_.json).mkString(",")}]}"""
+      println(json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PIPELINE_BENCH.json"), json)
+    } else {
+      val n = args.headOption.map(_.toInt).getOrElse(100000)
+      println(runOnce(spark, n).json)
+    }
     spark.stop()
+  }
+
+  /** Least-squares slope of log(t) vs log(n) — the growth exponent. */
+  def growthExponent(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    num / xs.map(x => (x - mx) * (x - mx)).sum
   }
 }

@@ -59,7 +59,13 @@ object NgramJoin {
       explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), col("set_size"), xxhash64(col("shingle")).as("sh"))
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    exploded.join(dfreq, "sh")
+    // hint("merge"): dfreq is CORPUS-SIZED (one row per distinct
+    // shingle) and must never broadcast — but `sets` is a checkpointed
+    // LogicalRDD with no stats, and the planner's size guess flipped
+    // this join to broadcast, which grows linearly with the corpus and
+    // hit Spark's 8 GiB hard cap at 400k docs (found by the
+    // PipelineBench sweep). Same reasoning as candidatesFromSets below.
+    exploded.join(dfreq.hint("merge"), "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)))
       .filter(col("rk") <= col("set_size") - ceil(col("set_size") * minJaccard) + 1)

@@ -1,0 +1,46 @@
+package graft
+
+/** The dedup pipeline's scale curve, gated: doubling the corpus twice
+  * (15k → 30k → 60k docs) must grow wall time near-linearly and the
+  * planted counts EXACTLY linearly. A quadratic stage (all-pairs
+  * candidate blowup, unpruned join) shows up as an exponent toward 2
+  * long before it ooms a cluster — this is the LshScalingSpec idiom one
+  * level up, over the whole exact→minhash→ngram→CC→decontaminate→kmeans
+  * composition. The committed PIPELINE_BENCH.json runs the same sweep
+  * at 100k/200k/400k via `runMain graft.PipelineBench sweep`. */
+class PipelineScalingSpec extends SparkTestBase {
+
+  test("pipeline wall time grows near-linearly over two doublings") {
+    val sizes = Seq(15000, 30000, 60000)
+    // JVM/codegen warmup so the smallest run isn't penalized with
+    // one-time compilation cost (which would UNDERSTATE the exponent)
+    PipelineBench.runOnce(spark, 2000)
+    val results = sizes.map(n => PipelineBench.runOnce(spark, n))
+
+    results.foreach { r =>
+      val c = r.counts.toMap
+      // planted structure: (n/20 - 1) clusters of exactly 4 members
+      assert(c("clusters") == r.n / 20 - 1, s"n=${r.n}: ${c("clusters")}")
+      assert(c("clustered_docs") == 4L * (r.n / 20 - 1))
+      assert(c("exact_dup_groups") == r.n / 20 - 1)
+      assert(c("km_clusters") == 100L)
+    }
+    // candidate volume must be linear in n by construction — a
+    // superlinear candidate count means a pruning stage broke
+    val p0 = results.head.counts.toMap.apply("ngram_pairs").toDouble
+    results.zip(sizes).foreach { case (r, n) =>
+      val expected = p0 * n / sizes.head
+      val got = r.counts.toMap.apply("ngram_pairs").toDouble
+      assert(math.abs(got - expected) / expected < 0.02,
+        s"n=$n: ngram_pairs $got vs linear $expected")
+    }
+
+    val exp = PipelineBench.growthExponent(
+      results.map(r => (r.n.toDouble, r.total)))
+    info(f"pipeline growth exponent over ${sizes.mkString("/")}: $exp%.3f " +
+      s"(totals ${results.map(r => f"${r.total}%.1f").mkString("s, ")}s)")
+    assert(exp < 1.45,
+      f"wall time must stay near-linear, got exponent $exp%.3f")
+    assert(exp > 0.3, "sub-constant growth means a stage stopped scaling with n")
+  }
+}
