@@ -1,6 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round benchmark: one JSON artifact line with per-query medians.
+  *
+  * Failure-honest by construction: a query that throws contributes NO
+  * timing (a broken query must never make the bench look faster), its
+  * message is recorded under "errors", and the process exits nonzero so
+  * the driver can flag the artifact. The JSON line is printed (and
+  * flushed) BEFORE session shutdown chatter and also mirrored to
+  * `bench_out.json`, so a truncating log capture cannot eat its head —
+  * and `/proc/loadavg` is sampled before and after so a
+  * contention-poisoned run is detectable from the artifact alone.
+  *
+  * The headline "total" covers the BATCH queries (median of 3 — one
+  * noisy run in either direction is discarded). The streaming family
+  * (q71–q76) really executes micro-batch jobs whose wall time is
+  * dominated by harness overhead (landing-drop setup, state store,
+  * per-batch scheduling), not operator throughput; they run once each
+  * and report under "streaming"/"streaming_total" so the headline stays
+  * comparable round-over-round and is never diluted by stream plumbing.
+  */
 object Bench {
+
+  final case class QResult(name: String, sec: Double, err: Option[String])
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
+    catch { case _: Throwable => "-1" }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def timeQuery(spark: SparkSession, sfDir: String, name: String,
+                fn: (SparkSession, String) => DataFrame, runs: Int): QResult = {
+    val timings = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    timings.collectFirst { case Left(err) => QResult(name, -1.0, Some(err)) }
+      .getOrElse(QResult(name, median(timings.collect { case Right(t) => t }), None))
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Runs everything, returns (artifact JSON line, exit code). Pure of
+    * System.exit/println so BenchSpec can assert a deliberately-broken
+    * query poisons the exit code instead of the timings. */
+  def run(spark: SparkSession, sfDir: String,
+          batch: Map[String, (SparkSession, String) => DataFrame],
+          streaming: Map[String, (SparkSession, String) => DataFrame],
+          runs: Int = 3): (String, Int) = {
+    val loadPre = loadavg()
+    val batchR = batch.toSeq.sortBy(_._1).map { case (n, f) =>
+      timeQuery(spark, sfDir, n, f, runs) }
+    val streamR = streaming.toSeq.sortBy(_._1).map { case (n, f) =>
+      timeQuery(spark, sfDir, n, f, 1) }
+    val loadPost = loadavg()
+
+    def queriesJson(rs: Seq[QResult]) =
+      rs.filter(_.err.isEmpty).map(r => s"${jsonStr(r.name)}:${r.sec}")
+        .mkString("{", ",", "}")
+    val errs = (batchR ++ streamR).filter(_.err.isDefined)
+    val errJson = errs.map(r => s"${jsonStr(r.name)}:${jsonStr(r.err.get)}")
+      .mkString("{", ",", "}")
+    def total(rs: Seq[QResult]) = rs.filter(_.err.isEmpty).map(_.sec).sum
+
+    val json =
+      s"""{"metric":"total","value":${total(batchR)},"unit":"sec",""" +
+        s""""queries":${queriesJson(batchR)},""" +
+        s""""streaming":${queriesJson(streamR)},""" +
+        s""""streaming_total":${total(streamR)},""" +
+        s""""errors":$errJson,"n_failed":${errs.size},""" +
+        s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
+        s""""sf":${jsonStr(sfDir)}}"""
+    (json, if (errs.nonEmpty) 1 else 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,22 +98,16 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     } catch { case _: Throwable => }
-    // Per-query MEDIAN of 3 runs: one pass per query made the artifact
-    // hostage to machine contention (round-2's committed bench was 4x
-    // the idle-machine truth); the median of three discards a noisy
-    // outlier run in either direction.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.sorted.apply(1)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val streamingNames = SparkEntry.streamingQueries.keySet
+    val (json, exitCode) = run(spark, sfDir,
+      SparkEntry.queries.view.filterKeys(!streamingNames(_)).toMap,
+      SparkEntry.streamingQueries)
+    // artifact first, own line, flushed — then a file mirror, THEN teardown
+    println(); println(json); Console.out.flush()
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+    catch { case _: Throwable => }
     spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }
