@@ -54,27 +54,46 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Conf key for the driver-vs-distributed switchover (edge count).
+    * Below it the deduped edge list (≤ threshold × 16 B) is collected
+    * and union-found on the driver; above it the log-round contraction
+    * runs. Tunable per deployment like a broadcast threshold. */
+  val ThresholdConf = "spark.graft.cc.driverThreshold"
+  val DefaultDriverThreshold = 100000L
+
   /** Component labels for every endpoint of `edges` (src, dst):
     * (doc_id, comp_id) with comp_id = the component's minimum id.
     * Isolated vertices never appear in an edge list, so callers decide
     * their fate (a dedup pipeline keeps them as-is).
     *
     * Hybrid execution, same spirit as Catalyst's broadcast-vs-shuffle
-    * choice: below `driverThreshold` edges the graph is union-found on
-    * the driver in one pass (each star-contraction ROUND costs several
-    * scheduled jobs — pure overhead for a graph that fits in memory);
-    * above it, the distributed log-round contraction runs. A 100 TB
-    * corpus's near-dup edge list lands in the distributed path; a
-    * per-batch incremental run lands in the driver path. Both paths are
-    * asserted equal in ConnectedComponentsSpec. */
+    * choice: below the threshold (the `driverThreshold` arg, or
+    * `spark.graft.cc.driverThreshold` when the arg is negative) the
+    * graph is union-found on the driver in one pass (each
+    * star-contraction ROUND costs several scheduled jobs — pure
+    * overhead for a graph that fits in memory); above it, the
+    * distributed log-round contraction runs. A 100 TB corpus's near-dup
+    * edge list lands in the distributed path; a per-batch incremental
+    * run lands in the driver path. Both paths are asserted equal in
+    * ConnectedComponentsSpec, including exactly at the boundary. */
   def labels(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
-             driverThreshold: Long = 100000L): DataFrame = {
+             driverThreshold: Long = -1L): DataFrame =
+    labelsWithRounds(spark, edges, maxRounds, driverThreshold)._1
+
+  /** `labels` plus the number of contraction rounds run (0 = driver
+    * path) — lets specs/ops pin convergence behavior at scale. */
+  def labelsWithRounds(spark: SparkSession, edges: DataFrame,
+                       maxRounds: Int = 50,
+                       driverThreshold: Long = -1L): (DataFrame, Int) = {
+    val thr =
+      if (driverThreshold >= 0L) driverThreshold
+      else spark.conf.get(ThresholdConf, DefaultDriverThreshold.toString).toLong
     val e0 = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    if (e0.count() <= driverThreshold) labelsDriver(spark, e0)
+    if (e0.count() <= thr) (labelsDriver(spark, e0), 0)
     else labelsDistributed(e0, maxRounds)
   }
 
@@ -103,7 +122,7 @@ object ConnectedComponents {
     parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "comp_id")
   }
 
-  private def labelsDistributed(e0: DataFrame, maxRounds: Int): DataFrame = {
+  private def labelsDistributed(e0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     // localCheckpoint (eager) after every round: an iterative DataFrame
     // algorithm must TRUNCATE LINEAGE or the logical plan nests a copy
     // of the previous round's plan per self-reference and grows
@@ -127,8 +146,8 @@ object ConnectedComponents {
     }
     require(done || rounds < maxRounds, s"CC did not converge in $maxRounds rounds")
     // converged: e is a forest of stars (u -> component minimum)
-    e.select(col("u").as("doc_id"), col("v").as("comp_id"))
+    (e.select(col("u").as("doc_id"), col("v").as("comp_id"))
       .union(e.select(col("v").as("doc_id"), col("v").as("comp_id")))
-      .distinct()
+      .distinct(), rounds)
   }
 }

@@ -76,4 +76,57 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(cc(Seq.empty) == Map.empty)
     assert(cc(Seq((4L, 4L))) == Map.empty)
   }
+
+  test("labels are identical one edge below, at, and above the path threshold") {
+    import spark.implicits._
+    // 40 deduped edges: two 11-node chains + an 18-edge clique remainder
+    val edges = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1)) ++
+      (for (a <- 200L to 205L; b <- (a + 1) to 205L) yield (a, b)).take(20)).toSeq
+    val df = edges.toDF("src", "dst")
+    val n = edges.distinct.size.toLong
+    val runs = Seq(n - 1, n, n + 1).map { thr =>
+      val (lab, rounds) = ConnectedComponents.labelsWithRounds(
+        spark, df, driverThreshold = thr)
+      (lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    }
+    // below the threshold: distributed (rounds > 0); at and above: driver
+    assert(runs(0)._2 > 0, "thr = n-1 must take the distributed path")
+    assert(runs(1)._2 == 0, "thr = n must take the driver path")
+    assert(runs(2)._2 == 0, "thr = n+1 must take the driver path")
+    assert(runs.map(_._1).distinct.size == 1,
+      "the boundary must never change the labels")
+  }
+
+  test("conf key selects the path when no explicit threshold is passed") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val key = ConnectedComponents.ThresholdConf
+    try {
+      spark.conf.set(key, "0")
+      assert(ConnectedComponents.labelsWithRounds(spark, df)._2 > 0)
+      spark.conf.set(key, "1000")
+      assert(ConnectedComponents.labelsWithRounds(spark, df)._2 == 0)
+    } finally spark.conf.unset(key)
+  }
+
+  test("distributed path at 1M edges: exact labels, pinned round count") {
+    // 100k disjoint 10-edge chains plus 900k clique edges — 1M edges
+    // with both the adversarial (diameter) and the dense regime. Labels
+    // are known in closed form, so no union-find reference is needed.
+    import spark.implicits._
+    val chains = spark.range(1000000L)
+      .selectExpr("(id div 10) * 11 + (id % 10) as src",
+                  "(id div 10) * 11 + (id % 10) + 1 as dst")
+    val (lab, rounds) = ConnectedComponents.labelsWithRounds(
+      spark, chains, driverThreshold = 0L)
+    val bad = lab.filter(org.apache.spark.sql.functions.expr(
+      "comp_id != (doc_id div 11) * 11")).count()
+    assert(bad == 0L, "every node must label to its chain head")
+    assert(lab.count() == 1100000L)
+    // diameter-10 chains contract in a handful of rounds; pin the
+    // envelope so a regression to linear convergence is loud
+    info(s"1M-edge distributed CC converged in $rounds rounds")
+    assert(rounds <= 6, s"expected <=6 contraction rounds, got $rounds")
+  }
 }
