@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Optimizer rule: rewrite a pure point-in-interval INNER join
   * (`p >= lo AND p <= hi`, no equi conjunct) into the binned equi-join
@@ -54,11 +54,14 @@ case class BinnedIntervalJoinRule(session: SparkSession)
 
   /** The join qualifies iff its condition is EXACTLY two conjuncts
     * forming lo <= p <= hi with the point on one side and both bounds
-    * on the other, all numeric. Any equi conjunct means Catalyst
-    * already has a hash-join key and the rewrite would only add cost. */
+    * on the other, all on a binnable axis (numeric, date, or
+    * timestamp — comparison coercion has already aligned the three to
+    * one type by the time the optimizer sees them). Any equi conjunct
+    * means Catalyst already has a hash-join key and the rewrite would
+    * only add cost. */
   private def matchRange(l: LogicalPlan, r: LogicalPlan,
                          cond: Expression): Option[(Expression, Expression, Expression)] = {
-    def numeric(e: Expression) = e.dataType.isInstanceOf[NumericType]
+    def numeric(e: Expression) = binnable(e.dataType)
     def fromL(e: Expression) = e.references.subsetOf(l.outputSet) && numeric(e)
     def fromR(e: Expression) = e.references.subsetOf(r.outputSet) && numeric(e)
 
@@ -84,10 +87,25 @@ case class BinnedIntervalJoinRule(session: SparkSession)
     }
   }
 
+  private def binnable(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Temporal axes discretize on their natural integer grain — DAYS for
+    * dates, SECONDS for timestamps (same convention as the declarative
+    * `IntervalJoin.pointInInterval`), so `binWidth` keeps one meaning
+    * across the SQL and DataFrame surfaces. */
+  private def toLongAxis(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case TimestampType => UnixSeconds(e)
+    case _ => e
+  }
+
   /** floor(x / width) — via double division, exact for |x| < 2^53
     * (epoch seconds/millis and harness keys are far below). */
   private def bin(x: Expression, width: Long): Expression =
-    Floor(Divide(Cast(x, DoubleType), Literal(width.toDouble)))
+    Floor(Divide(Cast(toLongAxis(x), DoubleType), Literal(width.toDouble)))
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan, p: Expression,
                       lo: Expression, hi: Expression, cond: Expression,

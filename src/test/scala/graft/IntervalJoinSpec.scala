@@ -80,6 +80,49 @@ class IntervalJoinSpec extends SparkTestBase {
     finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("optimizer rule rewrites date and timestamp BETWEEN joins from SQL") {
+    import graft.plans.BinnedIntervalJoinRule
+    val rnd = new scala.util.Random(23)
+    val day = 86400000L
+    val t0 = java.sql.Date.valueOf("2024-01-01").getTime
+    val pts = Seq.tabulate(120)(i => (i.toLong,
+      new java.sql.Date(t0 + rnd.nextInt(360) * day))).toDF("pid", "d")
+    val ivs = Seq.tabulate(40) { i =>
+      val a = rnd.nextInt(330)
+      (i.toLong, new java.sql.Date(t0 + a * day),
+        new java.sql.Date(t0 + (a + rnd.nextInt(30)) * day))
+    }.toDF("iid", "dlo", "dhi")
+    pts.createOrReplaceTempView("bin_pts")
+    ivs.createOrReplaceTempView("bin_ivs")
+    def sqlJoin = spark.sql(
+      "SELECT pid, iid FROM bin_pts JOIN bin_ivs ON d BETWEEN dlo AND dhi")
+    val naive = sqlJoin.as[(Long, Long)].collect().toSet
+    assert(sqlJoin.queryExecution.sparkPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "without the rule this is a BNLJ")
+
+    spark.experimental.extraOptimizations = Seq(BinnedIntervalJoinRule(spark))
+    spark.conf.set("spark.graft.intervalJoin.binWidth", "7") // days
+    try {
+      val plan = sqlJoin.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+        s"date axis must qualify for the binned rewrite:\n$plan")
+      assert(sqlJoin.as[(Long, Long)].collect().toSet == naive)
+
+      // timestamp axis: binWidth means SECONDS
+      val tpts = pts.select(col("pid"), col("d").cast("timestamp").as("t"))
+      val tivs = ivs.select(col("iid"), col("dlo").cast("timestamp").as("tlo"),
+        col("dhi").cast("timestamp").as("thi"))
+      spark.conf.set("spark.graft.intervalJoin.binWidth", (7 * 86400).toString)
+      val tj = tpts.join(tivs, col("t") >= col("tlo") && col("t") <= col("thi"))
+      assert(!tj.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "timestamp axis must qualify for the binned rewrite")
+      assert(tj.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
+    } finally {
+      spark.conf.unset("spark.graft.intervalJoin.binWidth")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("timestamps discretize on epoch seconds") {
     val pts = Seq(1L, 100L, 86400L, 86401L)
       .map(s => (s, new java.sql.Timestamp(s * 1000L))).toDF("pid", "t")
