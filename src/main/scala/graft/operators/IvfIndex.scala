@@ -84,9 +84,59 @@ object IvfIndex {
       .orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
+      // a (probe, vector) pair that met in two probed cells is the same
+      // candidate twice: dedup on the PAIR KEY, not on (pair, sim) —
+      // hashing the double adds cost and buys nothing (sim is a pure
+      // function of the pair)
+      .dropDuplicates("probe_id", "vec_id")
       .select(col("probe_id"), col("vec_id"),
               cosine(col("pemb"), col("emb")).as("sim"))
-      .distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Ingest-side index materialization (SURVEY.md §2.3 J7: "the cell id
+    * becomes a partition/bucket key at ingest"): the corpus is written
+    * partitioned BY CELL, plus the small centroid table beside it. A
+    * probe then reads only its `nprobe` cell directories — at 100 TB the
+    * search I/O is corpus×nprobe/nlist, enforced by the layout itself
+    * rather than by a runtime filter. */
+  def writeIndexed(corpus: DataFrame, dir: String, nlist: Int,
+                   approxRows: Option[Long] = None): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cents = centroids(corpus, nlist, approxRows)
+    cents.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+      .toDF("cell", "emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val bc = s.sparkContext.broadcast(cents)
+    corpus.withColumn("cell", cellOf(col("emb"), bc))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+  }
+
+  /** Per-probe top-`k` against a `writeIndexed` layout. The probes' cell
+    * set is O(probes × nprobe) — model-sized — so it is collected and
+    * pushed as a LITERAL partition filter: the scan's PartitionFilters
+    * prune every unprobed cell directory statically (asserted in
+    * IvfIndexSpec), with no dependence on runtime DPP. */
+  def topKIndexed(probes: DataFrame, dir: String, nprobe: Int, k: Int): DataFrame = {
+    val s = probes.sparkSession
+    val cents = s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val bc = s.sparkContext.broadcast(cents)
+    val probed = probes
+      .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    s.read.parquet(s"$dir/index")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+              cosine(col("pemb"), col("emb")).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, VectorQueries}
+
+/** The IVF write path: `writeIndexed` partitions the corpus by cell, and
+  * `topKIndexed` must (a) answer identically to the in-memory `topK`
+  * and (b) read ONLY the probed cell directories — the partition filter
+  * must appear in the scan and the layout must actually prune. */
+class IvfIndexSpec extends SparkTestBase {
+
+  private val nlist = 16
+  private val nprobe = 2
+  private val k = 5
+
+  test("indexed probe equals in-memory topK and prunes unprobed cells") {
+    val e = VectorQueries.emb(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivf-idx").toString
+    IvfIndex.writeIndexed(e, dir, nlist)
+
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val got = IvfIndex.topKIndexed(probes, dir, nprobe, k)
+    val want = IvfIndex.topK(e, probes, nlist, nprobe, k)
+    val cols = Seq("probe_id", "vec_id", "sim", "rn")
+    assert(got.select(cols.head, cols.tail: _*).exceptAll(
+      want.select(cols.head, cols.tail: _*)).isEmpty)
+    assert(want.select(cols.head, cols.tail: _*).exceptAll(
+      got.select(cols.head, cols.tail: _*)).isEmpty)
+    assert(got.count() > 0)
+
+    // the scan must carry a LITERAL partition filter on cell...
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"cell must be a partition filter:\n$p")
+    // ...and the probed-cell set must be a strict subset of the layout
+    val probedCells = IvfIndex.probeCells(e, probes, nlist, nprobe)
+      .select("cell").distinct().count()
+    assert(probedCells < nlist,
+      "test geometry must leave unprobed cells or pruning is vacuous")
+  }
+}
