@@ -1,0 +1,46 @@
+package graft
+
+/** Multi-executor proxy gate (the closest local[4] gets to a 1000-node
+  * shuffle): every hash-compared query must produce IDENTICAL rows under
+  * different `spark.sql.shuffle.partitions` — i.e., under different
+  * physical groupings, reducer counts, and aggregation orders. Anything
+  * order-dependent (a raw double sum, a non-total ordering before a
+  * row_number, an iteration whose state depends on partition layout)
+  * fails here before it fails as a flaky oracle on a real cluster.
+  * Queries chosen: the decimal-sum family, the iterative operators
+  * (k-means, BPE), the join-heavy dedup path, and window/session stats.
+  */
+class PartitioningInvarianceSpec extends SparkTestBase {
+
+  private val names = Seq(
+    "q01_pricing_summary",  // decimal-routed sums
+    "q53_ngram_neardup",    // prefix-filter join over hashed shingles
+    "q55_tfidf_terms",      // rational idf + windowed argmax
+    "q60_session_stats",    // ordered windows, order-dependent payload
+    "q64_bm25",             // shared-shuffle tf/df + float chain
+    "q65_kmeans",           // ITERATIVE: 2 Lloyd rounds of float means
+    "q67_vocab_coverage",   // corpus-side hash agg + bounded window
+    "q70_bpe_merges")       // ITERATIVE: per-round global argmax
+
+  test("query results are invariant to the shuffle partitioning") {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    def runAll(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set(key, parts.toString)
+      names.map { n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect()
+          .map(_.toString).sorted.toSeq
+      }.toMap
+    }
+    try {
+      val at3 = runAll(3)
+      val at17 = runAll(17)
+      names.foreach { n =>
+        assert(at3(n) == at17(n),
+          s"$n differs between 3 and 17 shuffle partitions — " +
+            "order-dependent computation would be nondeterministic at scale")
+        assert(at3(n).nonEmpty, s"$n returned no rows; the check is vacuous")
+      }
+    } finally spark.conf.set(key, orig)
+  }
+}
