@@ -40,6 +40,13 @@ object ApproxOracle {
           t => xxhash64(t))).as("th")),
       "simhash_tokens")
 
+    // q77/q78: the per-asset REAL-decode rows (pure per-row codec calls
+    // — javax.imageio / javax.sound.sampled), from which DuckDB redoes
+    // the modality rollup and the unfiltered all-pairs Hamming join
+    OracleExport.write(
+      Multimodal.decodeMedia(Multimodal.realAssets(docs.select("doc_id"))).toDF(),
+      "media_features")
+
     val e = VectorQueries.emb(spark, sfDir)
     OracleExport.write(
       VectorQueries.lshBucketed(e, VectorQueries.AnnTables, VectorQueries.AnnBits)

@@ -1,0 +1,161 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** REAL media codecs, JDK-only (SURVEY.md §2.11 L4): PNG via
+  * `javax.imageio`, WAV/PCM via `javax.sound.sampled` — both ship with
+  * Java 17, so image and audio decode need no external libraries. This
+  * replaces the disclosed stub for those two modalities; video remains
+  * stubbed (the JDK has no video codec) and is marked as such at the
+  * dispatch site (`Multimodal.decodeMedia`).
+  *
+  * Everything here is a PURE PER-ROW function over payload bytes —
+  * exactly the shape that runs inside `mapPartitions` on executors with
+  * no shuffle, and exactly the shape the export-and-recompute oracle
+  * pattern can consume (Verify exports decoded rows; DuckDB redoes the
+  * relational remainder: rollups, Hamming-distance near-dup joins).
+  *
+  * aHash (average hash): decode → grayscale 8×8 resize → 64 bits, bit i
+  * set iff pixel i is brighter than the image mean. Two images within a
+  * few bit flips are perceptual near-duplicates — the image-modality
+  * member of the dedup family (L2), joinable by Hamming distance
+  * (DuckDB: bit_count(xor(a, b))).
+  */
+object MediaCodecs {
+
+  final case class ImageFeatures(width: Int, height: Int, meanLuma: Double,
+                                 aHash: Long, thumbW: Int, thumbH: Int)
+
+  final case class WavFeatures(sampleRate: Int, channels: Int, nFrames: Long,
+                               durationMs: Long, rms: Double)
+
+  // ---------------------------------------------------------------- image
+
+  /** Integer-exact luma (the BT.601 weights scaled by 1000) so decode
+    * features are bit-stable across JVMs — no float rounding per pixel. */
+  @inline private def luma1000(rgb: Int): Long = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    299L * r + 587L * g + 114L * b
+  }
+
+  /** Decode PNG/JPEG/BMP/GIF bytes: REAL dimensions and mean luma from
+    * the decoded raster, 64-bit aHash from an areal 8x8 downsample, and
+    * the aspect-preserving thumbnail dims for `thumbEdge`. */
+  def decodeImage(payload: Array[Byte], thumbEdge: Int): ImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var total = 0L
+    val cell = Array.ofDim[Long](64)
+    val cellN = Array.ofDim[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h) * 8
+      var x = 0
+      while (x < w) {
+        val l = luma1000(img.getRGB(x, y))
+        total += l
+        val c = cy + math.min(7, x * 8 / w)
+        cell(c) += l; cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    // average-hash bits from the 8x8 cell means vs the global mean —
+    // integer cross-multiplication, no division, so exactly stable
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cellN(i) > 0 && cell(i) * n > total * cellN(i)) bits |= (1L << i)
+      i += 1
+    }
+    val (tw, th) = Multimodal.resizeDims(w, h, thumbEdge)
+    ImageFeatures(w, h, total.toDouble / (1000.0 * n), bits, tw, th)
+  }
+
+  /** Deterministic REAL PNG: seeded dims and a seeded 8x8-block SCENE
+    * (each block gets its own brightness, plus fine gradient texture),
+    * encoded through ImageIO — the decode side then exercises the real
+    * codec, PNG is lossless so expectations are exact, and distinct
+    * seeds give distinct coarse structure (so unrelated aHashes are
+    * far apart, like unrelated photos). */
+  def makePng(seed: Long, flipPixels: Int = 0): Array[Byte] = {
+    val rnd = new scala.util.Random(0x1111abcdL ^ seed)
+    val w = 48 + (math.floorMod(seed, 48)).toInt
+    val h = 32 + (math.floorMod(seed >> 3, 48)).toInt
+    val scene = Array.fill(64)(rnd.nextInt(256))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = scene(math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w))
+        val r = (base + (x % 8) * 4) & 0xff
+        val g = (base + (y % 8) * 4) & 0xff
+        val b = base & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    // near-dup planting: flip a few pixels (tiny aHash perturbation)
+    val frnd = new scala.util.Random(0x5ca1eL ^ seed)
+    (0 until flipPixels).foreach { _ =>
+      img.setRGB(frnd.nextInt(w), frnd.nextInt(h), frnd.nextInt())
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  /** Decode WAV bytes through the real RIFF/PCM parser: format, frame
+    * count, duration, and RMS over the 16-bit samples. */
+  def decodeWav(payload: Array[Byte]): WavFeatures = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      var sumSq = 0.0
+      var i = 0
+      while (i + 1 < bytes.length) { // 16-bit little-endian PCM
+        val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toDouble
+        sumSq += s * s
+        i += 2
+      }
+      val nSamples = bytes.length / 2
+      WavFeatures(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        (frames * 1000L) / fmt.getSampleRate.toLong,
+        if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples))
+    } finally in.close()
+  }
+
+  /** Deterministic REAL mono 16-bit WAV: a seeded-frequency sine with a
+    * seeded length, written through the real RIFF encoder. */
+  def makeWav(seed: Long): Array[Byte] = {
+    val rate = 8000
+    val ms = 50 + math.floorMod(seed, 150)
+    val freq = 200.0 + math.floorMod(seed >> 2, 1800).toDouble
+    val n = (rate * ms / 1000L).toInt
+    val pcm = Array.ofDim[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+}

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * + typed metadata struct, decode / feature-extract / resize /
   * frame-sample as per-partition batch transforms).
   *
-  * The image/audio codecs are NOT in this container, so `decodeStub`
-  * is a clearly-marked deterministic fake: it "decodes" bytes into a
-  * fixed-shape feature row (length, byte histogram moments, fake
-  * width/height from the header bytes). Everything AROUND the stub —
-  * schema, binary column handling, typed Dataset batching, partition
-  * parallelism, metadata propagation — is real Spark plumbing and is
-  * what the specs assert on. Swapping the stub body for a real JNI/
-  * javax.imageio decode changes no plan shape.
+  * IMAGE and AUDIO decode are REAL — `decodeMedia` dispatches PNG to
+  * `javax.imageio` and WAV to `javax.sound.sampled` (both ship with the
+  * JDK; see MediaCodecs, exact round-trips in MediaCodecsSpec). VIDEO
+  * remains a clearly-marked deterministic stub (the JDK has no video
+  * codec and the container allows no external libraries); so does
+  * `decodeStub`, kept as the all-modality byte-stat fake that q35/q36
+  * exercise over text-bytes payloads. Either way the Spark shape is
+  * identical: schema, binary column handling, typed Dataset batching,
+  * partition parallelism, metadata propagation.
   *
   * Scale posture: payloads stay in executors (no collect); the decode
   * is a narrow mapPartitions (no shuffle); batch shape = one row per
@@ -79,6 +80,74 @@ object Multimodal {
     val frames = if (a.modality == "video") math.max(1, (a.duration_ms / 1000L).toInt) else 1
     AssetFeatures(a.asset_id, a.modality, bytes.length.toLong,
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, crc, tw, th, frames)
+  }
+
+  /** Unified decoded-media row. `real_decode` separates the modalities
+    * that run an ACTUAL codec (image: javax.imageio, audio:
+    * javax.sound.sampled — see MediaCodecs) from the disclosed video
+    * stub (the JDK has no video codec). Unused fields are zero for a
+    * modality (e.g. sample_rate for images). */
+  case class MediaFeatures(asset_id: Long, modality: String, n_bytes: Long,
+                           width: Int, height: Int, mean_luma: Double,
+                           ahash: Long, sample_rate: Int, n_frames: Long,
+                           duration_ms: Long, rms: Double, real_decode: Boolean)
+
+  /** REAL media corpus from an id column: PNG payloads for ids ≡ 0
+    * (mod 3), WAV for ≡ 1, a deterministic fake for video (≡ 2, no JDK
+    * codec — disclosed stub). Every 5th image is a planted perceptual
+    * NEAR-DUP of the previous image id (same scene, 3 pixels flipped),
+    * so the aHash near-dup join has known structure to recover.
+    * Generation happens on executors (seeded per id, no data movement),
+    * the same pattern as PipelineBench's corpus. */
+  def realAssets(ids: DataFrame): Dataset[Asset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        id % 3 match {
+          case 0 =>
+            val nearDup = id >= 3 && (id / 3) % 5 == 1
+            val payload = if (nearDup) MediaCodecs.makePng(id - 3, flipPixels = 3)
+                          else MediaCodecs.makePng(id)
+            Asset(id, "image", payload, "image/png", 0, 0, 0L)
+          case 1 =>
+            Asset(id, "audio", MediaCodecs.makeWav(id), "audio/wav", 0, 0, 0L)
+          case _ =>
+            val rnd = new scala.util.Random(0x71de0L ^ id)
+            val payload = Array.fill(100 + (id % 800).toInt)(rnd.nextInt().toByte)
+            Asset(id, "video", payload, "video/mp4", 0, 0, (id % 30 + 1) * 1000L)
+        }
+      }
+    }
+  }
+
+  /** REAL decode dispatch: images and audio run the true JDK codecs;
+    * video falls back to the byte-stat stub (marked real_decode=false).
+    * Same mapPartitions shape as decodeStub — payloads never leave
+    * executors, no shuffle, bounded feature width. */
+  def decodeMedia(assets: Dataset[Asset], thumbEdge: Int = 64): Dataset[MediaFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        a.mime match {
+          case "image/png" =>
+            val f = MediaCodecs.decodeImage(a.payload, thumbEdge)
+            MediaFeatures(a.asset_id, a.modality, a.payload.length.toLong,
+              f.width, f.height, f.meanLuma, f.aHash, 0, 1L, 0L, 0.0,
+              real_decode = true)
+          case "audio/wav" =>
+            val f = MediaCodecs.decodeWav(a.payload)
+            MediaFeatures(a.asset_id, a.modality, a.payload.length.toLong,
+              0, 0, 0.0, 0L, f.sampleRate, f.nFrames, f.durationMs, f.rms,
+              real_decode = true)
+          case _ =>
+            val s = decodeOne(a, thumbEdge)
+            MediaFeatures(a.asset_id, a.modality, s.n_bytes, 0, 0, 0.0, 0L,
+              0, s.n_frames.toLong, a.duration_ms, 0.0, real_decode = false)
+        }
+      }
+    }
   }
 
   /** Aspect-preserving resize arithmetic (real, not stubbed). */

@@ -32,8 +32,67 @@ object MultimodalQueries {
         countDistinct(col("asset_id")).as("n_videos"),
         count(lit(1)).as("total_frames"),
         max(col("frame_idx")).cast("long").as("max_frame_idx"))
+    }),
+
+    // REAL-decode rollup (L4, no stub for image/audio): PNG through
+    // javax.imageio, WAV through javax.sound.sampled, per-modality
+    // aggregate over true decoded dimensions/luma/sample counts. The
+    // oracle reads the exported per-asset feature rows (the decode is a
+    // pure per-row function — same export pattern as the chess position
+    // stream) and redoes the rollup relationally.
+    "q77_media_decode" -> ((s, d) => {
+      val feats = Multimodal.decodeMedia(
+        Multimodal.realAssets(documents(s, d).select("doc_id")))
+      feats.toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_assets"),
+             sum(col("n_bytes")).as("total_bytes"),
+             sum(col("width") + col("height")).cast("long").as("sum_dims"),
+             sum(col("n_frames")).cast("long").as("total_frames"),
+             round(sum(col("mean_luma").cast("decimal(38,6)")), 2)
+               .cast("double").as("sum_luma"),
+             round(sum(col("rms").cast("decimal(38,6)")), 2)
+               .cast("double").as("sum_rms"))
+    }),
+
+    // Image perceptual near-dup (L2's image-modality member): 64-bit
+    // aHash from the real decode, banded into 4x16-bit keys (pigeonhole:
+    // any pair within Hamming<=3 shares at least one intact band), band
+    // self-join, exact Hamming rescore. The oracle redoes the UNFILTERED
+    // all-pairs Hamming join in DuckDB, so every round also proves the
+    // banding lossless at the threshold.
+    "q78_image_neardup" -> ((s, d) => {
+      // localCheckpoint: the self-join consumes the decoded table twice,
+      // and each PNG decode is the expensive part
+      val img = Multimodal.decodeMedia(
+          Multimodal.realAssets(documents(s, d).select("doc_id")))
+        .toDF()
+        .filter(col("modality") === "image")
+        .select(col("asset_id"), col("ahash"))
+        .localCheckpoint()
+      val bands = img.select(col("asset_id"), col("ahash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band_idx"),
+            shiftrightunsigned(col("ahash"), i * 16)
+              .bitwiseAND(lit(0xffffL)).as("band_key"))): _*)).as("b"))
+        .select(col("asset_id"), col("ahash"),
+          col("b.band_idx"), col("b.band_key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.asset_id") < col("b.asset_id"))
+        .select(col("a.asset_id").as("asset_a"),
+          col("b.asset_id").as("asset_b"),
+          expr("CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
     })
   )
+
+  /** DuckDB table expression for the exported per-asset decode rows
+    * (written by ApproxOracle.export alongside the other non-ANSI
+    * artifacts). */
+  private def media = graft.OracleExport.p("media_features")
 
   val oracleSql: Map[String, String] = Map(
     // Mirrors assetsFromDocuments + decodeStub arithmetic: modality by
@@ -56,6 +115,28 @@ object MultimodalQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_videos,
          CAST(sum((n_chars * 10 - 1) // 1000 + 1) AS BIGINT) AS total_frames,
          CAST(max((n_chars * 10 - 1) // 1000) AS BIGINT) AS max_frame_idx
-         FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0"""
+         FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0""",
+
+    // rollup recomputed from the exported per-asset decoded rows (the
+    // decode itself is spec-verified: exact PNG/WAV round-trips in
+    // MediaCodecsSpec)
+    "q77_media_decode" ->
+      s"""SELECT modality, count(*) AS n_assets,
+          CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+          CAST(sum(width + height) AS BIGINT) AS sum_dims,
+          CAST(sum(n_frames) AS BIGINT) AS total_frames,
+          CAST(round(sum(CAST(mean_luma AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_luma,
+          CAST(round(sum(CAST(rms AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_rms
+          FROM $media GROUP BY 1""",
+
+    // the UNFILTERED all-pairs Hamming join — proves the 4x16-bit
+    // banding lossless at the <=3 threshold every round
+    "q78_image_neardup" ->
+      s"""WITH img AS (
+           SELECT asset_id, ahash FROM $media WHERE modality = 'image')
+          SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+            CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+          FROM img a JOIN img b ON a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""
   )
 }

@@ -1,0 +1,99 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaCodecs, Multimodal}
+
+/** The REAL media codecs: exact round-trips through javax.imageio and
+  * javax.sound.sampled, aHash behavior on planted perturbations, and
+  * the Spark decode dispatch over the generated corpus. */
+class MediaCodecsSpec extends SparkTestBase {
+
+  test("PNG round-trip is exact on a known raster") {
+    // 2x1 image with hand-picked pixels: PNG is lossless, so the decode
+    // must reproduce dimensions and the integer-exact BT.601 mean
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red   -> luma 299*255
+    img.setRGB(1, 0, 0x0000ff) // pure blue  -> luma 114*255
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val f = MediaCodecs.decodeImage(out.toByteArray, thumbEdge = 8)
+    assert(f.width == 2 && f.height == 1)
+    assert(f.meanLuma == (299.0 * 255 + 114.0 * 255) / (1000.0 * 2))
+    assert((f.thumbW, f.thumbH) == (8, 4)) // aspect floor is 1... 2:1 -> (8,4)
+  }
+
+  test("generated PNGs decode to their seeded dimensions") {
+    (0L until 30L by 3).foreach { seed =>
+      val f = MediaCodecs.decodeImage(MediaCodecs.makePng(seed), 64)
+      assert(f.width == 48 + math.floorMod(seed, 48).toInt, s"seed $seed")
+      assert(f.height == 32 + math.floorMod(seed >> 3, 48).toInt, s"seed $seed")
+      assert(f.meanLuma > 0 && f.meanLuma < 255)
+    }
+  }
+
+  test("aHash: identical images collide, few-pixel flips stay within Hamming 3, distinct scenes do not") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L until 60L by 6).foreach { seed =>
+      val base = MediaCodecs.decodeImage(MediaCodecs.makePng(seed), 64).aHash
+      val same = MediaCodecs.decodeImage(MediaCodecs.makePng(seed), 64).aHash
+      assert(base == same, "decode must be deterministic")
+      val dup = MediaCodecs.decodeImage(
+        MediaCodecs.makePng(seed, flipPixels = 3), 64).aHash
+      assert(ham(base, dup) <= 3, s"seed $seed: planted dup drifted ${ham(base, dup)} bits")
+      val other = MediaCodecs.decodeImage(MediaCodecs.makePng(seed + 1), 64).aHash
+      assert(ham(base, other) > 3, s"seed $seed: unrelated scenes too close")
+    }
+  }
+
+  test("WAV round-trip: format, frame count, duration, and sine RMS") {
+    (1L until 30L by 3).foreach { seed =>
+      val f = MediaCodecs.decodeWav(MediaCodecs.makeWav(seed))
+      val ms = 50 + math.floorMod(seed, 150)
+      assert(f.sampleRate == 8000 && f.channels == 1, s"seed $seed")
+      assert(f.nFrames == 8000 * ms / 1000, s"seed $seed")
+      assert(f.durationMs == (f.nFrames * 1000) / 8000)
+      // a full-scale sine at amplitude A has RMS A/sqrt(2); quantization
+      // and partial final cycle keep it within a few percent
+      val expected = 12000.0 / math.sqrt(2.0)
+      assert(math.abs(f.rms - expected) / expected < 0.05,
+        s"seed $seed: rms ${f.rms} vs $expected")
+    }
+  }
+
+  test("decodeMedia dispatch: real codecs for image/audio, stub only for video") {
+    import spark.implicits._
+    val ids = spark.range(60).toDF("doc_id")
+    val feats = Multimodal.decodeMedia(Multimodal.realAssets(ids)).toDF().cache()
+    assert(feats.filter(col("modality") === "image" && !col("real_decode")).count() == 0)
+    assert(feats.filter(col("modality") === "audio" && !col("real_decode")).count() == 0)
+    assert(feats.filter(col("modality") === "video" && col("real_decode")).count() == 0)
+    // image rows carry true dims, audio rows true sample geometry
+    assert(feats.filter(col("modality") === "image" &&
+      (col("width") < 48 || col("height") < 32)).count() == 0)
+    assert(feats.filter(col("modality") === "audio" &&
+      col("sample_rate") =!= 8000).count() == 0)
+  }
+
+  test("banded aHash join recovers exactly the all-pairs Hamming<=3 set") {
+    import spark.implicits._
+    val got = graft.operators.MultimodalQueries.queries("q78_image_neardup")(spark, sf)
+      .select("asset_a", "asset_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // oracle mirror: brute-force all pairs over the same decoded hashes
+    val hashes = Multimodal.decodeMedia(
+        Multimodal.realAssets(Tables.documents(spark, sf).select("doc_id")))
+      .toDF().filter(col("modality") === "image")
+      .select("asset_id", "ahash").as[(Long, Long)].collect()
+    val want = (for {
+      (a, ha) <- hashes.iterator
+      (b, hb) <- hashes.iterator if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want, s"banding lost ${(want -- got).size}, fabricated ${(got -- want).size}")
+    assert(want.nonEmpty, "planted near-dups must produce at least one pair")
+  }
+}
