@@ -170,6 +170,15 @@ object ApproxOracle {
             ON a.cell = pc.cell
           WHERE a.vec_id <> pc.probe_id"""),
 
+    // q79 runs the same IVF geometry through the partitioned WRITE
+    // path (writeIndexed + pruned-scan probe) — identical answer set,
+    // so the in-memory path's oracle applies verbatim
+    "q79_ann_ivf_indexed" -> annRescore(
+      s"""SELECT DISTINCT pc.probe_id, a.vec_id
+          FROM ${p("ivf_cells")} a JOIN ${p("ivf_probe_cells")} pc
+            ON a.cell = pc.cell
+          WHERE a.vec_id <> pc.probe_id"""),
+
     "q38_cosine_near_dup" ->
       s"""WITH cand AS (
            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

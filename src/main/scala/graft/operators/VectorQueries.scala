@@ -157,6 +157,25 @@ object VectorQueries {
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
 
+    // IVF through the WRITE PATH: the corpus materialized
+    // partitionBy(cell) + centroid sidecar (IvfIndex.writeIndexed),
+    // probes answered from the layout with a literal partition filter —
+    // at 100 TB the probe reads nprobe directories, nothing else
+    // (pruning plan-asserted in IvfIndexSpec). Same geometry as q37, so
+    // the cell-join + rescore oracle is shared verbatim; a divergence
+    // between the in-memory and on-disk paths fails the hash.
+    "q79_ann_ivf_indexed" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q79-ivf").toString
+      IvfIndex.writeIndexed(e, dir, nlist = IvfNList)
+      IvfIndex.topKIndexed(
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+          dir, nprobe = IvfNProbe, k = 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
     // Embedding-cosine near-dup, ALL pairs (L2 dedup mode): candidates
     // from multi-table hyperplane buckets whose COUNT scales with the
     // corpus (lshParams — candidate volume stays linear, asserted in
