@@ -199,6 +199,47 @@ object StreamingQueries {
       out.select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
+    // Stream–stream time-interval JOIN (the remaining ST shape —
+    // ST7 is stream–static): even-id events join odd-id events of the
+    // same user within ±5 minutes, both sides watermarked so join state
+    // stays bounded by the horizon. An INNER stream–stream join emits
+    // matches eagerly (no watermark flush needed for output, only for
+    // state cleanup), so the bounded run needs no sentinel. Oracle: the
+    // identical batch self-join in DuckDB.
+    "q80_stream_stream_join" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q80-landing")
+      splitByTime(events, landing, 3)
+      def side(parity: Int, suffix: String) =
+        readLanding(s, landing, events)
+          .filter(col("event_id") % 2 === parity)
+          .select(col("event_id").as(s"id_$suffix"),
+            col("ts").as(s"ts_$suffix"), col("user_id").as(s"user_$suffix"))
+          .withWatermark(s"ts_$suffix", "1 hour")
+      val joined = side(0, "a").join(side(1, "b"),
+        col("user_a") === col("user_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+      val out = runAppend(
+        joined.select(col("id_a"), col("id_b"), col("user_a").as("user_id")),
+        "q80")
+      out.select("id_a", "id_b", "user_id")
+    }),
+
+    // ST2 SLIDING windows (width 10 min, slide 5 min — every event in
+    // exactly two windows), watermarked append mode, sentinel-flushed.
+    "q81_stream_sliding" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q81-landing")
+      splitByTime(events, landing, 3)
+      flushDrops(s, events, landing, 3)
+      val out = runAppend(
+        EventStreams.windowedCounts(readLanding(s, landing, events),
+          width = "10 minutes", slide = Some("5 minutes")), "q81")
+      out.filter(col("event_type") =!= Flush)
+        .select("win_start", "win_end", "event_type", "n", "v")
+    }),
+
     // ST5 stateful dedup: every drop carries each of its rows TWICE;
     // dropDuplicatesWithinWatermark must emit each exactly once, so the
     // output hashes equal to the raw events table.
@@ -280,6 +321,26 @@ object StreamingQueries {
          FROM events GROUP BY 1, 2, 3""",
 
     "q75_stream_ingest" -> rawEvents,
-    "q76_stream_dedup" -> rawEvents
+    "q76_stream_dedup" -> rawEvents,
+
+    "q80_stream_stream_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts >= a.ts - INTERVAL 5 MINUTE
+          AND b.ts <= a.ts + INTERVAL 5 MINUTE
+         WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1""",
+
+    // every event lands in exactly two 10-min windows on the 5-min
+    // grid: ws_k = (floor(us/slide) - k) * slide for k in {0,1}
+    "q81_stream_sliding" ->
+      """SELECT make_timestamp(ws) AS win_start,
+         make_timestamp(ws + 600000000) AS win_end,
+         event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS v
+         FROM (SELECT ts, event_type, value,
+                 (epoch_us(ts) // 300000000 - t.k) * 300000000 AS ws
+               FROM events, range(2) t(k))
+         GROUP BY 1, 2, 3"""
   )
 }

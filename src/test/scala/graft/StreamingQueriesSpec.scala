@@ -69,4 +69,27 @@ class StreamingQueriesSpec extends SparkTestBase {
   test("q76: stateful dedup collapses the doubled feed to the raw rows") {
     assertSame(q("q76_stream_dedup"), events, "q76")
   }
+
+  test("q80: stream-stream interval join equals the batch self-join") {
+    val a = events.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
+      col("user_id")).filter(col("id_a") % 2 === 0)
+    val b = events.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
+      col("user_id")).filter(col("id_b") % 2 === 1)
+    val want = a.join(b, Seq("user_id"))
+      .filter(col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+      .select("id_a", "id_b", "user_id")
+    val got = q("q80_stream_stream_join")
+    assert(got.count() > 0, "the corpus must produce cross-parity matches")
+    assertSame(got, want, "q80")
+  }
+
+  test("q81: streamed sliding windows equal the batch windows, finals included") {
+    val got = q("q81_stream_sliding")
+    val want = EventStreams.windowedCounts(events,
+        width = "10 minutes", slide = Some("5 minutes"))
+      .select("win_start", "win_end", "event_type", "n", "v")
+    assert(got.count() === want.count(), "watermark flush must finalize every window")
+    assertSame(got, want, "q81")
+  }
 }
