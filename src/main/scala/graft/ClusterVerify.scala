@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-process shuffle validation — the closest a single box gets to
+  * a real cluster: `local-cluster[2,4,2048]` launches two SEPARATE
+  * worker JVMs, so shuffles serialize over the wire, broadcasts travel
+  * by RPC, and custom expressions/UDFs/codecs must actually serialize —
+  * none of which `local[n]` (one JVM, shared memory) ever exercises.
+  *
+  * Runs a representative query set twice — plain `local[8]`, then
+  * local-cluster — and demands ROW-IDENTICAL results. The set covers
+  * every serialization-sensitive surface: codegen'd custom expressions
+  * (LangId, vector cosine, broadcast-centroid k-means/IVF), Scala UDFs
+  * (MinHash), iterative lineage-truncated algorithms (BPE, k-means),
+  * the prefix-filter join, window/session analytics, and the real
+  * media codecs running inside executor JVMs.
+  *
+  * Usage (env vars required by the worker launcher on a release
+  * layout):
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *     sbt "runMain graft.ClusterVerify [sfDir]"
+  * Prints one JSON line; exits nonzero on any mismatch.
+  */
+object ClusterVerify {
+
+  private val Queries = Seq(
+    "q01_pricing_summary", "q03_join_agg", "q09_window_rank",
+    "q19_asof_join", "q25_minhash_pairs", "q29_lang_id",
+    "q31_knn_brute", "q37_ann_ivf", "q53_ngram_neardup",
+    "q55_tfidf_terms", "q60_session_stats", "q64_bm25",
+    "q65_kmeans", "q66_pii_scrub", "q70_bpe_merges",
+    "q77_media_decode", "q78_image_neardup")
+
+  private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
+    Queries.map { name =>
+      name -> SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    val local = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    local.sparkContext.setLogLevel("WARN")
+    val expected = runAll(local, sfDir)
+    local.stop()
+
+    // executors are fresh JVMs launched from SPARK_HOME's jars — they
+    // need this build's classes on their classpath explicitly
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "2g")
+      .config("spark.executor.extraClassPath", classes)
+      .getOrCreate()
+    cluster.sparkContext.setLogLevel("WARN")
+    // wait for the two worker JVMs to register (driver + 2 = 3) — and
+    // REQUIRE them, or the run silently degrades to driver-only and
+    // validates nothing
+    val deadline = System.currentTimeMillis() + 120000
+    def nExecNow = cluster.sparkContext.statusTracker.getExecutorInfos.length
+    while (nExecNow < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    val nExec = nExecNow
+    require(nExec >= 3,
+      s"local-cluster registered only $nExec executor(s); expected driver + 2 workers")
+    val got = runAll(cluster, sfDir)
+    cluster.stop()
+
+    val mismatches = Queries.filter(q => expected(q) != got(q))
+    val json =
+      s"""{"metric":"cluster_verify","queries":${Queries.size},""" +
+        s""""executors":$nExec,"mismatches":${mismatches.size},""" +
+        s""""mismatched":[${mismatches.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""sf":"$sfDir"}"""
+    println(); println(json); Console.out.flush()
+    if (mismatches.nonEmpty) sys.exit(1)
+  }
+}
