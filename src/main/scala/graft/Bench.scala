@@ -33,15 +33,19 @@ object Bench {
 
   def timeQuery(spark: SparkSession, sfDir: String, name: String,
                 fn: (SparkSession, String) => DataFrame, runs: Int): QResult = {
-    val timings = (1 to runs).map { _ =>
+    // iterator + takeWhile: stop at the FIRST failure instead of
+    // re-running a deterministically-broken query `runs` times
+    val timings = (1 to runs).iterator.map { _ =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
     }
-    timings.collectFirst { case Left(err) => QResult(name, -1.0, Some(err)) }
-      .getOrElse(QResult(name, median(timings.collect { case Right(t) => t }), None))
+    val collected = scala.collection.mutable.ListBuffer.empty[Either[String, Double]]
+    timings.takeWhile { r => collected += r; r.isRight }.foreach(_ => ())
+    collected.collectFirst { case Left(err) => QResult(name, -1.0, Some(err)) }
+      .getOrElse(QResult(name, median(collected.collect { case Right(t) => t }.toSeq), None))
   }
 
   private def jsonStr(s: String): String =
@@ -92,17 +96,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val streamingNames = SparkEntry.streamingQueries.keySet
+    val batch = SparkEntry.queries.view.filterKeys(!streamingNames(_)).toMap
     // Warm the JVM/codegen/catalog once so the first measured query
-    // doesn't absorb one-time session startup (~3-5s otherwise).
+    // doesn't absorb one-time session startup (~3-5s otherwise). Warm
+    // from the BATCH map only — the full map's hash-arbitrary head
+    // could be a streaming query that runs a whole micro-batch job.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
+      batch.get("q01_pricing_summary").orElse(batch.headOption.map(_._2))
+        .foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => }
 
-    val streamingNames = SparkEntry.streamingQueries.keySet
-    val (json, exitCode) = run(spark, sfDir,
-      SparkEntry.queries.view.filterKeys(!streamingNames(_)).toMap,
-      SparkEntry.streamingQueries)
+    val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries)
     // artifact first, own line, flushed — then a file mirror, THEN teardown
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)

@@ -76,13 +76,19 @@ object PipelineBench {
   /** One full pipeline pass at `n` docs: per-stage seconds + found
     * counts. Factored out of main so the scale SWEEP (and the growth
     * spec) can run the identical stages at several n. */
+  /** Locale-independent fixed-point formatting: the f"" interpolator
+    * follows the default locale, and a comma decimal separator (de_DE,
+    * fr_FR) would corrupt the JSON artifact. */
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   case class Result(n: Int, timings: Seq[(String, Double)],
                     counts: Seq[(String, Long)]) {
     def total: Double = timings.map(_._2).sum
     def json: String =
       s"""{"metric":"pipeline_bench","n_docs":$n,""" +
-        timings.map { case (k, v) => s""""${k}_s":${f"$v%.2f"}""" }.mkString(",") +
-        s""","total_s":${f"$total%.2f"},"docs_per_s":${(n / total).toInt},""" +
+        timings.map { case (k, v) => s""""${k}_s":${fmt(v, 2)}""" }.mkString(",") +
+        s""","total_s":${fmt(total, 2)},"docs_per_s":${(n / total).toInt},""" +
         counts.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
   }
 
@@ -167,9 +173,19 @@ object PipelineBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
+      catch { case _: Throwable => "-1" }
+
     if (args.headOption.contains("sweep")) {
       val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
                   else Seq(100000, 200000, 400000)
+      val loadPre = loadavg()
+      // warm the JVM/codegen BEFORE the first size, or ~10s of one-time
+      // startup bills to the smallest run and systematically UNDERSTATES
+      // the fitted exponent (the growth spec warms up for the same reason)
+      runOnce(spark, 2000)
+      spark.catalog.clearCache()
       val results = sizes.map { n =>
         val r = runOnce(spark, n); println(r.json)
         // drop the finished size's cached plans and nudge the
@@ -180,9 +196,15 @@ object PipelineBench {
         System.gc()
         r
       }
-      val exp = growthExponent(results.map(r => (r.n.toDouble, r.total)))
+      // the fit needs >=2 distinct sizes; emit null (valid JSON) rather
+      // than a NaN that breaks every downstream json.load
+      val expJson =
+        if (sizes.distinct.size >= 2)
+          fmt(growthExponent(results.map(r => (r.n.toDouble, r.total))), 3)
+        else "null"
       val json = s"""{"metric":"pipeline_sweep","sizes":${sizes.mkString("[", ",", "]")},""" +
-        s""""time_growth_exponent":${f"$exp%.3f"},""" +
+        s""""time_growth_exponent":$expJson,""" +
+        s""""loadavg_pre":$loadPre,"loadavg_post":${loadavg()},""" +
         s""""runs":[${results.map(_.json).mkString(",")}]}"""
       println(json)
       java.nio.file.Files.writeString(

@@ -82,8 +82,11 @@ object MultimodalQueries {
         .select(col("a.asset_id").as("asset_a"),
           col("b.asset_id").as("asset_b"),
           expr("CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)").as("hamming"))
-        .distinct()
+        // filter FIRST (partition-local, hamming already computed), so
+        // the dedup shuffle carries only near-dup pairs — band-collision
+        // candidates at high Hamming never reach the exchange
         .filter(col("hamming") <= 3)
+        .distinct()
     })
   )
 
@@ -94,13 +97,12 @@ object MultimodalQueries {
 
   /** The decoded-features table, memoized per (session, sf dir) as an
     * eager localCheckpoint — the media pipeline's shared materialized
-    * stage (same idiom as TextQueries' ngramPairsStage): q77 computes
-    * the decode fresh so its benched time is the true codec cost; q78
-    * composes on the staged features the way a real pipeline would. */
-  private val mediaStage =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    * stage (same idiom as TextQueries' ngramPairsStage, via StageCache):
+    * q77 computes the decode fresh so its benched time is the true
+    * codec cost; q78 composes on the staged features the way a real
+    * pipeline would. */
   private def mediaFeaturesStage(s: SparkSession, d: String): DataFrame =
-    mediaStage.computeIfAbsent((System.identityHashCode(s), d), _ =>
+    StageCache.getOrCompute(s, s"media_features:$d")(
       Multimodal.decodeMedia(
         Multimodal.realAssets(documents(s, d).select("doc_id")))
         .toDF().localCheckpoint())

@@ -484,12 +484,11 @@ object TextQueries {
     * queries (q54) build on, exactly as a production pipeline stages
     * its near-dup pairs once. Pair volume is O(near-dups), far below
     * corpus scale, so checkpointing it is the 100 TB-correct move too
-    * (PipelineBench stages the same way). Keyed by session identity so
-    * a stale checkpoint can never leak across SparkSessions. */
-  private val pairsStage =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    * (PipelineBench stages the same way). Session-identity keyed via
+    * StageCache so a stale checkpoint can never leak across
+    * SparkSessions. */
   private def ngramPairsStage(s: SparkSession, d: String): DataFrame =
-    pairsStage.computeIfAbsent((System.identityHashCode(s), d), _ =>
+    StageCache.getOrCompute(s, s"ngram_pairs:$d")(
       NgramJoin.similarPairs(documents(s, d), NgramN, NgramMinJ).localCheckpoint())
 
   /** q70 merge count — shared with ApproxOracle's per-round exports and

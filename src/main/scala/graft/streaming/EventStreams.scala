@@ -53,7 +53,11 @@ object EventStreams {
                     watermark: String = "1 hour"): DataFrame = {
     val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     wm.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal-routed like windowedCounts: a raw double sum is
+        // association-order-dependent and would flake the moment this
+        // joins a hash-compared surface
+        round(sum(col("value").cast("decimal(38,6)")), 2).cast("double").as("v"))
       .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
               col("user_id"), col("n_events"), col("v"))
   }

@@ -45,6 +45,15 @@ object StreamingQueries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Recursive delete — inputs a bounded run no longer needs must not
+    * accumulate corpus copies under /tmp across CI rounds. */
+  private def rmTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   /** Write `df` as the single landing file `<seq>.parquet` with strictly
     * increasing mtime, so FileStreamSource replays drops in order. */
   private def drop(df: DataFrame, landing: String, seq: Int): Unit = {
@@ -55,6 +64,7 @@ object StreamingQueries {
       .getOrElse(sys.error(s"no parquet part written under $scratch"))
     val dest = Paths.get(landing, f"drop_$seq%04d.parquet")
     Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    rmTree(scratch)
     // minute-spaced mtimes: the file source orders by timestamp
     dest.toFile.setLastModified(System.currentTimeMillis() - (1000 - seq) * 60000L)
     ()
@@ -98,15 +108,21 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(landing)
 
   /** Run an append-mode stream to completion, parquet sink; returns the
-    * emitted rows. */
-  private def runAppend(out: DataFrame, name: String): DataFrame = {
+    * emitted rows. The checkpoint and any caller-passed input dirs
+    * (landing) are deleted once the run terminates — only the sink
+    * output must outlive the call (the returned DataFrame reads it
+    * lazily). */
+  private def runAppend(out: DataFrame, name: String,
+                        cleanupDirs: Seq[String] = Nil): DataFrame = {
     val outDir = tmp(s"graft-$name-out")
+    val ckpt = tmp(s"graft-$name-ckpt")
     out.writeStream.format("parquet")
       .option("path", outDir)
-      .option("checkpointLocation", tmp(s"graft-$name-ckpt"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .start().awaitTermination()
+    (cleanupDirs :+ ckpt).foreach(rmTree)
     out.sparkSession.read.parquet(outDir)
   }
 
@@ -124,7 +140,7 @@ object StreamingQueries {
       flushDrops(s, events, landing, 3)
       val out = runAppend(
         StatefulSessions.sessionStats(s, readLanding(s, landing, events)).toDF(),
-        "q71")
+        "q71", Seq(landing))
       out.filter(col("user_id") >= 0)
         .select("user_id", "sess_start", "sess_end", "n_events",
           "n_increasing", "first_types")
@@ -148,8 +164,11 @@ object StreamingQueries {
       }
       val storeDir = tmp("graft-q72-store")
       val pairsDir = tmp("graft-q72-pairs")
+      val ckpt = tmp("graft-q72-ckpt")
       IncrementalDedup.run(s, landing, docs, storeDir, pairsDir,
-        tmp("graft-q72-ckpt"), graft.operators.ApproxOracle.MinJaccard)
+        ckpt, graft.operators.ApproxOracle.MinJaccard)
+      // only the pairs table outlives the run (read back lazily)
+      Seq(landing, storeDir, ckpt).foreach(rmTree)
       s.read.parquet(pairsDir).select("doc_a", "doc_b", "jaccard")
     }),
 
@@ -170,7 +189,8 @@ object StreamingQueries {
       }
       val bl = StreamingDecontaminate.blocklist(benchDocs)
       val out = runAppend(
-        StreamingDecontaminate.tag(readLanding(s, landing, rest), bl), "q73")
+        StreamingDecontaminate.tag(readLanding(s, landing, rest), bl), "q73",
+        Seq(landing))
       out.select("doc_id", "contaminated")
     }),
 
@@ -183,7 +203,8 @@ object StreamingQueries {
       splitByTime(events, landing, 3)
       flushDrops(s, events, landing, 3)
       val out = runAppend(
-        EventStreams.windowedCounts(readLanding(s, landing, events)), "q74")
+        EventStreams.windowedCounts(readLanding(s, landing, events)), "q74",
+        Seq(landing))
       out.filter(col("event_type") =!= Flush)
         .select("win_start", "win_end", "event_type", "n", "v")
     }),
@@ -195,7 +216,7 @@ object StreamingQueries {
       val events = ev(s, d)
       val landing = tmp("graft-q75-landing")
       splitByTime(events, landing, 3)
-      val out = runAppend(readLanding(s, landing, events), "q75")
+      val out = runAppend(readLanding(s, landing, events), "q75", Seq(landing))
       out.select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
@@ -222,7 +243,7 @@ object StreamingQueries {
         col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
       val out = runAppend(
         joined.select(col("id_a"), col("id_b"), col("user_a").as("user_id")),
-        "q80")
+        "q80", Seq(landing))
       out.select("id_a", "id_b", "user_id")
     }),
 
@@ -235,7 +256,8 @@ object StreamingQueries {
       flushDrops(s, events, landing, 3)
       val out = runAppend(
         EventStreams.windowedCounts(readLanding(s, landing, events),
-          width = "10 minutes", slide = Some("5 minutes")), "q81")
+          width = "10 minutes", slide = Some("5 minutes")), "q81",
+        Seq(landing))
       out.filter(col("event_type") =!= Flush)
         .select("win_start", "win_end", "event_type", "n", "v")
     }),
@@ -255,7 +277,8 @@ object StreamingQueries {
         drop(chunk.unionAll(chunk), landing, i)
       }
       val out = runAppend(
-        EventStreams.dedupedStream(readLanding(s, landing, events)), "q76")
+        EventStreams.dedupedStream(readLanding(s, landing, events)), "q76",
+        Seq(landing))
       out.select("event_id", "ts", "user_id", "event_type", "value")
     })
   )

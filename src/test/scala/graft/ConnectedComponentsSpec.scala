@@ -111,9 +111,10 @@ class ConnectedComponentsSpec extends SparkTestBase {
   }
 
   test("distributed path at 1M edges: exact labels, pinned round count") {
-    // 100k disjoint 10-edge chains plus 900k clique edges — 1M edges
-    // with both the adversarial (diameter) and the dense regime. Labels
-    // are known in closed form, so no union-find reference is needed.
+    // 100k disjoint 10-edge chains — 1M edges of the ADVERSARIAL regime
+    // (maximum diameter per edge count; dense graphs contract faster by
+    // construction). Labels are known in closed form (each node joins
+    // its chain head), so no union-find reference is needed.
     import spark.implicits._
     val chains = spark.range(1000000L)
       .selectExpr("(id div 10) * 11 + (id % 10) as src",
