@@ -186,7 +186,12 @@ object PipelineBench {
       // the fitted exponent (the growth spec warms up for the same reason)
       runOnce(spark, 2000)
       spark.catalog.clearCache()
-      val results = sizes.map { n =>
+      // TWO passes over the size list, exponent fitted on the per-size
+      // MINIMUM: this box's effective CPU capacity oscillates on a
+      // minutes timescale (identical code measured 63s and 201s for the
+      // same 100k run), and the min is the standard interference-robust
+      // point estimate. Every raw run stays in the artifact.
+      val results = (1 to 2).flatMap(_ => sizes).map { n =>
         val r = runOnce(spark, n); println(r.json)
         // drop the finished size's cached plans and nudge the
         // ContextCleaner to reap its localCheckpoint blocks before the
@@ -196,14 +201,17 @@ object PipelineBench {
         System.gc()
         r
       }
+      val best = sizes.map(n => n -> results.filter(_.n == n).map(_.total).min)
       // the fit needs >=2 distinct sizes; emit null (valid JSON) rather
       // than a NaN that breaks every downstream json.load
       val expJson =
         if (sizes.distinct.size >= 2)
-          fmt(growthExponent(results.map(r => (r.n.toDouble, r.total))), 3)
+          fmt(growthExponent(best.map { case (n, t) => (n.toDouble, t) }), 3)
         else "null"
       val json = s"""{"metric":"pipeline_sweep","sizes":${sizes.mkString("[", ",", "]")},""" +
         s""""time_growth_exponent":$expJson,""" +
+        s""""best_totals":${best.map { case (n, t) => s""""$n":${fmt(t, 2)}""" }
+          .mkString("{", ",", "}")},""" +
         s""""loadavg_pre":$loadPre,"loadavg_post":${loadavg()},""" +
         s""""runs":[${results.map(_.json).mkString(",")}]}"""
       println(json)
