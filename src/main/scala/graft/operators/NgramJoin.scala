@@ -53,7 +53,7 @@ object NgramJoin {
     * needs two DISTINCT shingles with EQUAL hashes (~2⁻⁶⁴ per pair).
     * The q53 oracle recomputes the UNFILTERED join in DuckDB every
     * round, so even that case cannot pass silently. */
-  private def prefixIndex(sets: DataFrame, minJaccard: Double): DataFrame = {
+  private[operators] def prefixIndex(sets: DataFrame, minJaccard: Double): DataFrame = {
     val exploded = sets.select(col("doc_id"),
       size(col("shingles")).as("set_size"),
       explode(col("shingles")).as("shingle"))
