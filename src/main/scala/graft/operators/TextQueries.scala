@@ -437,12 +437,18 @@ object TextQueries {
     // Tokenizer-vocabulary coverage (L5 — the vocab-size sweep run
     // before training a subword tokenizer): rank character trigrams by
     // corpus frequency and report what fraction of all trigram
-    // occurrences the top-V cover, V ∈ {50, 150, 300}. The global
-    // ranking window is safe at any corpus size: the ranked set is the
-    // trigram VOCABULARY, bounded by |charset|³, not by data volume —
-    // the corpus-scaled work is the one hash aggregation before it.
+    // occurrences the top-V cover, V ∈ {50, 150, 300}. No global
+    // window anywhere: only the top-maxV trigrams can matter to any
+    // cut, and `orderBy.limit` plans as TakeOrderedAndProject
+    // (per-partition top-k in executors, driver merge of ≤ k rows per
+    // partition). Rank and running sum are then recovered over those
+    // ≤ 300 survivors by a broadcast self-join counting/summing each
+    // row's predecessors under the total order (cnt desc, g asc) —
+    // 300×300 comparisons, independent of vocabulary size. This
+    // matters beyond ASCII: for CJK corpora |charset|³ makes the
+    // trigram vocabulary itself data-scaled, so funneling it through
+    // one WindowExec task is the plan that dies at 100 TB.
     "q67_vocab_coverage" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       // explode the POSITIONS (an int array) and substring per output
       // row, instead of materializing an array of 3-char strings per
       // doc — same rows, far less per-row allocation
@@ -450,12 +456,17 @@ object TextQueries {
         .select(col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
         .select(expr("substring(text, i, 3)").as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      val ranked = counts
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("cnt").desc, col("g").asc)))
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.orderBy(col("cnt").desc, col("g").asc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val maxV = 300
+      val top = counts.orderBy(col("cnt").desc, col("g").asc).limit(maxV)
+      val prior = top.select(col("g").as("g2"), col("cnt").as("cnt2"))
+      // rn(a) = |{b : b ≼ a}|, cum(a) = Σ cnt(b) over b ≼ a — exact
+      // row_number + inclusive running sum under the total order,
+      // computed over the survivors instead of the full vocabulary
+      val ranked = top.join(broadcast(prior),
+          col("cnt2") > col("cnt") ||
+            (col("cnt2") === col("cnt") && col("g2") <= col("g")))
+        .groupBy(col("g"), col("cnt"))
+        .agg(count(lit(1)).as("rn"), sum(col("cnt2")).as("cum"))
       val total = counts.agg(sum(col("cnt")).as("total"))
       val cuts = s.range(1)
         .select(explode(array(lit(50), lit(150), lit(300))).as("v"))

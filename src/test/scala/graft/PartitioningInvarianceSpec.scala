@@ -19,7 +19,7 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q60_session_stats",    // ordered windows, order-dependent payload
     "q64_bm25",             // shared-shuffle tf/df + float chain
     "q65_kmeans",           // ITERATIVE: 2 Lloyd rounds of float means
-    "q67_vocab_coverage",   // corpus-side hash agg + bounded window
+    "q67_vocab_coverage",   // TakeOrdered top-k + bounded rank self-join
     "q70_bpe_merges")       // ITERATIVE: per-round global argmax
 
   test("query results are invariant to the shuffle partitioning") {

@@ -140,6 +140,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans == 1, s"expected one events scan, got $scans\n" + p)
   }
 
+  test("q67 vocab coverage: no unpartitioned window — top-k is TakeOrdered, rank is a bounded self-join") {
+    val p = plan("q67_vocab_coverage")
+    assert(!p.contains("Window"),
+      "the trigram vocabulary must never funnel through a global WindowExec " +
+        "(single reducer over a CJK-scale vocab)\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-300 extraction must plan as per-partition top-k + driver merge\n" + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -92,6 +92,30 @@ class TextPipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q67 TakeOrdered+self-join rank equals the naive global-window formulation") {
+    // the scale-safe plan (per-partition top-k, bounded rank self-join)
+    // must be value-identical to the textbook single-reducer window it
+    // replaced — computed here naively, over the same trigram counts
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.filter(length($"text") >= 3)
+      .select($"text", explode(sequence(lit(1), length($"text") - 2)).as("i"))
+      .select(expr("substring(text, i, 3)").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"cnt".desc, $"g".asc)
+    val ranked = counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum($"cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum($"cnt")).as[Long].head()
+    val naive = Seq(50, 150, 300).map { v =>
+      val covered = ranked.filter($"rn" <= v).agg(max($"cum")).as[Long].head()
+      (v.toLong, covered, total, covered.toDouble / total)
+    }
+    val out = SparkEntry.queries("q67_vocab_coverage")(spark, sf)
+      .orderBy($"v").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == naive)
+  }
+
   test("q67 vocab coverage is monotone in V and bounded by 1") {
     val out = SparkEntry.queries("q67_vocab_coverage")(spark, sf)
       .orderBy($"v").select($"v", $"covered", $"total", $"coverage")
