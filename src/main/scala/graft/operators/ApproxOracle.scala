@@ -46,6 +46,10 @@ object ApproxOracle {
     OracleExport.write(
       Multimodal.decodeMedia(Multimodal.realAssets(docs.select("doc_id"))).toDF(),
       "media_features")
+    // q82: the per-FRAME video decode rows (real multi-frame GIF reads)
+    OracleExport.write(
+      Multimodal.videoFrames(Multimodal.realAssets(docs.select("doc_id"))).toDF(),
+      "video_frames")
 
     val e = VectorQueries.emb(spark, sfDir)
     OracleExport.write(

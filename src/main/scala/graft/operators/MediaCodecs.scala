@@ -7,11 +7,14 @@ import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** REAL media codecs, JDK-only (SURVEY.md §2.11 L4): PNG via
-  * `javax.imageio`, WAV/PCM via `javax.sound.sampled` — both ship with
-  * Java 17, so image and audio decode need no external libraries. This
-  * replaces the disclosed stub for those two modalities; video remains
-  * stubbed (the JDK has no video codec) and is marked as such at the
-  * dispatch site (`Multimodal.decodeMedia`).
+  * `javax.imageio`, WAV/PCM via `javax.sound.sampled`, and multi-frame
+  * animated GIF via the `javax.imageio` sequence reader/writer — all
+  * ship with Java 17, so image, audio AND video-shaped (frame-sequence)
+  * decode need no external libraries. GIF is the JDK's one real
+  * multi-frame container, so it carries the video modality: per-frame
+  * raster decode, frame counting, and frame sampling all run a true
+  * codec (single-image MP4-style codecs don't exist in the JDK and
+  * would need external deps, which the container forbids).
   *
   * Everything here is a PURE PER-ROW function over payload bytes —
   * exactly the shape that runs inside `mapPartitions` on executors with
@@ -42,12 +45,21 @@ object MediaCodecs {
     299L * r + 587L * g + 114L * b
   }
 
-  /** Decode PNG/JPEG/BMP/GIF bytes: REAL dimensions and mean luma from
-    * the decoded raster, 64-bit aHash from an areal 8x8 downsample, and
-    * the aspect-preserving thumbnail dims for `thumbEdge`. */
-  def decodeImage(payload: Array[Byte], thumbEdge: Int): ImageFeatures = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
-    require(img != null, "undecodable image payload")
+  /** a*b > c*d over nonnegative longs, exact at ANY magnitude via the
+    * 128-bit product (Math.multiplyHigh + unsigned low-word compare) —
+    * the 64-bit cross-multiply overflows around 48 MP full-brightness
+    * images, which would silently corrupt aHash bits on real photos. */
+  @inline private def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    hi1 > hi2 ||
+      (hi1 == hi2 && java.lang.Long.compareUnsigned(a * b, c * d) > 0)
+  }
+
+  /** Shared raster features over ANY decoded frame: (w, h, total
+    * luma×1000, 64-bit aHash). Integer-exact throughout (the aHash
+    * bit test is an exact 128-bit cross-multiply), so features are
+    * bit-stable across JVMs and image sizes. */
+  private def rasterFeatures(img: BufferedImage): (Int, Int, Long, Long) = {
     val (w, h) = (img.getWidth, img.getHeight)
     var total = 0L
     val cell = Array.ofDim[Long](64)
@@ -67,15 +79,32 @@ object MediaCodecs {
     }
     val n = w.toLong * h
     // average-hash bits from the 8x8 cell means vs the global mean —
-    // integer cross-multiplication, no division, so exactly stable
+    // cross-multiplication, no division, so exactly stable
     var bits = 0L
     var i = 0
     while (i < 64) {
-      if (cellN(i) > 0 && cell(i) * n > total * cellN(i)) bits |= (1L << i)
+      if (cellN(i) > 0 && prodGt(cell(i), n, total, cellN(i))) bits |= (1L << i)
       i += 1
     }
+    (w, h, total, bits)
+  }
+
+  /** Features of an already-decoded raster (also the decode side's
+    * ground truth: specs compare codec round-trips against this run
+    * directly on the source BufferedImage). */
+  def imageFeatures(img: BufferedImage, thumbEdge: Int): ImageFeatures = {
+    val (w, h, total, bits) = rasterFeatures(img)
     val (tw, th) = Multimodal.resizeDims(w, h, thumbEdge)
-    ImageFeatures(w, h, total.toDouble / (1000.0 * n), bits, tw, th)
+    ImageFeatures(w, h, total.toDouble / (1000.0 * w.toLong * h), bits, tw, th)
+  }
+
+  /** Decode PNG/JPEG/BMP/GIF bytes: REAL dimensions and mean luma from
+    * the decoded raster, 64-bit aHash from an areal 8x8 downsample, and
+    * the aspect-preserving thumbnail dims for `thumbEdge`. */
+  def decodeImage(payload: Array[Byte], thumbEdge: Int): ImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    imageFeatures(img, thumbEdge)
   }
 
   /** Deterministic REAL PNG: seeded dims and a seeded 8x8-block SCENE
@@ -110,6 +139,79 @@ object MediaCodecs {
     }
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- video
+
+  final case class FrameFeatures(frameIdx: Int, width: Int, height: Int,
+                                 meanLuma: Double, aHash: Long)
+
+  /** Decode an animated GIF through the real `javax.imageio` sequence
+    * reader (`getNumImages(true)` + `read(i)`): one FrameFeatures row
+    * per STORED frame — the same raster features as still images,
+    * computed per frame. This is the real multi-frame decode path the
+    * video modality runs (the JDK's only multi-frame container). */
+  def decodeGif(payload: Array[Byte]): Seq[FrameFeatures] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "undecodable gif payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val (w, h, total, bits) = rasterFeatures(reader.read(i))
+        FrameFeatures(i, w, h, total.toDouble / (1000.0 * w.toLong * h), bits)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Frame count of `makeGif(seed)` — derivable without decoding, so
+    * asset generation can stamp the true duration. */
+  def gifFrames(seed: Long): Int = 2 + math.floorMod(seed, 7).toInt
+
+  /** One seeded frame of the synthetic GIF: an 8x8-block grayscale
+    * scene, drawn through an explicit 256-gray IndexColorModel so the
+    * GIF palette encode is LOSSLESS — decode expectations stay exact,
+    * like PNG's. Each frame gets its own scene (frames differ). */
+  def gifFrame(seed: Long, idx: Int): BufferedImage = {
+    val rnd = new scala.util.Random(0x61fabcdL ^ (seed * 131 + idx))
+    val w = 40 + math.floorMod(seed, 40).toInt
+    val h = 32 + math.floorMod(seed >> 2, 32).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val scene = Array.fill(64)(rnd.nextInt(256))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = scene(math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic REAL multi-frame GIF: `gifFrames(seed)` seeded
+    * scenes written through the real `javax.imageio` sequence writer
+    * (`prepareWriteSequence`/`writeToSequence`). */
+  def makeGif(seed: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until gifFrames(seed)).foreach { i =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(gifFrame(seed, i), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 

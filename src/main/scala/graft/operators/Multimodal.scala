@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * + typed metadata struct, decode / feature-extract / resize /
   * frame-sample as per-partition batch transforms).
   *
-  * IMAGE and AUDIO decode are REAL — `decodeMedia` dispatches PNG to
-  * `javax.imageio` and WAV to `javax.sound.sampled` (both ship with the
-  * JDK; see MediaCodecs, exact round-trips in MediaCodecsSpec). VIDEO
-  * remains a clearly-marked deterministic stub (the JDK has no video
-  * codec and the container allows no external libraries); so does
-  * `decodeStub`, kept as the all-modality byte-stat fake that q35/q36
-  * exercise over text-bytes payloads. Either way the Spark shape is
-  * identical: schema, binary column handling, typed Dataset batching,
-  * partition parallelism, metadata propagation.
+  * ALL THREE modalities decode for REAL — `decodeMedia` dispatches PNG
+  * to `javax.imageio`, WAV to `javax.sound.sampled`, and the video
+  * modality to the `javax.imageio` multi-frame GIF sequence reader
+  * (the JDK's one true multi-frame container; see MediaCodecs, exact
+  * round-trips in MediaCodecsSpec). `decodeStub` is kept as the
+  * all-modality byte-stat fake that q35/q36 exercise over text-bytes
+  * payloads — it documents the plumbing contract a codec-less mime
+  * would flow through. Either way the Spark shape is identical:
+  * schema, binary column handling, typed Dataset batching, partition
+  * parallelism, metadata propagation.
   *
   * Scale posture: payloads stay in executors (no collect); the decode
   * is a narrow mapPartitions (no shuffle); batch shape = one row per
@@ -92,13 +93,20 @@ object Multimodal {
                            ahash: Long, sample_rate: Int, n_frames: Long,
                            duration_ms: Long, rms: Double, real_decode: Boolean)
 
+  /** Milliseconds per video frame in the generated corpus: GIF assets
+    * are stamped duration_ms = n_frames × FrameMs at generation, so
+    * `sampleFrames(everyMs = FrameMs)` emits exactly one key per REAL
+    * stored frame (q82 joins the two and proves it every round). */
+  val FrameMs = 100L
+
   /** REAL media corpus from an id column: PNG payloads for ids ≡ 0
-    * (mod 3), WAV for ≡ 1, a deterministic fake for video (≡ 2, no JDK
-    * codec — disclosed stub). Every 5th image is a planted perceptual
-    * NEAR-DUP of the previous image id (same scene, 3 pixels flipped),
-    * so the aHash near-dup join has known structure to recover.
-    * Generation happens on executors (seeded per id, no data movement),
-    * the same pattern as PipelineBench's corpus. */
+    * (mod 3), WAV for ≡ 1, multi-frame GIF for ≡ 2 (the video
+    * modality — every payload runs a true JDK codec both ways).
+    * Every 5th image is a planted perceptual NEAR-DUP of the previous
+    * image id (same scene, 3 pixels flipped), so the aHash near-dup
+    * join has known structure to recover. Generation happens on
+    * executors (seeded per id, no data movement), the same pattern as
+    * PipelineBench's corpus. */
   def realAssets(ids: DataFrame): Dataset[Asset] = {
     val spark = ids.sparkSession
     import spark.implicits._
@@ -113,18 +121,19 @@ object Multimodal {
           case 1 =>
             Asset(id, "audio", MediaCodecs.makeWav(id), "audio/wav", 0, 0, 0L)
           case _ =>
-            val rnd = new scala.util.Random(0x71de0L ^ id)
-            val payload = Array.fill(100 + (id % 800).toInt)(rnd.nextInt().toByte)
-            Asset(id, "video", payload, "video/mp4", 0, 0, (id % 30 + 1) * 1000L)
+            Asset(id, "video", MediaCodecs.makeGif(id), "image/gif", 0, 0,
+              MediaCodecs.gifFrames(id) * FrameMs)
         }
       }
     }
   }
 
-  /** REAL decode dispatch: images and audio run the true JDK codecs;
-    * video falls back to the byte-stat stub (marked real_decode=false).
-    * Same mapPartitions shape as decodeStub — payloads never leave
-    * executors, no shuffle, bounded feature width. */
+  /** REAL decode dispatch: every generated mime runs a true JDK codec —
+    * PNG and WAV per asset, GIF per FRAME (video rows carry first-frame
+    * dims + aHash, the across-frames mean luma, and the REAL stored
+    * frame count). Unknown mimes fall back to the byte-stat stub,
+    * marked real_decode=false. Same mapPartitions shape as decodeStub —
+    * payloads never leave executors, no shuffle, bounded feature width. */
   def decodeMedia(assets: Dataset[Asset], thumbEdge: Int = 64): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -141,10 +150,38 @@ object Multimodal {
             MediaFeatures(a.asset_id, a.modality, a.payload.length.toLong,
               0, 0, 0.0, 0L, f.sampleRate, f.nFrames, f.durationMs, f.rms,
               real_decode = true)
+          case "image/gif" =>
+            val frames = MediaCodecs.decodeGif(a.payload)
+            MediaFeatures(a.asset_id, a.modality, a.payload.length.toLong,
+              frames.head.width, frames.head.height,
+              frames.map(_.meanLuma).sum / frames.size, frames.head.aHash,
+              0, frames.size.toLong, frames.size * FrameMs, 0.0,
+              real_decode = true)
           case _ =>
             val s = decodeOne(a, thumbEdge)
             MediaFeatures(a.asset_id, a.modality, s.n_bytes, 0, 0, 0.0, 0L,
               0, s.n_frames.toLong, a.duration_ms, 0.0, real_decode = false)
+        }
+      }
+    }
+  }
+
+  /** Per-frame decoded row for the video modality. */
+  case class VideoFrame(asset_id: Long, frame_idx: Int, width: Int,
+                        height: Int, mean_luma: Double, ahash: Long)
+
+  /** Explode each GIF asset into its REAL stored frames — per-frame
+    * raster features through the actual multi-frame reader. Narrow
+    * (flatMap inside mapPartitions, no shuffle); output rows are
+    * bounded by true frame counts, not duration arithmetic. */
+  def videoFrames(assets: Dataset[Asset]): Dataset[VideoFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.filter(_.mime == "image/gif").flatMap { a =>
+        MediaCodecs.decodeGif(a.payload).map { f =>
+          VideoFrame(a.asset_id, f.frameIdx, f.width, f.height,
+            f.meanLuma, f.aHash)
         }
       }
     }

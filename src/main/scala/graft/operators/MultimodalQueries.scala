@@ -34,9 +34,9 @@ object MultimodalQueries {
         max(col("frame_idx")).cast("long").as("max_frame_idx"))
     }),
 
-    // REAL-decode rollup (L4, no stub for image/audio): PNG through
-    // javax.imageio, WAV through javax.sound.sampled, per-modality
-    // aggregate over true decoded dimensions/luma/sample counts. The
+    // REAL-decode rollup (L4, no stubs left): PNG and multi-frame GIF
+    // through javax.imageio, WAV through javax.sound.sampled,
+    // per-modality aggregate over true decoded dims/luma/frames. The
     // oracle reads the exported per-asset feature rows (the decode is a
     // pure per-row function — same export pattern as the chess position
     // stream) and redoes the rollup relationally.
@@ -87,6 +87,28 @@ object MultimodalQueries {
         // candidates at high Hamming never reach the exchange
         .filter(col("hamming") <= 3)
         .distinct()
+    }),
+
+    // REAL per-frame video decode (L4, the last modality off the stub):
+    // every GIF asset explodes into its actual stored frames (true
+    // multi-frame javax.imageio reader), and `sampleFrames`' duration-
+    // derived keys join 1:1 against them — the per-asset rollup equals
+    // the oracle's plain per-frame aggregate ONLY if the sampler's key
+    // set is exactly the real frame set, so frame sampling is proven to
+    // operate on real frames every round. Oracle reads the exported
+    // per-frame rows (pure per-row codec calls) and redoes the rollup.
+    "q82_video_frames" -> ((s, d) => {
+      val assets = Multimodal.realAssets(documents(s, d).select("doc_id"))
+      val frames = Multimodal.videoFrames(assets).toDF()
+      val sampled = Multimodal.sampleFrames(assets, everyMs = Multimodal.FrameMs)
+      sampled.join(frames, Seq("asset_id", "frame_idx"))
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"),
+             max(col("width")).cast("long").as("w"),
+             max(col("height")).cast("long").as("h"),
+             round(sum(col("mean_luma").cast("decimal(38,6)")), 2)
+               .cast("double").as("sum_luma"),
+             countDistinct(col("ahash")).as("n_distinct_ahash"))
     })
   )
 
@@ -94,6 +116,10 @@ object MultimodalQueries {
     * (written by ApproxOracle.export alongside the other non-ANSI
     * artifacts). */
   private def media = graft.OracleExport.p("media_features")
+
+  /** DuckDB table expression for the exported per-FRAME video decode
+    * rows (q82). */
+  private def vframes = graft.OracleExport.p("video_frames")
 
   /** The decoded-features table, memoized per (session, sf dir) as an
     * eager localCheckpoint — the media pipeline's shared materialized
@@ -150,6 +176,17 @@ object MultimodalQueries {
           SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
           FROM img a JOIN img b ON a.asset_id < b.asset_id
-          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3"""
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
+
+    // plain per-frame aggregate over the exported decoded frames — it
+    // equals the Spark side (sampler keys ⋈ real frames) only if the
+    // duration-derived sample grid hits every stored frame exactly once
+    "q82_video_frames" ->
+      s"""SELECT asset_id, count(*) AS n_frames,
+          CAST(max(width) AS BIGINT) AS w,
+          CAST(max(height) AS BIGINT) AS h,
+          CAST(round(sum(CAST(mean_luma AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_luma,
+          CAST(count(DISTINCT ahash) AS BIGINT) AS n_distinct_ahash
+          FROM $vframes GROUP BY asset_id"""
   )
 }

@@ -64,18 +64,59 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
-  test("decodeMedia dispatch: real codecs for image/audio, stub only for video") {
+  test("decodeMedia dispatch: every modality runs a real JDK codec") {
     import spark.implicits._
     val ids = spark.range(60).toDF("doc_id")
     val feats = Multimodal.decodeMedia(Multimodal.realAssets(ids)).toDF().cache()
-    assert(feats.filter(col("modality") === "image" && !col("real_decode")).count() == 0)
-    assert(feats.filter(col("modality") === "audio" && !col("real_decode")).count() == 0)
-    assert(feats.filter(col("modality") === "video" && col("real_decode")).count() == 0)
-    // image rows carry true dims, audio rows true sample geometry
+    assert(feats.filter(!col("real_decode")).count() == 0,
+      "no modality may fall back to the byte-stat stub")
+    // image rows carry true dims, audio rows true sample geometry,
+    // video rows true stored frame counts (2..8 by construction)
     assert(feats.filter(col("modality") === "image" &&
       (col("width") < 48 || col("height") < 32)).count() == 0)
     assert(feats.filter(col("modality") === "audio" &&
       col("sample_rate") =!= 8000).count() == 0)
+    assert(feats.filter(col("modality") === "video" &&
+      (col("n_frames") < 2 || col("n_frames") > 8)).count() == 0)
+  }
+
+  test("GIF multi-frame round-trip: frame count, dims, and per-frame rasters are exact") {
+    (2L until 44L by 3).foreach { seed =>
+      val frames = MediaCodecs.decodeGif(MediaCodecs.makeGif(seed))
+      assert(frames.size == MediaCodecs.gifFrames(seed), s"seed $seed")
+      assert(frames.map(_.frameIdx) == frames.indices.toSeq)
+      frames.foreach { f =>
+        assert(f.width == 40 + math.floorMod(seed, 40).toInt, s"seed $seed")
+        assert(f.height == 32 + math.floorMod(seed >> 2, 32).toInt, s"seed $seed")
+      }
+      // the indexed-gray palette makes GIF lossless: each decoded
+      // frame's features must EXACTLY equal those of the source
+      // BufferedImage (note: a PNG round-trip would NOT work as the
+      // cross-check — Java's PNG reader hands back indexed-gray as
+      // TYPE_BYTE_GRAY in the linear gray colorspace, so getRGB
+      // gamma-shifts every pixel; GIF preserves the palette raster)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val direct = MediaCodecs.imageFeatures(MediaCodecs.gifFrame(seed, i), 64)
+        assert(f.meanLuma == direct.meanLuma && f.aHash == direct.aHash,
+          s"seed $seed frame $i: GIF decode diverged from the raster")
+      }
+      // distinct frames: scenes are seeded per (seed, idx)
+      assert(frames.map(_.aHash).distinct.size > 1, s"seed $seed: frames identical")
+    }
+  }
+
+  test("sampleFrames' duration grid hits exactly the real stored frames") {
+    import spark.implicits._
+    val ids = spark.range(60).toDF("doc_id")
+    val assets = Multimodal.realAssets(ids)
+    val sampled = Multimodal.sampleFrames(assets, everyMs = Multimodal.FrameMs)
+      .groupBy(col("asset_id")).count()
+      .as[(Long, Long)].collect().toMap
+    val real = Multimodal.videoFrames(assets).toDF()
+      .groupBy(col("asset_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(real.nonEmpty && sampled == real,
+      "sampler keys must map 1:1 onto decoded frames")
   }
 
   test("banded aHash join recovers exactly the all-pairs Hamming<=3 set") {
