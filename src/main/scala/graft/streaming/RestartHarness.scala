@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** Checkpoint recovery across a PROCESS KILL — the failure mode a
+  * 100 TB streaming deployment actually has (SURVEY.md §2.9 ST1/ST3
+  * durability). Exactly-once within one bounded run is proven by
+  * q75/q76; this harness proves the stronger property: a stream whose
+  * JVM is halted mid-run (`Runtime.halt` — no shutdown hooks, no sink
+  * finalization, in-flight batches abandoned) resumes in a DIFFERENT
+  * process from the same checkpoint and still produces the exact
+  * uninterrupted answer.
+  *
+  * What that exercises for real: the offset WAL (written BEFORE a batch
+  * runs) being replayed for the batch that died mid-flight, the
+  * FileStreamSink manifest log masking the killed attempt's orphan
+  * part-files, and — for the stateful `sessions` kind — the state store
+  * reloading keyed session state from the checkpoint delta files in a
+  * JVM that never saw the original maps.
+  *
+  * `build` constructs the SAME logical stream in both processes (child
+  * and resumer) — checkpoint recovery requires plan-compatible
+  * restarts, exactly as in production.
+  */
+object RestartHarness {
+
+  /** Child exit code for "halted mid-run as intended". */
+  val KilledExit = 42
+
+  /** The streams under test, by kind. `ingest` = the q75 file-sink
+    * pipeline; `sessions` = the q71 flatMapGroupsWithState pipeline. */
+  def build(s: SparkSession, kind: String, landing: String,
+            schemaFrom: DataFrame): DataFrame = {
+    val src = s.readStream.schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    kind match {
+      case "ingest"   => src
+      case "sessions" => StatefulSessions.sessionStats(s, src).toDF()
+      case other      => sys.error(s"unknown restart kind: $other")
+    }
+  }
+
+  /** Start the kind's stream (append, AvailableNow) against an existing
+    * or fresh checkpoint + sink dir. */
+  def start(s: SparkSession, kind: String, landing: String, ckpt: String,
+            outDir: String, schemaFrom: DataFrame): StreamingQuery =
+    build(s, kind, landing, schemaFrom).writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+
+  // The JDK-17 module opens Spark needs outside spark-submit — the same
+  // list build.sbt forks test/run JVMs with; a bare ProcessBuilder child
+  // needs them passed explicitly.
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Launch a CHILD JVM (same classpath as this one) that runs the
+    * stream and HALTS after `killAfter` batch commits. Returns the
+    * child's exit code: `KilledExit` = halted mid-run (the interesting
+    * case, overwhelmingly likely); 0 = the stream outran the listener
+    * and finished first (resume is then a no-op — equality still must
+    * hold). Any other code is a real child failure. */
+  def launchKilled(kind: String, landing: String, ckpt: String,
+                   outDir: String, sfDir: String, killAfter: Int): Int = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.streaming.RestartHarness",
+      kind, landing, ckpt, outDir, sfDir, killAfter.toString)
+    new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+  }
+
+  /** Child entrypoint: run the kind's stream and `Runtime.halt` (no
+    * shutdown hooks — the closest an in-test harness gets to kill -9)
+    * once `killAfter` micro-batches have committed. */
+  def main(args: Array[String]): Unit = {
+    val Array(kind, landing, ckpt, outDir, sfDir, killAfterStr) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val killAfter = killAfterStr.toInt
+    spark.streams.addListener(new StreamingQueryListener {
+      private var commits = 0
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        commits += 1
+        if (commits >= killAfter) Runtime.getRuntime.halt(KilledExit)
+      }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    val schemaFrom = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    start(spark, kind, landing, ckpt, outDir, schemaFrom).awaitTermination()
+    spark.stop()
+    sys.exit(0) // finished every batch before the kill threshold fired
+  }
+}

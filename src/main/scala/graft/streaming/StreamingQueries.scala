@@ -40,14 +40,14 @@ import graft.Tables
   */
 object StreamingQueries {
 
-  private val Flush = "__flush__"
+  private[graft] val Flush = "__flush__"
 
-  private def tmp(prefix: String): String =
+  private[graft] def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
   /** Recursive delete — inputs a bounded run no longer needs must not
     * accumulate corpus copies under /tmp across CI rounds. */
-  private def rmTree(dir: String): Unit = {
+  private[graft] def rmTree(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
@@ -56,7 +56,7 @@ object StreamingQueries {
 
   /** Write `df` as the single landing file `<seq>.parquet` with strictly
     * increasing mtime, so FileStreamSource replays drops in order. */
-  private def drop(df: DataFrame, landing: String, seq: Int): Unit = {
+  private[graft] def drop(df: DataFrame, landing: String, seq: Int): Unit = {
     val scratch = tmp("graft-drop")
     df.coalesce(1).write.mode("overwrite").parquet(scratch)
     val part = new java.io.File(scratch).listFiles()
@@ -72,7 +72,7 @@ object StreamingQueries {
 
   /** Split `df` into `n` contiguous time slices (landing drops 0..n-1).
     * Slices are CLOSED-OPEN on epoch micros and cover min..max. */
-  private def splitByTime(df: DataFrame, landing: String, n: Int): Unit = {
+  private[graft] def splitByTime(df: DataFrame, landing: String, n: Int): Unit = {
     val r = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (mn, mx) = (r.getLong(0), r.getLong(1))
     val w = (mx - mn) / n + 1
@@ -91,7 +91,7 @@ object StreamingQueries {
     * second gives the engine a batch in which the first's watermark is
     * already active (timeouts/window-finalization fire deterministically
     * even if the engine skips a no-data batch). */
-  private def flushDrops(s: SparkSession, events: DataFrame, landing: String,
+  private[graft] def flushDrops(s: SparkSession, events: DataFrame, landing: String,
                          firstSeq: Int): Unit = {
     import s.implicits._
     val mxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
@@ -209,15 +209,30 @@ object StreamingQueries {
         .select("win_start", "win_end", "event_type", "n", "v")
     }),
 
-    // ST1 exactly-once file ingest: stream the landing drops through an
-    // append sink and return the ingested ROWS — any lost or doubled
-    // row breaks the hash against the raw events table.
+    // ST1 exactly-once file ingest ACROSS A PROCESS KILL: a child JVM
+    // starts the stream and is HALTED (Runtime.halt — no shutdown
+    // hooks) after its first batch commit, mid-run; this process then
+    // resumes from the same checkpoint and finishes the drops. The
+    // returned rows are the sink read through its manifest log — any
+    // lost, doubled, or orphan-file row breaks the hash against the raw
+    // events table, so the oracle re-proves kill-recovery exactly-once
+    // every round (offset-WAL replay of the batch that died in flight,
+    // manifest masking of the killed attempt's part-files).
     "q75_stream_ingest" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q75-landing")
       splitByTime(events, landing, 3)
-      val out = runAppend(readLanding(s, landing, events), "q75", Seq(landing))
-      out.select("event_id", "ts", "user_id", "event_type", "value")
+      val ckpt = tmp("graft-q75-ckpt")
+      val outDir = tmp("graft-q75-out")
+      val code = RestartHarness.launchKilled("ingest", landing, ckpt, outDir,
+        d, killAfter = 1)
+      require(code == RestartHarness.KilledExit || code == 0,
+        s"restart child JVM failed with exit code $code")
+      RestartHarness.start(s, "ingest", landing, ckpt, outDir, events)
+        .awaitTermination()
+      Seq(landing, ckpt).foreach(rmTree)
+      s.read.parquet(outDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
     // Stream–stream time-interval JOIN (the remaining ST shape —

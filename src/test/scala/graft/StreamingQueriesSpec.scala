@@ -62,8 +62,37 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q74")
   }
 
-  test("q75: exactly-once ingest returns the raw rows") {
+  test("q75: exactly-once ingest across a process kill returns the raw rows") {
+    // q75's registered entry IS the interrupted variant: a child JVM is
+    // halted mid-run and this process resumes from its checkpoint
     assertSame(q("q75_stream_ingest"), events, "q75")
+  }
+
+  test("q71 restart: stateful sessions killed mid-run resume to the uninterrupted answer") {
+    import streaming.{RestartHarness, StreamingQueries => SQ}
+    val landing = SQ.tmp("graft-q71r-landing")
+    SQ.splitByTime(events, landing, 3)
+    SQ.flushDrops(spark, events, landing, 3)
+    val ckpt = SQ.tmp("graft-q71r-ckpt")
+    val outDir = SQ.tmp("graft-q71r-out")
+    // child JVM: builds session state over the first batches, then
+    // halts with two commits done — keyed state exists ONLY in its
+    // checkpoint delta files when it dies
+    val code = RestartHarness.launchKilled("sessions", landing, ckpt, outDir,
+      sf, killAfter = 2)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    // resume in THIS process (a different JVM): state reloads from the
+    // checkpoint, remaining drops + sentinels flush every session
+    RestartHarness.start(spark, "sessions", landing, ckpt, outDir, events)
+      .awaitTermination()
+    val got = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select("user_id", "sess_start", "sess_end", "n_events",
+        "n_increasing", "first_types")
+    val want = StatefulSessions.sessionStatsBatch(events)
+    assert(got.count() === want.count(), "restart must close every session")
+    assertSame(got, want, "q71-restart")
+    Seq(landing, ckpt, outDir).foreach(SQ.rmTree)
   }
 
   test("q76: stateful dedup collapses the doubled feed to the raw rows") {
