@@ -36,7 +36,66 @@ object ClusterVerify {
     Queries.map { name =>
       name -> SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq
-    }.toMap
+    }.toMap ++ forcedBranches(spark, sfDir)
+
+  /** The scale-path branches the corpus is too small to trigger
+    * naturally, FORCED on so they run across real executor JVMs:
+    * distributed star-contraction CC (driverThreshold=0 — both a
+    * planted 40-ring graph asserted equal to driver union-find, and
+    * the full q54 pipeline), and the two-level salted aggregation
+    * under a planted hot key carrying 60% of all occurrences (the
+    * start-position regime), asserted equal to the direct plan. */
+  private def forcedBranches(spark: SparkSession,
+                             sfDir: String): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ConnectedComponents
+
+    // planted graph: 40 rings of 250 vertices — enough vertices that
+    // star-contraction needs real shuffled rounds, deterministic labels
+    val edges = spark.range(10000)
+      .select((col("id") / lit(250)).cast("long").as("ring"), col("id").as("i"))
+      .select(col("i").as("src"),
+        (col("ring") * 250 + pmod(col("i") + 1, lit(250))).as("dst"))
+    val (distDf, rounds) =
+      ConnectedComponents.labelsWithRounds(spark, edges, 50, 0L)
+    require(rounds > 0, "driverThreshold=0 must take the distributed branch")
+    val dist = distDf.collect().map(_.toString).sorted.toSeq
+    val (drvDf, r0) =
+      ConnectedComponents.labelsWithRounds(spark, edges, 50, Long.MaxValue)
+    require(r0 == 0, "MaxValue threshold must take the driver branch")
+    require(dist == drvDf.collect().map(_.toString).sorted.toSeq,
+      "distributed and driver CC disagree on the planted rings")
+
+    // the full near-dup pipeline with the distributed CC branch forced
+    val prev = spark.conf.getOption(ConnectedComponents.ThresholdConf)
+    spark.conf.set(ConnectedComponents.ThresholdConf, "0")
+    val q54 =
+      try SparkEntry.queries("q54_dup_clusters")(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set(ConnectedComponents.ThresholdConf, v)
+        case None    => spark.conf.unset(ConnectedComponents.ThresholdConf)
+      }
+
+    // salted two-level agg vs direct, under a 60%-hot key
+    val occ = spark.range(200000).select(
+      when(col("id") % 5 < 3, lit(0L))
+        .otherwise(pmod(col("id"), lit(997))).as("posHi"),
+      lit(1L).as("posLo"), lit(0L).as("reverseMove"),
+      (col("id") % 3).cast("int").as("level"),
+      (col("id") % 3).cast("int").as("result"),
+      col("id").as("gameId"),
+      (col("id") % 100 - 50).as("eloDiff"))
+    val salted = graft.chess.SaltedAgg.salted(occ)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = graft.chess.SaltedAgg.direct(occ)
+      .collect().map(_.toString).sorted.toSeq
+    require(salted == direct,
+      "salted and direct aggregation disagree under the planted hot key")
+
+    Map("cc_rings_distributed" -> dist, "q54_cc_distributed" -> q54,
+        "salted_agg_hotkey" -> salted)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -74,9 +133,10 @@ object ClusterVerify {
     val got = runAll(cluster, sfDir)
     cluster.stop()
 
-    val mismatches = Queries.filter(q => expected(q) != got(q))
+    val names = expected.keys.toSeq.sorted
+    val mismatches = names.filter(q => expected(q) != got(q))
     val json =
-      s"""{"metric":"cluster_verify","queries":${Queries.size},""" +
+      s"""{"metric":"cluster_verify","queries":${names.size},""" +
         s""""executors":$nExec,"mismatches":${mismatches.size},""" +
         s""""mismatched":[${mismatches.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""sf":"$sfDir"}"""
