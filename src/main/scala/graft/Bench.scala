@@ -20,6 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-batch scheduling), not operator throughput; they run once each
   * and report under "streaming"/"streaming_total" so the headline stays
   * comparable round-over-round and is never diluted by stream plumbing.
+  *
+  * Shared-stage accounting: the memoized cross-query stages (q53→q54
+  * pairs, q77→q78 decode, q79's index) are warmed BEFORE timing and
+  * their build seconds reported under "stage_build" — so the headline
+  * measures steady-state compose/probe cost while the one-time ingest
+  * cost stays auditable instead of hiding in a discarded first run.
+  * "contended" self-certifies the artifact against machine load, and
+  * "server_rps" records the concurrent TCP server's throughput.
   */
 object Bench {
 
@@ -54,18 +62,39 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Contention gate: an artifact taken on a busy machine is not
+    * trustworthy without an idle re-run, so the JSON self-certifies —
+    * loadavg_pre above this threshold sets `"contended":true` (override
+    * via SPARK_GRAFT_MAX_LOAD). The run still completes and reports
+    * (losing the numbers helps nobody), but a flagged artifact must not
+    * be read as a performance claim. */
+  val MaxLoadDefault = 2.0
+
   /** Runs everything, returns (artifact JSON line, exit code). Pure of
     * System.exit/println so BenchSpec can assert a deliberately-broken
-    * query poisons the exit code instead of the timings. */
+    * query poisons the exit code instead of the timings.
+    * `stageWarm` builds the cross-query shared stages BEFORE timing and
+    * reports their build seconds under "stage_build" — otherwise
+    * median-of-N discards the ingest cost into the first run invisibly.
+    * `serverBench` runs AFTER the timed queries (so its load cannot
+    * pollute them) and reports under "server_rps". */
   def run(spark: SparkSession, sfDir: String,
           batch: Map[String, (SparkSession, String) => DataFrame],
           streaming: Map[String, (SparkSession, String) => DataFrame],
-          runs: Int = 3): (String, Int) = {
+          runs: Int = 3,
+          stageWarm: Option[(SparkSession, String) => Map[String, Double]] = None,
+          serverBench: Option[() => Double] = None): (String, Int) = {
     val loadPre = loadavg()
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(MaxLoadDefault)
+    val contended = loadPre.toDoubleOption.exists(_ > maxLoad)
+    val stageBuild = stageWarm.map(f => f(spark, sfDir)).getOrElse(Map.empty)
     val batchR = batch.toSeq.sortBy(_._1).map { case (n, f) =>
       timeQuery(spark, sfDir, n, f, runs) }
     val streamR = streaming.toSeq.sortBy(_._1).map { case (n, f) =>
       timeQuery(spark, sfDir, n, f, 1) }
+    val serverRps = serverBench.map(f =>
+      try f() catch { case _: Throwable => -1.0 })
     val loadPost = loadavg()
 
     def queriesJson(rs: Seq[QResult]) =
@@ -76,13 +105,18 @@ object Bench {
       .mkString("{", ",", "}")
     def total(rs: Seq[QResult]) = rs.filter(_.err.isEmpty).map(_.sec).sum
 
+    val stageJson = stageBuild.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"${jsonStr(n)}:$t" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${total(batchR)},"unit":"sec",""" +
         s""""queries":${queriesJson(batchR)},""" +
+        s""""stage_build":$stageJson,""" +
         s""""streaming":${queriesJson(streamR)},""" +
         s""""streaming_total":${total(streamR)},""" +
+        serverRps.map(r => s""""server_rps":$r,""").getOrElse("") +
         s""""errors":$errJson,"n_failed":${errs.size},""" +
         s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
+        s""""contended":$contended,"max_loadavg":$maxLoad,""" +
         s""""sf":${jsonStr(sfDir)}}"""
     (json, if (errs.nonEmpty) 1 else 0)
   }
@@ -108,7 +142,31 @@ object Bench {
         .foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => }
 
-    val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries)
+    // concurrent-server throughput probe (the reference GUI's serving
+    // regime): 8 clients × 12 mixed explore/retraction requests against
+    // one cached sample store — runs after the timed queries
+    val serverBench: () => Double = () => {
+      import spark.implicits._
+      import graft.chess._
+      val games = ChessIngest.parseGames(spark,
+        spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
+      val agg = ChessIngest.positionsAgg(
+        ChessIngest.positionStream(spark, games)).cache()
+      agg.count()
+      val e2e4 = "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 1"
+      val lines = Seq(
+        s"""{"token":"b1","query":{"positions":[{"fen":"${Position.StartFen}"}],"fetchChildren":true}}""",
+        s"""{"token":"b2","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e4"}],"fetchChildren":true}}""",
+        s"""{"token":"b3","retractions":{"fen":"$e2e4","synthesize":true}}""")
+      val (rps, _) = ChessServer.throughput(spark, agg, lines,
+        clients = 8, perClient = 12, games = Some(games))
+      agg.unpersist(blocking = false)
+      rps
+    }
+
+    val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries,
+      stageWarm = Some(graft.operators.SharedStages.warm),
+      serverBench = Some(serverBench))
     // artifact first, own line, flushed — then a file mirror, THEN teardown
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)

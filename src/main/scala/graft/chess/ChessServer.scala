@@ -270,35 +270,106 @@ object ChessServer {
   }
 
   /** Serve line-delimited JSON over TCP (the reference's GUI transport):
-    * one response line per request line, connection-per-client loop. */
+    * one response line per request line, CONCURRENT connections — each
+    * client gets its own handler thread, all sharing the one cached
+    * store and SparkSession (Spark schedules concurrent collect jobs
+    * safely; `execute` holds no session-level mutable state, so
+    * responses are isolated per connection by construction — gated by
+    * TcpServerSpec's mixed-workload hammer). `maxRequests` bounds the
+    * TOTAL responses across all connections; reaching it closes the
+    * listener and drains in-flight handlers. */
   def serveTcp(spark: SparkSession, positionsAgg: DataFrame, port: Int,
                maxRequests: Long = Long.MaxValue,
                games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): Unit = {
     val server = new java.net.ServerSocket(port)
+    val served = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    def done: Boolean = served.get() >= maxRequests
     try {
-      var served = 0L
-      while (served < maxRequests) {
-        val sock = server.accept()
+      while (!done) {
+        val sock =
+          try server.accept()
+          catch { case _: java.net.SocketException => return } // closed by a handler
+        pool.execute { () =>
+          try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val out = new java.io.PrintWriter(
+              new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+            var line = in.readLine()
+            while (line != null && !done) {
+              if (line.trim.nonEmpty) {
+                val resp = try handle(spark, positionsAgg, line, games) catch {
+                  case e: Exception =>
+                    s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
+                }
+                out.println(resp)
+                // last response in: unblock the acceptor so the server
+                // can terminate instead of sitting in accept()
+                if (served.incrementAndGet() >= maxRequests) server.close()
+              }
+              line = if (done) null else in.readLine()
+            }
+          } catch {
+            case _: java.io.IOException => () // client hung up mid-line
+          } finally sock.close()
+        }
+      }
+    } finally {
+      try server.close() catch { case _: java.io.IOException => () }
+      pool.shutdown()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+  }
+
+  /** Concurrent-client throughput probe (the interactive-GUI regime):
+    * `clients` sockets each fire `perClient` requests drawn round-robin
+    * from `requestLines`, all against one server/store. Returns
+    * (requests/sec, responses) — every response line is returned so
+    * callers can assert isolation, not just speed. */
+  def throughput(spark: SparkSession, positionsAgg: DataFrame,
+                 requestLines: Seq[String], clients: Int, perClient: Int,
+                 games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None)
+      : (Double, Seq[Seq[String]]) = {
+    val port = { val p = new java.net.ServerSocket(0)
+                 try p.getLocalPort finally p.close() }
+    val total = clients.toLong * perClient
+    val serverThread = new Thread(() =>
+      serveTcp(spark, positionsAgg, port, maxRequests = total, games = games))
+    serverThread.setDaemon(true)
+    serverThread.start()
+    // wait for the listener
+    var probe: java.net.Socket = null
+    var tries = 0
+    while (probe == null && tries < 100) {
+      try probe = new java.net.Socket("127.0.0.1", port)
+      catch { case _: java.net.ConnectException => Thread.sleep(50); tries += 1 }
+    }
+    require(probe != null, "throughput server never came up")
+    probe.close()
+    val results = Array.fill(clients)(Seq.empty[String])
+    val t0 = System.nanoTime()
+    val threads = (0 until clients).map { c =>
+      val t = new Thread(() => {
+        val sock = new java.net.Socket("127.0.0.1", port)
         try {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
           val out = new java.io.PrintWriter(
             new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
-          var line = in.readLine()
-          while (line != null && served < maxRequests) {
-            if (line.trim.nonEmpty) {
-              val resp = try handle(spark, positionsAgg, line, games) catch {
-                case e: Exception =>
-                  s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
-              }
-              out.println(resp)
-              served += 1
-            }
-            line = if (served < maxRequests) in.readLine() else null
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+          results(c) = (0 until perClient).map { i =>
+            out.println(requestLines((c + i * clients) % requestLines.size))
+            in.readLine()
           }
         } finally sock.close()
-      }
-    } finally server.close()
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(120000))
+    val secs = (System.nanoTime() - t0) / 1e9
+    serverThread.join(10000)
+    (total / secs, results.toSeq)
   }
 
   /** CLI loop: line-delimited JSON requests on stdin (or a file arg),

@@ -127,7 +127,7 @@ object MultimodalQueries {
     * q77 computes the decode fresh so its benched time is the true
     * codec cost; q78 composes on the staged features the way a real
     * pipeline would. */
-  private def mediaFeaturesStage(s: SparkSession, d: String): DataFrame =
+  private[operators] def mediaFeaturesStage(s: SparkSession, d: String): DataFrame =
     StageCache.getOrCompute(s, s"media_features:$d")(
       Multimodal.decodeMedia(
         Multimodal.realAssets(documents(s, d).select("doc_id")))

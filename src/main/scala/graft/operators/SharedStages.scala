@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The cross-query shared materialized stages (q53→q54 pair stage,
+  * q77→q78 decode stage, q79's written IVF index), built eagerly and
+  * TIMED — so Bench can warm them before the measured runs and emit
+  * their build cost as a first-class artifact field ("stage_build")
+  * instead of letting median-of-N silently discard the ingest cost of
+  * the first run. The headline per-query times then measure steady-state
+  * probe/compose cost (what repeats in production), while the one-time
+  * stage cost stays auditable next to them. */
+object SharedStages {
+
+  /** Build (memoized per session via StageCache) every shared stage at
+    * `d`, returning build seconds per stage. */
+  def warm(s: SparkSession, d: String): Map[String, Double] = {
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Map(
+      "ngram_pairs" -> time(TextQueries.ngramPairsStage(s, d).count()),
+      "media_features" -> time(MultimodalQueries.mediaFeaturesStage(s, d).count()),
+      "ivf_index" -> time(VectorQueries.ivfIndexDir(s, d)))
+  }
+}

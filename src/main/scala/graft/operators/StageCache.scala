@@ -14,8 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * instead of returning a DataFrame bound to a stopped session. (A
   * WeakHashMap would not help here: the cached DataFrame strongly
   * references its session, which would pin the weak key forever.)
-  * Dead-session entries are evicted lazily on the next touch of the
-  * same slot, so the map is bounded by live (session, key) pairs. */
+  * Every put also SWEEPS entries whose session reference has been
+  * cleared — without that, an entry whose exact (hash, key) slot is
+  * never touched again would strongly hold its cached DataFrame (and
+  * through it the stopped session) for the life of the JVM: unbounded
+  * retention in long-lived drivers that churn sessions. The map is
+  * small (a handful of stages per live session), so the sweep is a
+  * cheap linear scan. */
 private[operators] object StageCache {
 
   private final case class Entry[T](session: WeakReference[SparkSession], value: T)
@@ -28,10 +33,14 @@ private[operators] object StageCache {
         e.value.asInstanceOf[T]
       case _ =>
         val v = f
+        cache.filterInPlace((_, e) => e.session.get != null)
         cache.put(k, Entry(new WeakReference(s), v))
         v
     }
   }
+
+  /** Live entry count — lets specs assert the sweep actually evicts. */
+  private[operators] def size: Int = cache.size
 
   def getOrCompute(s: SparkSession, key: String)(f: => DataFrame): DataFrame =
     memo(s, key)(f)

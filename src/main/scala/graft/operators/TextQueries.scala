@@ -498,7 +498,7 @@ object TextQueries {
     * (PipelineBench stages the same way). Session-identity keyed via
     * StageCache so a stale checkpoint can never leak across
     * SparkSessions. */
-  private def ngramPairsStage(s: SparkSession, d: String): DataFrame =
+  private[operators] def ngramPairsStage(s: SparkSession, d: String): DataFrame =
     StageCache.getOrCompute(s, s"ngram_pairs:$d")(
       NgramJoin.similarPairs(documents(s, d), NgramN, NgramMinJ).localCheckpoint())
 

@@ -166,14 +166,7 @@ object VectorQueries {
     // between the in-memory and on-disk paths fails the hash.
     "q79_ann_ivf_indexed" -> ((s, d) => {
       val e = emb(s, d)
-      // the index is INGEST-side state: write it once per (session, sf)
-      // and let repeated probes (bench medians) hit the layout, exactly
-      // as a deployed index would
-      val dir = StageCache.dirFor(s, s"ivf_index:$d") {
-        val dir0 = java.nio.file.Files.createTempDirectory("graft-q79-ivf").toString
-        IvfIndex.writeIndexed(e, dir0, nlist = IvfNList)
-        dir0
-      }
+      val dir = ivfIndexDir(s, d)
       IvfIndex.topKIndexed(
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
@@ -230,6 +223,19 @@ object VectorQueries {
   )
 
   // q65 geometry — shared with the oracle SQL text below.
+  /** q79's written IVF index — INGEST-side state, built once per
+    * (session, sf) via StageCache so repeated probes (bench medians)
+    * hit the layout exactly as a deployed index would; Bench warms it
+    * through SharedStages so the build cost is an auditable artifact
+    * field rather than vanishing into a discarded first run. */
+  private[operators] def ivfIndexDir(s: SparkSession, d: String): String =
+    StageCache.dirFor(s, s"ivf_index:$d") {
+      val dir0 = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-q79-ivf").toString)
+      IvfIndex.writeIndexed(emb(s, d), dir0, nlist = IvfNList)
+      dir0
+    }
+
   val KmK     = 8
   val KmIters = 2
 

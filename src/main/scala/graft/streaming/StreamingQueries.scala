@@ -114,7 +114,9 @@ object StreamingQueries {
     * lazily). */
   private def runAppend(out: DataFrame, name: String,
                         cleanupDirs: Seq[String] = Nil): DataFrame = {
-    val outDir = tmp(s"graft-$name-out")
+    // the sink dir outlives the call (read back lazily) — reaped at
+    // JVM exit so repeated runs don't accumulate corpus copies in /tmp
+    val outDir = graft.TempDirs.register(tmp(s"graft-$name-out"))
     val ckpt = tmp(s"graft-$name-ckpt")
     out.writeStream.format("parquet")
       .option("path", outDir)
@@ -163,7 +165,7 @@ object StreamingQueries {
           landing, i)
       }
       val storeDir = tmp("graft-q72-store")
-      val pairsDir = tmp("graft-q72-pairs")
+      val pairsDir = graft.TempDirs.register(tmp("graft-q72-pairs"))
       val ckpt = tmp("graft-q72-ckpt")
       IncrementalDedup.run(s, landing, docs, storeDir, pairsDir,
         ckpt, graft.operators.ApproxOracle.MinJaccard)
@@ -223,7 +225,7 @@ object StreamingQueries {
       val landing = tmp("graft-q75-landing")
       splitByTime(events, landing, 3)
       val ckpt = tmp("graft-q75-ckpt")
-      val outDir = tmp("graft-q75-out")
+      val outDir = graft.TempDirs.register(tmp("graft-q75-out"))
       val code = RestartHarness.launchKilled("ingest", landing, ckpt, outDir,
         d, killAfter = 1)
       require(code == RestartHarness.KilledExit || code == 0,

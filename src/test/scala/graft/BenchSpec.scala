@@ -31,5 +31,24 @@ class BenchSpec extends SparkTestBase {
     assert(json.contains("\"q_a\":") && json.contains("\"q_b\":"))
     assert(json.contains("\"loadavg_pre\":"), json)
     assert(json.contains("\"n_failed\":0"), json)
+    // self-certification: the artifact always carries the contention
+    // verdict and the threshold it was judged against
+    assert(json.contains("\"contended\":true") ||
+           json.contains("\"contended\":false"), json)
+    assert(json.contains("\"max_loadavg\":"), json)
+  }
+
+  test("stage warm-up and server bench report as artifact fields") {
+    val qs = Map(
+      "q_a" -> ((s: org.apache.spark.sql.SparkSession, d: String) => s.range(5).toDF()))
+    var warmedBeforeTiming = false
+    val (json, exit) = Bench.run(spark, sf, qs, Map.empty, runs = 1,
+      stageWarm = Some((_, _) => { warmedBeforeTiming = true
+        Map("fake_stage" -> 1.25) }),
+      serverBench = Some(() => 99.5))
+    assert(exit === 0)
+    assert(warmedBeforeTiming)
+    assert(json.contains("\"stage_build\":{\"fake_stage\":1.25}"), json)
+    assert(json.contains("\"server_rps\":99.5"), json)
   }
 }

@@ -30,14 +30,33 @@ class IvfIndexSpec extends SparkTestBase {
       got.select(cols.head, cols.tail: _*)).isEmpty)
     assert(got.count() > 0)
 
-    // the scan must carry a LITERAL partition filter on cell...
+    // the scan must carry the cell filter INSIDE the PartitionFilters
+    // bracket (the node always prints an empty "PartitionFilters: []",
+    // and "cell" appears in the schema — a substring check on each
+    // alone passes even with pruning broken)
     val p = got.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("cell"),
-      s"cell must be a partition filter:\n$p")
-    // ...and the probed-cell set must be a strict subset of the layout
+    assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(p).isDefined,
+      s"cell must appear inside a partition filter:\n$p")
+    // ...and the listing must MATERIALLY prune: the scan's selected
+    // partition directories == the distinct probed cells, not the
+    // whole layout
     val probedCells = IvfIndex.probeCells(e, probes, nlist, nprobe)
       .select("cell").distinct().count()
     assert(probedCells < nlist,
       "test geometry must leave unprobed cells or pruning is vacuous")
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val cellScans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.partitionSchema.fieldNames.contains("cell") => s
+    }
+    assert(cellScans.nonEmpty, s"no partitioned index scan found:\n$plan")
+    val selected = cellScans.map(_.selectedPartitions.partitionCount).max
+    assert(selected == probedCells,
+      s"scan reads $selected cell directories but probes cover $probedCells — " +
+        "the isin filter is no longer pruning the layout")
   }
 }
