@@ -52,5 +52,23 @@ class StreamingImportSpec extends SparkTestBase {
     StreamingImport.compact(spark, dest, compacted)
     val cStore = StreamingImport.readStore(spark, compacted)
     assert(norm(cStore).exceptAll(norm(StreamingImport.readStore(spark, dest))).isEmpty)
+    assert(StreamingImport.epochCount(compacted) == 1,
+      "compaction must collapse to a single epoch")
+
+    // conf'd trigger policy: fires at the threshold, not below it
+    val epochs = StreamingImport.epochCount(dest)
+    assert(epochs >= 2, "the two-drop + catch-up ingest must leave multiple epochs")
+    val c2 = tmp("pos-compacted2")
+    spark.conf.set(StreamingImport.CompactEpochsConf, (epochs + 1).toString)
+    try {
+      assert(!StreamingImport.maybeCompact(spark, dest, c2),
+        "below the conf'd threshold the policy must not compact")
+      spark.conf.set(StreamingImport.CompactEpochsConf, epochs.toString)
+      assert(StreamingImport.maybeCompact(spark, dest, c2),
+        "at the conf'd threshold the policy must compact")
+      assert(StreamingImport.epochCount(c2) == 1)
+      assert(norm(StreamingImport.readStore(spark, c2))
+        .exceptAll(norm(StreamingImport.readStore(spark, dest))).isEmpty)
+    } finally spark.conf.unset(StreamingImport.CompactEpochsConf)
   }
 }
