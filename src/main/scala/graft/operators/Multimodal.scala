@@ -195,7 +195,15 @@ object Multimodal {
   /** Frame sampling: one "frame" payload slice per second of video —
     * explodes bounded by duration, keyed for downstream per-frame ops. */
   def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): DataFrame =
-    assets.toDF()
+    sampleFramesDf(assets.toDF(), everyMs)
+
+  /** Same sampler over any frame with (asset_id, modality, duration_ms)
+    * — the sampler never reads payload bytes, so callers can feed it
+    * payload-free metadata (`videoAssetMeta`) and skip media encode
+    * entirely: manual projection pushdown that a typed mapPartitions
+    * generator can't get from Catalyst. */
+  def sampleFramesDf(assets: DataFrame, everyMs: Long = 1000L): DataFrame =
+    assets
       // zero-length videos yield no frames (a duration-0 asset has
       // nothing to sample; emitting a phantom frame 0 diverged from the
       // frame-count arithmetic downstream)
@@ -205,6 +213,17 @@ object Multimodal {
           col("duration_ms") - 1, lit(everyMs))).as("frame_ts_ms"))
       .withColumn("frame_idx",
         (col("frame_ts_ms") / everyMs).cast("int"))
+
+  /** Payload-free metadata for the generated video assets: duration is
+    * stamped from the SAME `gifFrames(seed)` arithmetic `realAssets`
+    * uses (2 + seed mod 7 frames, expressible as a codegen'd column),
+    * so grids derived here match the stored frames bit-for-bit without
+    * paying a single GIF encode. */
+  def videoAssetMeta(ids: DataFrame): DataFrame =
+    ids.select(col(ids.columns.head).cast("long").as("asset_id"))
+      .filter(col("asset_id") % 3 === 2)
+      .select(col("asset_id"), lit("video").as("modality"),
+        ((lit(2) + pmod(col("asset_id"), lit(7))) * FrameMs).as("duration_ms"))
 
   /** Per-modality feature rollup — the query surface over decoded
     * features (oracle-checkable arithmetic on top of the stub). */

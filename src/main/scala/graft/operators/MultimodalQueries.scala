@@ -98,9 +98,14 @@ object MultimodalQueries {
     // operate on real frames every round. Oracle reads the exported
     // per-frame rows (pure per-row codec calls) and redoes the rollup.
     "q82_video_frames" -> ((s, d) => {
-      val assets = Multimodal.realAssets(documents(s, d).select("doc_id"))
-      val frames = Multimodal.videoFrames(assets).toDF()
-      val sampled = Multimodal.sampleFrames(assets, everyMs = Multimodal.FrameMs)
+      // generate ONLY the video slice (no PNG/WAV encode for assets the
+      // query never touches), and sample from payload-free metadata —
+      // the decode branch is then the single place GIF bytes exist
+      val ids = documents(s, d).select("doc_id")
+      val frames = Multimodal.videoFrames(
+        Multimodal.realAssets(ids.filter(col("doc_id") % 3 === 2))).toDF()
+      val sampled = Multimodal.sampleFramesDf(
+        Multimodal.videoAssetMeta(ids), Multimodal.FrameMs)
       sampled.join(frames, Seq("asset_id", "frame_idx"))
         .groupBy(col("asset_id"))
         .agg(count(lit(1)).as("n_frames"),

@@ -117,6 +117,13 @@ class MediaCodecsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(real.nonEmpty && sampled == real,
       "sampler keys must map 1:1 onto decoded frames")
+    // the payload-free metadata path must stay in lockstep with the
+    // durations realAssets stamps (same gifFrames arithmetic)
+    val meta = Multimodal.videoAssetMeta(ids)
+      .select("asset_id", "duration_ms").as[(Long, Long)].collect().toMap
+    val stamped = assets.toDF().filter(col("modality") === "video")
+      .select("asset_id", "duration_ms").as[(Long, Long)].collect().toMap
+    assert(meta == stamped, "videoAssetMeta drifted from generated durations")
   }
 
   test("banded aHash join recovers exactly the all-pairs Hamming<=3 set") {
