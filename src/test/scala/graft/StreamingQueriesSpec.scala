@@ -95,6 +95,32 @@ class StreamingQueriesSpec extends SparkTestBase {
     Seq(landing, ckpt, outDir).foreach(SQ.rmTree)
   }
 
+  test("q74 restart: watermarked window state killed mid-run resumes to the batch answer") {
+    import streaming.{RestartHarness, StreamingQueries => SQ}
+    val landing = SQ.tmp("graft-q74r-landing")
+    SQ.splitByTime(events, landing, 3)
+    SQ.flushDrops(spark, events, landing, 3)
+    val ckpt = SQ.tmp("graft-q74r-ckpt")
+    val outDir = SQ.tmp("graft-q74r-out")
+    // built-in window-agg state + the WATERMARK itself must both come
+    // back from the checkpoint: a resume that lost the watermark would
+    // re-emit or hold back finalized windows
+    val code = RestartHarness.launchKilled("windows", landing, ckpt, outDir,
+      sf, killAfter = 2)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    RestartHarness.start(spark, "windows", landing, ckpt, outDir, events)
+      .awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "__flush__")
+      .select("win_start", "win_end", "event_type", "n", "v")
+    val want = EventStreams.windowedCounts(events)
+      .select("win_start", "win_end", "event_type", "n", "v")
+    assert(got.count() === want.count(), "restart must finalize every window exactly once")
+    assertSame(got, want, "q74-restart")
+    Seq(landing, ckpt, outDir).foreach(SQ.rmTree)
+  }
+
   test("q76: stateful dedup collapses the doubled feed to the raw rows") {
     assertSame(q("q76_stream_dedup"), events, "q76")
   }
