@@ -475,6 +475,63 @@ object TextQueries {
         .crossJoin(broadcast(total))
         .select(col("v").cast("long").as("v"), col("covered"), col("total"),
           (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
+    }),
+
+    // Budget-constrained corpus selection (L5j — fill a token budget
+    // with the best documents, the mixing-under-budget step before
+    // training): keep the maximal prefix of the (stop_ratio DESC,
+    // doc_id ASC) quality order whose cumulative token count fits a
+    // budget of 1/4 of all corpus tokens; report kept docs/tokens per
+    // language. The oracle is the naive global-window cumsum; the
+    // Spark plan never builds one. Exact two-phase threshold
+    // selection: (1) one aggregation histograms token mass into 4097
+    // quality bins (bin = floor(q*4096) is strictly monotone in q, so
+    // bins are contiguous runs of the global order) and the driver
+    // walks that BOUNDED table to find the boundary bin + remaining
+    // budget; (2) bins above the boundary keep every row, and only the
+    // boundary bin's rows (corpus/4096 in expectation) pay an exact
+    // ordered prefix sum — via ScanSum's two-phase distributed scan,
+    // so even an adversarial all-one-bin corpus never funnels through
+    // a single reducer. Three passes over the corpus total — the
+    // inherent cost of a global threshold, never a global sort.
+    "q83_budget_select" -> ((s, d) => {
+      val stop = array(Seq("the", "a", "an", "of", "and", "or", "is",
+        "to", "in", "that").map(lit): _*)
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("toks"),
+          (size(filter(toks, t => array_contains(stop, t))).cast("double") /
+            size(toks).cast("double")).as("q"))
+      val nBins = 4096
+      val bin = floor(col("q") * nBins).cast("int")
+      // bounded driver fetch: ≤ nBins+1 rows, like a centroid collect
+      val hist = scored.groupBy(bin.as("bin"))
+        .agg(sum(col("toks")).as("btoks"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+      val budget = hist.map(_._2).sum >> 2
+      var acc = 0L; var boundary = Int.MinValue; var rem = budget
+      var partial = false
+      hist.foreach { case (b, t) =>
+        if (!partial) {
+          if (acc + t <= budget) acc += t
+          else { boundary = b; rem = budget - acc; partial = true }
+        }
+      }
+      val kept =
+        if (!partial) scored // the whole corpus fits the budget
+        else {
+          val above = scored.filter(bin > boundary)
+          val atBoundary = scored.filter(bin === boundary)
+            .withColumn("__ord",
+              struct((-col("q")).as("nq"), col("doc_id").as("id")))
+            .withColumn("__g", lit(0))
+          ScanSum.runningSum(atBoundary, "__g", "__ord", "toks")
+            .filter(col("cum") <= rem)
+            .select(above.columns.map(col): _*)
+            .unionByName(above)
+        }
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
     })
   )
 
@@ -680,6 +737,25 @@ object TextQueries {
            CAST(max(cum) AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
          FROM ranked JOIN cuts ON rn <= v CROSS JOIN total
          GROUP BY v, total""",
+
+    // the textbook single-reducer derivation the Spark plan avoids:
+    // global window cumsum over the quality order, prefix under budget
+    "q83_budget_select" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> list_contains(['the','a','an','of','and','or','is','to','in','that'], x)))
+                   AS DOUBLE)
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS q
+           FROM documents),
+         b AS (SELECT CAST(sum(toks) AS BIGINT) // 4 AS budget FROM t),
+         r AS (SELECT doc_id, lang, toks,
+                 sum(toks) OVER (ORDER BY q DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+         SELECT lang, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS tokens_kept
+         FROM r, b WHERE cum <= budget GROUP BY lang""",
 
     "q53_ngram_neardup" ->
       s"""WITH $ngramPairsCtes

@@ -20,7 +20,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q64_bm25",             // shared-shuffle tf/df + float chain
     "q65_kmeans",           // ITERATIVE: 2 Lloyd rounds of float means
     "q67_vocab_coverage",   // TakeOrdered top-k + bounded rank self-join
-    "q70_bpe_merges")       // ITERATIVE: per-round global argmax
+    "q70_bpe_merges",       // ITERATIVE: per-round global argmax
+    "q83_budget_select")    // histogram threshold + ScanSum boundary prefix
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -116,6 +116,31 @@ class TextPipelineOpsSpec extends SparkTestBase {
     assert(out == naive)
   }
 
+  test("q83 histogram-threshold selection equals the naive global-window prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val stop = array(Seq("the", "a", "an", "of", "and", "or", "is",
+      "to", "in", "that").map(lit): _*)
+    val ts = split(trim($"text"), "\\s+")
+    val scored = docs.select($"doc_id", $"lang",
+      size(ts).cast("long").as("toks"),
+      (size(filter(ts, t => array_contains(stop, t))).cast("double") /
+        size(ts).cast("double")).as("q"))
+    val budget = scored.agg(sum($"toks")).as[Long].head() >> 2
+    val naive = scored
+      .withColumn("cum", sum($"toks").over(
+        Window.orderBy($"q".desc, $"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= budget)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"toks").as("tokens_kept"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val got = SparkEntry.queries("q83_budget_select")(spark, sf)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == naive)
+    assert(got.map(_._3).sum <= budget && got.nonEmpty,
+      "kept tokens must respect the budget")
+  }
+
   test("q67 vocab coverage is monotone in V and bounded by 1") {
     val out = SparkEntry.queries("q67_vocab_coverage")(spark, sf)
       .orderBy($"v").select($"v", $"covered", $"total", $"coverage")
