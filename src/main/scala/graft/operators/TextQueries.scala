@@ -532,8 +532,50 @@ object TextQueries {
         }
       kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+    }),
+
+    // Training-data shard export (the pipeline's last mile — the WRITE
+    // that ships a corpus to the trainer): 16 deterministic md5
+    // shards, corpus materialized partitionBy(shard) once per session
+    // (the layout a data loader consumes shard-by-shard, q79's
+    // written-index pattern applied to export), and the query answers
+    // per-shard accounting FROM THE WRITTEN LAYOUT — the oracle
+    // recomputes the same accounting from the raw table, so every
+    // round re-proves the export lost/duplicated nothing and the
+    // shard hash balanced it.
+    "q84_shard_export" -> ((s, d) => {
+      s.read.parquet(shardExportDir(s, d))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("total_tokens"),
+             sum(col("n_chars")).as("total_chars"))
     })
   )
+
+  /** Number of export shards (q84) — shared with the oracle SQL. */
+  val ExportShards = 16
+
+  /** q84's written shard layout — export-side state, materialized once
+    * per (session, sf) via StageCache and reaped at JVM exit; Bench
+    * warms it through SharedStages so the write cost is an auditable
+    * artifact field. The shard function reuses q56's md5-bucket
+    * arithmetic (mod ExportShards), so it is engine-portable and
+    * deterministic — a re-export lands every doc in the same shard. */
+  private[graft] def shardExportDir(s: SparkSession, d: String): String =
+    StageCache.dirFor(s, s"shard_export:$d") {
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-q84-shards").toString)
+      documents(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("shard",
+          pmod((expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1,
+            lit(ExportShards)).cast("int"))
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"), col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      dir
+    }
 
   /** q66 patterns — shared verbatim with the oracle SQL. Escape-free by
     * construction: a `\.` would be eaten by the SQL string literal on
@@ -737,6 +779,21 @@ object TextQueries {
            CAST(max(cum) AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
          FROM ranked JOIN cuts ON rn <= v CROSS JOIN total
          GROUP BY v, total""",
+
+    // same accounting recomputed from the RAW table — equality proves
+    // the written shard layout is lossless and the hash balanced
+    "q84_shard_export" ->
+      """WITH b AS (
+           SELECT n_chars,
+             ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16
+               AS shard,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM b GROUP BY shard""",
 
     // the textbook single-reducer derivation the Spark plan avoids:
     // global window cumsum over the quality order, prefix under budget

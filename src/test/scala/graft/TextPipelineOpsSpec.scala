@@ -141,6 +141,31 @@ class TextPipelineOpsSpec extends SparkTestBase {
       "kept tokens must respect the budget")
   }
 
+  test("q84 shard export: balanced layout, every doc exactly once, single-shard reads prune") {
+    val out = SparkEntry.queries("q84_shard_export")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 16L), "all 16 shards must exist")
+    assert(out.map(_._2).sum == docs.count(), "every doc lands in exactly one shard")
+    // md5 shards are near-uniform: no shard more than 2x the smallest
+    val sizes = out.map(_._2)
+    assert(sizes.max <= 2 * sizes.min,
+      s"shard skew ${sizes.min}..${sizes.max} — hash balance broken")
+    // a loader reading ONE shard must prune the other 15 directories
+    val dir = operators.TextQueries.shardExportDir(spark, sf)
+    val one = spark.read.parquet(dir).filter($"shard" === 3)
+    one.count()
+    val plan = one.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val scans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      "shard filter must prune to one partition directory")
+  }
+
   test("q67 vocab coverage is monotone in V and bounded by 1") {
     val out = SparkEntry.queries("q67_vocab_coverage")(spark, sf)
       .orderBy($"v").select($"v", $"covered", $"total", $"coverage")
