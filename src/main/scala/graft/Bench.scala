@@ -88,19 +88,34 @@ object Bench {
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(MaxLoadDefault)
     val contended = loadPre.toDoubleOption.exists(_ > maxLoad)
-    val stageBuild = stageWarm.map(f => f(spark, sfDir)).getOrElse(Map.empty)
+    // failure-honest like the queries: a stage-build or server-probe
+    // crash must be RECORDED (and poison the exit code), never abort
+    // the artifact or pass as a clean run
+    val (stageBuild, stageErr) =
+      stageWarm.map { f =>
+        try (f(spark, sfDir), None)
+        catch { case e: Throwable =>
+          (Map.empty[String, Double], Some(QResult("stage_build", -1.0,
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))))
+        }
+      }.getOrElse((Map.empty[String, Double], None))
     val batchR = batch.toSeq.sortBy(_._1).map { case (n, f) =>
       timeQuery(spark, sfDir, n, f, runs) }
     val streamR = streaming.toSeq.sortBy(_._1).map { case (n, f) =>
       timeQuery(spark, sfDir, n, f, 1) }
-    val serverRps = serverBench.map(f =>
-      try f() catch { case _: Throwable => -1.0 })
+    val (serverRps, serverErr) = serverBench.map { f =>
+      try (Some(f()), None)
+      catch { case e: Throwable =>
+        (None, Some(QResult("server_bench", -1.0,
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))))
+      }
+    }.getOrElse((None, None))
     val loadPost = loadavg()
 
     def queriesJson(rs: Seq[QResult]) =
       rs.filter(_.err.isEmpty).map(r => s"${jsonStr(r.name)}:${r.sec}")
         .mkString("{", ",", "}")
-    val errs = (batchR ++ streamR).filter(_.err.isDefined)
+    val errs = (batchR ++ streamR ++ stageErr ++ serverErr).filter(_.err.isDefined)
     val errJson = errs.map(r => s"${jsonStr(r.name)}:${jsonStr(r.err.get)}")
       .mkString("{", ",", "}")
     def total(rs: Seq[QResult]) = rs.filter(_.err.isEmpty).map(_.sec).sum

@@ -130,17 +130,31 @@ object ClusterVerify {
     val nExec = nExecNow
     require(nExec >= 3,
       s"local-cluster registered only $nExec executor(s); expected driver + 2 workers")
-    val got = runAll(cluster, sfDir)
+    // a crash inside the cluster phase (e.g. a forcedBranches require
+    // tripping on a serialization bug) must still produce the JSON
+    // artifact — automation reads it; "prints one line" is the contract
+    val got =
+      try Right(runAll(cluster, sfDir))
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+      }
     cluster.stop()
 
     val names = expected.keys.toSeq.sorted
-    val mismatches = names.filter(q => expected(q) != got(q))
+    val mismatches = got match {
+      case Right(g) => names.filter(q => expected(q) != g(q))
+      case Left(_)  => names // nothing comparable — report everything
+    }
+    val errJson = got.left.toOption
+      .map(m => s""""error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
+      .getOrElse("")
     val json =
       s"""{"metric":"cluster_verify","queries":${names.size},""" +
         s""""executors":$nExec,"mismatches":${mismatches.size},""" +
+        errJson +
         s""""mismatched":[${mismatches.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""sf":"$sfDir"}"""
     println(); println(json); Console.out.flush()
-    if (mismatches.nonEmpty) sys.exit(1)
+    if (mismatches.nonEmpty || got.isLeft) sys.exit(1)
   }
 }

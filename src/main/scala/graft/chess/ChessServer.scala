@@ -369,6 +369,11 @@ object ChessServer {
     threads.foreach(_.join(120000))
     val secs = (System.nanoTime() - t0) / 1e9
     serverThread.join(10000)
+    // a dead handler (Error, not Exception) or wedged client would
+    // otherwise yield a plausible-looking rps over unanswered requests
+    require(!threads.exists(_.isAlive), "throughput client thread(s) wedged")
+    require(results.forall(rs => rs.size == perClient && !rs.contains(null)),
+      "lost responses — rps would overcount")
     (total / secs, results.toSeq)
   }
 

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object CompactionBench {
 
-  private def tmp(p: String): String =
-    java.nio.file.Files.createTempDirectory(p).toString
+  // layouts register with the JVM-exit reaper at creation, so a run
+  // that dies mid-measurement leaks nothing
+  private def tmp(p: String): String = graft.TempDirs.register(
+    java.nio.file.Files.createTempDirectory(p).toString)
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -111,12 +113,7 @@ object CompactionBench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("COMPACTION_BENCH.json"), json)
     catch { case _: Throwable => }
-    (layouts.values.toSeq :+ compacted).foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(d))
-    }
+    // layouts are TempDirs-registered; the exit reaper deletes them
     spark.stop()
   }
 }

@@ -47,8 +47,11 @@ object ApproxOracle {
       Multimodal.decodeMedia(Multimodal.realAssets(docs.select("doc_id"))).toDF(),
       "media_features")
     // q82: the per-FRAME video decode rows (real multi-frame GIF reads)
+    // — generate only the video slice, like q82 itself (no PNG/WAV
+    // encode for rows videoFrames immediately drops)
     OracleExport.write(
-      Multimodal.videoFrames(Multimodal.realAssets(docs.select("doc_id"))).toDF(),
+      Multimodal.videoFrames(Multimodal.realAssets(
+        docs.select("doc_id").filter(col("doc_id") % 3 === 2))).toDF(),
       "video_frames")
 
     val e = VectorQueries.emb(spark, sfDir)

@@ -552,15 +552,13 @@ object TextQueries {
     })
   )
 
-  /** Number of export shards (q84) — shared with the oracle SQL. */
-  val ExportShards = 16
-
   /** q84's written shard layout — export-side state, materialized once
     * per (session, sf) via StageCache and reaped at JVM exit; Bench
     * warms it through SharedStages so the write cost is an auditable
-    * artifact field. The shard function reuses q56's md5-bucket
-    * arithmetic (mod ExportShards), so it is engine-portable and
-    * deterministic — a re-export lands every doc in the same shard. */
+    * artifact field. The shard key is one uniform md5 hex digit of the
+    * doc id (16 shards; the same engine-portable digit arithmetic as
+    * q56's buckets), so the assignment is deterministic — a re-export
+    * lands every doc in the same shard. */
   private[graft] def shardExportDir(s: SparkSession, d: String): String =
     StageCache.dirFor(s, s"shard_export:$d") {
       val dir = graft.TempDirs.register(
@@ -568,9 +566,7 @@ object TextQueries {
       documents(s, d)
         .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
         .withColumn("shard",
-          pmod((expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
-            expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1,
-            lit(ExportShards)).cast("int"))
+          (expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1).cast("int"))
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
           size(toks).cast("long").as("n_tokens"), col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(dir)
@@ -785,8 +781,7 @@ object TextQueries {
     "q84_shard_export" ->
       """WITH b AS (
            SELECT n_chars,
-             ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-              + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16
+             instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
                AS shard,
              len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
            FROM documents)

@@ -79,10 +79,17 @@ object RestartHarness {
                    outDir: String, sfDir: String, killAfter: Int): Int = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    // halt() skips Spark's own shutdown hooks, so the child's scratch
+    // dirs (/tmp/spark-*, blockmgr-*) would leak every run — pin them
+    // under a parent-registered dir the JVM-exit reaper deletes
+    val scratch = graft.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-restart-scratch").toString)
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g",
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
+      s"-Dspark.local.dir=$scratch",
+      s"-Djava.io.tmpdir=$scratch",
       "-cp", sys.props("java.class.path"),
       "graft.streaming.RestartHarness",
       kind, landing, ckpt, outDir, sfDir, killAfter.toString)
