@@ -36,13 +36,28 @@ object StreamingImport {
     val writer = raw.as[String].writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], epochId: Long) =>
-        val games = ChessIngest.parseGames(spark, batch, level)
-        ChessIngest.positionsAgg(ChessIngest.positionStream(spark, games))
-          .withColumn("epoch", lit(epochId))
-          .write.mode("append").partitionBy("epoch").parquet(destDir)
-        ()
+        writeEpoch(spark, batch, destDir, epochId, level)
       }
     (if (continuous) writer else writer.trigger(Trigger.AvailableNow())).start()
+  }
+
+  /** One micro-batch's epoch write — IDEMPOTENT under foreachBatch's
+    * at-least-once contract: a batch replayed after a mid-write kill
+    * re-runs with the same epochId, and dynamic partition overwrite
+    * makes it rewrite exactly `epoch=<id>` instead of appending a
+    * second copy of every row into it (the silent double-count a blind
+    * append mode has on restart — the same fix IncrementalDedup's
+    * batch-id partitions apply). Exposed so the spec can replay an
+    * epoch directly and assert the store unchanged. */
+  def writeEpoch(spark: SparkSession, batch: org.apache.spark.sql.Dataset[String],
+                 destDir: String, epochId: Long,
+                 level: Byte = Core.Level.Human): Unit = {
+    val games = ChessIngest.parseGames(spark, batch, level)
+    ChessIngest.positionsAgg(ChessIngest.positionStream(spark, games))
+      .withColumn("epoch", lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(destDir)
   }
 
   /** Read the current entry store: union of all epochs, re-combined.

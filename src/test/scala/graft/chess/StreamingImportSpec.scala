@@ -55,6 +55,24 @@ class StreamingImportSpec extends SparkTestBase {
     assert(StreamingImport.epochCount(compacted) == 1,
       "compaction must collapse to a single epoch")
 
+    // foreachBatch is at-least-once: a kill between the epoch write and
+    // the checkpoint commit REPLAYS the batch with the same epochId.
+    // Dynamic partition overwrite must make that replay a no-op rewrite
+    // of its own epoch — a blind append would double every row in it.
+    val beforeReplay = StreamingImport.readStore(spark, dest)
+      .orderBy("posHi", "posLo", "reverseMove", "level", "result")
+      .collect().toSeq
+    // c.pgn was the latest batch — replay exactly its epoch id
+    val replayEpoch = new java.io.File(dest).list()
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong).max
+    StreamingImport.writeEpoch(spark,
+      spark.createDataset(Seq(chunks.head)), dest, replayEpoch)
+    val afterReplay = StreamingImport.readStore(spark, dest)
+      .orderBy("posHi", "posLo", "reverseMove", "level", "result")
+      .collect().toSeq
+    assert(afterReplay == beforeReplay,
+      "an epoch replay must rewrite its partition, not double it")
+
     // conf'd trigger policy: fires at the threshold, not below it
     val epochs = StreamingImport.epochCount(dest)
     assert(epochs >= 2, "the two-drop + catch-up ingest must leave multiple epochs")
