@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-statistics quality weighting (SURVEY.md §2.11 L5 — the two
+  * signals a pretraining pipeline derives from the corpus itself rather
+  * than from each document in isolation):
+  *
+  *  - q85: CCNet-style corpus-frequency scoring — a document whose
+  *    tokens are mostly corpus-rare is boilerplate, OCR noise, or
+  *    gibberish; the signal needs a global term-frequency table, not a
+  *    per-doc heuristic (contrast q27's local ratios).
+  *  - q86: DSIR-style importance weighting (Xie et al. 2023, "Data
+  *    Selection for Language Models via Importance Resampling") —
+  *    hashed n-gram bag features scored against a target-domain
+  *    profile, the standard recipe for tilting a web crawl toward a
+  *    curated distribution.
+  *
+  * Scale posture (the part that must survive 100 TB):
+  *  - q85 keys every shuffle by `xxhash64(token)` — fixed-width longs,
+  *    never strings (the q53 doctrine). Distinct-token collisions would
+  *    merge two counts; the DuckDB oracle joins by the exact strings,
+  *    so every round re-proves the hashing lossless at test scale, and
+  *    QualityQueriesSpec re-proves it against a string-keyed twin.
+  *  - q86's feature space is CLOSED (4096 md5 buckets), so the
+  *    target/source profiles are O(buckets) rows regardless of corpus
+  *    size: profile aggregation collapses map-side to ≤4096 partial
+  *    rows per task and the per-doc scoring join is a broadcast — the
+  *    corpus never shuffles for the profile.
+  *  - Both scores are RATIONAL (integer masses, one IEEE division at
+  *    the end) — the q55 doctrine: no `ln`, no order-dependent double
+  *    sums, bit-identical cross-engine without rounding.
+  */
+object QualityQueries {
+
+  /** Whitespace tokens of `text`, after trim (same tokenization as
+    * TextQueries.toks — q85/q86 must agree with q21/q55/q58 on what a
+    * token is). */
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  /** Token bigrams of a token-array column. Same caveat as
+    * TextQueries.tokenTrigrams: `ts` must be a materialized column
+    * attribute (an inline split() inside the lambda re-evaluates per
+    * element), and callers guard size(ts) >= 2. */
+  private def tokenBigrams(ts: Column): Column =
+    transform(sequence(lit(0), size(ts) - 2),
+      i => concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2)))
+
+  /** Corpus count at or below which a token is "rare" (q85). */
+  val RareCutoff = 2L
+
+  /** q86 hashed-feature space: first 3 md5 hex chars = 4096 buckets.
+    * Closed and tiny by construction — that is what makes the profile
+    * broadcast-able at any corpus size. */
+  val NBuckets = 4096L
+
+  /** q86 target domain: English docs (the curated-side stand-in). */
+  val TargetLang = "en"
+
+  /** md5-prefix feature bucket in [0, 4096) — md5 because both engines
+    * produce identical lowercase hex (the q56 split idiom), so bucket
+    * IDENTITY matches the oracle exactly; xxhash64 would not (DuckDB
+    * lacks it) and here the bucket VALUE is load-bearing (profiles are
+    * joined by it), unlike q85 where the hash only needs to be
+    * injective. */
+  private def featureBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 3), 16, 10).cast("long")
+
+  /** Per-(doc, hashed-token) frequency — the shared first stage of q85.
+    * Aggregating to (doc_id, th) BEFORE the corpus-count join collapses
+    * repeated tokens map-side, so the join fan-in is distinct terms per
+    * doc, not raw token occurrences. */
+  private def docTermFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("tf"))
+
+  /** q85 on an arbitrary (doc_id, text) frame — QualityQueriesSpec
+    * drives this with a string-keyed twin to prove hash losslessness. */
+  private[graft] def rareTokenQuality(docs: DataFrame): DataFrame = {
+    val tf = docTermFreq(docs)
+    val ctf = tf.groupBy(col("th")).agg(sum(col("tf")).as("ctf"))
+    tf.join(ctf, "th")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+           sum(when(col("ctf") <= RareCutoff, col("tf")).otherwise(0L)).as("n_rare"),
+           sum(when(col("ctf") === 1L, col("tf")).otherwise(0L)).as("n_hapax"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens"))
+  }
+
+  /** String-keyed twin of q85 — identical plan shape but shuffles the
+    * raw token strings. Exists ONLY for the losslessness spec; the
+    * hashed path is the one registered (and the one you'd run at
+    * 100 TB). */
+  private[graft] def rareTokenQualityByString(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    tf.join(ctf, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+           sum(when(col("ctf") <= RareCutoff, col("tf")).otherwise(0L)).as("n_rare"),
+           sum(when(col("ctf") === 1L, col("tf")).otherwise(0L)).as("n_hapax"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens"))
+  }
+
+  /** q86's per-(doc, feature-bucket) counts — bigram bag, hashed into
+    * the closed bucket space. */
+  private[graft] def docFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(tokenBigrams(col("ts"))).as("g"))
+      .select(col("doc_id"), col("lang"), featureBucket(col("g")).as("f"))
+      .groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("c"))
+
+  /** q86 on an arbitrary (doc_id, lang, text) frame. Importance score
+    * in the LINEAR domain: affinity = (t_mass/T)/(s_mass/S) where
+    * t_mass/s_mass are the doc's feature counts weighted by the
+    * add-one-smoothed target/source profiles and T/S the profile
+    * totals (Σ counts + |buckets|). DSIR's log-domain weight orders
+    * documents by Σc·(log t̂ - log ŝ); the linear ratio keeps the same
+    * plan (and the same "above/below corpus baseline" reading at
+    * affinity 1.0) while staying integer-exact until one final
+    * division — cross-engine bit-stable with no ln. */
+  private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
+    val cf = docFeatures(docs)
+    val src = cf.groupBy(col("f")).agg(sum(col("c")).as("sc"))
+    val tgt = cf.filter(col("lang") === TargetLang)
+      .groupBy(col("f")).agg(sum(col("c")).as("tc"))
+    val prof = src.join(tgt, Seq("f"), "left")
+      .select(col("f"),
+        (coalesce(col("tc"), lit(0L)) + 1L).as("tc1"),
+        (col("sc") + 1L).as("sc1"))
+    val tot = cf.agg(
+      (sum(when(col("lang") === TargetLang, col("c")).otherwise(0L)) +
+        NBuckets).as("tt"),
+      (sum(col("c")) + NBuckets).as("st"))
+    cf.join(broadcast(prof), "f")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+           sum(col("c") * col("tc1")).as("t_mass"),
+           sum(col("c") * col("sc1")).as("s_mass"))
+      .crossJoin(broadcast(tot))
+      .withColumn("affinity",
+        (col("t_mass").cast("double") * col("st")) /
+          (col("s_mass").cast("double") * col("tt")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("t_mass"), col("s_mass"), col("affinity"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
+    "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    // Exact string-keyed recomputation — a Spark-side xxhash64
+    // collision between distinct tokens would desync n_rare/n_hapax
+    // and fail the hash compare, so the oracle doubles as the
+    // collision check (q53 doctrine).
+    "q85_rare_token_quality" ->
+      s"""WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         ctf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf
+                 FROM tf GROUP BY 1)
+         SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN ctf <= $RareCutoff THEN tf ELSE 0 END)
+             AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN ctf = 1 THEN tf ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(CASE WHEN ctf <= $RareCutoff THEN tf ELSE 0 END)
+             AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS rare_frac
+         FROM tf JOIN ctf USING (tok) GROUP BY 1""",
+
+    // Full relational recomputation: same md5 buckets (instr hex
+    // decode = Spark's conv(substr(md5,1,3),16,10)), same add-one
+    // smoothing, same (double * BIGINT) / (double * BIGINT) final
+    // expression.
+    "q86_dsir_weights" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         bi AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1])) AS g
+           FROM t WHERE len(ts) >= 2),
+         feat AS (
+           SELECT doc_id, lang,
+             (instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) AS f
+           FROM bi),
+         cf AS (SELECT doc_id, lang, f, count(*) AS c
+                FROM feat GROUP BY 1, 2, 3),
+         src AS (SELECT f, CAST(sum(c) AS BIGINT) AS sc FROM cf GROUP BY 1),
+         tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS tc
+                 FROM cf WHERE lang = '$TargetLang' GROUP BY 1),
+         prof AS (
+           SELECT src.f AS f, coalesce(tc, 0) + 1 AS tc1, sc + 1 AS sc1
+           FROM src LEFT JOIN tgt ON src.f = tgt.f),
+         tot AS (
+           SELECT
+             CAST(sum(CASE WHEN lang = '$TargetLang' THEN c ELSE 0 END)
+               + $NBuckets AS BIGINT) AS tt,
+             CAST(sum(c) + $NBuckets AS BIGINT) AS st
+           FROM cf),
+         mass AS (
+           SELECT cf.doc_id, cf.lang,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(sum(c * tc1) AS BIGINT) AS t_mass,
+             CAST(sum(c * sc1) AS BIGINT) AS s_mass
+           FROM cf JOIN prof USING (f) GROUP BY 1, 2)
+         SELECT doc_id, lang, n_bigrams, t_mass, s_mass,
+           (CAST(t_mass AS DOUBLE) * st) / (CAST(s_mass AS DOUBLE) * tt)
+             AS affinity
+         FROM mass CROSS JOIN tot""")
+}

@@ -149,6 +149,22 @@ class PlanAuditSpec extends SparkTestBase {
       "top-300 extraction must plan as per-partition top-k + driver merge\n" + p)
   }
 
+  test("q85: every exchange carries hashed longs — token strings never shuffle") {
+    val p = plan("q85_rare_token_quality")
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("tok#")),
+      "a shuffle is keyed by the raw token string instead of xxhash64\n" +
+        exchanges.mkString("\n"))
+  }
+
+  test("q86: the per-doc scoring join broadcasts the bounded profile") {
+    val p = plan("q86_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4096-bucket profile must broadcast — the corpus never " +
+        "shuffles for scoring\n" + p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
