@@ -87,6 +87,15 @@ object ApproxOracle {
       .select(split(col("word"), "").as("syms"), col("n"))
     (exported until TextQueries.BpeMerges).foreach(i =>
       OracleExport.write(emptyWords, s"bpe_words_$i"))
+
+    // q87: the encoded word vocabulary (word -> token count) — the
+    // per-word sequential fold is the exported pure function; DuckDB
+    // redoes the corpus (lang, word) counts, the vocab join (by the
+    // EXACT word strings — the collision check for q87's xxhash64 join
+    // keys), and the per-lang rollup.
+    OracleExport.write(
+      TextQueries.bpeEncodedStage(spark, sfDir).select("word", "n_tokens"),
+      "bpe_encoded")
   }
 
   private def p(name: String) = OracleExport.p(name)
@@ -124,6 +133,23 @@ object ApproxOracle {
 
   val oracleSql: Map[String, String] = Map(
     "q70_bpe_merges" -> bpeOracle,
+
+    "q87_bpe_encode" ->
+      s"""WITH wc AS (
+           SELECT lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents),
+         wcc AS (SELECT lang, word, count(*) AS n FROM wc
+                 WHERE length(word) > 0 GROUP BY 1, 2)
+         SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS word_occurrences,
+           CAST(sum(n * n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n * length(word)) AS BIGINT) AS total_chars,
+           CAST(sum(n * n_tokens) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+             AS tokens_per_word
+         FROM wcc JOIN ${p("bpe_encoded")} USING (word)
+         GROUP BY 1""",
 
     // band self-join -> distinct candidate pairs -> exact set Jaccard
     // from the shingle-hash table -> threshold -> summary

@@ -105,4 +105,25 @@ object BpeLearn {
   /** End-to-end: learn merges from a document corpus. */
   def learnFromDocs(docs: DataFrame, nMerges: Int): Seq[((String, String), Long)] =
     learn(docs.sparkSession, wordVocab(docs), nMerges)
+
+  /** The APPLY half of the tokenizer lifecycle (q87): tokenize each
+    * distinct word with an ordered merge list — the same per-word
+    * sequential fold `learn` uses, run once over the language-bounded
+    * word VOCAB. The corpus never sees the fold: it joins against the
+    * resulting (word → tokens) table. Returns
+    * (word, n_tokens, tokens space-joined — unambiguous since
+    * whitespace-split words contain no whitespace). */
+  def encodeWords(spark: SparkSession, words: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val ms = merges.toArray
+    words.select(col("word")).distinct().as[String].map { w =>
+      var syms: Seq[String] = w.split("").toSeq.filter(_.nonEmpty)
+      var i = 0
+      while (i < ms.length) {
+        syms = applyMerge(syms, ms(i)._1, ms(i)._2); i += 1
+      }
+      (w, syms.length.toLong, syms.mkString(" "))
+    }.toDF("word", "n_tokens", "tokens")
+  }
 }

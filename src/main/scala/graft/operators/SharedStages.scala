@@ -22,6 +22,7 @@ object SharedStages {
       "ngram_pairs" -> time(TextQueries.ngramPairsStage(s, d).count()),
       "media_features" -> time(MultimodalQueries.mediaFeaturesStage(s, d).count()),
       "ivf_index" -> time(VectorQueries.ivfIndexDir(s, d)),
-      "shard_export" -> time(TextQueries.shardExportDir(s, d)))
+      "shard_export" -> time(TextQueries.shardExportDir(s, d)),
+      "bpe_encode" -> time(TextQueries.bpeEncodedStage(s, d).count()))
   }
 }

@@ -48,4 +48,9 @@ private[operators] object StageCache {
   /** Memoize a materialized DIRECTORY (e.g. a written index layout) per
     * (session, key) — the ingest-once accounting for write-path ops. */
   def dirFor(s: SparkSession, key: String)(f: => String): String = memo(s, key)(f)
+
+  /** Memoize a driver-side VALUE (e.g. a learned merge list) per
+    * (session, key) — same ingest-once accounting for model-sized
+    * results that queries compose on. */
+  def valueFor[T](s: SparkSession, key: String)(f: => T): T = memo(s, key)(f)
 }

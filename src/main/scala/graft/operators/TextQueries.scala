@@ -303,6 +303,33 @@ object TextQueries {
         .toDF("rank", "a", "b", "cnt")
     }),
 
+    // Tokenizer APPLICATION (L5 — the encode half q70 learns for):
+    // corpus tokenized with the learned merges, rolled up per lang.
+    // The sequential fold runs ONCE per distinct word (bpeEncodedStage,
+    // language-bounded); the corpus side is a plain (lang, word) count
+    // that joins the encoded vocab by xxhash64(word) — fixed-width
+    // keys, and the oracle joins by the exact strings so a collision
+    // would fail the hash compare (q85 doctrine). At 100 TB the corpus
+    // pass dominates and the encode stage stays a small-table job.
+    "q87_bpe_encode" -> ((s, d) => {
+      val wc = documents(s, d)
+        .select(col("lang"), explode(toks).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+        .select(col("lang"), xxhash64(col("word")).as("wh"), col("n"),
+          length(col("word")).cast("long").as("wlen"))
+      val enc = bpeEncodedStage(s, d)
+        .select(xxhash64(col("word")).as("wh"), col("n_tokens"))
+      wc.join(enc, "wh")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n")).as("word_occurrences"),
+             sum(col("n") * col("n_tokens")).as("total_tokens"),
+             sum(col("n") * col("wlen")).as("total_chars"))
+        .withColumn("tokens_per_word",
+          col("total_tokens").cast("double") / col("word_occurrences"))
+    }),
+
     // Heuristic language ID (L5): stopword-profile scoring vs the
     // labeled lang column. The scoring is plain counting + argmax, so it
     // gets a REAL DuckDB oracle (generated from the same profiles —
@@ -559,6 +586,26 @@ object TextQueries {
     * doc id (16 shards; the same engine-portable digit arithmetic as
     * q56's buckets), so the assignment is deterministic — a re-export
     * lands every doc in the same shard. */
+  /** q87's encoded word vocabulary — the learned merge list (memoized
+    * per session: learning is the model-build, billed once under
+    * "stage_build" like q79's index) applied to every distinct corpus
+    * word, materialized via localCheckpoint. q70 itself still learns
+    * fresh so its benched time stays the true training cost (the q77
+    * accounting doctrine). */
+  private[graft] def bpeMergesStage(s: SparkSession,
+                                    d: String): Seq[((String, String), Long)] =
+    StageCache.valueFor(s, s"bpe_merges:$d")(
+      BpeLearn.learnFromDocs(documents(s, d), BpeMerges))
+
+  private[graft] def bpeEncodedStage(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, s"bpe_encoded:$d") {
+      val vocab = documents(s, d)
+        .select(explode(toks).as("word"))
+        .filter(length(col("word")) > 0)
+      BpeLearn.encodeWords(s, vocab, bpeMergesStage(s, d).map(_._1))
+        .localCheckpoint()
+    }
+
   private[graft] def shardExportDir(s: SparkSession, d: String): String =
     StageCache.dirFor(s, s"shard_export:$d") {
       val dir = graft.TempDirs.register(

@@ -36,6 +36,47 @@ class BpeLearnSpec extends SparkTestBase {
     assert(m1.head._2 == m1.map(_._2).max)
   }
 
+  test("encodeWords applies the merge list in learned order") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "n")
+    // after (e,s) then (es,t): newest -> n e w est, widest -> w i d est
+    val enc = BpeLearn.encodeWords(spark, vocab, Seq(("e", "s"), ("es", "t")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(enc("newest") == (4L, "n e w est"), enc.toString)
+    assert(enc("widest") == (4L, "w i d est"), enc.toString)
+    assert(enc("low") == (3L, "l o w"), enc.toString)
+  }
+
+  test("encode path matches learn's checkpointed word-states at every round") {
+    // learn applies merges incrementally through localCheckpoints;
+    // encodeWords folds the full list over the raw vocab. The two
+    // paths must agree on every intermediate state — this pins the
+    // fold-through-checkpoint equivalence the q87 oracle can't see.
+    val docs = Tables.documents(spark, sf)
+    val vocab = BpeLearn.wordVocab(docs).localCheckpoint()
+    val states = scala.collection.mutable.Map.empty[Int, Map[String, Int]]
+    val merges = BpeLearn.learn(spark, vocab, 4, (i, words) =>
+      states(i) = words.as[(Seq[String], Long)].collect()
+        .map { case (syms, _) => syms.mkString -> syms.length }.toMap)
+      .map(_._1)
+    states.foreach { case (i, st) =>
+      val enc = BpeLearn.encodeWords(spark, vocab, merges.take(i))
+        .as[(String, Long, String)].collect()
+        .map { case (w, n, _) => w -> n.toInt }.toMap
+      assert(enc == st, s"state diverged at round $i")
+    }
+  }
+
+  test("q87 stage: token concatenation reproduces every corpus word") {
+    val enc = graft.operators.TextQueries.bpeEncodedStage(
+      spark, "/root/testdata/sf0.01")
+    import org.apache.spark.sql.functions._
+    val broken = enc.filter(
+      regexp_replace(col("tokens"), " ", "") =!= col("word") ||
+      size(split(col("tokens"), " ")) =!= col("n_tokens")).count()
+    assert(broken == 0, "encoding must be lossless and count-consistent")
+  }
+
   test("learned merges build multi-char tokens that tokenize the corpus") {
     val docs = Tables.documents(spark, sf)
     val merges = BpeLearn.learnFromDocs(docs, 8).map(_._1)
