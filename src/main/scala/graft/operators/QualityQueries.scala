@@ -127,7 +127,13 @@ object QualityQueries {
     * affinity 1.0) while staying integer-exact until one final
     * division — cross-engine bit-stable with no ln. */
   private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
-    val cf = docFeatures(docs)
+    // cf is the one corpus-scale pass and it feeds FOUR consumers
+    // (source profile, target profile, totals, scoring join) — stage it
+    // once (the ConnectedComponents/BpeLearn materialization idiom)
+    // instead of trusting exchange reuse across differently-filtered
+    // aggregates; at 100 TB re-running the explode per consumer is the
+    // cost that matters.
+    val cf = docFeatures(docs).localCheckpoint()
     val src = cf.groupBy(col("f")).agg(sum(col("c")).as("sc"))
     val tgt = cf.filter(col("lang") === TargetLang)
       .groupBy(col("f")).agg(sum(col("c")).as("tc"))

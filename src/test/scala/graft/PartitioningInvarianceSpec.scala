@@ -21,7 +21,10 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q65_kmeans",           // ITERATIVE: 2 Lloyd rounds of float means
     "q67_vocab_coverage",   // TakeOrdered top-k + bounded rank self-join
     "q70_bpe_merges",       // ITERATIVE: per-round global argmax
-    "q83_budget_select")    // histogram threshold + ScanSum boundary prefix
+    "q83_budget_select",    // histogram threshold + ScanSum boundary prefix
+    "q85_rare_token_quality", // hashed-key corpus counts + ratio
+    "q86_dsir_weights",     // broadcast profile masses + one division
+    "q87_bpe_encode")       // learned merges folded over the vocab stage
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
