@@ -31,7 +31,8 @@ object ClusterVerify {
     "q55_tfidf_terms", "q60_session_stats", "q64_bm25",
     "q65_kmeans", "q66_pii_scrub", "q70_bpe_merges",
     "q77_media_decode", "q78_image_neardup",
-    "q85_rare_token_quality", "q86_dsir_weights", "q87_bpe_encode")
+    "q85_rare_token_quality", "q86_dsir_weights", "q87_bpe_encode",
+    "q88_dup_spans")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>
