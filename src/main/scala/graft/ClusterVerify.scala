@@ -32,7 +32,7 @@ object ClusterVerify {
     "q65_kmeans", "q66_pii_scrub", "q70_bpe_merges",
     "q77_media_decode", "q78_image_neardup",
     "q85_rare_token_quality", "q86_dsir_weights", "q87_bpe_encode",
-    "q88_dup_spans")
+    "q88_dup_spans", "q89_semdedup")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

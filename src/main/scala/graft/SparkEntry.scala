@@ -24,10 +24,11 @@ object SparkEntry {
       ChessQueries.queries ++ MultimodalQueries.queries ++
       QualityQueries.queries ++ DupSpans.queries ++ streamingQueries
 
-  /** The streaming family (q71–q76) really runs Structured Streaming
-    * jobs to completion per call — correctness-equal to their batch
-    * oracles, but their wall time is micro-batch harness overhead, not
-    * operator throughput (Bench reports them separately). */
+  /** The streaming family (q71–q81, q90) really runs Structured
+    * Streaming jobs to completion per call — correctness-equal to their
+    * batch oracles, but their wall time is micro-batch harness
+    * overhead, not operator throughput (Bench reports them
+    * separately). */
   def streamingQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.streaming.StreamingQueries.queries
 

@@ -72,6 +72,17 @@ object ApproxOracle {
     OracleExport.write(
       IvfIndex.probeCells(e, probes, VectorQueries.IvfNList,
         VectorQueries.IvfNProbe, Some(n)), "ivf_probe_cells")
+    // q90: the streamed appendable index freezes centroids from the
+    // FIRST of three vec_id slices (StreamingQueries.incIvfDir); the
+    // assignment is a pure per-row function of (emb, frozen centroids),
+    // so the export recomputes it batch-side — identical to the union
+    // of the streamed epochs regardless of batch boundaries.
+    val bootCents = IvfIndex.centroids(
+      e.filter(col("vec_id") < n / 3 + 1), VectorQueries.IvfNList)
+    OracleExport.write(IvfIndex.assignWith(e, bootCents), "ivf_inc_cells")
+    OracleExport.write(
+      IvfIndex.probeCellsWith(probes, bootCents, VectorQueries.IvfNProbe),
+      "ivf_inc_probe_cells")
 
     // q70: each BPE round's word-state, so DuckDB can recompute every
     // round's pair-count argmax independently of the Spark run. If
@@ -209,6 +220,16 @@ object ApproxOracle {
     "q79_ann_ivf_indexed" -> annRescore(
       s"""SELECT DISTINCT pc.probe_id, a.vec_id
           FROM ${p("ivf_cells")} a JOIN ${p("ivf_probe_cells")} pc
+            ON a.cell = pc.cell
+          WHERE a.vec_id <> pc.probe_id"""),
+
+    // q90 probes the STREAM-MAINTAINED layout (bootstrap-frozen
+    // centroids + epoch appends); the exported assignment/probe-cell
+    // tables already encode those centroids, so the rescore tail is
+    // the same.
+    "q90_stream_ann_index" -> annRescore(
+      s"""SELECT DISTINCT pc.probe_id, a.vec_id
+          FROM ${p("ivf_inc_cells")} a JOIN ${p("ivf_inc_probe_cells")} pc
             ON a.cell = pc.cell
           WHERE a.vec_id <> pc.probe_id"""),
 

@@ -50,25 +50,35 @@ object IvfIndex {
                       nprobe: Int): Column =
     toCol(NearestCentroids(toExpr(v), bc, nprobe))
 
-  /** (vec_id, cell) assignment of every corpus vector — the IVF index
-    * itself; also the oracle export (DuckDB redoes the probe join +
-    * rescore relationally from this). */
-  def cellAssignments(corpus: DataFrame, nlist: Int,
-                      approxRows: Option[Long] = None): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext
-      .broadcast(centroids(corpus, nlist, approxRows))
+  /** (vec_id, cell) under a CALLER-SUPPLIED frozen centroid matrix —
+    * the assignment primitive cellAssignments and the appendable-index
+    * path share (and what ApproxOracle exports for q90, where the
+    * centroids come from the bootstrap slice, not the full corpus). */
+  def assignWith(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     corpus.withColumn("cell", cellOf(col("emb"), bc))
       .select(col("vec_id"), col("cell"))
   }
 
-  /** (probe_id, cell) — each probe exploded to its nprobe best cells. */
-  def probeCells(corpus: DataFrame, probes: DataFrame, nlist: Int,
-                 nprobe: Int, approxRows: Option[Long] = None): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext
-      .broadcast(centroids(corpus, nlist, approxRows))
+  /** (probe_id, cell) against a caller-supplied centroid matrix. */
+  def probeCellsWith(probes: DataFrame, cents: Array[Array[Double]],
+                     nprobe: Int): DataFrame = {
+    val bc = probes.sparkSession.sparkContext.broadcast(cents)
     probes.withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
       .select(col("probe_id"), col("cell"))
   }
+
+  /** (vec_id, cell) assignment of every corpus vector — the IVF index
+    * itself; also the oracle export (DuckDB redoes the probe join +
+    * rescore relationally from this). */
+  def cellAssignments(corpus: DataFrame, nlist: Int,
+                      approxRows: Option[Long] = None): DataFrame =
+    assignWith(corpus, centroids(corpus, nlist, approxRows))
+
+  /** (probe_id, cell) — each probe exploded to its nprobe best cells. */
+  def probeCells(corpus: DataFrame, probes: DataFrame, nlist: Int,
+                 nprobe: Int, approxRows: Option[Long] = None): DataFrame =
+    probeCellsWith(probes, centroids(corpus, nlist, approxRows), nprobe)
 
   /** Per-probe top-`k` neighbors (probe_id, vec_id, sim, rn) from the
     * `nprobe` best cells of each probe, exact-cosine rescored. */
@@ -114,6 +124,45 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
   }
 
+  /** Bootstrap an APPENDABLE index: centroids are learned from the
+    * bootstrap slice and FROZEN — standard IVF maintenance semantics
+    * (appended vectors assign into existing cells; moving centroids is
+    * an offline re-train + rebuild, never an in-place mutation). Only
+    * the centroid table is written here: every vector, bootstrap slice
+    * included, arrives through [[appendEpoch]], so streamed ingest is
+    * the single write path rather than a special case. */
+  def bootstrapAppendable(bootstrap: DataFrame, dir: String, nlist: Int): Unit = {
+    val s = bootstrap.sparkSession
+    import s.implicits._
+    centroids(bootstrap, nlist).zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+      .toDF("cell", "emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** One appended epoch (a foreachBatch body): assign the batch against
+    * the frozen centroids and land it under its own (cell, epoch)
+    * leaves with dynamic partition overwrite — foreachBatch is
+    * at-least-once, and a replayed batchId rewrites exactly its own
+    * leaves and nothing else (IncrementalDedup's idempotence argument).
+    * `cell` stays the LEADING partition level, so [[topKIndexed]]'s
+    * static cell pruning is unchanged; the epoch level only adds
+    * subdirectories beneath each pruned cell. */
+  def appendEpoch(batch: DataFrame, dir: String, epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val bc = s.sparkContext.broadcast(readCentroids(s, dir))
+    batch.withColumn("cell", cellOf(col("emb"), bc))
+      .withColumn("epoch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "epoch").parquet(s"$dir/index")
+  }
+
+  /** The index's frozen centroid matrix, in cell order. */
+  def readCentroids(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    s.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
   /** Per-probe top-`k` against a `writeIndexed` layout. The probes' cell
     * set is O(probes × nprobe) — model-sized — so it is collected and
     * pushed as a LITERAL partition filter: the scan's PartitionFilters
@@ -121,9 +170,7 @@ object IvfIndex {
     * IvfIndexSpec), with no dependence on runtime DPP. */
   def topKIndexed(probes: DataFrame, dir: String, nprobe: Int, k: Int): DataFrame = {
     val s = probes.sparkSession
-    val cents = s.read.parquet(s"$dir/centroids")
-      .collect().sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val cents = readCentroids(s, dir)
     val bc = s.sparkContext.broadcast(cents)
     val probed = probes
       .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))

@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * retention in long-lived drivers that churn sessions. The map is
   * small (a handful of stages per live session), so the sweep is a
   * cheap linear scan. */
-private[operators] object StageCache {
+private[graft] object StageCache {
 
   private final case class Entry[T](session: WeakReference[SparkSession], value: T)
   private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String), Entry[Any]]

@@ -219,6 +219,34 @@ object VectorQueries {
               "doc_id")
         .groupBy(col("cid").cast("long").as("topic_id"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bucketed
+    // semantic dedup — the published scale path for embedding near-dup
+    // removal. Cluster the corpus (broadcast-expression assignment, one
+    // narrow pass), then compare pairs ONLY within a cluster: candidate
+    // volume is sum(|c|²) ≈ n²/k instead of n², and k grows with the
+    // corpus so cluster sizes stay bounded. A doc is removed when an
+    // earlier-id doc in its cluster sits within SemEps cosine — the
+    // deterministic keep-first rule. Cross-cluster near-dup pairs are
+    // deliberately not compared (the algorithm's stated recall
+    // trade-off); the oracle replays the same clustering relationally,
+    // so the check is exact, not approximate. At 100 TB the assignment
+    // would be checkpointed once rather than recomputed per consumer;
+    // here each consumer is one map-only scan.
+    "q89_semdedup" -> ((s, d) => {
+      val assigned = KMeans.assign(emb(s, d), KMeans.seedCentroids(emb(s, d), SemK))
+        .select(col("cid"), col("vec_id"), col("emb"))
+      val removed = assigned.select(col("cid"), col("vec_id").as("ia"), col("emb").as("ea"))
+        .join(assigned.select(col("cid"), col("vec_id").as("ib"), col("emb").as("eb")),
+              "cid")
+        .filter(col("ia") < col("ib") && cosine(col("ea"), col("eb")) >= SemEps)
+        .select(col("ib").as("vec_id")).distinct()
+        .withColumn("rm", lit(1L))
+      assigned.join(removed, Seq("vec_id"), "left")
+        .groupBy(col("cid").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+             coalesce(sum(col("rm")), lit(0L)).as("n_removed"))
     })
   )
 
@@ -238,6 +266,16 @@ object VectorQueries {
 
   val KmK     = 8
   val KmIters = 2
+  // q89 SemDeDup geometry: more clusters than q65's profile run (the
+  // whole point is small intra-cluster pair sets; in production k
+  // scales with n to hold |cluster| ≈ n/k bounded). The threshold sits
+  // where the synthetic corpus actually has semantic neighbors — its
+  // cosine structure tops out near 0.6 (q38's 0.95 near-dup family is
+  // legitimately empty on it), so 0.4 is what exercises the removal
+  // decision at every verify scale rather than hash-matching a table
+  // of zeros.
+  val SemK   = 16
+  val SemEps = 0.4
 
   /** LSH geometry for all-pairs near-dup at `minCos` over ~`n` rows.
     *
@@ -380,18 +418,39 @@ object VectorQueries {
          SELECT CAST(a1.cid AS BIGINT) AS topic_id, d.lang,
            count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          FROM a1 JOIN documents d ON a1.vec_id = d.doc_id
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    // Replays the full SemDeDup decision: same nearest-seed clustering
+    // (k = SemK), the within-cluster earlier-id pair scan, and the
+    // keep-first removal rule. Crossing the Spark-cosine vs
+    // list_cosine_similarity threshold boundary exactly is the same
+    // bit-identity the q38/q65 oracles already prove.
+    "q89_semdedup" ->
+      s"""WITH ${kmAssignCtesK(SemK)},
+         rm AS (
+           SELECT DISTINCT b.vec_id AS ib
+           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(ea.v, eb.v) >= $SemEps)
+         SELECT CAST(a1.cid AS BIGINT) AS cluster_id,
+           count(*) AS n_docs, count(rm.ib) AS n_removed
+         FROM a1 LEFT JOIN rm ON a1.vec_id = rm.ib
+         GROUP BY 1"""
   )
 
   /** Shared q65/q68 round-1 assignment CTEs. max([cos, cid]) is a
     * lexicographic list max = argmax by similarity with ties to the
     * LARGER cid — exactly NearestCentroid's tie rule; the seed set is
     * vec_id < KmK with cid = vec_id, mirroring seedCentroids. */
-  private def kmAssignCtes: String =
+  private def kmAssignCtes: String = kmAssignCtesK(KmK)
+
+  /** Same CTEs with a caller-chosen cluster count (q89 uses SemK). */
+  private def kmAssignCtesK(k: Int): String =
     s"""e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c0 AS (
-           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $KmK),
+           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $k),
          a1 AS (
            SELECT vec_id,
              CAST(max([list_cosine_similarity(e.v, c.cv),

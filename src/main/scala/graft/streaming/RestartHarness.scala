@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Checkpoint recovery across a PROCESS KILL — the failure mode a
@@ -32,15 +33,31 @@ object RestartHarness {
     * surface: `ingest` = the q75 file-sink pipeline (offset WAL + sink
     * manifest), `sessions` = the q71 flatMapGroupsWithState pipeline
     * (custom keyed state), `windows` = the q74 watermarked tumbling
-    * aggregation (built-in window-agg state + watermark recovery). */
+    * aggregation (built-in window-agg state + watermark recovery),
+    * `join` = the q80 stream–stream interval join (BOTH sides' buffered
+    * join state + both watermarks must reload; a resume that lost
+    * either buffer would drop the cross-batch matches). */
   def build(s: SparkSession, kind: String, landing: String,
             schemaFrom: DataFrame): DataFrame = {
-    val src = s.readStream.schema(schemaFrom.schema)
+    def src = s.readStream.schema(schemaFrom.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
     kind match {
       case "ingest"   => src
       case "sessions" => StatefulSessions.sessionStats(s, src).toDF()
       case "windows"  => EventStreams.windowedCounts(src)
+      case "join" =>
+        // q80's exact shape: even-id events join odd-id events of the
+        // same user within ±5 minutes, each side its own source
+        def side(parity: Int, suffix: String) =
+          src.filter(col("event_id") % 2 === parity)
+            .select(col("event_id").as(s"id_$suffix"),
+              col("ts").as(s"ts_$suffix"), col("user_id").as(s"user_$suffix"))
+            .withWatermark(s"ts_$suffix", "1 hour")
+        side(0, "a").join(side(1, "b"),
+          col("user_a") === col("user_b") &&
+          col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+          .select(col("id_a"), col("id_b"), col("user_a").as("user_id"))
       case other      => sys.error(s"unknown restart kind: $other")
     }
   }

@@ -297,8 +297,58 @@ object StreamingQueries {
         EventStreams.dedupedStream(readLanding(s, landing, events)), "q76",
         Seq(landing))
       out.select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+
+    // ST1 × L3: ANN INDEX MAINTENANCE under streaming ingest — the
+    // embedding corpus arrives as landing drops; centroids are learned
+    // from the FIRST time slice and frozen (standard IVF append
+    // semantics); each micro-batch lands in the cell-partitioned layout
+    // under its own epoch leaves via dynamic partition overwrite, so
+    // at-least-once foreachBatch replays are idempotent. The probe then
+    // runs the standard statically-pruned layout search (q79's) over an
+    // index that was never built in one shot. Oracle: the assignment is
+    // a pure per-row function of (emb, frozen centroids) — ApproxOracle
+    // exports it batch-side and DuckDB redoes the probe join + rescore.
+    "q90_stream_ann_index" -> ((s, d) => {
+      import graft.operators.{IvfIndex, VectorQueries}
+      val e = VectorQueries.emb(s, d)
+      val dir = incIvfDir(s, d)
+      IvfIndex.topKIndexed(
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+          dir, nprobe = VectorQueries.IvfNProbe, k = 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("cos"), col("rn"))
     })
   )
+
+  /** q90's streamed index build, memoized per (session, sf) like q79's
+    * batch build: bootstrap centroids from the first of three vec_id
+    * slices, then stream all three through foreachBatch appends. */
+  private def incIvfDir(s: SparkSession, d: String): String =
+    graft.operators.StageCache.dirFor(s, s"ivf_inc_index:$d") {
+      import graft.operators.{IvfIndex, VectorQueries}
+      val e = VectorQueries.emb(s, d)
+      val dir0 = graft.TempDirs.register(tmp("graft-q90-ivf"))
+      val landing = tmp("graft-q90-landing")
+      val w = e.count() / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w),
+          landing, i)
+      }
+      IvfIndex.bootstrapAppendable(e.filter(col("vec_id") < w), dir0,
+        VectorQueries.IvfNList)
+      val ckpt = tmp("graft-q90-ckpt")
+      s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => IvfIndex.appendEpoch(b, dir0, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      Seq(landing, ckpt).foreach(rmTree)
+      dir0
+    }
 
   private val rawEvents =
     "SELECT event_id, ts, user_id, event_type, value FROM events"

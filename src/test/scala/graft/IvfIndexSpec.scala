@@ -59,4 +59,46 @@ class IvfIndexSpec extends SparkTestBase {
       s"scan reads $selected cell directories but probes cover $probedCells — " +
         "the isin filter is no longer pruning the layout")
   }
+
+  test("appendable index: streamed epochs + replay answer identically to a one-shot append") {
+    val e = VectorQueries.emb(spark, sf)
+    val w = e.count() / 3 + 1
+    val boot = e.filter(col("vec_id") < w)
+
+    val inc = Files.createTempDirectory("graft-ivf-inc").toString
+    IvfIndex.bootstrapAppendable(boot, inc, nlist)
+    (0 until 3).foreach { i =>
+      IvfIndex.appendEpoch(
+        e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w), inc, i)
+    }
+    // at-least-once replay: epoch 1 re-lands with the same batchId (a
+    // foreachBatch recovery) — dynamic overwrite must rewrite exactly
+    // its own leaves, leaving the index unduplicated
+    IvfIndex.appendEpoch(
+      e.filter(col("vec_id") >= w && col("vec_id") < 2 * w), inc, 1)
+    assert(spark.read.parquet(s"$inc/index").count() === e.count(),
+      "a replayed epoch must not double its rows")
+
+    // reference: same frozen centroids, whole corpus in ONE epoch —
+    // batch boundaries must not matter
+    val ref = Files.createTempDirectory("graft-ivf-ref").toString
+    IvfIndex.bootstrapAppendable(boot, ref, nlist)
+    IvfIndex.appendEpoch(e, ref, 0)
+
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val cols = Seq("probe_id", "vec_id", "sim", "rn")
+    val got = IvfIndex.topKIndexed(probes, inc, nprobe, k)
+      .select(cols.head, cols.tail: _*)
+    val want = IvfIndex.topKIndexed(probes, ref, nprobe, k)
+      .select(cols.head, cols.tail: _*)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "epoch-sliced and one-shot layouts must answer identically")
+
+    // static cell pruning survives the extra epoch partition level
+    val p = got.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(p).isDefined,
+      s"cell must stay inside a partition filter with the epoch level present:\n$p")
+  }
 }

@@ -139,6 +139,36 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q80")
   }
 
+  test("q80 restart: stream-stream join state killed mid-run resumes to the batch answer") {
+    import streaming.{RestartHarness, StreamingQueries => SQ}
+    val landing = SQ.tmp("graft-q80r-landing")
+    SQ.splitByTime(events, landing, 3)
+    val ckpt = SQ.tmp("graft-q80r-ckpt")
+    val outDir = SQ.tmp("graft-q80r-out")
+    // the child buffers both sides' rows as join state across its two
+    // committed batches, then halts — the matches between drop 2 and
+    // drop 3 can only come from state reloaded in the resuming JVM
+    val code = RestartHarness.launchKilled("join", landing, ckpt, outDir,
+      sf, killAfter = 2)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    RestartHarness.start(spark, "join", landing, ckpt, outDir, events)
+      .awaitTermination()
+    val got = spark.read.parquet(outDir).select("id_a", "id_b", "user_id")
+    val a = events.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
+      col("user_id")).filter(col("id_a") % 2 === 0)
+    val b = events.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
+      col("user_id")).filter(col("id_b") % 2 === 1)
+    val want = a.join(b, Seq("user_id"))
+      .filter(col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+      .select("id_a", "id_b", "user_id")
+    assert(got.count() === want.count(),
+      "restart must emit every cross-parity match exactly once")
+    assertSame(got, want, "q80-restart")
+    Seq(landing, ckpt, outDir).foreach(SQ.rmTree)
+  }
+
   test("q81: streamed sliding windows equal the batch windows, finals included") {
     val got = q("q81_stream_sliding")
     val want = EventStreams.windowedCounts(events,
