@@ -16,10 +16,11 @@ import org.apache.spark.sql.SparkSession
   * the prefix-filter join, window/session analytics, and the real
   * media codecs running inside executor JVMs.
   *
-  * Usage (env vars required by the worker launcher on a release
-  * layout):
-  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
-  *     sbt "runMain graft.ClusterVerify [sfDir]"
+  * Usage: `sbt "runMain graft.ClusterVerify [sfDir]"` (SPARK_HOME must
+  * point at the release layout; the scala-version hint the executor
+  * launcher needs is passed via spark.executorEnv below, so the run no
+  * longer dies with "Cannot find any build directories" when
+  * SPARK_SCALA_VERSION isn't exported).
   * Prints one JSON line; exits nonzero on any mismatch.
   */
 object ClusterVerify {
@@ -120,6 +121,12 @@ object ClusterVerify {
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", "2g")
       .config("spark.executor.extraClassPath", classes)
+      // the executor launcher resolves the scala version from its
+      // command environment before the process env — with a release
+      // layout (no launcher/target build dirs) this hint is REQUIRED
+      // unless the caller exported SPARK_SCALA_VERSION
+      .config("spark.executorEnv.SPARK_SCALA_VERSION",
+        scala.util.Properties.versionNumberString.split("\\.").take(2).mkString("."))
       .getOrCreate()
     cluster.sparkContext.setLogLevel("WARN")
     // wait for the two worker JVMs to register (driver + 2 = 3) — and

@@ -163,6 +163,47 @@ object IvfIndex {
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
 
+  /** Epoch compaction — the chess store's LSM policy
+    * (StreamingImport.compact) applied to the ANN layout: appends
+    * accumulate (cell, epoch) leaves, and while probe latency is flat
+    * on one node, FILE count grows without bound — at cluster scale
+    * that is listing RPCs, footer reads, and scheduler tasks on every
+    * probe. The rewrite reuses the STORED cell column (no
+    * re-assignment, no centroid scoring) and lands everything as
+    * epoch=0 in `compactedDir`, a complete standalone index (the
+    * frozen centroid table carries over); the caller swaps dirs.
+    * Idempotent — a re-run overwrites the same output. */
+  def compactEpochs(s: org.apache.spark.sql.SparkSession, dir: String,
+                    compactedDir: String): Unit = {
+    s.read.parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$compactedDir/centroids")
+    s.read.parquet(s"$dir/index")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite")
+      .partitionBy("cell", "epoch").parquet(s"$compactedDir/index")
+  }
+
+  /** Epoch partitions currently in the layout (max over cells) — a
+    * directory listing, no Spark job. */
+  def epochCount(dir: String): Int =
+    Option(new java.io.File(s"$dir/index").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("cell="))
+      .map(c => Option(c.list()).toSeq.flatten.count(_.startsWith("epoch=")))
+      .maxOption.getOrElse(0)
+
+  /** Trigger policy, conf'd like the chess store's: compact once any
+    * cell accumulates this many epoch leaves. Returns whether the
+    * compaction ran. */
+  val CompactEpochsConf = "spark.graft.ivf.compactEpochs"
+  val DefaultCompactEpochs = 8
+  def maybeCompactEpochs(s: org.apache.spark.sql.SparkSession, dir: String,
+                         compactedDir: String): Boolean = {
+    val thr = s.conf.get(CompactEpochsConf, DefaultCompactEpochs.toString).toInt
+    val due = epochCount(dir) >= thr
+    if (due) compactEpochs(s, dir, compactedDir)
+    due
+  }
+
   /** Per-probe top-`k` against a `writeIndexed` layout. The probes' cell
     * set is O(probes × nprobe) — model-sized — so it is collected and
     * pushed as a LITERAL partition filter: the scan's PartitionFilters

@@ -223,19 +223,20 @@ object VectorQueries {
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bucketed
     // semantic dedup — the published scale path for embedding near-dup
-    // removal. Cluster the corpus (broadcast-expression assignment, one
-    // narrow pass), then compare pairs ONLY within a cluster: candidate
-    // volume is sum(|c|²) ≈ n²/k instead of n², and k grows with the
-    // corpus so cluster sizes stay bounded. A doc is removed when an
-    // earlier-id doc in its cluster sits within SemEps cosine — the
-    // deterministic keep-first rule. Cross-cluster near-dup pairs are
-    // deliberately not compared (the algorithm's stated recall
-    // trade-off); the oracle replays the same clustering relationally,
-    // so the check is exact, not approximate. At 100 TB the assignment
-    // would be checkpointed once rather than recomputed per consumer;
-    // here each consumer is one map-only scan.
+    // removal. K-means the corpus (2 Lloyd rounds, the q65 machinery —
+    // broadcast-expression assignment, decimal-exact means), then
+    // compare pairs ONLY within a cluster: candidate volume is
+    // sum(|c|²) ≈ n²/k instead of n², and k grows with the corpus so
+    // cluster sizes stay bounded. A doc is removed when an earlier-id
+    // doc in its cluster sits within SemEps cosine — the deterministic
+    // keep-first rule. Cross-cluster near-dup pairs are deliberately
+    // not compared (the algorithm's stated recall trade-off); the
+    // oracle replays the same 2-round clustering relationally, so the
+    // check is exact, not approximate. At 100 TB the assignment would
+    // be checkpointed once rather than recomputed per consumer; here
+    // each consumer is one map-only scan.
     "q89_semdedup" -> ((s, d) => {
-      val assigned = KMeans.assign(emb(s, d), KMeans.seedCentroids(emb(s, d), SemK))
+      val assigned = KMeans.lloyd(emb(s, d), SemK, iters = 2)
         .select(col("cid"), col("vec_id"), col("emb"))
       val removed = assigned.select(col("cid"), col("vec_id").as("ia"), col("emb").as("ea"))
         .join(assigned.select(col("cid"), col("vec_id").as("ib"), col("emb").as("eb")),
@@ -396,19 +397,7 @@ object VectorQueries {
     // Centroid means route through DECIMAL(38,12) like Num.dsum, so
     // round-2 centroids are bit-identical to Spark's.
     "q65_kmeans" ->
-      s"""WITH $kmAssignCtes,
-         m1 AS (
-           SELECT cid, pos,
-             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
-           FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(len(e.v))) AS pos
-                 FROM a1 JOIN e USING (vec_id))
-           GROUP BY cid, pos),
-         c1 AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-         a2 AS (
-           SELECT vec_id,
-             CAST(max([list_cosine_similarity(e.v, c.cv),
-                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
-           FROM e, c1 c GROUP BY vec_id)
+      s"""WITH ${kmLloyd2CtesK(KmK)}
          SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n_members,
            min(vec_id) AS min_vec_id
          FROM a2 GROUP BY cid""",
@@ -420,22 +409,23 @@ object VectorQueries {
          FROM a1 JOIN documents d ON a1.vec_id = d.doc_id
          GROUP BY 1, 2""",
 
-    // Replays the full SemDeDup decision: same nearest-seed clustering
-    // (k = SemK), the within-cluster earlier-id pair scan, and the
-    // keep-first removal rule. Crossing the Spark-cosine vs
-    // list_cosine_similarity threshold boundary exactly is the same
-    // bit-identity the q38/q65 oracles already prove.
+    // Replays the full SemDeDup decision: BOTH Lloyd rounds of the
+    // k = SemK clustering (the q65 chain, parameterized), the
+    // within-cluster earlier-id pair scan, and the keep-first removal
+    // rule. Crossing the Spark-cosine vs list_cosine_similarity
+    // threshold boundary exactly is the same bit-identity the q38/q65
+    // oracles already prove.
     "q89_semdedup" ->
-      s"""WITH ${kmAssignCtesK(SemK)},
+      s"""WITH ${kmLloyd2CtesK(SemK)},
          rm AS (
            SELECT DISTINCT b.vec_id AS ib
-           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
            JOIN e ea ON ea.vec_id = a.vec_id
            JOIN e eb ON eb.vec_id = b.vec_id
            WHERE list_cosine_similarity(ea.v, eb.v) >= $SemEps)
-         SELECT CAST(a1.cid AS BIGINT) AS cluster_id,
+         SELECT CAST(a2.cid AS BIGINT) AS cluster_id,
            count(*) AS n_docs, count(rm.ib) AS n_removed
-         FROM a1 LEFT JOIN rm ON a1.vec_id = rm.ib
+         FROM a2 LEFT JOIN rm ON a2.vec_id = rm.ib
          GROUP BY 1"""
   )
 
@@ -445,7 +435,7 @@ object VectorQueries {
     * vec_id < KmK with cid = vec_id, mirroring seedCentroids. */
   private def kmAssignCtes: String = kmAssignCtesK(KmK)
 
-  /** Same CTEs with a caller-chosen cluster count (q89 uses SemK). */
+  /** Same CTEs with a caller-chosen cluster count. */
   private def kmAssignCtesK(k: Int): String =
     s"""e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -456,4 +446,26 @@ object VectorQueries {
              CAST(max([list_cosine_similarity(e.v, c.cv),
                        CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
            FROM e, c0 c GROUP BY vec_id)"""
+
+  /** Round-1 assignment plus the round-2 chain (decimal-exact
+    * per-(cluster,dim) means → survivor centroids → round-2 assignment
+    * `a2`) — the full 2-round Lloyd replay q65 (k=KmK) and q89
+    * (k=SemK) share. Means route through DECIMAL(38,12) like Num.dsum,
+    * so round-2 centroids are bit-identical to Spark's; an empty
+    * cluster simply has no mean rows, mirroring KMeans.lloyd's
+    * survivor compaction. */
+  private def kmLloyd2CtesK(k: Int): String =
+    s"""${kmAssignCtesK(k)},
+         m1 AS (
+           SELECT cid, pos,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
+           FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(len(e.v))) AS pos
+                 FROM a1 JOIN e USING (vec_id))
+           GROUP BY cid, pos),
+         c1 AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+         a2 AS (
+           SELECT vec_id,
+             CAST(max([list_cosine_similarity(e.v, c.cv),
+                       CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
+           FROM e, c1 c GROUP BY vec_id)"""
 }
