@@ -36,7 +36,10 @@ object RestartHarness {
     * aggregation (built-in window-agg state + watermark recovery),
     * `join` = the q80 stream–stream interval join (BOTH sides' buffered
     * join state + both watermarks must reload; a resume that lost
-    * either buffer would drop the cross-batch matches). */
+    * either buffer would drop the cross-batch matches), `dedup` = the
+    * q76 dropDuplicatesWithinWatermark pipeline (seen-key state: a
+    * resume that lost it re-emits every row the dead process already
+    * sank). */
   def build(s: SparkSession, kind: String, landing: String,
             schemaFrom: DataFrame): DataFrame = {
     def src = s.readStream.schema(schemaFrom.schema)
@@ -45,6 +48,10 @@ object RestartHarness {
       case "ingest"   => src
       case "sessions" => StatefulSessions.sessionStats(s, src).toDF()
       case "windows"  => EventStreams.windowedCounts(src)
+      // corpus-spanning watermark: every cross-batch duplicate sits
+      // inside the horizon, so its suppression can ONLY come from
+      // seen-key state — never from lateness dropping the row
+      case "dedup"    => EventStreams.dedupedStream(src, watermark = "30 days")
       case "join" =>
         // q80's exact shape: even-id events join odd-id events of the
         // same user within ±5 minutes, each side its own source

@@ -184,6 +184,20 @@ class PlanAuditSpec extends SparkTestBase {
       "a WindowExec runs without doc_id partitioning\n" + winSpecs.mkString("\n"))
   }
 
+  test("q89 semdedup: pair scan joins on the cluster id, never a cross product") {
+    val p = plan("q89_semdedup")
+    // the within-cluster pair scan must be an equi-join on cid — a
+    // BroadcastNestedLoopJoin here is the all-pairs n² plan SemDeDup
+    // exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair generation degenerated to an unbucketed cross product:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.contains("cid#")),
+      s"no cid-keyed join found:\n$p")
+    // the cosine threshold must sit in the join/filter, not post-agg
+    assert(p.contains("cosine_sim("), s"exact rescore missing from the plan:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -169,6 +169,37 @@ class StreamingQueriesSpec extends SparkTestBase {
     Seq(landing, ckpt, outDir).foreach(SQ.rmTree)
   }
 
+  test("q76 restart: dedup seen-key state killed mid-run resumes to exactly-once") {
+    import streaming.{RestartHarness, StreamingQueries => SQ}
+    val landing = SQ.tmp("graft-q76r-landing")
+    // drop i carries chunk i PLUS a full copy of chunk i-1 — duplicates
+    // that arrive a BATCH LATE, so suppressing them after the kill
+    // requires the seen-key state the dead JVM checkpointed
+    val r = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / 3 + 1
+    def chunk(i: Int) = events.filter(
+      unix_micros(col("ts")) >= mn + i * w && unix_micros(col("ts")) < mn + (i + 1) * w)
+    SQ.drop(chunk(0), landing, 0)
+    SQ.drop(chunk(1).unionAll(chunk(0)), landing, 1)
+    SQ.drop(chunk(2).unionAll(chunk(1)), landing, 2)
+    val ckpt = SQ.tmp("graft-q76r-ckpt")
+    val outDir = SQ.tmp("graft-q76r-out")
+    val code = RestartHarness.launchKilled("dedup", landing, ckpt, outDir,
+      sf, killAfter = 2)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    RestartHarness.start(spark, "dedup", landing, ckpt, outDir, events)
+      .awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    assert(got.count() === events.count(),
+      "lost seen-key state would re-emit the earlier batches' rows")
+    assertSame(got, events, "q76-restart")
+    Seq(landing, ckpt, outDir).foreach(SQ.rmTree)
+  }
+
   test("q81: streamed sliding windows equal the batch windows, finals included") {
     val got = q("q81_stream_sliding")
     val want = EventStreams.windowedCounts(events,
