@@ -53,6 +53,12 @@ object ApproxOracle {
       Multimodal.videoFrames(Multimodal.realAssets(
         docs.select("doc_id").filter(col("doc_id") % 3 === 2))).toDF(),
       "video_frames")
+    // q91: the per-cell areal-resize rows (pure per-row decode +
+    // integer grid sums) — DuckDB redoes the corpus-mean-image rollup
+    OracleExport.write(
+      Multimodal.resizedCells(Multimodal.realAssets(
+        docs.select("doc_id").filter(col("doc_id") % 3 === 0))).toDF(),
+      "resized_cells")
 
     val e = VectorQueries.emb(spark, sfDir)
     OracleExport.write(

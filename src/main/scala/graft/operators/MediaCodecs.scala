@@ -105,6 +105,42 @@ object MediaCodecs {
     (w, h, total, bits)
   }
 
+  /** REAL areal resize: partition the raster into a gw×gh grid (cell
+    * boundaries floor(i·dim/g) — every pixel lands in exactly one
+    * cell) and return per-cell (luma1000 sum, pixel count) in
+    * row-major order. Integer-exact, so the resized raster is
+    * bit-stable across JVMs, and the cell mean (sum / (1000·count))
+    * is one IEEE division away — engine-stable for the oracle. This
+    * is the aHash downsample generalized to any target geometry: the
+    * L4 `resize` verb as a standalone operator rather than a hash
+    * ingredient. */
+  def resizeCells(img: BufferedImage, gw: Int, gh: Int): (Array[Long], Array[Long]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = Array.ofDim[Long](gw * gh)
+    val cnt = Array.ofDim[Long](gw * gh)
+    val chunkRows = math.max(1, math.min(h, (1 << 20) / math.max(1, w)))
+    val buf = new Array[Int](w * chunkRows)
+    var y0 = 0
+    while (y0 < h) {
+      val rows = math.min(chunkRows, h - y0)
+      img.getRGB(0, y0, w, rows, buf, 0, w)
+      var r = 0
+      while (r < rows) {
+        val cy = math.min(gh - 1, (y0 + r) * gh / h) * gw
+        val off = r * w
+        var x = 0
+        while (x < w) {
+          val c = cy + math.min(gw - 1, x * gw / w)
+          sum(c) += luma1000(buf(off + x)); cnt(c) += 1
+          x += 1
+        }
+        r += 1
+      }
+      y0 += rows
+    }
+    (sum, cnt)
+  }
+
   /** Features of an already-decoded raster (also the decode side's
     * ground truth: specs compare codec round-trips against this run
     * directly on the source BufferedImage). */

@@ -166,6 +166,32 @@ object Multimodal {
     }
   }
 
+  /** One cell of a REAL areal image resize (row-major gw×gh grid):
+    * integer luma1000 sum + pixel count, the exact-arithmetic form a
+    * relational oracle can roll up. */
+  case class ResizedCell(asset_id: Long, gx: Int, gy: Int,
+                         luma_sum: Long, px: Long)
+
+  /** Decode every image asset and downsample it to a gw×gh luma grid
+    * (MediaCodecs.resizeCells — floor-boundary areal cells, integer
+    * sums). Narrow mapPartitions, payloads never leave executors;
+    * output is gw·gh bounded-width rows per image. */
+  def resizedCells(assets: Dataset[Asset], gw: Int = 8, gh: Int = 6): Dataset[ResizedCell] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.filter(_.mime == "image/png").flatMap { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, "undecodable image payload")
+        val (sum, cnt) = MediaCodecs.resizeCells(img, gw, gh)
+        (0 until gw * gh).map { c =>
+          ResizedCell(a.asset_id, c % gw, c / gw, sum(c), cnt(c))
+        }
+      }
+    }
+  }
+
   /** Per-frame decoded row for the video modality. */
   case class VideoFrame(asset_id: Long, frame_idx: Int, width: Int,
                         height: Int, mean_luma: Double, ahash: Long)

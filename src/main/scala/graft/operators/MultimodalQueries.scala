@@ -114,6 +114,25 @@ object MultimodalQueries {
              round(sum(col("mean_luma").cast("decimal(38,6)")), 2)
                .cast("double").as("sum_luma"),
              countDistinct(col("ahash")).as("n_distinct_ahash"))
+    }),
+
+    // REAL areal resize as a standalone operator (the L4 `resize`
+    // verb): every image decodes and downsamples to an 8×6 luma grid
+    // with floor-boundary cells — integer sums end to end, so the
+    // "corpus-mean resized image" rollup below (per grid cell, mean
+    // luma over all images) stays exact until ONE final division. The
+    // per-cell rows are the oracle export; DuckDB redoes the rollup.
+    "q91_image_resize" -> ((s, d) => {
+      Multimodal.resizedCells(Multimodal.realAssets(
+          documents(s, d).select("doc_id").filter(col("doc_id") % 3 === 0)))
+        .toDF()
+        .groupBy(col("gx").cast("long").as("gx"), col("gy").cast("long").as("gy"))
+        .agg(count(lit(1)).as("n_imgs"),
+             sum(col("luma_sum")).as("luma_total"),
+             sum(col("px")).as("px_total"))
+        .withColumn("mean_luma",
+          col("luma_total").cast("double") /
+            (col("px_total") * 1000).cast("double"))
     })
   )
 
@@ -192,6 +211,18 @@ object MultimodalQueries {
           CAST(max(height) AS BIGINT) AS h,
           CAST(round(sum(CAST(mean_luma AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_luma,
           CAST(count(DISTINCT ahash) AS BIGINT) AS n_distinct_ahash
-          FROM $vframes GROUP BY asset_id"""
+          FROM $vframes GROUP BY asset_id""",
+
+    // integer rollup over the exported per-cell resize rows; the one
+    // division (exact longs, both < 2^53) is the same IEEE op on both
+    // engines
+    "q91_image_resize" ->
+      s"""SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+          count(*) AS n_imgs,
+          CAST(sum(luma_sum) AS BIGINT) AS luma_total,
+          CAST(sum(px) AS BIGINT) AS px_total,
+          CAST(sum(luma_sum) AS DOUBLE) / (CAST(sum(px) AS BIGINT) * 1000)
+            AS mean_luma
+          FROM ${graft.OracleExport.p("resized_cells")} GROUP BY 1, 2"""
   )
 }

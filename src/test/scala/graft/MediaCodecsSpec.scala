@@ -49,6 +49,28 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("resizeCells: every pixel lands in exactly one cell and sums match a scalar recount") {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(MediaCodecs.makePng(7L)))
+    val (gw, gh) = (8, 6)
+    val (sum, cnt) = MediaCodecs.resizeCells(img, gw, gh)
+    val (w, h) = (img.getWidth, img.getHeight)
+    assert(cnt.sum === w.toLong * h, "cells must partition the raster")
+    // brute-force per-pixel recount with the same floor-boundary rule
+    val bsum = Array.ofDim[Long](gw * gh); val bcnt = Array.ofDim[Long](gw * gh)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      val c = math.min(gh - 1, y * gh / h) * gw + math.min(gw - 1, x * gw / w)
+      bsum(c) += l; bcnt(c) += 1
+    }
+    assert(sum.toSeq == bsum.toSeq && cnt.toSeq == bcnt.toSeq,
+      "chunked bulk path must equal the scalar path cell for cell")
+    // degenerate geometry: resizing DOWN to 1x1 recovers the global sum
+    val (s1, c1) = MediaCodecs.resizeCells(img, 1, 1)
+    assert(s1(0) === sum.sum && c1(0) === w.toLong * h)
+  }
+
   test("WAV round-trip: format, frame count, duration, and sine RMS") {
     (1L until 30L by 3).foreach { seed =>
       val f = MediaCodecs.decodeWav(MediaCodecs.makeWav(seed))
