@@ -175,6 +175,10 @@ object IvfIndex {
     * Idempotent — a re-run overwrites the same output. */
   def compactEpochs(s: org.apache.spark.sql.SparkSession, dir: String,
                     compactedDir: String): Unit = {
+    require(new java.io.File(compactedDir).getCanonicalPath !=
+        new java.io.File(dir).getCanonicalPath,
+      "compaction writes a NEW layout (read-and-overwrite of the live " +
+        "index would race its own scan) — write beside, then swap")
     s.read.parquet(s"$dir/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$compactedDir/centroids")
     s.read.parquet(s"$dir/index")
