@@ -70,15 +70,30 @@ object RestartHarness {
   }
 
   /** Start the kind's stream (append, AvailableNow) against an existing
-    * or fresh checkpoint + sink dir. */
+    * or fresh checkpoint + sink dir. `ivfappend` is the one
+    * foreachBatch kind — the sink is q90's epoch-partitioned index
+    * write into `outDir` rather than a parquet append, so a kill here
+    * lands BETWEEN the sink write and the commit-log write and the
+    * resume must replay the batch id into the same (cell, epoch)
+    * leaves without doubling them. */
   def start(s: SparkSession, kind: String, landing: String, ckpt: String,
             outDir: String, schemaFrom: DataFrame): StreamingQuery =
-    build(s, kind, landing, schemaFrom).writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .start()
+    if (kind == "ivfappend")
+      s.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          graft.operators.IvfIndex.appendEpoch(b, outDir, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    else
+      build(s, kind, landing, schemaFrom).writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
 
   // The JDK-17 module opens Spark needs outside spark-submit — the same
   // list build.sbt forks test/run JVMs with; a bare ProcessBuilder child
@@ -144,8 +159,10 @@ object RestartHarness {
       override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
-    val schemaFrom = graft.Tables.events(spark, sfDir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schemaFrom =
+      if (kind == "ivfappend") graft.operators.VectorQueries.emb(spark, sfDir)
+      else graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
     start(spark, kind, landing, ckpt, outDir, schemaFrom).awaitTermination()
     spark.stop()
     sys.exit(0) // finished every batch before the kill threshold fired

@@ -104,7 +104,8 @@ class IvfIndexSpec extends SparkTestBase {
     // epoch compaction (the unbounded cost of appends is FILE count,
     // not probe latency): the trigger fires at the conf'd threshold,
     // the rewrite collapses every cell to one epoch leaf, and probes
-    // answer identically off the compacted layout
+    // answer identically off the compacted layout (epochCount guards
+    // the precondition so the trigger check isn't vacuous)
     val comp = Files.createTempDirectory("graft-ivf-comp").toString
     spark.conf.set(IvfIndex.CompactEpochsConf, "3")
     try {
@@ -118,5 +119,46 @@ class IvfIndexSpec extends SparkTestBase {
       assert(gotC.exceptAll(want).isEmpty && want.exceptAll(gotC).isEmpty,
         "the compacted layout must answer identically")
     } finally spark.conf.unset(IvfIndex.CompactEpochsConf)
+  }
+
+  test("streamed index build killed mid-run resumes to the uninterrupted layout") {
+    import streaming.{RestartHarness, StreamingQueries => SQ}
+    val e = VectorQueries.emb(spark, sf)
+    val w = e.count() / 3 + 1
+    val landing = SQ.tmp("graft-ivfr-landing")
+    (0 until 3).foreach { i =>
+      SQ.drop(e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w),
+        landing, i)
+    }
+    val inc = SQ.tmp("graft-ivfr-idx")
+    IvfIndex.bootstrapAppendable(e.filter(col("vec_id") < w), inc, nlist)
+    val ckpt = SQ.tmp("graft-ivfr-ckpt")
+    // the one foreachBatch sink under a REAL process kill: the child
+    // halts after a single commit — its epoch may exist on disk with
+    // no commit-log record, so the resume replays that batch id into
+    // the same (cell, epoch) leaves; dynamic overwrite must absorb it
+    val code = RestartHarness.launchKilled("ivfappend", landing, ckpt, inc,
+      sf, killAfter = 1)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    RestartHarness.start(spark, "ivfappend", landing, ckpt, inc, e)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$inc/index").count() === e.count(),
+      "kill-replay must neither double nor drop an epoch")
+
+    val ref = Files.createTempDirectory("graft-ivfr-ref").toString
+    IvfIndex.bootstrapAppendable(e.filter(col("vec_id") < w), ref, nlist)
+    IvfIndex.appendEpoch(e, ref, 0)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val cols = Seq("probe_id", "vec_id", "sim", "rn")
+    val got = IvfIndex.topKIndexed(probes, inc, nprobe, k)
+      .select(cols.head, cols.tail: _*)
+    val want = IvfIndex.topKIndexed(probes, ref, nprobe, k)
+      .select(cols.head, cols.tail: _*)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the kill-resumed index must answer exactly like a one-shot build")
+    Seq(landing, ckpt).foreach(SQ.rmTree)
   }
 }
