@@ -71,6 +71,37 @@ object KMeans {
         cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
 
+  /** The trained clustering model after `iters` Lloyd rounds: the
+    * surviving cluster ids (original labels, sorted) and their centroid
+    * matrix in that order. Model-sized — broadcastable, reusable to
+    * assign DIFFERENT data (e.g. an arriving stream) under the frozen
+    * clustering, which is what keeps incremental consumers
+    * batch-identical. */
+  def lloydModel(points: DataFrame, k: Int, iters: Int): (Array[Int], Array[Array[Double]]) = {
+    require(iters >= 1, "at least one assignment pass")
+    var cids = (0 until k).toArray
+    var cents = seedCentroids(points, k)
+    for (_ <- 2 to iters) {
+      val means = meanCentroids(assign(points, cents))
+      cids = cids.filter(means.contains).sorted
+      cents = cids.map(means)
+    }
+    (cids, cents)
+  }
+
+  /** (vec_id, emb, cid) of `points` under a trained model: the
+    * compacted survivor matrix scores via the broadcast expression and
+    * the index remaps through a tiny array literal back to original
+    * cluster labels. */
+  def assignModel(points: DataFrame,
+                  model: (Array[Int], Array[Array[Double]])): DataFrame = {
+    val (cids, cents) = model
+    val bc = points.sparkSession.sparkContext.broadcast(cents)
+    if (cids.sameElements(cids.indices)) assign(points, cents)
+    else points.withColumn("cid", element_at(array(cids.map(lit): _*),
+      toCol(NearestCentroid(toExpr(col("emb")), bc)) + 1))
+  }
+
   /** `iters` Lloyd rounds from the deterministic seeds; returns the
     * final (vec_id, emb, cid) assignment. With iters=1 this is plain
     * nearest-seed partitioning.
@@ -81,23 +112,8 @@ object KMeans {
     * the index remaps through a tiny array literal, so the relational
     * oracle (where an empty cid simply has no mean rows) sees identical
     * semantics. */
-  def lloyd(points: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(iters >= 1, "at least one assignment pass")
-    var cids = (0 until k).toArray
-    var cents = seedCentroids(points, k)
-    var assigned = assign(points, cents)
-    for (_ <- 2 to iters) {
-      val means = meanCentroids(assigned)
-      cids = cids.filter(means.contains).sorted
-      cents = cids.map(means)
-      val remap = array(cids.map(lit): _*)
-      val bc = points.sparkSession.sparkContext.broadcast(cents)
-      assigned = points
-        .withColumn("cid", element_at(remap,
-          toCol(NearestCentroid(toExpr(col("emb")), bc)) + 1))
-    }
-    assigned
-  }
+  def lloyd(points: DataFrame, k: Int, iters: Int): DataFrame =
+    assignModel(points, lloydModel(points, k, iters))
 
   /** Cluster profile after `iters` rounds: size and lowest member id
     * per cluster — integer-exact, the oracle-facing view. */

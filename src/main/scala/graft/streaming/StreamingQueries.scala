@@ -319,6 +319,34 @@ object StreamingQueries {
           dir, nprobe = VectorQueries.IvfNProbe, k = 5)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // ST1 × L2e: SEMANTIC dedup of an ARRIVING corpus — q89's streaming
+    // twin. The clustering model is trained offline and frozen
+    // (KMeans.lloydModel), so batch boundaries cannot move a document's
+    // cluster; each micro-batch compares within itself and against only
+    // the MATCHING CLUSTERS of the earlier-arrival store (O(batch ×
+    // |cluster|) per batch, never O(corpus²)), and the id-based
+    // keep-first rule makes the accumulated removal set arrival-order
+    // independent. The drained stream must therefore hash-equal the
+    // batch operator — the oracle IS q89's, verbatim.
+    "q92_stream_semdedup" -> ((s, d) => {
+      import graft.operators.{KMeans, VectorQueries}
+      val e = VectorQueries.emb(s, d)
+      val model = KMeans.lloydModel(e, VectorQueries.SemK, iters = 2)
+      val landing = tmp("graft-q92-landing")
+      val w = e.count() / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w),
+          landing, i)
+      }
+      val root = graft.TempDirs.register(tmp("graft-q92"))
+      val (store, removedDir) = (s"$root/store", s"$root/removed")
+      val ckpt = tmp("graft-q92-ckpt")
+      IncrementalSemDedup.run(s, landing, e, store, removedDir, ckpt,
+        model, VectorQueries.SemEps)
+      Seq(landing, ckpt).foreach(rmTree)
+      IncrementalSemDedup.summary(s, store, removedDir)
     })
   )
 
@@ -431,6 +459,12 @@ object StreamingQueries {
          FROM (SELECT ts, event_type, value,
                  (epoch_us(ts) // 300000000 - t.k) * 300000000 AS ws
                FROM events, range(2) t(k))
-         GROUP BY 1, 2, 3"""
+         GROUP BY 1, 2, 3""",
+
+    // q92 must equal the batch SemDeDup exactly (frozen offline model,
+    // id-based keep-first rule), so its oracle IS q89's — any drift
+    // between the streamed and batch decisions breaks the hash
+    "q92_stream_semdedup" ->
+      graft.operators.VectorQueries.oracleSql("q89_semdedup")
   )
 }

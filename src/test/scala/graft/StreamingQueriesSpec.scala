@@ -208,4 +208,12 @@ class StreamingQueriesSpec extends SparkTestBase {
     assert(got.count() === want.count(), "watermark flush must finalize every window")
     assertSame(got, want, "q81")
   }
+
+  test("q92: streamed semantic dedup equals the batch SemDeDup summary") {
+    val got = q("q92_stream_semdedup")
+    val want = SparkEntry.queries("q89_semdedup")(spark, sf)
+    assert(got.agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0) > 0,
+      "the check is vacuous unless the stream actually removes something")
+    assertSame(got, want, "q92")
+  }
 }
