@@ -26,7 +26,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q86_dsir_weights",     // broadcast profile masses + one division
     "q87_bpe_encode",       // learned merges folded over the vocab stage
     "q88_dup_spans",        // hashed gram counts + islands window
-    "q89_semdedup")         // cluster-bucketed pair scan + keep-first rule
+    "q89_semdedup",         // cluster-bucketed pair scan + keep-first rule
+    "q91_image_resize")     // per-row decode + integer grid-cell sums
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
