@@ -154,8 +154,15 @@ object ClusterVerify {
       case Right(g) => names.filter(q => expected(q) != g(q))
       case Left(_)  => names // nothing comparable — report everything
     }
+    // escape control characters too (exception messages can carry
+    // newlines/tabs) — the artifact is one-line JSON automation parses
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
     val errJson = got.left.toOption
-      .map(m => s""""error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}",""")
+      .map(m => s""""error":${jsonStr(m)},""")
       .getOrElse("")
     val json =
       s"""{"metric":"cluster_verify","queries":${names.size},""" +

@@ -280,44 +280,74 @@ object ChessServer {
     * listener and drains in-flight handlers. */
   def serveTcp(spark: SparkSession, positionsAgg: DataFrame, port: Int,
                maxRequests: Long = Long.MaxValue,
-               games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): Unit = {
-    val server = new java.net.ServerSocket(port)
+               games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): Unit =
+    serveOn(spark, positionsAgg, new java.net.ServerSocket(port), maxRequests, games)
+
+  /** Serve on an ALREADY-BOUND listener (lets callers bind port 0 once
+    * and read the real port with no close-and-rebind race). The
+    * `maxRequests` bound is exact: a handler must CAS-reserve a response
+    * slot before handling, so concurrent handlers can never overshoot,
+    * and shutdown closes every open client socket so a handler parked in
+    * readLine on an idle keep-alive connection unblocks immediately. */
+  def serveOn(spark: SparkSession, positionsAgg: DataFrame,
+              server: java.net.ServerSocket, maxRequests: Long = Long.MaxValue,
+              games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): Unit = {
     val served = new java.util.concurrent.atomic.AtomicLong(0L)
+    val clients =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
-    def done: Boolean = served.get() >= maxRequests
+    // Reserve one response slot, or report the budget exhausted. Each
+    // emitted response holds exactly one reserved slot (handle() catches
+    // its own exceptions into an error response), so total responses
+    // across all connections == min(requests, maxRequests).
+    def reserve(): Boolean = {
+      var cur = served.get()
+      while (cur < maxRequests) {
+        if (served.compareAndSet(cur, cur + 1)) return true
+        cur = served.get()
+      }
+      false
+    }
     try {
-      while (!done) {
+      while (served.get() < maxRequests) {
         val sock =
           try server.accept()
           catch { case _: java.net.SocketException => return } // closed by a handler
+        clients.add(sock)
         pool.execute { () =>
           try {
             val in = new java.io.BufferedReader(
               new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
             val out = new java.io.PrintWriter(
               new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+            var open = true
             var line = in.readLine()
-            while (line != null && !done) {
+            while (open && line != null) {
               if (line.trim.nonEmpty) {
-                val resp = try handle(spark, positionsAgg, line, games) catch {
-                  case e: Exception =>
-                    s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
-                }
-                out.println(resp)
-                // last response in: unblock the acceptor so the server
-                // can terminate instead of sitting in accept()
-                if (served.incrementAndGet() >= maxRequests) server.close()
+                if (reserve()) {
+                  val resp = try handle(spark, positionsAgg, line, games) catch {
+                    case e: Exception =>
+                      s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
+                  }
+                  out.println(resp)
+                  // last slot reserved: unblock the acceptor so the
+                  // server can terminate instead of sitting in accept()
+                  if (served.get() >= maxRequests) server.close()
+                } else open = false
               }
-              line = if (done) null else in.readLine()
+              line = if (open) in.readLine() else null
             }
           } catch {
-            case _: java.io.IOException => () // client hung up mid-line
-          } finally sock.close()
+            case _: java.io.IOException => () // client hung up / shutdown close
+          } finally { clients.remove(sock); sock.close() }
         }
       }
     } finally {
       try server.close() catch { case _: java.io.IOException => () }
       pool.shutdown()
+      // unblock handlers parked in readLine on idle keep-alive clients —
+      // otherwise shutdown stalls until awaitTermination expires
+      clients.forEach(s => try s.close() catch { case _: java.io.IOException => () })
       pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
       ()
     }
@@ -332,22 +362,16 @@ object ChessServer {
                  requestLines: Seq[String], clients: Int, perClient: Int,
                  games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None)
       : (Double, Seq[Seq[String]]) = {
-    val port = { val p = new java.net.ServerSocket(0)
-                 try p.getLocalPort finally p.close() }
+    // bind port 0 HERE and hand the bound socket to the server thread —
+    // no close-and-rebind TOCTOU, and clients can connect immediately
+    // (the kernel backlog queues them until accept runs)
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
     val total = clients.toLong * perClient
     val serverThread = new Thread(() =>
-      serveTcp(spark, positionsAgg, port, maxRequests = total, games = games))
+      serveOn(spark, positionsAgg, server, maxRequests = total, games = games))
     serverThread.setDaemon(true)
     serverThread.start()
-    // wait for the listener
-    var probe: java.net.Socket = null
-    var tries = 0
-    while (probe == null && tries < 100) {
-      try probe = new java.net.Socket("127.0.0.1", port)
-      catch { case _: java.net.ConnectException => Thread.sleep(50); tries += 1 }
-    }
-    require(probe != null, "throughput server never came up")
-    probe.close()
     val results = Array.fill(clients)(Seq.empty[String])
     val t0 = System.nanoTime()
     val threads = (0 until clients).map { c =>

@@ -75,11 +75,10 @@ object StreamingImport {
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch").parquet(compactedDir)
 
-  /** Epoch partitions currently in the store — a directory listing, no
-    * Spark job. */
+  /** Epoch partitions currently in the store — one FileSystem listing
+    * (works on HDFS/S3 paths, not just local disk), no Spark job. */
   def epochCount(destDir: String): Int =
-    Option(new java.io.File(destDir).list())
-      .map(_.count(_.startsWith("epoch="))).getOrElse(0)
+    graft.Fs.childNames(destDir).count(_.startsWith("epoch="))
 
   /** Compaction trigger policy (conf'd like a broadcast threshold):
     * compact once the store accumulates this many epochs. Measured

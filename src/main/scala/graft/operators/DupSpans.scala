@@ -71,12 +71,9 @@ object DupSpans {
     else g.withColumnRenamed("gram", "gh")
   }
 
-  /** q88 on an arbitrary (doc_id, text) frame. `hashed = false` keys
-    * every shuffle by the raw gram strings instead — identical output
-    * unless xxhash64 collides; exists ONLY for the losslessness spec. */
-  private[graft] def dupSpans(docs: DataFrame, k: Int = K,
-                              hashed: Boolean = true): DataFrame = {
-    val base = docs.select(col("doc_id"), toks.as("ts"))
+  /** The merged duplicated spans, (doc_id, span, span_len) — steps
+    * 1–4 of the plan, shared by q88 and the L-parameterized q93. */
+  private def spanSet(base: DataFrame, k: Int, hashed: Boolean): DataFrame = {
     val g = gramStream(base, k, hashed)
     val dupKeys = g.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("gh"))
@@ -85,14 +82,22 @@ object DupSpans {
         (col("pos") + (k - 1)).cast("long").as("e"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val pm = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = hits
+    hits
       .withColumn("new_span",
         when(pm.isNull || col("pos") > pm + 1L, 1L).otherwise(0L))
       .withColumn("span",
         sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("span"))
       .agg((max(col("e")) - min(col("pos")) + 1L).as("span_len"))
-    val perDoc = spans.groupBy(col("doc_id"))
+  }
+
+  /** q88 on an arbitrary (doc_id, text) frame. `hashed = false` keys
+    * every shuffle by the raw gram strings instead — identical output
+    * unless xxhash64 collides; exists ONLY for the losslessness spec. */
+  private[graft] def dupSpans(docs: DataFrame, k: Int = K,
+                              hashed: Boolean = true): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("ts"))
+    val perDoc = spanSet(base, k, hashed).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
            sum(col("span_len")).as("dup_tokens"),
            max(col("span_len")).as("max_span"))
@@ -106,17 +111,54 @@ object DupSpans {
           .as("dup_frac"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q88_dup_spans" -> ((s, d) => dupSpans(documents(s, d))))
+  /** Reported-span minimum lengths for q93 — the ExactSubstr min-match
+    * knob (Lee et al. run ~50 tokens) decoupled from gram width: spans
+    * are DETECTED once at K-gram resolution, then each L post-filters
+    * the merged spans to length >= L. 8 (= K, the q88 semantics), a
+    * mid value, and a Lee-ish long-run value. */
+  val MinLens = Seq(8, 16, 32)
 
-  val oracleSql: Map[String, String] = Map(
-    // Exact string-keyed recomputation (a Spark-side xxhash64 collision
-    // between distinct grams would fabricate a duplicated span and fail
-    // the hash compare — the oracle doubles as the collision check).
-    // range(1, n) is end-exclusive, so i runs 1..len-K+1 and pos = i-1
-    // matches Spark's 0-based sequence(0, size-K).
-    "q88_dup_spans" ->
-      s"""WITH t AS (
+  /** q93: the q88 rollup at every reported min-length L in `minLens`,
+    * one result keyed by (min_len, doc_id). The heavy stages (gram
+    * explode, corpus-wide dup count, islands merge) run ONCE; the L
+    * dimension is a 3-row explode over the merged span table — at
+    * 100 TB the span table is tiny next to the gram stream, so extra L
+    * values are near-free. L < K would under-report (runs of K..L-1
+    * are invisible at gram width K), so it is rejected. */
+  private[graft] def dupSpansByMinLen(docs: DataFrame, k: Int = K,
+                                      minLens: Seq[Int] = MinLens): DataFrame = {
+    require(minLens.forall(_ >= k), s"min span length below gram width $k")
+    val base = docs.select(col("doc_id"), toks.as("ts"))
+    val lgrid = explode(lit(minLens.map(_.toLong).toArray)).as("min_len")
+    val perDoc = spanSet(base, k, hashed = true)
+      .select(col("doc_id"), col("span_len"), lgrid)
+      .filter(col("span_len") >= col("min_len"))
+      .groupBy(col("min_len"), col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(col("span_len")).as("dup_tokens"),
+           max(col("span_len")).as("max_span"))
+    base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"), lgrid)
+      .join(perDoc, Seq("min_len", "doc_id"), "left")
+      .select(col("min_len"), col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_dup_spans" -> ((s, d) => dupSpans(documents(s, d))),
+    "q93_dup_span_minlen" -> ((s, d) => dupSpansByMinLen(documents(s, d))))
+
+  // Exact string-keyed recomputation through the merged-span table `sp`
+  // (a Spark-side xxhash64 collision between distinct grams would
+  // fabricate a duplicated span and fail the hash compare — the oracle
+  // doubles as the collision check). range(1, n) is end-exclusive, so
+  // i runs 1..len-K+1 and pos = i-1 matches Spark's 0-based
+  // sequence(0, size-K). Shared by q88 and q93.
+  private def spanCtes: String =
+    s"""t AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
            FROM documents),
          g AS (
@@ -139,7 +181,11 @@ object DupSpans {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
            FROM i),
          sp AS (SELECT doc_id, span, max(e) - min(pos) + 1 AS span_len
-                FROM s GROUP BY 1, 2),
+                FROM s GROUP BY 1, 2)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q88_dup_spans" ->
+      s"""WITH $spanCtes,
          pd AS (SELECT doc_id, count(*) AS n_spans,
                   sum(span_len) AS dup_tokens, max(span_len) AS max_span
                 FROM sp GROUP BY 1)
@@ -148,5 +194,23 @@ object DupSpans {
            CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
            CAST(coalesce(max_span, 0) AS BIGINT) AS max_span,
            CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(ts) AS dup_frac
-         FROM t LEFT JOIN pd USING (doc_id)""")
+         FROM t LEFT JOIN pd USING (doc_id)""",
+
+    // the same merged spans post-filtered at every reported min-length
+    // L — the direct recompute of q93's L dimension
+    "q93_dup_span_minlen" ->
+      s"""WITH $spanCtes,
+         lgrid AS (SELECT unnest([${MinLens.mkString(", ")}]) AS min_len),
+         pd AS (SELECT l.min_len, sp.doc_id, count(*) AS n_spans,
+                  sum(sp.span_len) AS dup_tokens, max(sp.span_len) AS max_span
+                FROM sp CROSS JOIN lgrid l
+                WHERE sp.span_len >= l.min_len GROUP BY 1, 2)
+         SELECT CAST(l.min_len AS BIGINT) AS min_len, t.doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(pd.max_span, 0) AS BIGINT) AS max_span,
+           CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(ts) AS dup_frac
+         FROM t CROSS JOIN lgrid l
+         LEFT JOIN pd ON pd.doc_id = t.doc_id AND pd.min_len = l.min_len""")
 }

@@ -187,12 +187,13 @@ object IvfIndex {
       .partitionBy("cell", "epoch").parquet(s"$compactedDir/index")
   }
 
-  /** Epoch partitions currently in the layout (max over cells) — a
-    * directory listing, no Spark job. */
+  /** Epoch partitions currently in the layout (max over cells) —
+    * FileSystem listings (works on HDFS/S3 paths, not just local disk),
+    * no Spark job. nlist+1 listing RPCs, model-sized. */
   def epochCount(dir: String): Int =
-    Option(new java.io.File(s"$dir/index").listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("cell="))
-      .map(c => Option(c.list()).toSeq.flatten.count(_.startsWith("epoch=")))
+    graft.Fs.childNames(s"$dir/index")
+      .filter(_.startsWith("cell="))
+      .map(c => graft.Fs.childNames(s"$dir/index/$c").count(_.startsWith("epoch=")))
       .maxOption.getOrElse(0)
 
   /** Trigger policy, conf'd like the chess store's: compact once any

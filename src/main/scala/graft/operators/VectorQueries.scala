@@ -236,7 +236,9 @@ object VectorQueries {
     // be checkpointed once rather than recomputed per consumer; here
     // each consumer is one map-only scan.
     "q89_semdedup" -> ((s, d) => {
-      val assigned = KMeans.lloyd(emb(s, d), SemK, iters = 2)
+      val e = emb(s, d)
+      // one parquet-footer count sizes k to the corpus (like lshParams)
+      val assigned = KMeans.lloyd(e, semK(e.count()), iters = 2)
         .select(col("cid"), col("vec_id"), col("emb"))
       val removed = assigned.select(col("cid"), col("vec_id").as("ia"), col("emb").as("ea"))
         .join(assigned.select(col("cid"), col("vec_id").as("ib"), col("emb").as("eb")),
@@ -267,16 +269,35 @@ object VectorQueries {
 
   val KmK     = 8
   val KmIters = 2
-  // q89 SemDeDup geometry: more clusters than q65's profile run (the
-  // whole point is small intra-cluster pair sets; in production k
-  // scales with n to hold |cluster| ≈ n/k bounded). The threshold sits
-  // where the synthetic corpus actually has semantic neighbors — its
-  // cosine structure tops out near 0.6 (q38's 0.95 near-dup family is
-  // legitimately empty on it), so 0.4 is what exercises the removal
-  // decision at every verify scale rather than hash-matching a table
-  // of zeros.
-  val SemK   = 16
+  // q89 SemDeDup threshold: sits where the synthetic corpus actually
+  // has semantic neighbors — its cosine structure tops out near 0.6
+  // (q38's 0.95 near-dup family is legitimately empty on it), so 0.4
+  // is what exercises the removal decision at every verify scale
+  // rather than hash-matching a table of zeros.
   val SemEps = 0.4
+
+  /** SCALE-ADAPTIVE cluster count for SemDeDup (q89/q92), derived from
+    * the corpus the way [[lshParams]] derives bits/tables: production
+    * SemDeDup needs k ∝ n so |cluster| ≈ n/k stays bounded and the
+    * within-cluster pair scan stays LINEAR (n × target), never n²/16
+    * under a hand-set constant. Floor 16 keeps the small-corpus
+    * geometry (= the old constant at every test SF ≤ ~4k vectors);
+    * the 4096 cap bounds the brute-force assignment term (n·k) — past
+    * it, assignment would route through the IVF layout's cell pruning
+    * rather than scoring every centroid. The DuckDB oracle derives the
+    * SAME k from count(*) ([[kSqlDerived]]), so the adaptive geometry
+    * is itself oracle-checked at every scale factor. */
+  val SemTargetClusterRows = 256L
+  def semK(n: Long): Int =
+    math.min(4096, math.max(16,
+      math.ceil(n.toDouble / SemTargetClusterRows).toInt))
+
+  /** [[semK]] as a DuckDB scalar subquery over the `e` CTE — textual
+    * mirror of the Scala formula (exact: both round ceil(n/256) on
+    * doubles far below 2^53). */
+  private def kSqlDerived: String =
+    s"(SELECT least(4096, greatest(16, " +
+      s"CAST(ceil(count(*) / $SemTargetClusterRows.0) AS INT))) FROM e)"
 
   /** LSH geometry for all-pairs near-dup at `minCos` over ~`n` rows.
     *
@@ -410,13 +431,14 @@ object VectorQueries {
          GROUP BY 1, 2""",
 
     // Replays the full SemDeDup decision: BOTH Lloyd rounds of the
-    // k = SemK clustering (the q65 chain, parameterized), the
+    // scale-adaptive k = semK(n) clustering (the q65 chain,
+    // parameterized; the SQL derives the SAME k from count(*)), the
     // within-cluster earlier-id pair scan, and the keep-first removal
     // rule. Crossing the Spark-cosine vs list_cosine_similarity
     // threshold boundary exactly is the same bit-identity the q38/q65
     // oracles already prove.
     "q89_semdedup" ->
-      s"""WITH ${kmLloyd2CtesK(SemK)},
+      s"""WITH ${kmLloyd2CtesExpr(kSqlDerived)},
          rm AS (
            SELECT DISTINCT b.vec_id AS ib
            FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -436,7 +458,12 @@ object VectorQueries {
   private def kmAssignCtes: String = kmAssignCtesK(KmK)
 
   /** Same CTEs with a caller-chosen cluster count. */
-  private def kmAssignCtesK(k: Int): String =
+  private def kmAssignCtesK(k: Int): String = kmAssignCtesExpr(k.toString)
+
+  /** Same CTEs with the cluster count as an arbitrary SQL scalar
+    * expression (a literal, or [[kSqlDerived]]'s count(*) subquery for
+    * the scale-adaptive q89/q92 geometry). */
+  private def kmAssignCtesExpr(k: String): String =
     s"""e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c0 AS (
@@ -450,12 +477,15 @@ object VectorQueries {
   /** Round-1 assignment plus the round-2 chain (decimal-exact
     * per-(cluster,dim) means → survivor centroids → round-2 assignment
     * `a2`) — the full 2-round Lloyd replay q65 (k=KmK) and q89
-    * (k=SemK) share. Means route through DECIMAL(38,12) like Num.dsum,
+    * (scale-adaptive k) share. Means route through DECIMAL(38,12) like
+    * Num.dsum,
     * so round-2 centroids are bit-identical to Spark's; an empty
     * cluster simply has no mean rows, mirroring KMeans.lloyd's
     * survivor compaction. */
-  private def kmLloyd2CtesK(k: Int): String =
-    s"""${kmAssignCtesK(k)},
+  private def kmLloyd2CtesK(k: Int): String = kmLloyd2CtesExpr(k.toString)
+
+  private def kmLloyd2CtesExpr(k: String): String =
+    s"""${kmAssignCtesExpr(k)},
          m1 AS (
            SELECT cid, pos,
              CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx

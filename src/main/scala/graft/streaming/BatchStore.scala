@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LSM-style compaction for the `batch_id`-partitioned parquet stores
+  * the incremental dedup pipelines append to every micro-batch
+  * ([[IncrementalDedup]]'s band/shingle tables, [[IncrementalSemDedup]]'s
+  * store/removed tables) — the same conf'd trigger policy as the chess
+  * entry store (`StreamingImport`) and the IVF layout
+  * (`IvfIndex.compactEpochs`), applied to the one place it matters most:
+  * these stores are RE-READ on every micro-batch, so one partition per
+  * batch forever is unbounded file-count growth (listing RPCs, footer
+  * reads, scheduler tasks) on the hottest read path of a long-running
+  * deployment.
+  *
+  * Layout contract: real batches land under `batch_id=N` (N ≥ 0) via
+  * dynamic partition overwrite — the replay-idempotence scheme.
+  * Compaction folds every live row with `batch_id < frontier` into the
+  * single partition `batch_id = -frontier` (negative ids can never
+  * collide with a real batch), then PUBLISHES the fold by creating the
+  * marker file `_compacted_<frontier>` — file creation is atomic on
+  * local FS, HDFS and object stores, so there is no rename-a-directory
+  * dance — and finally sweeps the folded partitions. Readers resolve
+  * liveness from the highest marker m:
+  * `live = (batch_id = -m) ∪ {batch_id ≥ m}`. A crash between any two
+  * steps leaves either the old view (marker unpublished: the half-built
+  * `-frontier` partition is invisible because readers only ever look at
+  * `-m`) or the new view (marker published: stale folded partitions are
+  * filtered out until the next sweep deletes them) — never duplicates,
+  * never loss.
+  *
+  * Replay idempotence is PRESERVED: [[maybeCompact]] runs inside
+  * `processBatch(B)` with `frontier = B`, and every `batch_id < B` is
+  * already checkpoint-committed (Structured Streaming only advances to
+  * B after B-1 commits), so the fold contains exactly the
+  * strictly-earlier batches; a replayed B still reads exactly
+  * `batches < B` (now as the `-B` partition) and still rewrites only its
+  * own `batch_id=B` partition.
+  *
+  * Concurrency note: within one stream, reads/compaction/sweeps are
+  * serialized by foreachBatch. An EXTERNAL concurrent reader should use
+  * [[liveRows]] (marker-filtered, so published sweeps are invisible to
+  * it), but can race a sweep's physical deletes between its file listing
+  * and its scan — pause compaction or read a snapshot for such readers.
+  */
+object BatchStore {
+
+  private val MarkerPrefix = "_compacted_"
+  private val StagingPrefix = "_staging_"
+
+  /** Trigger policy, conf'd like the chess store's
+    * (`StreamingImport.CompactEpochsConf`): compact once a store
+    * accumulates this many live leaf partitions. Same reasoning, same
+    * default — probe latency is flat in partition count on one node,
+    * but file count (paid in listing RPCs and tasks by EVERY batch's
+    * re-read) grows without bound; folding every ~8 batches keeps it a
+    * small constant while amortizing the rewrite. */
+  val CompactBatchesConf = "spark.graft.stream.compactBatches"
+  val DefaultCompactBatches = 8
+
+  /** Highest published compaction frontier (0 = never compacted). One
+    * FileSystem listing, no Spark job. */
+  def frontier(dir: String): Long =
+    graft.Fs.childNames(dir)
+      .collect { case n if n.startsWith(MarkerPrefix) =>
+        n.stripPrefix(MarkerPrefix).toLong }
+      .maxOption.getOrElse(0L)
+
+  private def liveCond(m: Long, upper: Option[Long]): Column = {
+    val real = upper match {
+      case Some(b) => col("batch_id") >= m && col("batch_id") < b
+      case None    => col("batch_id") >= m
+    }
+    if (m > 0) real || col("batch_id") === -m else real
+  }
+
+  /** Rows visible to batch `batchId`: exactly the strictly-earlier
+    * batches, however they are physically laid out (folded or not).
+    * batch_id is the partition column, so the condition prunes
+    * partition DIRECTORIES — a fold really does shrink the scan. */
+  def earlier(spark: SparkSession, dir: String, batchId: Long): DataFrame =
+    spark.read.parquet(dir).filter(liveCond(frontier(dir), Some(batchId)))
+
+  /** All live rows — for batch-less readers (final summaries). */
+  def liveRows(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).filter(liveCond(frontier(dir), None))
+
+  /** Live leaf-partition count — the read-amplification figure (parquet
+    * directories every per-batch re-read must list). */
+  def livePartitionCount(dir: String): Int = {
+    val m = frontier(dir)
+    val ids = graft.Fs.childNames(dir).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    ids.count(_ >= m) + (if (m > 0 && ids.contains(-m)) 1 else 0)
+  }
+
+  /** Fold all live rows with `batch_id < frontierNew` into the single
+    * partition `batch_id = -frontierNew`, publish, sweep. Crash-safe per
+    * the object doc; idempotent — a re-run with the same frontier
+    * rebuilds the same fold. No-op if nothing is below the frontier. */
+  def compact(spark: SparkSession, dir: String, frontierNew: Long): Unit = {
+    val m = frontier(dir)
+    require(frontierNew > m,
+      s"compaction frontier must advance (published $m, asked $frontierNew)")
+    // stage the fold under an underscore dir (invisible to partition
+    // discovery), so no reader — including this fold's own scan — can
+    // ever see a half-written or torn file
+    val staging = s"$dir/$StagingPrefix$frontierNew"
+    spark.read.parquet(dir)
+      .filter(liveCond(m, Some(frontierNew)))
+      .drop("batch_id")
+      .write.mode("overwrite").parquet(staging)
+    // install: clear any partial target from a crashed attempt (part
+    // file names are per-job UUIDs — a blind re-move would duplicate),
+    // move the staged part files in, then publish via marker creation
+    val target = s"$dir/batch_id=-$frontierNew"
+    graft.Fs.delete(target)
+    graft.Fs.mkdirs(target)
+    graft.Fs.childNames(staging).filter(_.startsWith("part-"))
+      .foreach(f => graft.Fs.rename(s"$staging/$f", s"$target/$f"))
+    graft.Fs.delete(staging)
+    graft.Fs.touch(s"$dir/$MarkerPrefix$frontierNew")
+    sweep(dir)
+  }
+
+  /** Delete everything the current marker makes invisible: folded real
+    * partitions below the frontier, superseded folds, old markers.
+    * Safe to re-run any time (the next compaction re-sweeps after a
+    * crashed one). */
+  def sweep(dir: String): Unit = {
+    val m = frontier(dir)
+    if (m > 0) graft.Fs.childNames(dir).foreach { n =>
+      if (n.startsWith("batch_id=")) {
+        val id = n.stripPrefix("batch_id=").toLong
+        if ((id >= 0 && id < m) || (id < 0 && id != -m))
+          graft.Fs.delete(s"$dir/$n")
+      } else if (n.startsWith(MarkerPrefix) &&
+                 n.stripPrefix(MarkerPrefix).toLong < m)
+        graft.Fs.delete(s"$dir/$n")
+    }
+  }
+
+  /** Apply the trigger policy inside `processBatch(batchId)`, AFTER the
+    * batch's own writes: compact iff the live partition count reached
+    * the conf'd threshold. Returns whether compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String, batchId: Long): Boolean = {
+    val thr = spark.conf.get(CompactBatchesConf,
+      DefaultCompactBatches.toString).toInt
+    val due = batchId > frontier(dir) && livePartitionCount(dir) >= thr
+    if (due) compact(spark, dir, batchId)
+    due
+  }
+}

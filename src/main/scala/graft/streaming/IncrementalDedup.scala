@@ -20,7 +20,8 @@ import graft.operators.MinHashLSH
   * (|A∩B| / (|A|+|B|-|A∩B|)) — the store never keeps document text.
   * Then the batch's keys append to the store. At 100 TB the store is
   * just another bucketed table; the band join prunes to matching
-  * buckets.
+  * buckets, and [[BatchStore]]'s LSM fold keeps the per-batch partition
+  * count a small constant over unbounded appends.
   */
 object IncrementalDedup {
 
@@ -63,9 +64,9 @@ object IncrementalDedup {
       val newBands = MinHashLSH.bandsOf(batch)
       val newShingles = MinHashLSH.shingleHashes(batch)
       val within = MinHashLSH.verifiedPairs(batch, minJaccard)
-      val hasStore = new java.io.File(bandsDir).exists()
-      def earlier(dir: String) = spark.read.parquet(dir)
-        .filter(col("batch_id") < batchId).drop("batch_id")
+      val hasStore = graft.Fs.exists(bandsDir)
+      def earlier(dir: String) =
+        BatchStore.earlier(spark, dir, batchId).drop("batch_id")
       val pairs = if (!hasStore) within else {
         val cands = earlier(bandsDir).as("o")
           .join(newBands.as("n"),
@@ -89,6 +90,15 @@ object IncrementalDedup {
       writeIdempotent(pairs, pairsDir)
       writeIdempotent(newBands, bandsDir)
       writeIdempotent(newShingles, shDir)
+      // LSM fold (BatchStore doctrine): the band/shingle stores are
+      // re-read every batch, so their partition count must stay a small
+      // constant over unbounded appends. Folds only strictly-earlier
+      // (checkpoint-committed) batches — replay idempotence unchanged.
+      // pairsDir is an OUTPUT (append-only, never re-read here), so its
+      // batch_id provenance is left intact for consumers.
+      BatchStore.maybeCompact(spark, bandsDir, batchId)
+      BatchStore.maybeCompact(spark, shDir, batchId)
+      ()
     } finally { batch.unpersist(blocking = false); () }
   }
 

@@ -47,10 +47,9 @@ object IncrementalSemDedup {
         .filter(col("ia") < col("ib") &&
           graft.functions.VectorFunctions.cosine(col("ea"), col("eb")) >= eps)
         .select(col("ib").as("vec_id"))
-      val hasStore = new java.io.File(storeDir).exists()
+      val hasStore = graft.Fs.exists(storeDir)
       val removed = if (!hasStore) within else {
-        val earlier = spark.read.parquet(storeDir)
-          .filter(col("batch_id") < batchId)
+        val earlier = BatchStore.earlier(spark, storeDir, batchId)
           .select(col("cid"), col("vec_id").as("ia"), col("emb").as("ea"))
         val cross = earlier.join(b, "cid")
           .filter(col("ia") =!= col("ib") &&
@@ -65,6 +64,13 @@ object IncrementalSemDedup {
           .partitionBy("batch_id").parquet(dir)
       writeIdempotent(removed.distinct(), removedDir)
       writeIdempotent(assigned, storeDir)
+      // LSM fold (BatchStore doctrine): the arrival store is re-read
+      // every batch (and `removed` on every summary), so both stay a
+      // small constant number of partitions over unbounded appends.
+      // Folds only strictly-earlier batches — replay-idempotent.
+      BatchStore.maybeCompact(spark, storeDir, batchId)
+      BatchStore.maybeCompact(spark, removedDir, batchId)
+      ()
     } finally { assigned.unpersist(blocking = false); () }
   }
 
@@ -89,8 +95,8 @@ object IncrementalSemDedup {
     * and distinct removed ids — hash-equal to the batch operator when
     * the stream has drained the same corpus. */
   def summary(spark: SparkSession, storeDir: String, removedDir: String): DataFrame = {
-    val store = spark.read.parquet(storeDir)
-    val removed = spark.read.parquet(removedDir)
+    val store = BatchStore.liveRows(spark, storeDir)
+    val removed = BatchStore.liveRows(spark, removedDir)
       .select(col("vec_id")).distinct().withColumn("rm", lit(1L))
     store.join(removed, Seq("vec_id"), "left")
       .groupBy(col("cid").cast("long").as("cluster_id"))

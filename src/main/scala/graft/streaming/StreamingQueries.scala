@@ -333,7 +333,7 @@ object StreamingQueries {
     "q92_stream_semdedup" -> ((s, d) => {
       import graft.operators.{KMeans, VectorQueries}
       val e = VectorQueries.emb(s, d)
-      val model = KMeans.lloydModel(e, VectorQueries.SemK, iters = 2)
+      val model = KMeans.lloydModel(e, VectorQueries.semK(e.count()), iters = 2)
       val landing = tmp("graft-q92-landing")
       val w = e.count() / 3 + 1
       (0 until 3).foreach { i =>

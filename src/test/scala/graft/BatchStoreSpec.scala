@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KMeans, MinHashLSH}
+import graft.streaming.{BatchStore, IncrementalDedup, IncrementalSemDedup}
+
+/** The LSM fold for batch_id-partitioned streaming stores: results are
+  * UNCHANGED across mid-run compaction (the round-6 verdict's done
+  * criterion), partition counts stay bounded, crash states between any
+  * two publication steps never produce duplicates or loss, and a
+  * replayed batch after a fold is still idempotent. */
+class BatchStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** A tiny batch_id-partitioned store with batches 0..n-1, one row
+    * (id=b, v="v<b>") per batch. */
+  private def mkStore(dir: String, n: Int): Unit =
+    (0 until n).foreach { b =>
+      Seq((b.toLong, s"v$b")).toDF("id", "v")
+        .withColumn("batch_id", lit(b.toLong))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("fold preserves earlier()/liveRows() exactly and bounds partitions") {
+    val dir = tmp("bs_fold")
+    mkStore(dir, 6)
+    val before = (0 to 7).map(b => ids(BatchStore.earlier(spark, dir, b)))
+    assert(BatchStore.livePartitionCount(dir) == 6)
+
+    BatchStore.compact(spark, dir, 4) // fold batches 0..3
+    assert(BatchStore.frontier(dir) == 4)
+    assert(BatchStore.livePartitionCount(dir) == 3) // fold + batches 4,5
+    // folded batches' REAL partition dirs are physically gone
+    val names = Fs.childNames(dir).filter(_.startsWith("batch_id="))
+    assert(names.toSet == Set("batch_id=-4", "batch_id=4", "batch_id=5"), names)
+
+    // visibility for any batch at-or-past the frontier is unchanged;
+    // liveRows sees everything
+    (4 to 7).foreach { b =>
+      assert(ids(BatchStore.earlier(spark, dir, b)) == before(b), s"batch $b")
+    }
+    assert(ids(BatchStore.liveRows(spark, dir)) == (0L to 5L).toSet)
+
+    // a second fold folds the FOLD too (LSM re-compaction)
+    mkStore2More(dir)
+    BatchStore.compact(spark, dir, 7)
+    assert(BatchStore.frontier(dir) == 7)
+    assert(BatchStore.livePartitionCount(dir) == 2) // fold + batch 7
+    assert(ids(BatchStore.liveRows(spark, dir)) == (0L to 7L).toSet)
+    assert(ids(BatchStore.earlier(spark, dir, 7)) == (0L to 6L).toSet)
+  }
+
+  private def mkStore2More(dir: String): Unit =
+    (6 until 8).foreach { b =>
+      Seq((b.toLong, s"v$b")).toDF("id", "v")
+        .withColumn("batch_id", lit(b.toLong))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    }
+
+  test("crash states are invisible: unpublished fold, unswept stale partitions") {
+    val dir = tmp("bs_crash")
+    mkStore(dir, 4)
+
+    // crash BEFORE marker publication: a fully-written -3 partition
+    // with no _compacted_3 marker must be invisible (else rows 0..2
+    // would double)
+    spark.read.parquet(dir).filter(col("batch_id") < 3).drop("batch_id")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=-3")
+    Fs.delete(s"$dir/batch_id=-3/_SUCCESS")
+    assert(BatchStore.frontier(dir) == 0)
+    assert(ids(BatchStore.earlier(spark, dir, 4)) == Set(0L, 1L, 2L, 3L),
+      "unpublished fold leaked")
+    assert(BatchStore.liveRows(spark, dir).count() == 4)
+
+    // crash AFTER marker publication but BEFORE the sweep: stale real
+    // partitions 0..2 must be filtered out (else rows double the other
+    // way); a later sweep then deletes them physically
+    Fs.touch(s"$dir/_compacted_3")
+    assert(BatchStore.frontier(dir) == 3)
+    assert(ids(BatchStore.earlier(spark, dir, 4)) == Set(0L, 1L, 2L, 3L))
+    assert(BatchStore.liveRows(spark, dir).count() == 4, "stale partitions leaked")
+    BatchStore.sweep(dir)
+    val left = Fs.childNames(dir).filter(_.startsWith("batch_id=")).toSet
+    assert(left == Set("batch_id=-3", "batch_id=3"), left)
+    assert(ids(BatchStore.liveRows(spark, dir)) == Set(0L, 1L, 2L, 3L))
+
+    // a crashed-then-retried fold: re-running compact at a HIGHER
+    // frontier folds the published fold and the remaining real batch
+    BatchStore.compact(spark, dir, 4)
+    assert(ids(BatchStore.liveRows(spark, dir)) == Set(0L, 1L, 2L, 3L))
+    assert(Fs.childNames(dir).filter(_.startsWith(s"batch_id=")).toSet ==
+      Set("batch_id=-4"))
+  }
+
+  /** StreamingDedupSpec's planted-near-dup corpus, split into 5 batches
+    * so a threshold-2 trigger compacts several times mid-run. */
+  private def corpus5(): Seq[Seq[(Long, String)]] = {
+    val rnd = new scala.util.Random(91)
+    def text(): String = Seq.fill(30)("tok" + rnd.nextInt(500)).mkString(" ")
+    val originals = (0L until 20L).map(i => i -> text())
+    def mutate(t: String): String = {
+      val ts = t.split(" "); ts(7) = "CHANGED"; ts.mkString(" ")
+    }
+    // dups of docs 0..15 spread over all five batches, so cross-batch
+    // pairs span compacted AND uncompacted store regions
+    val dups = (0 until 16).map(i => (1000L + i) -> mutate(originals(i)._2))
+    Seq(
+      originals.take(8) ++ dups.take(2),
+      originals.slice(8, 14) ++ dups.slice(2, 5),
+      originals.drop(14) ++ dups.slice(5, 8),
+      dups.slice(8, 12),
+      dups.drop(12))
+  }
+
+  test("incremental MinHash dedup: mid-run compaction leaves the pairs unchanged") {
+    val batches = corpus5()
+    val all = batches.flatten
+    def runWith(thr: Int): Set[(Long, Long)] = {
+      val store = tmp("bs_mh_store"); val pairs = tmp("bs_mh_pairs")
+      spark.conf.set(BatchStore.CompactBatchesConf, thr.toString)
+      try {
+        val step = IncrementalDedup.processBatch(spark, store, pairs, 0.5) _
+        batches.zipWithIndex.foreach { case (b, i) =>
+          step(b.toDF("doc_id", "text"), i.toLong) }
+        if (thr <= batches.size) {
+          assert(BatchStore.frontier(s"$store/bands") > 0, "compaction never fired")
+          assert(BatchStore.livePartitionCount(s"$store/bands") <= thr)
+          assert(BatchStore.livePartitionCount(s"$store/shingles") <= thr)
+        }
+        spark.read.parquet(pairs).select("doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet
+      } finally spark.conf.unset(BatchStore.CompactBatchesConf)
+    }
+    val compacted = runWith(2)
+    val untouched = runWith(100)
+    val oneShot = MinHashLSH.verifiedPairs(all.toDF("doc_id", "text"), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(compacted == oneShot,
+      s"missing=${oneShot -- compacted} extra=${compacted -- oneShot}")
+    assert(untouched == oneShot)
+  }
+
+  test("replay after a fold is still idempotent") {
+    val batches = corpus5()
+    val store = tmp("bs_rp_store"); val pairs = tmp("bs_rp_pairs")
+    spark.conf.set(BatchStore.CompactBatchesConf, "2")
+    try {
+      val step = IncrementalDedup.processBatch(spark, store, pairs, 0.5) _
+      batches.zipWithIndex.foreach { case (b, i) =>
+        step(b.toDF("doc_id", "text"), i.toLong) }
+      assert(BatchStore.frontier(s"$store/bands") > 0)
+      def snapshot() = (
+        spark.read.parquet(pairs).select("doc_a", "doc_b", "jaccard")
+          .as[(Long, Long, Double)].collect().sorted.toSeq,
+        BatchStore.liveRows(spark, s"$store/bands").count(),
+        BatchStore.liveRows(spark, s"$store/shingles").count())
+      val before = snapshot()
+      // the LAST batch re-fires with the same id after a fold already
+      // folded every earlier batch — the strictly-earlier read must hit
+      // exactly the fold, never its own landed partition
+      step(batches.last.toDF("doc_id", "text"), (batches.size - 1).toLong)
+      assert(snapshot() == before, "replay after fold changed state")
+      assert(!before._1.exists(p => p._1 == p._2), "self-pairs emitted")
+    } finally spark.conf.unset(BatchStore.CompactBatchesConf)
+  }
+
+  test("incremental SemDeDup: mid-run compaction leaves the summary unchanged") {
+    // synthetic embeddings with planted near-dups: 4 well-separated
+    // direction groups (cosine within a group ≈ 1, across ≈ 0), ids
+    // 0..3 densely seed the model's k-floor? no — k comes from the
+    // model arg below; seeds need dense ids 0..k-1
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def vec(group: Int): Array[Double] = {
+      val v = Array.tabulate(dim)(j =>
+        (if (j == group * 2) 1.0 else 0.0) + rnd.nextGaussian() * 0.01)
+      v
+    }
+    val n = 60
+    val rows = (0L until n.toLong).map(i => (i, vec((i % 4).toInt).toSeq))
+    val e = rows.toDF("vec_id", "emb")
+    val model = KMeans.lloydModel(e, 4, iters = 2)
+    val batches = rows.grouped(12).toSeq // 5 batches
+    def runWith(thr: Int): Seq[(Long, Long, Long)] = {
+      val root = tmp("bs_sem")
+      val (store, removed) = (s"$root/store", s"$root/removed")
+      spark.conf.set(BatchStore.CompactBatchesConf, thr.toString)
+      try {
+        val step = IncrementalSemDedup.processBatch(
+          spark, store, removed, model, 0.95) _
+        batches.zipWithIndex.foreach { case (b, i) =>
+          step(b.toDF("vec_id", "emb"), i.toLong) }
+        if (thr <= batches.size) {
+          assert(BatchStore.frontier(store) > 0, "compaction never fired")
+          assert(BatchStore.livePartitionCount(store) <= thr)
+        }
+        IncrementalSemDedup.summary(spark, store, removed)
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+      } finally spark.conf.unset(BatchStore.CompactBatchesConf)
+    }
+    val compacted = runWith(2)
+    val untouched = runWith(100)
+    assert(compacted == untouched, s"$compacted vs $untouched")
+    // the construction plants removals: every group has 15 near-identical
+    // members, so all but the first of each group is removed
+    assert(compacted.map(_._3).sum == n - 4, compacted)
+  }
+}

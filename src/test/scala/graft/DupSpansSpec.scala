@@ -67,6 +67,46 @@ class DupSpansSpec extends SparkTestBase {
       s"sub-k docs can share ALL their text without forming a gram: ${rows.toSeq}")
   }
 
+  test("q93: reported min-length L decouples from gram width K") {
+    // doc 0 shares a 12-token run with doc 1 and a 40-token run with
+    // doc 2 — at L=8 both spans report, at L=16 only the 40-run, at
+    // L=32 still only the 40-run; the K=8 detection is identical in
+    // all three, only the post-filter moves.
+    val run12 = (1 to 12).map(i => s"m$i").mkString(" ")
+    val run40 = (1 to 40).map(i => s"n$i").mkString(" ")
+    val d = df(
+      (0L, s"alpha $run12 beta gamma delta epsilon zeta $run40 omega"),
+      (1L, s"one two three $run12 four five six seven eight"),
+      (2L, s"x1 x2 x3 $run40 x4 x5"))
+    val rows = DupSpans.dupSpansByMinLen(d)
+      .orderBy("min_len", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows((8L, 0L)) == ((2L, 52L, 40L)), s"L=8 doc0: ${rows((8L, 0L))}")
+    assert(rows((16L, 0L)) == ((1L, 40L, 40L)), "L=16 drops the 12-run")
+    assert(rows((32L, 0L)) == ((1L, 40L, 40L)))
+    assert(rows((8L, 1L)) == ((1L, 12L, 12L)))
+    assert(rows((16L, 1L)) == ((0L, 0L, 0L)), "doc1's only span is < 16")
+    assert(rows((32L, 2L)) == ((1L, 40L, 40L)))
+    // L = K is exactly the q88 semantics (every merged span is >= K)
+    val atK = DupSpans.dupSpansByMinLen(d).filter(col("min_len") === 8L)
+      .drop("min_len").orderBy("doc_id").collect().toSeq
+    val q88 = DupSpans.dupSpans(d).orderBy("doc_id").collect().toSeq
+    assert(atK == q88, "L=K must reproduce q88 row-for-row")
+  }
+
+  test("q93 on the real corpus: monotone in L, and L=8 equals q88") {
+    val byL = DupSpans.dupSpansByMinLen(docs).collect()
+      .groupBy(_.getLong(0))
+    val dupTokens = byL.view.mapValues(_.map(_.getLong(4)).sum).toMap
+    assert(dupTokens(8L) >= dupTokens(16L) && dupTokens(16L) >= dupTokens(32L),
+      s"dup surface must shrink as L grows: $dupTokens")
+    val l8 = byL(8L).map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val q88 = DupSpans.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(l8 == q88)
+  }
+
   test("hashed-key path equals the string-keyed twin on the real corpus") {
     val hashed = DupSpans.dupSpans(docs, hashed = true)
       .orderBy("doc_id").collect().toSeq
