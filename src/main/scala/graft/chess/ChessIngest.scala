@@ -110,7 +110,16 @@ object ChessIngest {
     * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` —
     * otherwise the planner drops bucketed handling for a bare filter
     * scan and with it the SelectedBucketsCount pruning
-    * (EntryStoreSpec demonstrates both sides). */
+    * (EntryStoreSpec demonstrates both sides).
+    *
+    * NOTE for cluster-scale probe JOINS on (posHi, posLo)
+    * (QueryEngine.exploreBatch): set
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` so the
+    * posHi bucketing counts as co-partitioning for the two-column join
+    * — then only the probe side shuffles (aligned to the bucket count)
+    * and the store never re-shuffles (PlanAuditSpec "large batch
+    * probe"). Subset clustering cannot skew here: posHi is a Zobrist
+    * half, uniform by construction. */
   def writeAggTable(agg: DataFrame, table: String, buckets: Int = 256): Unit =
     agg.write.mode("overwrite")
       .bucketBy(buckets, "posHi")

@@ -40,14 +40,20 @@ object Pgn {
 
   private val TagRe = "\\[(\\w+)\\s+\"([^\"]*)\"\\]".r
 
-  /** Tokenize one game chunk: tags + SAN tokens (variations dropped). */
+  /** Tokenize one game chunk: tags + SAN tokens (variations dropped).
+    * The PGN escape mechanism — '%' in column 0 comments out the whole
+    * line — is honored before any tag or movetext scan. */
   def parseRaw(gameText: String): RawGame = {
-    val tags = TagRe.findAllMatchIn(gameText)
+    val kept = gameText.linesIterator.filterNot(_.startsWith("%")).mkString("\n")
+    val tags = TagRe.findAllMatchIn(kept)
       .map(m => m.group(1) -> m.group(2)).toMap
     val movetextStart = {
-      val lines = gameText.linesIterator.toVector
+      val lines = kept.linesIterator.toVector
       val idx = lines.indexWhere(l => !l.trim.startsWith("[") && l.trim.nonEmpty)
-      if (idx < 0) "" else lines.drop(idx).mkString(" ")
+      // join on newline, NOT space: a ';' comment runs to end-of-LINE,
+      // so collapsing line boundaries would let one ';' eat the rest of
+      // the game's movetext
+      if (idx < 0) "" else lines.drop(idx).mkString("\n")
     }
     val sans = Vector.newBuilder[String]
     var i = 0; var varDepth = 0; var inComment = false

@@ -107,6 +107,56 @@ class PlanAuditSpec extends SparkTestBase {
       "games table must not shuffle into a sort-merge join on the J2 path\n" + p)
   }
 
+  test("large batch probe: probe side aligns to the bucketed store, store never re-shuffles") {
+    // the README's 55.5M-key probe regime: the probe set is
+    // cluster-scale (unknown/huge stats — must NOT broadcast), the
+    // store is posHi-bucketed — the only exchanges allowed are the
+    // probe side aligning to the store's buckets and the final rollup;
+    // a store-side Exchange means the bucketed layout was dropped and
+    // the (100 TB) store would re-shuffle on every probe job.
+    import graft.chess._
+    import spark.implicits._
+    val corpus = RandomGames.generate(spark, 50, maxPlies = 40)
+    val agg = ChessIngest.positionsAgg(ChessIngest.positionStream(spark, corpus))
+    spark.sql("DROP TABLE IF EXISTS probe_audit_store")
+    ChessIngest.writeAggTable(agg, "probe_audit_store", buckets = 8)
+    // scale the broadcast threshold down with the test data: at 55M
+    // keys the probe estimate exceeds the default 10 MB the same way
+    // this probe set's estimate exceeds 1 byte — the comparison path
+    // (Catalyst stats vs autoBroadcastJoinThreshold) is the one under
+    // audit, not the constant
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    // the deployment conf writeAggTable's scaladoc prescribes: accept
+    // the store's posHi bucketing as co-partitioning for the
+    // (posHi, posLo) join — posHi is a Zobrist half, subset clustering
+    // cannot skew
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val store = spark.table("probe_audit_store")
+      val fens = RandomGames.generate(spark, 50, maxPlies = 8)
+        .map(g => g.moves.foldLeft(Position.initial)((p, m) => p.make(m)).toFen)
+      val df = QueryEngine.exploreBatch(spark, store, fens)
+      val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!simple.contains("BroadcastHashJoin"),
+        "a cluster-scale probe set must never plan as a broadcast build\n" + simple)
+      assert(simple.contains("SortMergeJoin") || simple.contains("ShuffledHashJoin"),
+        simple)
+      assert(formatted.contains("Bucketed: true"),
+        "the store must read as a bucketed scan\n" + formatted)
+      val exchanges = simple.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2,
+        s"expected at most probe-align + rollup exchanges, got $exchanges\n" + simple)
+      assert(simple.contains("Exchange hashpartitioning(posHi#"),
+        "the probe side must align to the store's posHi buckets\n" + simple)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.sql("DROP TABLE IF EXISTS probe_audit_store")
+      ()
+    }
+  }
+
   test("q63 decontamination: benchmark gram set broadcasts, corpus never shuffles by gram") {
     val p = plan("q63_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
