@@ -293,6 +293,7 @@ object ChessServer {
               server: java.net.ServerSocket, maxRequests: Long = Long.MaxValue,
               games: Option[org.apache.spark.sql.Dataset[ChessIngest.GameRow]] = None): Unit = {
     val served = new java.util.concurrent.atomic.AtomicLong(0L)
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
     val clients =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
@@ -330,6 +331,7 @@ object ChessServer {
                       s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(e.getMessage)))}}"""
                   }
                   out.println(resp)
+                  written.incrementAndGet()
                   // last slot reserved: unblock the acceptor so the
                   // server can terminate instead of sitting in accept()
                   if (served.get() >= maxRequests) server.close()
@@ -345,8 +347,13 @@ object ChessServer {
     } finally {
       try server.close() catch { case _: java.io.IOException => () }
       pool.shutdown()
-      // unblock handlers parked in readLine on idle keep-alive clients —
-      // otherwise shutdown stalls until awaitTermination expires
+      // drain: every RESERVED slot must flush its response before any
+      // socket is yanked — a handler mid-handle() still owns its slot
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (written.get() < served.get() && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      // then unblock handlers parked in readLine on idle keep-alive
+      // clients — otherwise shutdown stalls until awaitTermination expires
       clients.forEach(s => try s.close() catch { case _: java.io.IOException => () })
       pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
       ()

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * the policy default is chosen so probes stay near the compacted floor
   * while the rewrite cost amortizes over many appends.
   *
+  * A second section measures the STREAMING dedup stores the same way
+  * (`stream_*` fields): the per-batch band-store probe that
+  * IncrementalDedup pays on every micro-batch, against 1/4/16
+  * batch_id-partitioned layouts, then after a `BatchStore.compact`
+  * fold — the read-amp row behind `BatchStore.DefaultCompactBatches`.
+  *
   * Usage: `sbt "runMain graft.chess.CompactionBench [nGames]"`.
   */
 object CompactionBench {
@@ -92,6 +98,59 @@ object CompactionBench {
     val compactedProbe = m3(compacted)
     val compactedFiles = parquetFiles(compacted)
 
+    // --- streaming dedup store (BatchStore fold) read-amplification ---
+    // The hottest streaming read path: every micro-batch joins its new
+    // band keys against the ACCUMULATED store. Same corpus laid out as
+    // 1, 4 and 16 batch_id partitions (what 1/4/16 micro-batches
+    // produce with compaction off), probed with a fixed new-batch band
+    // set; then the 16-partition store is folded (BatchStore.compact)
+    // and re-probed — quantifying what the conf'd trigger buys.
+    import graft.operators.MinHashLSH
+    import graft.streaming.BatchStore
+    val nDocs = n // scale the doc corpus with the games arg
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit("tok"), pmod(col("id") * 31 + j * 7, lit(500)))): _*).as("text"))
+      .cache()
+    docs.count()
+    val probeBatch = MinHashLSH.bandsOf(
+      docs.filter(col("doc_id") % 16 === 15)).cache()
+    probeBatch.count()
+    val streamLayouts = Seq(1, 4, 16).map { e =>
+      val dir = tmp(s"graft-compbench-bands-e$e")
+      (0 until e).foreach { i =>
+        // slice the store docs (doc_id%16 < 15) into e non-empty batches
+        MinHashLSH.bandsOf(docs.filter(col("doc_id") % 16 < 15 &&
+            shiftright(col("doc_id"), 4) % e === i))
+          .withColumn("batch_id", lit(i.toLong))
+          .write.mode("append").partitionBy("batch_id").parquet(dir)
+      }
+      e -> dir
+    }.toMap
+    def streamProbeSec(dir: String): Double = {
+      val t = System.nanoTime()
+      BatchStore.earlier(spark, dir, Long.MaxValue).as("o")
+        .join(probeBatch.as("n"),
+          col("o.band_idx") === col("n.band_idx") &&
+          col("o.band_hash") === col("n.band_hash"))
+        .select(col("o.doc_id"), col("n.doc_id")).distinct().count()
+      (System.nanoTime() - t) / 1e9
+    }
+    def sm3(dir: String): Double =
+      median((1 to 3).map(_ => streamProbeSec(dir)))
+    val streamPerLayout = streamLayouts.toSeq.sortBy(_._1)
+      .map { case (e, dir) => e -> (sm3(dir), parquetFiles(dir)) }
+    val st0 = System.nanoTime()
+    BatchStore.compact(spark, streamLayouts(16), 16L)
+    val streamCompactSec = (System.nanoTime() - st0) / 1e9
+    val streamCompactedProbe = sm3(streamLayouts(16))
+    val streamCompactedFiles = parquetFiles(streamLayouts(16))
+    val streamProbesJson = streamPerLayout
+      .map { case (e, (s, _)) => s""""batches_$e":$s""" }.mkString(",")
+    val streamFilesJson = streamPerLayout
+      .map { case (e, (_, f)) => s""""batches_$e":$f""" }.mkString(",")
+
     val probesJson = perLayout
       .map { case (e, (s, _, _)) => s""""epochs_$e":$s""" }.mkString(",")
     val filesJson = perLayout
@@ -108,6 +167,10 @@ object CompactionBench {
         s""""rows":{$rowsJson,"compacted":${spark.read.parquet(compacted).count()}},""" +
         s""""compact_s":$compactSec,""" +
         s""""policy_epochs":${StreamingImport.DefaultCompactEpochs},""" +
+        s""""stream_probe_s":{$streamProbesJson,"compacted":$streamCompactedProbe},""" +
+        s""""stream_files":{$streamFilesJson,"compacted":$streamCompactedFiles},""" +
+        s""""stream_compact_s":$streamCompactSec,""" +
+        s""""policy_batches":${graft.streaming.BatchStore.DefaultCompactBatches},""" +
         s""""loadavg_pre":$loadPre}"""
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(

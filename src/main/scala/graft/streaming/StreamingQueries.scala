@@ -45,6 +45,20 @@ object StreamingQueries {
   private[graft] def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run `body` with the BatchStore fold triggered every 2 live
+    * partitions (instead of the production default): the 3-drop
+    * incremental dedup runs then compact their stores MID-RUN, so the
+    * q72/q92 oracle hashes re-prove the fold exact on every round. */
+  private def withCompactionEvery2[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.getOption(BatchStore.CompactBatchesConf)
+    s.conf.set(BatchStore.CompactBatchesConf, "2")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(BatchStore.CompactBatchesConf, v)
+      case None    => s.conf.unset(BatchStore.CompactBatchesConf)
+    }
+  }
+
   /** Recursive delete — inputs a bounded run no longer needs must not
     * accumulate corpus copies under /tmp across CI rounds. */
   private[graft] def rmTree(dir: String): Unit = {
@@ -167,8 +181,12 @@ object StreamingQueries {
       val storeDir = tmp("graft-q72-store")
       val pairsDir = graft.TempDirs.register(tmp("graft-q72-pairs"))
       val ckpt = tmp("graft-q72-ckpt")
-      IncrementalDedup.run(s, landing, docs, storeDir, pairsDir,
-        ckpt, graft.operators.ApproxOracle.MinJaccard)
+      // threshold 2 over 3 drops: the band/shingle stores LSM-fold
+      // MID-RUN, so the oracle hash proves the fold exact every round
+      withCompactionEvery2(s) {
+        IncrementalDedup.run(s, landing, docs, storeDir, pairsDir,
+          ckpt, graft.operators.ApproxOracle.MinJaccard)
+      }
       // only the pairs table outlives the run (read back lazily)
       Seq(landing, storeDir, ckpt).foreach(rmTree)
       s.read.parquet(pairsDir).select("doc_a", "doc_b", "jaccard")
@@ -343,8 +361,11 @@ object StreamingQueries {
       val root = graft.TempDirs.register(tmp("graft-q92"))
       val (store, removedDir) = (s"$root/store", s"$root/removed")
       val ckpt = tmp("graft-q92-ckpt")
-      IncrementalSemDedup.run(s, landing, e, store, removedDir, ckpt,
-        model, VectorQueries.SemEps)
+      // like q72: fold the arrival store mid-run, oracle-checked
+      withCompactionEvery2(s) {
+        IncrementalSemDedup.run(s, landing, e, store, removedDir, ckpt,
+          model, VectorQueries.SemEps)
+      }
       Seq(landing, ckpt).foreach(rmTree)
       IncrementalSemDedup.summary(s, store, removedDir)
     })
