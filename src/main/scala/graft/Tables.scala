@@ -10,25 +10,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that scales with data.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects outright. Read it as a nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong) and rebuild a proper
-    * TimestampType via integer division — the testdata is exactly
-    * microsecond-grained (verified: epoch_ns % 1000 == 0 for all rows),
-    * so the conversion is lossless and hash-equal to the DuckDB oracle's
-    * TIMESTAMP_NS view of the same column.
+  /** Timestamp normalization — the harness has regenerated the testdata
+    * with different parquet timestamp flavors across rounds (MICROS
+    * isAdjustedToUTC=true, then TIMESTAMP(NANOS), now MICROS
+    * isAdjustedToUTC=false), so every read pins confs that make all of
+    * them land as a plain `TimestampType` holding the same micros:
+    *
+    *  - `inferTimestampNTZ.enabled=false`: naive MICROS/MILLIS columns
+    *    (`lineitem.l_shipdate`, `orders.o_orderdate`, `events.ts`) read
+    *    as TIMESTAMP with the stored micros verbatim — value-identical
+    *    to the adjusted-to-UTC flavor, and to how the DuckDB oracle
+    *    reads the same column. Without it Spark 4 infers TIMESTAMP_NTZ,
+    *    which unix_micros/watermarks reject.
+    *  - `nanosAsLong=true`: TIMESTAMP(NANOS) — which the vectorized
+    *    reader otherwise rejects outright — reads as a nanos long;
+    *    `eventsRaw` rebuilds TimestampType via integer division (the
+    *    data is exactly microsecond-grained, verified epoch_ns % 1000
+    *    == 0 for all rows, so the conversion is lossless).
+    *  - session UTC so any residual NTZ→LTZ cast is micros-preserving.
     */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = t(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
