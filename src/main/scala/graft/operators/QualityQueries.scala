@@ -158,9 +158,62 @@ object QualityQueries {
         col("t_mass"), col("s_mass"), col("affinity"))
   }
 
+  /** q94 fluency band: a bigram occurrence is "fluent" when its
+    * corpus conditional probability p(w2|w1) = c12/c1 is at least
+    * 1/FluentDen. The comparison is the integer cross-multiply
+    * c12 * FluentDen >= c1 (the aHash prodGt idiom) — no division
+    * until the final per-doc fraction, so the band is bit-exact
+    * cross-engine. */
+  val FluentDen = 16L
+
+  /** q94: bigram-LM fluency scoring (the CCNet/KenLM-shaped signal,
+    * order-2): score each document by the fraction of its bigrams that
+    * are high-conditional-probability continuations under a language
+    * model trained on the corpus itself. A fluent document repeats the
+    * corpus's common transitions; word salad, shuffled boilerplate and
+    * OCR noise have locally-plausible tokens (which q85's unigram
+    * rarity misses) but improbable TRANSITIONS. c1 counts w1's
+    * occurrences as a bigram PREFIX (= Σ_w2 c12), so p(w2|w1) is a
+    * proper conditional that sums to 1 per prefix.
+    *
+    * Scale posture: the bigram stream collapses to per-(doc, gh)
+    * counts map-side before any join (docTermFreq's idiom); every
+    * shuffle and join is keyed by xxhash64 longs — (gh) for the bigram
+    * table, (uh) for the prefix table — never by strings. Both hashes
+    * ride the SAME aggregated tf frame (localCheckpoint-staged: one
+    * corpus pass feeds both count tables and the scoring join). The
+    * exact-string DuckDB oracle doubles as the collision check for
+    * BOTH key spaces (q53 doctrine).
+    */
+  private[graft] def bigramFluency(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .withColumn("a", slice(col("ts"), lit(1), size(col("ts")) - 1))
+      .withColumn("b", slice(col("ts"), lit(2), size(col("ts")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("doc_id"),
+        xxhash64(col("z.a"), col("z.b")).as("gh"),
+        xxhash64(col("z.a")).as("uh"))
+    // one corpus pass, three consumers (c12 table, c1 table, scoring)
+    val tf = bi.groupBy(col("doc_id"), col("gh"), col("uh"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val cbg = tf.groupBy(col("gh")).agg(sum(col("tf")).as("c12"))
+    val cu  = tf.groupBy(col("uh")).agg(sum(col("tf")).as("c1"))
+    tf.join(cbg, "gh").join(cu, "uh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+           sum(when(col("c12") * FluentDen >= col("c1"), col("tf"))
+             .otherwise(0L)).as("n_fluent"),
+           sum(when(col("c12") === 1L, col("tf")).otherwise(0L))
+             .as("n_hapax_bi"))
+      .withColumn("fluent_frac",
+        col("n_fluent").cast("double") / col("n_bigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
-    "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))))
+    "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
+    "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     // Exact string-keyed recomputation — a Spark-side xxhash64
@@ -184,6 +237,38 @@ object QualityQueries {
            CAST(sum(CASE WHEN ctf <= $RareCutoff THEN tf ELSE 0 END)
              AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS rare_frac
          FROM tf JOIN ctf USING (tok) GROUP BY 1""",
+
+    // Exact string-keyed recomputation of q94 — parallel unnests zip
+    // positionally in DuckDB, giving the (w1, w2) stream the Spark
+    // side builds with slice+arrays_zip. Joining by the raw strings
+    // while Spark joins by xxhash64(w1,w2)/xxhash64(w1) makes this
+    // oracle the collision check for both hashed key spaces.
+    "q94_bigram_fluency" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)]) AS w2
+           FROM t WHERE len(ts) >= 2),
+         tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+                FROM bi GROUP BY 1, 2, 3),
+         cbg AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+                 FROM tf GROUP BY 1, 2),
+         cu AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS c1
+                FROM tf GROUP BY 1)
+         SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c12 * $FluentDen >= c1 THEN tf ELSE 0 END)
+             AS BIGINT) AS n_fluent,
+           CAST(sum(CASE WHEN c12 = 1 THEN tf ELSE 0 END) AS BIGINT)
+             AS n_hapax_bi,
+           CAST(sum(CASE WHEN c12 * $FluentDen >= c1 THEN tf ELSE 0 END)
+             AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS fluent_frac
+         FROM tf JOIN cbg USING (w1, w2) JOIN cu USING (w1)
+         GROUP BY 1""",
 
     // Full relational recomputation: same md5 buckets (instr hex
     // decode = Spark's conv(substr(md5,1,3),16,10)), same add-one

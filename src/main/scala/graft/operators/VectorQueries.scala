@@ -250,6 +250,46 @@ object VectorQueries {
         .groupBy(col("cid").cast("long").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
              coalesce(sum(col("rm")), lit(0L)).as("n_removed"))
+    }),
+
+    // Product quantization (Jégou et al. 2011, "Product Quantization
+    // for Nearest Neighbor Search") — the memory-compressed member of
+    // the ANN family (brute q31, LSH q33, IVF q37/q79): split each
+    // vector into M=2 subvectors, k-means each subspace independently
+    // (the q65 Lloyd machinery, decimal-exact means), and store each
+    // vector as M small codes. Search is ADC: score the query against
+    // the RECONSTRUCTION (concatenated per-subspace centroids) — only
+    // M×PqK centroid rows plus the code table are touched, never the
+    // raw vectors. At 100 TB the code table is ~64× smaller than the
+    // corpus and the centroid tables are model-sized broadcasts; the
+    // top-k is TakeOrdered, never a global sort. The oracle replays
+    // BOTH subspace clusterings relationally (the q65 CTEs
+    // parameterized by slice) and re-scores via list_cosine_similarity
+    // on the same reconstruction.
+    "q95_pq_codes" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val sub0 = e.withColumn("emb", expr("slice(emb, 1, size(emb) div 2)"))
+      val sub1 = e.withColumn("emb",
+        expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"))
+      val m0 = KMeans.lloydModel(sub0, PqK, KmIters)
+      val m1 = KMeans.lloydModel(sub1, PqK, KmIters)
+      val codes = KMeans.assignModel(sub0, m0)
+        .select(col("vec_id"), col("cid").as("c0"))
+        .join(KMeans.assignModel(sub1, m1)
+          .select(col("vec_id"), col("cid").as("c1")), "vec_id")
+      val cents0 = m0._1.zip(m0._2).toSeq.toDF("c0", "cv0")
+      val cents1 = m1._1.zip(m1._2).toSeq.toDF("c1", "cv1")
+      val qv = e.filter(col("vec_id") === 0).select(col("emb"))
+        .head.getSeq[Double](0)
+      codes.join(broadcast(cents0), "c0").join(broadcast(cents1), "c1")
+        .withColumn("adc",
+          cosine(array(qv.map(lit): _*), concat(col("cv0"), col("cv1"))))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(PqTopK)
+        .select(col("vec_id"), col("c0").cast("long").as("c0"),
+                col("c1").cast("long").as("c1"),
+                round(col("adc"), 4).as("adc"))
     })
   )
 
@@ -269,6 +309,11 @@ object VectorQueries {
 
   val KmK     = 8
   val KmIters = 2
+  // q95 PQ geometry: M=2 subspaces (front/back half — dim-agnostic,
+  // both engines derive the split from the vector length), PqK codes
+  // per subspace, top-PqTopK ADC answer for the vec_id=0 query.
+  val PqK     = 8
+  val PqTopK  = 10
   // q89 SemDeDup threshold: sits where the synthetic corpus actually
   // has semantic neighbors — its cosine structure tops out near 0.6
   // (q38's 0.95 near-dup family is legitimately empty on it), so 0.4
@@ -448,7 +493,31 @@ object VectorQueries {
          SELECT CAST(a2.cid AS BIGINT) AS cluster_id,
            count(*) AS n_docs, count(rm.ib) AS n_removed
          FROM a2 LEFT JOIN rm ON a2.vec_id = rm.ib
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // Both subspace codebooks replayed through the suffixed 2-round
+    // Lloyd chains over sliced vectors (dim-agnostic: h = len//2 like
+    // Spark's `size(emb) div 2`), then the same ADC scoring — cosine
+    // of the query against the concatenated per-subspace centroids —
+    // and the same (adc DESC, vec_id) top-k cut.
+    "q95_pq_codes" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+             len(CAST(embedding AS DOUBLE[])) // 2 AS h
+           FROM embeddings),
+         ${kmLloyd2CtesSub("_p0", "fv[1:h]", "eb", PqK.toString)},
+         ${kmLloyd2CtesSub("_p1", "fv[h+1:len(fv)]", "eb", PqK.toString)},
+         qv AS (SELECT fv AS q FROM eb WHERE vec_id = 0),
+         sc AS (
+           SELECT a2_p0.vec_id, a2_p0.cid AS c0, a2_p1.cid AS c1,
+             list_cosine_similarity(qv.q, list_concat(p0.cv, p1.cv)) AS adc
+           FROM a2_p0 JOIN a2_p1 USING (vec_id)
+           JOIN c1_p0 p0 ON p0.cid = a2_p0.cid
+           JOIN c1_p1 p1 ON p1.cid = a2_p1.cid
+           CROSS JOIN qv)
+         SELECT vec_id, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+           round(adc, 4) AS adc
+         FROM sc ORDER BY sc.adc DESC, vec_id LIMIT $PqTopK"""
   )
 
   /** Shared q65/q68 round-1 assignment CTEs. max([cos, cid]) is a
@@ -464,15 +533,22 @@ object VectorQueries {
     * expression (a literal, or [[kSqlDerived]]'s count(*) subquery for
     * the scale-adaptive q89/q92 geometry). */
   private def kmAssignCtesExpr(k: String): String =
-    s"""e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (
-           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $k),
-         a1 AS (
+    kmAssignCtesSub("", "CAST(embedding AS DOUBLE[])", "embeddings", k)
+
+  /** The assignment chain with every CTE name suffixed and the vector
+    * taken as `vExpr` over `from` — lets several independent
+    * clusterings (q95's per-subspace codebooks) coexist in one WITH. */
+  private def kmAssignCtesSub(sfx: String, vExpr: String, from: String,
+                              k: String): String =
+    s"""e$sfx AS (
+           SELECT vec_id, $vExpr AS v FROM $from),
+         c0$sfx AS (
+           SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e$sfx WHERE vec_id < $k),
+         a1$sfx AS (
            SELECT vec_id,
-             CAST(max([list_cosine_similarity(e.v, c.cv),
+             CAST(max([list_cosine_similarity(e$sfx.v, c.cv),
                        CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
-           FROM e, c0 c GROUP BY vec_id)"""
+           FROM e$sfx, c0$sfx c GROUP BY vec_id)"""
 
   /** Round-1 assignment plus the round-2 chain (decimal-exact
     * per-(cluster,dim) means → survivor centroids → round-2 assignment
@@ -485,17 +561,24 @@ object VectorQueries {
   private def kmLloyd2CtesK(k: Int): String = kmLloyd2CtesExpr(k.toString)
 
   private def kmLloyd2CtesExpr(k: String): String =
-    s"""${kmAssignCtesExpr(k)},
-         m1 AS (
+    kmLloyd2CtesSub("", "CAST(embedding AS DOUBLE[])", "embeddings", k)
+
+  /** Suffixed/parameterized 2-round chain — see [[kmAssignCtesSub]]. */
+  private def kmLloyd2CtesSub(sfx: String, vExpr: String, from: String,
+                              k: String): String =
+    s"""${kmAssignCtesSub(sfx, vExpr, from, k)},
+         m1$sfx AS (
            SELECT cid, pos,
              CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
-           FROM (SELECT a1.cid, unnest(e.v) AS x, unnest(range(len(e.v))) AS pos
-                 FROM a1 JOIN e USING (vec_id))
+           FROM (SELECT a1$sfx.cid, unnest(e$sfx.v) AS x,
+                        unnest(range(len(e$sfx.v))) AS pos
+                 FROM a1$sfx JOIN e$sfx USING (vec_id))
            GROUP BY cid, pos),
-         c1 AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-         a2 AS (
+         c1$sfx AS (SELECT cid, list(cx ORDER BY pos) AS cv
+                    FROM m1$sfx GROUP BY cid),
+         a2$sfx AS (
            SELECT vec_id,
-             CAST(max([list_cosine_similarity(e.v, c.cv),
+             CAST(max([list_cosine_similarity(e$sfx.v, c.cv),
                        CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
-           FROM e, c1 c GROUP BY vec_id)"""
+           FROM e$sfx, c1$sfx c GROUP BY vec_id)"""
 }

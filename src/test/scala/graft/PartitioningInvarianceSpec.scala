@@ -27,7 +27,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q87_bpe_encode",       // learned merges folded over the vocab stage
     "q88_dup_spans",        // hashed gram counts + islands window
     "q89_semdedup",         // cluster-bucketed pair scan + keep-first rule
-    "q91_image_resize")     // per-row decode + integer grid-cell sums
+    "q91_image_resize",     // per-row decode + integer grid-cell sums
+    "q94_bigram_fluency",   // two hashed corpus-count joins + one ratio
+    "q95_pq_codes")         // ITERATIVE: 2×2 Lloyd rounds + ADC top-k
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+import graft.operators.VectorQueries
+
+/** q95 — product quantization. The oracle proves the codebooks and the
+  * ADC cut are cross-engine exact; these specs prove the properties the
+  * oracle can't see: the code table's shape (every vector coded, codes
+  * inside both codebooks) and that the quantized search is INFORMATIVE —
+  * ADC winners must be truly closer to the query than the corpus
+  * average, else the compression lost the geometry.
+  */
+class PqCodesSpec extends SparkTestBase {
+
+  test("q95: top-k shape and code ranges") {
+    val out = SparkEntry.queries("q95_pq_codes")(spark, sf).collect()
+    assert(out.length == VectorQueries.PqTopK)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < VectorQueries.PqK, r.toString)
+      assert(r.getLong(2) >= 0 && r.getLong(2) < VectorQueries.PqK, r.toString)
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("q95: ADC winners are truly closer to the query than the corpus mean") {
+    val e = VectorQueries.emb(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("emb"))
+      .head.getSeq[Double](0)
+    val trueCos = e
+      .withColumn("cos", cosine(col("emb"), array(q.map(lit): _*)))
+      .select(col("vec_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val winners = SparkEntry.queries("q95_pq_codes")(spark, sf)
+      .collect().map(_.getLong(0))
+    val winMean = winners.map(trueCos).sum / winners.length
+    val allMean = trueCos.values.sum / trueCos.size
+    assert(winMean > allMean,
+      s"ADC top-${winners.length} mean true-cosine $winMean should beat " +
+        s"the corpus mean $allMean — quantization lost the geometry")
+  }
+}

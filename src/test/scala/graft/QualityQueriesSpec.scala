@@ -58,4 +58,34 @@ class QualityQueriesSpec extends SparkTestBase {
       col("affinity") <= 0).count()
     assert(bad == 0)
   }
+
+  test("q94: consistent-phrase docs score fluent; common-token salad does not") {
+    import spark.implicits._
+    // 50 docs share one phrase; the salad doc reuses the SAME common
+    // tokens in an unseen order — q85's unigram rarity cannot separate
+    // them (every token is corpus-frequent), the transition model can.
+    val d = ((0 until 50).map(i => (i.toLong, "alpha beta gamma delta"))
+      :+ (99L, "beta alpha delta gamma")).toDF("doc_id", "text")
+    val out = QualityQueries.bigramFluency(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0 until 50).foreach { i =>
+      assert(out(i.toLong).getDouble(4) == 1.0, s"pattern doc $i not fluent")
+    }
+    // beta->alpha and alpha->delta are 1-in-51 continuations (below
+    // 1/16); delta->gamma is delta's only continuation (p=1, fluent)
+    val salad = out(99L)
+    assert(salad.getLong(1) == 3 && salad.getLong(3) == 3, salad.toString)
+    assert(salad.getDouble(4) == 1.0 / 3, salad.toString)
+  }
+
+  test("q94: every >=2-token doc is scored; counts nest; frac is the exact ratio") {
+    val rows = QualityQueries.bigramFluency(docs).collect()
+    val expected = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(rows.length == expected)
+    rows.foreach { case Row(id: Long, n: Long, fl: Long, hx: Long, frac: Double) =>
+      assert(fl <= n && hx <= n, s"doc $id: $fl/$hx/$n")
+      assert(frac == fl.toDouble / n, s"doc $id: frac not the exact ratio")
+    }
+  }
 }
