@@ -89,18 +89,27 @@ object KMeans {
     (cids, cents)
   }
 
-  /** (vec_id, emb, cid) of `points` under a trained model: the
-    * compacted survivor matrix scores via the broadcast expression and
-    * the index remaps through a tiny array literal back to original
-    * cluster labels. */
-  def assignModel(points: DataFrame,
-                  model: (Array[Int], Array[Array[Double]])): DataFrame = {
+  /** The trained-model assignment as a COLUMN over an arbitrary vector
+    * expression: the compacted survivor matrix scores via the broadcast
+    * expression and the index remaps through a tiny array literal back
+    * to original cluster labels. Lets several codebooks code one scan
+    * (q95 assigns both PQ subspaces in a single projection — no
+    * corpus-sized self-join to pair the codes). */
+  def assignExpr(embCol: org.apache.spark.sql.Column,
+                 model: (Array[Int], Array[Array[Double]]),
+                 spark: SparkSession): org.apache.spark.sql.Column = {
     val (cids, cents) = model
-    val bc = points.sparkSession.sparkContext.broadcast(cents)
-    if (cids.sameElements(cids.indices)) assign(points, cents)
-    else points.withColumn("cid", element_at(array(cids.map(lit): _*),
-      toCol(NearestCentroid(toExpr(col("emb")), bc)) + 1))
+    val bc = spark.sparkContext.broadcast(cents)
+    val base = toCol(NearestCentroid(toExpr(embCol), bc))
+    if (cids.sameElements(cids.indices)) base
+    else element_at(array(cids.map(lit): _*), base + 1)
   }
+
+  /** (vec_id, emb, cid) of `points` under a trained model. */
+  def assignModel(points: DataFrame,
+                  model: (Array[Int], Array[Array[Double]])): DataFrame =
+    points.withColumn("cid",
+      assignExpr(col("emb"), model, points.sparkSession))
 
   /** `iters` Lloyd rounds from the deterministic seeds; returns the
     * final (vec_id, emb, cid) assignment. With iters=1 this is plain

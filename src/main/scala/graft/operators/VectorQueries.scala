@@ -274,10 +274,14 @@ object VectorQueries {
         expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"))
       val m0 = KMeans.lloydModel(sub0, PqK, KmIters)
       val m1 = KMeans.lloydModel(sub1, PqK, KmIters)
-      val codes = KMeans.assignModel(sub0, m0)
-        .select(col("vec_id"), col("cid").as("c0"))
-        .join(KMeans.assignModel(sub1, m1)
-          .select(col("vec_id"), col("cid").as("c1")), "vec_id")
+      // both subspaces coded in ONE projection over one scan — never a
+      // corpus-sized self-join to pair the codes
+      val codes = e.select(col("vec_id"),
+        KMeans.assignExpr(expr("slice(emb, 1, size(emb) div 2)"), m0, s)
+          .as("c0"),
+        KMeans.assignExpr(
+          expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"),
+          m1, s).as("c1"))
       val cents0 = m0._1.zip(m0._2).toSeq.toDF("c0", "cv0")
       val cents1 = m1._1.zip(m1._2).toSeq.toDF("c1", "cv1")
       val qv = e.filter(col("vec_id") === 0).select(col("emb"))

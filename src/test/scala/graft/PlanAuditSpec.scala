@@ -234,6 +234,30 @@ class PlanAuditSpec extends SparkTestBase {
       "a WindowExec runs without doc_id partitioning\n" + winSpecs.mkString("\n"))
   }
 
+  test("q94 bigram fluency: every exchange carries hashed longs, never token strings") {
+    val p = plan("q94_bigram_fluency")
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    // the (w1, w2) struct columns must die in the projection that
+    // hashes them — a shuffle carrying a# or b# means raw bigram
+    // strings are moving instead of xxhash64 keys
+    assert(!exchanges.exists(e => e.contains("a#") || e.contains("b#")),
+      "a shuffle is keyed by raw bigram strings instead of xxhash64\n" +
+        exchanges.mkString("\n"))
+  }
+
+  test("q95 pq: top-k is TakeOrdered and the centroid tables broadcast") {
+    val p = plan("q95_pq_codes")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the ADC top-k must plan as per-partition top-k + driver merge, " +
+        "never a global sort\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the model-sized centroid tables must broadcast — the code table " +
+        "never shuffles for reconstruction\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a code-table join degenerated to a shuffle join\n" + p)
+  }
+
   test("q89 semdedup: pair scan joins on the cluster id, never a cross product") {
     val p = plan("q89_semdedup")
     // the within-cluster pair scan must be an equi-join on cid — a
