@@ -33,7 +33,8 @@ object ClusterVerify {
     "q65_kmeans", "q66_pii_scrub", "q70_bpe_merges",
     "q77_media_decode", "q78_image_neardup",
     "q85_rare_token_quality", "q86_dsir_weights", "q87_bpe_encode",
-    "q88_dup_spans", "q89_semdedup")
+    "q88_dup_spans", "q89_semdedup", "q94_bigram_fluency",
+    "q95_pq_codes")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>
