@@ -294,6 +294,52 @@ object VectorQueries {
         .select(col("vec_id"), col("c0").cast("long").as("c0"),
                 col("c1").cast("long").as("c1"),
                 round(col("adc"), 4).as("adc"))
+    }),
+
+    // IVF-PQ (Jégou et al.'s IVFADC, the architecture behind
+    // billion-scale ANN deployments): q37's cell-pruned candidate
+    // generation composed with q95's compressed rescoring. Candidates
+    // come from each probe's nprobe best cells, but the rescore joins
+    // the CODE TABLE — never the raw vectors — against model-sized
+    // broadcast codebooks: at 100 TB the search reads nprobe cells of
+    // ~64×-compressed codes and the full-precision corpus is touched
+    // only at ingest. The oracle rides the same exported
+    // ivf_cells/ivf_probe_cells as q37 (identical deterministic
+    // centroid geometry) and replays both PQ codebooks via the
+    // suffixed Lloyd chains, so the full composition is hash-checked.
+    "q96_ivf_pq" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val sub0 = e.withColumn("emb", expr("slice(emb, 1, size(emb) div 2)"))
+      val sub1 = e.withColumn("emb",
+        expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"))
+      val m0 = KMeans.lloydModel(sub0, PqK, KmIters)
+      val m1 = KMeans.lloydModel(sub1, PqK, KmIters)
+      val coded = e.select(col("vec_id"),
+        KMeans.assignExpr(expr("slice(emb, 1, size(emb) div 2)"), m0, s)
+          .as("c0"),
+        KMeans.assignExpr(
+          expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"),
+          m1, s).as("c1"))
+      val cents0 = m0._1.zip(m0._2).toSeq.toDF("c0", "cv0")
+      val cents1 = m1._1.zip(m1._2).toSeq.toDF("c1", "cv1")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val cells = IvfIndex.cellAssignments(e, IvfNList)
+      val pcells = IvfIndex.probeCells(e, probes, IvfNList, IvfNProbe)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      cells.join(broadcast(pcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .dropDuplicates("probe_id", "vec_id")
+        .join(coded, "vec_id")
+        .join(broadcast(cents0), "c0").join(broadcast(cents1), "c1")
+        .join(broadcast(probes), "probe_id")
+        .withColumn("adc", cosine(col("pemb"), concat(col("cv0"), col("cv1"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("adc"), 4).as("adc"), col("rn"))
     })
   )
 
@@ -521,7 +567,43 @@ object VectorQueries {
            CROSS JOIN qv)
          SELECT vec_id, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
            round(adc, 4) AS adc
-         FROM sc ORDER BY sc.adc DESC, vec_id LIMIT $PqTopK"""
+         FROM sc ORDER BY sc.adc DESC, vec_id LIMIT $PqTopK""",
+
+    // IVF-PQ: the candidate set from the SAME exported
+    // ivf_cells/ivf_probe_cells tables q37 uses (identical
+    // deterministic centroid geometry), rescored through the replayed
+    // PQ codebooks — reconstruction cosine vs the probe's full vector,
+    // then the same per-probe (adc DESC, vec_id) rank cut.
+    "q96_ivf_pq" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+             len(CAST(embedding AS DOUBLE[])) // 2 AS h
+           FROM embeddings),
+         ${kmLloyd2CtesSub("_p0", "fv[1:h]", "eb", PqK.toString)},
+         ${kmLloyd2CtesSub("_p1", "fv[h+1:len(fv)]", "eb", PqK.toString)},
+         cand AS (
+           SELECT DISTINCT pc.probe_id, a.vec_id
+           FROM ${graft.OracleExport.p("ivf_cells")} a
+           JOIN ${graft.OracleExport.p("ivf_probe_cells")} pc
+             ON a.cell = pc.cell
+           WHERE a.vec_id <> pc.probe_id),
+         scored AS (
+           SELECT cand.probe_id, cand.vec_id,
+             list_cosine_similarity(pe.fv, list_concat(p0.cv, p1.cv)) AS adc
+           FROM cand
+           JOIN a2_p0 ON a2_p0.vec_id = cand.vec_id
+           JOIN a2_p1 ON a2_p1.vec_id = cand.vec_id
+           JOIN c1_p0 p0 ON p0.cid = a2_p0.cid
+           JOIN c1_p1 p1 ON p1.cid = a2_p1.cid
+           JOIN eb pe ON pe.vec_id = cand.probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id AS neighbor_id, adc,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY adc DESC, vec_id) AS rn
+           FROM scored)
+         SELECT probe_id, neighbor_id, round(adc, 4) AS adc,
+           CAST(rn AS BIGINT) AS rn
+         FROM ranked WHERE rn <= 5"""
   )
 
   /** Shared q65/q68 round-1 assignment CTEs. max([cos, cid]) is a

@@ -258,6 +258,19 @@ class PlanAuditSpec extends SparkTestBase {
       "a code-table join degenerated to a shuffle join\n" + p)
   }
 
+  test("q96 ivf-pq: probe cells and codebooks broadcast, rank window is probe-partitioned") {
+    val p = plan("q96_ivf_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe cells / centroid codebooks must broadcast\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation degenerated to a cross product\n" + p)
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("probe_id")),
+      "the rank window must partition by probe_id — a global window " +
+        "would single-reduce the candidate stream\n" + winSpecs.mkString("\n"))
+  }
+
   test("q89 semdedup: pair scan joins on the cluster id, never a cross product") {
     val p = plan("q89_semdedup")
     // the within-cluster pair scan must be an equi-join on cid — a

@@ -24,6 +24,18 @@ class PqCodesSpec extends SparkTestBase {
     }
   }
 
+  test("q96: every probe answers its full top-5 from its pruned cells") {
+    val out = SparkEntry.queries("q96_ivf_pq")(spark, sf).collect()
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 10L).toSet,
+      s"expected all 10 probes answered, got ${byProbe.keySet}")
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L),
+        s"probe $pid ranks: ${rows.map(_.getLong(3)).sorted.toSeq}")
+      assert(!rows.exists(_.getLong(1) == pid), s"probe $pid returned itself")
+    }
+  }
+
   test("q95: ADC winners are truly closer to the query than the corpus mean") {
     val e = VectorQueries.emb(spark, sf)
     val q = e.filter(col("vec_id") === 0).select(col("emb"))
