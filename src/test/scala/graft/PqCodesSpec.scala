@@ -36,6 +36,37 @@ class PqCodesSpec extends SparkTestBase {
     }
   }
 
+  test("q96: ADC-chosen neighbors beat the probed-cell average on true cosine") {
+    // the compressed rescore must PICK WELL inside the candidate set:
+    // for each probe, the mean exact cosine of its ADC top-5 has to
+    // beat the mean over everything its pruned cells offered
+    val e = VectorQueries.emb(spark, sf)
+    val vecs = e.select(col("vec_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val chosen = SparkEntry.queries("q96_ivf_pq")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cands = graft.operators.IvfIndex.topK(e,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+        nlist = VectorQueries.IvfNList, nprobe = VectorQueries.IvfNProbe,
+        k = Int.MaxValue)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (win, base) = chosen.keys.toSeq.sorted.map { pid =>
+      val q = vecs(pid)
+      val w = chosen(pid).toSeq.map(id => cos(q, vecs(id)))
+      val c = cands(pid).toSeq.map(id => cos(q, vecs(id)))
+      (w.sum / w.size, c.sum / c.size)
+    }.unzip
+    assert(win.sum / win.size > base.sum / base.size,
+      s"ADC picks (${win.sum / win.size}) must beat the candidate mean " +
+        s"(${base.sum / base.size}) — the codes lost the geometry")
+  }
+
   test("q95: ADC winners are truly closer to the query than the corpus mean") {
     val e = VectorQueries.emb(spark, sf)
     val q = e.filter(col("vec_id") === 0).select(col("emb"))
