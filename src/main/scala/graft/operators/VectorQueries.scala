@@ -267,26 +267,11 @@ object VectorQueries {
     // parameterized by slice) and re-scores via list_cosine_similarity
     // on the same reconstruction.
     "q95_pq_codes" -> ((s, d) => {
-      import s.implicits._
       val e = emb(s, d)
-      val sub0 = e.withColumn("emb", expr("slice(emb, 1, size(emb) div 2)"))
-      val sub1 = e.withColumn("emb",
-        expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"))
-      val m0 = KMeans.lloydModel(sub0, PqK, KmIters)
-      val m1 = KMeans.lloydModel(sub1, PqK, KmIters)
-      // both subspaces coded in ONE projection over one scan — never a
-      // corpus-sized self-join to pair the codes
-      val codes = e.select(col("vec_id"),
-        KMeans.assignExpr(expr("slice(emb, 1, size(emb) div 2)"), m0, s)
-          .as("c0"),
-        KMeans.assignExpr(
-          expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"),
-          m1, s).as("c1"))
-      val cents0 = m0._1.zip(m0._2).toSeq.toDF("c0", "cv0")
-      val cents1 = m1._1.zip(m1._2).toSeq.toDF("c1", "cv1")
+      val (codes, cents) = pqModel(s, e)
       val qv = e.filter(col("vec_id") === 0).select(col("emb"))
         .head.getSeq[Double](0)
-      codes.join(broadcast(cents0), "c0").join(broadcast(cents1), "c1")
+      codes.join(broadcast(cents(0)), "c0").join(broadcast(cents(1)), "c1")
         .withColumn("adc",
           cosine(array(qv.map(lit): _*), concat(col("cv0"), col("cv1"))))
         .orderBy(col("adc").desc, col("vec_id").asc)
@@ -308,21 +293,8 @@ object VectorQueries {
     // centroid geometry) and replays both PQ codebooks via the
     // suffixed Lloyd chains, so the full composition is hash-checked.
     "q96_ivf_pq" -> ((s, d) => {
-      import s.implicits._
       val e = emb(s, d)
-      val sub0 = e.withColumn("emb", expr("slice(emb, 1, size(emb) div 2)"))
-      val sub1 = e.withColumn("emb",
-        expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"))
-      val m0 = KMeans.lloydModel(sub0, PqK, KmIters)
-      val m1 = KMeans.lloydModel(sub1, PqK, KmIters)
-      val coded = e.select(col("vec_id"),
-        KMeans.assignExpr(expr("slice(emb, 1, size(emb) div 2)"), m0, s)
-          .as("c0"),
-        KMeans.assignExpr(
-          expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)"),
-          m1, s).as("c1"))
-      val cents0 = m0._1.zip(m0._2).toSeq.toDF("c0", "cv0")
-      val cents1 = m1._1.zip(m1._2).toSeq.toDF("c1", "cv1")
+      val (coded, cents) = pqModel(s, e)
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
       val cells = IvfIndex.cellAssignments(e, IvfNList)
@@ -333,7 +305,7 @@ object VectorQueries {
         .filter(col("vec_id") =!= col("probe_id"))
         .dropDuplicates("probe_id", "vec_id")
         .join(coded, "vec_id")
-        .join(broadcast(cents0), "c0").join(broadcast(cents1), "c1")
+        .join(broadcast(cents(0)), "c0").join(broadcast(cents(1)), "c1")
         .join(broadcast(probes), "probe_id")
         .withColumn("adc", cosine(col("pemb"), concat(col("cv0"), col("cv1"))))
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -359,11 +331,34 @@ object VectorQueries {
 
   val KmK     = 8
   val KmIters = 2
-  // q95 PQ geometry: M=2 subspaces (front/back half — dim-agnostic,
+  // q95/q96 PQ geometry: M=2 subspaces (front/back half — dim-agnostic,
   // both engines derive the split from the vector length), PqK codes
   // per subspace, top-PqTopK ADC answer for the vec_id=0 query.
   val PqK     = 8
   val PqTopK  = 10
+
+  /** The two subspace slice expressions — the Scala mirror of the
+    * oracle's `fv[1:h]` / `fv[h+1:len(fv)]`. */
+  private val PqSlices = Seq(
+    "slice(emb, 1, size(emb) div 2)",
+    "slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)")
+
+  /** The trained PQ model q95 and q96 share: the one-scan
+    * (vec_id, c0, c1) code table — both subspaces coded in a single
+    * projection, never a corpus-sized self-join to pair the codes —
+    * and the two broadcast-ready (code, centroid) frames. */
+  private def pqModel(s: SparkSession, e: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    val models = PqSlices.map(sl =>
+      KMeans.lloydModel(e.withColumn("emb", expr(sl)), PqK, KmIters))
+    val codes = e.select(col("vec_id"),
+      KMeans.assignExpr(expr(PqSlices(0)), models(0), s).as("c0"),
+      KMeans.assignExpr(expr(PqSlices(1)), models(1), s).as("c1"))
+    val cents = models.zipWithIndex.map { case (m, i) =>
+      m._1.zip(m._2).toSeq.toDF(s"c$i", s"cv$i") }
+    (codes, cents)
+  }
   // q89 SemDeDup threshold: sits where the synthetic corpus actually
   // has semantic neighbors — its cosine structure tops out near 0.6
   // (q38's 0.95 near-dup family is legitimately empty on it), so 0.4
