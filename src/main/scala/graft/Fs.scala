@@ -59,4 +59,13 @@ object Fs {
     val p = new Path(path)
     fsFor(p).create(p, true).close()
   }
+
+  /** The fully-qualified form of `path` under its FileSystem (scheme +
+    * authority resolved) — the comparison key for same-layout guards.
+    * `java.io.File.getCanonicalPath` is meaningless for an `s3a://` or
+    * `hdfs://` URI; this works for every scheme. */
+  def qualified(path: String): String = {
+    val p = new Path(path)
+    fsFor(p).makeQualified(p).toString
+  }
 }

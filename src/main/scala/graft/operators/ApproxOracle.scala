@@ -73,21 +73,28 @@ object ApproxOracle {
       "neardup_buckets")
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    // corpus-derived grid, the same derivation q37/q96 run from the
+    // same count — the adaptive geometry is itself oracle-checked
+    val nlist = VectorQueries.ivfNList(n)
     OracleExport.write(
-      IvfIndex.cellAssignments(e, VectorQueries.IvfNList, Some(n)), "ivf_cells")
+      IvfIndex.cellAssignments(e, nlist, Some(n)), "ivf_cells")
     OracleExport.write(
-      IvfIndex.probeCells(e, probes, VectorQueries.IvfNList,
-        VectorQueries.IvfNProbe, Some(n)), "ivf_probe_cells")
+      IvfIndex.probeCells(e, probes, nlist,
+        VectorQueries.ivfNProbe(nlist), Some(n)), "ivf_probe_cells")
     // q90: the streamed appendable index freezes centroids from the
     // FIRST of three vec_id slices (StreamingQueries.incIvfDir); the
     // assignment is a pure per-row function of (emb, frozen centroids),
     // so the export recomputes it batch-side — identical to the union
-    // of the streamed epochs regardless of batch boundaries.
+    // of the streamed epochs regardless of batch boundaries. The grid
+    // derives from the BOOTSTRAP slice (all the stream knows at
+    // freeze time), exactly as incIvfDir derives it.
+    val w = n / 3 + 1
     val bootCents = IvfIndex.centroids(
-      e.filter(col("vec_id") < n / 3 + 1), VectorQueries.IvfNList)
+      e.filter(col("vec_id") < w), VectorQueries.ivfNList(w))
     OracleExport.write(IvfIndex.assignWith(e, bootCents), "ivf_inc_cells")
     OracleExport.write(
-      IvfIndex.probeCellsWith(probes, bootCents, VectorQueries.IvfNProbe),
+      IvfIndex.probeCellsWith(probes, bootCents,
+        VectorQueries.ivfNProbe(bootCents.length)),
       "ivf_inc_probe_cells")
 
     // q70: each BPE round's word-state, so DuckDB can recompute every
@@ -146,7 +153,7 @@ object ApproxOracle {
                CAST(row_number() OVER (PARTITION BY probe_id
                  ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
              FROM scored)
-       WHERE rn <= 5"""
+       WHERE rn <= ${VectorQueries.AnnK}"""
 
   val oracleSql: Map[String, String] = Map(
     "q70_bpe_merges" -> bpeOracle,

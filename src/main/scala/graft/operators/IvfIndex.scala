@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{NearestCentroid, NearestCentroids}
 import graft.functions.VectorFunctions._
@@ -90,9 +89,7 @@ object IvfIndex {
     val assigned = corpus.withColumn("cell", cellOf(col("emb"), bc))
     val probed = probes
       .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(probed), Seq("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       // a (probe, vector) pair that met in two probed cells is the same
       // candidate twice: dedup on the PAIR KEY, not on (pair, sim) —
@@ -101,9 +98,21 @@ object IvfIndex {
       .dropDuplicates("probe_id", "vec_id")
       .select(col("probe_id"), col("vec_id"),
               cosine(col("pemb"), col("emb")).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    rankTopK(scored, k)
   }
+
+  /** The shared per-probe rank tail: two-phase [[GroupedTopK]] rather
+    * than a plain probe-partitioned window — probes number ~10 while
+    * candidates number ~corpus×nprobe/nlist, so a single window would
+    * drag every candidate of a probe through ONE reducer. Phase one
+    * takes k survivors per (probe, input partition) in parallel; only
+    * the ≤ k×partitions survivors meet the exact final rank.
+    * (sim DESC, vec_id) is a total order, so the result is identical
+    * to the naive window — which is what the DuckDB oracles recompute. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    GroupedTopK.topK(scored, Seq("probe_id"),
+        Seq(col("sim").desc, col("vec_id").asc), k)
+      .withColumn("rn", col("rn").cast("long"))
 
   /** Ingest-side index materialization (SURVEY.md §2.3 J7: "the cell id
     * becomes a partition/bucket key at ingest"): the corpus is written
@@ -175,8 +184,7 @@ object IvfIndex {
     * Idempotent — a re-run overwrites the same output. */
   def compactEpochs(s: org.apache.spark.sql.SparkSession, dir: String,
                     compactedDir: String): Unit = {
-    require(new java.io.File(compactedDir).getCanonicalPath !=
-        new java.io.File(dir).getCanonicalPath,
+    require(graft.Fs.qualified(compactedDir) != graft.Fs.qualified(dir),
       "compaction writes a NEW layout (read-and-overwrite of the live " +
         "index would race its own scan) — write beside, then swap")
     s.read.parquet(s"$dir/centroids")
@@ -221,16 +229,14 @@ object IvfIndex {
     val probed = probes
       .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    s.read.parquet(s"$dir/index")
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      .join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .dropDuplicates("probe_id", "vec_id")
-      .select(col("probe_id"), col("vec_id"),
-              cosine(col("pemb"), col("emb")).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    rankTopK(
+      s.read.parquet(s"$dir/index")
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .dropDuplicates("probe_id", "vec_id")
+        .select(col("probe_id"), col("vec_id"),
+                cosine(col("pemb"), col("emb")).as("sim")),
+      k)
   }
 }

@@ -23,6 +23,7 @@ object SharedStages {
       "media_features" -> time(MultimodalQueries.mediaFeaturesStage(s, d).count()),
       "ivf_index" -> time(VectorQueries.ivfIndexDir(s, d)),
       "shard_export" -> time(TextQueries.shardExportDir(s, d)),
+      "pq_model" -> time(VectorQueries.pqModel(s, d)),
       "bpe_encode" -> time(TextQueries.bpeEncodedStage(s, d).count()))
   }
 }

@@ -606,10 +606,13 @@ object TextQueries {
         .localCheckpoint()
     }
 
+  /** Lake-path conf for the q84 shard layout (see
+    * [[graft.LakeDirs.resolve]]); unset → registered temp dir. */
+  val ShardDirConf = "spark.graft.shards.dir"
+
   private[graft] def shardExportDir(s: SparkSession, d: String): String =
     StageCache.dirFor(s, s"shard_export:$d") {
-      val dir = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft-q84-shards").toString)
+      val dir = graft.LakeDirs.resolve(s, ShardDirConf, "q84_shards", d)
       documents(s, d)
         .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
         .withColumn("shard",

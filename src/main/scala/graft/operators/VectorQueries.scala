@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.VectorFunctions._
 import graft.functions.Num._
@@ -34,9 +33,32 @@ object VectorQueries {
   // the bucketed table DuckDB self-joins is the one the query used.
   val AnnTables = 4
   val AnnBits   = 5
-  // q37 IVF geometry — likewise shared with the export.
-  val IvfNList  = 16
-  val IvfNProbe = 4
+
+  /** ANN answer size — shared by every per-probe top-k (q31/q33/q37/
+    * q79/q90/q96) AND interpolated into their oracle SQL, so the two
+    * engines cannot drift if the cut is retuned. */
+  val AnnK = 5
+
+  /** IVF geometry derived from corpus size (the semK/lshParams
+    * pattern; shared with the ApproxOracle export, which derives the
+    * SAME values from the same count): `nlist` grows ∝ n so cells hold
+    * ≈ [[IvfTargetCellRows]] rows — a FIXED nlist makes each cell
+    * corpus/nlist, i.e. "pruning" that stops pruning at scale. Floor 16
+    * keeps the small-corpus geometry (= the old constant at every test
+    * SF); the cap bounds the model-sized centroid matrix and the n×nlist
+    * brute assignment term — past it, assignment would route through a
+    * coarse quantizer hierarchy rather than scoring every centroid. */
+  val IvfTargetCellRows = 128L
+  def ivfNList(n: Long): Int =
+    math.min(65536, math.max(16,
+      math.ceil(n.toDouble / IvfTargetCellRows).toInt))
+
+  /** `nprobe` ∝ √nlist — the standard IVF operating point: the scanned
+    * FRACTION nprobe/nlist shrinks as the grid refines (1/√nlist) while
+    * per-probe candidate volume nprobe×cellRows grows only ∝ √n.
+    * Floor 4 = the old small-corpus constant. */
+  def ivfNProbe(nlist: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
   /** Multi-table hyperplane bucket assignment: one row per (vec, table)
     * with the table id and bucket signature. One projection + explode —
@@ -73,7 +95,7 @@ object VectorQueries {
       val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .withColumn("sim", cosine(col("pemb"), col("emb")))
       GroupedTopK.topK(scored, Seq("probe_id"),
-          Seq(col("sim").desc, col("vec_id").asc), 5)
+          Seq(col("sim").desc, col("vec_id").asc), AnnK)
         .withColumn("rn", col("rn").cast("long"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
@@ -124,9 +146,7 @@ object VectorQueries {
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
                 col("t"), col("bucket"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      bucketed.join(broadcast(probes), Seq("t", "bucket"))
+      val scored = bucketed.join(broadcast(probes), Seq("t", "bucket"))
         .filter(col("vec_id") =!= col("probe_id"))
         // score BEFORE dedup so distinct() shuffles 3 scalars, not two
         // 64-dim arrays (cosine is the codegen'd native expression, so
@@ -134,8 +154,10 @@ object VectorQueries {
         .select(col("probe_id"), col("vec_id"),
                 cosine(col("pemb"), col("emb")).as("sim"))
         .distinct() // a pair can collide in several tables
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
+      // per-probe rank via the two-phase GroupedTopK tail (IvfIndex
+      // scaladoc): ~10 probes over a corpus-scaled candidate set would
+      // single-reduce under a plain probe-partitioned window
+      IvfIndex.rankTopK(scored, AnnK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -150,9 +172,11 @@ object VectorQueries {
     // additionally asserted in VectorFunctionsSpec.
     "q37_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
+      val n = e.count() // parquet-footer count sizes the grid, like q89
+      val nlist = ivfNList(n)
       IvfIndex.topK(e, e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
-          nlist = IvfNList, nprobe = IvfNProbe, k = 5)
+          nlist = nlist, nprobe = ivfNProbe(nlist), k = AnnK, Some(n))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -167,10 +191,14 @@ object VectorQueries {
     "q79_ann_ivf_indexed" -> ((s, d) => {
       val e = emb(s, d)
       val dir = ivfIndexDir(s, d)
+      // nprobe derives from the INDEX's own grid (its centroid count) —
+      // the production-true direction: a probe of a deployed layout
+      // knows the layout, not the ingest-time corpus row count
+      val nlist = IvfIndex.readCentroids(s, dir).length
       IvfIndex.topKIndexed(
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
-          dir, nprobe = IvfNProbe, k = 5)
+          dir, nprobe = ivfNProbe(nlist), k = AnnK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -255,30 +283,31 @@ object VectorQueries {
     // Product quantization (Jégou et al. 2011, "Product Quantization
     // for Nearest Neighbor Search") — the memory-compressed member of
     // the ANN family (brute q31, LSH q33, IVF q37/q79): split each
-    // vector into M=2 subvectors, k-means each subspace independently
+    // vector into PqM subvectors, k-means each subspace independently
     // (the q65 Lloyd machinery, decimal-exact means), and store each
     // vector as M small codes. Search is ADC: score the query against
     // the RECONSTRUCTION (concatenated per-subspace centroids) — only
-    // M×PqK centroid rows plus the code table are touched, never the
+    // M×pqK(n) centroid rows plus the code table are touched, never the
     // raw vectors. At 100 TB the code table is ~64× smaller than the
     // corpus and the centroid tables are model-sized broadcasts; the
     // top-k is TakeOrdered, never a global sort. The oracle replays
-    // BOTH subspace clusterings relationally (the q65 CTEs
-    // parameterized by slice) and re-scores via list_cosine_similarity
-    // on the same reconstruction.
+    // EVERY subspace clustering relationally (the q65 CTEs
+    // parameterized by slice, one suffixed chain per subspace, with
+    // the codebook size derived from the same count(*)) and re-scores
+    // via list_cosine_similarity on the same reconstruction.
     "q95_pq_codes" -> ((s, d) => {
       val e = emb(s, d)
-      val (codes, cents) = pqModel(s, e)
+      val (codes, cents) = pqModel(s, d)
       val qv = e.filter(col("vec_id") === 0).select(col("emb"))
         .head.getSeq[Double](0)
-      codes.join(broadcast(cents(0)), "c0").join(broadcast(cents(1)), "c1")
+      joinCodebooks(codes, cents)
         .withColumn("adc",
-          cosine(array(qv.map(lit): _*), concat(col("cv0"), col("cv1"))))
+          cosine(array(qv.map(lit): _*), reconstruction(cents)))
         .orderBy(col("adc").desc, col("vec_id").asc)
         .limit(PqTopK)
-        .select(col("vec_id"), col("c0").cast("long").as("c0"),
-                col("c1").cast("long").as("c1"),
-                round(col("adc"), 4).as("adc"))
+        .select(col("vec_id") +:
+          cents.indices.map(i => col(s"c$i").cast("long").as(s"c$i")) :+
+          round(col("adc"), 4).as("adc"): _*)
     }),
 
     // IVF-PQ (Jégou et al.'s IVFADC, the architecture behind
@@ -288,34 +317,43 @@ object VectorQueries {
     // the CODE TABLE — never the raw vectors — against model-sized
     // broadcast codebooks: at 100 TB the search reads nprobe cells of
     // ~64×-compressed codes and the full-precision corpus is touched
-    // only at ingest. The oracle rides the same exported
+    // only at ingest. The per-probe rank runs through the two-phase
+    // GroupedTopK tail (IvfIndex.rankTopK) — a plain probe-partitioned
+    // window would single-reduce each probe's ~corpus×nprobe/nlist
+    // candidates. The oracle rides the same exported
     // ivf_cells/ivf_probe_cells as q37 (identical deterministic
-    // centroid geometry) and replays both PQ codebooks via the
+    // centroid geometry) and replays all PQ codebooks via the
     // suffixed Lloyd chains, so the full composition is hash-checked.
     "q96_ivf_pq" -> ((s, d) => {
       val e = emb(s, d)
-      val (coded, cents) = pqModel(s, e)
+      val n = e.count()
+      val nlist = ivfNList(n)
+      val (coded, cents) = pqModel(s, d)
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
-      val cells = IvfIndex.cellAssignments(e, IvfNList)
-      val pcells = IvfIndex.probeCells(e, probes, IvfNList, IvfNProbe)
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("adc").desc, col("vec_id").asc)
-      cells.join(broadcast(pcells), Seq("cell"))
+      val cells = IvfIndex.cellAssignments(e, nlist, Some(n))
+      val pcells = IvfIndex.probeCells(e, probes, nlist, ivfNProbe(nlist), Some(n))
+      val cand = cells.join(broadcast(pcells), Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
         .dropDuplicates("probe_id", "vec_id")
         .join(coded, "vec_id")
-        .join(broadcast(cents(0)), "c0").join(broadcast(cents(1)), "c1")
+      val scored = joinCodebooks(cand, cents)
         .join(broadcast(probes), "probe_id")
-        .withColumn("adc", cosine(col("pemb"), concat(col("cv0"), col("cv1"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"),
+                cosine(col("pemb"), reconstruction(cents)).as("sim"))
+      IvfIndex.rankTopK(scored, IvfPqTopK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-                round(col("adc"), 4).as("adc"), col("rn"))
+                round(col("sim"), 4).as("adc"), col("rn"))
     })
   )
 
   // q65 geometry — shared with the oracle SQL text below.
+  /** Lake-path conf for the q79 index layout: point it at a real
+    * `file:`/`hdfs:`/`s3a:` prefix and the index lands there (suffixed
+    * by the corpus dir's basename so scale factors don't collide);
+    * unset, it builds under a registered temp dir — the harness mode. */
+  val IndexDirConf = "spark.graft.ivf.indexDir"
+
   /** q79's written IVF index — INGEST-side state, built once per
     * (session, sf) via StageCache so repeated probes (bench medians)
     * hit the layout exactly as a deployed index would; Bench warms it
@@ -323,42 +361,86 @@ object VectorQueries {
     * field rather than vanishing into a discarded first run. */
   private[operators] def ivfIndexDir(s: SparkSession, d: String): String =
     StageCache.dirFor(s, s"ivf_index:$d") {
-      val dir0 = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft-q79-ivf").toString)
-      IvfIndex.writeIndexed(emb(s, d), dir0, nlist = IvfNList)
+      val dir0 = graft.LakeDirs.resolve(s, IndexDirConf, "q79_ivf", d)
+      val e = emb(s, d)
+      val n = e.count()
+      IvfIndex.writeIndexed(e, dir0, nlist = ivfNList(n), Some(n))
       dir0
     }
 
   val KmK     = 8
   val KmIters = 2
-  // q95/q96 PQ geometry: M=2 subspaces (front/back half — dim-agnostic,
-  // both engines derive the split from the vector length), PqK codes
-  // per subspace, top-PqTopK ADC answer for the vec_id=0 query.
-  val PqK     = 8
+  // q95/q96 PQ geometry: PqM subspaces (equal slices of the vector —
+  // dim-agnostic, both engines derive the boundaries from the vector
+  // length), pqK(n) codes per subspace, top-PqTopK ADC answer for the
+  // vec_id=0 query and top-IvfPqTopK per probe for the composed search.
+  val PqM     = 4
   val PqTopK  = 10
+  val IvfPqTopK = AnnK
 
-  /** The two subspace slice expressions — the Scala mirror of the
-    * oracle's `fv[1:h]` / `fv[h+1:len(fv)]`. */
-  private val PqSlices = Seq(
-    "slice(emb, 1, size(emb) div 2)",
-    "slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)")
+  /** Codebook size derived from the corpus (the semK pattern): more
+    * data supports finer codebooks — a fixed K wastes the quantizer's
+    * resolution at scale, while K beyond n/64 starves Lloyd training
+    * (Jégou et al. train 256-entry codebooks on ≥100k vectors). Floor 8
+    * keeps the small-corpus geometry; cap 256 is the classic one-byte
+    * code. The DuckDB oracle derives the SAME K from count(*)
+    * ([[pqKSql]]). */
+  val PqTargetRowsPerCode = 64L
+  def pqK(n: Long): Int =
+    math.min(256, math.max(8,
+      math.ceil(n.toDouble / PqTargetRowsPerCode).toInt))
 
-  /** The trained PQ model q95 and q96 share: the one-scan
-    * (vec_id, c0, c1) code table — both subspaces coded in a single
+  /** [[pqK]] as a DuckDB scalar subquery over the `eb` CTE. */
+  private def pqKSql: String =
+    s"(SELECT least(256, greatest(8, " +
+      s"CAST(ceil(count(*) / $PqTargetRowsPerCode.0) AS INT))) FROM eb)"
+
+  /** Subspace `i` of `m` as a Spark slice expression over `emb`:
+    * boundaries b(i) = ⌊i·dim/m⌋, so any dim splits into m near-equal
+    * contiguous slices. [[pqSliceSql]] is the DuckDB mirror. */
+  private[graft] def pqSliceExprs(m: Int): Seq[String] =
+    (0 until m).map { i =>
+      val lo = s"(($i * size(emb)) div $m)"
+      val hi = s"((${i + 1} * size(emb)) div $m)"
+      s"slice(emb, $lo + 1, $hi - $lo)"
+    }
+
+  private def pqSliceSql(i: Int, m: Int): String =
+    s"fv[(($i*len(fv))//$m)+1:((${i + 1}*len(fv))//$m)]"
+
+  /** The trained PQ model q95 and q96 share — memoized per
+    * (session, corpus dir) so a verify/bench round trains the PqM
+    * subspace Lloyd models ONCE, not once per consumer: the one-scan
+    * (vec_id, c0..c{M-1}) code table — every subspace coded in a single
     * projection, never a corpus-sized self-join to pair the codes —
-    * and the two broadcast-ready (code, centroid) frames. */
-  private def pqModel(s: SparkSession, e: DataFrame)
-      : (DataFrame, Seq[DataFrame]) = {
-    import s.implicits._
-    val models = PqSlices.map(sl =>
-      KMeans.lloydModel(e.withColumn("emb", expr(sl)), PqK, KmIters))
-    val codes = e.select(col("vec_id"),
-      KMeans.assignExpr(expr(PqSlices(0)), models(0), s).as("c0"),
-      KMeans.assignExpr(expr(PqSlices(1)), models(1), s).as("c1"))
-    val cents = models.zipWithIndex.map { case (m, i) =>
-      m._1.zip(m._2).toSeq.toDF(s"c$i", s"cv$i") }
-    (codes, cents)
-  }
+    * and the M broadcast-ready (code, centroid) frames. */
+  private[operators] def pqModel(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) =
+    StageCache.valueFor(s, s"pq_model:$d") {
+      import s.implicits._
+      val e = emb(s, d)
+      val k = pqK(e.count())
+      val slices = pqSliceExprs(PqM)
+      val models = slices.map(sl =>
+        KMeans.lloydModel(e.withColumn("emb", expr(sl)), k, KmIters))
+      val codes = e.select(col("vec_id") +:
+        slices.indices.map(i =>
+          KMeans.assignExpr(expr(slices(i)), models(i), s).as(s"c$i")): _*)
+      val cents = models.zipWithIndex.map { case (m, i) =>
+        m._1.zip(m._2).toSeq.toDF(s"c$i", s"cv$i") }
+      (codes, cents)
+    }
+
+  /** Attach every broadcast codebook to the code table by its code
+    * column — M model-sized broadcast hash joins. */
+  private def joinCodebooks(codes: DataFrame, cents: Seq[DataFrame]): DataFrame =
+    cents.zipWithIndex.foldLeft(codes) { case (df, (c, i)) =>
+      df.join(broadcast(c), s"c$i") }
+
+  /** The ADC reconstruction: per-subspace centroids concatenated back
+    * into a full-dim vector. */
+  private def reconstruction(cents: Seq[DataFrame]): org.apache.spark.sql.Column =
+    concat(cents.indices.map(i => col(s"cv$i")): _*)
   // q89 SemDeDup threshold: sits where the synthetic corpus actually
   // has semantic neighbors — its cosine structure tops out near 0.6
   // (q38's 0.95 near-dup family is legitimately empty on it), so 0.4
@@ -456,7 +538,7 @@ object VectorQueries {
          GROUP BY label, pos""",
 
     "q31_knn_brute" ->
-      """SELECT probe_id, neighbor_id, round(sim,4) AS cos, rn FROM (
+      s"""SELECT probe_id, neighbor_id, round(sim,4) AS cos, rn FROM (
            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
                                     CAST(e.embedding AS DOUBLE[])) AS sim,
@@ -467,7 +549,7 @@ object VectorQueries {
            FROM embeddings e,
                 (SELECT * FROM embeddings WHERE vec_id < 10) p
            WHERE e.vec_id != p.vec_id)
-         WHERE rn <= 5""",
+         WHERE rn <= $AnnK""",
 
     "q32_vector_norms" ->
       """SELECT label, count(*) AS n,
@@ -540,28 +622,24 @@ object VectorQueries {
          FROM a2 LEFT JOIN rm ON a2.vec_id = rm.ib
          GROUP BY 1""",
 
-    // Both subspace codebooks replayed through the suffixed 2-round
-    // Lloyd chains over sliced vectors (dim-agnostic: h = len//2 like
-    // Spark's `size(emb) div 2`), then the same ADC scoring — cosine
-    // of the query against the concatenated per-subspace centroids —
-    // and the same (adc DESC, vec_id) top-k cut.
+    // Every subspace codebook replayed through a suffixed 2-round
+    // Lloyd chain over its slice (dim-agnostic boundaries ⌊i·len/M⌋,
+    // mirroring Spark's `(i*size(emb)) div M`; K derived from the same
+    // count(*) as [[pqK]]), then the same ADC scoring — cosine of the
+    // query against the concatenated per-subspace centroids — and the
+    // same (adc DESC, vec_id) top-k cut.
     "q95_pq_codes" ->
       s"""WITH eb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
-             len(CAST(embedding AS DOUBLE[])) // 2 AS h
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
            FROM embeddings),
-         ${kmLloyd2CtesSub("_p0", "fv[1:h]", "eb", PqK.toString)},
-         ${kmLloyd2CtesSub("_p1", "fv[h+1:len(fv)]", "eb", PqK.toString)},
+         $pqChainsSql,
          qv AS (SELECT fv AS q FROM eb WHERE vec_id = 0),
          sc AS (
-           SELECT a2_p0.vec_id, a2_p0.cid AS c0, a2_p1.cid AS c1,
-             list_cosine_similarity(qv.q, list_concat(p0.cv, p1.cv)) AS adc
-           FROM a2_p0 JOIN a2_p1 USING (vec_id)
-           JOIN c1_p0 p0 ON p0.cid = a2_p0.cid
-           JOIN c1_p1 p1 ON p1.cid = a2_p1.cid
+           SELECT a2_p0.vec_id, $pqCodeColsSql,
+             list_cosine_similarity(qv.q, $pqConcatSql) AS adc
+           FROM a2_p0 $pqCodeJoinsSql
            CROSS JOIN qv)
-         SELECT vec_id, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
-           round(adc, 4) AS adc
+         SELECT vec_id, $pqCodeCastsSql, round(adc, 4) AS adc
          FROM sc ORDER BY sc.adc DESC, vec_id LIMIT $PqTopK""",
 
     // IVF-PQ: the candidate set from the SAME exported
@@ -571,11 +649,9 @@ object VectorQueries {
     // then the same per-probe (adc DESC, vec_id) rank cut.
     "q96_ivf_pq" ->
       s"""WITH eb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
-             len(CAST(embedding AS DOUBLE[])) // 2 AS h
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
            FROM embeddings),
-         ${kmLloyd2CtesSub("_p0", "fv[1:h]", "eb", PqK.toString)},
-         ${kmLloyd2CtesSub("_p1", "fv[h+1:len(fv)]", "eb", PqK.toString)},
+         $pqChainsSql,
          cand AS (
            SELECT DISTINCT pc.probe_id, a.vec_id
            FROM ${graft.OracleExport.p("ivf_cells")} a
@@ -584,12 +660,12 @@ object VectorQueries {
            WHERE a.vec_id <> pc.probe_id),
          scored AS (
            SELECT cand.probe_id, cand.vec_id,
-             list_cosine_similarity(pe.fv, list_concat(p0.cv, p1.cv)) AS adc
+             list_cosine_similarity(pe.fv, $pqConcatSql) AS adc
            FROM cand
-           JOIN a2_p0 ON a2_p0.vec_id = cand.vec_id
-           JOIN a2_p1 ON a2_p1.vec_id = cand.vec_id
-           JOIN c1_p0 p0 ON p0.cid = a2_p0.cid
-           JOIN c1_p1 p1 ON p1.cid = a2_p1.cid
+           ${(0 until PqM).map(i =>
+             s"JOIN a2_p$i ON a2_p$i.vec_id = cand.vec_id").mkString("\n           ")}
+           ${(0 until PqM).map(i =>
+             s"JOIN c1_p$i p$i ON p$i.cid = a2_p$i.cid").mkString("\n           ")}
            JOIN eb pe ON pe.vec_id = cand.probe_id),
          ranked AS (
            SELECT probe_id, vec_id AS neighbor_id, adc,
@@ -598,8 +674,28 @@ object VectorQueries {
            FROM scored)
          SELECT probe_id, neighbor_id, round(adc, 4) AS adc,
            CAST(rn AS BIGINT) AS rn
-         FROM ranked WHERE rn <= 5"""
+         FROM ranked WHERE rn <= $IvfPqTopK"""
   )
+
+  /** One suffixed Lloyd chain per PQ subspace, with the codebook size
+    * derived from count(*) — the generated half of the q95/q96 oracles. */
+  private def pqChainsSql: String =
+    (0 until PqM).map(i =>
+      kmLloyd2CtesSub(s"_p$i", pqSliceSql(i, PqM), "eb", pqKSql)).mkString(",\n         ")
+
+  private def pqConcatSql: String =
+    (0 until PqM).map(i => s"p$i.cv").reduce((a, b) => s"list_concat($a, $b)")
+
+  private def pqCodeColsSql: String =
+    (0 until PqM).map(i => s"a2_p$i.cid AS c$i").mkString(", ")
+
+  private def pqCodeCastsSql: String =
+    (0 until PqM).map(i => s"CAST(c$i AS BIGINT) AS c$i").mkString(", ")
+
+  private def pqCodeJoinsSql: String =
+    ((1 until PqM).map(i => s"JOIN a2_p$i USING (vec_id)") ++
+     (0 until PqM).map(i => s"JOIN c1_p$i p$i ON p$i.cid = a2_p$i.cid"))
+      .mkString("\n           ")
 
   /** Shared q65/q68 round-1 assignment CTEs. max([cos, cid]) is a
     * lexicographic list max = argmax by similarity with ties to the

@@ -39,10 +39,12 @@ import org.apache.spark.sql.functions._
   * own `batch_id=B` partition.
   *
   * Concurrency note: within one stream, reads/compaction/sweeps are
-  * serialized by foreachBatch. An EXTERNAL concurrent reader should use
-  * [[liveRows]] (marker-filtered, so published sweeps are invisible to
-  * it), but can race a sweep's physical deletes between its file listing
-  * and its scan — pause compaction or read a snapshot for such readers.
+  * serialized by foreachBatch. An EXTERNAL concurrent reader must use
+  * [[snapshotRead]]: plain [[liveRows]] is marker-filtered (published
+  * sweeps are invisible to it) but can race a sweep's physical deletes
+  * between its file listing and its scan; snapshotRead closes that race
+  * by retrying the whole resolve-and-scan when the scan trips over a
+  * swept file.
   */
 object BatchStore {
 
@@ -85,6 +87,60 @@ object BatchStore {
   /** All live rows — for batch-less readers (final summaries). */
   def liveRows(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).filter(liveCond(frontier(dir), None))
+
+  /** Consistent snapshot read for an EXTERNAL reader — one not
+    * serialized by the stream's own foreachBatch. Optimistic
+    * resolve-scan-validate: pin the marker, run `f` over the live rows
+    * under it, then re-read the marker — the attempt only counts if no
+    * compaction PUBLISHED meanwhile. Both halves of the race are
+    * covered: (a) a sweep deleting listed files mid-scan surfaces as a
+    * missing-file failure → retry (`ignoreMissingFiles` would instead
+    * silently DROP swept partitions whose rows now live only in the new
+    * fold — data loss, not a snapshot); (b) the subtler torn-but-
+    * successful read, where a scan under a STALE marker silently
+    * excludes a newer fold its filter doesn't select — no error, wrong
+    * answer — is caught by the marker validation. An unchanged marker
+    * across the scan proves the listing, the filter and the files all
+    * belonged to the same published frontier. Each retry requires
+    * another compaction to have published mid-scan, so `maxAttempts`
+    * only bounds pathological churn. */
+  def snapshotRead[T](spark: SparkSession, dir: String, maxAttempts: Int = 5)(
+      f: DataFrame => T): T = {
+    var left = maxAttempts
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      require(left > 0,
+        s"snapshot of $dir did not stabilize within $maxAttempts attempts " +
+          "(a compaction published during every read)")
+      left -= 1
+      val m0 = frontier(dir)
+      try {
+        val v = f(spark.read.parquet(dir).filter(liveCond(m0, None)))
+        if (frontier(dir) == m0) out = Some(v)
+      } catch {
+        case e: Throwable if left > 0 && causedByMissingFile(e) => ()
+      }
+    }
+    out.get
+  }
+
+  /** A scan failure rooted in a file deleted after listing — the sweep
+    * race signature. Spark wraps the executor-side
+    * FileNotFoundException in SparkException layers (sometimes only in
+    * message text after serialization), so both the cause chain and the
+    * messages are checked. */
+  private def causedByMissingFile(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+           c.getMessage.contains("FileNotFoundException"))) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Live leaf-partition count — the read-amplification figure (parquet
     * directories every per-batch re-read must list). */

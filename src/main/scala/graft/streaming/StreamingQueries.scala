@@ -331,10 +331,14 @@ object StreamingQueries {
       import graft.operators.{IvfIndex, VectorQueries}
       val e = VectorQueries.emb(s, d)
       val dir = incIvfDir(s, d)
+      // nprobe from the index's own frozen grid (its centroid count) —
+      // the probe of a deployed layout reads the layout, not the
+      // ingest-time corpus stats
+      val nlist = IvfIndex.readCentroids(s, dir).length
       IvfIndex.topKIndexed(
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
-          dir, nprobe = VectorQueries.IvfNProbe, k = 5)
+          dir, nprobe = VectorQueries.ivfNProbe(nlist), k = VectorQueries.AnnK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -385,8 +389,10 @@ object StreamingQueries {
         drop(e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w),
           landing, i)
       }
+      // grid derived from the bootstrap slice — all the stream knows at
+      // freeze time (ApproxOracle derives the same value from the same w)
       IvfIndex.bootstrapAppendable(e.filter(col("vec_id") < w), dir0,
-        VectorQueries.IvfNList)
+        VectorQueries.ivfNList(w))
       val ckpt = tmp("graft-q90-ckpt")
       s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)

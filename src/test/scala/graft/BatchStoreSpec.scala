@@ -215,4 +215,73 @@ class BatchStoreSpec extends SparkTestBase {
     // members, so all but the first of each group is removed
     assert(compacted.map(_._3).sum == n - 4, compacted)
   }
+
+  test("snapshotRead survives a compact+sweep racing the scan; plain liveRows does not") {
+    val dir = tmp("bs_snap")
+    mkStore(dir, 6)
+
+    // the race, deterministically: resolve a liveRows view (its file
+    // listing happens HERE), then let a compaction publish and sweep
+    // before the scan consumes it — the stale listing trips over the
+    // deleted partition files
+    val stale = BatchStore.liveRows(spark, dir)
+    BatchStore.compact(spark, dir, 4)
+    val torn = intercept[Throwable] { stale.count() }
+    assert(Option(torn.toString).exists(_.contains("FileNotFound")) ||
+      Iterator.iterate(torn)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      s"expected the sweep race to surface FileNotFound, got $torn")
+
+    // snapshotRead under the SAME injected race: the first attempt's
+    // listing resolves, then a further compaction sweeps mid-read; the
+    // retry re-resolves under the advanced marker and answers correctly
+    mkStore2More(dir)
+    var raced = false
+    val n = BatchStore.snapshotRead(spark, dir) { df =>
+      if (!raced) { raced = true; BatchStore.compact(spark, dir, 7) }
+      df.count()
+    }
+    assert(raced, "the race injection never ran")
+    assert(n == 8, s"snapshot must see all 8 rows, got $n")
+
+    // and with no race it reads straight through
+    assert(BatchStore.snapshotRead(spark, dir)(_.count()) == 8)
+  }
+
+  test("snapshotRead stays consistent under a live concurrent compactor") {
+    val dir = tmp("bs_snap_live")
+    mkStore(dir, 8)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // appender+compactor: a new batch then an immediate fold, as fast
+    // as the FS allows — every fold sweeps everything below it
+    val writer = new Thread(() => {
+      try {
+        var b = 8L
+        while (!stop.get() && b < 20L) {
+          Seq((b, s"v$b")).toDF("id", "v")
+            .withColumn("batch_id", lit(b))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(dir)
+          BatchStore.compact(spark, dir, b + 1)
+          b += 1
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+    }, "bs-snap-compactor")
+    writer.start()
+    try {
+      // every snapshot must be a consistent prefix: ids exactly 0..k-1
+      // for some k in [8, 20] — a torn read would lose a folded batch
+      // while including a later one
+      (0 until 30).foreach { _ =>
+        val got = BatchStore.snapshotRead(spark, dir, maxAttempts = 20)(
+          d => ids(d))
+        assert(got == (0L until got.size.toLong).toSet &&
+          got.size >= 8 && got.size <= 20,
+          s"torn snapshot: $got")
+      }
+    } finally { stop.set(true); writer.join() }
+    assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+  }
 }

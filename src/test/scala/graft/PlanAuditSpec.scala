@@ -239,9 +239,11 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
     assert(exchanges.nonEmpty, p)
     // the (w1, w2) struct columns must die in the projection that
-    // hashes them — a shuffle carrying a# or b# means raw bigram
-    // strings are moving instead of xxhash64 keys
-    assert(!exchanges.exists(e => e.contains("a#") || e.contains("b#")),
+    // hashes them — a shuffle carrying the a#N or b#N attribute means
+    // raw bigram strings are moving instead of xxhash64 keys (anchored
+    // to the attribute token so e.g. schema#12 can't false-positive)
+    val rawAttr = """\b[ab]#\d+""".r
+    assert(!exchanges.exists(e => rawAttr.findFirstIn(e).isDefined),
       "a shuffle is keyed by raw bigram strings instead of xxhash64\n" +
         exchanges.mkString("\n"))
   }
@@ -258,17 +260,37 @@ class PlanAuditSpec extends SparkTestBase {
       "a code-table join degenerated to a shuffle join\n" + p)
   }
 
-  test("q96 ivf-pq: probe cells and codebooks broadcast, rank window is probe-partitioned") {
+  test("q96 ivf-pq: probe cells and codebooks broadcast, rank is two-phase") {
     val p = plan("q96_ivf_pq")
     assert(p.contains("BroadcastHashJoin"),
       "probe cells / centroid codebooks must broadcast\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "candidate generation degenerated to a cross product\n" + p)
+    assertTwoPhaseProbeRank(p)
+  }
+
+  /** The ANN per-probe rank contract: NO window may rank the raw
+    * candidate stream partitioned by probe_id alone — ~10 probes over
+    * ~corpus×nprobe/nlist candidates is one reducer per probe at scale.
+    * GroupedTopK's local phase (partitioned by probe_id AND the input
+    * partition id) must appear, and every probe_id-only window must be
+    * the final exact rank over the ≤ k×partitions survivors. */
+  private def assertTwoPhaseProbeRank(p: String): Unit = {
     val winSpecs = p.linesIterator
       .filter(_.contains("windowspecdefinition(")).toSeq
     assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("probe_id")),
-      "the rank window must partition by probe_id — a global window " +
+      "the rank windows must partition by probe_id — a global window " +
         "would single-reduce the candidate stream\n" + winSpecs.mkString("\n"))
+    assert(winSpecs.exists(_.contains("__pid")),
+      "no per-partition local top-k phase found — the rank is a " +
+        "single-reducer-per-probe window over the full candidate set\n" +
+        winSpecs.mkString("\n"))
+  }
+
+  test("q33/q37/q79 ann: every per-probe rank runs the two-phase GroupedTopK") {
+    Seq("q33_ann_lsh", "q37_ann_ivf", "q79_ann_ivf_indexed").foreach { q =>
+      assertTwoPhaseProbeRank(plan(q))
+    }
   }
 
   test("q89 semdedup: pair scan joins on the cluster id, never a cross product") {
