@@ -36,18 +36,29 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val df = t(s, d, "events")
-    df.schema("ts").dataType match {
+  /** Rebuild `colName` as a plain TimestampType whatever flavor the
+    * harness last regenerated (every timestamp column gets this, not
+    * just events.ts — under `nanosAsLong=true` ANY table rewritten with
+    * TIMESTAMP(NANOS) surfaces a long): TimestampType passes through,
+    * a nanos long rebuilds via integer division (the harness data is
+    * microsecond-grained — verified epoch_ns % 1000 == 0 — so the
+    * conversion is lossless), NTZ casts micros-preserving under the
+    * pinned UTC session zone. Anything else is a NEW flavor drift and
+    * fails HERE with the column named, not deep inside a query plan. */
+  private def tsNormalized(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case TimestampType => df
       case LongType =>
-        df.withColumn("ts",
+        df.withColumn(colName,
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr(s"$colName div 1000")))
       case TimestampNTZType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => df
+        df.withColumn(colName,
+          org.apache.spark.sql.functions.col(colName).cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"timestamp column $colName read as $other — a parquet flavor " +
+          "this reader does not normalize yet; extend Tables.tsNormalized")
     }
   }
 
@@ -56,9 +67,12 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
+  def orders(s: SparkSession, d: String): DataFrame    =
+    tsNormalized(t(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame  =
+    tsNormalized(t(s, d, "lineitem"), "l_shipdate")
+  def events(s: SparkSession, d: String): DataFrame    =
+    tsNormalized(t(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

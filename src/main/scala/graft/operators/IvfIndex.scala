@@ -53,10 +53,14 @@ object IvfIndex {
     * the assignment primitive cellAssignments and the appendable-index
     * path share (and what ApproxOracle exports for q90, where the
     * centroids come from the bootstrap slice, not the full corpus). */
-  def assignWith(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  def assignWith(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    withCells(corpus, cents).select(col("vec_id"), col("cell"))
+
+  /** The same assignment keeping every corpus column — for consumers
+    * that transform the vector under its cell (q97's residual coding). */
+  def withCells(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     corpus.withColumn("cell", cellOf(col("emb"), bc))
-      .select(col("vec_id"), col("cell"))
   }
 
   /** (probe_id, cell) against a caller-supplied centroid matrix. */

@@ -24,6 +24,7 @@ object SharedStages {
       "ivf_index" -> time(VectorQueries.ivfIndexDir(s, d)),
       "shard_export" -> time(TextQueries.shardExportDir(s, d)),
       "pq_model" -> time(VectorQueries.pqModel(s, d)),
+      "pq_residual_model" -> time(VectorQueries.pqResidualModel(s, d)),
       "bpe_encode" -> time(TextQueries.bpeEncodedStage(s, d).count()))
   }
 }

@@ -344,6 +344,47 @@ object VectorQueries {
       IvfIndex.rankTopK(scored, IvfPqTopK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("adc"), col("rn"))
+    }),
+
+    // RESIDUAL-encoded IVF-PQ — the actual IVFADC of Jégou et al. 2011
+    // §IV: q96 PQ-codes raw vectors, but the published architecture
+    // codes the RESIDUAL r = x − anchor(cell(x)), because residuals
+    // concentrate near 0 once the coarse quantizer has explained the
+    // cell's location — the same codebook budget spends its resolution
+    // on a much smaller ball, so reconstruction (cell anchor + decoded
+    // residual) is strictly more accurate than raw-vector PQ (asserted
+    // in PqResidualSpec). The anchor is the cell's decimal-exact member
+    // mean — the least-squares coarse reconstruction (see
+    // pqResidualModel). Plan shape is q96's: candidates from the
+    // probe's nprobe cells, rescore joins the code table against
+    // model-sized broadcast codebooks (+ the nlist-row anchor table),
+    // raw vectors touched only at ingest, two-phase rank. The oracle
+    // rides the exported ivf_cells/ivf_probe_cells AND replays the
+    // anchor means, the residual arithmetic, and every residual
+    // codebook's Lloyd chain — the full composition is hash-checked.
+    "q97_ivf_pq_residual" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val nlist = ivfNList(n)
+      val (coded, cents, cellCents) = pqResidualModel(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val pcells = IvfIndex.probeCells(e, probes, nlist, ivfNProbe(nlist), Some(n))
+      // coded carries each vector's cell, so the candidate join needs
+      // no separate assignment table; a vector lives in exactly one
+      // cell and a probe's cells are distinct, so pairs are unique
+      val cand = coded.join(broadcast(pcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+      val scored = joinCodebooks(cand, cents)
+        .join(broadcast(cellCents), "cell")
+        .join(broadcast(probes), "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+                cosine(col("pemb"),
+                  zip_with(col("ccv"), reconstruction(cents),
+                    (a, b) => a + b)).as("sim"))
+      IvfIndex.rankTopK(scored, IvfPqTopK)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("adc"), col("rn"))
     })
   )
 
@@ -414,7 +455,7 @@ object VectorQueries {
     * (vec_id, c0..c{M-1}) code table — every subspace coded in a single
     * projection, never a corpus-sized self-join to pair the codes —
     * and the M broadcast-ready (code, centroid) frames. */
-  private[operators] def pqModel(s: SparkSession, d: String)
+  private[graft] def pqModel(s: SparkSession, d: String)
       : (DataFrame, Seq[DataFrame]) =
     StageCache.valueFor(s, s"pq_model:$d") {
       import s.implicits._
@@ -429,6 +470,50 @@ object VectorQueries {
       val cents = models.zipWithIndex.map { case (m, i) =>
         m._1.zip(m._2).toSeq.toDF(s"c$i", s"cv$i") }
       (codes, cents)
+    }
+
+  /** The residual-IVFADC model q97 uses, memoized like [[pqModel]]:
+    * the (vec_id, cell, c0..c{M-1}) code table — cell from the q37
+    * coarse grid, codes from per-subspace Lloyd over the RESIDUAL —
+    * plus the M residual codebooks and the nlist-row (cell, ccv)
+    * anchor table the decoder adds back.
+    *
+    * The residual anchor is each cell's DECIMAL-EXACT member mean, not
+    * the sampled grid vector: the mean is the least-squares coarse
+    * reconstruction (residual energy shrinks to the within-cell
+    * noise), where subtracting the sampled vector ADDS its own noise —
+    * residuals would carry ~2× the variance and code WORSE than the
+    * raw vectors (PqResidualSpec proves the mean-anchored form beats
+    * raw-vector PQ). Assignment still uses the sampled grid, so the
+    * cells — and the exported ivf_cells/ivf_probe_cells oracle
+    * tables — are exactly q37/q96's. */
+  private[graft] def pqResidualModel(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame], DataFrame) =
+    StageCache.valueFor(s, s"pq_residual_model:$d") {
+      import s.implicits._
+      val e = emb(s, d)
+      val n = e.count()
+      val k = pqK(n)
+      val assigned = IvfIndex.withCells(e, IvfIndex.centroids(e, ivfNList(n), Some(n)))
+      // per-cell decimal-exact means (every cell is nonempty — a grid
+      // vector is nearest to itself); model-sized driver collect
+      val cellCents = KMeans.meanCentroids(assigned.withColumnRenamed("cell", "cid"))
+        .toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "ccv")
+      // residual in ONE broadcast-join projection; it REPLACES emb so
+      // the slice/Lloyd/assign machinery below is exactly pqModel's
+      val resid = assigned
+        .join(broadcast(cellCents), "cell")
+        .withColumn("emb", zip_with(col("emb"), col("ccv"), (a, b) => a - b))
+        .select(col("vec_id"), col("cell"), col("emb"))
+      val slices = pqSliceExprs(PqM)
+      val models = slices.map(sl =>
+        KMeans.lloydModel(resid.withColumn("emb", expr(sl)), k, KmIters))
+      val codes = resid.select(col("vec_id") +: col("cell") +:
+        slices.indices.map(i =>
+          KMeans.assignExpr(expr(slices(i)), models(i), s).as(s"c$i")): _*)
+      val cents = models.zipWithIndex.map { case (m, i) =>
+        m._1.zip(m._2).toSeq.toDF(s"c$i", s"cv$i") }
+      (codes, cents, cellCents)
     }
 
   /** Attach every broadcast codebook to the code table by its code
@@ -674,6 +759,65 @@ object VectorQueries {
            FROM scored)
          SELECT probe_id, neighbor_id, round(adc, 4) AS adc,
            CAST(rn AS BIGINT) AS rn
+         FROM ranked WHERE rn <= $IvfPqTopK""",
+
+    // Residual IVFADC: the per-cell anchor means are REPLAYED
+    // relationally (the same DECIMAL(38,12) mean CTE the Lloyd chains
+    // use, grouped by the exported cell assignment), the residual
+    // arithmetic is per-element double subtraction, every residual
+    // codebook runs the guarded-cosine Lloyd chain (an exactly-zero
+    // residual — a singleton cell's own member — scores 0.0 like the
+    // Spark kernels, where list_cosine_similarity says -1), and the
+    // decoder adds the cell mean back before the same per-probe rank
+    // cut. Candidates ride the exported ivf_cells/ivf_probe_cells
+    // exactly as q96.
+    "q97_ivf_pq_residual" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         cm AS (
+           SELECT cell, pos,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
+           FROM (SELECT a.cell, unnest(eb.fv) AS x,
+                        unnest(range(len(eb.fv))) AS pos
+                 FROM ${graft.OracleExport.p("ivf_cells")} a
+                 JOIN eb ON eb.vec_id = a.vec_id)
+           GROUP BY cell, pos),
+         cc AS (SELECT cell, list(cx ORDER BY pos) AS ccv
+                FROM cm GROUP BY cell),
+         rs AS (
+           SELECT eb.vec_id,
+             list_transform(generate_series(1, len(eb.fv)),
+               i -> eb.fv[i] - cc.ccv[i]) AS rv
+           FROM eb
+           JOIN ${graft.OracleExport.p("ivf_cells")} a ON a.vec_id = eb.vec_id
+           JOIN cc ON cc.cell = a.cell),
+         $pqResidualChainsSql,
+         cand AS (
+           SELECT DISTINCT pc.probe_id, a.vec_id, a.cell
+           FROM ${graft.OracleExport.p("ivf_cells")} a
+           JOIN ${graft.OracleExport.p("ivf_probe_cells")} pc
+             ON a.cell = pc.cell
+           WHERE a.vec_id <> pc.probe_id),
+         scored AS (
+           SELECT cand.probe_id, cand.vec_id,
+             list_cosine_similarity(pe.fv,
+               list_transform(generate_series(1, len(cc.ccv)),
+                 i -> cc.ccv[i] + ($pqConcatSql)[i])) AS adc
+           FROM cand
+           ${(0 until PqM).map(i =>
+             s"JOIN a2_r$i ON a2_r$i.vec_id = cand.vec_id").mkString("\n           ")}
+           ${(0 until PqM).map(i =>
+             s"JOIN c1_r$i p$i ON p$i.cid = a2_r$i.cid").mkString("\n           ")}
+           JOIN cc ON cc.cell = cand.cell
+           JOIN eb pe ON pe.vec_id = cand.probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id AS neighbor_id, adc,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY adc DESC, vec_id) AS rn
+           FROM scored)
+         SELECT probe_id, neighbor_id, round(adc, 4) AS adc,
+           CAST(rn AS BIGINT) AS rn
          FROM ranked WHERE rn <= $IvfPqTopK"""
   )
 
@@ -682,6 +826,16 @@ object VectorQueries {
   private def pqChainsSql: String =
     (0 until PqM).map(i =>
       kmLloyd2CtesSub(s"_p$i", pqSliceSql(i, PqM), "eb", pqKSql)).mkString(",\n         ")
+
+  private def residSliceSql(i: Int): String =
+    s"rv[(($i*len(rv))//$PqM)+1:((${i + 1}*len(rv))//$PqM)]"
+
+  /** The residual codebooks' Lloyd chains — guarded cosine (see
+    * [[guardedCos]]) because zero residual vectors really occur. */
+  private def pqResidualChainsSql: String =
+    (0 until PqM).map(i =>
+      kmLloyd2CtesSub(s"_r$i", residSliceSql(i), "rs", pqKSql, guardedCos))
+      .mkString(",\n         ")
 
   private def pqConcatSql: String =
     (0 until PqM).map(i => s"p$i.cv").reduce((a, b) => s"list_concat($a, $b)")
@@ -712,18 +866,31 @@ object VectorQueries {
   private def kmAssignCtesExpr(k: String): String =
     kmAssignCtesSub("", "CAST(embedding AS DOUBLE[])", "embeddings", k)
 
+  /** DuckDB cosine as the queries' native kernels compute it. The
+    * guarded form mirrors the kernels' zero-norm rule — cos := 0.0 when
+    * either norm is 0, where `list_cosine_similarity` returns -1.0.
+    * Needed exactly where a zero vector can occur: q97's residuals are
+    * EXACTLY zero for the stride-sampled coarse centroids themselves. */
+  private def plainCos(a: String, b: String): String =
+    s"list_cosine_similarity($a, $b)"
+  private def guardedCos(a: String, b: String): String =
+    s"(CASE WHEN list_dot_product($a, $a) = 0 OR " +
+      s"list_dot_product($b, $b) = 0 THEN 0.0 " +
+      s"ELSE list_cosine_similarity($a, $b) END)"
+
   /** The assignment chain with every CTE name suffixed and the vector
     * taken as `vExpr` over `from` — lets several independent
     * clusterings (q95's per-subspace codebooks) coexist in one WITH. */
   private def kmAssignCtesSub(sfx: String, vExpr: String, from: String,
-                              k: String): String =
+                              k: String,
+                              cosFn: (String, String) => String = plainCos): String =
     s"""e$sfx AS (
            SELECT vec_id, $vExpr AS v FROM $from),
          c0$sfx AS (
            SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e$sfx WHERE vec_id < $k),
          a1$sfx AS (
            SELECT vec_id,
-             CAST(max([list_cosine_similarity(e$sfx.v, c.cv),
+             CAST(max([${cosFn(s"e$sfx.v", "c.cv")},
                        CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
            FROM e$sfx, c0$sfx c GROUP BY vec_id)"""
 
@@ -742,8 +909,9 @@ object VectorQueries {
 
   /** Suffixed/parameterized 2-round chain — see [[kmAssignCtesSub]]. */
   private def kmLloyd2CtesSub(sfx: String, vExpr: String, from: String,
-                              k: String): String =
-    s"""${kmAssignCtesSub(sfx, vExpr, from, k)},
+                              k: String,
+                              cosFn: (String, String) => String = plainCos): String =
+    s"""${kmAssignCtesSub(sfx, vExpr, from, k, cosFn)},
          m1$sfx AS (
            SELECT cid, pos,
              CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
@@ -755,7 +923,7 @@ object VectorQueries {
                     FROM m1$sfx GROUP BY cid),
          a2$sfx AS (
            SELECT vec_id,
-             CAST(max([list_cosine_similarity(e$sfx.v, c.cv),
+             CAST(max([${cosFn(s"e$sfx.v", "c.cv")},
                        CAST(c.cid AS DOUBLE)])[2] AS INT) AS cid
            FROM e$sfx, c1$sfx c GROUP BY vec_id)"""
 }

@@ -375,6 +375,10 @@ object StreamingQueries {
     })
   )
 
+  /** Lake-path conf for the q90 streamed index layout (see
+    * [[graft.LakeDirs.resolve]]); unset → registered temp dir. */
+  val IncIndexDirConf = "spark.graft.ivf.incIndexDir"
+
   /** q90's streamed index build, memoized per (session, sf) like q79's
     * batch build: bootstrap centroids from the first of three vec_id
     * slices, then stream all three through foreachBatch appends. */
@@ -382,7 +386,10 @@ object StreamingQueries {
     graft.operators.StageCache.dirFor(s, s"ivf_inc_index:$d") {
       import graft.operators.{IvfIndex, VectorQueries}
       val e = VectorQueries.emb(s, d)
-      val dir0 = graft.TempDirs.register(tmp("graft-q90-ivf"))
+      // deployment state → conf'able lake path like q79's index (the
+      // landing/checkpoint dirs below are harness scaffolding and stay
+      // temp); unset, resolve() falls back to a registered temp dir
+      val dir0 = graft.LakeDirs.resolve(s, IncIndexDirConf, "q90_ivf_inc", d)
       val landing = tmp("graft-q90-landing")
       val w = e.count() / 3 + 1
       (0 until 3).foreach { i =>

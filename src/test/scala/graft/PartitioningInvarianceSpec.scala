@@ -29,8 +29,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q89_semdedup",         // cluster-bucketed pair scan + keep-first rule
     "q91_image_resize",     // per-row decode + integer grid-cell sums
     "q94_bigram_fluency",   // two hashed corpus-count joins + one ratio
-    "q95_pq_codes",         // ITERATIVE: 2×2 Lloyd rounds + ADC top-k
-    "q96_ivf_pq")           // cell-pruned candidates + compressed rescore rank
+    "q95_pq_codes",         // ITERATIVE: PqM×2 Lloyd rounds + ADC top-k
+    "q96_ivf_pq",           // cell-pruned candidates + compressed rescore rank
+    "q97_ivf_pq_residual")  // + residual coding under the coarse grid
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
