@@ -34,7 +34,8 @@ object ClusterVerify {
     "q77_media_decode", "q78_image_neardup",
     "q85_rare_token_quality", "q86_dsir_weights", "q87_bpe_encode",
     "q88_dup_spans", "q89_semdedup", "q94_bigram_fluency",
-    "q95_pq_codes", "q96_ivf_pq", "q97_ivf_pq_residual")
+    "q95_pq_codes", "q96_ivf_pq", "q97_ivf_pq_residual",
+    "q98_sq8_ann", "q99_hybrid_retrieval", "q100_hamming_ann")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

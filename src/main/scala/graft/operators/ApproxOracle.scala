@@ -215,6 +215,34 @@ object ApproxOracle {
            GROUP BY doc_id, i)
          GROUP BY doc_id""",
 
+    // Hamming top-k: the q26 signature CTE replayed from the same
+    // exported token hashes, then pure-integer XOR + bit_count ranking
+    // with the (hamming, doc_id) tie-break — nothing float anywhere.
+    "q100_hamming_ann" ->
+      s"""WITH sig AS (
+           SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash FROM (
+             SELECT doc_id, i,
+               CASE WHEN 2 * sum((th >> i) & 1) > count(*)
+                    THEN CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << CAST(i AS INTEGER)) END
+                    ELSE 0 END AS contrib
+             FROM ${p("simhash_tokens")} CROSS JOIN range(64) t(i)
+             GROUP BY doc_id, i)
+           GROUP BY doc_id),
+         sc AS (
+           SELECT pb.doc_id AS probe_id, x.doc_id,
+             bit_count(xor(pb.simhash, x.simhash)) AS hamming
+           FROM sig pb JOIN sig x
+             ON pb.doc_id < 10 AND x.doc_id <> pb.doc_id),
+         r AS (
+           SELECT probe_id, doc_id, hamming,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY hamming, doc_id) AS rn
+           FROM sc)
+         SELECT probe_id, doc_id AS neighbor_id,
+           CAST(hamming AS BIGINT) AS hamming, CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= ${VectorQueries.AnnK}""",
+
     "q33_ann_lsh" -> annRescore(
       s"""SELECT DISTINCT pb.vec_id AS probe_id, x.vec_id AS vec_id
           FROM ${p("lsh_buckets")} x JOIN ${p("lsh_buckets")} pb

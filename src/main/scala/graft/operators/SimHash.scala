@@ -9,20 +9,30 @@ import org.apache.spark.sql.functions._
   * 64 bits; bit i of the signature is 1 iff more token-hashes have bit i
   * set than not. Near-dups then cluster by low Hamming distance.
   *
-  * Computed entirely in one codegen'd projection per doc (an array of
-  * token hashes + 64 filter/size reductions) — no explode, no shuffle.
+  * Computed in two stacked projections per doc — no explode, no
+  * shuffle. The split is load-bearing: the token-hash array MUST
+  * materialize in its own projection, because the 64 majority votes
+  * reference it 128 times and Catalyst's lambda-scoped subtrees defeat
+  * common-subexpression elimination — inlining (the old one-projection
+  * form) re-tokenized and re-hashed every doc 128×, which showed up as
+  * 10× wall on the q100 probe join (where the fused stage also fell
+  * out of whole-stage codegen). CollapseProject keeps the producer
+  * separate precisely because the reference is non-cheap and
+  * multiply-used.
   */
 object SimHash {
   def signatures(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(split(trim(col("text")), "\\s+"))
-    val hs = transform(toks, t => xxhash64(t))
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(trim(col("text")), "\\s+")),
+        t => xxhash64(t)).as("hs"))
+    val hs = col("hs")
     val nTok = size(hs)
     // bit i set iff 2 * |{h : bit_i(h)=1}| > |tokens|
     val bits: Seq[Column] = (0 until 64).map { i =>
       val ones = size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
       when(ones * 2 > nTok, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
-    docs.select(col("doc_id"),
+    hashed.select(col("doc_id"),
       bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 

@@ -99,6 +99,33 @@ object TextQueries {
     "q26_simhash" -> ((s, d) =>
       SimHash.signatures(documents(s, d)).select(col("doc_id"), col("simhash"))),
 
+    // Hamming top-k search over the q26 SimHash signatures — the BINARY
+    // rung of the compression ladder (PQ q95 codes subspaces, SQ8 q98
+    // codes dimensions; a binary signature codes the whole document in
+    // 64 bits, and ranking is XOR + popcount — the cheapest rescore
+    // there is, which is the published reason binary codes exist:
+    // Charikar '02 similarity estimation, Manku '07 web dedup). Probes
+    // broadcast against the one-projection signature table, the rank
+    // runs the two-phase GroupedTopK tail, and every score is an
+    // INTEGER — the one ANN family member with zero cross-engine float
+    // surface. Radius-style search (hamming ≤ k) would ride q38's
+    // block-combination pruning; top-k has no radius to prune by, and
+    // brute force over 64-bit codes at 8 bytes/doc IS the scale path
+    // (the corpus signature table for 100 TB of text is ~tens of GB).
+    "q100_hamming_ann" -> ((s, d) => {
+      val sigs = SimHash.signatures(documents(s, d))
+      val probes = sigs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("simhash").as("psig"))
+      val scored = sigs.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("doc_id"),
+          bit_count(col("psig").bitwiseXOR(col("simhash")))
+            .cast("long").as("hamming"))
+      GroupedTopK.topK(scored, Seq("probe_id"),
+          Seq(col("hamming").asc, col("doc_id").asc), VectorQueries.AnnK)
+        .select(col("probe_id"), col("doc_id").as("neighbor_id"),
+                col("hamming"), col("rn").cast("long").as("rn"))
+    }),
+
     // Quality scoring (L5): punctuation ratio, stopword ratio, mean
     // token length — the usual pretraining-corpus filters. Ratios are
     // emitted UNROUNDED: both engines derive them from identical ints

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -385,6 +385,117 @@ object VectorQueries {
       IvfIndex.rankTopK(scored, IvfPqTopK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("adc"), col("rn"))
+    }),
+
+    // Scalar quantization (SQ8) ANN — the third compression point of
+    // the quantization family (PQ q95 codes k-means cells of SUBSPACES,
+    // IVFADC q97 codes residuals; SQ codes each DIMENSION independently
+    // on a uniform 256-level grid between its corpus min and max).
+    // Distinct from q61, which audits PER-VECTOR max-abs int8 storage
+    // codes: q98 is the SEARCH path — a corpus-trained per-dimension
+    // grid plus ADC ranking against the reconstruction — the
+    // float32→int8 "scalar quantizer" every production vector store
+    // ships. Coding is a single transform() projection against
+    // the broadcast dim-sized [lo, hi] grid — no training, no join;
+    // search is ADC: cosine of the raw query against the MIDPOINT
+    // reconstruction lo + (code + ½)·(hi − lo)/256, top-k via
+    // TakeOrdered. At 100 TB the code table is 4× smaller than the
+    // float32 corpus (8× vs these double arrays) and the grid is two
+    // dim-length arrays — the entire model broadcasts in one literal.
+    // A constant dimension (hi = lo) codes 0 and reconstructs lo
+    // exactly, on both engines. The oracle replays the grid from the
+    // same per-position min/max scan and the identical code/midpoint
+    // arithmetic, so the full quantize→reconstruct→rank composition is
+    // hash-checked; Sq8Spec pins the ±½-step reconstruction bound.
+    "q98_sq8_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val (lo, hi) = sqStats(s, d)
+      val loL = array(lo.map(lit): _*)
+      val hiL = array(hi.map(lit): _*)
+      def loAt(i: Column): Column = element_at(loL, (i + 1).cast("int"))
+      def hiAt(i: Column): Column = element_at(hiL, (i + 1).cast("int"))
+      val coded = e.withColumn("codes",
+        transform(col("emb"), (x, i) =>
+          when(hiAt(i) === loAt(i), lit(0)).otherwise(
+            least(lit(SqLevels - 1), greatest(lit(0),
+              floor((x - loAt(i)) / (hiAt(i) - loAt(i)) * SqLevels)
+                .cast("int"))))))
+      val recon = transform(col("codes"), (c, i) =>
+        loAt(i) + (c.cast("double") + 0.5) * (hiAt(i) - loAt(i)) / SqLevels)
+      val qv = e.filter(col("vec_id") === 0).select(col("emb"))
+        .head.getSeq[Double](0)
+      coded
+        .withColumn("adc", cosine(array(qv.map(lit): _*), recon))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(SqTopK)
+        .select(col("vec_id"),
+                element_at(col("codes"), 1).cast("long").as("code0"),
+                round(col("adc"), 4).as("adc"))
+    }),
+
+    // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    // of a lexical BM25 ranker (q64's per-term statistics, summed over
+    // the probe doc's terms) and the semantic cosine ranker (q31's
+    // probe-broadcast shape), linked by the synthetic corpus's
+    // doc_id ↔ vec_id correspondence. The retrieval stack every RAG /
+    // training-data-curation pipeline ends up composing; here it
+    // composes two already-oracled legs. Scale shape: each leg feeds
+    // rank fusion only its top-RrfPool pool via the two-phase
+    // GroupedTopK (RRF is DEFINED over top-k lists — no full-corpus
+    // rank anywhere), the query-term tables and pool frames are
+    // model-sized broadcasts, and the per-(probe, doc) BM25 sum runs
+    // through DECIMAL (Num.dsum) so the fused ranks cannot drift with
+    // shuffle-order float addition on either engine. A doc absent from
+    // one leg's pool contributes only the other leg's RRF term — its
+    // missing rank surfaces as NULL, matching the SQL's outer join.
+    "q99_hybrid_retrieval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val toks = split(trim(col("text")), "\\s+")
+      // lexical leg: q64's tf/dl/df/avgdl statistics
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+      val qterms = tf.filter(col("doc_id") < HybridProbes)
+        .select(col("doc_id").as("probe_id"), col("term"))
+      val dfq = dfr.join(broadcast(qterms.select("term").distinct()), "term")
+      val lex = tf.join(broadcast(qterms), "term")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          col("tf").cast("double") * lit(2.5) /
+            (col("tf").cast("double") + lit(0.375) +
+             lit(1.125) * (col("dl").cast("double") / col("avgdl"))) *
+            col("n").cast("double") / col("df").cast("double"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(dsum(col("contrib")).as("lex"))
+      val lexPool = GroupedTopK.topK(lex, Seq("probe_id"),
+        Seq(col("lex").desc, col("doc_id").asc), RrfPool, "rb")
+      // semantic leg: q31's probe-broadcast brute cosine
+      val e = emb(s, d)
+      val probes = e.filter(col("vec_id") < HybridProbes)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val cos = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cs", cosine(col("pemb"), col("emb")))
+        .select(col("probe_id"), col("vec_id").as("doc_id"), col("cs"))
+      val cosPool = GroupedTopK.topK(cos, Seq("probe_id"),
+        Seq(col("cs").desc, col("doc_id").asc), RrfPool, "rc")
+      val fused = lexPool.select(col("probe_id"), col("doc_id"), col("rb"))
+        .join(cosPool.select(col("probe_id"), col("doc_id"), col("rc")),
+              Seq("probe_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfC) + col("rb")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("rc")), lit(0.0)))
+      GroupedTopK.topK(fused, Seq("probe_id"),
+          Seq(col("rrf").desc, col("doc_id").asc), HybridTopK)
+        .select(col("probe_id"), col("doc_id"),
+                col("rb").cast("long").as("rb"),
+                col("rc").cast("long").as("rc"),
+                round(col("rrf"), 6).as("rrf"), col("rn").cast("long").as("rn"))
     })
   )
 
@@ -418,6 +529,38 @@ object VectorQueries {
   val PqM     = 4
   val PqTopK  = 10
   val IvfPqTopK = AnnK
+
+  // q98 scalar quantization: the level count is fixed at 256 — SQ8
+  // spends exactly one byte per dimension whatever the corpus size
+  // (unlike pqK, there is no train/resolution trade to scale). What IS
+  // corpus-derived is the per-dimension [lo, hi] grid ([[sqStats]]),
+  // which the oracle replays from the same scan.
+  val SqLevels = 256
+  val SqTopK   = PqTopK
+
+  // q99 hybrid retrieval geometry: HybridProbes query docs, each
+  // ranker contributes its top-RrfPool candidates (rank fusion only
+  // ever sees bounded pools — the published RRF form fuses top-k
+  // LISTS, so no ranker needs a full-corpus rank), RrfC is Cormack et
+  // al. 2009's dampening constant 60, and the fused answer is
+  // top-HybridTopK. All four are interpolated into the oracle SQL.
+  val HybridProbes = 5
+  val RrfPool      = 50
+  val RrfC         = 60
+  val HybridTopK   = AnnK
+
+  /** The per-dimension [lo, hi] quantization grid q98 codes against:
+    * one corpus scan (posexplode → per-position min/max — a map-side-
+    * combining agg on ≤ dim groups), a dim-sized driver collect,
+    * memoized per (session, corpus) like [[pqModel]]. */
+  private[graft] def sqStats(s: SparkSession, d: String): (Seq[Double], Seq[Double]) =
+    StageCache.valueFor(s, s"sq_stats:$d") {
+      val rows = emb(s, d)
+        .select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .orderBy("pos").collect()
+      (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+    }
 
   /** Codebook size derived from the corpus (the semK pattern): more
     * data supports finer codebooks — a fixed K wastes the quantizer's
@@ -818,7 +961,109 @@ object VectorQueries {
            FROM scored)
          SELECT probe_id, neighbor_id, round(adc, 4) AS adc,
            CAST(rn AS BIGINT) AS rn
-         FROM ranked WHERE rn <= $IvfPqTopK"""
+         FROM ranked WHERE rn <= $IvfPqTopK""",
+
+    // SQ8: the per-dimension grid replayed from the same min/max scan,
+    // then the identical clamp/floor code and midpoint reconstruction
+    // arithmetic (textual op-for-op mirror of the Spark transform(),
+    // so the doubles are bit-identical), the guarded cosine (Spark's
+    // kernel scores a zero-norm side 0.0 where list_cosine_similarity
+    // says -1), and the same (adc DESC, vec_id) top-k cut.
+    "q98_sq8_ann" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         ex AS (
+           SELECT vec_id, unnest(fv) AS x, unnest(range(len(fv))) AS pos
+           FROM eb),
+         st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+         cd AS (
+           SELECT vec_id, pos, lo, hi,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(${SqLevels - 1}, greatest(0,
+                    CAST(floor((x - lo) / (hi - lo) * $SqLevels) AS INT)))
+             END AS code
+           FROM ex JOIN st USING (pos)),
+         rl AS (
+           SELECT vec_id,
+             list(lo + (code + 0.5) * (hi - lo) / $SqLevels ORDER BY pos) AS rv,
+             max(CASE WHEN pos = 0 THEN code END) AS code0
+           FROM cd GROUP BY vec_id),
+         qv AS (SELECT fv AS q FROM eb WHERE vec_id = 0),
+         sc AS (
+           SELECT rl.vec_id, rl.code0,
+             ${guardedCos("qv.q", "rl.rv")} AS adc
+           FROM rl CROSS JOIN qv)
+         SELECT vec_id, CAST(code0 AS BIGINT) AS code0, round(adc, 4) AS adc
+         FROM sc ORDER BY sc.adc DESC, vec_id LIMIT $SqTopK""",
+
+    // Hybrid RRF: the BM25 leg replays q64's statistics with the
+    // per-(probe, doc) sum through DECIMAL(38,6) (the Num.dsum mirror —
+    // order-independent, so both engines rank the same sums), the
+    // cosine leg is q31's, each leg cuts its own top-RrfPool pool, and
+    // the fusion outer-joins the pools so a one-leg doc keeps a NULL
+    // rank on the other leg exactly like the Spark full_outer.
+    "q99_hybrid_retrieval" ->
+      s"""WITH t AS (
+           SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         stats AS (
+           SELECT count(*) AS n,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+               / count(*) AS avgdl
+           FROM documents),
+         qt AS (SELECT doc_id AS probe_id, term FROM tf
+                WHERE doc_id < $HybridProbes),
+         lex AS (
+           SELECT qt.probe_id, tf.doc_id,
+             CAST(sum(CAST(
+               CAST(tf.tf AS DOUBLE) * 2.5 /
+                 (CAST(tf.tf AS DOUBLE) + 0.375 +
+                  1.125 * (CAST(tf.dl AS DOUBLE) / avgdl)) *
+                 CAST(n AS DOUBLE) / CAST(df AS DOUBLE)
+               AS DECIMAL(38,6))) AS DOUBLE) AS lex
+           FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+           CROSS JOIN stats
+           WHERE tf.doc_id <> qt.probe_id
+           GROUP BY 1, 2),
+         lp0 AS (
+           SELECT probe_id, doc_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY lex DESC, doc_id) AS rb
+           FROM lex),
+         lp AS (SELECT * FROM lp0 WHERE rb <= $RrfPool),
+         eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+                FROM embeddings),
+         cs AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS doc_id,
+             list_cosine_similarity(p.fv, e.fv) AS cs
+           FROM eb e JOIN eb p
+             ON p.vec_id < $HybridProbes AND e.vec_id <> p.vec_id),
+         cp0 AS (
+           SELECT probe_id, doc_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cs DESC, doc_id) AS rc
+           FROM cs),
+         cp AS (SELECT * FROM cp0 WHERE rc <= $RrfPool),
+         f AS (
+           SELECT coalesce(lp.probe_id, cp.probe_id) AS probe_id,
+             coalesce(lp.doc_id, cp.doc_id) AS doc_id, lp.rb, cp.rc,
+             coalesce(CAST(1 AS DOUBLE) / ($RrfC + lp.rb), 0) +
+             coalesce(CAST(1 AS DOUBLE) / ($RrfC + cp.rc), 0) AS rrf
+           FROM lp FULL OUTER JOIN cp
+             ON lp.probe_id = cp.probe_id AND lp.doc_id = cp.doc_id),
+         r AS (
+           SELECT probe_id, doc_id, rb, rc, rrf,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY rrf DESC, doc_id) AS rn
+           FROM f)
+         SELECT probe_id, doc_id, CAST(rb AS BIGINT) AS rb,
+           CAST(rc AS BIGINT) AS rc, round(rrf, 6) AS rrf,
+           CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= $HybridTopK"""
   )
 
   /** One suffixed Lloyd chain per PQ subspace, with the codebook size

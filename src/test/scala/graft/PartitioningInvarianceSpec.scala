@@ -31,7 +31,10 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q94_bigram_fluency",   // two hashed corpus-count joins + one ratio
     "q95_pq_codes",         // ITERATIVE: PqM×2 Lloyd rounds + ADC top-k
     "q96_ivf_pq",           // cell-pruned candidates + compressed rescore rank
-    "q97_ivf_pq_residual")  // + residual coding under the coarse grid
+    "q97_ivf_pq_residual",  // + residual coding under the coarse grid
+    "q98_sq8_ann",          // per-dim grid coding + ADC top-k cut
+    "q99_hybrid_retrieval", // two-leg pools + decimal BM25 sums + RRF rank
+    "q100_hamming_ann")     // integer XOR/popcount two-phase rank
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

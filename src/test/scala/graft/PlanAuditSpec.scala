@@ -293,6 +293,47 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q98 sq8: coding is one joinless projection, top-k is TakeOrdered") {
+    val p = plan("q98_sq8_ann")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the ADC top-k must be TakeOrdered, never a global sort\n" + p)
+    assert(!p.contains("windowspecdefinition("),
+      "no window belongs in the SQ8 search\n" + p)
+    assert(!p.contains("Join"),
+      "coding against the broadcast literal grid is a pure projection " +
+        "— a join crept in\n" + p)
+  }
+
+  test("q100 hamming: probe signatures broadcast, rank is two-phase, " +
+       "no float anywhere in the scoring") {
+    val p = plan("q100_hamming_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 10-probe signature table must broadcast\n" + p)
+    assertTwoPhaseProbeRank(p)
+    assert(!p.contains("double"),
+      "hamming ranking is integer-only — a float crept into the plan\n" + p)
+  }
+
+  test("q99 hybrid: probe-side joins broadcast, rank windows two-phase, " +
+       "BM25 sums decimal-routed") {
+    val p = plan("q99_hybrid_retrieval")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term / pool frames must broadcast\n" + p)
+    // every probe_id rank window needs the __pid local phase somewhere —
+    // the per-doc dl window (doc_id partitions, corpus-cardinality) is
+    // exempt: it never funnels more than one doc through a reducer
+    val rankWins = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).filter(_.contains("probe_id"))
+      .toSeq
+    assert(rankWins.nonEmpty && rankWins.exists(_.contains("__pid")),
+      "no per-partition local top-k phase on the probe_id ranks — a " +
+        "pool cut is a single-reducer-per-probe window over its leg's " +
+        "full candidate set\n" + rankWins.mkString("\n"))
+    assert(p.contains("decimal(38,6)"),
+      "the per-(probe, doc) BM25 sum must route through DECIMAL — a " +
+        "raw double sum ranks nondeterministically under shuffle order\n" + p)
+  }
+
   test("q89 semdedup: pair scan joins on the cluster id, never a cross product") {
     val p = plan("q89_semdedup")
     // the within-cluster pair scan must be an equi-join on cid — a
