@@ -35,7 +35,8 @@ object ClusterVerify {
     "q85_rare_token_quality", "q86_dsir_weights", "q87_bpe_encode",
     "q88_dup_spans", "q89_semdedup", "q94_bigram_fluency",
     "q95_pq_codes", "q96_ivf_pq", "q97_ivf_pq_residual",
-    "q98_sq8_ann", "q99_hybrid_retrieval", "q100_hamming_ann")
+    "q98_sq8_ann", "q99_hybrid_retrieval", "q100_hamming_ann",
+    "q101_feature_hash")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

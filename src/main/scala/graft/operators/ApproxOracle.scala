@@ -39,6 +39,14 @@ object ApproxOracle {
         explode(transform(array_distinct(split(trim(col("text")), "\\s+")),
           t => xxhash64(t))).as("th")),
       "simhash_tokens")
+    // q101: per-OCCURRENCE token hashes (no distinct — the hashing
+    // trick weights by tf); DuckDB recomputes tf, mod/sign, the dense
+    // grid and the cosine cut from these
+    OracleExport.write(
+      docs.select(col("doc_id"),
+        explode(transform(split(trim(col("text")), "\\s+"),
+          t => xxhash64(t))).as("th")),
+      "hashed_tokens")
 
     // q77/q78: the per-asset REAL-decode rows (pure per-row codec calls
     // — javax.imageio / javax.sound.sampled), from which DuckDB redoes
@@ -214,6 +222,41 @@ object ApproxOracle {
            FROM ${p("simhash_tokens")} CROSS JOIN range(64) t(i)
            GROUP BY doc_id, i)
          GROUP BY doc_id""",
+
+    // Feature hashing: tf, the mod-D dimension, the hash-bit sign, the
+    // per-(doc, dim) integer sums, the dense 0-filled grid, and the
+    // cosine cut ALL recomputed from the exported per-occurrence token
+    // hashes; integer sums need no decimal routing and the >> sign bit
+    // matches Spark's arithmetic shiftright on negative hashes (the
+    // same equivalence q26's bit votes rely on).
+    "q101_feature_hash" ->
+      s"""WITH tf AS (
+           SELECT doc_id, th, count(*) AS tf
+           FROM ${p("hashed_tokens")} GROUP BY 1, 2),
+         f AS (
+           SELECT doc_id,
+             ((th % ${TextQueries.FeatureHashDim}) + ${TextQueries.FeatureHashDim})
+               % ${TextQueries.FeatureHashDim} AS dim,
+             sum(CASE WHEN ((th >> 32) & 1) = 0 THEN tf ELSE -tf END) AS val
+           FROM tf GROUP BY 1, 2),
+         d AS (SELECT DISTINCT doc_id FROM tf),
+         grid AS (SELECT d.doc_id, t.i
+                  FROM d CROSS JOIN range(${TextQueries.FeatureHashDim}) t(i)),
+         dense AS (
+           SELECT g.doc_id,
+             list(CAST(coalesce(f.val, 0) AS DOUBLE) ORDER BY g.i) AS fv,
+             sum(CASE WHEN coalesce(f.val, 0) <> 0 THEN 1 ELSE 0 END) AS nnz
+           FROM grid g LEFT JOIN f ON f.doc_id = g.doc_id AND f.dim = g.i
+           GROUP BY g.doc_id),
+         qv AS (SELECT fv AS q FROM dense WHERE doc_id = 0),
+         sc AS (
+           SELECT dense.doc_id, dense.nnz,
+             (CASE WHEN list_dot_product(qv.q, qv.q) = 0 OR
+                        list_dot_product(dense.fv, dense.fv) = 0 THEN 0.0
+                   ELSE list_cosine_similarity(qv.q, dense.fv) END) AS cos
+           FROM dense CROSS JOIN qv)
+         SELECT doc_id, CAST(nnz AS BIGINT) AS nnz, round(cos, 4) AS cos
+         FROM sc ORDER BY sc.cos DESC, doc_id LIMIT 10""",
 
     // Hamming top-k: the q26 signature CTE replayed from the same
     // exported token hashes, then pure-integer XOR + bit_count ranking

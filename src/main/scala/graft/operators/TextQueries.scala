@@ -18,6 +18,11 @@ object TextQueries {
   /** Whitespace tokens of `text`, after trim (so no empty edge tokens). */
   private def toks: Column = split(trim(col("text")), "\\s+")
 
+  /** q101 hashed-feature dimensionality — matches the corpus embedding
+    * dim so the hashed vectors are drop-in probes for the ANN family.
+    * Interpolated into the oracle SQL. */
+  val FeatureHashDim = 64
+
   /** Token trigrams of a token-array column. `ts` MUST be a
     * materialized column attribute, not an inline expression: an
     * expression referenced inside a higher-order-function lambda is
@@ -112,6 +117,47 @@ object TextQueries {
     // block-combination pruning; top-k has no radius to prune by, and
     // brute force over 64-bit codes at 8 bytes/doc IS the scale path
     // (the corpus signature table for 100 TB of text is ~tens of GB).
+    // Feature hashing (the "hashing trick", Weinberger et al. 2009) —
+    // the model-free text→vector ingest stage the ANN family implies:
+    // each term's count lands in dimension xxhash64(term) mod D with a
+    // hash-bit sign (the signed construction that makes collisions
+    // cancel in expectation), giving every doc a D-dim vector with NO
+    // trained vocabulary — the vectorizer production pipelines use when
+    // an embedding model is too expensive or the vocab is unbounded.
+    // Composed here end-to-end: hash → dense vector → cosine top-k vs
+    // doc 0's vector (self lands rank 1 at cosine 1.0 — a built-in
+    // sanity row). Scale shape: one tf aggregation (hashed longs, the
+    // q85 posture), integer per-(doc, dim) sums — order-independent, so
+    // no decimal routing needed — a map-lookup dense projection, and a
+    // TakeOrdered cut; D is a constant so the vector column is bounded.
+    // The oracle recomputes EVERYTHING from the exported per-occurrence
+    // token hashes (the one engine-specific input): mod/sign/sum/dense
+    // grid/cosine/cut all replayed relationally.
+    "q101_feature_hash" -> ((s, d) => {
+      val D = FeatureHashDim
+      val f = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("term")))
+        .groupBy(col("doc_id"), pmod(col("h"), lit(D.toLong)).cast("int").as("dim"))
+        .agg(sum(when(shiftright(col("h"), 32).bitwiseAND(lit(1L)) === 0,
+          col("tf")).otherwise(-col("tf"))).as("val"))
+      val dense = f.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("val"))))
+               .as("m"),
+             sum(when(col("val") =!= 0, 1).otherwise(0)).cast("long").as("nnz"))
+        .withColumn("fv", transform(sequence(lit(0), lit(D - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")))
+      val qv = dense.filter(col("doc_id") === 0).select(col("fv"))
+        .head().getSeq[Double](0)
+      dense
+        .withColumn("cos", graft.functions.VectorFunctions.cosine(
+          array(qv.map(lit): _*), col("fv")))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("nnz"), round(col("cos"), 4).as("cos"))
+    }),
+
     "q100_hamming_ann" -> ((s, d) => {
       val sigs = SimHash.signatures(documents(s, d))
       val probes = sigs.filter(col("doc_id") < 10)
