@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{TextQueries, VectorQueries}
+
+/** q99/q100/q101 — the retrieval additions whose oracles prove
+  * cross-engine equality; these specs pin the semantic properties the
+  * hash compare can't express: pool/rank contracts, fusion arithmetic,
+  * self-match behavior, and the hashed-vector shape bounds.
+  */
+class RetrievalFamilySpec extends SparkTestBase {
+
+  test("q99: every probe answers a full fused top-k with exact RRF arithmetic") {
+    val out = SparkEntry.queries("q99_hybrid_retrieval")(spark, sf).collect()
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until VectorQueries.HybridProbes).toSet,
+      s"probes answered: ${byProbe.keySet}")
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq ==
+        (1L to VectorQueries.HybridTopK),
+        s"probe $pid fused ranks: ${rows.map(_.getLong(5)).sorted.toSeq}")
+      assert(!rows.exists(_.getLong(1) == pid), s"probe $pid returned itself")
+      rows.foreach { r =>
+        val rb = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        val rc = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        assert(rb.isDefined || rc.isDefined,
+          s"probe $pid doc ${r.getLong(1)}: in neither leg's pool yet fused")
+        // the fusion score must be exactly the two RRF terms recomputed
+        // from the reported ranks — nothing else may leak into it
+        val expect = rb.map(x => 1.0 / (VectorQueries.RrfC + x)).getOrElse(0.0) +
+          rc.map(x => 1.0 / (VectorQueries.RrfC + x)).getOrElse(0.0)
+        assert(math.abs(r.getDouble(4) - expect) < 5e-7,
+          s"probe $pid doc ${r.getLong(1)}: rrf ${r.getDouble(4)} != $expect")
+        rb.foreach(x => assert(x >= 1 && x <= VectorQueries.RrfPool))
+        rc.foreach(x => assert(x >= 1 && x <= VectorQueries.RrfPool))
+      }
+    }
+  }
+
+  test("q99: every two-leg doc outranks every one-leg doc") {
+    // structural consequence of the RRF geometry: with RrfC=60 and
+    // pools of 50, the WORST two-leg score 2/(60+50) ≈ 0.0182 beats
+    // the BEST one-leg score 1/(60+1) ≈ 0.0164 — so consensus docs
+    // must strictly dominate in the fused output
+    val out = SparkEntry.queries("q99_hybrid_retrieval")(spark, sf).collect()
+    val both = out.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val one = out.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+    for (b <- both; o <- one if b.getLong(0) == o.getLong(0)) {
+      assert(b.getDouble(4) > o.getDouble(4),
+        s"probe ${b.getLong(0)}: two-leg doc ${b.getLong(1)} " +
+          s"(${b.getDouble(4)}) must outrank one-leg doc ${o.getLong(1)} " +
+          s"(${o.getDouble(4)})")
+    }
+  }
+
+  test("q100: all probes answer a full top-k, never themselves, hamming in [0, 64]") {
+    val out = SparkEntry.queries("q100_hamming_ann")(spark, sf).collect()
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to VectorQueries.AnnK))
+      assert(!rows.exists(_.getLong(1) == pid), s"probe $pid returned itself")
+      rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 64))
+      // ranks must follow hamming ascending — rank 1 is the true argmin
+      val sorted = rows.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(sorted == sorted.sorted, s"probe $pid hammings not ascending: $sorted")
+    }
+  }
+
+  test("q101: self wins at exactly 1.0 and hashed vectors respect the D bound") {
+    val out = SparkEntry.queries("q101_feature_hash")(spark, sf).collect()
+    assert(out.head.getLong(0) == 0L && out.head.getDouble(2) == 1.0,
+      s"doc 0's own hashed vector must score 1.0 at rank 1: ${out.head}")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= TextQueries.FeatureHashDim,
+        s"nnz out of [1, D]: $r")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, r.toString)
+    }
+  }
+}
