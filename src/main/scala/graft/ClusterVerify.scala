@@ -36,7 +36,7 @@ object ClusterVerify {
     "q88_dup_spans", "q89_semdedup", "q94_bigram_fluency",
     "q95_pq_codes", "q96_ivf_pq", "q97_ivf_pq_residual",
     "q98_sq8_ann", "q99_hybrid_retrieval", "q100_hamming_ann",
-    "q101_feature_hash")
+    "q101_feature_hash", "q102_binary_rerank")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

@@ -286,6 +286,48 @@ object ApproxOracle {
            CAST(hamming AS BIGINT) AS hamming, CAST(rn AS BIGINT) AS rn
          FROM r WHERE rn <= ${VectorQueries.AnnK}""",
 
+    // Two-stage: the q100 signature/pool CTEs (integer-deterministic
+    // shortlist) + exact cosine rerank over the embeddings, same
+    // (cos DESC, doc_id) final cut.
+    "q102_binary_rerank" ->
+      s"""WITH sig AS (
+           SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash FROM (
+             SELECT doc_id, i,
+               CASE WHEN 2 * sum((th >> i) & 1) > count(*)
+                    THEN CASE WHEN i = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << CAST(i AS INTEGER)) END
+                    ELSE 0 END AS contrib
+             FROM ${p("simhash_tokens")} CROSS JOIN range(64) t(i)
+             GROUP BY doc_id, i)
+           GROUP BY doc_id),
+         sc AS (
+           SELECT pb.doc_id AS probe_id, x.doc_id,
+             bit_count(xor(pb.simhash, x.simhash)) AS hamming
+           FROM sig pb JOIN sig x
+             ON pb.doc_id < 10 AND x.doc_id <> pb.doc_id),
+         pool0 AS (
+           SELECT probe_id, doc_id, hamming,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY hamming, doc_id) AS rh
+           FROM sc),
+         pool AS (SELECT * FROM pool0 WHERE rh <= ${TextQueries.HammingPool}),
+         eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+                FROM embeddings),
+         rr AS (
+           SELECT pool.probe_id, pool.doc_id, pool.hamming,
+             list_cosine_similarity(pe.fv, de.fv) AS cos
+           FROM pool
+           JOIN eb de ON de.vec_id = pool.doc_id
+           JOIN eb pe ON pe.vec_id = pool.probe_id),
+         r AS (
+           SELECT probe_id, doc_id, hamming, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, doc_id) AS rn
+           FROM rr)
+         SELECT probe_id, doc_id, CAST(hamming AS BIGINT) AS hamming,
+           round(cos, 4) AS cos, CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= ${VectorQueries.AnnK}""",
+
     "q33_ann_lsh" -> annRescore(
       s"""SELECT DISTINCT pb.vec_id AS probe_id, x.vec_id AS vec_id
           FROM ${p("lsh_buckets")} x JOIN ${p("lsh_buckets")} pb

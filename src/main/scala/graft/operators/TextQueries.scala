@@ -23,6 +23,10 @@ object TextQueries {
     * Interpolated into the oracle SQL. */
   val FeatureHashDim = 64
 
+  /** q102 stage-1 shortlist depth per probe — the binary pool the
+    * exact rerank pays float cost for. Interpolated into the oracle. */
+  val HammingPool = 50
+
   /** Token trigrams of a token-array column. `ts` MUST be a
     * materialized column attribute, not an inline expression: an
     * expression referenced inside a higher-order-function lambda is
@@ -170,6 +174,44 @@ object TextQueries {
           Seq(col("hamming").asc, col("doc_id").asc), VectorQueries.AnnK)
         .select(col("probe_id"), col("doc_id").as("neighbor_id"),
                 col("hamming"), col("rn").cast("long").as("rn"))
+    }),
+
+    // Two-stage retrieval: binary prefilter + exact float rerank — the
+    // production deployment pattern for binary codes (the binary pass
+    // is never the final answer; it SHORTLISTS). Stage 1 is q100's
+    // XOR+popcount scan over the 8-byte signature table — at 100 TB of
+    // text that table is tens of GB, the cheapest possible first pass —
+    // cut to a HammingPool-deep pool per probe (integer-deterministic,
+    // so the pool membership is cross-engine exact). Stage 2 touches
+    // the full-precision embeddings ONLY for the pooled rows: the
+    // bounded pool broadcasts INTO the embedding scan (the corpus never
+    // shuffles), exact cosine, two-phase rank. Links text-side
+    // signatures to vector-side embeddings by the corpus's
+    // doc_id ↔ vec_id correspondence, like q99.
+    "q102_binary_rerank" -> ((s, d) => {
+      val sigs = SimHash.signatures(documents(s, d))
+      val probes = sigs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("simhash").as("psig"))
+      val scored = sigs.join(broadcast(probes), col("doc_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("doc_id"),
+          bit_count(col("psig").bitwiseXOR(col("simhash")))
+            .cast("long").as("hamming"))
+      val pool = GroupedTopK.topK(scored, Seq("probe_id"),
+          Seq(col("hamming").asc, col("doc_id").asc), HammingPool, "rh")
+        .drop("rh")
+      val e = VectorQueries.emb(s, d)
+      val pemb = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val reranked = e.select(col("vec_id").as("doc_id"), col("emb"))
+        .join(broadcast(pool), "doc_id")
+        .join(broadcast(pemb), "probe_id")
+        .select(col("probe_id"), col("doc_id"), col("hamming"),
+          graft.functions.VectorFunctions.cosine(col("pemb"), col("emb"))
+            .as("cos"))
+      GroupedTopK.topK(reranked, Seq("probe_id"),
+          Seq(col("cos").desc, col("doc_id").asc), VectorQueries.AnnK)
+        .select(col("probe_id"), col("doc_id"), col("hamming"),
+                round(col("cos"), 4).as("cos"), col("rn").cast("long").as("rn"))
     }),
 
     // Quality scoring (L5): punctuation ratio, stopword ratio, mean

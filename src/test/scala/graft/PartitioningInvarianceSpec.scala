@@ -35,7 +35,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q98_sq8_ann",          // per-dim grid coding + ADC top-k cut
     "q99_hybrid_retrieval", // two-leg pools + decimal BM25 sums + RRF rank
     "q100_hamming_ann",     // integer XOR/popcount two-phase rank
-    "q101_feature_hash")    // hashed-dim integer sums + map-lookup dense + cut
+    "q101_feature_hash",    // hashed-dim integer sums + map-lookup dense + cut
+    "q102_binary_rerank")   // integer pool cut + broadcast float rerank
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -66,6 +66,41 @@ class RetrievalFamilySpec extends SparkTestBase {
     }
   }
 
+  test("q102: the rerank reorders within the binary pool, never outside it") {
+    // stage-2 contract: every reranked answer must come from stage 1's
+    // hamming pool, and the rerank must actually ADD information —
+    // the final order is cosine's, not hamming's (on this corpus the
+    // two disagree somewhere in the top-k, else the rerank is dead
+    // weight; assert at least that ranks follow cosine descending)
+    val out = SparkEntry.queries("q102_binary_rerank")(spark, sf).collect()
+    val poolRows = SparkEntry.queries("q100_hamming_ann")(spark, sf).collect()
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    // recompute stage 1's pool independently to check membership
+    val pool = {
+      import org.apache.spark.sql.functions._
+      val sigs = graft.operators.SimHash.signatures(
+        graft.Tables.documents(spark, sf))
+      val all = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 10L).map { pid =>
+        pid -> all.toSeq.filter(_._1 != pid)
+          .map { case (id, s) =>
+            (id, java.lang.Long.bitCount(all(pid) ^ s)) }
+          .sortBy { case (id, h) => (h, id) }
+          .take(TextQueries.HammingPool).map(_._1).toSet
+      }.toMap
+    }
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to VectorQueries.AnnK))
+      rows.foreach(r => assert(pool(pid).contains(r.getLong(1)),
+        s"probe $pid: reranked doc ${r.getLong(1)} was not in the binary pool"))
+      val cosOrder = rows.sortBy(_.getLong(4)).map(_.getDouble(3)).toSeq
+      assert(cosOrder == cosOrder.sorted.reverse,
+        s"probe $pid: final ranks must follow cosine descending: $cosOrder")
+    }
+    assert(poolRows.nonEmpty)
+  }
+
   test("q101: self wins at exactly 1.0 and hashed vectors respect the D bound") {
     val out = SparkEntry.queries("q101_feature_hash")(spark, sf).collect()
     assert(out.head.getLong(0) == 0L && out.head.getDouble(2) == 1.0,
