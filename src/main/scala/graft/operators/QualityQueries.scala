@@ -210,10 +210,39 @@ object QualityQueries {
         col("n_fluent").cast("double") / col("n_bigrams"))
   }
 
+  /** q109: arrival-order n-gram novelty — for each document, the share
+    * of its DISTINCT trigrams that no lower-doc_id document contains
+    * (doc_id is the corpus's arrival order). The curation signal dedup
+    * pipelines use to measure marginal contribution: a document whose
+    * trigrams are all already in the corpus adds nothing even if no
+    * single earlier document near-duplicates it (contrast q63, which
+    * needs a specific benchmark overlap, and q24/q53, which need a
+    * matching PAIR). Scale posture: the corpus's distinct-trigram table
+    * is built once, keyed by xxhash64 longs (q53 doctrine), and "first
+    * container" is a plain min(doc_id) aggregation — one shuffle on the
+    * hash, one join back, never pairwise. The exact-string oracle
+    * doubles as the trigram-hash collision check. */
+  private[graft] def trigramNovelty(docs: DataFrame): DataFrame = {
+    val tg = docs.select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(TextQueries.tokenTrigrams(col("ts")))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val first = tg.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    tg.join(first, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_trigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
-    "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))))
+    "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
+    "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     // Exact string-keyed recomputation — a Spark-side xxhash64
@@ -269,6 +298,28 @@ object QualityQueries {
              AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS fluent_frac
          FROM tf JOIN cbg USING (w1, w2) JOIN cu USING (w1)
          GROUP BY 1""",
+
+    // Exact string-keyed recomputation of q109 — same trigram builder
+    // as the q63 oracle; joining by raw trigram strings while Spark
+    // joins by xxhash64 makes this the collision check for the
+    // trigram-hash key space.
+    "q109_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+           FROM t WHERE len(ts) >= 3),
+         f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS BIGINT) AS novel_frac
+         FROM g JOIN f USING (g) GROUP BY 1""",
 
     // Full relational recomputation: same md5 buckets (instr hex
     // decode = Spark's conv(substr(md5,1,3),16,10)), same add-one

@@ -27,6 +27,13 @@ object TextQueries {
     * exact rerank pays float cost for. Interpolated into the oracle. */
   val HammingPool = 50
 
+  /** q103 chunking geometry: fixed token windows of [[ChunkW]] starting
+    * every [[ChunkStride]] tokens (overlap W − stride = 8) — the
+    * RAG/embedding-ingest slicer. Both interpolated into the oracle so
+    * the two engines cannot drift if the window is retuned. */
+  val ChunkW = 32
+  val ChunkStride = 24
+
   /** Token trigrams of a token-array column. `ts` MUST be a
     * materialized column attribute, not an inline expression: an
     * expression referenced inside a higher-order-function lambda is
@@ -212,6 +219,31 @@ object TextQueries {
           Seq(col("cos").desc, col("doc_id").asc), VectorQueries.AnnK)
         .select(col("probe_id"), col("doc_id"), col("hamming"),
                 round(col("cos"), 4).as("cos"), col("rn").cast("long").as("rn"))
+    }),
+
+    // Sliding-window chunking (L5): slice each document into
+    // ChunkW-token windows every ChunkStride tokens (overlap 8) — the
+    // retrieval/embedding ingest stage that turns documents into
+    // unit-sized passages. Entirely within-row (sequence of starts →
+    // slice → join), so the plan is ONE codegen'd projection + generate
+    // with ZERO shuffles — at 100 TB it is a pure map over the corpus
+    // scan, output ~n_tokens/stride rows per doc. chunk_id is the
+    // ordinal of the window (start/stride), so chunks are addressable
+    // without reading neighbors.
+    "q103_chunking" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(
+            sequence(lit(0), col("n") - 1, lit(ChunkStride)),
+            st => struct(
+              least(lit(ChunkW), col("n") - st).cast("long")
+                .as("n_chunk_tokens"),
+              concat_ws(" ", slice(col("ts"), st + 1, lit(ChunkW)))
+                .as("chunk_text")))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+                col("col.n_chunk_tokens"), col("col.chunk_text"))
     }),
 
     // Quality scoring (L5): punctuation ratio, stopword ratio, mean
@@ -828,6 +860,20 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q29_lang_id" -> langIdOracle,
+
+    "q103_chunking" ->
+      s"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         c AS (
+           SELECT doc_id, len(ts) AS n, ts,
+             unnest(range(0, len(ts), $ChunkStride)) AS st
+           FROM t)
+         SELECT doc_id, CAST(st // $ChunkStride AS BIGINT) AS chunk_id,
+           CAST(least($ChunkW, n - st) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(ts, st + 1, st + $ChunkW), ' ')
+             AS chunk_text
+         FROM c""",
 
     "q63_decontaminate" ->
       """WITH toks AS (

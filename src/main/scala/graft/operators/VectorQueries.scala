@@ -60,6 +60,64 @@ object VectorQueries {
   def ivfNProbe(nlist: Int): Int =
     math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
+  /** q104 graph out-degree (neighbors kept per node) — interpolated
+    * into the q104/q105 oracles. */
+  val KnnGraphK = 4
+
+  /** q108 MMR: candidate-pool depth per probe and the
+    * relevance/diversity trade-off λ (score = λ·rel − (1−λ)·maxSim).
+    * Both interpolated into the oracle; (1−λ) is spelled `1 - 0.7` on
+    * BOTH engines so the two doubles are the same IEEE value. */
+  val MmrPool = 20
+  val MmrLambda = 0.7
+
+  /** q105 PageRank: integer total mass, damping 17/20, fixed iteration
+    * count. INTEGER-mass arithmetic is the q55/q85 rational doctrine
+    * applied to an iterative graph algorithm: every per-node quantity
+    * is a BIGINT (shares are floor divisions, all operands positive),
+    * so sums are order-independent and the final table is bit-identical
+    * cross-engine — no accumulated float noise after 3 sparse matvecs,
+    * which raw doubles could not guarantee at hash-compare precision.
+    * The ~1e-12 relative quantization vs real-valued PageRank is far
+    * below any ranking use of the score. */
+  val PrMass = 1000000000000L
+  val PrDampNum = 17L
+  val PrDampDen = 20L
+  val PrIters = 3
+
+  /** The approximate k-NN GRAPH stage q104 exposes and q105 ranks over
+    * — every vector's [[KnnGraphK]] best neighbors among its OWN IVF
+    * cell's members (the SemDeDup/graph-dedup candidate rule: cells are
+    * corpus-derived Voronoi regions, so within-cell neighbors are the
+    * geometrically plausible ones). Candidate volume is n × cellRows
+    * with cellRows pinned ≈ [[IvfTargetCellRows]] by the derived nlist
+    * — LINEAR in the corpus, never n²; the rank window partitions by
+    * src (corpus-cardinality groups — the regime where a plain window
+    * is right; contrast rankTopK's few-probe regime). Memoized +
+    * localCheckpoint-materialized per (session, corpus) so q105's
+    * PageRank iterations replay a ~n×K edge table, not the cell join. */
+  private[graft] def knnGraph(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, s"knn_graph:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val n = e.count()
+      val cells = IvfIndex.withCells(
+        e, IvfIndex.centroids(e, ivfNList(n), Some(n)))
+      val a = cells.select(col("cell"), col("vec_id").as("src"),
+        col("emb").as("aemb"))
+      val b = cells.select(col("cell"), col("vec_id").as("dst"),
+        col("emb").as("bemb"))
+      val scored = a.join(b, Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          cosine(col("aemb"), col("bemb")).as("sim"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim").desc, col("dst").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= KnnGraphK)
+        .localCheckpoint()
+    }
+
   /** Multi-table hyperplane bucket assignment: one row per (vec, table)
     * with the table id and bucket signature. One projection + explode —
     * no shuffle; the basis of q33 ANN and q38 all-pairs near-dup. */
@@ -201,6 +259,112 @@ object VectorQueries {
           dir, nprobe = ivfNProbe(nlist), k = AnnK)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // Approximate k-NN GRAPH construction (L3 family): the whole-corpus
+    // neighbor table (every node's KnnGraphK best within-cell
+    // neighbors), the substrate semantic dedup, graph clustering and
+    // label propagation run on. See [[knnGraph]] for the scale shape.
+    // Oracle: the exported ivf_cells table (same derived geometry)
+    // self-joined in DuckDB, rescored with list_cosine_similarity,
+    // ranked with the same (sim DESC, dst) total order.
+    "q104_knn_graph" -> ((s, d) => {
+      knnGraph(s, d).select(col("src"), col("dst"),
+        round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // PageRank over the q104 graph (fixed PrIters iterations, damping
+    // 17/20, dangling mass redistributed uniformly) — the canonical
+    // iterative graph algorithm as repeated join + aggregate over the
+    // memoized edge table: contributions shuffle by dst (in-degree
+    // bounded by cell size), the dangling sum is a broadcast one-row
+    // scalar, and the rank vector is O(n) rows. All arithmetic is
+    // integer mass (see [[PrMass]]) so the oracle's replay — the same
+    // three unrolled iterations as SQL CTEs — matches bit-for-bit.
+    "q105_pagerank" -> ((s, d) => {
+      val edges = knnGraph(s, d).select(col("src"), col("dst"))
+      val e = emb(s, d)
+      val n = e.count()
+      val nodes = e.select(col("vec_id"))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val base = (3L * PrMass) / (PrDampDen * n) // (1-d)·M/n, floor
+      var rank = nodes.select(col("vec_id"), lit(PrMass / n).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val dang = rank
+          .join(outdeg.select(col("src").as("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dg"))
+        val contrib = edges
+          .join(rank.withColumnRenamed("vec_id", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("pr DIV outdeg")).as("m"))
+        rank = nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("vec_id"),
+            (lit(base) + expr(
+              s"($PrDampNum * (coalesce(m, CAST(0 AS BIGINT)) + dg DIV $n)) " +
+                s"DIV $PrDampDen")).as("pr"))
+      }
+      rank.select(col("vec_id"), col("pr").as("pr_mass"))
+    }),
+
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+    // re-ranking of each probe's top-MmrPool relevance pool — pick 1 =
+    // best relevance, pick k = argmax λ·rel − (1−λ)·max cosine to the
+    // already-picked set. The sequential-greedy part runs over the
+    // BOUNDED pool (≤ MmrPool rows/probe regardless of corpus size), so
+    // it unrolls into AnnK relational steps on a localCheckpoint'd
+    // 200-row frame — the corpus is touched exactly once, by the pool
+    // cut (brute rescore + two-phase GroupedTopK). Every score is a
+    // pure function of bit-identical cosines (no accumulated sums), so
+    // the oracle's identical unroll matches without tolerance.
+    "q108_mmr_diverse" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("emb"),
+                cosine(col("pemb"), col("emb")).as("rel"))
+      val pool = GroupedTopK.topK(scored, Seq("probe_id"),
+          Seq(col("rel").desc, col("vec_id").asc), MmrPool, "rp")
+        .drop("rp").localCheckpoint()
+      val sims = pool
+        .select(col("probe_id"), col("vec_id").as("va"), col("emb").as("ea"))
+        .join(pool.select(col("probe_id"), col("vec_id").as("vb"),
+          col("emb").as("eb")), Seq("probe_id"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("probe_id"), col("va"), col("vb"),
+                cosine(col("ea"), col("eb")).as("ps"))
+        .localCheckpoint()
+      val w1 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+      var selected = pool.withColumn("r", row_number().over(w1))
+        .filter(col("r") === 1)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("pick"),
+                (lit(MmrLambda) * col("rel")).as("score"))
+      for (k <- 2 to AnnK) {
+        val cand = pool.join(selected.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_anti")
+        val mx = sims
+          .join(selected.select(col("probe_id"), col("vec_id").as("vb")),
+            Seq("probe_id", "vb"))
+          .groupBy(col("probe_id"), col("va")).agg(max(col("ps")).as("mxs"))
+        val scoredK = cand
+          .join(mx.withColumnRenamed("va", "vec_id"), Seq("probe_id", "vec_id"))
+          .select(col("probe_id"), col("vec_id"),
+            (lit(MmrLambda) * col("rel") -
+              lit(1 - MmrLambda) * col("mxs")).as("score"))
+        val wk = Window.partitionBy(col("probe_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        selected = selected.unionByName(
+          scoredK.withColumn("r", row_number().over(wk)).filter(col("r") === 1)
+            .select(col("probe_id"), col("vec_id"), lit(k.toLong).as("pick"),
+                    col("score")))
+      }
+      selected.select(col("probe_id"), col("vec_id"), col("pick"),
+        round(col("score"), 4).as("score"))
     }),
 
     // Embedding-cosine near-dup, ALL pairs (L2 dedup mode): candidates
@@ -765,6 +929,27 @@ object VectorQueries {
                FROM embeddings)
          GROUP BY label, pos""",
 
+    // The q104 edge table replayed from the exported ivf_cells (same
+    // derived geometry as q37's export): cell self-join, exact cosine,
+    // the same (sim DESC, dst) total-order rank cut.
+    "q104_knn_graph" ->
+      s"""WITH $knnEdgeCtes
+         SELECT src, dst, round(sim, 4) AS cos, rn
+         FROM edges""",
+
+    // q105: the same edge replay, then PrIters unrolled
+    // iterations of the INTEGER-mass recurrence — floor shares
+    // (pr // outdeg), dangling scalar, base + (17·(m + dg//n)) // 20 —
+    // exactly the Spark DIV arithmetic, so pr_mass matches
+    // bit-for-bit with no float tolerance anywhere.
+    "q105_pagerank" -> prOracle,
+
+    // q108: the greedy MMR unroll replayed step for step — same pool
+    // cut, same pairwise cosines, same λ·rel − (1−λ)·max(ps) argmax
+    // with ties to the lower vec_id. Scores are single-expression
+    // doubles over bit-identical cosines, so no tolerance is needed.
+    "q108_mmr_diverse" -> mmrOracle,
+
     "q31_knn_brute" ->
       s"""SELECT probe_id, neighbor_id, round(sim,4) AS cos, rn FROM (
            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -1065,6 +1250,119 @@ object VectorQueries {
            CAST(rn AS BIGINT) AS rn
          FROM r WHERE rn <= $HybridTopK"""
   )
+
+  /** The q104 edge table replayed in DuckDB — the exported ivf_cells
+    * self-join, exact cosine rescore against the embeddings table, and
+    * the (sim DESC, dst) rank cut. Shared by the q104 and q105 oracles. */
+  private def knnEdgeCtes: String =
+    s"""cand AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM ${graft.OracleExport.p("ivf_cells")} a
+           JOIN ${graft.OracleExport.p("ivf_cells")} b ON a.cell = b.cell
+           WHERE a.vec_id <> b.vec_id),
+         escored AS (
+           SELECT c.src, c.dst,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS sim
+           FROM cand c JOIN embeddings ea ON ea.vec_id = c.src
+                       JOIN embeddings eb ON eb.vec_id = c.dst),
+         eranked AS (
+           SELECT src, dst, sim,
+             CAST(row_number() OVER (PARTITION BY src
+               ORDER BY sim DESC, dst) AS BIGINT) AS rn
+           FROM escored),
+         edges AS (SELECT src, dst, sim, rn FROM eranked
+                   WHERE rn <= $KnnGraphK)"""
+
+  /** The full q105 oracle: edge replay + [[PrIters]] unrolled
+    * integer-mass PageRank iterations, generated so the iteration
+    * count is a single constant shared with the Spark loop. */
+  private def prOracle: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""dang$k AS (
+           SELECT coalesce(sum(pr), 0) AS dg FROM r${k - 1}
+           WHERE vec_id NOT IN (SELECT src FROM outdeg)),
+         c$k AS (
+           SELECT e.dst, sum(r.pr // o.outdeg) AS m
+           FROM edges e JOIN r${k - 1} r ON r.vec_id = e.src
+                        JOIN outdeg o ON o.src = e.src
+           GROUP BY 1),
+         r$k AS (
+           SELECT nd.vec_id,
+             bb.base + ($PrDampNum * (coalesce(c$k.m, 0) + dang$k.dg // nn.n))
+               // $PrDampDen AS pr
+           FROM nodes nd CROSS JOIN nn CROSS JOIN bb CROSS JOIN dang$k
+           LEFT JOIN c$k ON c$k.dst = nd.vec_id)"""
+    }.mkString(",\n         ")
+    s"""WITH $knnEdgeCtes,
+         outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         nodes AS (SELECT vec_id FROM embeddings),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         bb AS (SELECT (3 * $PrMass) // ($PrDampDen * nn.n) AS base FROM nn),
+         r0 AS (SELECT vec_id, $PrMass // nn.n AS pr
+                FROM embeddings CROSS JOIN nn),
+         $iters
+         SELECT vec_id, CAST(pr AS BIGINT) AS pr_mass FROM r$PrIters"""
+  }
+
+  /** The full q108 oracle: pool + pairwise-cosine CTEs, then AnnK−1
+    * generated greedy steps (candidates = pool minus selected; max
+    * pairwise cosine to the selected set; argmax of the MMR score). */
+  private def mmrOracle: String = {
+    val steps = (2 to AnnK).map { k =>
+      s"""cand$k AS (
+           SELECT p.* FROM pool p
+           LEFT JOIN sel${k - 1} s
+             ON s.probe_id = p.probe_id AND s.vec_id = p.vec_id
+           WHERE s.vec_id IS NULL),
+         mx$k AS (
+           SELECT ps.probe_id, ps.va AS vec_id, max(ps.ps) AS mxs
+           FROM ps JOIN sel${k - 1} s
+             ON s.probe_id = ps.probe_id AND s.vec_id = ps.vb
+           GROUP BY 1, 2),
+         pick$k AS (
+           SELECT probe_id, vec_id, CAST($k AS BIGINT) AS pick, score
+           FROM (
+             SELECT c.probe_id, c.vec_id,
+               $MmrLambda * c.rel - (1 - $MmrLambda) * m.mxs AS score,
+               row_number() OVER (PARTITION BY c.probe_id
+                 ORDER BY $MmrLambda * c.rel - (1 - $MmrLambda) * m.mxs DESC,
+                          c.vec_id) AS r
+             FROM cand$k c JOIN mx$k m
+               ON m.probe_id = c.probe_id AND m.vec_id = c.vec_id)
+           WHERE r = 1),
+         sel$k AS (SELECT * FROM sel${k - 1}
+                   UNION ALL SELECT * FROM pick$k)"""
+    }.mkString(",\n         ")
+    s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         pr AS (SELECT vec_id AS probe_id, fv AS pv FROM eb
+                WHERE vec_id < 10),
+         sc AS (
+           SELECT pr.probe_id, eb.vec_id, eb.fv,
+             list_cosine_similarity(pr.pv, eb.fv) AS rel
+           FROM eb JOIN pr ON eb.vec_id <> pr.probe_id),
+         pool AS (
+           SELECT probe_id, vec_id, fv, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY rel DESC, vec_id) AS rp FROM sc)
+           WHERE rp <= $MmrPool),
+         ps AS (
+           SELECT a.probe_id, a.vec_id AS va, b.vec_id AS vb,
+             list_cosine_similarity(a.fv, b.fv) AS ps
+           FROM pool a JOIN pool b
+             ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id),
+         sel1 AS (
+           SELECT probe_id, vec_id, CAST(1 AS BIGINT) AS pick,
+             $MmrLambda * rel AS score
+           FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY rel DESC, vec_id) AS r FROM pool)
+           WHERE r = 1),
+         $steps
+         SELECT probe_id, vec_id, pick, round(score, 4) AS score
+         FROM sel$AnnK"""
+  }
 
   /** One suffixed Lloyd chain per PQ subspace, with the codebook size
     * derived from count(*) — the generated half of the q95/q96 oracles. */

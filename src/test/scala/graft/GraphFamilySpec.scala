@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextQueries, VectorQueries}
+
+/** q103/q104/q105/q108/q109 — the chunking/graph/diversity additions.
+  * The DuckDB oracles prove cross-engine equality; these specs pin the
+  * semantics the hash compare can't express: exact reconstruction,
+  * independent driver-side recomputation of the iterative operators,
+  * and the diversity property MMR exists to deliver.
+  */
+class GraphFamilySpec extends SparkTestBase {
+
+  test("q103: chunks tile every document exactly (stride prefixes rebuild the token stream)") {
+    val out = SparkEntry.queries("q103_chunking")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every document must be chunked")
+    byDoc.foreach { case (docId, chunks) =>
+      val ts = docs(docId)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"doc $docId chunk_ids not consecutive from 0")
+      sorted.foreach { case (_, cid, nTok, text) =>
+        val start = (cid * TextQueries.ChunkStride).toInt
+        val want = ts.slice(start, start + TextQueries.ChunkW)
+        assert(text == want.mkString(" "),
+          s"doc $docId chunk $cid is not the token slice at $start")
+        assert(nTok == want.length,
+          s"doc $docId chunk $cid n_chunk_tokens $nTok != ${want.length}")
+      }
+      // stride-sized prefixes of each chunk, in order, plus the last
+      // chunk's tail, concatenate back to the full token stream — the
+      // no-token-lost/no-token-duplicated contract of an overlapped
+      // chunker
+      val rebuilt = sorted.init.flatMap(c =>
+        c._4.split(" ").take(TextQueries.ChunkStride)) ++
+        sorted.last._4.split(" ")
+      assert(rebuilt.toSeq == ts, s"doc $docId chunks do not tile the doc")
+    }
+  }
+
+  test("q104: within-cell edges, bounded out-degree, exact per-node rank") {
+    val e = VectorQueries.emb(spark, sf)
+    val n = e.count()
+    val cells = operators.IvfIndex.cellAssignments(
+        e, VectorQueries.ivfNList(n), Some(n))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._1)
+    val cellSizes = cells.values.groupBy(identity).view.mapValues(_.size).toMap
+    bySrc.foreach { case (src, edges) =>
+      assert(edges.length <= VectorQueries.KnnGraphK, s"node $src over-degree")
+      assert(edges.length ==
+        math.min(VectorQueries.KnnGraphK, cellSizes(cells(src)) - 1),
+        s"node $src should exhaust its cellmates up to K")
+      assert(edges.map(_._4).sorted.toSeq == (1L to edges.length),
+        s"node $src ranks not 1..k")
+      edges.foreach { case (_, dst, _, _) =>
+        assert(cells(dst) == cells(src),
+          s"edge $src->$dst crosses cells — candidates must be cell-local")
+        assert(dst != src, "self-edge")
+      }
+      // cosines non-increasing in rank
+      val byRn = edges.sortBy(_._4).map(_._3)
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b },
+        s"node $src cosines not ranked descending: ${byRn.toSeq}")
+    }
+    // full-coverage: every vector is a src (every cell has >= 2 members
+    // at this sf; if a singleton cell ever appears, the node is
+    // legitimately absent — recompute membership rather than fail)
+    val expectedSrcs = cells.keySet.filter(v => cellSizes(cells(v)) >= 2)
+    assert(bySrc.keySet == expectedSrcs, "node coverage mismatch")
+  }
+
+  test("q105: driver replay of the integer-mass recurrence matches exactly") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = VectorQueries.emb(spark, sf).count()
+    val nodes = (0L until n).toArray
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inEdges = edges.groupBy(_._2)
+    val M = VectorQueries.PrMass
+    val base = (3L * M) / (VectorQueries.PrDampDen * n)
+    var pr = nodes.map(_ => M / n)
+    for (_ <- 1 to VectorQueries.PrIters) {
+      val dang = nodes.filter(v => !outdeg.contains(v)).map(v => pr(v.toInt)).sum
+      pr = nodes.map { v =>
+        val m = inEdges.getOrElse(v, Array.empty[(Long, Long)])
+          .map { case (src, _) => pr(src.toInt) / outdeg(src) }.sum
+        base + (VectorQueries.PrDampNum * (m + dang / n)) /
+          VectorQueries.PrDampDen
+      }
+    }
+    val got = SparkEntry.queries("q105_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == nodes.toSet, "rank vector must cover every node")
+    nodes.foreach { v =>
+      assert(got(v) == pr(v.toInt),
+        s"node $v: spark ${got(v)} != replay ${pr(v.toInt)} — " +
+          "integer recurrence must be exact")
+    }
+    // total mass is conserved up to the documented floor losses
+    val total = got.values.sum
+    assert(total <= M && total >= M - 10L * (n + edges.length),
+      s"mass $total drifted from $M beyond floor-loss bounds")
+  }
+
+  test("q108: driver replay of the greedy matches; MMR picks are more diverse than top-k") {
+    val e = VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    // op-for-op mirror of CosineSim (incl. sqrt(na)*sqrt(nb)) so the
+    // replayed argmaxes see bit-identical scores
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val lam = VectorQueries.MmrLambda
+    val out = SparkEntry.queries("q108_mmr_diverse")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == (0L until 10L).toSet)
+    var mmrPairSum = 0.0; var topPairSum = 0.0; var pairs = 0
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to VectorQueries.AnnK))
+      assert(rows.map(_._2).distinct.length == rows.length, "duplicate pick")
+      // independent greedy replay over an independently recomputed pool
+      val pv = e(pid)
+      val pool = e.keys.filter(_ != pid).toSeq
+        .map(v => v -> cos(pv, e(v)))
+        .sortBy { case (v, c) => (-c, v) }.take(VectorQueries.MmrPool)
+      var selected = Vector(pool.head._1)
+      for (_ <- 2 to VectorQueries.AnnK) {
+        val next = pool.filterNot(p => selected.contains(p._1))
+          .map { case (v, rel) =>
+            val mx = selected.map(s => cos(e(v), e(s))).max
+            (v, lam * rel - (1 - lam) * mx)
+          }.minBy { case (v, sc) => (-sc, v) }
+        selected :+= next._1
+      }
+      val got = rows.sortBy(_._3).map(_._2).toVector
+      assert(got == selected,
+        s"probe $pid: spark picks $got != greedy replay $selected")
+      // diversity: mean pairwise cosine among MMR picks vs plain top-5
+      val topK = pool.take(VectorQueries.AnnK).map(_._1)
+      def pairMean(vs: Seq[Long]): Double = {
+        val ps = for (i <- vs.indices; j <- vs.indices if i < j)
+          yield cos(e(vs(i)), e(vs(j)))
+        ps.sum / ps.length
+      }
+      mmrPairSum += pairMean(selected); topPairSum += pairMean(topK); pairs += 1
+    }
+    assert(mmrPairSum / pairs < topPairSum / pairs,
+      "MMR selections must be more diverse (lower mean pairwise cosine) " +
+        "than relevance-only top-k on average")
+  }
+
+  test("q109: novelty counts sum to the corpus's distinct-trigram count; first doc fully novel") {
+    val out = SparkEntry.queries("q109_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (doc, nTri, nNov, frac) =>
+      assert(nNov >= 0 && nNov <= nTri, s"doc $doc: $nNov of $nTri novel")
+      assert(math.abs(frac - nNov.toDouble / nTri) < 1e-12)
+    }
+    // Σ n_novel = number of distinct trigrams corpus-wide (each trigram
+    // is novel exactly once, in its first container)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val allTris = docs.flatMap { case (_, ts) =>
+      ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+    }
+    assert(out.map(_._3).sum == allTris.distinct.length,
+      "sum of per-doc novel counts must equal the corpus distinct-trigram count")
+    val firstDoc = out.minBy(_._1)
+    assert(firstDoc._4 == 1.0, "the first document's trigrams are all novel")
+  }
+}

@@ -36,7 +36,12 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q99_hybrid_retrieval", // two-leg pools + decimal BM25 sums + RRF rank
     "q100_hamming_ann",     // integer XOR/popcount two-phase rank
     "q101_feature_hash",    // hashed-dim integer sums + map-lookup dense + cut
-    "q102_binary_rerank")   // integer pool cut + broadcast float rerank
+    "q102_binary_rerank",   // integer pool cut + broadcast float rerank
+    "q103_chunking",        // within-row slicer (no shuffle to vary, cheap pin)
+    "q104_knn_graph",       // cell self-join + per-src rank window
+    "q105_pagerank",        // ITERATIVE: integer-mass joins + dangling scalar
+    "q108_mmr_diverse",     // greedy unroll over the bounded pool
+    "q109_novelty")         // hashed first-container agg + ratio
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
