@@ -68,6 +68,22 @@ object ApproxOracle {
         docs.select("doc_id").filter(col("doc_id") % 3 === 0))).toDF(),
       "resized_cells")
 
+    // q106: the aggregated PCA moments — the export cut after which
+    // both engines run identical sequential arithmetic (Pca.scala's
+    // determinism contract). The moments are an AGGREGATE, not a
+    // per-row function, which is exactly why they are the export:
+    // everything after them (the whole eigensolve) is replayed.
+    {
+      import spark.implicits._
+      val pm = Pca.model(spark, sfDir)
+      OracleExport.write(
+        (for { i <- pm.gram.indices; j <- pm.gram.indices }
+          yield (i, j, pm.gram(i)(j))).toDF("i", "j", "g"), "pca_gram")
+      OracleExport.write(
+        pm.mean.zipWithIndex.map { case (m, p) => (p, m) }.toSeq
+          .toDF("pos", "m"), "pca_mean")
+    }
+
     val e = VectorQueries.emb(spark, sfDir)
     OracleExport.write(
       VectorQueries.lshBucketed(e, VectorQueries.AnnTables, VectorQueries.AnnBits)

@@ -309,6 +309,27 @@ object VectorQueries {
       rank.select(col("vec_id"), col("pr").as("pr_mass"))
     }),
 
+    // Distributed PCA projection (L3): the corpus is touched exactly
+    // twice, both times linearly — once by the one-pass d²-state moment
+    // Aggregator (memoized model, see Pca.scala), once by the
+    // projection scan (two native dot products against broadcast
+    // literal components; z = x·v − μ·v, algebraically (x−μ)·v without
+    // materializing centered vectors). Oracle: DuckDB replays the ENTIRE
+    // eigensolve — 24 power-iteration steps per component, sign fix,
+    // Rayleigh λ, rank-1 deflation — from the exported moment matrix
+    // with sequential list_dot_product arithmetic, bit-identical to the
+    // driver's loops.
+    "q106_pca_project" -> ((s, d) => {
+      val m = Pca.model(s, d)
+      val e = emb(s, d)
+      val zCols = m.comps.toSeq.zipWithIndex.map { case (v, i) =>
+        val vl = array(v.toSeq.map(lit): _*)
+        round(dot(col("emb"), vl) - lit(Pca.dotSeq(m.mean, v)), 4)
+          .as(s"z${i + 1}")
+      }
+      e.select((col("vec_id") +: zCols): _*)
+    }),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
     // re-ranking of each probe's top-MmrPool relevance pool — pick 1 =
     // best relevance, pick k = argmax λ·rel − (1−λ)·max cosine to the
@@ -944,6 +965,10 @@ object VectorQueries {
     // bit-for-bit with no float tolerance anywhere.
     "q105_pagerank" -> prOracle,
 
+    // q106: the full eigensolve replayed from the exported moments —
+    // see pcaOracle/pcaChain below.
+    "q106_pca_project" -> pcaOracle,
+
     // q108: the greedy MMR unroll replayed step for step — same pool
     // cut, same pairwise cosines, same λ·rel − (1−λ)·max(ps) argmax
     // with ties to the lower vec_id. Scores are single-expression
@@ -1304,6 +1329,98 @@ object VectorQueries {
          $iters
          SELECT vec_id, CAST(pr AS BIGINT) AS pr_mass FROM r$PrIters"""
   }
+
+  /** One q106 power-iteration chain ([[Pca.PcaIters]] fixed steps from
+    * the uniform unit start) over the row-list table `gl`, CTE names
+    * suffixed so the deflated second component can reuse the shape.
+    * Every step is a 64-element list_dot_product — sequential
+    * left-to-right like the driver's loops. */
+  private def pcaChain(sfx: String, gl: String, prev: Seq[String]): String = {
+    // AS MATERIALIZED is load-bearing: the scalar subqueries block
+    // DuckDB's CTE sharing, so an inlined 96-step chain re-expands the
+    // whole prefix at every step — exponential planning. Materializing
+    // pins each step to one 64-row evaluation.
+    val steps = (1 to Pca.PcaIters).map { k =>
+      s"""w$sfx$k AS MATERIALIZED (
+           SELECT i, list_dot_product(gs,
+             (SELECT list(x ORDER BY i) FROM v$sfx${k - 1})) AS x
+           FROM $gl),
+         v$sfx$k AS MATERIALIZED (
+           SELECT i, x / (SELECT sqrt(list_dot_product(
+               list(x ORDER BY i), list(x ORDER BY i))) FROM w$sfx$k) AS x
+           FROM w$sfx$k)"""
+    }.mkString(",\n         ")
+    // explicit Gram-Schmidt against each previously extracted
+    // component (see Pca.powerIterate) — subtract the projection,
+    // renormalize; `src` threads the latest per-(i, x) table
+    var src = s"v$sfx${Pca.PcaIters}"
+    val orth = prev.zipWithIndex.map { case (p, idx) =>
+      val od = s"od$sfx$idx"; val o = s"o$sfx$idx"; val on = s"on$sfx$idx"
+      val cte = s"""$od AS MATERIALIZED (
+           SELECT list_dot_product((SELECT v FROM ${p}l),
+             (SELECT list(x ORDER BY i) FROM $src)) AS d),
+         $o AS MATERIALIZED (
+           SELECT v.i, v.x - $od.d * p.x AS x
+           FROM $src v JOIN $p p ON p.i = v.i CROSS JOIN $od),
+         $on AS MATERIALIZED (
+           SELECT i, x / (SELECT sqrt(list_dot_product(
+               list(x ORDER BY i), list(x ORDER BY i))) FROM $o) AS x
+           FROM $o)"""
+      src = on
+      cte
+    }
+    val orthSql = if (orth.isEmpty) "" else orth.mkString(",\n         ") + ",\n         "
+    s"""v${sfx}0 AS MATERIALIZED (
+           SELECT i, 1.0 / sqrt(CAST(dd.dim AS DOUBLE)) AS x
+           FROM (SELECT DISTINCT i FROM gm) CROSS JOIN dd),
+         $steps,
+         ${orthSql}sg$sfx AS MATERIALIZED (
+           SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sg
+           FROM $src ORDER BY abs(x) DESC, i LIMIT 1),
+         pc$sfx AS MATERIALIZED (
+           SELECT i, x * sg AS x
+           FROM $src CROSS JOIN sg$sfx),
+         pc${sfx}l AS MATERIALIZED (SELECT list(x ORDER BY i) AS v FROM pc$sfx),
+         wl$sfx AS MATERIALIZED (
+           SELECT i, list_dot_product(gs, (SELECT v FROM pc${sfx}l)) AS x
+           FROM $gl),
+         lam$sfx AS MATERIALIZED (
+           SELECT list_dot_product((SELECT v FROM pc${sfx}l),
+                                   list(x ORDER BY i)) AS l
+           FROM wl$sfx)"""
+  }
+
+  /** The full q106 oracle: exported moments → two power-iteration
+    * chains with a rank-1 deflation between them → the same
+    * x·v − μ·v projection. */
+  private def pcaOracle: String =
+    s"""WITH gm AS MATERIALIZED (
+           SELECT i, j, g FROM ${graft.OracleExport.p("pca_gram")}),
+         dd AS MATERIALIZED (SELECT count(DISTINCT i) AS dim FROM gm),
+         gl AS MATERIALIZED (
+           SELECT i, list(g ORDER BY j) AS gs FROM gm GROUP BY i),
+         ${pcaChain("a", "gl", Nil)},
+         g2 AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j, gm.g - lama.l * a.x * b.x AS g
+           FROM gm JOIN pca a ON a.i = gm.i
+                   JOIN pca b ON b.i = gm.j
+           CROSS JOIN lama),
+         gl2 AS MATERIALIZED (
+           SELECT i, list(g ORDER BY j) AS gs FROM g2 GROUP BY i),
+         ${pcaChain("b", "gl2", Seq("pca"))},
+         mul AS MATERIALIZED (
+           SELECT list(m ORDER BY pos) AS v
+           FROM ${graft.OracleExport.p("pca_mean")}),
+         eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+                FROM embeddings)
+       SELECT vec_id,
+         round(list_dot_product(fv, (SELECT v FROM pcal)) -
+               list_dot_product((SELECT v FROM mul),
+                                (SELECT v FROM pcal)), 4) AS z1,
+         round(list_dot_product(fv, (SELECT v FROM pcbl)) -
+               list_dot_product((SELECT v FROM mul),
+                                (SELECT v FROM pcbl)), 4) AS z2
+       FROM eb"""
 
   /** The full q108 oracle: pool + pairwise-cosine CTEs, then AnnK−1
     * generated greedy steps (candidates = pool minus selected; max
