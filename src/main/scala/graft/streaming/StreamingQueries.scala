@@ -300,6 +300,28 @@ object StreamingQueries {
     // ST5 stateful dedup: every drop carries each of its rows TWICE;
     // dropDuplicatesWithinWatermark must emit each exactly once, so the
     // output hashes equal to the raw events table.
+    // ST1 × lakehouse upsert: CDC latest-per-key materialization — the
+    // events table arrives as 3 time drops; each batch pre-merges to
+    // one row per touched key and lands as its own store partition
+    // (replay-idempotent); the store is LSM-folded MID-RUN under the
+    // every-2-batches trigger; the answer is the merge-on-read view.
+    // Oracle: a plain rn=1 window over the raw events — argmax under
+    // the total order (ts, event_id) is hierarchical, so batch
+    // boundaries and fold timing must be invisible.
+    "q107_stream_upsert" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q107-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q107-store"))
+      val ckpt = tmp("graft-q107-ckpt")
+      withCompactionEvery2(s) {
+        UpsertStore.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      UpsertStore.view(s, store)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
@@ -474,6 +496,15 @@ object StreamingQueries {
 
     "q75_stream_ingest" -> rawEvents,
     "q76_stream_dedup" -> rawEvents,
+
+    // latest row per key under the total order (ts DESC, event_id
+    // DESC) — the batch definition of the upsert view
+    "q107_stream_upsert" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+           SELECT event_id, ts, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
 
     "q80_stream_stream_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
