@@ -36,7 +36,10 @@ object ClusterVerify {
     "q88_dup_spans", "q89_semdedup", "q94_bigram_fluency",
     "q95_pq_codes", "q96_ivf_pq", "q97_ivf_pq_residual",
     "q98_sq8_ann", "q99_hybrid_retrieval", "q100_hamming_ann",
-    "q101_feature_hash", "q102_binary_rerank")
+    "q101_feature_hash", "q102_binary_rerank", "q103_chunking",
+    "q104_knn_graph", "q105_pagerank", "q106_pca_project",
+    "q108_mmr_diverse", "q109_novelty", "q110_label_prop",
+    "q111_chunk_dedup")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

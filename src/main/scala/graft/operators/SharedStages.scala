@@ -25,6 +25,8 @@ object SharedStages {
       "shard_export" -> time(TextQueries.shardExportDir(s, d)),
       "pq_model" -> time(VectorQueries.pqModel(s, d)),
       "pq_residual_model" -> time(VectorQueries.pqResidualModel(s, d)),
-      "bpe_encode" -> time(TextQueries.bpeEncodedStage(s, d).count()))
+      "bpe_encode" -> time(TextQueries.bpeEncodedStage(s, d).count()),
+      "knn_graph" -> time(VectorQueries.knnGraph(s, d).count()),
+      "pca_model" -> time(Pca.model(s, d)))
   }
 }

@@ -34,6 +34,24 @@ object TextQueries {
   val ChunkW = 32
   val ChunkStride = 24
 
+  /** The q103 chunker on an arbitrary (doc_id, text) frame — shared by
+    * q103 and q111's chunk-level dedup. One projection + generate,
+    * zero shuffles (plan-audited). */
+  private[graft] def chunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), col("n") - 1, lit(ChunkStride)),
+          st => struct(
+            least(lit(ChunkW), col("n") - st).cast("long")
+              .as("n_chunk_tokens"),
+            concat_ws(" ", slice(col("ts"), st + 1, lit(ChunkW)))
+              .as("chunk_text")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+              col("col.n_chunk_tokens"), col("col.chunk_text"))
+
   /** Token trigrams of a token-array column. `ts` MUST be a
     * materialized column attribute, not an inline expression: an
     * expression referenced inside a higher-order-function lambda is
@@ -230,20 +248,30 @@ object TextQueries {
     // scan, output ~n_tokens/stride rows per doc. chunk_id is the
     // ordinal of the window (start/stride), so chunks are addressable
     // without reading neighbors.
-    "q103_chunking" -> ((s, d) => {
-      documents(s, d)
-        .select(col("doc_id"), toks.as("ts"))
-        .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
-        .select(col("doc_id"), col("n"),
-          posexplode(transform(
-            sequence(lit(0), col("n") - 1, lit(ChunkStride)),
-            st => struct(
-              least(lit(ChunkW), col("n") - st).cast("long")
-                .as("n_chunk_tokens"),
-              concat_ws(" ", slice(col("ts"), st + 1, lit(ChunkW)))
-                .as("chunk_text")))))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-                col("col.n_chunk_tokens"), col("col.chunk_text"))
+    "q103_chunking" -> ((s, d) => chunks(documents(s, d))),
+
+    // Chunk-level exact dedup (L1 at passage granularity — the pass
+    // production pipelines run between whole-doc exact dedup and fuzzy
+    // dedup: boilerplate paragraphs repeat across documents that are
+    // globally distinct). Rides q103's slicer; chunks group by
+    // md5(chunk_text) (fixed-width keys — the q22/q53 doctrine), the
+    // first occurrence under the (doc_id, chunk_id) total order is
+    // canonical, every later copy is redundant; per-doc rollup. The
+    // exact-string oracle doubles as the md5-collision check.
+    "q111_chunk_dedup" -> ((s, d) => {
+      val ch = chunks(documents(s, d))
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("h"))
+      val first = ch.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+        .select(col("h"), col("f.doc_id").as("fdoc"), col("f.chunk_id").as("fchunk"))
+      ch.join(first, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("fdoc") === col("doc_id") &&
+                   col("fchunk") === col("chunk_id"), 0L).otherwise(1L))
+            .as("n_redundant"))
+        .withColumn("redundant_frac",
+          col("n_redundant").cast("double") / col("n_chunks"))
     }),
 
     // Quality scoring (L5): punctuation ratio, stopword ratio, mean
@@ -858,22 +886,46 @@ object TextQueries {
        GROUP BY lang, lang_pred"""
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "q29_lang_id" -> langIdOracle,
-
-    "q103_chunking" ->
-      s"""WITH t AS (
+  /** The q103 chunk derivation as shared CTEs (`ch` is the chunk
+    * table) — q103 selects it, q111 deduplicates over it. */
+  private def chunkCte: String =
+    s"""t AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
            FROM documents),
          c AS (
            SELECT doc_id, len(ts) AS n, ts,
              unnest(range(0, len(ts), $ChunkStride)) AS st
-           FROM t)
-         SELECT doc_id, CAST(st // $ChunkStride AS BIGINT) AS chunk_id,
-           CAST(least($ChunkW, n - st) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(list_slice(ts, st + 1, st + $ChunkW), ' ')
-             AS chunk_text
-         FROM c""",
+           FROM t),
+         ch AS (
+           SELECT doc_id, CAST(st // $ChunkStride AS BIGINT) AS chunk_id,
+             CAST(least($ChunkW, n - st) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(list_slice(ts, st + 1, st + $ChunkW), ' ')
+               AS chunk_text
+           FROM c)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_lang_id" -> langIdOracle,
+
+    "q103_chunking" ->
+      s"""WITH $chunkCte
+         SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text FROM ch""",
+
+    // q111: the same chunk CTE, first-occurrence rule replayed as a
+    // row_number over the EXACT chunk strings while Spark keys by
+    // md5 — the collision check, per the q53 doctrine.
+    "q111_chunk_dedup" ->
+      s"""WITH $chunkCte,
+         r AS (
+           SELECT doc_id, chunk_id,
+             row_number() OVER (PARTITION BY chunk_text
+               ORDER BY doc_id, chunk_id) AS rn
+           FROM ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_redundant,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS redundant_frac
+         FROM r GROUP BY 1""",
 
     "q63_decontaminate" ->
       """WITH toks AS (

@@ -64,6 +64,12 @@ object VectorQueries {
     * into the q104/q105 oracles. */
   val KnnGraphK = 4
 
+  /** q110 label propagation: every LpSeedMod-th node is a clamped seed
+    * carrying its corpus label; LpIters synchronous voting rounds.
+    * Both interpolated into the oracle. */
+  val LpSeedMod = 5
+  val LpIters = 3
+
   /** q108 MMR: candidate-pool depth per probe and the
     * relevance/diversity trade-off λ (score = λ·rel − (1−λ)·maxSim).
     * Both interpolated into the oracle; (1−λ) is spelled `1 - 0.7` on
@@ -98,25 +104,31 @@ object VectorQueries {
     * PageRank iterations replay a ~n×K edge table, not the cell join. */
   private[graft] def knnGraph(s: SparkSession, d: String): DataFrame =
     StageCache.getOrCompute(s, s"knn_graph:$d") {
-      import org.apache.spark.sql.expressions.Window
-      val e = emb(s, d)
-      val n = e.count()
-      val cells = IvfIndex.withCells(
-        e, IvfIndex.centroids(e, ivfNList(n), Some(n)))
-      val a = cells.select(col("cell"), col("vec_id").as("src"),
-        col("emb").as("aemb"))
-      val b = cells.select(col("cell"), col("vec_id").as("dst"),
-        col("emb").as("bemb"))
-      val scored = a.join(b, Seq("cell"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          cosine(col("aemb"), col("bemb")).as("sim"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("sim").desc, col("dst").asc)
-      scored.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= KnnGraphK)
-        .localCheckpoint()
+      knnGraphPlan(s, d).localCheckpoint()
     }
+
+  /** The un-materialized q104 plan — split out so PlanAuditSpec can
+    * audit the join shape (localCheckpoint collapses the lineage to a
+    * Scan ExistingRDD). */
+  private[graft] def knnGraphPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val n = e.count()
+    val cells = IvfIndex.withCells(
+      e, IvfIndex.centroids(e, ivfNList(n), Some(n)))
+    val a = cells.select(col("cell"), col("vec_id").as("src"),
+      col("emb").as("aemb"))
+    val b = cells.select(col("cell"), col("vec_id").as("dst"),
+      col("emb").as("bemb"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosine(col("aemb"), col("bemb")).as("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= KnnGraphK)
+  }
 
   /** Multi-table hyperplane bucket assignment: one row per (vec, table)
     * with the table id and bucket signature. One projection + explode —
@@ -307,6 +319,45 @@ object VectorQueries {
                 s"DIV $PrDampDen")).as("pr"))
       }
       rank.select(col("vec_id"), col("pr").as("pr_mass"))
+    }),
+
+    // Label propagation over the q104 graph (semi-supervised
+    // auto-labeling — the standard recipe for extending a small
+    // labeled seed set across an unlabeled corpus): every LpSeedMod-th
+    // node is a CLAMPED seed carrying its corpus label; LpIters
+    // synchronous rounds of neighbor majority vote (ties to the
+    // smaller label), over the undirected closure of the k-NN edges.
+    // All voting is integer counts with a total-order argmax, so the
+    // oracle's identical unrolled replay matches without tolerance.
+    // Once labeled, a node never unlabels (its shortest-path
+    // predecessor toward a seed stays labeled), so coverage grows
+    // monotonically with rounds — GraphFamilySpec pins this.
+    "q110_label_prop" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val g = knnGraph(s, d).select(col("src"), col("dst"))
+      val und = g.unionByName(
+          g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val seeds = e.select(col("vec_id"),
+        when(col("vec_id") % LpSeedMod === 0, col("label")).as("lbl"))
+      var cur = seeds
+      for (_ <- 1 to LpIters) {
+        val votes = und
+          .join(cur.select(col("vec_id").as("dst"), col("lbl")), Seq("dst"))
+          .filter(col("lbl").isNotNull)
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cnt").desc, col("lbl").asc)
+        val win = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("vec_id"), col("lbl").as("wlbl"))
+        cur = seeds.join(win, Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("lbl"), col("wlbl")).as("lbl"))
+      }
+      cur.select(col("vec_id"),
+        coalesce(col("lbl"), lit(-1)).cast("long").as("label"),
+        (col("vec_id") % LpSeedMod === 0).as("is_seed"))
     }),
 
     // Distributed PCA projection (L3): the corpus is touched exactly
@@ -969,6 +1020,10 @@ object VectorQueries {
     // see pcaOracle/pcaChain below.
     "q106_pca_project" -> pcaOracle,
 
+    // q110: the edge replay + LpIters unrolled integer voting rounds —
+    // identical count/argmax/clamp arithmetic, no tolerance.
+    "q110_label_prop" -> lpOracle,
+
     // q108: the greedy MMR unroll replayed step for step — same pool
     // cut, same pairwise cosines, same λ·rel − (1−λ)·max(ps) argmax
     // with ties to the lower vec_id. Scores are single-expression
@@ -1328,6 +1383,36 @@ object VectorQueries {
                 FROM embeddings CROSS JOIN nn),
          $iters
          SELECT vec_id, CAST(pr AS BIGINT) AS pr_mass FROM r$PrIters"""
+  }
+
+  /** The full q110 oracle: edge replay, undirected closure, clamped
+    * seed column, then [[LpIters]] generated voting rounds. */
+  private def lpOracle: String = {
+    val rounds = (1 to LpIters).map { k =>
+      s"""v$k AS (
+           SELECT u.src, l.lbl, count(*) AS cnt
+           FROM und u JOIN l${k - 1} l ON l.vec_id = u.dst
+           WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+         w$k AS (
+           SELECT src AS vec_id, lbl AS wlbl FROM (
+             SELECT src, lbl, row_number() OVER (PARTITION BY src
+               ORDER BY cnt DESC, lbl) AS rn FROM v$k)
+           WHERE rn = 1),
+         l$k AS (
+           SELECT l0.vec_id, coalesce(l0.lbl, w.wlbl) AS lbl
+           FROM l0 LEFT JOIN w$k w ON w.vec_id = l0.vec_id)"""
+    }.mkString(",\n         ")
+    s"""WITH $knnEdgeCtes,
+         und AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM edges
+           UNION ALL SELECT dst, src FROM edges)),
+         l0 AS (SELECT vec_id,
+                  CASE WHEN vec_id % $LpSeedMod = 0 THEN label END AS lbl
+                FROM embeddings),
+         $rounds
+         SELECT vec_id, CAST(coalesce(lbl, -1) AS BIGINT) AS label,
+           vec_id % $LpSeedMod = 0 AS is_seed
+         FROM l$LpIters"""
   }
 
   /** One q106 power-iteration chain ([[Pca.PcaIters]] fixed steps from

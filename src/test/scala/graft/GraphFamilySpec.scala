@@ -160,6 +160,71 @@ class GraphFamilySpec extends SparkTestBase {
         "than relevance-only top-k on average")
   }
 
+  test("q110: driver replay of the voting rounds matches; seeds clamped; coverage grows") {
+    val e = VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seedOf = e.keys.filter(_ % VectorQueries.LpSeedMod == 0)
+      .map(v => v -> e(v)).toMap
+    var cur: Map[Long, Option[Int]] =
+      e.keys.map(v => v -> seedOf.get(v)).toMap
+    for (_ <- 1 to VectorQueries.LpIters) {
+      val next = e.keys.map { v =>
+        val votes = adj.getOrElse(v, Array.empty[Long]).flatMap(cur(_))
+          .groupBy(x => x).view.mapValues(_.size).toSeq
+        val winner = if (votes.isEmpty) None
+          else Some(votes.minBy { case (l, c) => (-c, l) }._1)
+        v -> seedOf.get(v).orElse(winner)
+      }.toMap
+      cur = next
+    }
+    val got = SparkEntry.queries("q110_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == e.size, "every node must be emitted")
+    got.foreach { case (v, lbl, isSeed) =>
+      assert(isSeed == (v % VectorQueries.LpSeedMod == 0))
+      val want = cur(v).map(_.toLong).getOrElse(-1L)
+      assert(lbl == want, s"node $v: spark $lbl != replay $want")
+      if (isSeed) assert(lbl == e(v).toLong, s"seed $v must keep its corpus label")
+    }
+    val labeled = got.count(_._2 != -1L)
+    assert(labeled > seedOf.size,
+      "propagation must label beyond the seed set at this density")
+  }
+
+  test("q111: per-doc redundancy matches a driver replay; totals tie out") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val chunks = docs.flatMap { case (doc, ts) =>
+      (0 until ts.length by TextQueries.ChunkStride).zipWithIndex.map {
+        case (st, cid) =>
+          (doc, cid.toLong, ts.slice(st, st + TextQueries.ChunkW).mkString(" "))
+      }
+    }
+    val firstOf = chunks.groupBy(_._3).view
+      .mapValues(_.map(c => (c._1, c._2)).min).toMap
+    val expected = chunks.groupBy(_._1).map { case (doc, cs) =>
+      doc -> (cs.length.toLong,
+        cs.count(c => firstOf(c._3) != ((c._1, c._2))).toLong)
+    }
+    val got = SparkEntry.queries("q111_chunk_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expected.keySet)
+    got.foreach { case (doc, nCh, nRed, frac) =>
+      val (wantCh, wantRed) = expected(doc)
+      assert(nCh == wantCh && nRed == wantRed,
+        s"doc $doc: ($nCh, $nRed) != ($wantCh, $wantRed)")
+      assert(math.abs(frac - nRed.toDouble / nCh) < 1e-12)
+    }
+    // global identity: redundant chunks = total chunks − distinct texts
+    assert(got.map(_._3).sum ==
+      chunks.length - chunks.map(_._3).distinct.length)
+  }
+
   test("q109: novelty counts sum to the corpus's distinct-trigram count; first doc fully novel") {
     val out = SparkEntry.queries("q109_novelty")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -41,7 +41,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q104_knn_graph",       // cell self-join + per-src rank window
     "q105_pagerank",        // ITERATIVE: integer-mass joins + dangling scalar
     "q108_mmr_diverse",     // greedy unroll over the bounded pool
-    "q109_novelty")         // hashed first-container agg + ratio
+    "q109_novelty",         // hashed first-container agg + ratio
+    "q110_label_prop",      // ITERATIVE: integer voting rounds + clamp
+    "q111_chunk_dedup")     // md5 chunk keys + first-occurrence rule
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

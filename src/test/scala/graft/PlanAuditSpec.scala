@@ -348,6 +348,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("cosine_sim("), s"exact rescore missing from the plan:\n$p")
   }
 
+  test("q103 chunking: a pure map — zero exchanges over the corpus scan") {
+    val p = plan("q103_chunking")
+    assert(!p.contains("Exchange"),
+      s"the within-row slicer must not shuffle anything:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode generate:\n$p")
+  }
+
+  test("q104 knn graph: cell-keyed equi-join, never a cross product") {
+    val p = graft.operators.VectorQueries.knnGraphPlan(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the within-cell pair scan degenerated to all-pairs:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.contains("cell#")),
+      s"no cell-keyed join found:\n$p")
+  }
+
+  test("q105 pagerank: contribution joins keyed by src/vec_id, dangling scalar broadcasts") {
+    val p = plan("q105_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      s"PageRank must never cross-product:\n$p")
+    // the one-row dangling scalar enters via a broadcast nested-loop
+    // (a true scalar crossJoin); everything else is keyed
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dangling-mass scalar should broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && (l.contains("src#") || l.contains("vec_id#"))),
+      s"no keyed contribution join found:\n$p")
+  }
+
+  test("q106 pca: the projection pass is exchange-free over the corpus scan") {
+    val p = plan("q106_pca_project")
+    assert(!p.contains("Exchange"),
+      s"projection is a map over the scan — nothing may shuffle:\n$p")
+    assert(p.contains("dot_product("),
+      s"native dot-product expression missing:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
