@@ -224,6 +224,45 @@ object RelationalQueries {
         .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Funnel analysis (W2 family — the ordered-conversion op every
+    // event-analytics engine ships): per user, the earliest 'view',
+    // the earliest 'click' AT OR AFTER it, the earliest 'purchase' at
+    // or after that, stage depth reached, and the exact micros from
+    // first view to conversion. Stage k+1 depends on stage k's
+    // timestamp, so the plan is a chain of three user-keyed min
+    // aggregations + joins — every shuffle keyed by user_id, each
+    // stage's frame only as large as the users still in the funnel;
+    // no window over raw history, no self-join of events×events.
+    // Times are integer micros end-to-end — hash-exact cross-engine.
+    "q112_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      def stage(tpe: String, after: DataFrame, afterCol: String,
+                out: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+          .join(after, Seq("user_id"))
+          .filter(col("t") >= col(afterCol))
+          .groupBy(col("user_id")).agg(min(col("t")).as(out))
+      val users = ev.select(col("user_id")).distinct()
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t_view"))
+      val s2 = stage("click", s1, "t_view", "t_click")
+        .select(col("user_id"), col("t_click"))
+      val s3 = stage("purchase", s2, "t_click", "t_purchase")
+        .select(col("user_id"), col("t_purchase"))
+      users.join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L)).as("stage"),
+          col("t_view"), col("t_click"), col("t_purchase"),
+          (col("t_purchase") - col("t_view")).as("micros_to_convert"))
+    }),
+
     // Session STATS with order-dependent payload (increasing-value
     // steps, first-3 event types) — the batch window-function derivation
     // of streaming/StatefulSessions; the flatMapGroupsWithState stream
@@ -425,6 +464,34 @@ object RelationalQueries {
          count(*) AS n,
          CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
+
+    // the same three chained user-keyed mins; epoch_us mirrors
+    // unix_micros, so every compared value is an integer
+    "q112_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(epoch_us(ts)) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t_view
+           GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t_click
+           GROUP BY 1)
+         SELECT u.user_id,
+           CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                     WHEN s2.t_click IS NOT NULL THEN 2
+                     WHEN s1.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           s1.t_view, s2.t_click, s3.t_purchase,
+           s3.t_purchase - s1.t_view AS micros_to_convert
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 ON s1.user_id = u.user_id
+         LEFT JOIN s2 ON s2.user_id = u.user_id
+         LEFT JOIN s3 ON s3.user_id = u.user_id""",
 
     "q18_sessionize" ->
       """SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events FROM (

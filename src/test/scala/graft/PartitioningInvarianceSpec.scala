@@ -43,7 +43,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q108_mmr_diverse",     // greedy unroll over the bounded pool
     "q109_novelty",         // hashed first-container agg + ratio
     "q110_label_prop",      // ITERATIVE: integer voting rounds + clamp
-    "q111_chunk_dedup")     // md5 chunk keys + first-occurrence rule
+    "q111_chunk_dedup",     // md5 chunk keys + first-occurrence rule
+    "q112_funnel")          // chained user-keyed mins, integer micros
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
