@@ -263,6 +263,26 @@ object RelationalQueries {
           (col("t_purchase") - col("t_view")).as("micros_to_convert"))
     }),
 
+    // Retention cohort analysis (the other standard event-analytics
+    // matrix next to q112's funnel): users bucketed by the DAY of
+    // their first signup; n_users active at each day offset since.
+    // One signup-filtered min aggregation, one distinct
+    // (user, day) projection, one user-keyed join — integer day
+    // arithmetic end-to-end, so the oracle is hash-exact.
+    "q113_retention" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val act = ev.select(col("user_id"), col("day")).distinct()
+      act.join(cohort, Seq("user_id"))
+        .filter(col("day") >= col("cohort_day"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Session STATS with order-dependent payload (increasing-value
     // steps, first-3 event types) — the batch window-function derivation
     // of streaming/StatefulSessions; the flatMapGroupsWithState stream
@@ -464,6 +484,21 @@ object RelationalQueries {
          count(*) AS n,
          CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
+
+    // integer day buckets mirror unix_micros DIV exactly (both
+    // operands positive, floor == trunc)
+    "q113_retention" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         coh AS (SELECT user_id, min(day) AS cohort_day FROM ev
+                 WHERE event_type = 'signup' GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, day FROM ev)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM act JOIN coh USING (user_id)
+         WHERE day >= cohort_day GROUP BY 1, 2""",
 
     // the same three chained user-keyed mins; epoch_us mirrors
     // unix_micros, so every compared value is an integer

@@ -64,6 +64,13 @@ object VectorQueries {
     * into the q104/q105 oracles. */
   val KnnGraphK = 4
 
+  /** q114 semantic-cluster edge threshold: a k-NN edge survives into
+    * the clustering only at cosine ≥ this (≈ the top quartile of
+    * within-cell neighbor similarities at every test SF — non-vacuous
+    * clusters without one giant component). Interpolated into the
+    * oracle. */
+  val SemClusterEps = 0.35
+
   /** q110 label propagation: every LpSeedMod-th node is a clamped seed
     * carrying its corpus label; LpIters synchronous voting rounds.
     * Both interpolated into the oracle. */
@@ -325,6 +332,24 @@ object VectorQueries {
         if (it < PrIters) rank = rank.localCheckpoint()
       }
       rank.select(col("vec_id"), col("pr").as("pr_mass"))
+    }),
+
+    // Semantic clustering (L2e's graph-side twin): the q104 k-NN edges
+    // thresholded at SemClusterEps, canonicalized undirected, fed to
+    // the SAME large/small-star ConnectedComponents the text dedup
+    // path uses (q54) — the cluster substrate graph-based dedup and
+    // topic grouping share. Cluster summary only (comp_id = min member
+    // id by the CC root convention); singletons are not clusters.
+    "q114_semantic_clusters" -> ((s, d) => {
+      val edges = knnGraph(s, d).filter(col("sim") >= SemClusterEps)
+        .select(least(col("src"), col("dst")).as("src"),
+                greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+      ConnectedComponents.labels(s, edges)
+        .groupBy(col("comp_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("comp_id").cast("long").as("cluster_id"),
+                col("n_members"))
     }),
 
     // Label propagation over the q104 graph (semi-supervised
@@ -1039,6 +1064,25 @@ object VectorQueries {
     // q110: the edge replay + LpIters unrolled integer voting rounds —
     // identical count/argmax/clamp arithmetic, no tolerance.
     "q110_label_prop" -> lpOracle,
+
+    // q114: the edge replay thresholded + the q54 recursive-CTE
+    // transitive closure with the same min-root labeling.
+    "q114_semantic_clusters" ->
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         te AS (
+           SELECT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE sim >= $SemClusterEps),
+         ed AS (SELECT DISTINCT a, b FROM
+                  (SELECT a, b FROM te UNION SELECT b, a FROM te)),
+         reach(a, b) AS (
+           SELECT a, b FROM ed
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+         labels AS (
+           SELECT a AS vec_id, least(a, min(b)) AS comp_id
+           FROM reach GROUP BY a)
+         SELECT comp_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         FROM labels GROUP BY 1""",
 
     // q108: the greedy MMR unroll replayed step for step — same pool
     // cut, same pairwise cosines, same λ·rel − (1−λ)·max(ps) argmax

@@ -225,6 +225,31 @@ class GraphFamilySpec extends SparkTestBase {
       chunks.length - chunks.map(_._3).distinct.length)
   }
 
+  test("q114: clusters match a driver union-find over the thresholded edges; non-vacuous") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .filter(_.getDouble(2) >= VectorQueries.SemClusterEps)
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).distinct
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => find(k) -> k).toSeq
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q114_semantic_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"cluster summary mismatch: $got vs $want")
+    assert(got.nonEmpty && got.values.max >= 2, "need a real multi-member cluster")
+    assert(got.values.sum < VectorQueries.emb(spark, sf).count(),
+      "threshold must not glue the whole corpus into clusters")
+  }
+
   test("q109: novelty counts sum to the corpus's distinct-trigram count; first doc fully novel") {
     val out = SparkEntry.queries("q109_novelty")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

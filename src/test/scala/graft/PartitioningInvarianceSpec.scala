@@ -44,7 +44,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q109_novelty",         // hashed first-container agg + ratio
     "q110_label_prop",      // ITERATIVE: integer voting rounds + clamp
     "q111_chunk_dedup",     // md5 chunk keys + first-occurrence rule
-    "q112_funnel")          // chained user-keyed mins, integer micros
+    "q112_funnel",          // chained user-keyed mins, integer micros
+    "q113_retention",       // integer day cohort matrix
+    "q114_semantic_clusters") // thresholded edges + star-contraction CC
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
