@@ -87,6 +87,19 @@ object RestartHarness {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
+    // `upsert` = the q107 CDC store (foreachBatch): a kill can land
+    // between the batch_id partition write and the commit log — the
+    // resume must replay the batch into ITS OWN partition (dynamic
+    // overwrite) so the merge-on-read view never double-counts
+    else if (kind == "upsert")
+      s.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          UpsertStore.processBatch(s, outDir)(b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
     else
       build(s, kind, landing, schemaFrom).writeStream.format("parquet")
         .option("path", outDir)

@@ -72,4 +72,38 @@ class UpsertStoreSpec extends SparkTestBase {
       StreamingQueries.rmTree(landing); StreamingQueries.rmTree(ckpt)
     }
   }
+
+  test("the upsert store survives a process kill mid-run (q75-grade recovery)") {
+    import graft.streaming.RestartHarness
+    val events = ev
+    val r = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / 4 + 1
+    val landing = StreamingQueries.tmp("graft-upsert-kill-landing")
+    val store = TempDirs.register(StreamingQueries.tmp("graft-upsert-kill-store"))
+    val ckpt = StreamingQueries.tmp("graft-upsert-kill-ckpt")
+    try {
+      (0 until 4).foreach { i =>
+        StreamingQueries.drop(events.filter(
+          unix_micros(col("ts")) >= mn + i * w &&
+          unix_micros(col("ts")) < mn + (i + 1) * w), landing, i)
+      }
+      // child JVM halts after 2 committed batches — no shutdown hooks,
+      // the in-flight batch abandoned wherever it was
+      val code = RestartHarness.launchKilled("upsert", landing, ckpt, store,
+        sf, killAfter = 2)
+      assert(code == RestartHarness.KilledExit || code == 0,
+        s"child failed with unexpected exit $code")
+      // resume in THIS process from the same checkpoint
+      RestartHarness.start(spark, "upsert", landing, ckpt, store, events)
+        .awaitTermination()
+      val got = graft.streaming.UpsertStore.view(spark, store)
+        .collect().map(_.toString).toSet
+      assert(got == expectedView(events),
+        "view after kill+resume must equal the uninterrupted batch argmax")
+    } finally {
+      StreamingQueries.rmTree(landing); StreamingQueries.rmTree(ckpt)
+    }
+  }
 }
