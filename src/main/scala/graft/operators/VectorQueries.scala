@@ -301,37 +301,9 @@ object VectorQueries {
     // integer mass (see [[PrMass]]) so the oracle's replay — the same
     // three unrolled iterations as SQL CTEs — matches bit-for-bit.
     "q105_pagerank" -> ((s, d) => {
-      val edges = knnGraph(s, d).select(col("src"), col("dst"))
       val e = emb(s, d)
-      val n = e.count()
-      val nodes = e.select(col("vec_id"))
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val base = (3L * PrMass) / (PrDampDen * n) // (1-d)·M/n, floor
-      var rank = nodes.select(col("vec_id"), lit(PrMass / n).as("pr"))
-      for (it <- 1 to PrIters) {
-        val dang = rank
-          .join(outdeg.select(col("src").as("vec_id")), Seq("vec_id"), "left_anti")
-          .agg(coalesce(sum(col("pr")), lit(0L)).as("dg"))
-        val contrib = edges
-          .join(rank.withColumnRenamed("vec_id", "src"), Seq("src"))
-          .join(outdeg, Seq("src"))
-          .groupBy(col("dst"))
-          .agg(sum(expr("pr DIV outdeg")).as("m"))
-        rank = nodes
-          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("vec_id"),
-            (lit(base) + expr(
-              s"($PrDampNum * (coalesce(m, CAST(0 AS BIGINT)) + dg DIV $n)) " +
-                s"DIV $PrDampDen")).as("pr"))
-        // truncate lineage each round (the standard iterative-algorithm
-        // discipline): rank is referenced twice by the next round
-        // (dangling scan + contribution join), so an unmaterialized
-        // plan re-executes the whole prefix 2^k times. The LAST round
-        // stays a plan so PlanAuditSpec can see the join shapes.
-        if (it < PrIters) rank = rank.localCheckpoint()
-      }
-      rank.select(col("vec_id"), col("pr").as("pr_mass"))
+      pageRankMass(e.select(col("vec_id")),
+        knnGraph(s, d).select(col("src"), col("dst")), e.count())
     }),
 
     // Semantic clustering (L2e's graph-side twin): the q104 k-NN edges
@@ -364,33 +336,14 @@ object VectorQueries {
     // predecessor toward a seed stays labeled), so coverage grows
     // monotonically with rounds — GraphFamilySpec pins this.
     "q110_label_prop" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val g = knnGraph(s, d).select(col("src"), col("dst"))
-      val und = g.unionByName(
-          g.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
       val seeds = e.select(col("vec_id"),
         when(col("vec_id") % LpSeedMod === 0, col("label")).as("lbl"))
-      var cur = seeds
-      for (_ <- 1 to LpIters) {
-        val votes = und
-          .join(cur.select(col("vec_id").as("dst"), col("lbl")), Seq("dst"))
-          .filter(col("lbl").isNotNull)
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy(col("src"))
-          .orderBy(col("cnt").desc, col("lbl").asc)
-        val win = votes.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("src").as("vec_id"), col("lbl").as("wlbl"))
-        // lineage truncation per round, like q105
-        cur = seeds.join(win, Seq("vec_id"), "left")
-          .select(col("vec_id"), coalesce(col("lbl"), col("wlbl")).as("lbl"))
-          .localCheckpoint()
-      }
-      cur.select(col("vec_id"),
-        coalesce(col("lbl"), lit(-1)).cast("long").as("label"),
-        (col("vec_id") % LpSeedMod === 0).as("is_seed"))
+      propagateLabels(seeds, knnGraph(s, d).select(col("src"), col("dst")),
+          LpIters)
+        .select(col("vec_id"),
+          coalesce(col("lbl"), lit(-1)).cast("long").as("label"),
+          (col("vec_id") % LpSeedMod === 0).as("is_seed"))
     }),
 
     // Distributed PCA projection (L3): the corpus is touched exactly
@@ -1390,6 +1343,76 @@ object VectorQueries {
            CAST(rn AS BIGINT) AS rn
          FROM r WHERE rn <= $HybridTopK"""
   )
+
+  /** Integer-mass PageRank (q105's engine, usable over ANY (src, dst)
+    * edge table): [[PrIters]] synchronous iterations at damping
+    * [[PrDampNum]]/[[PrDampDen]] over a total mass of [[PrMass]].
+    * Every per-node quantity is a BIGINT (floor-division shares,
+    * all operands positive), so sums are order-independent and the
+    * result is bit-identical however the data is partitioned — the
+    * rational doctrine applied to iteration. Contributions shuffle by
+    * dst, the dangling sum is a broadcast one-row scalar, the rank
+    * vector is O(n) rows; lineage truncates each round (an
+    * unmaterialized rank is referenced twice by the next round and
+    * would re-execute the prefix 2^k times). The LAST round stays a
+    * plan so PlanAuditSpec can see the join shapes.
+    * Returns (vec_id, pr_mass). */
+  def pageRankMass(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (3L * PrMass) / (PrDampDen * n) // (1-d)·M/n, floor
+    var rank = nodes.select(col("vec_id"), lit(PrMass / n).as("pr"))
+    for (it <- 1 to PrIters) {
+      val dang = rank
+        .join(outdeg.select(col("src").as("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dg"))
+      val contrib = edges
+        .join(rank.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr DIV outdeg")).as("m"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("vec_id"),
+          (lit(base) + expr(
+            s"($PrDampNum * (coalesce(m, CAST(0 AS BIGINT)) + dg DIV $n)) " +
+              s"DIV $PrDampDen")).as("pr"))
+      if (it < PrIters) rank = rank.localCheckpoint()
+    }
+    rank.select(col("vec_id"), col("pr").as("pr_mass"))
+  }
+
+  /** Synchronous clamped-seed label propagation (q110's engine, usable
+    * over ANY directed edge table — the undirected closure is built
+    * here): `seeds` is (vec_id, lbl) with lbl NULL for unlabeled
+    * nodes; each round every node takes the majority label of its
+    * neighbors' previous-round labels (ties to the smaller label),
+    * with non-NULL seeds clamped. Integer counts + a total-order
+    * argmax — partitioning-independent. Returns (vec_id, lbl). */
+  def propagateLabels(seeds: DataFrame, edges: DataFrame,
+                      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var cur = seeds
+    for (_ <- 1 to iters) {
+      val votes = und
+        .join(cur.select(col("vec_id").as("dst"), col("lbl")), Seq("dst"))
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      val win = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("lbl").as("wlbl"))
+      // lineage truncation per round, like pageRankMass
+      cur = seeds.join(win, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lbl"), col("wlbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    cur
+  }
 
   /** The q104 edge table replayed in DuckDB — the exported ivf_cells
     * self-join, exact cosine rescore against the embeddings table, and
