@@ -149,6 +149,24 @@ object StreamingQueries {
     // window-function derivation in DuckDB. Timeout-closed final
     // sessions are included — this is the full-stream answer, not the
     // closed-by-successor subset the spec settles for.
+    // ST × W4: the funnel as a STREAM — per-user keyed state machine
+    // (StreamingFunnel) folding in-order events, final states emitted
+    // by event-time timeout under the sentinel-pushed watermark. The
+    // oracle IS q112's batch chain, so stream == batch is re-proven
+    // on rows, schema and hash every round.
+    "q115_stream_funnel" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q115-landing")
+      splitByTime(events, landing, 3)
+      flushDrops(s, events, landing, 3)
+      val out = runAppend(
+        StreamingFunnel.funnel(s, readLanding(s, landing, events)).toDF(),
+        "q115", Seq(landing))
+      out.filter(col("user_id") >= 0)
+        .select("user_id", "stage", "t_view", "t_click", "t_purchase",
+          "micros_to_convert")
+    }),
+
     "q71_stream_sessions" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q71-landing")
@@ -441,6 +459,11 @@ object StreamingQueries {
     // identical derivation to the q60 batch twin — the stream must agree
     "q71_stream_sessions" ->
       graft.operators.RelationalQueries.oracleSql("q60_session_stats"),
+
+    // identical derivation to the q112 batch funnel — the stream's
+    // greedy per-user fold must reproduce the min-chain exactly
+    "q115_stream_funnel" ->
+      graft.operators.RelationalQueries.oracleSql("q112_funnel"),
 
     // band self-join candidates -> exact set Jaccard over shingle hashes
     // (the same exports q25 recomputes its summary from — here the PAIRS
