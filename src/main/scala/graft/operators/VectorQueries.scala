@@ -77,6 +77,18 @@ object VectorQueries {
   val LpSeedMod = 5
   val LpIters = 3
 
+  /** q116 NN-Descent refinement rounds, and the number of
+    * deterministic RANDOM seed edges per node. The random seeds are
+    * load-bearing: the cell-local q104 edges are CLOSED under
+    * neighbor-of-neighbor composition (a→b and b→c inside b's cell
+    * stay inside the cell), so without cross-cell seeds the descent
+    * can never escape a cell — measured recall stays exactly flat.
+    * Seeds derive from md5("src:j") (the q86 bucket idiom: both
+    * engines render and hash the identical string), so the oracle
+    * regenerates them bit-for-bit. */
+  val NnDescentRounds = 2
+  val NnDescentRandom = 4
+
   /** q108 MMR: candidate-pool depth per probe and the
     * relevance/diversity trade-off λ (score = λ·rel − (1−λ)·maxSim).
     * Both interpolated into the oracle; (1−λ) is spelled `1 - 0.7` on
@@ -304,6 +316,22 @@ object VectorQueries {
       val e = emb(s, d)
       pageRankMass(e.select(col("vec_id")),
         knnGraph(s, d).select(col("src"), col("dst")), e.count())
+    }),
+
+    // NN-Descent (Dong et al. 2011) — the published distributed
+    // k-NN-graph refinement: "a neighbor of my neighbor is likely my
+    // neighbor". Each round takes the UNDIRECTED closure of the
+    // current graph, generates neighbor-of-neighbor candidates (per
+    // node ≤ (2K)² — bounded by the graph degree, NOT the corpus, so
+    // each round is linear in n), rescores with exact cosine, and
+    // keeps the best K per node. This recovers the cross-cell true
+    // neighbors q104's cell-local build cannot see — recall against
+    // the brute graph strictly improves (GraphFamilySpec measures
+    // it). Oracle: the edge replay + both rounds as generated CTEs —
+    // bit-identical cosines, total-order ranks, no tolerance.
+    "q116_nn_descent" -> ((s, d) => {
+      nnDescentGraph(s, d).select(col("src"), col("dst"),
+        round(col("sim"), 4).as("cos"), col("rn"))
     }),
 
     // Semantic clustering (L2e's graph-side twin): the q104 k-NN edges
@@ -1018,6 +1046,11 @@ object VectorQueries {
     // identical count/argmax/clamp arithmetic, no tolerance.
     "q110_label_prop" -> lpOracle,
 
+    // q116: the edge replay + both NN-Descent rounds as generated
+    // CTEs — closure, neighbor-of-neighbor candidates, exact-cosine
+    // rescore, the same (sim DESC, dst) top-K cut per round.
+    "q116_nn_descent" -> nnDescentOracle,
+
     // q114: the edge replay thresholded + the q54 recursive-CTE
     // transitive closure with the same min-root labeling.
     "q114_semantic_clusters" ->
@@ -1344,6 +1377,49 @@ object VectorQueries {
          FROM r WHERE rn <= $HybridTopK"""
   )
 
+  /** The q116 NN-Descent stage: [[NnDescentRounds]] refinement rounds
+    * over the memoized q104 graph, memoized itself per (session,
+    * corpus). Per round: undirected closure → neighbor-of-neighbor
+    * candidates ∪ current edges → exact-cosine rescore → top-K per
+    * node; lineage truncates per round. Returns (src, dst, sim, rn). */
+  private[graft] def nnDescentGraph(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, s"nn_descent:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val n = e.count()
+      // deterministic random cross-cell seeds — see [[NnDescentRandom]]
+      val rnd = e.select(col("vec_id").as("src"))
+        .withColumn("j", explode(sequence(lit(1), lit(NnDescentRandom))))
+        .select(col("src"),
+          pmod(conv(substring(md5(concat_ws(":", col("src"), col("j"))),
+            1, 12), 16, 10).cast("long"), lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      var g = knnGraph(s, d).select(col("src"), col("dst"))
+        .unionByName(rnd).distinct()
+      var ranked: DataFrame = null
+      for (_ <- 1 to NnDescentRounds) {
+        val und = g.unionByName(
+            g.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val nn = und.select(col("src").as("a"), col("dst").as("b"))
+          .join(und.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+          .filter(col("a") =!= col("c"))
+          .select(col("a").as("src"), col("c").as("dst"))
+        val cand = g.unionByName(nn).distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("src"), col("emb").as("ea")), Seq("src"))
+          .join(e.select(col("vec_id").as("dst"), col("emb").as("eb")), Seq("dst"))
+          .select(col("src"), col("dst"), cosine(col("ea"), col("eb")).as("sim"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("sim").desc, col("dst").asc)
+        ranked = scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= KnnGraphK)
+          .localCheckpoint()
+        g = ranked.select(col("src"), col("dst"))
+      }
+      ranked
+    }
+
   /** Integer-mass PageRank (q105's engine, usable over ANY (src, dst)
     * edge table): [[PrIters]] synchronous iterations at damping
     * [[PrDampNum]]/[[PrDampDen]] over a total mass of [[PrMass]].
@@ -1467,6 +1543,65 @@ object VectorQueries {
          $iters
          SELECT vec_id, CAST(pr AS BIGINT) AS pr_mass FROM r$PrIters"""
   }
+
+  /** The full q116 oracle: edge replay, then [[NnDescentRounds]]
+    * generated refinement rounds. MATERIALIZED per round — each CTE is
+    * referenced twice by the next round and the base edge replay is
+    * expensive enough that re-inlining would multiply it. */
+  private def nnDescentOracle: String = {
+    val rounds = (1 to NnDescentRounds).map { r =>
+      s"""u$r AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM g${r - 1}
+             UNION ALL SELECT dst, src FROM g${r - 1})),
+         nn$r AS MATERIALIZED (
+           SELECT DISTINCT a.src AS src, b.dst AS dst
+           FROM u$r a JOIN u$r b ON a.dst = b.src
+           WHERE a.src <> b.dst),
+         c$r AS MATERIALIZED (
+           SELECT src, dst FROM g${r - 1}
+           UNION SELECT src, dst FROM nn$r),
+         s$r AS MATERIALIZED (
+           SELECT c.src, c.dst,
+             list_cosine_similarity(ea.fv, eb2.fv) AS sim
+           FROM c$r c JOIN ebv ea ON ea.vec_id = c.src
+                      JOIN ebv eb2 ON eb2.vec_id = c.dst),
+         r$r AS MATERIALIZED (
+           SELECT src, dst, sim,
+             CAST(row_number() OVER (PARTITION BY src
+               ORDER BY sim DESC, dst) AS BIGINT) AS rn
+           FROM s$r),
+         g$r AS MATERIALIZED (
+           SELECT src, dst, sim, rn FROM r$r WHERE rn <= $KnnGraphK)"""
+    }.mkString(",\n         ")
+    s"""WITH $knnEdgeCtes,
+         ebv AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         nnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         rnd AS MATERIALIZED (
+           SELECT e.vec_id AS src,
+             ${md5ModSql(s"CAST(e.vec_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % nnn.n AS dst
+           FROM embeddings e
+           CROSS JOIN nnn
+           CROSS JOIN (SELECT unnest(range(1, ${NnDescentRandom + 1})) AS j)),
+         g0 AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM edges
+             UNION ALL SELECT src, dst FROM rnd WHERE src <> dst)),
+         $rounds
+         SELECT src, dst, round(sim, 4) AS cos, rn
+         FROM g$NnDescentRounds"""
+  }
+
+  /** 12-hex-digit md5 prefix decoded to a BIGINT in DuckDB — the q86
+    * instr idiom widened; mirrors Spark's
+    * conv(substring(md5(x), 1, 12), 16, 10). */
+  private def md5ModSql(strExpr: String): String =
+    (1 to 12).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($strExpr), $i, 1)) - 1) " +
+        s"* ${BigInt(16).pow(12 - i)}")
+      .mkString("(", "\n             + ", ")")
 
   /** The full q110 oracle: edge replay, undirected closure, clamped
     * seed column, then [[LpIters]] generated voting rounds. */

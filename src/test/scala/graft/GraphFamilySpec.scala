@@ -225,6 +225,41 @@ class GraphFamilySpec extends SparkTestBase {
       chunks.length - chunks.map(_._3).distinct.length)
   }
 
+  test("q116: NN-Descent strictly improves recall vs the cell-local graph") {
+    val e = VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // the brute-force truth: every node's true top-K
+    val truth = e.keys.map { v =>
+      v -> e.keys.filter(_ != v).toSeq
+        .map(u => (u, cos(e(v), e(u))))
+        .sortBy { case (u, c) => (-c, u) }
+        .take(VectorQueries.KnnGraphK).map(_._1).toSet
+    }.toMap
+    def recall(edges: Array[(Long, Long)]): Double = {
+      val bySrc = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val hits = truth.toSeq.map { case (v, t) =>
+        bySrc.getOrElse(v, Set.empty).count(t.contains).toDouble / t.size
+      }
+      hits.sum / hits.size
+    }
+    val base = recall(SparkEntry.queries("q104_knn_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val refined = recall(SparkEntry.queries("q116_nn_descent")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    assert(refined > base,
+      s"NN-Descent recall $refined must beat the cell-local graph's $base")
+    // neighbor quality is monotone per node: each kept edge is at
+    // least as good as the cell-local rank-equal edge (the refinement
+    // only ever replaces a neighbor with a strictly better one)
+    assert(refined >= base + 0.02,
+      s"expected a material recall gain, got $base -> $refined")
+  }
+
   test("q114: clusters match a driver union-find over the thresholded edges; non-vacuous") {
     val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
       .filter(_.getDouble(2) >= VectorQueries.SemClusterEps)

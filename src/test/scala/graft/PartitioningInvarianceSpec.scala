@@ -46,7 +46,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q111_chunk_dedup",     // md5 chunk keys + first-occurrence rule
     "q112_funnel",          // chained user-keyed mins, integer micros
     "q113_retention",       // integer day cohort matrix
-    "q114_semantic_clusters") // thresholded edges + star-contraction CC
+    "q114_semantic_clusters", // thresholded edges + star-contraction CC
+    "q116_nn_descent")      // ITERATIVE: bounded NoN candidates + rank
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
