@@ -137,25 +137,42 @@ object PipelineBench {
     // Topic clustering at volume: 100 planted centers, 3 Lloyd rounds
     // from the deterministic one-seed-per-topic start. Perfect recovery
     // means 100 clusters of exactly n/100 members each.
-    val (kmStats, tKm) = timed("kmeans") {
+    // checkpoint: lloyd makes 2 passes per round (assign + means) and
+    // would otherwise regenerate the corpus each time
+    val e = {
       import spark.implicits._
-      // checkpoint: lloyd makes 2 passes per round (assign + means) and
-      // would otherwise regenerate the corpus each time
-      val e = spark.range(n.toLong).map(id => (id, embFor(id)))
+      spark.range(n.toLong).map(id => (id, embFor(id)))
         .toDF("vec_id", "emb").localCheckpoint()
+    }
+    val (kmStats, tKm) = timed("kmeans") {
       val prof = operators.KMeans.clusterProfile(e, 100, 3)
       val r = prof.agg(count(lit(1)), min(col("n_members")),
         max(col("n_members"))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // k-NN graph at volume (the q104 builder over the same corpus):
+    // candidate volume n × cellRows under the derived nlist, so the
+    // stage's fitted exponent must stay ~1 like the rest. Edge quality
+    // is checkable from the planted topics: neighbors should
+    // overwhelmingly share their node's topic (topic = id % 100).
+    val (graphStats, tGraph) = timed("knn_graph") {
+      val g = operators.VectorQueries.knnGraphOf(e, n.toLong)
+        .select(col("src"), col("dst"))
+      val nEdges = g.count()
+      val sameTopic = g.filter(col("src") % 100 === col("dst") % 100).count()
+      (nEdges, sameTopic)
+    }
     Result(n,
       Seq("gen" -> tGen, "exact" -> tExact, "minhash" -> tMinhash,
-        "ngram" -> tNgram, "cc" -> tCC, "decon" -> tDecon, "kmeans" -> tKm),
+        "ngram" -> tNgram, "cc" -> tCC, "decon" -> tDecon, "kmeans" -> tKm,
+        "knn_graph" -> tGraph),
       Seq("exact_dup_groups" -> nExact, "minhash_pairs" -> nMinhash,
         "ngram_pairs" -> pairs.count(), "clusters" -> nClusters,
         "clustered_docs" -> nMembers, "contaminated_docs" -> nContam,
         "km_clusters" -> kmStats._1, "km_min_size" -> kmStats._2,
-        "km_max_size" -> kmStats._3))
+        "km_max_size" -> kmStats._3,
+        "graph_edges" -> graphStats._1,
+        "graph_same_topic_edges" -> graphStats._2))
   }
 
   /** Usage: `runMain graft.PipelineBench [n]` (one pass, JSON line) or

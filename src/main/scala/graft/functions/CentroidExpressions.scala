@@ -51,6 +51,56 @@ object CentroidKernels {
       .take(math.min(nprobe, cents.length)).map(_._2)
     new GenericArrayData(ids)
   }
+
+  /** Two-level assignment: score the (√nlist-sized) coarse quantizer,
+    * take the `cprobe` best coarse cells, then argmax over only THEIR
+    * member fine centroids — O(√nlist·(1+cprobe)) cosines per vector
+    * instead of O(nlist). Same (score, larger-id) tie rule as
+    * [[nearestCell]]; whenever the true nearest fine centroid is
+    * inside the probed coarse cells (the overwhelmingly common case —
+    * that is what cprobe > 1 buys), the result is identical to the
+    * flat scan. */
+  def nearestCellHier(v: ArrayData, coarse: Array[Array[Double]],
+                      members: Array[Array[Int]],
+                      cents: Array[Array[Double]], cprobe: Int): Int = {
+    // top-cprobe coarse ids, descending (score, id) — coarse is small
+    val k = math.min(cprobe, coarse.length)
+    val topS = new Array[Double](k); val topI = new Array[Int](k)
+    java.util.Arrays.fill(topS, Double.NegativeInfinity)
+    java.util.Arrays.fill(topI, -1)
+    var j = 0
+    while (j < coarse.length) {
+      val s = cos(v, coarse(j))
+      var p = 0
+      var placed = false
+      while (p < k && !placed) {
+        if (s > topS(p) || (s == topS(p) && j > topI(p))) {
+          var q = k - 1
+          while (q > p) { topS(q) = topS(q - 1); topI(q) = topI(q - 1); q -= 1 }
+          topS(p) = s; topI(p) = j
+          placed = true
+        }
+        p += 1
+      }
+      j += 1
+    }
+    var best = Double.NegativeInfinity; var bestId = 0
+    var p = 0
+    while (p < k) {
+      if (topI(p) >= 0) {
+        val m = members(topI(p))
+        var x = 0
+        while (x < m.length) {
+          val i = m(x)
+          val s = cos(v, cents(i))
+          if (s > best || (s == best && i > bestId)) { best = s; bestId = i }
+          x += 1
+        }
+      }
+      p += 1
+    }
+    bestId
+  }
 }
 
 @ExpressionDescription(
@@ -95,5 +145,37 @@ case class NearestCentroids(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+@ExpressionDescription(
+  usage = "nearest_centroid_hier(v) - two-level centroid assignment through a broadcast coarse quantizer.")
+case class NearestCentroidHier(child: Expression,
+                               coarse: Broadcast[Array[Array[Double]]],
+                               members: Broadcast[Array[Array[Int]]],
+                               centroids: Broadcast[Array[Array[Double]]],
+                               cprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_hier"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidKernels.nearestCellHier(v.asInstanceOf[ArrayData], coarse.value,
+      members.value, centroids.value, cprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcC = ctx.addReferenceObj("coarseBc", coarse,
+      "org.apache.spark.broadcast.Broadcast")
+    val bcM = ctx.addReferenceObj("membersBc", members,
+      "org.apache.spark.broadcast.Broadcast")
+    val bcF = ctx.addReferenceObj("centroidsBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.CentroidKernels.nearestCellHier($c,
+         |  (double[][]) $bcC.value(), (int[][]) $bcM.value(),
+         |  (double[][]) $bcF.value(), $cprobe);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidHier =
     copy(child = newChild)
 }

@@ -45,6 +45,79 @@ object IvfIndex {
   private def cellOf(v: Column, bc: Broadcast[Array[Array[Double]]]): Column =
     toCol(NearestCentroid(toExpr(v), bc))
 
+  /** Above this nlist, CORPUS-side assignment routes through a
+    * two-level coarse quantizer. The flat scan is O(n·nlist) cosines;
+    * with nlist ∝ n (ivfNList) that is O(n²/cellRows) — measured as
+    * the one superlinear stage in the PipelineBench sweep (6.8 s →
+    * 18 s → 137 s over 100k→200k→400k vectors). The hierarchy scores
+    * √nlist coarse cells, probes the best [[HierCoarseProbes]], and
+    * scans only their member fine centroids — O(n·√nlist) total, the
+    * standard IVF coarse-quantizer architecture (what the ivfNList
+    * scaladoc promised "past the cap"). Below the threshold (every
+    * harness SF: nlist = 16) nothing changes, so assignments — and
+    * every IVF oracle — are byte-identical there. PROBE-side lookups
+    * stay flat: probes number ~10, so their nlist scan is never the
+    * bottleneck, and probe cells must rank ALL centroids for the
+    * nprobe cut. */
+  val HierNlistThreshold = 512
+  val HierCoarseProbes = 4
+
+  /** Coarse-quantizer size floor. √nlist alone can undercut the data's
+    * natural cluster count — measured on the PipelineBench corpus (100
+    * planted topics, nlist=3125): 56 coarse cells left some topics
+    * with ONE reachable fine centroid, piling ~4700 vectors into a
+    * single cell (37× the target) and blowing the within-cell pair
+    * join to 398M candidates. A 256 floor keeps coarse resolution
+    * above any plausible macro-structure while still ≤ √nlist at the
+    * 65536 cap (where the floor is exactly √nlist). */
+  val HierCoarseFloor = 256
+
+  /** Driver-side cosine over plain arrays (the kernels' semantics). */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** The corpus-side assignment column: flat below the threshold,
+    * two-level above it. The coarse quantizer is a deterministic
+    * stride-sample of the fine centroids; membership (each fine
+    * centroid's nearest coarse, ties to the larger id like the
+    * kernels) is computed once on the driver — O(nlist·√nlist)
+    * cosines, ~1 s even at the 65536 cap. */
+  private[operators] def corpusCellCol(s: org.apache.spark.sql.SparkSession,
+                                       cents: Array[Array[Double]],
+                                       v: Column): Column =
+    if (cents.length <= HierNlistThreshold)
+      cellOf(v, s.sparkContext.broadcast(cents))
+    else {
+      val k = math.min(cents.length,
+        math.max(HierCoarseFloor, math.ceil(math.sqrt(cents.length.toDouble)).toInt))
+      val step = math.max(1, cents.length / k)
+      val coarseIdx = (0 until cents.length by step).toArray
+      val coarse = coarseIdx.map(cents)
+      val members = Array.fill(coarse.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      var i = 0
+      while (i < cents.length) {
+        var best = Double.NegativeInfinity; var b = 0
+        var j = 0
+        while (j < coarse.length) {
+          val sc = cosArr(cents(i), coarse(j))
+          if (sc > best || (sc == best && j > b)) { best = sc; b = j }
+          j += 1
+        }
+        members(b) += i
+        i += 1
+      }
+      toCol(graft.functions.NearestCentroidHier(toExpr(v),
+        s.sparkContext.broadcast(coarse),
+        s.sparkContext.broadcast(members.map(_.toArray)),
+        s.sparkContext.broadcast(cents), HierCoarseProbes))
+    }
+
   private def cellsOf(v: Column, bc: Broadcast[Array[Array[Double]]],
                       nprobe: Int): Column =
     toCol(NearestCentroids(toExpr(v), bc, nprobe))
@@ -58,10 +131,9 @@ object IvfIndex {
 
   /** The same assignment keeping every corpus column — for consumers
     * that transform the vector under its cell (q97's residual coding). */
-  def withCells(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    corpus.withColumn("cell", cellOf(col("emb"), bc))
-  }
+  def withCells(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    corpus.withColumn("cell",
+      corpusCellCol(corpus.sparkSession, cents, col("emb")))
 
   /** (probe_id, cell) against a caller-supplied centroid matrix. */
   def probeCellsWith(probes: DataFrame, cents: Array[Array[Double]],
@@ -90,7 +162,8 @@ object IvfIndex {
            approxRows: Option[Long] = None): DataFrame = {
     val cents = centroids(corpus, nlist, approxRows)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    val assigned = corpus.withColumn("cell", cellOf(col("emb"), bc))
+    val assigned = corpus.withColumn("cell",
+      corpusCellCol(corpus.sparkSession, cents, col("emb")))
     val probed = probes
       .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
     val scored = assigned.join(broadcast(probed), Seq("cell"))
@@ -132,8 +205,7 @@ object IvfIndex {
     cents.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
       .toDF("cell", "emb")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val bc = s.sparkContext.broadcast(cents)
-    corpus.withColumn("cell", cellOf(col("emb"), bc))
+    corpus.withColumn("cell", corpusCellCol(s, cents, col("emb")))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
   }
 
@@ -162,8 +234,7 @@ object IvfIndex {
     * subdirectories beneath each pruned cell. */
   def appendEpoch(batch: DataFrame, dir: String, epoch: Long): Unit = {
     val s = batch.sparkSession
-    val bc = s.sparkContext.broadcast(readCentroids(s, dir))
-    batch.withColumn("cell", cellOf(col("emb"), bc))
+    batch.withColumn("cell", corpusCellCol(s, readCentroids(s, dir), col("emb")))
       .withColumn("epoch", lit(epoch))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -64,6 +64,20 @@ object VectorQueries {
     * into the q104/q105 oracles. */
   val KnnGraphK = 4
 
+  /** Bounded sub-cells for the graph build: a cell larger than
+    * [[GraphCellCap]] rows splits into ⌈c/[[IvfTargetCellRows]]⌉
+    * deterministic md5-salted sub-cells, and neighbors are found
+    * within the sub-cell. The within-cell pair join costs Σc² — SKEW
+    * sensitive: measured on the PipelineBench corpus (100 planted
+    * topics), centroid under-coverage piled ~4000 vectors into one
+    * cell and blew the 400k-vector join to ~400M candidate pairs.
+    * The cap bounds every cell's contribution at c×(cap-ish) — the
+    * SaltedAgg doctrine applied to the pair scan. md5 (not xxhash64)
+    * so the oracle regenerates the salt bit-for-bit; inert at every
+    * harness SF (cells ≈ 31 rows), so the test-scale graph — and all
+    * its oracles — are unchanged. */
+  val GraphCellCap = 512
+
   /** q114 semantic-cluster edge threshold: a k-NN edge survives into
     * the clustering only at cosine ≥ this (≈ the top quartile of
     * within-cell neighbor similarities at every test SF — non-vacuous
@@ -130,16 +144,31 @@ object VectorQueries {
     * audit the join shape (localCheckpoint collapses the lineage to a
     * Scan ExistingRDD). */
   private[graft] def knnGraphPlan(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val n = e.count()
+    knnGraphOf(e, e.count())
+  }
+
+  /** The graph builder over ANY (vec_id, emb) frame — what a library
+    * consumer (and PipelineBench's 100k+ sweep stage) calls. Oversized
+    * cells split into bounded sub-cells (see [[GraphCellCap]]); the
+    * oversize map is O(skewed cells) rows and broadcasts. */
+  def knnGraphOf(e: DataFrame, n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cells = IvfIndex.withCells(
       e, IvfIndex.centroids(e, ivfNList(n), Some(n)))
-    val a = cells.select(col("cell"), col("vec_id").as("src"),
+    val over = cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > GraphCellCap)
+      .select(col("cell"),
+        ceil(col("c") / lit(IvfTargetCellRows.toDouble)).cast("long").as("nsub"))
+    val sub = cells.join(broadcast(over), Seq("cell"), "left")
+      .withColumn("sub", when(col("nsub").isNull, lit(0L))
+        .otherwise(pmod(conv(substring(md5(col("vec_id").cast("string")),
+          1, 12), 16, 10).cast("long"), col("nsub"))))
+    val a = sub.select(col("cell"), col("sub"), col("vec_id").as("src"),
       col("emb").as("aemb"))
-    val b = cells.select(col("cell"), col("vec_id").as("dst"),
+    val b = sub.select(col("cell"), col("sub"), col("vec_id").as("dst"),
       col("emb").as("bemb"))
-    val scored = a.join(b, Seq("cell"))
+    val scored = a.join(b, Seq("cell", "sub"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosine(col("aemb"), col("bemb")).as("sim"))
@@ -1494,10 +1523,24 @@ object VectorQueries {
     * self-join, exact cosine rescore against the embeddings table, and
     * the (sim DESC, dst) rank cut. Shared by the q104 and q105 oracles. */
   private def knnEdgeCtes: String =
-    s"""cand AS (
-           SELECT a.vec_id AS src, b.vec_id AS dst
+    s"""csz AS (
+           SELECT cell, count(*) AS c
+           FROM ${graft.OracleExport.p("ivf_cells")} GROUP BY 1),
+         cover AS (
+           SELECT cell, CAST(ceil(c / ${IvfTargetCellRows.toDouble}) AS BIGINT)
+             AS nsub
+           FROM csz WHERE c > $GraphCellCap),
+         cellsub AS (
+           SELECT a.vec_id, a.cell,
+             CASE WHEN o.nsub IS NULL THEN 0
+                  ELSE ${md5ModSql("CAST(a.vec_id AS VARCHAR)")} % o.nsub
+             END AS sub
            FROM ${graft.OracleExport.p("ivf_cells")} a
-           JOIN ${graft.OracleExport.p("ivf_cells")} b ON a.cell = b.cell
+           LEFT JOIN cover o ON o.cell = a.cell),
+         cand AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM cellsub a
+           JOIN cellsub b ON a.cell = b.cell AND a.sub = b.sub
            WHERE a.vec_id <> b.vec_id),
          escored AS (
            SELECT c.src, c.dst,

@@ -280,6 +280,37 @@ object StreamingQueries {
     // matches eagerly (no watermark flush needed for output, only for
     // state cleanup), so the bounded run needs no sentinel. Oracle: the
     // identical batch self-join in DuckDB.
+    // ST8b: the LEFT OUTER stream–stream join — the semantically
+    // subtle half of ST8: matches emit eagerly, but an UNMATCHED left
+    // row can only emit once the watermark proves no right row can
+    // still arrive for it (state-expiry emission). The sentinel drops
+    // advance both sides' watermarks past every real event, flushing
+    // every unmatched row; sides split by pmod (not %) so the negative
+    // sentinel ids land one per side and both watermark columns see
+    // them. Oracle: the equivalent batch LEFT JOIN — null id_b rows
+    // must agree exactly.
+    "q117_stream_outer_join" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q117-landing")
+      splitByTime(events, landing, 3)
+      flushDrops(s, events, landing, 3)
+      def side(parity: Int, suffix: String) =
+        readLanding(s, landing, events)
+          .filter(pmod(col("event_id"), lit(2)) === parity)
+          .select(col("event_id").as(s"id_$suffix"),
+            col("ts").as(s"ts_$suffix"), col("user_id").as(s"user_$suffix"))
+          .withWatermark(s"ts_$suffix", "1 hour")
+      val joined = side(0, "a").join(side(1, "b"),
+        col("user_a") === col("user_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 5 MINUTES") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"),
+        "leftOuter")
+      val out = runAppend(
+        joined.select(col("id_a"), col("id_b"), col("user_a").as("user_id")),
+        "q117", Seq(landing))
+      out.filter(col("id_a") >= 0).select("id_a", "id_b", "user_id")
+    }),
+
     "q80_stream_stream_join" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q80-landing")
@@ -519,6 +550,16 @@ object StreamingQueries {
 
     "q75_stream_ingest" -> rawEvents,
     "q76_stream_dedup" -> rawEvents,
+
+    // the batch LEFT JOIN the outer stream must reproduce — including
+    // every null-extended unmatched left row
+    "q117_stream_outer_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+         FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+         LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+           ON a.user_id = b.user_id
+          AND b.ts >= a.ts - INTERVAL 5 MINUTE
+          AND b.ts <= a.ts + INTERVAL 5 MINUTE""",
 
     // latest row per key under the total order (ts DESC, event_id
     // DESC) — the batch definition of the upsert view
