@@ -210,6 +210,86 @@ object QualityQueries {
         col("n_fluent").cast("double") / col("n_bigrams"))
   }
 
+  /** q119 duplicate-n-gram order (Gopher's "duplicate 5-grams" row). */
+  val DupN = 5
+
+  /** Word n-grams of a token-array column, joined by single spaces —
+    * the tokenBigrams shape generalized to n. Callers guard
+    * size(ts) >= n. */
+  private def tokenNgrams(ts: Column, n: Int): Column =
+    transform(sequence(lit(0), size(ts) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))
+
+  /** Per-(doc, hashed n-gram) counts carrying the n-gram's character
+    * mass (`cl` = token chars, i.e. length minus the n-1 joining
+    * spaces — functionally dependent on the hash, grouped with it so
+    * the string itself never shuffles). */
+  private def ngramCounts(base: DataFrame, n: Int): DataFrame =
+    base.filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(tokenNgrams(col("ts"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"),
+        (length(col("g")) - (n - 1)).cast("long").as("cl"))
+      .groupBy(col("doc_id"), col("gh"), col("cl"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q119: within-document repetition statistics — the Gopher
+    * repetition filters (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1), the standard per-document signal for boilerplate and
+    * looping generations that corpus-level dedup (q22/q24) cannot
+    * see because the repetition is INSIDE one document:
+    *
+    *  - `top2_frac`: fraction of the document's token characters
+    *    covered by occurrences of its most frequent word bigram
+    *    (count × bigram token-chars / total token chars). Ties break
+    *    to the larger character mass (max(struct(cnt, cl))) so the
+    *    metric is a deterministic max, not an argmax identity —
+    *    both engines compute (max cnt, then max cl among those).
+    *  - `dup5_frac`: fraction of token characters covered by
+    *    occurrences of duplicated [[DupN]]-grams (count ≥ 2).
+    *    Overlapping occurrences each count — the published
+    *    definition; the value may exceed 1 for degenerate loops,
+    *    which is exactly the signal.
+    *
+    * Scale posture: per-document metrics — every shuffle is keyed by
+    * (doc_id, xxhash64(n-gram)) fixed-width longs (q85 doctrine), the
+    * n-gram stream collapses to per-(doc, hash) counts map-side, and
+    * nothing is corpus-global (no join across documents at all; three
+    * sub-aggregates re-join on doc_id). All outputs are integers until
+    * the two final divisions, so the exact-string DuckDB oracle is
+    * bit-exact AND doubles as the collision check for both hash key
+    * spaces. */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("ts"))
+    val tokStats = base.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(length(col("tok"))).as("tok_chars"))
+    val top = ngramCounts(base, 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+           max(struct(col("cnt"), col("cl"))).as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("m.cnt").as("top2_cnt"),
+        (col("m.cnt") * col("m.cl")).as("top2_chars"))
+    val d5 = ngramCounts(base, DupN)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_5grams"),
+           sum(when(col("cnt") >= 2L, col("cnt") * col("cl"))
+             .otherwise(0L)).as("dup5_chars"))
+    tokStats.join(top, Seq("doc_id"), "left")
+      .join(d5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+      .withColumn("top2_frac",
+        col("top2_chars").cast("double") / col("tok_chars"))
+      .withColumn("dup5_frac",
+        col("dup5_chars").cast("double") / col("tok_chars"))
+  }
+
   /** q109: arrival-order n-gram novelty — for each document, the share
     * of its DISTINCT trigrams that no lower-doc_id document contains
     * (doc_id is the corpus's arrival order). The curation signal dedup
@@ -242,7 +322,8 @@ object QualityQueries {
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
     "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
-    "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))))
+    "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))),
+    "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     // Exact string-keyed recomputation — a Spark-side xxhash64
@@ -320,6 +401,66 @@ object QualityQueries {
            CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(count(*) AS BIGINT) AS novel_frac
          FROM g JOIN f USING (g) GROUP BY 1""",
+
+    // Exact string-keyed recomputation of q119 — grouping by raw
+    // n-gram strings while Spark groups by xxhash64 makes this the
+    // collision check for both (bigram, 5-gram) hashed key spaces.
+    // The tie-break equivalence: Spark's max(struct(cnt, cl)) =
+    // (max cnt, max cl among max-cnt rows), mirrored here as
+    // top2_cnt * max(cl) FILTER (cnt = top2_cnt).
+    "q119_repetition" ->
+      s"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         tokc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(length(tok)) AS BIGINT) AS tok_chars
+           FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1),
+         bg AS (
+           SELECT doc_id, g, CAST(length(g) - 1 AS BIGINT) AS cl,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i+1])) AS g
+                 FROM t WHERE len(ts) >= 2)
+           GROUP BY 1, 2, 3),
+         top AS (
+           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST(max(cnt) AS BIGINT) AS top2_cnt
+           FROM bg GROUP BY 1),
+         topc AS (
+           SELECT b.doc_id,
+             CAST(top.top2_cnt * max(b.cl) AS BIGINT) AS top2_chars
+           FROM bg b JOIN top USING (doc_id)
+           WHERE b.cnt = top.top2_cnt
+           GROUP BY 1, top.top2_cnt),
+         g5 AS (
+           SELECT doc_id, g, CAST(length(g) - ${DupN - 1} AS BIGINT) AS cl,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id, unnest(list_transform(
+                   range(1, len(ts) - ${DupN - 2}),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                     || ' ' || ts[i+3] || ' ' || ts[i+4])) AS g
+                 FROM t WHERE len(ts) >= $DupN)
+           GROUP BY 1, 2, 3),
+         d5 AS (
+           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_5grams,
+             CAST(sum(CASE WHEN cnt >= 2 THEN cnt * cl ELSE 0 END)
+               AS BIGINT) AS dup5_chars
+           FROM g5 GROUP BY 1)
+         SELECT tokc.doc_id, n_tokens, tok_chars,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(top2_cnt, 0) AS top2_cnt,
+           coalesce(top2_chars, 0) AS top2_chars,
+           coalesce(n_5grams, 0) AS n_5grams,
+           coalesce(dup5_chars, 0) AS dup5_chars,
+           CAST(coalesce(top2_chars, 0) AS DOUBLE) / tok_chars
+             AS top2_frac,
+           CAST(coalesce(dup5_chars, 0) AS DOUBLE) / tok_chars
+             AS dup5_frac
+         FROM tokc
+         LEFT JOIN top USING (doc_id)
+         LEFT JOIN topc USING (doc_id)
+         LEFT JOIN d5 USING (doc_id)""",
 
     // Full relational recomputation: same md5 buckets (instr hex
     // decode = Spark's conv(substr(md5,1,3),16,10)), same add-one

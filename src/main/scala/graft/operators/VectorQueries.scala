@@ -103,6 +103,18 @@ object VectorQueries {
   val NnDescentRounds = 2
   val NnDescentRandom = 4
 
+  /** q120 graph-routed greedy search (the search half of graph-based
+    * ANN — DiskANN/HNSW-layer-0 shape — over the q116 graph): beam
+    * width, hop count, probe count. All interpolated into the oracle.
+    * Entry point is node 0 for every probe (a fixed medoid stand-in);
+    * each hop expands the current beam's out-neighbors in the
+    * UNDIRECTED closure, rescores exact cosine against the probe, and
+    * keeps the [[GreedyBeam]] best — candidates per (probe, hop) are
+    * ≤ beam × (1 + degree), independent of corpus size. */
+  val GreedyHops = 3
+  val GreedyBeam = 8
+  val GreedyProbes = 10
+
   /** q108 MMR: candidate-pool depth per probe and the
     * relevance/diversity trade-off λ (score = λ·rel − (1−λ)·maxSim).
     * Both interpolated into the oracle; (1−λ) is spelled `1 - 0.7` on
@@ -362,6 +374,12 @@ object VectorQueries {
       nnDescentGraph(s, d).select(col("src"), col("dst"),
         round(col("sim"), 4).as("cos"), col("rn"))
     }),
+
+    // Graph-routed greedy ANN search over the q116 graph — the search
+    // half of graph-based ANN (DiskANN/HNSW-layer-0 shape): per-hop
+    // candidates are beam × degree PER PROBE, corpus-size-independent.
+    // Oracle: the q116 graph replay + every hop unrolled as CTEs.
+    "q120_graph_greedy" -> ((s, d) => graphGreedySearch(s, d)),
 
     // Semantic clustering (L2e's graph-side twin): the q104 k-NN edges
     // thresholded at SemClusterEps, canonicalized undirected, fed to
@@ -1080,6 +1098,9 @@ object VectorQueries {
     // rescore, the same (sim DESC, dst) top-K cut per round.
     "q116_nn_descent" -> nnDescentOracle,
 
+    // q120: q116's graph replay + the greedy beam search unrolled.
+    "q120_graph_greedy" -> greedySearchOracle,
+
     // q114: the edge replay thresholded + the q54 recursive-CTE
     // transitive closure with the same min-root labeling.
     "q114_semantic_clusters" ->
@@ -1449,6 +1470,52 @@ object VectorQueries {
       ranked
     }
 
+  /** q120: graph-routed greedy ANN search — the SEARCH half of
+    * graph-based ANN (the DiskANN/HNSW-layer-0 shape; Malkov &
+    * Yashunin 2016, Subramanya et al. 2019) over the q116 NN-Descent
+    * graph. Each probe starts a beam at a fixed entry node and for
+    * [[GreedyHops]] rounds expands the beam's neighbors in the
+    * undirected closure, rescores candidates by exact cosine against
+    * the probe, and keeps the [[GreedyBeam]] best; the answer is the
+    * final beam's top [[AnnK]].
+    *
+    * Scale posture: the per-hop candidate set is ≤ beam × (1 + degree)
+    * rows PER PROBE — independent of corpus size (contrast q31's full
+    * scan and q37's nprobe × cellRows): the graph join touches only
+    * the frontier's adjacency rows, the probe set broadcasts, and the
+    * rank runs through the two-phase GroupedTopK tail. Lineage
+    * truncates per hop (the beam is referenced twice by the next
+    * hop). The graph stage itself is the memoized q116 build. */
+  private[graft] def graphGreedySearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val g = nnDescentGraph(s, d)
+    val und = g.select(col("src"), col("dst"))
+      .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val probes = e.filter(col("vec_id") < GreedyProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    var beam = probes.select(col("probe_id"), lit(0L).as("vec_id"))
+    var ranked: DataFrame = null
+    for (h <- 1 to GreedyHops) {
+      val nbrs = beam
+        .join(und.withColumnRenamed("src", "vec_id"), Seq("vec_id"))
+        .select(col("probe_id"), col("dst").as("vec_id"))
+      val cand = beam.unionByName(nbrs).distinct()
+      val scored = cand
+        .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(col("pemb"), col("emb")).as("sim"))
+      ranked = IvfIndex.rankTopK(scored, GreedyBeam)
+      beam = ranked.select(col("probe_id"), col("vec_id"))
+      if (h < GreedyHops) beam = beam.localCheckpoint()
+    }
+    ranked.filter(col("rn") <= AnnK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cos"), col("rn"))
+  }
+
   /** Integer-mass PageRank (q105's engine, usable over ANY (src, dst)
     * edge table): [[PrIters]] synchronous iterations at damping
     * [[PrDampNum]]/[[PrDampDen]] over a total mass of [[PrMass]].
@@ -1591,7 +1658,10 @@ object VectorQueries {
     * generated refinement rounds. MATERIALIZED per round — each CTE is
     * referenced twice by the next round and the base edge replay is
     * expensive enough that re-inlining would multiply it. */
-  private def nnDescentOracle: String = {
+  /** The WITH-body prefix that replays the q116 NN-Descent graph
+    * (edge build + both refinement rounds) — final graph CTE is
+    * `g{NnDescentRounds}`. Shared by the q116 and q120 oracles. */
+  private def nnDescentCtes: String = {
     val rounds = (1 to NnDescentRounds).map { r =>
       s"""u$r AS MATERIALIZED (
            SELECT DISTINCT src, dst FROM (
@@ -1617,7 +1687,7 @@ object VectorQueries {
          g$r AS MATERIALIZED (
            SELECT src, dst, sim, rn FROM r$r WHERE rn <= $KnnGraphK)"""
     }.mkString(",\n         ")
-    s"""WITH $knnEdgeCtes,
+    s"""$knnEdgeCtes,
          ebv AS MATERIALIZED (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
            FROM embeddings),
@@ -1632,9 +1702,54 @@ object VectorQueries {
            SELECT DISTINCT src, dst FROM (
              SELECT src, dst FROM edges
              UNION ALL SELECT src, dst FROM rnd WHERE src <> dst)),
-         $rounds
+         $rounds"""
+  }
+
+  private def nnDescentOracle: String =
+    s"""WITH $nnDescentCtes
          SELECT src, dst, round(sim, 4) AS cos, rn
          FROM g$NnDescentRounds"""
+
+  /** The q120 oracle: the q116 graph replay + the greedy beam search
+    * unrolled hop by hop — undirected closure of the final graph,
+    * entry node 0, [[GreedyHops]] rounds of expand → exact-cosine
+    * rescore → (sim DESC, vec_id) beam cut. Bit-identical: the beam
+    * membership is decided by the same IEEE doubles both engines
+    * compute for cosine, and every cut is a total order. */
+  private def greedySearchOracle: String = {
+    val hops = (1 to GreedyHops).map { h =>
+      s"""nb$h AS (
+           SELECT b.probe_id, u.dst AS vec_id
+           FROM b${h - 1} b JOIN undf u ON u.src = b.vec_id),
+         gc$h AS (
+           SELECT DISTINCT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id FROM b${h - 1}
+             UNION ALL SELECT probe_id, vec_id FROM nb$h)),
+         sg$h AS (
+           SELECT c.probe_id, c.vec_id,
+             list_cosine_similarity(pe.fv, ce.fv) AS sim
+           FROM gc$h c
+           JOIN ebv pe ON pe.vec_id = c.probe_id
+           JOIN ebv ce ON ce.vec_id = c.vec_id
+           WHERE c.vec_id <> c.probe_id),
+         rg$h AS (
+           SELECT probe_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+           FROM sg$h),
+         b$h AS (SELECT probe_id, vec_id FROM rg$h WHERE rn <= $GreedyBeam)"""
+    }.mkString(",\n         ")
+    s"""WITH $nnDescentCtes,
+         undf AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM g$NnDescentRounds
+             UNION ALL SELECT dst, src FROM g$NnDescentRounds)),
+         b0 AS (
+           SELECT vec_id AS probe_id, CAST(0 AS BIGINT) AS vec_id
+           FROM embeddings WHERE vec_id < $GreedyProbes),
+         $hops
+         SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS cos, rn
+         FROM rg$GreedyHops WHERE rn <= $AnnK"""
   }
 
   /** 12-hex-digit md5 prefix decoded to a BIGINT in DuckDB — the q86

@@ -260,6 +260,55 @@ class GraphFamilySpec extends SparkTestBase {
       s"expected a material recall gain, got $base -> $refined")
   }
 
+  test("q120: driver replay of the greedy beam search matches; answers reachable; beats entry") {
+    val e = VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // undirected adjacency of the q116 graph, exactly as q120 builds it
+    val g = SparkEntry.queries("q116_nn_descent")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (g ++ g.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = SparkEntry.queries("q120_graph_greedy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val probes = e.keys.filter(_ < VectorQueries.GreedyProbes).toSeq.sorted
+    probes.foreach { p =>
+      // exact replay: entry 0, GreedyHops rounds of expand/score/cut
+      var beam = Seq(0L)
+      var ranked: Seq[(Long, Double)] = Nil
+      for (_ <- 1 to VectorQueries.GreedyHops) {
+        val cand = (beam ++ beam.flatMap(v => und.getOrElse(v, Set.empty)))
+          .distinct.filter(_ != p)
+        ranked = cand.map(v => (v, cos(e(p), e(v))))
+          .sortBy { case (v, c) => (-c, v) }
+          .take(VectorQueries.GreedyBeam)
+        beam = ranked.map(_._1)
+      }
+      val want = ranked.take(VectorQueries.AnnK).zipWithIndex
+        .map { case ((v, c), i) => (v, c, (i + 1).toLong) }
+      val got = out.filter(_._1 == p).sortBy(_._4).map(t => (t._2, t._3, t._4))
+      assert(got.map(t => (t._1, t._3)).toSeq == want.map(t => (t._1, t._3)),
+        s"probe $p: greedy replay mismatch\n got: $got\nwant: $want")
+      got.zip(want).foreach { case ((_, gc, _), (_, wc, _)) =>
+        assert(math.abs(gc - wc) < 1e-4 + 1e-9,
+          s"probe $p: cosine drifted: $gc vs $wc")
+      }
+      // the beam must end at least as well as where it started: best
+      // found neighbor is no worse than the entry node's own similarity
+      if (p != 0L) {
+        val entrySim = cos(e(p), e(0L))
+        assert(got.head._2 >= entrySim - 1e-4,
+          s"probe $p: search did not improve on the entry node")
+      }
+    }
+    assert(out.length == probes.length * VectorQueries.AnnK,
+      "every probe answers with a full top-k")
+  }
+
   test("q114: clusters match a driver union-find over the thresholded edges; non-vacuous") {
     val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
       .filter(_.getDouble(2) >= VectorQueries.SemClusterEps)

@@ -47,7 +47,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q112_funnel",          // chained user-keyed mins, integer micros
     "q113_retention",       // integer day cohort matrix
     "q114_semantic_clusters", // thresholded edges + star-contraction CC
-    "q116_nn_descent")      // ITERATIVE: bounded NoN candidates + rank
+    "q116_nn_descent",      // ITERATIVE: bounded NoN candidates + rank
+    "q119_repetition",      // per-doc hashed n-gram aggs + max(struct) tiebreak
+    "q120_graph_greedy")    // ITERATIVE: beam expand/score/cut over the graph
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -78,6 +78,55 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(salad.getDouble(4) == 1.0 / 3, salad.toString)
   }
 
+  test("q119: planted repetition is measured exactly (Gopher filter semantics)") {
+    import spark.implicits._
+    val d = Seq(
+      // pure bigram loop: "x y" appears 4 times (8 chars over 8)
+      (1L, "x y x y x y x y"),
+      // all-distinct tokens: top bigram count 1, no duplicate 5-grams
+      (2L, "a b c d e f g h"),
+      // one repeated 5-gram: "a b c d e" occurs twice (10 chars / 10)
+      (3L, "a b c d e a b c d e"),
+      // too short for 5-grams, still has bigrams
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val out = QualityQueries.repetitionStats(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // columns: doc_id, n_tokens, tok_chars, n_bigrams, top2_cnt,
+    //          top2_chars, n_5grams, dup5_chars, top2_frac, dup5_frac
+    val loop = out(1L)
+    assert(loop.getLong(1) == 8 && loop.getLong(2) == 8, loop.toString)
+    assert(loop.getLong(4) == 4 && loop.getLong(5) == 8, loop.toString)
+    assert(loop.getDouble(8) == 1.0, s"loop doc top2_frac: $loop")
+    // its 5-grams: "x y x y x" x2, "y x y x y" x2 -> all 4 duplicated
+    assert(loop.getLong(7) == 4 * 5 && loop.getDouble(9) == 20.0 / 8, loop.toString)
+    val uniq = out(2L)
+    assert(uniq.getLong(4) == 1 && uniq.getLong(7) == 0, uniq.toString)
+    assert(uniq.getDouble(9) == 0.0, uniq.toString)
+    val rep5 = out(3L)
+    assert(rep5.getLong(6) == 6 && rep5.getLong(7) == 10, rep5.toString)
+    assert(rep5.getDouble(9) == 1.0, s"planted dup 5-gram: $rep5")
+    val short = out(4L)
+    assert(short.getLong(3) == 1 && short.getLong(6) == 0
+      && short.getLong(7) == 0, short.toString)
+  }
+
+  test("q119: every doc is scored; counts nest; n-gram counts tie to token counts") {
+    val rows = QualityQueries.repetitionStats(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (n, chars, nbi, top2c, top2ch, n5, dup5) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(nbi == math.max(0, n - 1), s"bigram count: $r")
+      assert(n5 == math.max(0, n - QualityQueries.DupN + 1), s"5-gram count: $r")
+      assert(top2c >= 1 && top2c <= nbi, s"top bigram count bounds: $r")
+      assert(top2ch <= 2 * chars, s"top bigram char mass bound: $r")
+      assert(r.getDouble(8) == top2ch.toDouble / chars, s"top2_frac exact: $r")
+      assert(r.getDouble(9) == dup5.toDouble / chars, s"dup5_frac exact: $r")
+    }
+  }
+
   test("q94: every >=2-token doc is scored; counts nest; frac is the exact ratio") {
     val rows = QualityQueries.bigramFluency(docs).collect()
     val expected = docs
