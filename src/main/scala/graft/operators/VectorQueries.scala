@@ -115,6 +115,21 @@ object VectorQueries {
   val GreedyBeam = 8
   val GreedyProbes = 10
 
+  /** q121 contrastive triplet mining: an anchor's POSITIVE is its
+    * within-cell rank-1 neighbor, required to clear [[ContrastNegHi]]
+    * (a "positive" below the negative band's ceiling would be
+    * indistinguishable from a negative — such anchors emit nothing);
+    * HARD NEGATIVES are its [[ContrastHardK]] most-similar cellmates
+    * INSIDE the band [[ContrastNegLo]] ≤ sim < [[ContrastNegHi]] —
+    * the "close but not relevant" rows that make contrastive training
+    * hard (random negatives are trivially separable). Bounds chosen at
+    * the corpus's within-cell quartiles (median ≈ 0.06, p90 ≈ 0.22) so
+    * both sides of every triplet are populated at test scale. All
+    * three interpolated into the oracle. */
+  val ContrastNegLo = 0.0
+  val ContrastNegHi = 0.15
+  val ContrastHardK = 3
+
   /** q108 MMR: candidate-pool depth per probe and the
     * relevance/diversity trade-off λ (score = λ·rel − (1−λ)·maxSim).
     * Both interpolated into the oracle; (1−λ) is spelled `1 - 0.7` on
@@ -166,6 +181,18 @@ object VectorQueries {
     * oversize map is O(skewed cells) rows and broadcasts. */
   def knnGraphOf(e: DataFrame, n: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    cellPairsScored(e, n).withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= KnnGraphK)
+  }
+
+  /** The within-(sub-)cell scored pair table (src, dst, sim) both
+    * directed ways — the candidate substrate knnGraphOf ranks into the
+    * q104 graph and q121 mines triplets from. One cell-keyed equi-join
+    * (never a cross product), volume ≈ n × cellRows with cellRows
+    * pinned by the derived nlist + [[GraphCellCap]] sub-cell split. */
+  def cellPairsScored(e: DataFrame, n: Long): DataFrame = {
     val cells = IvfIndex.withCells(
       e, IvfIndex.centroids(e, ivfNList(n), Some(n)))
     val over = cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
@@ -180,14 +207,10 @@ object VectorQueries {
       col("emb").as("aemb"))
     val b = sub.select(col("cell"), col("sub"), col("vec_id").as("dst"),
       col("emb").as("bemb"))
-    val scored = a.join(b, Seq("cell", "sub"))
+    a.join(b, Seq("cell", "sub"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         cosine(col("aemb"), col("bemb")).as("sim"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("sim").desc, col("dst").asc)
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= KnnGraphK)
   }
 
   /** Multi-table hyperplane bucket assignment: one row per (vec, table)
@@ -380,6 +403,12 @@ object VectorQueries {
     // candidates are beam × degree PER PROBE, corpus-size-independent.
     // Oracle: the q116 graph replay + every hop unrolled as CTEs.
     "q120_graph_greedy" -> ((s, d) => graphGreedySearch(s, d)),
+
+    // Contrastive triplet mining (anchor, positive, hard negative) from
+    // each vector's IVF cell — the embedding-training pair-construction
+    // step, model-free from corpus geometry. Oracle: the exported
+    // ivf_cells pair replay (knnEdgeCtes' escored) + both rank cuts.
+    "q121_contrastive_mine" -> ((s, d) => contrastiveTriplets(s, d)),
 
     // Semantic clustering (L2e's graph-side twin): the q104 k-NN edges
     // thresholded at SemClusterEps, canonicalized undirected, fed to
@@ -1101,6 +1130,30 @@ object VectorQueries {
     // q120: q116's graph replay + the greedy beam search unrolled.
     "q120_graph_greedy" -> greedySearchOracle,
 
+    // q121: the cell-pair replay (escored) + the positive's rank-1 cut
+    // at sim >= NegHi and the banded negatives' top-K cut — both total
+    // orders over the same IEEE cosines both engines compute.
+    "q121_contrastive_mine" ->
+      s"""WITH $knnEdgeCtes,
+         pos AS (
+           SELECT src, dst AS pos_id, sim AS pos_sim FROM (
+             SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src
+                 ORDER BY sim DESC, dst) AS prn
+             FROM escored)
+           WHERE prn = 1 AND sim >= $ContrastNegHi),
+         neg AS (
+           SELECT src, dst AS neg_id, sim AS neg_sim, rn FROM (
+             SELECT src, dst, sim,
+               CAST(row_number() OVER (PARTITION BY src
+                 ORDER BY sim DESC, dst) AS BIGINT) AS rn
+             FROM escored
+             WHERE sim >= $ContrastNegLo AND sim < $ContrastNegHi)
+           WHERE rn <= $ContrastHardK)
+         SELECT pos.src AS anchor, pos_id, round(pos_sim, 4) AS pos_sim,
+           neg_id, round(neg_sim, 4) AS neg_sim, rn
+         FROM pos JOIN neg USING (src)""",
+
     // q114: the edge replay thresholded + the q54 recursive-CTE
     // transitive closure with the same min-root labeling.
     "q114_semantic_clusters" ->
@@ -1514,6 +1567,43 @@ object VectorQueries {
     ranked.filter(col("rn") <= AnnK)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         round(col("sim"), 4).as("cos"), col("rn"))
+  }
+
+  /** q121: contrastive triplet mining — the training-pair construction
+    * step of an embedding-model pipeline (anchor, positive, hard
+    * negative), mined for EVERY corpus vector from its IVF cell's
+    * scored pairs (the q104 substrate): the positive is the rank-1
+    * cellmate at sim ≥ [[ContrastNegHi]], hard negatives the top
+    * [[ContrastHardK]] cellmates inside the
+    * [[ContrastNegLo]], [[ContrastNegHi]]) band. In-batch/random
+    * negatives are trivially separable; banded cellmates are the
+    * published hard-negative recipe (e.g. DPR, Karpukhin et al. 2020 —
+    * here model-free, from the corpus's own geometry).
+    *
+    * Scale posture: one cell-keyed pair join (≈ n × cellRows, linear
+    * under the derived nlist), staged once for its two consumers
+    * (positives, negatives); both ranks are per-src windows over
+    * corpus-cardinality groups — the regime where a plain window is
+    * right (q104 doctrine). Nothing is all-pairs; nothing collects. */
+  private[graft] def contrastiveTriplets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val scored = cellPairsScored(e, e.count()).localCheckpoint()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val pos = scored.withColumn("prn", row_number().over(w))
+      .filter(col("prn") === 1 && col("sim") >= ContrastNegHi)
+      .select(col("src"), col("dst").as("pos_id"), col("sim").as("pos_sim"))
+    val negs = scored
+      .filter(col("sim") >= ContrastNegLo && col("sim") < ContrastNegHi)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= ContrastHardK)
+      .select(col("src"), col("dst").as("neg_id"),
+        col("sim").as("neg_sim"), col("rn"))
+    pos.join(negs, "src")
+      .select(col("src").as("anchor"), col("pos_id"),
+        round(col("pos_sim"), 4).as("pos_sim"),
+        col("neg_id"), round(col("neg_sim"), 4).as("neg_sim"), col("rn"))
   }
 
   /** Integer-mass PageRank (q105's engine, usable over ANY (src, dst)

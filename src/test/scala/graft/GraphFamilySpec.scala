@@ -309,6 +309,61 @@ class GraphFamilySpec extends SparkTestBase {
       "every probe answers with a full top-k")
   }
 
+  test("q121: triplets match a driver replay of the cell mining; positives clear the band") {
+    val e = VectorQueries.emb(spark, sf)
+    val n = e.count()
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    val cells = operators.IvfIndex.cellAssignments(
+        e, VectorQueries.ivfNList(n), Some(n))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = SparkEntry.queries("q121_contrastive_mine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(out.nonEmpty, "mining must produce triplets at this sf")
+    val byAnchor = out.groupBy(_._1)
+    byAnchor.foreach { case (a, rows) =>
+      val mates = cells.keys.filter(v => v != a && cells(v) == cells(a)).toSeq
+        .map(v => (v, cos(vecs(a), vecs(v))))
+      // positive: rank-1 cellmate, and it clears the negative band
+      val (wantPos, wantPosSim) = mates.minBy { case (v, c) => (-c, v) }
+      assert(rows.forall(_._2 == wantPos), s"anchor $a: wrong positive")
+      assert(wantPosSim >= VectorQueries.ContrastNegHi,
+        s"anchor $a: positive below the band ceiling should emit nothing")
+      assert(math.abs(rows.head._3 - wantPosSim) < 1e-4 + 1e-9)
+      // negatives: top-K of the banded cellmates, ranked
+      val wantNegs = mates.filter { case (_, c) =>
+          c >= VectorQueries.ContrastNegLo && c < VectorQueries.ContrastNegHi }
+        .sortBy { case (v, c) => (-c, v) }
+        .take(VectorQueries.ContrastHardK).map(_._1)
+      val gotNegs = rows.sortBy(_._6).map(_._4).toSeq
+      assert(gotNegs == wantNegs, s"anchor $a: negs $gotNegs != $wantNegs")
+      assert(!gotNegs.contains(rows.head._2),
+        s"anchor $a: the positive leaked into the negatives")
+      rows.foreach { t =>
+        // t._5 is rounded to 4 decimals, so allow a half-ulp at the edges
+        assert(t._5 < VectorQueries.ContrastNegHi + 1e-4 &&
+          t._5 >= VectorQueries.ContrastNegLo - 1e-4,
+          s"anchor $a: negative similarity outside the band: $t")
+        assert(t._3 >= t._5, s"anchor $a: positive must outscore negatives")
+      }
+    }
+    // every anchor whose cell gives it both sides of a triplet is mined
+    val expected = cells.keys.filter { a =>
+      val mates = cells.keys.filter(v => v != a && cells(v) == cells(a)).toSeq
+        .map(v => cos(vecs(a), vecs(v)))
+      mates.nonEmpty && mates.max >= VectorQueries.ContrastNegHi &&
+        mates.exists(c => c >= VectorQueries.ContrastNegLo &&
+          c < VectorQueries.ContrastNegHi)
+    }
+    assert(byAnchor.keySet == expected.toSet, "anchor coverage mismatch")
+  }
+
   test("q114: clusters match a driver union-find over the thresholded edges; non-vacuous") {
     val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
       .filter(_.getDouble(2) >= VectorQueries.SemClusterEps)

@@ -49,7 +49,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q114_semantic_clusters", // thresholded edges + star-contraction CC
     "q116_nn_descent",      // ITERATIVE: bounded NoN candidates + rank
     "q119_repetition",      // per-doc hashed n-gram aggs + max(struct) tiebreak
-    "q120_graph_greedy")    // ITERATIVE: beam expand/score/cut over the graph
+    "q120_graph_greedy",    // ITERATIVE: beam expand/score/cut over the graph
+    "q121_contrastive_mine") // staged cell pairs + two per-src rank cuts
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
