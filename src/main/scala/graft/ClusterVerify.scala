@@ -41,7 +41,9 @@ object ClusterVerify {
     "q108_mmr_diverse", "q109_novelty", "q110_label_prop",
     "q111_chunk_dedup", "q112_funnel", "q113_retention",
     "q114_semantic_clusters", "q116_nn_descent",
-    "q119_repetition", "q120_graph_greedy", "q121_contrastive_mine")
+    "q119_repetition", "q120_graph_greedy", "q121_contrastive_mine",
+    "q122_triangles", "q123_containment", "q124_anomaly",
+    "q125_temperature_mix", "q126_phrase_search", "q127_source_similarity")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

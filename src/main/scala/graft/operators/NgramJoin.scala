@@ -103,6 +103,47 @@ object NgramJoin {
   def candidatePairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
     candidatesFromSets(shingleSets(docs, n).localCheckpoint(), minJaccard)
 
+  /** All DIRECTED pairs with exact n-gram containment
+    * C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥ minContain: (doc_a, doc_b,
+    * containment), doc_a ≠ doc_b — doc_a is the (near-)contained side.
+    * The asymmetric twin of [[similarPairs]]: Jaccard misses a short
+    * doc quoted whole inside a long one (the union term swamps it);
+    * containment is the published fix (Broder 1997's "containment").
+    *
+    * Prefix filtering still applies on the PROBE side only: if
+    * |Sₐ ∩ S_b| ≥ t·|Sₐ| then the intersection misses at most
+    * |Sₐ| − ⌈t·|Sₐ|⌉ of a's shingles, so at least one of a's first
+    * |Sₐ| − ⌈t·|Sₐ|⌉ + 1 rarest shingles is shared — the same prefix
+    * length as Jaccard, so [[prefixIndex]] is reused verbatim. The
+    * CONTAINING side has no symmetric prefix (b may be arbitrarily
+    * larger than the overlap), so it is indexed on ALL its shingles —
+    * candidates are a's rare prefix shingles probing the full inverted
+    * index, still never n². A size gate (t·|Sₐ| ≤ |S_b|, integer-safe
+    * as a cross-multiply) drops impossible pairs before the rescore. */
+  def containedPairs(docs: DataFrame, n: Int, minContain: Double): DataFrame = {
+    val sets = shingleSets(docs, n).localCheckpoint()
+    val prefA = prefixIndex(sets, minContain).localCheckpoint()
+    val fullB = sets.select(col("doc_id").as("doc_b"),
+        explode(col("shingles")).as("shingle"))
+      .select(col("doc_b"), xxhash64(col("shingle")).as("sh"))
+    val cand = prefA.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(fullB.hint("merge"), Seq("sh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+        .hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+        .hint("merge"), "doc_b")
+      .filter(lit(minContain) * size(col("sa")) <= size(col("sb")))
+      .withColumn("containment", inter.cast("double") / size(col("sa")).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** All pairs with exact n-gram Jaccard ≥ minJaccard:
     * (doc_a, doc_b, jaccard), doc_a < doc_b. */
   def similarPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {

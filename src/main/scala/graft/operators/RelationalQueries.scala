@@ -25,6 +25,14 @@ object RelationalQueries {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** q124 rolling-anomaly parameters — trailing window length, minimum
+    * events before scoring (a 2-event "baseline" flags everything), and
+    * the squared z threshold (9 = |z| > 3). All interpolated into the
+    * oracle SQL so the two engines cannot drift. */
+  private val AnomWin = 10
+  private val AnomMinWin = 5
+  private val AnomZsq = 9L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1-style pricing summary: partial+final hash agg, codegen'd.
     "q01_pricing_summary" -> ((s, d) => {
@@ -283,6 +291,41 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Rolling z-score anomaly detection (W2/W3 put to work — the
+    // standard telemetry-outlier rule, batch form): each event scored
+    // against the mean/variance of its user's trailing AnomWin events
+    // (frame ends at 1 PRECEDING so the event never scores itself).
+    // All arithmetic is cross-multiplied integers — value is floored
+    // to 1e-4 units (one IEEE double product, identical both engines),
+    // and |z| > 3 becomes (n·v − Σv)² > 9·(n·Σv² − (Σv)²): no
+    // division, no sqrt, no float accumulation, so windows sums are
+    // order-independent and the compare is hash-exact. den = 0 (a
+    // constant window) correctly flags iff v deviates. Scale: the
+    // window partitions by user_id (corpus-cardinality groups — the
+    // plain-window regime); magnitudes stay < 2³⁷ per term for values
+    // up to ~5e4, far inside BIGINT at this telemetry's range.
+    "q124_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("t"),
+        floor(col("value") * 10000.0).cast("long").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").asc, col("event_id").asc)
+        .rowsBetween(-AnomWin, -1)
+      ev.withColumn("n", count(col("v")).over(w))
+        .withColumn("sm", sum(col("v")).over(w))
+        .withColumn("s2", sum(col("v") * col("v")).over(w))
+        .filter(col("n") >= AnomMinWin)
+        .withColumn("nd", col("n") * col("v") - col("sm"))
+        .withColumn("num", col("nd") * col("nd"))
+        .withColumn("den",
+          lit(AnomZsq) * (col("n") * col("s2") - col("sm") * col("sm")))
+        .filter(col("num") > col("den"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("v").as("v_scaled"), col("n").as("win_n"),
+          col("num").as("zsq_num"), col("den").as("zsq_den"))
+    }),
+
     // Session STATS with order-dependent payload (increasing-value
     // steps, first-3 event types) — the batch window-function derivation
     // of streaming/StatefulSessions; the flatMapGroupsWithState stream
@@ -499,6 +542,30 @@ object RelationalQueries {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM act JOIN coh USING (user_id)
          WHERE day >= cohort_day GROUP BY 1, 2""",
+
+    // q124: same trailing frame, same cross-multiplied integer z-test.
+    // DuckDB's sum(BIGINT) widens to HUGEINT — harmless inside the
+    // comparison, CAST back to BIGINT on output so dtypes line up.
+    "q124_anomaly" ->
+      s"""WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+             CAST(floor(value * 10000.0) AS BIGINT) AS v
+           FROM events),
+         win AS (
+           SELECT event_id, user_id, event_type, v,
+             count(v) OVER w AS n,
+             sum(v) OVER w AS sm,
+             sum(v * v) OVER w AS s2
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN $AnomWin PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, event_type, v AS v_scaled,
+           CAST(n AS BIGINT) AS win_n,
+           CAST((n * v - sm) * (n * v - sm) AS BIGINT) AS zsq_num,
+           CAST($AnomZsq * (n * s2 - sm * sm) AS BIGINT) AS zsq_den
+         FROM win
+         WHERE n >= $AnomMinWin
+           AND (n * v - sm) * (n * v - sm) > $AnomZsq * (n * s2 - sm * sm)""",
 
     // the same three chained user-keyed mins; epoch_us mirrors
     // unix_micros, so every compared value is an integer

@@ -339,6 +339,15 @@ object TextQueries {
     // (q53's own entry deliberately does NOT read the memoized stage:
     // its benched time must stay the true cost of the pair join.)
 
+    // Exact n-gram CONTAINMENT pairs (L2, the asymmetric member):
+    // detects a short doc quoted (near-)whole inside a longer one,
+    // which Jaccard's union term hides. Probe-side prefix filter +
+    // full inverted index on the containing side, exact rescore.
+    // Oracle: the UNFILTERED directed all-pairs join — proving the
+    // probe-only prefix filter and the size gate lose nothing.
+    "q123_containment" -> ((s, d) =>
+      NgramJoin.containedPairs(documents(s, d), NgramN, ContainMinC)),
+
     // Dup-cluster resolution (L2 end-game): near-dup pairs → connected
     // components (alternating large-star/small-star) → keep the best
     // doc per cluster (longest, then lowest id). Oracle: DuckDB
@@ -579,6 +588,49 @@ object TextQueries {
                 col("tf"), col("df"), col("score"))
     }),
 
+    // Exact phrase search via a POSITIONAL inverted index (the
+    // retrieval op BM25's bag-of-words scoring cannot express): find
+    // every occurrence of the corpus's PhraseTopQ most-frequent word
+    // trigrams by chaining (doc_id, pos+k) equi-joins over the
+    // positional index — the classic search-engine phrase plan.
+    // Tokens travel as xxhash64 longs (fixed-width shuffles, q53
+    // doctrine); the phrase table is a broadcast ≤ PhraseTopQ rows.
+    // Scale: each join leg keys on (doc_id, pos) — uniform, never
+    // skewed; leg 1 is pre-filtered to the first word's postings, so
+    // candidate volume is the postings volume of the query terms, not
+    // the corpus. Oracle: the scan-side recomputation over exact
+    // STRINGS (occurrence counting by start position — also the
+    // collision check for the hashed index).
+    "q126_phrase_search" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toksArr = split(trim(col("text")), "\\s+")
+      val idx = docs.select(col("doc_id"), posexplode(toksArr))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                xxhash64(col("col")).as("tok"))
+        .localCheckpoint() // three join legs read it
+      val occ = docs.select(col("doc_id"), toksArr.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .as("phrase"))
+      val top = occ.groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("phrase").asc).limit(PhraseTopQ)
+        .withColumn("pw", transform(split(col("phrase"), " "), w => xxhash64(w)))
+        .select(col("phrase"), col("pw"))
+      val i1 = idx.select(col("doc_id").as("d1"), col("pos").as("p1"),
+        col("tok").as("t1"))
+      val i2 = idx.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("tok").as("t2"))
+      idx.join(broadcast(top), col("tok") === element_at(col("pw"), 1))
+        .join(i1, col("d1") === col("doc_id") && col("p1") === col("pos") + 1)
+        .filter(col("t1") === element_at(col("pw"), 2))
+        .join(i2, col("d2") === col("doc_id") && col("p2") === col("pos") + 2)
+        .filter(col("t2") === element_at(col("pw"), 3))
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+    }),
+
     // PII / identifier scrubbing over event-log payloads (L5 — logs are
     // a training-data source and numeric ids, emails and URLs must come
     // out before training). Pure regexp built-ins (codegen'd, one narrow
@@ -634,6 +686,76 @@ object TextQueries {
         .groupBy(col("lang"), col("n_lang"))
         .agg(sum(when(col("bkt") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
         .select(col("lang"), col("n_lang").as("n_docs"), col("n_kept"))
+    }),
+
+    // Source-fingerprint similarity (L5 — the distribution-shift matrix
+    // a mixture designer reads before weighting sources): cosine
+    // between every source pair's unigram count vectors. Counts stay
+    // BIGINTs keyed by xxhash64(term) (fixed-width, order-independent
+    // sums); the pair dot is a token-keyed self-join of the per-source
+    // profile (per token ≤ sources² contributions — sources are
+    // hundreds, not corpus-scale), norms are per-source scalars, and
+    // the ONE float op is the final dot/√(na²·nb²) — the same IEEE
+    // expression on both engines over identical integers. Oracle
+    // recomputes from exact strings (= the collision check).
+    "q127_source_similarity" -> ((s, d) => {
+      val cnts = documents(s, d)
+        .select(col("source"), explode(toks).as("term"))
+        .groupBy(col("source"), xxhash64(col("term")).as("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // three consumers: norms + both join legs
+      val norms = cnts.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val a = cnts.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+      val b = cnts.select(col("source").as("src_b"), col("tok"), col("c").as("cb"))
+      a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("src_a"),
+          col("n2").as("na2"))), "src_a")
+        .join(broadcast(norms.select(col("source").as("src_b"),
+          col("n2").as("nb2"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("dot"), col("na2"), col("nb2"),
+          round(col("dot").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 4)
+            .as("cos"))
+    }),
+
+    // Temperature-flattened mixture resampling (L5 — the multilingual
+    // α = 0.5 recipe of mBERT/XLM-R: sampling shares ∝ n_d^α so
+    // low-resource domains are up-weighted relative to their share).
+    // Per-language keep-probability p = min(1, T·w_d / (S·n_d)) with
+    // w_d = ⌊√n_d⌋, S = Σw, T = half the corpus — derived ENTIRELY
+    // from the corpus, unlike q69's fixed targets. Selection is the
+    // same md5-bucket integer threshold as q69/q56: deterministic,
+    // coordination-free, no rank window (the scalable exact-decision
+    // sampler; quotas are hit in expectation, which is what temperature
+    // sampling means). All threshold arithmetic is cross-multiplied
+    // BIGINTs (⌊√n⌋ via one correctly-rounded IEEE sqrt both engines
+    // share); 256·T·w stays inside int64 for corpora to ~10¹⁰ docs —
+    // past that the documented widening is DECIMAL(38,0) on both
+    // engines, same expressions.
+    "q125_temperature_mix" -> ((s, d) => {
+      val docs = documents(s, d)
+      val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      val wgt = perLang.withColumn("w",
+        floor(sqrt(col("n_lang").cast("double"))).cast("long"))
+      val sw = wgt.agg(sum(col("w")).as("sw"))
+      val thr = wgt.crossJoin(broadcast(tot)).crossJoin(broadcast(sw))
+        .withColumn("thr", least(lit(256L),
+          expr("(256 * (n_total DIV 2) * w) DIV (sw * n_lang)")))
+        .select(col("lang"), col("n_lang"), col("w"), col("thr"))
+      docs
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .join(broadcast(thr), "lang")
+        .groupBy(col("lang"), col("n_lang"), col("w"), col("thr"))
+        .agg(sum(when(col("bkt") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_lang").as("n_docs"), col("w"),
+                col("thr"), col("n_kept"))
     }),
 
     // Tokenizer-vocabulary coverage (L5 — the vocab-size sweep run
@@ -809,6 +931,13 @@ object TextQueries {
     * (which hardcodes trigram concatenation, so NgramN stays 3). */
   private val NgramN = 3
   private val NgramMinJ = 0.8
+
+  /** q123 containment threshold — shared with its oracle SQL. */
+  private val ContainMinC = 0.8
+
+  /** q126: how many of the corpus's most-frequent trigram phrases the
+    * positional-index search runs — shared with its oracle SQL. */
+  private val PhraseTopQ = 3
 
   /** q53's pair output, memoized per (session, sf dir) as an EAGER
     * localCheckpoint — the shared materialized stage that composed
@@ -1018,6 +1147,70 @@ object TextQueries {
          FROM b JOIN thr ON b.lang = thr.lang
          GROUP BY b.lang, thr.n_lang""",
 
+    // q127: per-source unigram profiles from exact strings, the same
+    // integer dot/norm algebra, one final double expression.
+    "q127_source_similarity" ->
+      """WITH c AS (
+           SELECT source, t AS term, count(*) AS c
+           FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                 FROM documents)
+           GROUP BY 1, 2),
+         n2 AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+         d AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+           FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+           round(CAST(dot AS DOUBLE) /
+             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos
+         FROM d JOIN n2 na ON na.source = d.src_a
+                JOIN n2 nb ON nb.source = d.src_b""",
+
+    // q126: the scan-side recomputation over exact STRINGS — every
+    // trigram start position counted directly, same (cnt DESC, phrase
+    // ASC) top cut. Proves the positional-index join plan AND checks
+    // the hashed postings for collisions in one compare.
+    "q126_phrase_search" ->
+      s"""WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS phrase
+           FROM tk WHERE len(toks) >= 3),
+         top AS (
+           SELECT phrase FROM (SELECT phrase, count(*) AS cnt FROM occ GROUP BY 1)
+           ORDER BY cnt DESC, phrase ASC LIMIT $PhraseTopQ)
+         SELECT o.phrase, o.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         FROM occ o JOIN top USING (phrase)
+         GROUP BY 1, 2""",
+
+    // q125: the corpus-derived temperature thresholds (⌊√n⌋ weights,
+    // integer cross-multiplied keep-probability) + the same md5-bucket
+    // count. `//` mirrors Spark's DIV on the all-positive operands.
+    "q125_temperature_mix" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM documents),
+         wg AS (SELECT lang, n_lang,
+                  CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS w
+                FROM pl),
+         sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM wg),
+         thr AS (
+           SELECT lang, n_lang, w,
+             least(CAST(256 AS BIGINT),
+               (256 * (n_total // 2) * w) // (sw * n_lang)) AS thr
+           FROM wg CROSS JOIN tot CROSS JOIN sw),
+         b AS (
+           SELECT lang,
+             (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bkt
+           FROM documents)
+         SELECT t.lang, t.n_lang AS n_docs, t.w, t.thr,
+           CAST(sum(CASE WHEN b.bkt < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM b JOIN thr t ON b.lang = t.lang
+         GROUP BY t.lang, t.n_lang, t.w, t.thr""",
+
     "q67_vocab_coverage" ->
       """WITH counts AS (
            SELECT g, count(*) AS cnt FROM (
@@ -1075,6 +1268,28 @@ object TextQueries {
     "q53_ngram_neardup" ->
       s"""WITH $ngramPairsCtes
          SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs""",
+
+    // q123: the UNFILTERED directed containment join (every shared
+    // shingle, no prefix filter, no size gate) — the same
+    // independence-from-the-filter proof as q53's oracle, for the
+    // asymmetric variant. i and n are integers; one double division.
+    "q123_containment" ->
+      s"""WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents)
+           WHERE len(toks) >= $NgramN),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE), 4) AS containment
+         FROM inter JOIN sz na ON na.doc_id = doc_a
+         WHERE CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE) >= $ContainMinC""",
 
     "q55_tfidf_terms" ->
       """WITH tf AS (

@@ -410,6 +410,13 @@ object VectorQueries {
     // ivf_cells pair replay (knnEdgeCtes' escored) + both rank cuts.
     "q121_contrastive_mine" -> ((s, d) => contrastiveTriplets(s, d)),
 
+    // Per-vertex triangle counting over the q104 graph — the classic
+    // distributed graph-cohesion metric (a vertex in many triangles
+    // sits in a dense near-dup/topic clump; deg + n_tri give the local
+    // clustering coefficient without a float division). Oracle: the
+    // edge replay + the same ordered wedge enumeration. All integers.
+    "q122_triangles" -> ((s, d) => triangleCounts(s, d)),
+
     // Semantic clustering (L2e's graph-side twin): the q104 k-NN edges
     // thresholded at SemClusterEps, canonicalized undirected, fed to
     // the SAME large/small-star ConnectedComponents the text dedup
@@ -1154,6 +1161,33 @@ object VectorQueries {
            neg_id, round(neg_sim, 4) AS neg_sim, rn
          FROM pos JOIN neg USING (src)""",
 
+    // q122: the edge replay, canonicalized undirected, then the same
+    // id-oriented wedge enumeration (a < b < c once per triangle)
+    // closed with an EXISTS probe — integers end-to-end.
+    "q122_triangles" ->
+      s"""WITH $knnEdgeCtes,
+         und AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM edges),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM und e1 JOIN und e2 ON e2.u = e1.v
+           WHERE EXISTS (SELECT 1 FROM und e3
+                         WHERE e3.u = e1.u AND e3.v = e2.v)),
+         verts AS (
+           SELECT a AS vec_id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+         tcnt AS (
+           SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
+           FROM verts GROUP BY 1),
+         dg AS (
+           SELECT vec_id, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT u AS vec_id FROM und UNION ALL SELECT v FROM und)
+           GROUP BY 1)
+         SELECT d.vec_id, d.deg, coalesce(t.n_tri, 0) AS n_tri
+         FROM dg d LEFT JOIN tcnt t USING (vec_id)""",
+
     // q114: the edge replay thresholded + the q54 recursive-CTE
     // transitive closure with the same min-root labeling.
     "q114_semantic_clusters" ->
@@ -1604,6 +1638,43 @@ object VectorQueries {
       .select(col("src").as("anchor"), col("pos_id"),
         round(col("pos_sim"), 4).as("pos_sim"),
         col("neg_id"), round(col("neg_sim"), 4).as("neg_sim"), col("rn"))
+  }
+
+  /** q122: per-vertex triangle counting + degree over the q104 k-NN
+    * graph — node-iterator triangle enumeration on the id-oriented
+    * canonical edge set (Suri & Vassilvitskii 2011's MapReduce shape).
+    * Each undirected edge is stored once as (u < v); a wedge is
+    * e1 = (a, b) ⋈ e2 = (b, c) on the shared middle b (so a < b < c by
+    * construction — each triangle is enumerated exactly once), closed
+    * by a LEFT SEMI probe for (a, c).
+    *
+    * Scale posture: wedge volume is Σ_b deg²(b), and the q104 degree is
+    * bounded — out-degree by [[KnnGraphK]], in-degree by the derived
+    * cell geometry (only cellmates can point at a vertex) — so the
+    * wedge table is O(n·K²), linear in the corpus, never all-pairs.
+    * Both joins and the closing semi-join key on vertex ids (fixed-
+    * width longs); the per-vertex rollup is a map-side-combinable
+    * count. All integers end-to-end — bit-exact cross-engine. */
+  private[graft] def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val und = knnGraph(s, d)
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint() // ≤ 2nK rows; read 4x below
+    val tri = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(und.select(col("u").as("a"), col("v").as("c")),
+        Seq("a", "c"), "left_semi")
+      .localCheckpoint() // O(triangles) rows; read 3x by the unpivot
+    val perVertex = tri.select(col("a").as("vec_id"))
+      .union(tri.select(col("b")))
+      .union(tri.select(col("c")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+    val deg = und.select(col("u").as("vec_id"))
+      .union(und.select(col("v")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    deg.join(perVertex, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
   /** Integer-mass PageRank (q105's engine, usable over ANY (src, dst)

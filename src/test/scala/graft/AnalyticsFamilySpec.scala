@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q122–q127 — the round-8 analytics additions (triangles, containment
+  * dedup, rolling anomaly, temperature mixture, phrase search, source
+  * fingerprints). The DuckDB oracles prove cross-engine equality; these
+  * specs pin semantics the hash compare can't express, via independent
+  * driver-side recomputation from the raw tables (never via the
+  * operator's own building blocks).
+  */
+class AnalyticsFamilySpec extends SparkTestBase {
+
+  private def md5Bucket(id: Long): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(h.substring(0, 2), 16)
+  }
+
+  private def docTokens: Map[Long, Array[String]] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .toMap
+
+  test("q122: per-vertex triangle counts equal a driver recount over the q104 graph") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val triPerVertex = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    var total = 0L
+    und.foreach { case (u, v) =>
+      (adj(u) intersect adj(v)).filter(_ > v).foreach { w =>
+        total += 1
+        Seq(u, v, w).foreach(x => triPerVertex(x) += 1)
+      }
+    }
+    val out = SparkEntry.queries("q122_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == adj.keySet, "one row per graph vertex")
+    out.foreach { case (v, (deg, nTri)) =>
+      assert(deg == adj(v).size, s"vertex $v degree $deg != ${adj(v).size}")
+      assert(nTri == triPerVertex(v),
+        s"vertex $v n_tri $nTri != ${triPerVertex(v)}")
+    }
+    assert(out.values.map(_._2).sum == 3 * total,
+      "per-vertex counts triple-count each triangle")
+    assert(total > 0, "a k-NN graph over clustered vectors must close triangles")
+  }
+
+  test("q123: containment pairs equal a driver brute force; catches what Jaccard misses") {
+    val toks = docTokens
+    val sets = toks.collect { case (id, ts) if ts.length >= 3 =>
+      id -> ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    // inverted index so the driver replay is shared-shingle pairs, not
+    // blind n² (the same candidate-completeness argument the op makes)
+    val inv = scala.collection.mutable.Map.empty[String, List[Long]]
+      .withDefaultValue(Nil)
+    sets.foreach { case (id, ss) => ss.foreach(g => inv(g) = id :: inv(g)) }
+    val cand = inv.values.flatMap(ds =>
+      for (a <- ds; b <- ds if a != b) yield (a, b)).toSet
+    val want = cand.flatMap { case (a, b) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val c = (sa intersect sb).size.toDouble / sa.size
+      if (c >= 0.8) Some(((a, b),
+        BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.toMap
+    val out = SparkEntry.queries("q123_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == want.keySet,
+      s"pair sets differ: extra=${out.keySet -- want.keySet} missing=${want.keySet -- out.keySet}")
+    out.foreach { case (k, c) =>
+      assert(math.abs(c - want(k)) < 5e-5, s"pair $k containment $c != ${want(k)}")
+    }
+  }
+
+  test("q123: a doc quoted inside a longer one passes containment but not Jaccard") {
+    // the asymmetric point, on a planted fixture (the harness corpus's
+    // near-dups are all full-doc copies, where the two coincide): a
+    // short doc embedded verbatim in a 4x-longer host
+    import spark.implicits._
+    val short = (1 to 20).map(i => s"w$i").mkString(" ")
+    val host = ((1 to 20).map(i => s"w$i") ++
+      (1 to 60).map(i => s"x$i")).mkString(" ")
+    val docs = Seq((1L, short), (2L, host)).toDF("doc_id", "text")
+    val out = operators.NgramJoin.containedPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)),
+      s"expected exactly short-in-host, got ${out.keySet}")
+    assert(out((1L, 2L)) == 1.0, "verbatim quote: containment must be 1.0")
+    val jac = operators.NgramJoin.similarPairs(docs, 3, 0.8).collect()
+    assert(jac.isEmpty, "Jaccard at the same bar must MISS the quoted doc")
+  }
+
+  test("q124: flagged anomalies equal a driver trailing-window replay") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 10000.0).toLong))
+    val want = evs.groupBy(_._2).flatMap { case (_, rows) =>
+      val ord = rows.sortBy(r => (r._3, r._1))
+      ord.indices.flatMap { i =>
+        val win = ord.slice(math.max(0, i - 10), i).map(_._4)
+        val (n, v) = (win.length.toLong, ord(i)._4)
+        if (n < 5) None
+        else {
+          val sm = win.sum
+          val s2 = win.map(x => x * x).sum
+          val num = (n * v - sm) * (n * v - sm)
+          val den = 9L * (n * s2 - sm * sm)
+          if (num > den) Some(ord(i)._1 -> ((n, num, den))) else None
+        }
+      }
+    }
+    val out = SparkEntry.queries("q124_anomaly")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out.keySet == want.keySet,
+      s"flag sets differ: extra=${out.keySet -- want.keySet} missing=${want.keySet -- out.keySet}")
+    out.foreach { case (id, t) => assert(t == want(id), s"event $id: $t != ${want(id)}") }
+    assert(out.nonEmpty, "a 3-sigma rule over telemetry must flag something")
+  }
+
+  test("q125: thresholds follow the ⌊√n⌋ temperature law and flatten the mix") {
+    val langN = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = langN.values.sum
+    val w = langN.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sw = w.values.sum
+    val out = SparkEntry.queries("q125_temperature_mix")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == langN.keySet)
+    out.foreach { case (l, (nDocs, wl, thr, nKept)) =>
+      assert(nDocs == langN(l) && wl == w(l))
+      assert(thr == math.min(256L, 256L * (total / 2) * w(l) / (sw * langN(l))),
+        s"lang $l threshold $thr off the integer law")
+      // independent recount of the md5-bucket decision
+      val kept = Tables.documents(spark, sf).filter(col("lang") === l)
+        .select(col("doc_id")).collect()
+        .count(r => md5Bucket(r.getLong(0)) < thr)
+      assert(nKept == kept, s"lang $l n_kept $nKept != driver $kept")
+    }
+    // the point of temperature sampling: the rarest language keeps a
+    // LARGER share of itself than the most common one
+    val minL = langN.minBy(_._2)._1
+    val maxL = langN.maxBy(_._2)._1
+    val rate = (l: String) => out(l)._4.toDouble / out(l)._1
+    assert(rate(minL) > rate(maxL),
+      s"keep rates not flattened: $minL ${rate(minL)} vs $maxL ${rate(maxL)}")
+  }
+
+  test("q126: phrase hits equal a driver scan; queried phrases are the true top-3") {
+    val toks = docTokens
+    val occ = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(3).filter(_.length == 3).map(w => (id, w.mkString(" ")))
+    }
+    val cnt = occ.groupBy(_._2).view.mapValues(_.size).toMap
+    val top = cnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(3).map(_._1).toSet
+    val want = occ.filter(o => top(o._2)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val out = SparkEntry.queries("q126_phrase_search")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getString(0)) -> r.getLong(2)).toMap
+    assert(out.keySet.map(_._2) == top, "searched phrases must be the top-3")
+    assert(out == want.map { case ((d, p), c) => (d, p) -> c },
+      "per-(phrase, doc) occurrence counts differ from the driver scan")
+  }
+
+  test("q127: pair cosines equal a driver recompute; self-norms consistent") {
+    val srcCnt = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map(t => (r.getString(0), t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bySrc = srcCnt.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, t), c) => t -> c }).toMap
+    val out = SparkEntry.queries("q127_source_similarity")(spark, sf).collect()
+    val srcs = bySrc.keySet.toSeq.sorted
+    assert(out.length == srcs.size * (srcs.size - 1) / 2,
+      "one row per unordered source pair")
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs must be canonicalized src_a < src_b")
+      val (ca, cb) = (bySrc(a), bySrc(b))
+      val dot = ca.collect { case (t, x) if cb.contains(t) => x * cb(t) }.sum
+      val na2 = ca.values.map(x => x * x).sum
+      val nb2 = cb.values.map(x => x * x).sum
+      assert(r.getLong(2) == dot && r.getLong(3) == na2 && r.getLong(4) == nb2,
+        s"pair ($a,$b) integer algebra differs")
+      val cos = dot.toDouble / math.sqrt(na2.toDouble * nb2.toDouble)
+      assert(math.abs(r.getDouble(5) - cos) < 5e-5, s"pair ($a,$b) cosine")
+    }
+  }
+}

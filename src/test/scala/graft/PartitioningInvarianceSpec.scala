@@ -50,7 +50,13 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q116_nn_descent",      // ITERATIVE: bounded NoN candidates + rank
     "q119_repetition",      // per-doc hashed n-gram aggs + max(struct) tiebreak
     "q120_graph_greedy",    // ITERATIVE: beam expand/score/cut over the graph
-    "q121_contrastive_mine") // staged cell pairs + two per-src rank cuts
+    "q121_contrastive_mine", // staged cell pairs + two per-src rank cuts
+    "q122_triangles",        // wedge join + closing semi-join, all integers
+    "q123_containment",      // probe-prefix index join + exact rescore
+    "q124_anomaly",          // trailing-frame integer z-test per user
+    "q125_temperature_mix",  // derived integer thresholds + bucket counts
+    "q126_phrase_search",    // positional-index chained joins + TakeOrdered cut
+    "q127_source_similarity") // token-keyed profile self-join, integer algebra
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
