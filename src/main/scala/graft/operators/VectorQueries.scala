@@ -1660,10 +1660,7 @@ object VectorQueries {
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint() // ≤ 2nK rows; read 4x below
-    val tri = und.select(col("u").as("a"), col("v").as("b"))
-      .join(und.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-      .join(und.select(col("u").as("a"), col("v").as("c")),
-        Seq("a", "c"), "left_semi")
+    val tri = trianglesPlan(und)
       .localCheckpoint() // O(triangles) rows; read 3x by the unpivot
     val perVertex = tri.select(col("a").as("vec_id"))
       .union(tri.select(col("b")))
@@ -1676,6 +1673,15 @@ object VectorQueries {
       .select(col("vec_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** The un-materialized wedge-enumeration plan over a canonical
+    * undirected edge table — split out (q104 doctrine) so PlanAuditSpec
+    * can see the join shape localCheckpoint would collapse. */
+  private[graft] def trianglesPlan(und: DataFrame): DataFrame =
+    und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(und.select(col("u").as("a"), col("v").as("c")),
+        Seq("a", "c"), "left_semi")
 
   /** Integer-mass PageRank (q105's engine, usable over ANY (src, dst)
     * edge table): [[PrIters]] synchronous iterations at damping

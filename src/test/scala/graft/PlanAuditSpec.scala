@@ -387,6 +387,80 @@ class PlanAuditSpec extends SparkTestBase {
       s"native dot-product expression missing:\n$p")
   }
 
+  test("q122 triangles: keyed wedge join + closing semi-join, never a cross product") {
+    // audit the un-materialized wedge plan — the query itself
+    // checkpoints it, which collapses the joins to a Scan ExistingRDD
+    val und = graft.operators.VectorQueries.knnGraph(spark, sf)
+      .select(org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")).as("u"),
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")).as("v"))
+      .distinct()
+    val p = graft.operators.VectorQueries.trianglesPlan(und)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle enumeration degenerated to all-pairs:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the closing edge probe must be a semi-join:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.matches(""".*\b(a|b)#\d.*""")),
+      s"no vertex-keyed wedge join found:\n$p")
+  }
+
+  test("q123 containment: candidates join on hashed shingles, never a cross product") {
+    val p = plan("q123_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment degenerated to all-pairs:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.contains("sh#")),
+      s"no shingle-keyed candidate join found:\n$p")
+    assert(p.contains("array_intersect"),
+      s"exact rescore missing from the plan:\n$p")
+  }
+
+  test("q124 anomaly: one user-keyed exchange feeds the trailing window") {
+    val p = plan("q124_anomaly")
+    val exchanges = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly the user_id window exchange, got $exchanges:\n$p")
+    assert(p.contains("user_id#"), s"window not keyed by user_id:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
+  test("q125 temperature mix: derived thresholds broadcast into the doc scan") {
+    val p = plan("q125_temperature_mix")
+    assert(!p.contains("CartesianProduct"),
+      s"threshold table must reach docs via broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lang-keyed threshold join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here is big enough to sort-merge:\n$p")
+  }
+
+  test("q126 phrase search: TakeOrdered phrase cut, broadcast phrases, positional equi-joins") {
+    val p = plan("q126_phrase_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-phrase cut must not globally sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"phrase match degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤3-row phrase table must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.contains("doc_id#")),
+      s"positional legs must equi-join on (doc_id, pos):\n$p")
+  }
+
+  test("q127 source similarity: token-keyed profile self-join, broadcast norms") {
+    val p = plan("q127_source_similarity")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"profile pairing degenerated to all-pairs:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.contains("tok#")),
+      s"no token-keyed self-join found:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
