@@ -43,7 +43,8 @@ object ClusterVerify {
     "q114_semantic_clusters", "q116_nn_descent",
     "q119_repetition", "q120_graph_greedy", "q121_contrastive_mine",
     "q122_triangles", "q123_containment", "q124_anomaly",
-    "q125_temperature_mix", "q126_phrase_search", "q127_source_similarity")
+    "q125_temperature_mix", "q126_phrase_search", "q127_source_similarity",
+    "q128_winnowing", "q129_kcore", "q130_matryoshka")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

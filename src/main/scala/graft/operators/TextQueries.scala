@@ -588,6 +588,26 @@ object TextQueries {
                 col("tf"), col("df"), col("score"))
     }),
 
+    // Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    // 2003 — the MOSS algorithm; L2's POSITION-AWARE member, beside
+    // MinHash's set sketch): per doc, hash every char 5-gram, slide a
+    // width-4 window, keep each window's minimal hash (rightmost on
+    // ties — the "robust winnowing" rule), and report doc pairs
+    // sharing ≥ WinnowMinShared distinct selected hashes. The
+    // guarantee MinHash cannot give: ANY shared substring of ≥ 8
+    // chars is detected. Selection is per-row higher-order-function
+    // work (zero shuffle — hashes, windows, and the fold all stay
+    // inside one projection); only the ≤ L/w selected fingerprints
+    // reach the hash-keyed pair join, and fingerprints selected by
+    // more than WinnowMaxDf docs are dropped first (MOSS's common-code
+    // rule — also the bound that keeps the join ≤ MaxDf² pairs per
+    // hash instead of n² on a shared-vocabulary corpus). Hashes are
+    // 12-hex-digit md5
+    // prefixes (the q86 idiom) so the oracle replays the SAME values
+    // and the SAME argmin — selection, not just membership, is
+    // cross-checked.
+    "q128_winnowing" -> ((s, d) => winnowedPairs(documents(s, d))),
+
     // Exact phrase search via a POSITIONAL inverted index (the
     // retrieval op BM25's bag-of-words scoring cannot express): find
     // every occurrence of the corpus's PhraseTopQ most-frequent word
@@ -939,6 +959,22 @@ object TextQueries {
     * positional-index search runs — shared with its oracle SQL. */
   private val PhraseTopQ = 3
 
+  /** q128 winnowing (Schleimer et al. 2003): char k-gram length,
+    * window width, and the minimum shared-fingerprint count for a
+    * reported pair. Guarantee: any shared substring of length
+    * ≥ k + w − 1 = 8 chars yields at least one shared fingerprint. */
+  private[graft] val WinnowK = 5
+  private[graft] val WinnowW = 4
+  private[graft] val WinnowMinShared = 2
+
+  /** Fingerprints selected by more than this many docs are "common
+    * code" (MOSS's base-file/stop-fingerprint rule) and are dropped
+    * before pairing. Also the SCALE bound: pair fan-out per
+    * fingerprint is ≤ MaxDf², so the join can never go n² on a
+    * shared-vocabulary corpus (without it, this harness corpus pairs
+    * 124k of its 125k possible doc pairs — all noise). */
+  private[graft] val WinnowMaxDf = 10
+
   /** q53's pair output, memoized per (session, sf dir) as an EAGER
     * localCheckpoint — the shared materialized stage that composed
     * queries (q54) build on, exactly as a production pipeline stages
@@ -961,6 +997,49 @@ object TextQueries {
     * runs, then whitespace runs. Shared verbatim with the q62 oracle. */
   private val BpePattern =
     """''[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+"""
+
+  /** q128's engine over ANY (doc_id, text) frame — split out so specs
+    * can run planted fixtures through the exact production path.
+    * Selection (k-gram hashes, window fold, rightmost-min ties) is one
+    * zero-shuffle projection; the df gate and pair join shuffle only
+    * selected fingerprints. */
+  private[graft] def winnowedPairs(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(text) - ${WinnowK - 1}),
+              i -> named_struct('pos', i, 'h',
+                cast(conv(substring(md5(cast(substring(text, i, $WinnowK)
+                  as binary)), 1, 12), 16, 10) as bigint)))"""))
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(sequence(1, size(hs) - ${WinnowW - 1}),
+              j -> aggregate(slice(hs, j + 1, ${WinnowW - 1}),
+                element_at(hs, j),
+                (acc, x) -> if(x.h <= acc.h, x, acc))))""")))
+      .select(col("doc_id"), col("fp.h").as("h"))
+      .distinct()
+      .localCheckpoint() // ≤ n·L/w rows; df agg + both pair legs read it
+    val rare = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select(col("h"))
+    val fpr = fp.join(rare.hint("merge"), Seq("h"))
+    fpr.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fpr.select(col("doc_id").as("doc_b"), col("h")).hint("merge"),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+  }
+
+  /** 12-hex-digit md5 prefix decoded to a BIGINT in DuckDB — mirrors
+    * Spark's conv(substring(md5(x), 1, 12), 16, 10); the q86 instr
+    * idiom (same helper as VectorQueries.md5ModSql). */
+  private def md5IntSql(strExpr: String): String =
+    (1 to 12).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($strExpr), $i, 1)) - 1) " +
+        s"* ${BigInt(16).pow(12 - i)}")
+      .mkString("(", "\n             + ", ")")
 
   /** Shared CTE chain computing the exact trigram-Jaccard pair list the
     * NAIVE way (full inverted-index join, no prefix filter) — the
@@ -1146,6 +1225,44 @@ object TextQueries {
            CAST(sum(CASE WHEN b.bkt < thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM b JOIN thr ON b.lang = thr.lang
          GROUP BY b.lang, thr.n_lang""",
+
+    // q128: the winnowing selection replayed VALUE-for-value — same
+    // 12-hex md5 hashes, same per-window (h ASC, pos DESC) argmin
+    // (rightmost minimal = robust winnowing), same distinct-hash pair
+    // count. The oracle checks the selection itself, not just overlap.
+    "q128_winnowing" ->
+      s"""WITH d AS (
+           SELECT doc_id, text FROM documents
+           WHERE length(text) >= ${WinnowK + WinnowW - 1}),
+         pos AS (
+           SELECT doc_id, text, unnest(range(1, length(text) - ${WinnowK - 2}))
+             AS pos
+           FROM d),
+         hs AS (
+           SELECT doc_id, pos,
+             ${md5IntSql(s"substr(text, CAST(pos AS INT), $WinnowK)")} AS h
+           FROM pos),
+         wj AS (
+           SELECT doc_id, unnest(range(1, length(text) - ${WinnowK + WinnowW - 3}))
+             AS j
+           FROM d),
+         win AS (
+           SELECT doc_id, j, pos, h FROM (
+             SELECT w.doc_id, w.j, h0.pos, h0.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.j
+                 ORDER BY h0.h ASC, h0.pos DESC) AS rn
+             FROM wj w JOIN hs h0 ON h0.doc_id = w.doc_id
+               AND h0.pos >= w.j AND h0.pos <= w.j + ${WinnowW - 1})
+           WHERE rn = 1),
+         fp0 AS (SELECT DISTINCT doc_id, h FROM win),
+         rare AS (SELECT h FROM fp0 GROUP BY h
+                  HAVING count(*) <= $WinnowMaxDf),
+         fp AS (SELECT doc_id, h FROM fp0 JOIN rare USING (h))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*) >= $WinnowMinShared""",
 
     // q127: per-source unigram profiles from exact strings, the same
     // integer dot/norm algebra, one final double expression.

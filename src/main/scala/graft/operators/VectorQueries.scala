@@ -137,6 +137,32 @@ object VectorQueries {
   val MmrPool = 20
   val MmrLambda = 0.7
 
+  /** q130 Matryoshka retrieval (Kusupati et al. 2022's adaptive/funnel
+    * retrieval mechanic): stage 1 scores the cheap PREFIX of each
+    * vector (first [[MrlDim]] of 64 dims — 4× less I/O and FLOPs per
+    * candidate) and keeps a [[MrlPool]]-deep pool per probe; stage 2
+    * reranks only the pool with the full vector. Both cuts are
+    * two-phase GroupedTopK. The corpus is not MRL-trained — the
+    * operator is the retrieval mechanic, and the spec measures that
+    * the prefix pool still captures the true top-k here. */
+  val MrlDim = 16
+  val MrlPool = 50
+
+  /** q129 k-core: the degree bar, the edge threshold, and the FIXED
+    * number of synchronous peel rounds (bounded-round form, the
+    * q105/q110/q116 doctrine — full convergence is data-dependent and
+    * a 100 TB job wants a deterministic round budget). The substrate
+    * is the ε-SIMILARITY graph (within-cell pairs at sim ≥ KCoreEps),
+    * NOT the k-NN graph: a k-NN graph has uniform out-degree K by
+    * construction, so every bar either peels nothing (≤ K) or cascades
+    * to empty — degree only carries density information in the
+    * ε-graph, where dense near-dup clumps fan out and loners don't.
+    * Eps at the corpus's within-cell p90 (≈ 0.22, the q121 band
+    * ceiling's neighborhood) splits the corpus non-trivially. */
+  val KCoreK = 5
+  val KCoreEps = 0.15
+  val KCoreRounds = 3
+
   /** q105 PageRank: integer total mass, damping 17/20, fixed iteration
     * count. INTEGER-mass arithmetic is the q55/q85 rational doctrine
     * applied to an iterative graph algorithm: every per-node quantity
@@ -409,6 +435,40 @@ object VectorQueries {
     // step, model-free from corpus geometry. Oracle: the exported
     // ivf_cells pair replay (knnEdgeCtes' escored) + both rank cuts.
     "q121_contrastive_mine" -> ((s, d) => contrastiveTriplets(s, d)),
+
+    // Matryoshka two-stage retrieval: prefix-cosine pool cut (first
+    // MrlDim dims — the cheap stage a 100 TB index would store hot),
+    // full-dim exact rerank of the ≤ MrlPool survivors. Both ranks are
+    // two-phase GroupedTopK (the q31 doctrine); the full-width vectors
+    // are touched only for pool rows. Oracle: both stages replayed
+    // with DuckDB list slicing — bit-identical cosines, total-order
+    // cuts, no tolerance.
+    "q130_matryoshka" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("tsim",
+          cosine(slice(col("pemb"), 1, MrlDim), slice(col("emb"), 1, MrlDim)))
+      val pool = GroupedTopK.topK(scored, Seq("probe_id"),
+          Seq(col("tsim").desc, col("vec_id").asc), MrlPool, "trn")
+        .drop("trn")
+        .withColumn("sim", cosine(col("pemb"), col("emb")))
+      GroupedTopK.topK(pool, Seq("probe_id"),
+          Seq(col("sim").desc, col("vec_id").asc), AnnK)
+        .withColumn("rn", col("rn").cast("long"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(col("tsim"), 4).as("tcos"), round(col("sim"), 4).as("cos"),
+          col("rn"))
+    }),
+
+    // k-core peeling over the ε-similarity graph (KCoreRounds
+    // synchronous rounds at degree bar KCoreK) — the density filter
+    // that isolates the corpus's cohesive clumps (dense near-dup/topic
+    // regions survive; tendrils and isolated pairs peel away). Output:
+    // the surviving vertices with their residual degree. Oracle: the
+    // cell-pair replay + every peel round unrolled as CTEs, integers.
+    "q129_kcore" -> ((s, d) => kCore(s, d)),
 
     // Per-vertex triangle counting over the q104 graph — the classic
     // distributed graph-cohesion metric (a vertex in many triangles
@@ -1161,6 +1221,35 @@ object VectorQueries {
            neg_id, round(neg_sim, 4) AS neg_sim, rn
          FROM pos JOIN neg USING (src)""",
 
+    // q129: the edge replay + every peel round unrolled (degree agg →
+    // bar filter → both-endpoint edge prune), all integers.
+    "q129_kcore" -> kCoreOracle,
+
+    // q130: both stages replayed — prefix-slice cosines, the same
+    // (tsim DESC, vec_id) pool cut, full cosines, the same final cut.
+    "q130_matryoshka" ->
+      s"""WITH ev AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         p AS (SELECT vec_id AS probe_id, fv AS pf FROM ev WHERE vec_id < 10),
+         t AS (
+           SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(p.pf[1:$MrlDim], e.fv[1:$MrlDim]) AS tsim,
+             list_cosine_similarity(p.pf, e.fv) AS sim
+           FROM p JOIN ev e ON e.vec_id <> p.probe_id),
+         pool AS (
+           SELECT probe_id, vec_id, tsim, sim,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY tsim DESC, vec_id ASC) AS trn
+           FROM t),
+         rr AS (
+           SELECT probe_id, vec_id, tsim, sim,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+           FROM pool WHERE trn <= $MrlPool)
+         SELECT probe_id, vec_id AS neighbor_id, round(tsim, 4) AS tcos,
+           round(sim, 4) AS cos, rn
+         FROM rr WHERE rn <= $AnnK""",
+
     // q122: the edge replay, canonicalized undirected, then the same
     // id-oriented wedge enumeration (a < b < c once per triangle)
     // closed with an EXISTS probe — integers end-to-end.
@@ -1674,6 +1763,44 @@ object VectorQueries {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** q129: bounded-round k-core peeling — [[KCoreRounds]] synchronous
+    * rounds of "drop every vertex whose undirected degree < [[KCoreK]],
+    * then drop its edges", over the ε-similarity graph (within-cell
+    * scored pairs at sim ≥ [[KCoreEps]], canonical undirected — see
+    * the constant's scaladoc for why NOT the k-NN graph). The
+    * batch-iterative shape of the q105/q110 family: each
+    * round is one degree aggregation (map-side combinable count keyed
+    * by vertex) + two vertex-keyed LEFT SEMI joins pruning the edge
+    * set; lineage truncates per round (the edge table is read by both
+    * semi-joins AND the next round). Survivor degrees are plain
+    * integers — bit-exact cross-engine. A vertex that survives the
+    * degree bar but loses its last edge to a dying neighbor exits the
+    * output naturally (no edges → no degree row) on both engines. */
+  private[graft] def kCore(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    var und = cellPairsScored(e, e.count())
+      .filter(col("sim") >= KCoreEps)
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    for (r <- 1 to KCoreRounds) {
+      val deg = und.select(col("u").as("vec_id")).union(und.select(col("v")))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+      // the survivor set is O(vertices) — at corpus scale it must
+      // never broadcast; pin the shuffle joins (q53 hint doctrine:
+      // checkpointed inputs have no stats, the size guess can flip)
+      val keep = deg.filter(col("deg") >= KCoreK).select(col("vec_id"))
+      val kept = und
+        .join(keep.withColumnRenamed("vec_id", "u").hint("merge"),
+          Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("vec_id", "v").hint("merge"),
+          Seq("v"), "left_semi")
+      und = if (r < KCoreRounds) kept.localCheckpoint() else kept
+    }
+    und.select(col("u").as("vec_id")).union(und.select(col("v")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** The un-materialized wedge-enumeration plan over a canonical
     * undirected edge table — split out (q104 doctrine) so PlanAuditSpec
     * can see the join shape localCheckpoint would collapse. */
@@ -1927,6 +2054,33 @@ object VectorQueries {
       s"(instr('0123456789abcdef', substr(md5($strExpr), $i, 1)) - 1) " +
         s"* ${BigInt(16).pow(12 - i)}")
       .mkString("(", "\n             + ", ")")
+
+  /** The full q129 oracle: edge replay + [[KCoreRounds]] generated
+    * peel rounds — the same degree bar, the same both-endpoint edge
+    * pruning, the same survivor-degree rollup. */
+  private def kCoreOracle: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""deg$r AS (
+           SELECT vec_id, count(*) AS deg FROM (
+             SELECT u AS vec_id FROM und${r - 1}
+             UNION ALL SELECT v FROM und${r - 1})
+           GROUP BY 1),
+         keep$r AS (SELECT vec_id FROM deg$r WHERE deg >= $KCoreK),
+         und$r AS (
+           SELECT u, v FROM und${r - 1}
+           WHERE u IN (SELECT vec_id FROM keep$r)
+             AND v IN (SELECT vec_id FROM keep$r))"""
+    }.mkString(",\n         ")
+    s"""WITH $knnEdgeCtes,
+         und0 AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM escored WHERE sim >= $KCoreEps),
+         $rounds
+         SELECT vec_id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT u AS vec_id FROM und$KCoreRounds
+           UNION ALL SELECT v FROM und$KCoreRounds)
+         GROUP BY 1"""
+  }
 
   /** The full q110 oracle: edge replay, undirected closure, clamped
     * seed column, then [[LpIters]] generated voting rounds. */

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** q122–q127 — the round-8 analytics additions (triangles, containment
+/** q122–q130 — the round-8 analytics additions (triangles, containment
   * dedup, rolling anomaly, temperature mixture, phrase search, source
-  * fingerprints). The DuckDB oracles prove cross-engine equality; these
+  * fingerprints, winnowing, k-core, Matryoshka retrieval). The DuckDB
+  * oracles prove cross-engine equality; these
   * specs pin semantics the hash compare can't express, via independent
   * driver-side recomputation from the raw tables (never via the
   * operator's own building blocks).
@@ -175,6 +176,123 @@ class AnalyticsFamilySpec extends SparkTestBase {
     assert(out.keySet.map(_._2) == top, "searched phrases must be the top-3")
     assert(out == want.map { case ((d, p), c) => (d, p) -> c },
       "per-(phrase, doc) occurrence counts differ from the driver scan")
+  }
+
+  private def winnowFingerprints(text: String): Set[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long =
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12), 16)
+    val k = operators.TextQueries.WinnowK
+    val w = operators.TextQueries.WinnowW
+    if (text.length < k + w - 1) Set.empty
+    else {
+      val hs = (0 to text.length - k).map(i => (i, h(text.substring(i, i + k))))
+      (0 to hs.length - w).map { j =>
+        // rightmost minimal hash in the window — robust winnowing
+        hs.slice(j, j + w).reduceLeft((a, b) => if (b._2 <= a._2) b else a)._2
+      }.toSet
+    }
+  }
+
+  test("q128: pairs equal a driver winnowing replay (selection, df gate, and counts)") {
+    val fps = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> winnowFingerprints(r.getString(1))).toMap
+    val df = fps.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rare = fps.view.mapValues(_.filter(h =>
+      df(h) <= operators.TextQueries.WinnowMaxDf)).toMap
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      shared = (rare(a) intersect rare(b)).size
+      if shared >= operators.TextQueries.WinnowMinShared
+    } yield (a, b) -> shared.toLong).toMap
+    val out = SparkEntry.queries("q128_winnowing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == want,
+      s"extra=${out.keySet -- want.keySet} missing=${want.keySet -- out.keySet}")
+    assert(out.nonEmpty, "the harness corpus has rare shared 8+-char runs")
+  }
+
+  test("q128: the winnowing guarantee — a planted 40-char shared run is detected") {
+    import spark.implicits._
+    // two otherwise-alien docs sharing one 40-char substring; winnowing
+    // guarantees ≥1 shared fingerprint per shared (k+w-1)-char window,
+    // and a 40-char run yields enough windows to clear MinShared
+    val run = "zqxjkvbwpfmg hyndltrc zuvqxw kjbpfmtz yd"
+    val a = "aaaa bbbb cccc dddd " + run + " eeee ffff"
+    val b = "1111 2222 3333 4444 5555 " + run + " 6666"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = operators.TextQueries.winnowedPairs(docs).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getLong(1) == 2L,
+      s"planted pair not detected: ${out.mkString(",")}")
+    assert(out.head.getLong(2) >= operators.TextQueries.WinnowMinShared)
+  }
+
+  test("q129: survivors and degrees equal a driver peel; the peel is non-trivial") {
+    val e = operators.VectorQueries.emb(spark, sf)
+    val n = e.count()
+    var edges = operators.VectorQueries.cellPairsScored(e, n)
+      .filter(col("sim") >= operators.VectorQueries.KCoreEps)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val before = edges.flatMap(ed => Seq(ed._1, ed._2)).distinct.length
+    for (_ <- 1 to operators.VectorQueries.KCoreRounds) {
+      val deg = edges.flatMap(ed => Seq(ed._1, ed._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= operators.VectorQueries.KCoreK).keySet
+      edges = edges.filter(ed => keep(ed._1) && keep(ed._2))
+    }
+    val want = edges.flatMap(ed => Seq(ed._1, ed._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = SparkEntry.queries("q129_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == want, s"survivor degree maps differ (${out.size} vs ${want.size})")
+    assert(out.nonEmpty && out.size < before,
+      s"peel must drop some vertices and keep some: $before -> ${out.size}")
+  }
+
+  test("q130: two-stage result equals the driver replay AND the brute top-k here") {
+    val vecs = operators.VectorQueries.emb(spark, sf)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int) = {
+      var (dp, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- 0 until d) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / math.sqrt(na * nb)
+    }
+    val out = SparkEntry.queries("q130_matryoshka")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { pid =>
+      val p = vecs(pid)
+      val others = vecs.toSeq.filter(_._1 != pid)
+      val pool = others
+        .map { case (id, v) =>
+          (id, cos(p, v, operators.VectorQueries.MrlDim)) }
+        .sortBy { case (id, t) => (-t, id) }
+        .take(operators.VectorQueries.MrlPool)
+      val top = pool
+        .map { case (id, _) => (id, cos(p, vecs(id), p.length)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(operators.VectorQueries.AnnK)
+      top.zipWithIndex.foreach { case ((id, _), i) =>
+        assert(out((pid, i + 1L)) == id,
+          s"probe $pid rank ${i + 1}: got ${out((pid, i + 1L))}, want $id")
+      }
+      // informativeness (the PqCodesSpec winMean pattern — these
+      // embeddings are NOT MRL-trained, so exact brute recall is not
+      // the contract): the prefix-pooled picks must still score far
+      // above the corpus mean on the FULL vectors, i.e. the cheap
+      // stage carries real signal
+      val fullSims = others.map { case (id, v) => id -> cos(p, v, p.length) }
+      val corpusMean = fullSims.map(_._2).sum / fullSims.length
+      val pickMean = top.map(_._2).sum / top.length
+      assert(pickMean > corpusMean + 0.05,
+        s"probe $pid: staged picks mean $pickMean ~ corpus mean $corpusMean")
+    }
   }
 
   test("q127: pair cosines equal a driver recompute; self-norms consistent") {

@@ -56,7 +56,10 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q124_anomaly",          // trailing-frame integer z-test per user
     "q125_temperature_mix",  // derived integer thresholds + bucket counts
     "q126_phrase_search",    // positional-index chained joins + TakeOrdered cut
-    "q127_source_similarity") // token-keyed profile self-join, integer algebra
+    "q127_source_similarity", // token-keyed profile self-join, integer algebra
+    "q128_winnowing",        // zero-shuffle selection + df-gated pair join
+    "q129_kcore",            // ITERATIVE: degree agg + semi-join peel rounds
+    "q130_matryoshka")       // two GroupedTopK stages over staged cosines
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

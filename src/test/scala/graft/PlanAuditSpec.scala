@@ -461,6 +461,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"no token-keyed self-join found:\n$p")
   }
 
+  test("q128 winnowing: hash-keyed fingerprint joins, never a cross product") {
+    val p = plan("q128_winnowing")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fingerprint pairing degenerated to all-pairs:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Left keys") && l.contains("h#")),
+      s"no hash-keyed pair join found:\n$p")
+  }
+
+  test("q129 kcore: the final peel round is semi-joins + a map-side degree agg") {
+    val p = plan("q129_kcore")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"peeling degenerated:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"survivor pruning must be semi-joins:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"degree count must have a partial (map-side) phase:\n$p")
+  }
+
+  test("q130 matryoshka: probes broadcast, both stages rank via two-phase GroupedTopK") {
+    val p = plan("q130_matryoshka")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 10-probe side must broadcast:\n$p")
+    // two GroupedTopK stages = two pairs of rank windows (local prune +
+    // exact final) — four Window operators, none over a raw corpus group
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) == 4,
+      s"expected the two two-phase rank stages (4 Window ops):\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
