@@ -29,9 +29,9 @@ object RelationalQueries {
     * events before scoring (a 2-event "baseline" flags everything), and
     * the squared z threshold (9 = |z| > 3). All interpolated into the
     * oracle SQL so the two engines cannot drift. */
-  private val AnomWin = 10
-  private val AnomMinWin = 5
-  private val AnomZsq = 9L
+  private[graft] val AnomWin = 10
+  private[graft] val AnomMinWin = 5
+  private[graft] val AnomZsq = 9L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1-style pricing summary: partial+final hash agg, codegen'd.

@@ -167,6 +167,19 @@ object StreamingQueries {
           "micros_to_convert")
     }),
 
+    // ST × W6: q124's rolling z-score anomaly as a STREAM — per-user
+    // keyed trailing-window state (StreamingAnomaly), flags emitted at
+    // arrival, idle state dropped by event-time timeout. The oracle IS
+    // q124's batch SQL, so stream == batch is re-proven on rows,
+    // schema and hash every round.
+    "q131_stream_anomaly" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q131-landing")
+      splitByTime(events, landing, 3)
+      flushDrops(s, events, landing, 3)
+      runLandingAnomaly(s, landing, events)
+    }),
+
     "q71_stream_sessions" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q71-landing")
@@ -483,6 +496,18 @@ object StreamingQueries {
       dir0
     }
 
+  /** q131's stream over an ALREADY-POPULATED landing dir — shared with
+    * the drop-count-invariance spec (one drop vs three must be
+    * invisible in the output). */
+  private[graft] def runLandingAnomaly(s: SparkSession, landing: String,
+                                       schemaFrom: DataFrame): DataFrame =
+    runAppend(
+      StreamingAnomaly.anomalies(s, readLanding(s, landing, schemaFrom)).toDF(),
+      s"q131-${new java.io.File(landing).getName}", Seq(landing))
+      .filter(col("user_id") >= 0)
+      .select("event_id", "user_id", "event_type", "v_scaled", "win_n",
+        "zsq_num", "zsq_den")
+
   private val rawEvents =
     "SELECT event_id, ts, user_id, event_type, value FROM events"
 
@@ -495,6 +520,11 @@ object StreamingQueries {
     // greedy per-user fold must reproduce the min-chain exactly
     "q115_stream_funnel" ->
       graft.operators.RelationalQueries.oracleSql("q112_funnel"),
+
+    // identical derivation to the q124 batch anomaly window — the
+    // stream's trailing-state fold must reproduce the frame exactly
+    "q131_stream_anomaly" ->
+      graft.operators.RelationalQueries.oracleSql("q124_anomaly"),
 
     // band self-join candidates -> exact set Jaccard over shingle hashes
     // (the same exports q25 recomputes its summary from — here the PAIRS

@@ -34,6 +34,27 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q71")
   }
 
+  test("q131: streamed anomaly flags equal the batch trailing-window flags") {
+    val got = q("q131_stream_anomaly")
+    val want = SparkEntry.queries("q124_anomaly")(spark, sf)
+      .select("event_id", "user_id", "event_type", "v_scaled", "win_n",
+        "zsq_num", "zsq_den")
+    assert(got.count() > 0, "the 3-sigma rule must flag something here")
+    assertSame(got, want, "q131")
+  }
+
+  test("q131: drop-count invariance — one drop and three drops flag identically") {
+    // the trailing window depends only on the (ts, event_id) prefix, so
+    // how the stream is micro-batched must be invisible in the output
+    import graft.streaming.StreamingQueries.{tmp, drop, flushDrops}
+    val landing = tmp("graft-q131one-landing")
+    drop(events, landing, 0)
+    flushDrops(spark, events, landing, 1)
+    val oneDrop = graft.streaming.StreamingQueries.runLandingAnomaly(
+      spark, landing, events)
+    assertSame(oneDrop, q("q131_stream_anomaly"), "q131 drop-count")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")
