@@ -44,7 +44,8 @@ object ClusterVerify {
     "q119_repetition", "q120_graph_greedy", "q121_contrastive_mine",
     "q122_triangles", "q123_containment", "q124_anomaly",
     "q125_temperature_mix", "q126_phrase_search", "q127_source_similarity",
-    "q128_winnowing", "q129_kcore", "q130_matryoshka")
+    "q128_winnowing", "q129_kcore", "q130_matryoshka",
+    "q132_source_overlap", "q133_cluster_labels")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

@@ -274,6 +274,36 @@ object TextQueries {
           col("n_redundant").cast("double") / col("n_chunks"))
     }),
 
+    // Cross-source duplication matrix (L2 × provenance — "which
+    // sources copy from each other", the question a crawl curator asks
+    // before trusting per-source mixture weights): distinct chunk
+    // hashes per source (the q103/q111 chunker), md5-keyed self-join
+    // over source pairs. Per hash the pair fan-out is ≤ sources² after
+    // the per-source distinct — sources are hundreds, not corpus-
+    // scale — and chunk TEXT dies at the md5 projection (q22/q53
+    // doctrine). Integers end-to-end. Oracle: the chunk CTE + the same
+    // distinct/self-join over exact chunk strings (= collision check).
+    "q132_source_overlap" -> ((s, d) => {
+      val docs = documents(s, d)
+      val sc = chunks(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), md5(col("chunk_text")).as("h"))
+        .distinct()
+        .localCheckpoint() // three consumers: per-source counts + legs
+      val per = sc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sc.select(col("source").as("src_a"), col("h"))
+        .join(sc.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(per.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(per.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("na"), col("nb"))
+    }),
+
     // Quality scoring (L5): punctuation ratio, stopword ratio, mean
     // token length — the usual pretraining-corpus filters. Ratios are
     // emitted UNROUNDED: both engines derive them from identical ints
@@ -1112,6 +1142,23 @@ object TextQueries {
            FROM c)"""
 
   val oracleSql: Map[String, String] = Map(
+    // q132: the chunk replay + per-source distinct over exact chunk
+    // STRINGS (the md5-collision check), same pair join and counts.
+    "q132_source_overlap" ->
+      s"""WITH $chunkCte,
+         sc AS (
+           SELECT DISTINCT d.source, c2.chunk_text
+           FROM ch c2 JOIN documents d ON d.doc_id = c2.doc_id),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                 FROM sc GROUP BY 1)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared, pa.n AS na, pb.n AS nb
+         FROM sc a JOIN sc b
+           ON a.chunk_text = b.chunk_text AND a.source < b.source
+         JOIN per pa ON pa.source = a.source
+         JOIN per pb ON pb.source = b.source
+         GROUP BY 1, 2, pa.n, pb.n""",
+
     "q29_lang_id" -> langIdOracle,
 
     "q103_chunking" ->

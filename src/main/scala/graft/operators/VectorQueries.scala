@@ -148,6 +148,9 @@ object VectorQueries {
   val MrlDim = 16
   val MrlPool = 50
 
+  /** q133: terms reported per cluster. */
+  val ClusterLabelK = 3
+
   /** q129 k-core: the degree bar, the edge threshold, and the FIXED
     * number of synchronous peel rounds (bounded-round form, the
     * q105/q110/q116 doctrine — full convergence is data-dependent and
@@ -493,6 +496,44 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_members"))
         .select(col("comp_id").cast("long").as("cluster_id"),
                 col("n_members"))
+    }),
+
+    // Cluster auto-labeling (the step after q114 a topic browser
+    // needs): each semantic cluster's top-ClusterLabelK TF-IDF terms,
+    // scored tf·N/df over the member docs' tokens (the q55 expression
+    // verbatim). The harness contract embeddings.vec_id == documents
+    // .doc_id (one embedding per document) makes the cluster→text join
+    // an id equi-join. Clusters are corpus-cardinality groups, so the
+    // per-cluster rank window is the regime where a plain window is
+    // right (q104 doctrine). Oracle: the q114 recursive closure + the
+    // same scoring and rank.
+    "q133_cluster_labels" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = knnGraph(s, d).filter(col("sim") >= SemClusterEps)
+        .select(least(col("src"), col("dst")).as("src"),
+                greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+      val lab = ConnectedComponents.labels(s, edges)
+      val docs = graft.Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      lab.join(tf, "doc_id")
+        .groupBy(col("comp_id"), col("term"))
+        .agg(sum(col("tf")).as("tf"))
+        .join(dfr, "term")
+        .withColumn("score",
+          col("tf").cast("double") * lit(n) / col("df"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("comp_id"))
+            .orderBy(col("score").desc, col("term").asc)).cast("long"))
+        .filter(col("rn") <= ClusterLabelK)
+        .select(col("comp_id").cast("long").as("cluster_id"),
+          col("term").as("top_term"), col("tf"), col("df"),
+          col("score"), col("rn"))
     }),
 
     // Label propagation over the q104 graph (semi-supervised
@@ -1281,20 +1322,36 @@ object VectorQueries {
     // transitive closure with the same min-root labeling.
     "q114_semantic_clusters" ->
       s"""WITH RECURSIVE $knnEdgeCtes,
-         te AS (
-           SELECT least(src, dst) AS a, greatest(src, dst) AS b
-           FROM edges WHERE sim >= $SemClusterEps),
-         ed AS (SELECT DISTINCT a, b FROM
-                  (SELECT a, b FROM te UNION SELECT b, a FROM te)),
-         reach(a, b) AS (
-           SELECT a, b FROM ed
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
-         labels AS (
-           SELECT a AS vec_id, least(a, min(b)) AS comp_id
-           FROM reach GROUP BY a)
+         $semClusterCtes
          SELECT comp_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
          FROM labels GROUP BY 1""",
+
+    // q133: the q114 closure + per-cluster tf·N/df term scoring (the
+    // q55 expression verbatim) under the same total-order rank cut.
+    "q133_cluster_labels" ->
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         $semClusterCtes,
+         tf0 AS (
+           SELECT doc_id, t AS term, count(*) AS tf
+           FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                 FROM documents)
+           GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM documents),
+         ctf AS (
+           SELECT l.comp_id, term, CAST(sum(tf) AS BIGINT) AS tf
+           FROM labels l JOIN tf0 ON tf0.doc_id = l.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT comp_id, term, tf, df,
+             CAST(tf AS DOUBLE) * nn.n / df AS score,
+             row_number() OVER (PARTITION BY comp_id
+               ORDER BY CAST(tf AS DOUBLE) * nn.n / df DESC, term ASC) AS rn
+           FROM ctf JOIN dfr USING (term) CROSS JOIN nn)
+         SELECT comp_id AS cluster_id, term AS top_term, tf,
+           CAST(df AS BIGINT) AS df, score, CAST(rn AS BIGINT) AS rn
+         FROM scored WHERE rn <= $ClusterLabelK""",
 
     // q108: the greedy MMR unroll replayed step for step — same pool
     // cut, same pairwise cosines, same λ·rel − (1−λ)·max(ps) argmax
@@ -2045,6 +2102,23 @@ object VectorQueries {
          SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS cos, rn
          FROM rg$GreedyHops WHERE rn <= $AnnK"""
   }
+
+  /** The q114 cluster-closure CTE chain (thresholded edges →
+    * undirected closure → min-root labels) — shared by the q114 and
+    * q133 oracles. Expects `edges` in scope (knnEdgeCtes). */
+  private def semClusterCtes: String =
+    s"""te AS (
+           SELECT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE sim >= $SemClusterEps),
+         ed AS (SELECT DISTINCT a, b FROM
+                  (SELECT a, b FROM te UNION SELECT b, a FROM te)),
+         reach(a, b) AS (
+           SELECT a, b FROM ed
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+         labels AS (
+           SELECT a AS vec_id, least(a, min(b)) AS comp_id
+           FROM reach GROUP BY a)"""
 
   /** 12-hex-digit md5 prefix decoded to a BIGINT in DuckDB — the q86
     * instr idiom widened; mirrors Spark's

@@ -295,6 +295,81 @@ class AnalyticsFamilySpec extends SparkTestBase {
     }
   }
 
+  test("q132: cross-source shared-chunk counts equal a driver recount") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stride = operators.TextQueries.ChunkStride
+    val w = operators.TextQueries.ChunkW
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.flatMap { case (_, _, t) =>
+      val ts = t.trim.split("\\s+")
+      (0 until ts.length by stride).map(st =>
+        ts.slice(st, st + w).mkString(" "))
+    }.toSet).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      sh = (bySrc(a) intersect bySrc(b)).size if sh > 0
+    } yield (a, b) -> ((sh.toLong, bySrc(a).size.toLong, bySrc(b).size.toLong)))
+      .toMap
+    val out = SparkEntry.queries("q132_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == want,
+      s"extra=${out.keySet -- want.keySet} missing=${want.keySet -- out.keySet}")
+    assert(out.nonEmpty, "the harness corpus has cross-source duplicate chunks")
+  }
+
+  test("q133: every multi-member cluster gets its true argmax tf-idf terms") {
+    val members = SparkEntry.queries("q114_semantic_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("q133_cluster_labels")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val byCluster = out.groupBy(_._1._1)
+    assert(byCluster.keySet == members.keySet,
+      "labels must cover exactly the q114 clusters")
+    // driver replay: labels via union-find over the same thresholded
+    // edges, then tf·N/df per (cluster, term), argmax-K by the total
+    // order — independent of the operator's join/window machinery
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .filter(_.getDouble(2) >= operators.VectorQueries.SemClusterEps)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comp = nodes.map(v => v -> find(v)).toMap
+    val docToks = docTokens
+    val n = docToks.size
+    val tf = docToks.toSeq.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfm = tf.keys.toSeq.map(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    comp.values.toSet[Long].foreach { cid =>
+      val docIds = comp.filter(_._2 == cid).keys.toSet
+      val ctf = tf.toSeq.collect { case ((d, t), c) if docIds(d) => (t, c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val top = ctf.toSeq.map { case (t, c) =>
+        (t, c, dfm(t), c.toDouble * n / dfm(t)) }
+        .sortBy { case (t, _, _, s) => (-s, t) }
+        .take(operators.VectorQueries.ClusterLabelK)
+      top.zipWithIndex.foreach { case ((t, c, df, s), i) =>
+        val got = byCluster(cid).find(_._1._2 == i + 1L).get._2
+        assert(got._1 == t && got._2 == c && got._3 == df,
+          s"cluster $cid rank ${i + 1}: got $got want ($t,$c,$df)")
+        assert(math.abs(got._4 - s) < 1e-9 * math.max(1.0, s),
+          s"cluster $cid rank ${i + 1} score")
+      }
+    }
+  }
+
   test("q127: pair cosines equal a driver recompute; self-norms consistent") {
     val srcCnt = Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()

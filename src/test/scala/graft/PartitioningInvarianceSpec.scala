@@ -59,7 +59,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q127_source_similarity", // token-keyed profile self-join, integer algebra
     "q128_winnowing",        // zero-shuffle selection + df-gated pair join
     "q129_kcore",            // ITERATIVE: degree agg + semi-join peel rounds
-    "q130_matryoshka")       // two GroupedTopK stages over staged cosines
+    "q130_matryoshka",       // two GroupedTopK stages over staged cosines
+    "q132_source_overlap",   // md5 chunk keys + source-pair self-join
+    "q133_cluster_labels")   // CC labels + tf-idf rank per cluster
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
