@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ChessQueries, DupSpans, MultimodalQueries, QualityQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.operators.{ChessQueries, DupSpans, MultimodalQueries, QualityQueries, RelationalQueries, SketchQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       ChessQueries.queries ++ MultimodalQueries.queries ++
-      QualityQueries.queries ++ DupSpans.queries ++ streamingQueries
+      QualityQueries.queries ++ DupSpans.queries ++ SketchQueries.queries ++
+      streamingQueries
 
   /** The streaming family (q71–q81, q90) really runs Structured
     * Streaming jobs to completion per call — correctness-equal to their
@@ -37,6 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
       ChessQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      QualityQueries.oracleSql ++ DupSpans.oracleSql ++
+      QualityQueries.oracleSql ++ DupSpans.oracleSql ++ SketchQueries.oracleSql ++
       operators.ApproxOracle.oracleSql ++ graft.streaming.StreamingQueries.oracleSql
 }

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Sketch-backed corpus operators — the probabilistic-structure family a
+  * training-data pipeline leans on when the exact form stops fitting:
+  * Bloom-filter decontamination (the scale path for q63's exact
+  * benchmark-gram join), Count-Min heavy hitters (Cormode & Muthu-
+  * krishnan 2005), and priority sampling (Duffield, Lund & Thorup,
+  * JACM 2007) for weighted subset selection with an unbiased total
+  * estimator.
+  *
+  * Every sketch here is DETERMINISTIC and cross-engine exact: hash
+  * positions are fixed-width slices of the md5 hex digest (md5 is the
+  * one keyed digest Spark and DuckDB share bit-for-bit), so the DuckDB
+  * oracle rebuilds the identical filter/counter/priority values and the
+  * driver's hash compare proves the whole sketch, not a summary of it.
+  * Doubles appear only as single correctly-rounded IEEE divisions of
+  * exactly-representable integers (priority = w/u), so even the
+  * ORDER-BY-priority selection is bit-identical across engines.
+  */
+object SketchQueries {
+
+  /** Interpret `width` hex chars of digest `h` starting at 1-based
+    * `offset` as an integer — the shared position-derivation for every
+    * sketch in this file (the oracle SQL re-derives the same value with
+    * instr arithmetic; conv() is just the Spark spelling). */
+  private def hexSlice(h: Column, offset: Int, width: Int): Column =
+    conv(substring(h, offset, width), 16, 10).cast("long")
+
+  /** Bloom geometry: k=3 probes, each a 16-bit md5 slice → m=65536
+    * bits. The three offsets are disjoint, non-adjacent slices of the
+    * 32-char digest. At 100 TB the set-bit table stays ≤ m rows — a
+    * guaranteed broadcast — while the benchmark gram set it summarizes
+    * can grow unboundedly; that is the whole point of the operator
+    * vs q63's exact semi-join (which must broadcast the grams
+    * themselves). */
+  private[graft] val BloomOffsets = Seq(1, 9, 17)
+  private[graft] val BloomBits = 1 << 16
+
+  /** CMS geometry: depth 3 × width 4096 (12-bit md5 slices). The
+    * counter table is ≤ 3·4096 rows whatever the corpus size. */
+  private[graft] val CmsOffsets = Seq(1, 9, 17)
+  private[graft] val CmsWidth = 1 << 12
+  private[graft] val CmsTopK = 20
+
+  /** Priority-sampling k: per-language sample size. τ is the (k+1)-th
+    * priority; the Horvitz–Thompson weight max(w, τ) makes Σ ht_w an
+    * unbiased estimator of the group's Σ w (Duffield et al. §2). */
+  private[graft] val PsK = 8
+
+  private def whitespaceToks: Column = split(trim(col("text")), "\\s+")
+
+  /** Per-doc distinct token trigrams with their md5 digests — the
+    * shared front end of q134. */
+  private def gramDigests(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), whitespaceToks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(TextQueries.tokenTrigrams(col("ts")))).as("g"))
+      .withColumn("h", md5(col("g").cast("binary")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bloom-filter decontamination (the q63 semantics at sketch scale):
+    // the benchmark's distinct trigrams are folded into a 65536-bit
+    // filter (stored relationally as the ≤65536-row set-bit table so
+    // the oracle can replay it); corpus grams whose THREE probe
+    // positions are all set are bloom-flagged. Reported next to the
+    // exact semi-join flags so the false-positive overhead is the
+    // query's own output: bloom_* ≥ exact_* always (no false
+    // negatives), and the gap is what m buys. The bit table and the
+    // exact gram set are both broadcast; the corpus side never
+    // shuffles by gram.
+    "q134_bloom_decontam" -> ((s, d) => {
+      val g = gramDigests(documents(s, d))
+      val bench = g.filter(col("doc_id") % 97 === 0)
+      val probe = g.filter(col("doc_id") % 97 =!= 0)
+      val bits = bench
+        .select(explode(array(BloomOffsets.map(o => hexSlice(col("h"), o, 4)): _*)).as("p"))
+        .distinct()
+      val probePos = probe.select(col("doc_id"), col("lang"), col("g"),
+        explode(array(BloomOffsets.map(o => hexSlice(col("h"), o, 4)): _*)).as("p"))
+      val bloomHits = probePos.join(broadcast(bits), "p")
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("k_set"))
+        .filter(col("k_set") === BloomOffsets.size)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("bloom_grams"))
+      val exactHits = probe
+        .join(broadcast(bench.select(col("g")).distinct()), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("exact_grams"))
+      documents(s, d).filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("lang"))
+        .join(bloomHits, Seq("doc_id"), "left")
+        .join(exactHits, Seq("doc_id"), "left")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("bloom_grams"), lit(0L)) > 0, 1L).otherwise(0L)).as("bloom_docs"),
+          sum(when(coalesce(col("exact_grams"), lit(0L)) > 0, 1L).otherwise(0L)).as("exact_docs"),
+          sum(coalesce(col("bloom_grams"), lit(0L))).as("bloom_grams"),
+          sum(coalesce(col("exact_grams"), lit(0L))).as("exact_grams"))
+    }),
+
+    // Count-Min heavy hitters: 3×4096 counter table built from the
+    // EXACT per-token counts (counter(r,p) = Σ cnt over tokens hashing
+    // to p in row r — identical to adding per occurrence, one shuffle
+    // cheaper), estimate = min over the 3 rows, top-20 tokens by
+    // (estimate DESC, token ASC). The exact count rides along so the
+    // query's own output exhibits the one-sided CMS error
+    // (cms_est ≥ exact_cnt row by row). The counter table is bounded
+    // by geometry, not data → broadcast; the top-20 plans as
+    // TakeOrderedAndProject, never a global sort.
+    "q135_cms_heavy" -> ((s, d) => {
+      val exact = documents(s, d)
+        .select(explode(whitespaceToks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+      val rows = exact.select(col("tok"), col("exact_cnt"),
+        posexplode(array(CmsOffsets.map(o => hexSlice(col("h"), o, 3)): _*))
+          .as(Seq("r", "p")))
+      val counters = rows.groupBy(col("r"), col("p"))
+        .agg(sum(col("exact_cnt")).as("c"))
+      rows.join(broadcast(counters), Seq("r", "p"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("c")).as("cms_est"))
+        .orderBy(col("cms_est").desc, col("tok").asc).limit(CmsTopK)
+        .select(col("tok"), col("cms_est"), col("exact_cnt"))
+    }),
+
+    // Priority sampling: u = 40-bit md5 slice of doc_id (+1, so
+    // u ∈ [1, 2^40] — never 0), priority = w/u with w = n_chars. Both
+    // operands are exactly-representable doubles, so the one division
+    // is correctly rounded and IDENTICAL in DuckDB — the top-k
+    // SELECTION itself is cross-engine exact, not just the output
+    // values. Per-language top-(k+1) through GroupedTopK (no
+    // single-reducer window; languages are few and huge — the exact
+    // shape GroupedTopK exists for), row k+1's priority is τ, and the
+    // k kept rows carry ht_w = max(w, τ): Σ ht_w per group is the
+    // unbiased Horvitz–Thompson estimate of the group's total weight.
+    "q136_priority_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("u", hexSlice(col("h"), 1, 10) + 1)
+        .withColumn("priority", col("w").cast("double") / col("u").cast("double"))
+      val ranked = GroupedTopK.topK(docs, Seq("lang"),
+        Seq(col("priority").desc, col("doc_id").asc), PsK + 1)
+      val tau = ranked.filter(col("rn") === PsK + 1)
+        .select(col("lang"), col("priority").as("tau"))
+      ranked.filter(col("rn") <= PsK)
+        .join(broadcast(tau), Seq("lang"), "left")
+        .withColumn("tau", coalesce(col("tau"), lit(0.0)))
+        .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"),
+          col("w"), greatest(col("w").cast("double"), col("tau")).as("ht_w"),
+          col("tau"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q134_bloom_decontam" ->
+      """WITH toksrc AS (
+           SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+           FROM toksrc WHERE len(ts) >= 3),
+         gh AS (SELECT doc_id, g, md5(g) AS h FROM grams),
+         pos AS (
+           SELECT doc_id, g,
+             (instr('0123456789abcdef', substr(h, o, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, o + 1, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, o + 2, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, o + 3, 1)) - 1) AS p
+           FROM gh CROSS JOIN (SELECT unnest([1, 9, 17]) AS o) os),
+         bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 97 = 0),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         bloom AS (
+           SELECT doc_id, count(*) AS bloom_grams FROM (
+             SELECT doc_id, g FROM pos
+             WHERE doc_id % 97 <> 0 AND p IN (SELECT p FROM bits)
+             GROUP BY doc_id, g HAVING count(*) = 3)
+           GROUP BY doc_id),
+         exact AS (
+           SELECT doc_id, count(*) AS exact_grams FROM grams
+           WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+           GROUP BY doc_id)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(b.bloom_grams, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bloom_docs,
+           CAST(sum(CASE WHEN coalesce(e.exact_grams, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_docs,
+           CAST(sum(coalesce(b.bloom_grams, 0)) AS BIGINT) AS bloom_grams,
+           CAST(sum(coalesce(e.exact_grams, 0)) AS BIGINT) AS exact_grams
+         FROM documents d
+         LEFT JOIN bloom b ON d.doc_id = b.doc_id
+         LEFT JOIN exact e ON d.doc_id = e.doc_id
+         WHERE d.doc_id % 97 <> 0
+         GROUP BY d.lang""",
+
+    "q135_cms_heavy" ->
+      """WITH occ AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         exact AS (
+           SELECT tok, count(*) AS exact_cnt FROM occ
+           WHERE length(tok) > 0 GROUP BY tok),
+         slots AS (
+           SELECT tok, exact_cnt, o,
+             (instr('0123456789abcdef', substr(md5(tok), o, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(tok), o + 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(tok), o + 2, 1)) - 1) AS p
+           FROM exact CROSS JOIN (SELECT unnest([1, 9, 17]) AS o) os),
+         counters AS (
+           SELECT o, p, CAST(sum(exact_cnt) AS BIGINT) AS c
+           FROM slots GROUP BY o, p),
+         est AS (
+           SELECT s.tok, CAST(s.exact_cnt AS BIGINT) AS exact_cnt,
+             min(c.c) AS cms_est
+           FROM slots s JOIN counters c ON s.o = c.o AND s.p = c.p
+           GROUP BY s.tok, s.exact_cnt)
+         SELECT tok, cms_est, exact_cnt FROM est
+         ORDER BY cms_est DESC, tok ASC LIMIT 20""",
+
+    "q136_priority_sample" ->
+      """WITH u AS (
+           SELECT doc_id, lang, n_chars AS w,
+             1 + CAST(sum(
+               (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 10 - i) AS BIGINT)) AS BIGINT) AS u
+           FROM documents CROSS JOIN range(1, 11) t(i)
+           GROUP BY doc_id, lang, n_chars),
+         pri AS (
+           SELECT doc_id, lang, w,
+             CAST(w AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+           FROM u),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS rn
+           FROM pri),
+         tau AS (SELECT lang, priority AS tau FROM ranked WHERE rn = 9)
+         SELECT r.lang, r.rn, r.doc_id, r.w,
+           greatest(CAST(r.w AS DOUBLE), coalesce(t.tau, 0.0)) AS ht_w,
+           coalesce(t.tau, 0.0) AS tau
+         FROM ranked r LEFT JOIN tau t ON r.lang = t.lang
+         WHERE r.rn <= 8"""
+  )
+}

@@ -125,17 +125,25 @@ object BatchStore {
   }
 
   /** A scan failure rooted in a file deleted after listing — the sweep
-    * race signature. Spark wraps the executor-side
-    * FileNotFoundException in SparkException layers (sometimes only in
-    * message text after serialization), so both the cause chain and the
-    * messages are checked. */
+    * race signature. Spark wraps the executor-side failure in
+    * SparkException layers (sometimes only in message text after
+    * serialization), and the wrapper's error class depends on WHERE in
+    * the read the delete landed: a miss at open is
+    * `FAILED_READ_FILE.FILE_NOT_EXIST` with a FileNotFoundException
+    * cause, but a delete mid-read (footer fetched, column chunks gone)
+    * surfaces as `FAILED_READ_FILE.NO_HINT` over an IOException. Any
+    * FAILED_READ_FILE against this store during a snapshot attempt is
+    * treated as the race — retries are bounded by `maxAttempts`, so a
+    * genuinely corrupt store still fails loudly, just after the retry
+    * budget instead of on the first attempt. */
   private def causedByMissingFile(e: Throwable): Boolean = {
     var c: Throwable = e
     var depth = 0
     while (c != null && depth < 16) {
       if (c.isInstanceOf[java.io.FileNotFoundException] ||
           (c.getMessage != null &&
-           c.getMessage.contains("FileNotFoundException"))) return true
+           (c.getMessage.contains("FileNotFoundException") ||
+            c.getMessage.contains("FAILED_READ_FILE")))) return true
       c = c.getCause
       depth += 1
     }

@@ -227,10 +227,11 @@ class BatchStoreSpec extends SparkTestBase {
     val stale = BatchStore.liveRows(spark, dir)
     BatchStore.compact(spark, dir, 4)
     val torn = intercept[Throwable] { stale.count() }
-    assert(Option(torn.toString).exists(_.contains("FileNotFound")) ||
+    assert(Option(torn.toString).exists(t =>
+        t.contains("FileNotFound") || t.contains("FAILED_READ_FILE")) ||
       Iterator.iterate(torn)(_.getCause).takeWhile(_ != null).take(8)
         .exists(_.isInstanceOf[java.io.FileNotFoundException]),
-      s"expected the sweep race to surface FileNotFound, got $torn")
+      s"expected the sweep race to surface a read-file failure, got $torn")
 
     // snapshotRead under the SAME injected race: the first attempt's
     // listing resolves, then a further compaction sweeps mid-read; the

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q134–q136 — the sketch family (Bloom decontamination, Count-Min
+  * heavy hitters, priority sampling). The DuckDB oracles prove
+  * cross-engine equality; these specs re-derive each sketch driver-side
+  * from the raw table (own md5, own counters, own priorities — never
+  * the operator's building blocks) and pin the sketch-theoretic
+  * guarantees the hash compare can't express: one-sidedness of the
+  * Bloom and CMS error, and the exact τ/HT-weight structure of the
+  * priority sample.
+  */
+class SketchQueriesSpec extends SparkTestBase {
+
+  private def md5Hex(sv: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hexSlice(h: String, offset1: Int, width: Int): Long =
+    java.lang.Long.parseLong(h.substring(offset1 - 1, offset1 - 1 + width), 16)
+
+  private def docs: Array[(Long, String, String, Long)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  private def trigrams(text: String): Set[String] = {
+    val ts = text.trim.split("\\s+")
+    if (ts.length < 3) Set.empty
+    else ts.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("q134: bloom flags equal a driver-side filter replay; error is one-sided") {
+    val all = docs
+    val bench = all.filter(_._1 % 97 == 0).flatMap(d => trigrams(d._3)).toSet
+    val bits = bench.flatMap { g =>
+      val h = md5Hex(g); Seq(1, 9, 17).map(o => hexSlice(h, o, 4))
+    }
+    val expected = all.filter(_._1 % 97 != 0)
+      .map { case (id, lang, text, _) =>
+        val gs = trigrams(text)
+        val bloomG = gs.count { g =>
+          val h = md5Hex(g); Seq(1, 9, 17).forall(o => bits(hexSlice(h, o, 4)))
+        }
+        val exactG = gs.count(bench)
+        (lang, bloomG.toLong, exactG.toLong)
+      }
+      .groupBy(_._1)
+      .map { case (lang, rows) =>
+        lang -> (rows.length.toLong,
+          rows.count(_._2 > 0).toLong, rows.count(_._3 > 0).toLong,
+          rows.map(_._2).sum, rows.map(_._3).sum)
+      }
+    val got = SparkEntry.queries("q134_bloom_decontam")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got === expected)
+    // no false negatives, ever: every exact hit is a bloom hit
+    got.values.foreach { case (_, bloomDocs, exactDocs, bloomGrams, exactGrams) =>
+      assert(bloomDocs >= exactDocs)
+      assert(bloomGrams >= exactGrams)
+    }
+  }
+
+  test("q135: CMS estimates equal a driver-side sketch replay; error is one-sided") {
+    val exact = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(_._3.trim.split("\\s+").filter(_.nonEmpty)
+      .foreach(t => exact(t) += 1L))
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    exact.foreach { case (tok, cnt) =>
+      val h = md5Hex(tok)
+      Seq(1, 9, 17).zipWithIndex.foreach { case (o, r) =>
+        counters((r, hexSlice(h, o, 3))) += cnt
+      }
+    }
+    val est = exact.map { case (tok, cnt) =>
+      val h = md5Hex(tok)
+      val e = Seq(1, 9, 17).zipWithIndex
+        .map { case (o, r) => counters((r, hexSlice(h, o, 3))) }.min
+      (tok, e, cnt)
+    }.toSeq
+    val expected = est.sortBy { case (tok, e, _) => (-e, tok) }.take(20)
+    val got = SparkEntry.queries("q135_cms_heavy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, cmsEst, exactCnt) => assert(cmsEst >= exactCnt) }
+    // the heaviest exact token cannot be displaced from the top-20
+    val maxExact = est.maxBy { case (tok, _, cnt) => (cnt, tok) }
+    assert(got.exists(_._1 == maxExact._1))
+  }
+
+  test("q136: sample, tau, and HT weights equal a driver-side replay") {
+    val pri = docs.map { case (id, lang, _, w) =>
+      val u = hexSlice(md5Hex(id.toString), 1, 10) + 1
+      (lang, id, w, w.toDouble / u.toDouble)
+    }
+    val expected = pri.groupBy(_._1).iterator.flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy { case (_, id, _, p) => (-p, id) }
+      val tau = if (ordered.length > operators.SketchQueries.PsK)
+        ordered(operators.SketchQueries.PsK)._4 else 0.0
+      ordered.take(operators.SketchQueries.PsK).zipWithIndex.map {
+        case ((_, id, w, _), i) =>
+          (lang, (i + 1).toLong, id, w, math.max(w.toDouble, tau), tau)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q136_priority_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got === expected)
+    got.foreach { case (_, rn, _, w, htW, tau) =>
+      assert(rn >= 1 && rn <= operators.SketchQueries.PsK)
+      assert(htW >= w.toDouble)
+      assert(htW === math.max(w.toDouble, tau))
+    }
+  }
+}
