@@ -851,6 +851,47 @@ object TextQueries {
           (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
     }),
 
+    // Zipf power-law diagnostic (the corpus-health check run before
+    // mixing: natural text has token frequencies ≈ C·rank^slope with
+    // slope ≈ -1; a badly deduplicated or template-heavy crawl bends
+    // the curve). OLS fit of ln(cnt) on ln(rank) over the top-V tokens:
+    // the top-V funnels through TakeOrderedAndProject (per-partition
+    // top-k, never a global sort or window), rank is recovered by the
+    // q67 broadcast self-join over the ≤V survivors, and every ln-sum
+    // routes through DECIMAL (Num.dsum) so the moments are
+    // accumulation-order independent. The closed-form slope/intercept/
+    // r² are mirrored operand-for-operand in the oracle, so the doubles
+    // agree to the bit.
+    "q137_zipf_fit" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      val counts = documents(s, d)
+        .select(explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(ZipfV)
+      val prior = top.select(col("tok").as("tok2"), col("cnt").as("cnt2"))
+      val ranked = top.join(broadcast(prior),
+          col("cnt2") > col("cnt") ||
+            (col("cnt2") === col("cnt") && col("tok2") <= col("tok")))
+        .groupBy(col("tok"), col("cnt")).agg(count(lit(1)).as("rn"))
+      val xy = ranked.select(
+        log(col("rn").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      xy.agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("x"), 12).as("sx"), dsum(col("y"), 12).as("sy"),
+          dsum(col("x") * col("x"), 12).as("sxx"),
+          dsum(col("y") * col("y"), 12).as("syy"),
+          dsum(col("x") * col("y"), 12).as("sxy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("slope", col("num") / col("denx"))
+        .select(lit(ZipfV.toLong).as("v"), col("n").cast("long").as("n_fit"),
+          col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+          ((col("num") * col("num")) / (col("denx") * col("deny"))).as("r2"))
+    }),
+
     // Budget-constrained corpus selection (L5j — fill a token budget
     // with the best documents, the mixing-under-budget step before
     // training): keep the maximal prefix of the (stop_ratio DESC,
@@ -993,6 +1034,9 @@ object TextQueries {
     * window width, and the minimum shared-fingerprint count for a
     * reported pair. Guarantee: any shared substring of length
     * ≥ k + w − 1 = 8 chars yields at least one shared fingerprint. */
+  /** q137 fit width: tokens ranked 1..V enter the regression. */
+  private[graft] val ZipfV = 200
+
   private[graft] val WinnowK = 5
   private[graft] val WinnowW = 4
   private[graft] val WinnowMinShared = 2
@@ -1374,6 +1418,41 @@ object TextQueries {
            CAST(sum(CASE WHEN b.bkt < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM b JOIN thr t ON b.lang = t.lang
          GROUP BY t.lang, t.n_lang, t.w, t.thr""",
+
+    // the textbook derivation: global rank window over the vocabulary,
+    // then the same DECIMAL-routed moments and the identical
+    // operand-order closed forms
+    "q137_zipf_fit" ->
+      s"""WITH counts AS (
+           SELECT tok, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0 GROUP BY tok),
+         ranked AS (
+           SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+           FROM counts QUALIFY rn <= $ZipfV),
+         xy AS (
+           SELECT ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+           FROM ranked),
+         sums AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+           FROM xy),
+         fit AS (
+           SELECT n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS denx,
+             n * syy - sy * sy AS deny
+           FROM sums)
+         SELECT CAST($ZipfV AS BIGINT) AS v, CAST(n AS BIGINT) AS n_fit,
+           num / denx AS slope,
+           (sy - (num / denx) * sx) / n AS intercept,
+           (num * num) / (denx * deny) AS r2
+         FROM fit""",
 
     "q67_vocab_coverage" ->
       """WITH counts AS (

@@ -536,6 +536,54 @@ object VectorQueries {
           col("score"), col("rn"))
     }),
 
+    // Clustering-quality diagnostics over the q65 model (the "is k
+    // right / did Lloyd converge usefully" check run before trusting a
+    // clustering for mixing or SemDeDup): per-cluster simplified
+    // silhouette (Kaufman & Rousseeuw's s = (b−a)/max(a,b) with the
+    // CENTROID standing in for the cluster medoid — a, b are cosine
+    // distances to own vs best-other centroid, the linear-time variant)
+    // plus the Davies–Bouldin component max_j (σ_i+σ_j)/d_ij. One
+    // corpus scan against the broadcast k-row centroid table (n×k
+    // scored rows, k a model constant); per-point sums route through
+    // DECIMAL (Num.dsum) so means are order-independent; everything
+    // downstream of the scan is k-row arithmetic. The oracle replays
+    // both Lloyd rounds relationally (the q65 chain) and mirrors the
+    // ratio expressions operand-for-operand.
+    "q138_cluster_quality" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      import graft.functions.VectorFunctions.cosine
+      val e = emb(s, d)
+      val model = StageCache.valueFor(s, s"km_model:$d") {
+        KMeans.lloydModel(e, KmK, KmIters)
+      }
+      val (cids, cents) = model
+      import s.implicits._
+      val centDf = cids.zip(cents.map(_.toSeq)).toSeq.toDF("ccid", "cv")
+      val scored = KMeans.assignModel(e, model)
+        .crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("cid"),
+          col("ccid"), cosine(col("emb"), col("cv")).as("cos"))
+      val perPoint = scored.groupBy(col("vec_id"), col("cid"))
+        .agg((lit(1.0) - max(when(col("ccid") === col("cid"), col("cos")))).as("a"),
+             (lit(1.0) - max(when(col("ccid") =!= col("cid"), col("cos")))).as("b"))
+        .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(0.0))
+      val perCluster = perPoint.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+             (dsum(col("sil"), 12) / count(lit(1))).as("mean_sil"),
+             (dsum(col("a"), 12) / count(lit(1))).as("sigma"))
+      val withCv = perCluster.join(centDf, col("cid") === col("ccid")).drop("ccid")
+      val other = withCv.select(col("cid").as("cid2"),
+        col("sigma").as("sigma2"), col("cv").as("cv2"))
+      val db = withCv.join(other, col("cid") =!= col("cid2"))
+        .groupBy(col("cid"))
+        .agg(max((col("sigma") + col("sigma2")) /
+          (lit(1.0) - cosine(col("cv"), col("cv2")))).as("db"))
+      perCluster.join(db, "cid")
+        .select(col("cid").cast("long").as("cluster_id"), col("n_members"),
+          col("mean_sil"), col("sigma"), col("db"))
+    }),
+
     // Label propagation over the q104 graph (semi-supervised
     // auto-labeling — the standard recipe for extending a small
     // labeled seed set across an unlabeled corpus): every LpSeedMod-th
@@ -1416,6 +1464,40 @@ object VectorQueries {
          SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n_members,
            min(vec_id) AS min_vec_id
          FROM a2 GROUP BY cid""",
+
+    // same 2-round chain; a/b/sil/σ/DB mirrored operand-for-operand
+    "q138_cluster_quality" ->
+      s"""WITH ${kmLloyd2CtesK(KmK)},
+         sc AS (
+           SELECT a2.vec_id, a2.cid, c.cid AS ccid,
+             list_cosine_similarity(e.v, c.cv) AS cos
+           FROM a2 JOIN e USING (vec_id), c1 c),
+         pp AS (
+           SELECT vec_id, cid,
+             1.0 - max(CASE WHEN ccid = cid THEN cos END) AS a,
+             1.0 - max(CASE WHEN ccid <> cid THEN cos END) AS b
+           FROM sc GROUP BY vec_id, cid),
+         ps AS (
+           SELECT vec_id, cid, a, b,
+             CASE WHEN greatest(a, b) > 0
+               THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+           FROM pp),
+         cl AS (
+           SELECT cid, count(*) AS n_members,
+             CAST(sum(CAST(sil AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean_sil,
+             CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS sigma
+           FROM ps GROUP BY cid),
+         dbi AS (
+           SELECT i.cid,
+             max((i.sigma + j.sigma)
+                 / (1.0 - list_cosine_similarity(ci.cv, cj.cv))) AS db
+           FROM cl i JOIN cl j ON i.cid <> j.cid
+           JOIN c1 ci ON ci.cid = i.cid
+           JOIN c1 cj ON cj.cid = j.cid
+           GROUP BY i.cid)
+         SELECT CAST(cl.cid AS BIGINT) AS cluster_id, cl.n_members,
+           cl.mean_sil, cl.sigma, dbi.db
+         FROM cl JOIN dbi ON cl.cid = dbi.cid""",
 
     "q68_topic_profile" ->
       s"""WITH $kmAssignCtes
