@@ -199,6 +199,56 @@ object ApproxOracle {
          FROM wcc JOIN ${p("bpe_encoded")} USING (word)
          GROUP BY 1""",
 
+    // q139: candidate-stage precision/recall of the band join vs exact
+    // Jaccard ground truth, both restricted to the same md5-bucket
+    // sample — the band join from minhash_bands, the truth from the
+    // inverted-index self-join over minhash_shingles
+    "q139_dedup_eval" ->
+      s"""WITH samp AS (
+           SELECT doc_id FROM documents
+           WHERE (instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+               < ${TextQueries.DedupEvalBuckets}),
+         sh AS (
+           SELECT s.doc_id, s.sh
+           FROM ${p("minhash_shingles")} s JOIN samp USING (doc_id)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         ix AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ci
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT doc_a, doc_b
+           FROM ix m JOIN sizes na ON na.doc_id = m.doc_a
+                     JOIN sizes nb ON nb.doc_id = m.doc_b
+           WHERE round(CAST(m.ci AS DOUBLE) / (na.n + nb.n - m.ci), 4)
+                 >= $MinJaccard),
+         bands AS (
+           SELECT b.doc_id, b.band_idx, b.band_hash
+           FROM ${p("minhash_bands")} b JOIN samp USING (doc_id)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id),
+         hit AS (
+           SELECT c.doc_a FROM cand c
+           JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         agg AS (
+           SELECT (SELECT count(*) FROM truth) AS n_truth,
+                  (SELECT count(*) FROM cand) AS n_cand,
+                  (SELECT count(*) FROM hit) AS n_hit)
+         SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_cand > 0
+                THEN CAST(n_hit AS DOUBLE) / n_cand ELSE 1.0 END AS cand_precision,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 1.0 END AS cand_recall
+         FROM agg""",
+
     // band self-join -> distinct candidate pairs -> exact set Jaccard
     // from the shingle-hash table -> threshold -> summary
     "q25_minhash_pairs" ->

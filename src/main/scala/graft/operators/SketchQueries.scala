@@ -53,6 +53,25 @@ object SketchQueries {
 
   private def whitespaceToks: Column = split(trim(col("text")), "\\s+")
 
+  /** The CMS tail over an exact (tok, exact_cnt) count table — shared
+    * by batch q135 and the streaming twin q140 (whose counts arrive via
+    * the incremental store), so both pin against the SAME oracle SQL.
+    * The counter table is bounded by geometry (≤ depth·width rows) →
+    * broadcast; the top-k plans as TakeOrderedAndProject. */
+  def cmsTopK(exactCounts: DataFrame): DataFrame = {
+    val exact = exactCounts.withColumn("h", md5(col("tok").cast("binary")))
+    val rows = exact.select(col("tok"), col("exact_cnt"),
+      posexplode(array(CmsOffsets.map(o => hexSlice(col("h"), o, 3)): _*))
+        .as(Seq("r", "p")))
+    val counters = rows.groupBy(col("r"), col("p"))
+      .agg(sum(col("exact_cnt")).as("c"))
+    rows.join(broadcast(counters), Seq("r", "p"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("cms_est").desc, col("tok").asc).limit(CmsTopK)
+      .select(col("tok"), col("cms_est"), col("exact_cnt"))
+  }
+
   /** Per-doc distinct token trigrams with their md5 digests — the
     * shared front end of q134. */
   private def gramDigests(docs: DataFrame): DataFrame =
@@ -113,23 +132,11 @@ object SketchQueries {
     // (cms_est ≥ exact_cnt row by row). The counter table is bounded
     // by geometry, not data → broadcast; the top-20 plans as
     // TakeOrderedAndProject, never a global sort.
-    "q135_cms_heavy" -> ((s, d) => {
-      val exact = documents(s, d)
+    "q135_cms_heavy" -> ((s, d) =>
+      cmsTopK(documents(s, d)
         .select(explode(whitespaceToks).as("tok"))
         .filter(length(col("tok")) > 0)
-        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
-        .withColumn("h", md5(col("tok").cast("binary")))
-      val rows = exact.select(col("tok"), col("exact_cnt"),
-        posexplode(array(CmsOffsets.map(o => hexSlice(col("h"), o, 3)): _*))
-          .as(Seq("r", "p")))
-      val counters = rows.groupBy(col("r"), col("p"))
-        .agg(sum(col("exact_cnt")).as("c"))
-      rows.join(broadcast(counters), Seq("r", "p"))
-        .groupBy(col("tok"), col("exact_cnt"))
-        .agg(min(col("c")).as("cms_est"))
-        .orderBy(col("cms_est").desc, col("tok").asc).limit(CmsTopK)
-        .select(col("tok"), col("cms_est"), col("exact_cnt"))
-    }),
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt")))),
 
     // Priority sampling: u = 40-bit md5 slice of doc_id (+1, so
     // u ∈ [1, 2^40] — never 0), priority = w/u with w = n_chars. Both

@@ -127,6 +127,59 @@ object TextQueries {
       MinHashLSH.candidatePairs(documents(s, d),
         minJaccard = ApproxOracle.MinJaccard)),
 
+    // Near-dedup quality audit (the "is my LSH geometry right" harness
+    // a production dedup pipeline runs before trusting its band
+    // parameters): candidate-stage precision/recall of the q25
+    // MinHash-LSH band join against EXACT ground truth — all pairs
+    // whose shingle-set Jaccard clears the threshold, from the
+    // inverted-index self-join over shingle hashes. Ground truth is
+    // inherently quadratic in dup-cluster size, so the audit runs on a
+    // deterministic md5-bucket SAMPLE of the corpus (the scale lever: a
+    // fixed-rate audit is how you evaluate at 100 TB without paying the
+    // full all-pairs bill); the sample gate, the band join, and the
+    // Jaccard rescore are all mirrored in the oracle from the
+    // ApproxOracle exports.
+    "q139_dedup_eval" -> ((s, d) => {
+      val sampled = documents(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .filter(col("bkt") < DedupEvalBuckets)
+        .select(col("doc_id"), col("text"))
+      val sh = MinHashLSH.shingleHashes(sampled)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ci"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", round(
+          col("ci").cast("double") / (col("na") + col("nb") - col("ci")), 4))
+        .filter(col("jaccard") >= ApproxOracle.MinJaccard)
+        .select(col("doc_a"), col("doc_b"))
+      val bands = MinHashLSH.bandsOf(sampled)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand")).otherwise(1.0)
+            .as("cand_precision"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast("double") / col("n_truth")).otherwise(1.0)
+            .as("cand_recall"))
+    }),
+
     // SimHash 64-bit signature per doc (L2 family). Oracle: Verify
     // exports each doc's token-hash multiset and DuckDB recomputes the
     // per-bit majority vote + packing in SQL (ApproxOracle).
@@ -1036,6 +1089,11 @@ object TextQueries {
     * ≥ k + w − 1 = 8 chars yields at least one shared fingerprint. */
   /** q137 fit width: tokens ranked 1..V enter the regression. */
   private[graft] val ZipfV = 200
+
+  /** q139 audit-sample gate: docs whose md5 bucket (0..255) falls below
+    * this enter the dedup evaluation (192 = a 3/4 deterministic
+    * sample — the knob a 100 TB audit turns DOWN). */
+  private[graft] val DedupEvalBuckets = 192
 
   private[graft] val WinnowK = 5
   private[graft] val WinnowW = 4

@@ -384,6 +384,33 @@ object StreamingQueries {
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
+    // ST × sketch: q135's CMS heavy hitters over an ARRIVING corpus —
+    // documents land in 3 drops, each micro-batch writes its PARTIAL
+    // token counts under its batch_id partition (replay-idempotent),
+    // the store LSM-folds MID-RUN under the every-2-batches trigger,
+    // and the final answer is the q135 CMS tail over the merge-on-read
+    // sum. The oracle IS q135's batch SQL, so stream == batch is
+    // re-proven on rows, schema and hash every round.
+    "q140_stream_heavy" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val landing = tmp("graft-q140-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
+          landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q140-store"))
+      val ckpt = tmp("graft-q140-ckpt")
+      withCompactionEvery2(s) {
+        StreamingHeavyHitters.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.SketchQueries.cmsTopK(
+        StreamingHeavyHitters.totals(s, store))
+    }),
+
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
@@ -525,6 +552,10 @@ object StreamingQueries {
     // stream's trailing-state fold must reproduce the frame exactly
     "q131_stream_anomaly" ->
       graft.operators.RelationalQueries.oracleSql("q124_anomaly"),
+
+    // stream == batch: the q135 CMS SQL verbatim
+    "q140_stream_heavy" ->
+      graft.operators.SketchQueries.oracleSql("q135_cms_heavy"),
 
     // band self-join candidates -> exact set Jaccard over shingle hashes
     // (the same exports q25 recomputes its summary from — here the PAIRS

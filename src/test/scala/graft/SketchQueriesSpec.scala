@@ -91,6 +91,48 @@ class SketchQueriesSpec extends SparkTestBase {
     assert(got.exists(_._1 == maxExact._1))
   }
 
+  test("q139: ground truth matches a driver-side Jaccard sweep; metrics are consistent") {
+    val sampled = docs.filter { case (id, _, _, _) =>
+      Integer.parseInt(md5Hex(id.toString).substring(0, 2), 16) <
+        operators.TextQueries.DedupEvalBuckets
+    }
+    // independent shingle-hash sets (own fnv1a-free path: the exported
+    // hash space only matters for collisions, so the driver truth uses
+    // the STRING sets — equality of counts proves the hash table
+    // collision-free on this corpus)
+    def shingles(text: String): Seq[String] = {
+      val ts = text.trim.split("\\s+")
+      if (ts.length < 3) Seq(ts.mkString(" "))
+      else ts.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    val sets = sampled.map { case (id, _, text, _) => id -> shingles(text).toSet }
+    var nTruth = 0L
+    for (i <- sets.indices; j <- (i + 1) until sets.length) {
+      val (ia, sa) = sets(i); val (ib, sb) = sets(j)
+      val inter = (sa & sb).size
+      if (inter > 0) {
+        val jac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (jac >= operators.ApproxOracle.MinJaccard) nTruth += 1
+      }
+    }
+    val r = SparkEntry.queries("q139_dedup_eval")(spark, sf).collect().head
+    val (gotTruth, gotCand, gotHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(gotTruth == nTruth, s"truth pairs: got $gotTruth, expected $nTruth")
+    assert(gotHit <= math.min(gotCand, gotTruth))
+    val expPrec = if (gotCand > 0) gotHit.toDouble / gotCand else 1.0
+    val expRec = if (gotTruth > 0) gotHit.toDouble / gotTruth else 1.0
+    assert(r.getDouble(3) === expPrec && r.getDouble(4) === expRec)
+  }
+
+  test("q140: streaming CMS heavy hitters equal the one-shot batch q135") {
+    val batch = SparkEntry.queries("q135_cms_heavy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = SparkEntry.queries("q140_stream_heavy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch, "stream != batch")
+  }
+
   test("q136: sample, tau, and HT weights equal a driver-side replay") {
     val pri = docs.map { case (id, lang, _, w) =>
       val u = hexSlice(md5Hex(id.toString), 1, 10) + 1
