@@ -156,11 +156,15 @@ object SketchQueries {
         .withColumn("priority", col("w").cast("double") / col("u").cast("double"))
       val ranked = GroupedTopK.topK(docs, Seq("lang"),
         Seq(col("priority").desc, col("doc_id").asc), PsK + 1)
-      val tau = ranked.filter(col("rn") === PsK + 1)
-        .select(col("lang"), col("priority").as("tau"))
-      ranked.filter(col("rn") <= PsK)
-        .join(broadcast(tau), Seq("lang"), "left")
-        .withColumn("tau", coalesce(col("tau"), lit(0.0)))
+      // τ rides a per-lang window over the ≤(k+1)-row SURVIVORS (not
+      // the corpus), so the scan+rank chain runs exactly once — a
+      // separate tau branch would recompute it
+      import org.apache.spark.sql.expressions.Window
+      ranked
+        .withColumn("tau", coalesce(
+          max(when(col("rn") === PsK + 1, col("priority")))
+            .over(Window.partitionBy(col("lang"))), lit(0.0)))
+        .filter(col("rn") <= PsK)
         .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"),
           col("w"), greatest(col("w").cast("double"), col("tau")).as("ht_w"),
           col("tau"))

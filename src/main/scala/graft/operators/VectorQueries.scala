@@ -568,14 +568,17 @@ object VectorQueries {
              (lit(1.0) - max(when(col("ccid") =!= col("cid"), col("cos")))).as("b"))
         .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
           (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(0.0))
+      // k-row table: materialize once (localCheckpoint) so the DB
+      // branch and the final join don't each replay the corpus pass
       val perCluster = perPoint.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
              (dsum(col("sil"), 12) / count(lit(1))).as("mean_sil"),
              (dsum(col("a"), 12) / count(lit(1))).as("sigma"))
+        .localCheckpoint()
       val withCv = perCluster.join(centDf, col("cid") === col("ccid")).drop("ccid")
       val other = withCv.select(col("cid").as("cid2"),
         col("sigma").as("sigma2"), col("cv").as("cv2"))
-      val db = withCv.join(other, col("cid") =!= col("cid2"))
+      val db = withCv.join(broadcast(other), col("cid") =!= col("cid2"))
         .groupBy(col("cid"))
         .agg(max((col("sigma") + col("sigma2")) /
           (lit(1.0) - cosine(col("cv"), col("cv2")))).as("db"))

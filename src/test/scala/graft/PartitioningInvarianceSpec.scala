@@ -61,7 +61,13 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q129_kcore",            // ITERATIVE: degree agg + semi-join peel rounds
     "q130_matryoshka",       // two GroupedTopK stages over staged cosines
     "q132_source_overlap",   // md5 chunk keys + source-pair self-join
-    "q133_cluster_labels")   // CC labels + tf-idf rank per cluster
+    "q133_cluster_labels",   // CC labels + tf-idf rank per cluster
+    "q134_bloom_decontam",   // md5-slice bit sets + k-of-k membership
+    "q135_cms_heavy",        // integer counter mins + TakeOrdered cut
+    "q136_priority_sample",  // exact-division priorities + two-phase rank
+    "q137_zipf_fit",         // TakeOrdered survivors + DECIMAL-routed moments
+    "q138_cluster_quality",  // Lloyd model + decimal-routed metric means
+    "q139_dedup_eval")       // band join vs inverted-index truth counts
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

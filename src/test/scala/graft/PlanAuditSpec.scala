@@ -490,6 +490,65 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the two two-phase rank stages (4 Window ops):\n$p")
   }
 
+  test("q134 bloom: the bit table and the exact gram set broadcast; corpus never nested-loops") {
+    val p = plan("q134_bloom_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe degenerated to all-pairs:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both the set-bit table and the bench gram set must broadcast:\n$p")
+  }
+
+  test("q135 CMS: counters broadcast, top-20 plans as TakeOrderedAndProject") {
+    val p = plan("q135_cms_heavy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the geometry-bounded counter table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q136 priority sample: one corpus scan, two-phase rank + survivor-only tau window") {
+    val p = plan("q136_priority_sample")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) == 3,
+      s"expected GroupedTopK's pair + the survivor tau window exactly:\n$p")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      s"the corpus must be scanned exactly once:\n$p")
+  }
+
+  test("q137 zipf: top-V via TakeOrderedAndProject, rank join broadcast, no Window") {
+    val p = plan("q137_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V cut must not globally sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the <=V-row rank self-join must broadcast:\n$p")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Window""")),
+      s"rank must come from the survivor self-join, not a global window:\n$p")
+  }
+
+  test("q138 cluster quality: k-row tail over ONE materialized corpus pass, no Window") {
+    val p = plan("q138_cluster_quality")
+    assert(!p.contains("CartesianProduct"),
+      s"the k-row DB self-join must broadcast, not cross-product:\n$p")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Window""")), p)
+    // the corpus pass is checkpointed k-row; the tail must not re-scan
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*""")) == 0,
+      s"the DB/join tail replayed the corpus pass:\n$p")
+  }
+
+  test("q139 dedup eval: truth and candidate joins are hash-keyed equi-joins") {
+    val p = plan("q139_dedup_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"the audit must never cross-product the corpus:\n$p")
+    // the inverted-index self-join keys on the shingle hash; the band
+    // join keys on (band_idx, band_hash) — both shuffle/hash equi-joins
+    assert(p.linesIterator.exists(l => l.trim.startsWith("Left keys") &&
+        l.matches(""".*\bsh#\d.*""")),
+      s"no shingle-hash-keyed truth join found:\n$p")
+    assert(p.linesIterator.exists(l => l.trim.startsWith("Left keys") &&
+        l.contains("band_hash#")),
+      s"no band-keyed candidate join found:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
