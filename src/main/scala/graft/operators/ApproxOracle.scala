@@ -179,8 +179,68 @@ object ApproxOracle {
              FROM scored)
        WHERE rn <= ${VectorQueries.AnnK}"""
 
+  /** q141 helper: per-probe top-AnnK ids from a candidate CTE — the
+    * annRescore rank with the same (sim DESC, vec_id) total order,
+    * keeping only the answer-set ids. Expects an `eb` CTE
+    * (vec_id, fv DOUBLE[]) in scope. */
+  private def topKIds(candCte: String): String =
+    s"""SELECT probe_id, vec_id FROM (
+         SELECT c.probe_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.probe_id
+             ORDER BY list_cosine_similarity(pe.fv, e.fv) DESC,
+                      c.vec_id ASC) AS rn
+         FROM ($candCte) c
+         JOIN eb pe ON pe.vec_id = c.probe_id
+         JOIN eb e  ON e.vec_id  = c.vec_id)
+       WHERE rn <= ${VectorQueries.AnnK}"""
+
+  /** q141 helper: one method's per-probe hit counts vs the truth CTE. */
+  private def recallArm(method: String, ansCte: String): String =
+    s"""SELECT '$method' AS method, t.probe_id,
+         CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hit
+       FROM truth t LEFT JOIN $ansCte a
+         ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+       GROUP BY t.probe_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q70_bpe_merges" -> bpeOracle,
+
+    // q141: recall@k of both approximate methods vs brute-force truth —
+    // truth recomputed from the embeddings table (the q31 window), each
+    // method's answer set from its exported signature tables (the
+    // q33/q37 candidate joins + rescore), hit counts by pair-key left
+    // join. Everything integer until the one final division.
+    "q141_ann_recall" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         truth AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT pe.vec_id AS probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY pe.vec_id
+                 ORDER BY list_cosine_similarity(pe.fv, e.fv) DESC,
+                          e.vec_id ASC) AS rn
+             FROM eb pe JOIN eb e
+               ON pe.vec_id < 10 AND e.vec_id <> pe.vec_id)
+           WHERE rn <= ${VectorQueries.AnnK}),
+         ivfk AS (${topKIds(
+            s"""SELECT DISTINCT pc.probe_id, a.vec_id
+                FROM ${p("ivf_cells")} a JOIN ${p("ivf_probe_cells")} pc
+                  ON a.cell = pc.cell
+                WHERE a.vec_id <> pc.probe_id""")}),
+         lshk AS (${topKIds(
+            s"""SELECT DISTINCT pb.vec_id AS probe_id, x.vec_id AS vec_id
+                FROM ${p("lsh_buckets")} x JOIN ${p("lsh_buckets")} pb
+                  ON x.t = pb.t AND x.bucket = pb.bucket
+                WHERE pb.vec_id < 10 AND x.vec_id <> pb.vec_id""")}),
+         r AS (${recallArm("ivf", "ivfk")}
+               UNION ALL
+               ${recallArm("lsh", "lshk")})
+         SELECT method, probe_id, n_truth, n_hit,
+           CAST(n_hit AS DOUBLE) / n_truth AS recall
+         FROM r""",
 
     "q87_bpe_encode" ->
       s"""WITH wc AS (

@@ -210,6 +210,91 @@ object QualityQueries {
         col("n_fluent").cast("double") / col("n_bigrams"))
   }
 
+  /** q142 Kneser-Ney absolute discount D = [[KnDiscNum]]/[[KnDiscDen]]
+    * (the standard 0.75), kept as a RATIONAL so the smoothed
+    * probability comparison stays an integer cross-multiply. */
+  val KnDiscNum = 3L
+  val KnDiscDen = 4L
+
+  /** q142 fluency band: a bigram occurrence is "KN-fluent" when its
+    * interpolated Kneser-Ney probability is at least 1/KnFluentDen —
+    * the q94 band applied to the SMOOTHED model. */
+  val KnFluentDen = 16L
+
+  /** q142: interpolated Kneser-Ney bigram-LM fluency — the published
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999 §2.7) that
+    * KenLM-based pipelines (CCNet) actually train, where q94's raw
+    * conditional is the unsmoothed upper rung. Per observed bigram:
+    *
+    *   p_KN(w2|w1) = (c12 − D)/c1 + D·(N1+(w1,·)/c1)·(N1+(·,w2)/N1+(··))
+    *
+    * with c12 ≥ 1 for every SCORED bigram (documents only score
+    * transitions they contain), so the max(·,0) clamp never binds. The
+    * backoff term is the continuation probability — "how many distinct
+    * contexts precede w2" — which is what separates KN from naive
+    * interpolation: a token frequent in ONE context ("Francisco")
+    * backs off near zero. The band test multiplies through by the
+    * positive KnDiscDen·c1·N1+(··):
+    *
+    *   KnFluentDen·[(KnDiscDen·c12 − KnDiscNum)·nctot
+    *                 + KnDiscNum·n1w1·ncw2] ≥ KnDiscDen·c1·nctot
+    *
+    * — all BIGINT, no division until the final per-doc fraction (the
+    * q94/q105 rational doctrine). `n_backoff_heavy` counts occurrences
+    * where the backoff term exceeds the discounted ML term
+    * (KnDiscNum·n1w1·ncw2 > (KnDiscDen·c12 − KnDiscNum)·nctot): the
+    * document's transitions lean on the unigram continuation model,
+    * the KN-native "rote vs composed" signal.
+    *
+    * Scale posture: q94's exactly — the bigram stream collapses to
+    * per-(doc, gh) counts map-side; one localCheckpoint-staged tf pass
+    * feeds all five count tables and the scoring join; every shuffle is
+    * keyed by xxhash64 longs (gh bigram / uh prefix / vh suffix). The
+    * count tables are vocabulary-sized, not corpus-sized; products are
+    * bounded by KnFluentDen·KnDiscNum·(distinct continuations)×
+    * (distinct predecessors) ≤ ~64·vocab² — inside BIGINT to vocab
+    * ~5·10⁸ (route through DECIMAL past that). The exact-string DuckDB
+    * oracle doubles as the collision check for all THREE hash key
+    * spaces. */
+  private[graft] def knFluency(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .withColumn("a", slice(col("ts"), lit(1), size(col("ts")) - 1))
+      .withColumn("b", slice(col("ts"), lit(2), size(col("ts")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("doc_id"),
+        xxhash64(col("z.a"), col("z.b")).as("gh"),
+        xxhash64(col("z.a")).as("uh"),
+        xxhash64(col("z.b")).as("vh"))
+    // one corpus pass, five consumers (c12, c1, fertility, continuation,
+    // type total) + the scoring join; uh/vh are functionally dependent
+    // on gh so grouping by all three costs nothing extra
+    val tf = bi.groupBy(col("doc_id"), col("gh"), col("uh"), col("vh"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val cbg = tf.groupBy(col("gh")).agg(sum(col("tf")).as("c12"))
+    val cu  = tf.groupBy(col("uh")).agg(sum(col("tf")).as("c1"))
+    // the bigram TYPE table: distinct (w1, w2) with both end hashes
+    val types = tf.select(col("gh"), col("uh"), col("vh")).distinct()
+      .localCheckpoint()
+    val fert = types.groupBy(col("uh")).agg(count(lit(1)).as("n1w1"))
+    val cont = types.groupBy(col("vh")).agg(count(lit(1)).as("ncw2"))
+    val nct  = types.agg(count(lit(1)).as("nctot"))
+    val lhs = lit(KnFluentDen) *
+      ((lit(KnDiscDen) * col("c12") - KnDiscNum) * col("nctot") +
+        lit(KnDiscNum) * col("n1w1") * col("ncw2"))
+    val rhs = lit(KnDiscDen) * col("c1") * col("nctot")
+    val backoff = lit(KnDiscNum) * col("n1w1") * col("ncw2") >
+      (lit(KnDiscDen) * col("c12") - KnDiscNum) * col("nctot")
+    tf.join(cbg, "gh").join(cu, "uh").join(fert, "uh").join(cont, "vh")
+      .crossJoin(broadcast(nct))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+           sum(when(lhs >= rhs, col("tf")).otherwise(0L)).as("n_kn_fluent"),
+           sum(when(backoff, col("tf")).otherwise(0L)).as("n_backoff_heavy"))
+      .withColumn("kn_frac",
+        col("n_kn_fluent").cast("double") / col("n_bigrams"))
+  }
+
   /** q119 duplicate-n-gram order (Gopher's "duplicate 5-grams" row). */
   val DupN = 5
 
@@ -322,6 +407,7 @@ object QualityQueries {
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
     "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
+    "q142_kn_fluency" -> ((s, d) => knFluency(documents(s, d))),
     "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))),
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
@@ -378,6 +464,53 @@ object QualityQueries {
            CAST(sum(CASE WHEN c12 * $FluentDen >= c1 THEN tf ELSE 0 END)
              AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS fluent_frac
          FROM tf JOIN cbg USING (w1, w2) JOIN cu USING (w1)
+         GROUP BY 1""",
+
+    // Exact string-keyed recomputation of q142 — the q94 oracle plus
+    // the three continuation-count tables, band and backoff tests as
+    // the same integer cross-multiplies. Joining by raw strings while
+    // Spark joins by xxhash64(gh/uh/vh) makes this the collision check
+    // for all three hashed key spaces.
+    "q142_kn_fluency" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)]) AS w2
+           FROM t WHERE len(ts) >= 2),
+         tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+                FROM bi GROUP BY 1, 2, 3),
+         cbg AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+                 FROM tf GROUP BY 1, 2),
+         cu AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS c1
+                FROM tf GROUP BY 1),
+         ty AS (SELECT DISTINCT w1, w2 FROM tf),
+         fert AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1w1
+                  FROM ty GROUP BY 1),
+         cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw2
+                  FROM ty GROUP BY 1),
+         nct AS (SELECT CAST(count(*) AS BIGINT) AS nctot FROM ty)
+         SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN $KnFluentDen *
+                 (($KnDiscDen * c12 - $KnDiscNum) * nctot
+                   + $KnDiscNum * n1w1 * ncw2)
+                 >= $KnDiscDen * c1 * nctot THEN tf ELSE 0 END)
+             AS BIGINT) AS n_kn_fluent,
+           CAST(sum(CASE WHEN $KnDiscNum * n1w1 * ncw2 >
+                 ($KnDiscDen * c12 - $KnDiscNum) * nctot
+                 THEN tf ELSE 0 END) AS BIGINT) AS n_backoff_heavy,
+           CAST(sum(CASE WHEN $KnFluentDen *
+                 (($KnDiscDen * c12 - $KnDiscNum) * nctot
+                   + $KnDiscNum * n1w1 * ncw2)
+                 >= $KnDiscDen * c1 * nctot THEN tf ELSE 0 END)
+             AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS kn_frac
+         FROM tf JOIN cbg USING (w1, w2) JOIN cu USING (w1)
+                 JOIN fert USING (w1) JOIN cont USING (w2)
+                 CROSS JOIN nct
          GROUP BY 1""",
 
     // Exact string-keyed recomputation of q109 — same trigram builder

@@ -242,6 +242,44 @@ object VectorQueries {
         cosine(col("aemb"), col("bemb")).as("sim"))
   }
 
+  /** Brute-force exact top-[[AnnK]] per probe (probe set = vec_id < 10,
+    * self excluded) — q31's pipeline over ANY emb frame, and the ground
+    * truth q141's recall audit compares the approximate methods
+    * against. Probes broadcast against one corpus pass; the rank is the
+    * two-phase GroupedTopK (a plain 10-partition window would drag the
+    * whole scored corpus through one reducer per probe). */
+  private[graft] def bruteTopK(e: DataFrame): DataFrame = {
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("pemb"), col("emb")))
+    GroupedTopK.topK(scored, Seq("probe_id"),
+        Seq(col("sim").desc, col("vec_id").asc), AnnK)
+      .withColumn("rn", col("rn").cast("long"))
+  }
+
+  /** LSH-bucketed approximate top-[[AnnK]] per probe — q33's pipeline
+    * over ANY emb frame (multi-table union of same-bucket candidates,
+    * exact rescore, two-phase rank); shared with q141's recall audit. */
+  private[graft] def lshTopK(e: DataFrame): DataFrame = {
+    val bucketed = lshBucketed(e, AnnTables, AnnBits)
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+              col("t"), col("bucket"))
+    val scored = bucketed.join(broadcast(probes), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      // score BEFORE dedup so distinct() shuffles 3 scalars, not two
+      // 64-dim arrays (cosine is the codegen'd native expression, so
+      // re-scoring multi-table collisions is cheaper than array rows)
+      .select(col("probe_id"), col("vec_id"),
+              cosine(col("pemb"), col("emb")).as("sim"))
+      .distinct() // a pair can collide in several tables
+    // per-probe rank via the two-phase GroupedTopK tail (IvfIndex
+    // scaladoc): ~10 probes over a corpus-scaled candidate set would
+    // single-reduce under a plain probe-partitioned window
+    IvfIndex.rankTopK(scored, AnnK)
+  }
+
   /** Multi-table hyperplane bucket assignment: one row per (vec, table)
     * with the table id and bucket signature. One projection + explode —
     * no shuffle; the basis of q33 ANN and q38 all-pairs near-dup. */
@@ -271,14 +309,7 @@ object VectorQueries {
     // scored corpus through one reducer per probe (10 groups at
     // 100 TB); per-partition candidates first keeps every task bounded.
     "q31_knn_brute" -> ((s, d) => {
-      val e = emb(s, d)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
-      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("sim", cosine(col("pemb"), col("emb")))
-      GroupedTopK.topK(scored, Seq("probe_id"),
-          Seq(col("sim").desc, col("vec_id").asc), AnnK)
-        .withColumn("rn", col("rn").cast("long"))
+      bruteTopK(emb(s, d))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -324,22 +355,7 @@ object VectorQueries {
     // the self-join + rescore + rank relationally; recall vs q31
     // additionally asserted in VectorFunctionsSpec.
     "q33_ann_lsh" -> ((s, d) => {
-      val bucketed = lshBucketed(emb(s, d), AnnTables, AnnBits)
-      val probes = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
-                col("t"), col("bucket"))
-      val scored = bucketed.join(broadcast(probes), Seq("t", "bucket"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        // score BEFORE dedup so distinct() shuffles 3 scalars, not two
-        // 64-dim arrays (cosine is the codegen'd native expression, so
-        // re-scoring multi-table collisions is cheaper than array rows)
-        .select(col("probe_id"), col("vec_id"),
-                cosine(col("pemb"), col("emb")).as("sim"))
-        .distinct() // a pair can collide in several tables
-      // per-probe rank via the two-phase GroupedTopK tail (IvfIndex
-      // scaladoc): ~10 probes over a corpus-scaled candidate set would
-      // single-reduce under a plain probe-partitioned window
-      IvfIndex.rankTopK(scored, AnnK)
+      lshTopK(emb(s, d))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -361,6 +377,43 @@ object VectorQueries {
           nlist = nlist, nprobe = ivfNProbe(nlist), k = AnnK, Some(n))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // ANN recall@k audit — the retrieval twin of q139's dedup eval (the
+    // "is my index geometry right" harness a production search pipeline
+    // runs before trusting nlist/nprobe or the LSH table count): both
+    // approximate methods' top-k answer sets measured against the exact
+    // brute-force truth, per probe. The truth is 10×AnnK rows
+    // (localCheckpoint-staged — it anchors BOTH method joins, and its
+    // GroupedTopK chain must not replay per consumer); each hit join is
+    // keyed by the (probe_id, vec_id) pair. At 100 TB this audit costs
+    // one brute pass over the corpus for a FIXED probe panel — linear,
+    // and precisely the bill you pay once to certify an index build,
+    // while the methods' own cost stays the indexed probe path. Oracle:
+    // DuckDB recomputes the truth window from the embeddings table and
+    // both candidate sets from the ApproxOracle exports, then redoes
+    // the same left-join hit counts.
+    "q141_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val nlist = ivfNList(n)
+      val truth = bruteTopK(e).select(col("probe_id"), col("vec_id"))
+        .localCheckpoint()
+      val ivf = IvfIndex.topK(e, e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+          nlist = nlist, nprobe = ivfNProbe(nlist), k = AnnK, Some(n))
+        .select(col("probe_id"), col("vec_id"))
+      val lsh = lshTopK(e).select(col("probe_id"), col("vec_id"))
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        truth.join(approx.withColumn("hit", lit(1L)),
+            Seq("probe_id", "vec_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_truth"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(method).as("method"), col("probe_id"),
+            col("n_truth"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
     }),
 
     // IVF through the WRITE PATH: the corpus materialized

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q141 — ANN recall@k audit. The oracle proves cross-engine value
+  * equality; these specs prove the audit measures what it claims: each
+  * method's recall row equals the intersection of that method's OWN
+  * registered answer set (q37 / q33) with the brute-force truth (q31),
+  * recomputed here independently of q141's join shape.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private def ids(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+      .select(col("probe_id"), col("neighbor_id").as("vec_id"))
+
+  private def recallFrom(truth: DataFrame, approx: DataFrame): Map[Long, Long] =
+    truth.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("q141: shape — 2 methods x 10 probes, truth size AnnK, exact ratios") {
+    val rows = SparkEntry.queries("q141_ann_recall")(spark, sf).collect()
+    assert(rows.length == 20, s"expected 2x10 rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(2) == graft.operators.VectorQueries.AnnK.toLong, r.toString)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2), r.toString)
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2),
+        s"recall not the exact ratio: $r")
+    }
+  }
+
+  test("q141: each arm equals the registered queries' own intersection") {
+    val truth = ids("q31_knn_brute")
+    val expect = Map(
+      "ivf" -> recallFrom(truth, ids("q37_ann_ivf")),
+      "lsh" -> recallFrom(truth, ids("q33_ann_lsh")))
+    val got = SparkEntry.queries("q141_ann_recall")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.size == 20)
+    got.foreach { case ((method, probe), nHit) =>
+      assert(nHit == expect(method).getOrElse(probe, 0L),
+        s"$method probe $probe: audit says $nHit, " +
+          s"intersection says ${expect(method).getOrElse(probe, 0L)}")
+    }
+  }
+}

@@ -67,7 +67,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q136_priority_sample",  // exact-division priorities + two-phase rank
     "q137_zipf_fit",         // TakeOrdered survivors + DECIMAL-routed moments
     "q138_cluster_quality",  // Lloyd model + decimal-routed metric means
-    "q139_dedup_eval")       // band join vs inverted-index truth counts
+    "q139_dedup_eval",       // band join vs inverted-index truth counts
+    "q141_ann_recall",       // three total-order rank cuts + hit joins
+    "q142_kn_fluency")       // integer cross-multiplied KN band
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -549,6 +549,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"no band-keyed candidate join found:\n$p")
   }
 
+  test("q141 recall audit: both method arms rank via two-phase GroupedTopK, no cross product") {
+    val p = plan("q141_ann_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"the audit must never cross-product:\n$p")
+    // truth is localCheckpoint-materialized (its windows are gone from
+    // this plan); what remains is exactly the ivf + lsh two-phase rank
+    // pairs — a per-probe single window would show up as a lone Window
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) == 4,
+      s"expected the 2x two-phase rank stages (4 Window ops):\n$p")
+  }
+
+  test("q142 KN: count tables ride one staged tf pass; band join keys are hashes") {
+    val p = plan("q142_kn_fluency")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row type-total crossJoin may broadcast-nest:\n$p")
+    // the tf stage is localCheckpointed: the corpus parquet must not be
+    // re-scanned by the five count consumers
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*""")) == 0,
+      s"a count table replayed the corpus scan instead of the staged tf:\n$p")
+    // every join key is a hashed long (gh/uh/vh), never a raw string
+    assert(p.linesIterator.exists(l => l.trim.startsWith("Left keys") &&
+        l.matches(""".*\b(gh|uh|vh)#\d.*""")),
+      s"no hash-keyed count join found:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

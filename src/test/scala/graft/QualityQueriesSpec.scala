@@ -137,4 +137,43 @@ class QualityQueriesSpec extends SparkTestBase {
       assert(frac == fl.toDouble / n, s"doc $id: frac not the exact ratio")
     }
   }
+
+  test("q142: KN hand-check — discounted ML, continuation backoff, backoff-heavy flag") {
+    import spark.implicits._
+    // Same planted corpus as the q94 test: 50 pattern docs + one salad
+    // reusing the SAME tokens in an unseen order. Bigram types: 6; with
+    // D = 3/4 every smoothed probability below is hand-computable.
+    val d = ((0 until 50).map(i => (i.toLong, "alpha beta gamma delta"))
+      :+ (99L, "beta alpha delta gamma")).toDF("doc_id", "text")
+    val out = QualityQueries.knFluency(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // pattern docs: all three transitions are ~0.97+ under KN -> fluent,
+    // and the discounted ML term dwarfs the backoff everywhere
+    (0 until 50).foreach { i =>
+      assert(out(i.toLong).getDouble(4) == 1.0, s"pattern doc $i not KN-fluent")
+      assert(out(i.toLong).getLong(3) == 0, s"pattern doc $i backoff-heavy")
+    }
+    // salad: beta->alpha p = .25/51 + .75*(2/51)*(1/6) ~ .0098 (< 1/16,
+    // backoff EQUALS ML -> not heavy); alpha->delta p ~ .0147 (< 1/16,
+    // backoff 12 > ML 6 -> heavy); delta->gamma p = .25 + .75*(1)*(2/6)
+    // = .5 (fluent — delta's only continuation, rescued by the high-
+    // continuation suffix)
+    val salad = out(99L)
+    assert(salad.getLong(1) == 3, salad.toString)
+    assert(salad.getLong(2) == 1, s"expected 1 KN-fluent: $salad")
+    assert(salad.getLong(3) == 1, s"expected 1 backoff-heavy: $salad")
+    assert(salad.getDouble(4) == 1.0 / 3, salad.toString)
+  }
+
+  test("q142: every >=2-token doc is scored; counts nest; frac is the exact ratio") {
+    val rows = QualityQueries.knFluency(docs).collect()
+    val expected = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(rows.length == expected)
+    rows.foreach { case Row(id: Long, n: Long, fl: Long, bo: Long, frac: Double) =>
+      assert(fl <= n && bo <= n, s"doc $id: $fl/$bo/$n")
+      assert(frac == fl.toDouble / n, s"doc $id: frac not the exact ratio")
+    }
+  }
+
 }
