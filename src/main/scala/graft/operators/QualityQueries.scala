@@ -403,11 +403,65 @@ object QualityQueries {
         col("n_novel").cast("double") / col("n_trigrams"))
   }
 
+  /** q143 cascade gates, all kept integer/rational (the q94 band
+    * doctrine): a doc passes length at ≥ [[FcMinTokens]] tokens,
+    * repetition when top2_chars/tok_chars ≤ 1/[[FcTop2Den]], rarity
+    * when n_rare/n_tokens ≤ 1/[[FcRareDen]]. */
+  val FcMinTokens = 20L
+  val FcTop2Den = 5L
+  val FcRareDen = 10L
+
+  /** q143: curation filter-cascade audit — the FineWeb/RefinedWeb
+    * pipeline shape (Penedo et al. 2023/2024): a fixed ORDER of gates
+    * (language → length → Gopher repetition → corpus rarity), scored
+    * per document with every gate's verdict plus the FIRST failing
+    * stage. Production pipelines ship exactly this table before any
+    * doc is dropped: per-stage attrition (how much each rule costs) is
+    * the number curation teams actually argue about, and "first_fail"
+    * is what makes the funnel additive — each doc is charged to ONE
+    * stage, so stage drop counts sum to total drops.
+    *
+    * Stage semantics ride the already-audited library signals
+    * ([[repetitionStats]] for token/char/top-bigram mass,
+    * [[rareTokenQuality]] for the corpus-frequency gate) — the audit
+    * composes their outputs by doc_id, it does not re-derive them.
+    *
+    * Scale posture: two linear signal pipelines (each already keyed by
+    * xxhash64 longs internally) + doc_id-keyed equi-joins of their
+    * per-doc aggregates — no new corpus-global shuffle; every gate is
+    * an integer cross-multiply, so the row is bit-exact cross-engine
+    * and the oracle (which re-derives both signals string-keyed)
+    * doubles as their collision check. */
+  private[graft] def filterCascade(docs: DataFrame): DataFrame = {
+    val rep = repetitionStats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+        col("top2_chars"))
+    val rare = rareTokenQuality(docs).select(col("doc_id"), col("n_rare"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(rep, "doc_id").join(rare, "doc_id")
+      .withColumn("pass_lang", (col("lang") === TargetLang).cast("long"))
+      .withColumn("pass_len", (col("n_tokens") >= FcMinTokens).cast("long"))
+      .withColumn("pass_rep",
+        (col("top2_chars") * FcTop2Den <= col("tok_chars")).cast("long"))
+      .withColumn("pass_rare",
+        (col("n_rare") * FcRareDen <= col("n_tokens")).cast("long"))
+      .withColumn("first_fail",
+        when(col("pass_lang") === 0L, 1L)
+          .when(col("pass_len") === 0L, 2L)
+          .when(col("pass_rep") === 0L, 3L)
+          .when(col("pass_rare") === 0L, 4L)
+          .otherwise(0L))
+      .withColumn("keep", (col("first_fail") === 0L).cast("long"))
+      .select(col("doc_id"), col("lang"), col("pass_lang"), col("pass_len"),
+        col("pass_rep"), col("pass_rare"), col("first_fail"), col("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
     "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
     "q142_kn_fluency" -> ((s, d) => knFluency(documents(s, d))),
+    "q143_filter_cascade" -> ((s, d) => filterCascade(documents(s, d))),
     "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))),
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
@@ -512,6 +566,66 @@ object QualityQueries {
                  JOIN fert USING (w1) JOIN cont USING (w2)
                  CROSS JOIN nct
          GROUP BY 1""",
+
+    // q143: the q119 top-bigram CTEs + the q85 rarity CTEs re-derived
+    // string-keyed, then the same integer-cross-multiply gates and
+    // first-fail charge — one more collision check over both signal
+    // pipelines' hash key spaces, now composed.
+    "q143_filter_cascade" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         tokc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(length(tok)) AS BIGINT) AS tok_chars
+           FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1),
+         bg AS (
+           SELECT doc_id, g, CAST(length(g) - 1 AS BIGINT) AS cl,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i+1])) AS g
+                 FROM t WHERE len(ts) >= 2)
+           GROUP BY 1, 2, 3),
+         top AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top2_cnt
+                 FROM bg GROUP BY 1),
+         topc AS (
+           SELECT b.doc_id,
+             CAST(top.top2_cnt * max(b.cl) AS BIGINT) AS top2_chars
+           FROM bg b JOIN top USING (doc_id)
+           WHERE b.cnt = top.top2_cnt
+           GROUP BY 1, top.top2_cnt),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1, 2),
+         ctf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf
+                 FROM tf GROUP BY 1),
+         rare AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN ctf <= $RareCutoff THEN tf ELSE 0 END)
+               AS BIGINT) AS n_rare
+           FROM tf JOIN ctf USING (tok) GROUP BY 1),
+         f AS (
+           SELECT d.doc_id, d.lang,
+             CASE WHEN d.lang = '$TargetLang' THEN 1 ELSE 0 END AS p1,
+             CASE WHEN tokc.n_tokens >= $FcMinTokens THEN 1 ELSE 0 END AS p2,
+             CASE WHEN coalesce(topc.top2_chars, 0) * $FcTop2Den
+                  <= tokc.tok_chars THEN 1 ELSE 0 END AS p3,
+             CASE WHEN rare.n_rare * $FcRareDen <= tokc.n_tokens
+                  THEN 1 ELSE 0 END AS p4
+           FROM (SELECT doc_id, lang FROM documents) d
+           JOIN tokc USING (doc_id)
+           LEFT JOIN topc USING (doc_id)
+           JOIN rare USING (doc_id))
+         SELECT doc_id, lang,
+           CAST(p1 AS BIGINT) AS pass_lang, CAST(p2 AS BIGINT) AS pass_len,
+           CAST(p3 AS BIGINT) AS pass_rep, CAST(p4 AS BIGINT) AS pass_rare,
+           CAST(CASE WHEN p1 = 0 THEN 1 WHEN p2 = 0 THEN 2
+                     WHEN p3 = 0 THEN 3 WHEN p4 = 0 THEN 4
+                     ELSE 0 END AS BIGINT) AS first_fail,
+           CAST(CASE WHEN p1 = 1 AND p2 = 1 AND p3 = 1 AND p4 = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM f""",
 
     // Exact string-keyed recomputation of q109 — same trigram builder
     // as the q63 oracle; joining by raw trigram strings while Spark

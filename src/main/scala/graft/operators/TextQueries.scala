@@ -1133,23 +1133,20 @@ object TextQueries {
   /** q128's engine over ANY (doc_id, text) frame — split out so specs
     * can run planted fixtures through the exact production path.
     * Selection (k-gram hashes, window fold, rightmost-min ties) is one
-    * zero-shuffle projection; the df gate and pair join shuffle only
-    * selected fingerprints. */
+    * zero-shuffle projection through the NATIVE kernel
+    * (functions/WinnowExpressions.scala — the declarative
+    * transform/aggregate chain is CodegenFallback and was 9 s of the
+    * 9.1 s query; the kernel is the same value in one O(L) pass, and
+    * [[winnowedFpSql]] keeps the declarative twin alive for the
+    * equality spec); the df gate and pair join shuffle only selected
+    * fingerprints. */
   private[graft] def winnowedPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
     val fp = docs
       .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-      .withColumn("hs", expr(
-        s"""transform(sequence(1, length(text) - ${WinnowK - 1}),
-              i -> named_struct('pos', i, 'h',
-                cast(conv(substring(md5(cast(substring(text, i, $WinnowK)
-                  as binary)), 1, 12), 16, 10) as bigint)))"""))
-      .withColumn("fp", explode(expr(
-        s"""array_distinct(transform(sequence(1, size(hs) - ${WinnowW - 1}),
-              j -> aggregate(slice(hs, j + 1, ${WinnowW - 1}),
-                element_at(hs, j),
-                (acc, x) -> if(x.h <= acc.h, x, acc))))""")))
-      .select(col("doc_id"), col("fp.h").as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(toCol(graft.functions.WinnowFingerprints(
+          toExpr(col("text")), WinnowK, WinnowW))).as("h"))
       .localCheckpoint() // ≤ n·L/w rows; df agg + both pair legs read it
     val rare = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf)
@@ -1163,6 +1160,26 @@ object TextQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
   }
+
+  /** The declarative (higher-order-function) winnowing selection — the
+    * formulation q128 shipped before the native kernel. Kept ONLY as
+    * the equality twin: AnalyticsFamilySpec proves the kernel emits the
+    * identical per-doc fingerprint set on the real corpus. */
+  private[graft] def winnowedFpSql(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(text) - ${WinnowK - 1}),
+              i -> named_struct('pos', i, 'h',
+                cast(conv(substring(md5(cast(substring(text, i, $WinnowK)
+                  as binary)), 1, 12), 16, 10) as bigint)))"""))
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(sequence(1, size(hs) - ${WinnowW - 1}),
+              j -> aggregate(slice(hs, j + 1, ${WinnowW - 1}),
+                element_at(hs, j),
+                (acc, x) -> if(x.h <= acc.h, x, acc))))""")))
+      .select(col("doc_id"), col("fp.h").as("h"))
+      .distinct()
 
   /** 12-hex-digit md5 prefix decoded to a BIGINT in DuckDB — mirrors
     * Spark's conv(substring(md5(x), 1, 12), 16, 10); the q86 instr

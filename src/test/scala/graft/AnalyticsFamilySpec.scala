@@ -216,6 +216,25 @@ class AnalyticsFamilySpec extends SparkTestBase {
     assert(out.nonEmpty, "the harness corpus has rare shared 8+-char runs")
   }
 
+  test("q128: the native kernel equals the declarative selection, doc for doc") {
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    val docs = Tables.documents(spark, sf)
+    val native = docs
+      .filter(length(col("text")) >= operators.TextQueries.WinnowK +
+        operators.TextQueries.WinnowW - 1)
+      .select(col("doc_id"),
+        explode(toCol(graft.functions.WinnowFingerprints(toExpr(col("text")),
+          operators.TextQueries.WinnowK, operators.TextQueries.WinnowW))).as("h"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sql = operators.TextQueries.winnowedFpSql(docs)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(native == sql,
+      s"kernel drifted from the declarative twin on docs " +
+        s"${(native.keySet ++ sql.keySet).filter(k => native.get(k) != sql.get(k)).take(5)}")
+  }
+
   test("q128: the winnowing guarantee — a planted 40-char shared run is detected") {
     import spark.implicits._
     // two otherwise-alien docs sharing one 40-char substring; winnowing

@@ -69,7 +69,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q138_cluster_quality",  // Lloyd model + decimal-routed metric means
     "q139_dedup_eval",       // band join vs inverted-index truth counts
     "q141_ann_recall",       // three total-order rank cuts + hit joins
-    "q142_kn_fluency")       // integer cross-multiplied KN band
+    "q142_kn_fluency",       // integer cross-multiplied KN band
+    "q143_filter_cascade")   // composed integer gates over two signals
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

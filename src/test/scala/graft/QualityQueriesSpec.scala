@@ -165,6 +165,47 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(salad.getDouble(4) == 1.0 / 3, salad.toString)
   }
 
+  test("q143: each gate drops its planted doc, charged to the FIRST failing stage") {
+    import spark.implicits._
+    val common = (1 to 24).map(i => f"alpha$i%02d").mkString(" ")
+    val d = Seq(
+      (0L, "fr", common),                        // fail lang (stage 1)
+      (1L, "en", common),                        // keep — every gate passes
+      (2L, "de", common),                        // fail lang (stage 1)
+      (3L, "en", "alpha01 alpha02 alpha03 alpha04 alpha05"), // fail len (2)
+      (4L, "en", Seq.fill(12)("x y").mkString(" ")),         // fail rep (3)
+      (5L, "en", (1 to 20).map(i => f"zz$i%02d").mkString(" "))  // fail rare (4)
+    ).toDF("doc_id", "lang", "text")
+    val out = QualityQueries.filterCascade(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(6) == 0 && out(1L).getLong(7) == 1, out(1L).toString)
+    assert(out(0L).getLong(6) == 1 && out(2L).getLong(6) == 1, "lang gate")
+    assert(out(3L).getLong(6) == 2, s"len gate: ${out(3L)}")
+    assert(out(4L).getLong(6) == 3, s"rep gate: ${out(4L)}")
+    assert(out(5L).getLong(6) == 4, s"rare gate: ${out(5L)}")
+    // the repetition doc fails rep while PASSING lang/len/rare — the
+    // charge really is first-fail order, not any-fail
+    assert(out(4L).getLong(2) == 1 && out(4L).getLong(3) == 1
+      && out(4L).getLong(5) == 1, out(4L).toString)
+  }
+
+  test("q143: the funnel is additive and non-trivial on the real corpus") {
+    val rows = QualityQueries.filterCascade(docs).collect()
+    assert(rows.length == docs.count())
+    val byStage = rows.groupBy(_.getLong(6)).view.mapValues(_.length).toMap
+    assert(byStage.values.sum == rows.length, "every doc charged exactly once")
+    rows.foreach { r =>
+      val (p1, p2, p3, p4, ff, keep) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      val expected = if (p1 == 0) 1L else if (p2 == 0) 2L
+        else if (p3 == 0) 3L else if (p4 == 0) 4L else 0L
+      assert(ff == expected && keep == (if (ff == 0) 1L else 0L), r.toString)
+    }
+    // the corpus splits: some docs survive, some die at the lang gate
+    assert(byStage.getOrElse(0L, 0) > 0 && byStage.getOrElse(1L, 0) > 0,
+      s"degenerate funnel: $byStage")
+  }
+
   test("q142: every >=2-token doc is scored; counts nest; frac is the exact ratio") {
     val rows = QualityQueries.knFluency(docs).collect()
     val expected = docs
