@@ -291,6 +291,33 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Slowly-changing-dimension type-2 history (the warehouse-standard
+    // CDC materialization, batch form; q107 is its latest-per-key
+    // streaming sibling): the event log is read as a change stream of
+    // each user's value band (floor(value/100) — one IEEE double
+    // divide, identical both engines), run-compressed to CHANGES only
+    // (lag ≠ current), then each surviving change opens a version with
+    // [valid_from, valid_to) stitched via lead; the open version is
+    // flagged is_current. Scale: both windows partition by user_id
+    // (corpus-cardinality keys, the plain-window regime) over the SAME
+    // (ts, event_id) sort, so Spark plans one shuffle + one sort and
+    // the run-compression shrinks the rows before the second pass.
+    "q144_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 100.0).cast("long").as("band"))
+        .withColumn("prev_band", lag(col("band"), 1).over(byUser))
+        .filter(col("prev_band").isNull || col("band") =!= col("prev_band"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+        .withColumn("version", row_number().over(byUser).cast("long"))
+        .withColumn("is_current", col("valid_to").isNull.cast("long"))
+        .select(col("user_id"), col("ts").as("valid_from"), col("valid_to"),
+          col("band"), col("version"), col("is_current"))
+    }),
+
     // Rolling z-score anomaly detection (W2/W3 put to work — the
     // standard telemetry-outlier rule, batch form): each event scored
     // against the mean/variance of its user's trailing AnomWin events
@@ -542,6 +569,23 @@ object RelationalQueries {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM act JOIN coh USING (user_id)
          WHERE day >= cohort_day GROUP BY 1, 2""",
+
+    // q144: the same lag-compress / lead-stitch pipeline; floor(/100)
+    // is one double divide on both engines so the band is bit-exact.
+    "q144_scd2" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS band,
+             lag(CAST(floor(value / 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_band
+           FROM events),
+         ch AS (SELECT user_id, ts, event_id, band FROM c
+                WHERE prev_band IS NULL OR band <> prev_band)
+         SELECT user_id, ts AS valid_from, lead(ts) OVER w AS valid_to,
+           band, CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+         FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 
     // q124: same trailing frame, same cross-multiplied integer z-test.
     // DuckDB's sum(BIGINT) widens to HUGEINT — harmless inside the
