@@ -70,6 +70,26 @@ object Bench {
     * be read as a performance claim. */
   val MaxLoadDefault = 2.0
 
+  /** Opt-in idle gate: with SPARK_GRAFT_WAIT_IDLE_SECS set, block (up
+    * to that budget) until loadavg drops under the contention
+    * threshold BEFORE sampling loadavg_pre — so an end-of-round
+    * artifact taken right after a test run waits out the machine
+    * instead of committing a self-flagged contended JSON. On timeout
+    * the run proceeds and self-certifies contended as before. */
+  private def waitForIdle(): Unit = {
+    val budget = sys.env.get("SPARK_GRAFT_WAIT_IDLE_SECS")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    if (budget <= 0) return
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(MaxLoadDefault)
+    val deadline = System.currentTimeMillis() + budget * 1000
+    while (System.currentTimeMillis() < deadline &&
+           loadavg().toDoubleOption.exists(_ > maxLoad)) {
+      System.err.println(s"[bench] waiting for idle: loadavg ${loadavg()} > $maxLoad")
+      Thread.sleep(15000)
+    }
+  }
+
   /** Runs everything, returns (artifact JSON line, exit code). Pure of
     * System.exit/println so BenchSpec can assert a deliberately-broken
     * query poisons the exit code instead of the timings.
@@ -84,6 +104,7 @@ object Bench {
           runs: Int = 3,
           stageWarm: Option[(SparkSession, String) => Map[String, Double]] = None,
           serverBench: Option[() => Double] = None): (String, Int) = {
+    waitForIdle()
     val loadPre = loadavg()
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(MaxLoadDefault)

@@ -156,27 +156,114 @@ object IvfIndex {
     probeCellsWith(probes, centroids(corpus, nlist, approxRows), nprobe)
 
   /** Per-probe top-`k` neighbors (probe_id, vec_id, sim, rn) from the
-    * `nprobe` best cells of each probe, exact-cosine rescored. */
+    * `nprobe` best cells of each probe, exact-cosine rescored. Past the
+    * nlist cap (cells no longer ≈ targetRows) the search automatically
+    * goes two-level — see [[subCellCount]]. */
   def topK(corpus: DataFrame, probes: DataFrame,
            nlist: Int, nprobe: Int, k: Int,
-           approxRows: Option[Long] = None): DataFrame = {
-    val cents = centroids(corpus, nlist, approxRows)
+           approxRows: Option[Long] = None,
+           targetRows: Long = VectorQueries.IvfTargetCellRows): DataFrame = {
+    val n = approxRows.getOrElse(corpus.count())
+    val cents = centroids(corpus, nlist, Some(n))
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val assigned = corpus.withColumn("cell",
       corpusCellCol(corpus.sparkSession, cents, col("emb")))
     val probed = probes
       .withColumn("cell", explode(cellsOf(col("pemb"), bc, nprobe)))
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      // a (probe, vector) pair that met in two probed cells is the same
-      // candidate twice: dedup on the PAIR KEY, not on (pair, sim) —
-      // hashing the double adds cost and buys nothing (sim is a pure
-      // function of the pair)
-      .dropDuplicates("probe_id", "vec_id")
-      .select(col("probe_id"), col("vec_id"),
-              cosine(col("pemb"), col("emb")).as("sim"))
+    val nsub = subCellCount(n, nlist, targetRows)
+    val scored =
+      if (nsub <= 1)
+        assigned.join(broadcast(probed), Seq("cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          // a (probe, vector) pair that met in two probed cells is the
+          // same candidate twice: dedup on the PAIR KEY, not on
+          // (pair, sim) — hashing the double adds cost and buys
+          // nothing (sim is a pure function of the pair)
+          .dropDuplicates("probe_id", "vec_id")
+          .select(col("probe_id"), col("vec_id"),
+                  cosine(col("pemb"), col("emb")).as("sim"))
+      else {
+        val subs = subCentroids(assigned, nsub).localCheckpoint()
+        subAssign(assigned, subs)
+          .join(broadcast(probeSubCells(probed, subs, SubProbes)),
+            Seq("cell", "sub"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .dropDuplicates("probe_id", "vec_id")
+          // probeSubCells carries only routing keys; re-attach the
+          // probe vector for the exact rescore (probes are tiny)
+          .join(broadcast(probes.select(col("probe_id"), col("pemb"))),
+            "probe_id")
+          .select(col("probe_id"), col("vec_id"),
+                  cosine(col("pemb"), col("emb")).as("sim"))
+      }
     rankTopK(scored, k)
   }
+
+  // ── Two-level search past the nlist cap ──────────────────────────
+
+  /** Sub-cells per cell for the SEARCH path. `ivfNList` caps at 65536
+    * (the centroid-matrix / assignment-cost bound), so past
+    * n ≈ cap × targetRows the CELLS grow ∝ n again and a probe's
+    * candidate volume (nprobe × cellRows) stops being pruned — the
+    * same failure a fixed nlist had below the cap. The remedy is the
+    * same idea one level down (the GraphCellCap doctrine applied to
+    * search): each saturated cell splits into ⌈cellRows/targetRows⌉
+    * sub-cells around deterministic member sub-centroids; a probe
+    * ranks a probed cell's sub-centroids and scans only the best
+    * [[SubProbes]] sub-cells, so per-probe candidates stay
+    * ≈ nprobe × SubProbes × targetRows — FLAT in n. Returns 1 below
+    * the cap: the flat path, every harness SF, every oracle unchanged. */
+  def subCellCount(n: Long, nlist: Int, targetRows: Long): Int =
+    math.max(1, math.ceil(n.toDouble / (nlist.toDouble * targetRows)).toInt)
+
+  /** Sub-cells scanned per probed cell. FIXED, not ∝ √subCells — past
+    * the cap the per-probe candidate volume is the thing being
+    * defended; the recall knob at that scale is nprobe (a runtime
+    * parameter), not the index geometry. */
+  val SubProbes = 4
+
+  /** Deterministic per-cell sub-centroids: each cell's members ranked
+    * by vec_id, nsub stride picks — the [[centroids]] sampling rule
+    * applied within the cell, as a pure relational derivation (no
+    * driver materialization: past the cap there are n/targetRows
+    * sub-centroids in total, which is exactly the model-size growth
+    * the nlist cap exists to keep OFF the driver; sub-centroids live
+    * as a TABLE keyed by cell and only ever join by cell).
+    * Returns (cell, sub, semb). */
+  private[graft] def subCentroids(assigned: DataFrame, nsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCell = Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)
+    assigned
+      .withColumn("rk", row_number().over(byCell).cast("long") - 1L)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("stride", greatest(lit(1L), (col("cnt") / nsub).cast("long")))
+      .filter(col("rk") % col("stride") === 0 &&
+        col("rk") < col("stride") * nsub)
+      .select(col("cell"), (col("rk") / col("stride")).cast("int").as("sub"),
+        col("emb").as("semb"))
+  }
+
+  /** Member → sub-cell assignment: nearest sub-centroid WITHIN its
+    * cell (cosine, ties to the smaller sub id). The join is keyed by
+    * cell — at ingest this is the once-per-corpus coding pass, exactly
+    * like the coarse assignment; the per-row cost is nsub cosines. */
+  private[graft] def subAssign(assigned: DataFrame, subs: DataFrame): DataFrame =
+    GroupedTopK.topK(
+      assigned.join(subs.hint("merge"), "cell")
+        .withColumn("ssim", cosine(col("emb"), col("semb"))),
+      Seq("vec_id"), Seq(col("ssim").desc, col("sub").asc), 1)
+      .select(col("vec_id"), col("emb"), col("cell"), col("sub"))
+
+  /** (probe_id, cell, sub): the [[SubProbes]] best sub-cells within
+    * each of a probe's probed cells, ranked by probe-to-sub-centroid
+    * cosine under a total order. */
+  private[graft] def probeSubCells(probed: DataFrame, subs: DataFrame,
+                                       subProbes: Int): DataFrame =
+    GroupedTopK.topK(
+      probed.join(subs, "cell")
+        .withColumn("ssim", cosine(col("pemb"), col("semb"))),
+      Seq("probe_id", "cell"), Seq(col("ssim").desc, col("sub").asc), subProbes)
+      .select(col("probe_id"), col("cell"), col("sub"))
 
   /** The shared per-probe rank tail: two-phase [[GroupedTopK]] rather
     * than a plain probe-partitioned window — probes number ~10 while

@@ -103,6 +103,40 @@ object NgramJoin {
   def candidatePairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
     candidatesFromSets(shingleSets(docs, n).localCheckpoint(), minJaccard)
 
+  /** Hashed-shingle postings (doc_id, sh): the fixed-width rescore
+    * substrate. Shingles are distinct per doc ([[shingleSets]] applies
+    * array_distinct), so for any candidate pair the number of matching
+    * (sh) rows between the two docs' postings IS |Sₐ ∩ S_b| — up to a
+    * true 64-bit collision between two distinct shingles of the same
+    * pair (~2⁻⁶⁴; the exact-string oracles re-derive the intersection
+    * from text every round, so a collision cannot pass silently).
+    * Why postings instead of array_intersect on the materialized sets:
+    * the set arrays are the WIDE payload (~25 bytes × |S| per doc) and
+    * the old rescore dragged both sides' arrays through two merge-join
+    * shuffles — at 100 TB, wide rows in shuffle are the cost. Postings
+    * shuffle three longs per row, and the intersection becomes a
+    * co-group count on (pair, sh). */
+  private def postings(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+
+  /** Per-doc distinct-shingle counts (2 longs per doc — never wide). */
+  private def setSizes(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+
+  /** |Sₐ ∩ S_b| per candidate pair, by co-group count: pairs pick up
+    * doc_a's postings, probe doc_b's postings on (doc_b, sh), and the
+    * surviving row count per pair is the intersection size. Every
+    * shuffle leg is fixed-width longs. Candidates always share ≥ 1
+    * indexed shingle, so no pair is lost to the inner joins. */
+  private def intersections(cand: DataFrame, post: DataFrame): DataFrame =
+    cand
+      .join(post.select(col("doc_id").as("doc_a"), col("sh")).hint("merge"),
+        "doc_a")
+      .join(post.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+
   /** All DIRECTED pairs with exact n-gram containment
     * C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥ minContain: (doc_a, doc_b,
     * containment), doc_a ≠ doc_b — doc_a is the (near-)contained side.
@@ -123,22 +157,30 @@ object NgramJoin {
   def containedPairs(docs: DataFrame, n: Int, minContain: Double): DataFrame = {
     val sets = shingleSets(docs, n).localCheckpoint()
     val prefA = prefixIndex(sets, minContain).localCheckpoint()
-    val fullB = sets.select(col("doc_id").as("doc_b"),
-        explode(col("shingles")).as("shingle"))
-      .select(col("doc_b"), xxhash64(col("shingle")).as("sh"))
+    // postings feed BOTH the candidate probe and the two rescore legs
+    val post = postings(sets).localCheckpoint()
+    val sizes = setSizes(sets)
     val cand = prefA.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(fullB.hint("merge"), Seq("sh"))
+      .join(post.select(col("doc_id").as("doc_b"), col("sh")).hint("merge"),
+        Seq("sh"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    // size gate BEFORE the rescore fan-out (t·|Sₐ| ≤ |S_b| — an
+    // impossible pair never pays the postings explode)
+    val gated = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
         .hint("merge"), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
         .hint("merge"), "doc_b")
-      .filter(lit(minContain) * size(col("sa")) <= size(col("sb")))
-      .withColumn("containment", inter.cast("double") / size(col("sa")).cast("double"))
+      .filter(lit(minContain) * col("sza") <= col("szb"))
+      .select(col("doc_a"), col("doc_b"), col("sza"))
+      // consumed by the intersection input AND the sza join-back
+      .localCheckpoint()
+    intersections(gated.select(col("doc_a"), col("doc_b")), post)
+      .join(gated.hint("merge"), Seq("doc_a", "doc_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sza").cast("double"))
       .filter(col("containment") >= minContain)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 4).as("containment"))
@@ -148,15 +190,15 @@ object NgramJoin {
     * (doc_a, doc_b, jaccard), doc_a < doc_b. */
   def similarPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val sets = shingleSets(docs, n).localCheckpoint()
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val jac = inter.cast("double") /
-      (size(col("sa")) + size(col("sb")) - inter).cast("double")
-    candidatesFromSets(sets, minJaccard)
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val post = postings(sets).localCheckpoint()
+    val sizes = setSizes(sets)
+    intersections(candidatesFromSets(sets, minJaccard), post)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))
         .hint("merge"), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))
         .hint("merge"), "doc_b")
-      .withColumn("jaccard", jac)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

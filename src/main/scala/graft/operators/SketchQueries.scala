@@ -238,7 +238,7 @@ object SketchQueries {
          ORDER BY cms_est DESC, tok ASC LIMIT 20""",
 
     "q136_priority_sample" ->
-      """WITH u AS (
+      s"""WITH u AS (
            SELECT doc_id, lang, n_chars AS w,
              1 + CAST(sum(
                (instr('0123456789abcdef',
@@ -254,11 +254,11 @@ object SketchQueries {
            SELECT *, row_number() OVER (
              PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS rn
            FROM pri),
-         tau AS (SELECT lang, priority AS tau FROM ranked WHERE rn = 9)
+         tau AS (SELECT lang, priority AS tau FROM ranked WHERE rn = ${PsK + 1})
          SELECT r.lang, r.rn, r.doc_id, r.w,
            greatest(CAST(r.w AS DOUBLE), coalesce(t.tau, 0.0)) AS ht_w,
            coalesce(t.tau, 0.0) AS tau
          FROM ranked r LEFT JOIN tau t ON r.lang = t.lang
-         WHERE r.rn <= 8"""
+         WHERE r.rn <= $PsK"""
   )
 }

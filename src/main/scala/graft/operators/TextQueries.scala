@@ -927,9 +927,22 @@ object TextQueries {
           col("cnt2") > col("cnt") ||
             (col("cnt2") === col("cnt") && col("tok2") <= col("tok")))
         .groupBy(col("tok"), col("cnt")).agg(count(lit(1)).as("rn"))
-      val xy = ranked.select(
-        log(col("rn").cast("double")).as("x"),
-        log(col("cnt").cast("double")).as("y"))
+      // ln is the one transcendental in the oracle surface: JVM
+      // Math.log and DuckDB ln may disagree by 1 ulp, and at the raw
+      // DECIMAL(38,12) cast a 1-ulp diff flips the captured decimal
+      // whenever the value sits within ~1 ulp of a 0.5e-12 boundary
+      // (~2e-4 per term — a real flake across 2·ZipfV terms). Rounding
+      // each ln IN DECIMAL SPACE to scale 9 first widens the boundary
+      // 1000×: a flip now needs the true value within an ulp of a
+      // 0.5e-9 tie (~2e-7 per term). The decimal→double re-cast is
+      // correctly rounded in both engines, so downstream products and
+      // sums are bit-identical. Residual accepted risk: ~2e-7/term ulp
+      // ties plus Spark's shortest-repr vs DuckDB's true-binary
+      // double→decimal rounding on those same ties.
+      val lnR = (c: Column) =>
+        log(c.cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).cast("double")
+      val xy = ranked.select(lnR(col("rn")).as("x"), lnR(col("cnt")).as("y"))
       xy.agg(count(lit(1)).cast("double").as("n"),
           dsum(col("x"), 12).as("sx"), dsum(col("y"), 12).as("sy"),
           dsum(col("x") * col("x"), 12).as("sxx"),
@@ -1507,7 +1520,8 @@ object TextQueries {
            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
            FROM counts QUALIFY rn <= $ZipfV),
          xy AS (
-           SELECT ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+           SELECT CAST(CAST(ln(CAST(rn AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE) AS x,
+             CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE) AS y
            FROM ranked),
          sums AS (
            SELECT CAST(count(*) AS DOUBLE) AS n,

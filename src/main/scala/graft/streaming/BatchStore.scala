@@ -61,6 +61,14 @@ object BatchStore {
   val CompactBatchesConf = "spark.graft.stream.compactBatches"
   val DefaultCompactBatches = 8
 
+  /** Retry budget for [[snapshotRead]]'s optimistic resolve-scan-
+    * validate loop, conf'd like the fold trigger above: each retry
+    * requires ANOTHER compaction to have published mid-scan, so the
+    * default only binds under pathological churn; an external reader
+    * racing a deliberately hot compactor can raise it. */
+  val SnapshotAttemptsConf = "spark.graft.stream.snapshotAttempts"
+  val DefaultSnapshotAttempts = 5
+
   /** Highest published compaction frontier (0 = never compacted). One
     * FileSystem listing, no Spark job. */
   def frontier(dir: String): Long =
@@ -104,21 +112,29 @@ object BatchStore {
     * belonged to the same published frontier. Each retry requires
     * another compaction to have published mid-scan, so `maxAttempts`
     * only bounds pathological churn. */
-  def snapshotRead[T](spark: SparkSession, dir: String, maxAttempts: Int = 5)(
-      f: DataFrame => T): T = {
-    var left = maxAttempts
+  def snapshotRead[T](spark: SparkSession, dir: String,
+      maxAttempts: Int = -1)(f: DataFrame => T): T = {
+    val budget = if (maxAttempts > 0) maxAttempts
+      else spark.conf.get(SnapshotAttemptsConf,
+        DefaultSnapshotAttempts.toString).toInt
+    var left = budget
     var out: Option[T] = None
+    var torn = 0
+    var swept = 0
     while (out.isEmpty) {
       require(left > 0,
-        s"snapshot of $dir did not stabilize within $maxAttempts attempts " +
-          "(a compaction published during every read)")
+        s"snapshot of $dir did not stabilize within $budget attempts " +
+          s"($torn torn-frontier reads — marker advanced mid-scan — and " +
+          s"$swept sweep-race scan failures; a compaction published " +
+          s"during every read; raise $SnapshotAttemptsConf or pause " +
+          "compaction for external readers)")
       left -= 1
       val m0 = frontier(dir)
       try {
         val v = f(spark.read.parquet(dir).filter(liveCond(m0, None)))
-        if (frontier(dir) == m0) out = Some(v)
+        if (frontier(dir) == m0) out = Some(v) else torn += 1
       } catch {
-        case e: Throwable if left > 0 && causedByMissingFile(e) => ()
+        case e: Throwable if left > 0 && causedByMissingFile(e) => swept += 1
       }
     }
     out.get
@@ -131,23 +147,24 @@ object BatchStore {
     * the read the delete landed: a miss at open is
     * `FAILED_READ_FILE.FILE_NOT_EXIST` with a FileNotFoundException
     * cause, but a delete mid-read (footer fetched, column chunks gone)
-    * surfaces as `FAILED_READ_FILE.NO_HINT` over an IOException. Any
-    * FAILED_READ_FILE against this store during a snapshot attempt is
-    * treated as the race — retries are bounded by `maxAttempts`, so a
-    * genuinely corrupt store still fails loudly, just after the retry
-    * budget instead of on the first attempt. */
+    * surfaces as `FAILED_READ_FILE.NO_HINT` over an IOException. The
+    * match is deliberately NARROW: only those two error-class suffixes
+    * (NO_HINT additionally requiring an IOException somewhere in the
+    * cause chain) or a FileNotFoundException itself count as the race —
+    * a genuinely corrupt footer (`FAILED_READ_FILE.CANNOT_READ_FILE`,
+    * parquet magic-byte errors, …) must fail on the FIRST attempt, not
+    * burn the retry budget masquerading as the sweep. */
   private def causedByMissingFile(e: Throwable): Boolean = {
-    var c: Throwable = e
-    var depth = 0
-    while (c != null && depth < 16) {
-      if (c.isInstanceOf[java.io.FileNotFoundException] ||
-          (c.getMessage != null &&
-           (c.getMessage.contains("FileNotFoundException") ||
-            c.getMessage.contains("FAILED_READ_FILE")))) return true
-      c = c.getCause
-      depth += 1
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    chain(e).exists { c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+      msg(c).contains("FileNotFoundException") ||
+      msg(c).contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+      (msg(c).contains("FAILED_READ_FILE.NO_HINT") &&
+        chain(e).exists(_.isInstanceOf[java.io.IOException]))
     }
-    false
   }
 
   /** Live leaf-partition count — the read-amplification figure (parquet

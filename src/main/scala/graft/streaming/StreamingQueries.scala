@@ -127,17 +127,34 @@ object StreamingQueries {
     * output must outlive the call (the returned DataFrame reads it
     * lazily). */
   private def runAppend(out: DataFrame, name: String,
-                        cleanupDirs: Seq[String] = Nil): DataFrame = {
+                        cleanupDirs: Seq[String] = Nil,
+                        statePartitions: Option[Int] = None): DataFrame = {
     // the sink dir outlives the call (read back lazily) — reaped at
     // JVM exit so repeated runs don't accumulate corpus copies in /tmp
     val outDir = graft.TempDirs.register(tmp(s"graft-$name-out"))
     val ckpt = tmp(s"graft-$name-ckpt")
-    out.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .start().awaitTermination()
+    // statePartitions: harness-level state-store width override for the
+    // heaviest stateful shapes (a stream–stream join keeps FOUR keyed
+    // stores per partition, each paying per-batch delta-file I/O — at
+    // 32 partitions × ~5 micro-batches that fixed cost dwarfs the sf0.1
+    // data). The stream's shuffle width is pinned at first start via
+    // the checkpoint, so this is a per-pipeline sizing knob exactly
+    // like picking spark.sql.shuffle.partitions per job on a cluster —
+    // semantics are width-independent (hash-partitioned keyed state).
+    val sess = out.sparkSession
+    val prev = statePartitions.map { n =>
+      val p = sess.conf.get("spark.sql.shuffle.partitions")
+      sess.conf.set("spark.sql.shuffle.partitions", n.toString)
+      p
+    }
+    try {
+      out.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start().awaitTermination()
+    } finally prev.foreach(p => sess.conf.set("spark.sql.shuffle.partitions", p))
     (cleanupDirs :+ ckpt).foreach(rmTree)
     out.sparkSession.read.parquet(outDir)
   }
@@ -305,8 +322,13 @@ object StreamingQueries {
     "q117_stream_outer_join" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q117-landing")
-      splitByTime(events, landing, 3)
-      flushDrops(s, events, landing, 3)
+      // TWO real drops (not three): one batch boundary inside the data
+      // is all the cross-batch-unmatched semantics needs, and each
+      // extra micro-batch pays the full 4-store state-commit round.
+      // The two sentinels stay — outer emission REQUIRES the two-step
+      // watermark advance (one per side, see pmod note below).
+      splitByTime(events, landing, 2)
+      flushDrops(s, events, landing, 2)
       def side(parity: Int, suffix: String) =
         readLanding(s, landing, events)
           .filter(pmod(col("event_id"), lit(2)) === parity)
@@ -320,7 +342,7 @@ object StreamingQueries {
         "leftOuter")
       val out = runAppend(
         joined.select(col("id_a"), col("id_b"), col("user_a").as("user_id")),
-        "q117", Seq(landing))
+        "q117", Seq(landing), statePartitions = Some(8))
       out.filter(col("id_a") >= 0).select("id_a", "id_b", "user_id")
     }),
 
@@ -340,7 +362,7 @@ object StreamingQueries {
         col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
       val out = runAppend(
         joined.select(col("id_a"), col("id_b"), col("user_a").as("user_id")),
-        "q80", Seq(landing))
+        "q80", Seq(landing), statePartitions = Some(8))
       out.select("id_a", "id_b", "user_id")
     }),
 

@@ -413,4 +413,57 @@ class AnalyticsFamilySpec extends SparkTestBase {
       assert(math.abs(r.getDouble(5) - cos) < 5e-5, s"pair ($a,$b) cosine")
     }
   }
+
+  test("q144: SCD2 history equals a driver lag-compress replay; version/validity invariants hold") {
+    // independent replay from the raw events table: per-user (ts,
+    // event_id)-ordered band sequence, run-compressed to changes
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        math.floor(r.getDouble(3) / 100.0).toLong))
+    val byUser = raw.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).toSeq).toMap
+    val want = byUser.flatMap { case (u, evs) =>
+      val changes = evs.foldLeft(Vector.empty[(java.sql.Timestamp, Long)]) {
+        case (acc, (_, ts, _, band)) =>
+          if (acc.isEmpty || acc.last._2 != band) acc :+ ((ts, band)) else acc
+      }
+      changes.zipWithIndex.map { case ((ts, band), i) =>
+        val validTo = if (i + 1 < changes.size) Some(changes(i + 1)._1) else None
+        (u, ts, validTo, band, (i + 1).toLong, if (validTo.isEmpty) 1L else 0L)
+      }
+    }.toSet
+
+    val rows = SparkEntry.queries("q144_scd2")(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getTimestamp(1),
+      Option(r.getTimestamp(2)), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"SCD2 history differs from the driver replay: " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+
+    // structural invariants, asserted directly (not via the replay):
+    val perUser = rows.groupBy(_.getLong(0))
+    perUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getLong(4))
+      // versions dense 1..k
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to vs.length.toLong),
+        s"user $u versions not dense")
+      // valid_to stitches to the successor's valid_from; bands change
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(2) == b.getTimestamp(1),
+            s"user $u v${a.getLong(4)} valid_to must stitch to successor")
+          assert(a.getLong(3) != b.getLong(3),
+            s"user $u adjacent versions share a band — not run-compressed")
+        case _ => ()
+      }
+      // exactly one open (is_current) version, and it is the last
+      assert(vs.count(_.getLong(5) == 1L) == 1, s"user $u is_current count")
+      assert(sorted.last.getLong(5) == 1L && sorted.last.getTimestamp(2) == null,
+        s"user $u open version must be the last, with null valid_to")
+    }
+    // the history is non-trivial at this sf: some user must change bands
+    assert(rows.length > perUser.size, "no user ever changed band — trivial input")
+  }
 }

@@ -249,6 +249,65 @@ class BatchStoreSpec extends SparkTestBase {
     assert(BatchStore.snapshotRead(spark, dir)(_.count()) == 8)
   }
 
+  test("snapshotRead exhaustion: budget honored from the conf, torn-frontier diagnosis surfaced") {
+    val dir = tmp("bs_snap_exh")
+    mkStore(dir, 6)
+    // a body that publishes a fresh compaction on EVERY attempt but
+    // never touches the files (no sweep-race error): each attempt
+    // RETURNS, then fails marker validation — the pure torn path
+    var attempts = 0
+    var next = 2L
+    def alwaysTorn(df: org.apache.spark.sql.DataFrame): Long = {
+      attempts += 1
+      BatchStore.compact(spark, dir, next); next += 1
+      0L
+    }
+    spark.conf.set(BatchStore.SnapshotAttemptsConf, "3")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        BatchStore.snapshotRead(spark, dir)(alwaysTorn)
+      }
+      // the conf'd budget (3) bounds the attempts, and the message
+      // carries the torn-frontier diagnosis plus the knob to turn
+      assert(attempts == 3, s"conf'd budget not honored: $attempts attempts")
+      assert(ex.getMessage.contains("3 attempts"), ex.getMessage)
+      assert(ex.getMessage.contains("torn-frontier"), ex.getMessage)
+      assert(ex.getMessage.contains(BatchStore.SnapshotAttemptsConf),
+        ex.getMessage)
+      // an explicit maxAttempts still overrides the conf
+      attempts = 0
+      intercept[IllegalArgumentException] {
+        BatchStore.snapshotRead(spark, dir, maxAttempts = 2)(alwaysTorn)
+      }
+      assert(attempts == 2, s"explicit budget not honored: $attempts")
+    } finally spark.conf.unset(BatchStore.SnapshotAttemptsConf)
+    // the store itself is fine once the churn stops
+    assert(BatchStore.snapshotRead(spark, dir)(_.count()) == 6)
+  }
+
+  test("snapshotRead fails FAST on non-sweep corruption (no retry masking)") {
+    val dir = tmp("bs_snap_corrupt")
+    mkStore(dir, 3)
+    // corrupt one live parquet footer in place: same path set, so the
+    // failure is CANNOT_READ_FILE-shaped, not the sweep race's
+    // FILE_NOT_EXIST/NO_HINT-over-missing-file
+    val part = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "batch_id=1")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.startsWith("part-")).get
+    java.nio.file.Files.write(part, Array.fill[Byte](8)(0x7f))
+    // attempts ≤ 1: schema inference may trip on the corrupt footer
+    // before the body runs at all; either way there must be NO retry
+    var attempts = 0
+    intercept[Throwable] {
+      BatchStore.snapshotRead(spark, dir, maxAttempts = 5) { df =>
+        attempts += 1; df.count()
+      }
+    }
+    assert(attempts <= 1,
+      s"corruption must fail on the FIRST attempt, not burn $attempts retries")
+  }
+
   test("snapshotRead stays consistent under a live concurrent compactor") {
     val dir = tmp("bs_snap_live")
     mkStore(dir, 8)

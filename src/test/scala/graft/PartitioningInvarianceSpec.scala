@@ -70,7 +70,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q139_dedup_eval",       // band join vs inverted-index truth counts
     "q141_ann_recall",       // three total-order rank cuts + hit joins
     "q142_kn_fluency",       // integer cross-multiplied KN band
-    "q143_filter_cascade")   // composed integer gates over two signals
+    "q143_filter_cascade",   // composed integer gates over two signals
+    "q144_scd2")             // lag-compress + lead-stitch under a total order
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -562,8 +562,13 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("q142 KN: count tables ride one staged tf pass; band join keys are hashes") {
     val p = plan("q142_kn_fluency")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      s"only the 1-row type-total crossJoin may broadcast-nest:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the fluency audit must never cross-product the corpus:\n$p")
+    // the only nested-loop join allowed is the 1-row type-total
+    // crossJoin(broadcast(nct)) — bound it to exactly that one
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      s"expected exactly the one 1-row type-total BNLJ:\n$p")
     // the tf stage is localCheckpointed: the corpus parquet must not be
     // re-scanned by the five count consumers
     assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*""")) == 0,

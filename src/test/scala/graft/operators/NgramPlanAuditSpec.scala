@@ -23,4 +23,24 @@ class NgramPlanAuditSpec extends graft.SparkTestBase {
     assert(!plan.contains("BroadcastHashJoin"),
       s"every NgramJoin join side can be corpus-sized:\n$plan")
   }
+
+  test("no array-typed row ever shuffles in the rescore (both pair flavors)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val docs = graft.PipelineBench.generate(spark, 500).localCheckpoint()
+    // at 100 TB the shuffle bytes ARE the rescore cost: the co-group
+    // count must move (doc, doc, sh) longs, never the shingle arrays
+    // the old array_intersect rescore dragged through two merge joins
+    Seq(
+      "similar" -> NgramJoin.similarPairs(docs, 3, 0.8),
+      "contained" -> NgramJoin.containedPairs(docs, 3, 0.8)
+    ).foreach { case (flavor, df) =>
+      val offenders = df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+      }
+      assert(offenders.isEmpty,
+        s"$flavor: array-typed shuffle legs:\n${offenders.mkString("\n")}")
+    }
+  }
 }
