@@ -67,6 +67,12 @@ object ApproxOracle {
       Multimodal.resizedCells(Multimodal.realAssets(
         docs.select("doc_id").filter(col("doc_id") % 3 === 0))).toDF(),
       "resized_cells")
+    // q148: the per-window audio energies (pure per-row codec calls —
+    // burst-WAV encode + RIFF decode both executor-side); DuckDB redoes
+    // the integer VAD gate and the per-asset rollup
+    OracleExport.write(
+      Multimodal.audioWindows(docs.select("doc_id")).toDF(),
+      "audio_windows")
 
     // q106: the aggregated PCA moments — the export cut after which
     // both engines run identical sequential arithmetic (Pca.scala's

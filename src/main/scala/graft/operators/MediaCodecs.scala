@@ -312,4 +312,59 @@ object MediaCodecs {
     AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  /** q148 burst geometry: 50 ms (400-sample) alternating tone/silence
+    * blocks — real speech-shaped on/off structure so VAD has something
+    * to detect (makeWav's continuous sine is all-active by design). */
+  val BurstBlock = 400
+
+  /** Deterministic REAL mono 16-bit WAV of alternating sine bursts and
+    * TRUE silence: block b is on iff (b + seed) is even, so half the
+    * assets lead with silence. Same RIFF encoder as [[makeWav]]. */
+  def makeWavBursts(seed: Long): Array[Byte] = {
+    val rate = 8000
+    val ms = 120 + math.floorMod(seed, 200)
+    val freq = 200.0 + math.floorMod(seed >> 2, 1800).toDouble
+    val n = (rate * ms / 1000L).toInt
+    val pcm = Array.ofDim[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val on = math.floorMod(i / BurstBlock + seed, 2) == 0L
+      val s = if (on) (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt.toShort
+              else 0.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Per-window integer energies over a WAV payload's 16-bit PCM via
+    * the real RIFF parser: (win_idx, n_samples, Σ s²). Energy is an
+    * exact BIGINT (|s| ≤ 32767 → ≤ win·2³⁰ per window), so the VAD
+    * decision downstream is pure integer algebra. */
+  def wavWindowEnergies(payload: Array[Byte], win: Int): Array[(Int, Int, Long)] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val bytes = in.readAllBytes()
+      val nSamples = bytes.length / 2
+      val nWin = (nSamples + win - 1) / win
+      Array.tabulate(nWin) { wi =>
+        var e = 0L
+        var i = wi * win
+        val end = math.min(nSamples, i + win)
+        val n = end - i
+        while (i < end) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+          e += s * s
+          i += 1
+        }
+        (wi, n, e)
+      }
+    } finally in.close()
+  }
 }

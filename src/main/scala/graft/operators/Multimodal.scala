@@ -169,6 +169,34 @@ object Multimodal {
   /** One cell of a REAL areal image resize (row-major gw×gh grid):
     * integer luma1000 sum + pixel count, the exact-arithmetic form a
     * relational oracle can roll up. */
+  /** q148 VAD geometry: 25 ms (200-sample) analysis windows; a window
+    * is ACTIVE iff its mean square clears a quarter of the tone's
+    * amplitude square — energy·4 ≥ n·12000², integers only (a tone
+    * window carries amp²/2 per sample, silence exactly 0, so the gate
+    * sits centrally between the two and boundary windows split by how
+    * much tone they actually contain). */
+  val VadWin = 200
+  val VadAmpSq = 12000L * 12000L
+
+  /** One VAD analysis window of a burst-WAV asset. */
+  case class AudioWindow(asset_id: Long, win_idx: Int, n_samples: Int,
+                         energy: Long)
+
+  /** Per-window integer energies of the audio slice (ids ≡ 1 mod 3,
+    * the realAssets modality law), over burst-structured REAL WAVs —
+    * generation + decode both executor-side, no payload movement, the
+    * same mapPartitions shape as [[decodeMedia]]. */
+  def audioWindows(ids: DataFrame): Dataset[AudioWindow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .filter(_ % 3 == 1)
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.wavWindowEnergies(MediaCodecs.makeWavBursts(id), VadWin)
+          .map { case (wi, n, e) => AudioWindow(id, wi, n, e) }
+      })
+  }
+
   case class ResizedCell(asset_id: Long, gx: Int, gy: Int,
                          luma_sum: Long, px: Long)
 

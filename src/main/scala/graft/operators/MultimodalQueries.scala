@@ -138,6 +138,28 @@ object MultimodalQueries {
         .withColumn("mean_luma",
           col("luma_total").cast("double") /
             (col("px_total").cast("double") * 1000))
+    }),
+
+    // Energy-based voice-activity detection (L4's audio feature-extract
+    // verb): burst-structured REAL WAVs decode executor-side into 25 ms
+    // windows with exact integer energies; a window is active iff
+    // energy·4 ≥ n·amp² (pure integer gate, see Multimodal.VadWin), and
+    // the per-asset rollup reports window/active counts, the active
+    // span, and the total energy. The per-window rows are the oracle
+    // export (pure per-row codec function, the q82 pattern); DuckDB
+    // redoes the gate + rollup relationally.
+    "q148_audio_vad" -> ((s, d) => {
+      val w = Multimodal.audioWindows(documents(s, d).select("doc_id")).toDF()
+      val active = col("energy") * 4 >=
+        col("n_samples").cast("long") * Multimodal.VadAmpSq
+      w.groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_windows"),
+             sum(when(active, 1L).otherwise(0L)).as("n_active"),
+             coalesce(min(when(active, col("win_idx"))).cast("long"),
+               lit(-1L)).as("first_active"),
+             coalesce(max(when(active, col("win_idx"))).cast("long"),
+               lit(-1L)).as("last_active"),
+             sum(col("energy")).as("energy_total"))
     })
   )
 
@@ -228,6 +250,20 @@ object MultimodalQueries {
           CAST(sum(px) AS BIGINT) AS px_total,
           CAST(sum(luma_sum) AS DOUBLE) / (CAST(sum(px) AS DOUBLE) * 1000)
             AS mean_luma
-          FROM ${graft.OracleExport.p("resized_cells")} GROUP BY 1, 2"""
+          FROM ${graft.OracleExport.p("resized_cells")} GROUP BY 1, 2""",
+
+    // the same integer VAD gate + rollup over the exported per-window
+    // energies (energy·4 ≥ n·amp², amp² interpolated from the shared
+    // constant so the gate cannot drift between engines)
+    "q148_audio_vad" ->
+      s"""SELECT asset_id, count(*) AS n_windows,
+          CAST(sum(CASE WHEN energy * 4 >= CAST(n_samples AS BIGINT) * ${Multimodal.VadAmpSq}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+          coalesce(CAST(min(CASE WHEN energy * 4 >= CAST(n_samples AS BIGINT) * ${Multimodal.VadAmpSq}
+            THEN win_idx END) AS BIGINT), -1) AS first_active,
+          coalesce(CAST(max(CASE WHEN energy * 4 >= CAST(n_samples AS BIGINT) * ${Multimodal.VadAmpSq}
+            THEN win_idx END) AS BIGINT), -1) AS last_active,
+          CAST(sum(energy) AS BIGINT) AS energy_total
+          FROM ${graft.OracleExport.p("audio_windows")} GROUP BY asset_id"""
   )
 }

@@ -53,6 +53,64 @@ object SketchQueries {
 
   private def whitespaceToks: Column = split(trim(col("text")), "\\s+")
 
+  /** HLL geometry (q145/q146): b = 4 bits → m = 16 registers addressed
+    * by the digest's FIRST hex char; ρ is computed over the NEXT 8 hex
+    * chars (a 32-bit window), so ρ ∈ [1, 32] for x > 0 and 33 for
+    * x = 0. Registers are maxes — idempotent, commutative, map-side
+    * combinable, and LSM-fold-invariant, which is exactly what makes
+    * the streaming twin (q146) a plain partial-register store with a
+    * merge-on-read max. The harmonic sum routes through INTEGERS:
+    * Σ 2^(scale − M[j]) ≤ m·2^scale fits BIGINT comfortably, and the
+    * estimate is ONE IEEE division of a constant numerator
+    * (α₁₆·m²·2^scale) by that integer — bit-identical cross-engine
+    * (Flajolet et al. 2007's estimator, rescaled to avoid 2^-M
+    * fractions). No small-range linear-counting correction: that would
+    * reintroduce ln(); instead the zero-register count is REPORTED so
+    * a consumer can apply it, and q145 carries the exact distinct
+    * count beside the estimate as its own accuracy audit. */
+  private[graft] val HllM = 16
+  private[graft] val HllScale = 34
+  private[graft] val HllNumerator: Double =
+    0.673 * (HllM.toDouble * HllM) * math.pow(2.0, HllScale)
+
+  /** Per-(lang, register) max-ρ table from a document slice — the
+    * mergeable HLL state (shared: q145 builds it in one pass, q146's
+    * micro-batches each build a PARTIAL one and merge by max). */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(whitespaceToks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .select(col("lang"), hexSlice(col("h"), 1, 1).as("b"),
+        hexSlice(col("h"), 2, 8).as("x"))
+      .withColumn("rho", when(col("x") === 0, lit(33))
+        .otherwise(lit(33) - length(bin(col("x")))))
+      .groupBy(col("lang"), col("b")).agg(max(col("rho")).as("m"))
+
+  /** Registers → (lang, zeros, s_scaled, est): the grid join fills
+    * absent registers with M = 0 (2^scale mass), the harmonic sum is
+    * an exact BIGINT, and `est` is the single division. `langs` is the
+    * group universe (distinct lang — rows with NO tokens still get a
+    * row, with est = α·m²·2^scale / (m·2^scale) = α·m). */
+  def hllSummary(regs: DataFrame, langs: DataFrame): DataFrame = {
+    val s = regs.sparkSession
+    val grid = langs.crossJoin(broadcast(s.range(HllM).toDF("b")))
+    grid.join(regs, Seq("lang", "b"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+      .groupBy(col("lang")).agg(
+        sum(pow(lit(2.0), lit(HllScale) - col("m")).cast("long")).as("s_scaled"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("zeros"))
+      .withColumn("est", lit(HllNumerator) / col("s_scaled").cast("double"))
+  }
+
+  /** Histogram-quantile geometry (q147): 256 fixed bins between the
+    * corpus min/max — the mergeable fixed-memory alternative to an
+    * exact per-group sort at 100 TB (the bin table is ≤ bins×groups
+    * rows whatever the corpus size; merging shards is a plain count
+    * sum). Quantile selection is the integer cross-multiply
+    * cum·100 ≥ p·n — no division anywhere. */
+  private[graft] val HistBins = 256L
+  private[graft] val HistPs = Seq(50, 90, 99)
+
   /** The CMS tail over an exact (tok, exact_cnt) count table — shared
     * by batch q135 and the streaming twin q140 (whose counts arrive via
     * the incremental store), so both pin against the SAME oracle SQL.
@@ -168,6 +226,73 @@ object SketchQueries {
         .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"),
           col("w"), greatest(col("w").cast("double"), col("tau")).as("ht_w"),
           col("tau"))
+    }),
+
+    // Deterministic HyperLogLog distinct-token estimate per language
+    // (Flajolet et al. 2007), the sketch sibling of A6: q08's
+    // approx_count_distinct is engine-internal (spec-gated only); this
+    // one's registers are md5-derived, so DuckDB rebuilds the IDENTICAL
+    // sketch and the driver hash-checks the whole estimator — zeros,
+    // harmonic sum AND the one-division estimate. The exact distinct
+    // count rides along as the query's own accuracy audit (the q135
+    // exact_cnt pattern). Register table ≤ m×langs rows — geometry-
+    // bounded; the corpus pass is one hash + one map-side-combined max.
+    "q145_hll_distinct" -> ((s, d) => {
+      val docs = documents(s, d)
+      val exact = docs.select(col("lang"), explode(whitespaceToks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("lang")).agg(countDistinct(col("tok")).as("n_exact"))
+      hllSummary(hllRegisters(docs), docs.select(col("lang")).distinct())
+        .join(exact, Seq("lang"), "left")
+        .select(col("lang"), lit(HllM.toLong).as("m_regs"), col("zeros"),
+          col("s_scaled"), col("est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    }),
+
+    // Mergeable histogram quantiles: per-lang p50/p90/p99 of n_chars
+    // from a 256-bin fixed grid between the corpus min/max — the
+    // fixed-memory alternative to an exact per-group sort (O3's global
+    // order) at 100 TB. The bin table is geometry-bounded (≤ bins ×
+    // langs rows), shards merge by count addition, and the quantile
+    // pick is the integer cross-multiply cum·100 ≥ p·n — the answer is
+    // a bin [lo, hi] bracket, all integers, no division, no
+    // interpolation float surface. The only windows run over the
+    // geometry-bounded bin table, never the corpus.
+    "q147_hist_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select(col("lang"), col("n_chars"))
+      val stats = docs.agg(min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      val binned = docs.crossJoin(broadcast(stats))
+        .select(col("lang"), col("lo"),
+          expr(s"(hi - lo) DIV $HistBins + 1").as("w"),
+          expr(s"(n_chars - lo) DIV ((hi - lo) DIV $HistBins + 1)").as("bin"))
+      val counts = binned
+        .groupBy(col("lang"), col("lo"), col("w"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy(col("lang"))
+      // geometry-bounded (≤ bins×langs rows) and consumed by BOTH the
+      // quantile-pick branch and the join-back — materialize once so
+      // the corpus scan + binning never replays per branch
+      val cum = counts
+        .withColumn("cum_le", sum(col("cnt"))
+          .over(byLang.orderBy(col("bin").asc)))
+        .withColumn("n_docs", sum(col("cnt")).over(byLang))
+        .localCheckpoint()
+      val ps = HistPs.map(p => lit(p.toLong))
+      val withP = cum.withColumn("p", explode(array(ps: _*)))
+        .filter(col("cum_le") * 100 >= col("p") * col("n_docs"))
+      // qb descends from cum, so the join-back is a self-join: alias
+      // both sides explicitly (unaliased, Spark resolves the lang
+      // equality to ONE attribute — a trivially-true predicate)
+      val qb = withP.groupBy(col("lang"), col("p"))
+        .agg(min(col("bin")).as("qbin")).alias("q")
+      qb.join(cum.alias("c"),
+          col("q.lang") === col("c.lang") && col("q.qbin") === col("c.bin"))
+        .select(col("q.lang").as("lang"), col("q.p").as("p"), col("q.qbin").as("qbin"),
+          (col("c.lo") + col("q.qbin") * col("c.w")).as("bin_lo"),
+          (col("c.lo") + (col("q.qbin") + 1) * col("c.w") - 1).as("bin_hi"),
+          col("c.cum_le").as("cum_le"), col("c.n_docs").as("n_docs"))
     })
   )
 
@@ -259,6 +384,74 @@ object SketchQueries {
            greatest(CAST(r.w AS DOUBLE), coalesce(t.tau, 0.0)) AS ht_w,
            coalesce(t.tau, 0.0) AS tau
          FROM ranked r LEFT JOIN tau t ON r.lang = t.lang
-         WHERE r.rn <= $PsK"""
+         WHERE r.rn <= $PsK""",
+
+    // the full HLL replay: identical md5-addressed registers, the same
+    // integer harmonic sum, the same single division
+    "q145_hll_distinct" ->
+      s"""WITH toks AS (
+           SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM documents),
+         t AS (SELECT lang, tok FROM toks WHERE length(tok) > 0),
+         hashed AS (SELECT DISTINCT lang, md5(tok) AS h FROM t),
+         xs AS (
+           SELECT lang, h,
+             CAST(sum((instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 9 - i) AS BIGINT)) AS BIGINT) AS x
+           FROM hashed CROSS JOIN range(2, 10) r(i)
+           GROUP BY lang, h),
+         regs AS (
+           SELECT lang,
+             instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS b,
+             max(CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END) AS m
+           FROM xs GROUP BY lang, b),
+         grid AS (
+           SELECT l.lang, g.b FROM (SELECT DISTINCT lang FROM documents) l
+           CROSS JOIN range(0, $HllM) g(b)),
+         filled AS (
+           SELECT g.lang, g.b, coalesce(r.m, 0) AS m
+           FROM grid g LEFT JOIN regs r ON g.lang = r.lang AND g.b = r.b),
+         agg AS (
+           SELECT lang,
+             CAST(sum(CAST(power(2, $HllScale - m) AS BIGINT)) AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+           FROM filled GROUP BY lang),
+         exact AS (
+           SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+           FROM t GROUP BY lang)
+         SELECT a.lang, CAST($HllM AS BIGINT) AS m_regs, a.zeros, a.s_scaled,
+           $HllNumerator / CAST(a.s_scaled AS DOUBLE) AS est,
+           coalesce(e.n_exact, 0) AS n_exact
+         FROM agg a LEFT JOIN exact e ON a.lang = e.lang""",
+
+    // same grid, same integer cross-multiply quantile rule
+    "q147_hist_quantiles" ->
+      s"""WITH stats AS (
+           SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+         binned AS (
+           SELECT lang, s.lo,
+             (s.hi - s.lo) // $HistBins + 1 AS w,
+             (n_chars - s.lo) // ((s.hi - s.lo) // $HistBins + 1) AS bin
+           FROM documents CROSS JOIN stats s),
+         counts AS (
+           SELECT lang, lo, w, bin, count(*) AS cnt
+           FROM binned GROUP BY lang, lo, w, bin),
+         cum AS (
+           SELECT lang, lo, w, bin, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum_le,
+             sum(cnt) OVER (PARTITION BY lang) AS n_docs
+           FROM counts),
+         ps AS (SELECT unnest([${HistPs.mkString(", ")}]) AS p),
+         qb AS (
+           SELECT lang, p, min(bin) AS qbin
+           FROM cum CROSS JOIN ps
+           WHERE cum_le * 100 >= p * n_docs
+           GROUP BY lang, p)
+         SELECT q.lang, CAST(q.p AS BIGINT) AS p, q.qbin,
+           c.lo + q.qbin * c.w AS bin_lo,
+           c.lo + (q.qbin + 1) * c.w - 1 AS bin_hi,
+           CAST(c.cum_le AS BIGINT) AS cum_le,
+           CAST(c.n_docs AS BIGINT) AS n_docs
+         FROM qb q JOIN cum c ON q.lang = c.lang AND q.qbin = c.bin"""
   )
 }

@@ -433,6 +433,37 @@ object StreamingQueries {
         StreamingHeavyHitters.totals(s, store))
     }),
 
+    // ST × sketch: q145's HLL distinct estimator over an ARRIVING
+    // corpus — per-batch PARTIAL registers land under batch_id
+    // (replay-idempotent), the store LSM-folds MID-RUN under the
+    // every-2-batches trigger, and the answer is q145's summary over
+    // the merge-on-read MAX. Registers are maxes, so fold timing and
+    // batch boundaries are invisible BY ALGEBRA (idempotent +
+    // commutative); the oracle is the q145 replay minus the exact
+    // audit column, so stream == batch is hash-proven every round.
+    "q146_stream_hll" -> ((s, d) => {
+      import graft.operators.SketchQueries
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val landing = tmp("graft-q146-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
+          landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q146-store"))
+      val ckpt = tmp("graft-q146-ckpt")
+      withCompactionEvery2(s) {
+        StreamingHll.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      SketchQueries.hllSummary(StreamingHll.registers(s, store),
+          Tables.documents(s, d).select(col("lang")).distinct())
+        .select(col("lang"), lit(SketchQueries.HllM.toLong).as("m_regs"),
+          col("zeros"), col("s_scaled"), col("est"))
+    }),
+
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
@@ -578,6 +609,12 @@ object StreamingQueries {
     // stream == batch: the q135 CMS SQL verbatim
     "q140_stream_heavy" ->
       graft.operators.SketchQueries.oracleSql("q135_cms_heavy"),
+
+    // q145's replay minus its exact-audit column — the stream twin
+    // must reproduce the sketch itself, hash-for-hash
+    "q146_stream_hll" ->
+      s"""SELECT lang, m_regs, zeros, s_scaled, est FROM (
+         ${graft.operators.SketchQueries.oracleSql("q145_hll_distinct")}) t""",
 
     // band self-join candidates -> exact set Jaccard over shingle hashes
     // (the same exports q25 recomputes its summary from — here the PAIRS

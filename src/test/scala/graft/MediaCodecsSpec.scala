@@ -166,4 +166,58 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(got == want, s"banding lost ${(want -- got).size}, fabricated ${(got -- want).size}")
     assert(want.nonEmpty, "planted near-dups must produce at least one pair")
   }
+
+  test("burst WAV: silence blocks carry exactly zero energy; windows match the generation law") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    (1L until 40L by 3).foreach { seed =>
+      val wins = MediaCodecs.wavWindowEnergies(
+        MediaCodecs.makeWavBursts(seed), Multimodal.VadWin)
+      val ms = 120 + math.floorMod(seed, 200)
+      val n = (8000 * ms / 1000L).toInt
+      assert(wins.map(_._2).sum == n, s"seed $seed: window partition lost samples")
+      assert(wins.map(_._1).toSeq == wins.indices, s"seed $seed: indices")
+      wins.foreach { case (wi, nw, e) =>
+        // replay the burst law sample-for-sample: which of this
+        // window's samples fall in ON blocks (block = 400 samples,
+        // on iff (i/400 + seed) even)?
+        val onSamples = (wi * Multimodal.VadWin until wi * Multimodal.VadWin + nw)
+          .count(i => math.floorMod(i / MediaCodecs.BurstBlock + seed, 2) == 0L)
+        if (onSamples == 0)
+          assert(e == 0L, s"seed $seed win $wi: silence must be EXACTLY zero")
+        else assert(e > 0L, s"seed $seed win $wi: tone window with zero energy")
+        // the VAD gate: a fully-on window always clears it, a fully-off
+        // window never does (the integer inequality q148 applies)
+        val active = e * 4 >= nw.toLong * Multimodal.VadAmpSq
+        if (onSamples == nw && nw == Multimodal.VadWin)
+          assert(active, s"seed $seed win $wi: full tone window inactive")
+        if (onSamples == 0) assert(!active, s"seed $seed win $wi")
+      }
+      // non-trivial structure: every asset has both active and silent windows
+      val flags = wins.map { case (_, nw, e) =>
+        e * 4 >= nw.toLong * Multimodal.VadAmpSq }
+      assert(flags.contains(true) && flags.contains(false),
+        s"seed $seed: VAD must split the asset")
+    }
+  }
+
+  test("q148: per-asset VAD rollup equals a driver replay over the window energies") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    val got = SparkEntry.queries("q148_audio_vad")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).filter(_ % 3 == 1)
+    assert(got.keySet == ids.toSet, "one row per audio asset")
+    ids.foreach { id =>
+      val wins = MediaCodecs.wavWindowEnergies(
+        MediaCodecs.makeWavBursts(id), Multimodal.VadWin)
+      val act = wins.filter { case (_, nw, e) =>
+        e * 4 >= nw.toLong * Multimodal.VadAmpSq }
+      val want = (wins.length.toLong, act.length.toLong,
+        act.headOption.map(_._1.toLong).getOrElse(-1L),
+        act.lastOption.map(_._1.toLong).getOrElse(-1L),
+        wins.map(_._3).sum)
+      assert(got(id) == want, s"asset $id: ${got(id)} != $want")
+    }
+  }
 }

@@ -71,7 +71,10 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q141_ann_recall",       // three total-order rank cuts + hit joins
     "q142_kn_fluency",       // integer cross-multiplied KN band
     "q143_filter_cascade",   // composed integer gates over two signals
-    "q144_scd2")             // lag-compress + lead-stitch under a total order
+    "q144_scd2",             // lag-compress + lead-stitch under a total order
+    "q145_hll_distinct",     // md5 registers, integer harmonic sum, one division
+    "q147_hist_quantiles",   // fixed bins + integer cross-multiply quantile pick
+    "q148_audio_vad")        // per-window integer energies + integer gate
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

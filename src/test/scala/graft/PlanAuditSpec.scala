@@ -579,6 +579,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"no hash-keyed count join found:\n$p")
   }
 
+  test("q145 HLL: no window anywhere; the only nested-loop joins are the bounded grid/range broadcasts") {
+    val p = plan("q145_hll_distinct")
+    assert(!p.contains("CartesianProduct"),
+      s"the register build must never cross-product:\n$p")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Window""")),
+      s"HLL is pure aggregation — a Window here is a regression:\n$p")
+    // the grid crossJoin broadcasts a 16-row range — geometry, not data
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 16-row register grid may broadcast-nest:\n$p")
+  }
+
+  test("q147 quantiles: corpus scanned at most twice; windows only over the geometry-bounded bin table") {
+    val p = plan("q147_hist_quantiles")
+    assert(!p.contains("CartesianProduct"),
+      s"stats must broadcast, never cross-product:\n$p")
+    // the bin table is localCheckpointed: the quantile tail (both the
+    // pick branch and the join-back) must run entirely over it — no
+    // parquet scan survives in the final plan
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Scan parquet.*""")) == 0,
+      s"the corpus must not be re-scanned by the quantile tail:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -157,4 +157,86 @@ class SketchQueriesSpec extends SparkTestBase {
       assert(htW === math.max(w.toDouble, tau))
     }
   }
+
+  /** Driver-side HLL register replay from the raw documents. */
+  private def hllReplay: Map[String, (Long, Long, Double, Long)] = {
+    import operators.SketchQueries.{HllM, HllScale, HllNumerator}
+    val toks = docs.flatMap { case (_, lang, text, _) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(t => (lang, t))
+    }
+    val regs = scala.collection.mutable.Map.empty[(String, Long), Int]
+      .withDefaultValue(0)
+    toks.foreach { case (lang, t) =>
+      val h = md5Hex(t)
+      val b = hexSlice(h, 1, 1)
+      val x = hexSlice(h, 2, 8)
+      val rho = if (x == 0) 33
+        else 33 - java.lang.Long.toBinaryString(x).length
+      if (rho > regs((lang, b))) regs((lang, b)) = rho
+    }
+    toks.map(_._1).distinct.map { lang =>
+      val ms = (0L until HllM.toLong).map(b => regs((lang, b)))
+      val s = ms.map(m => 1L << (HllScale - m)).sum
+      val zeros = ms.count(_ == 0).toLong
+      val exact = toks.collect { case (l, t) if l == lang => t }.distinct.size
+      lang -> ((zeros, s, HllNumerator / s.toDouble, exact.toLong))
+    }.toMap
+  }
+
+  test("q145: HLL registers, harmonic sum and estimate equal a driver replay; estimate is sane") {
+    val want = hllReplay
+    val got = SparkEntry.queries("q145_hll_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.keySet == want.keySet, s"lang sets differ: $got")
+    got.foreach { case (lang, (zeros, s, est, exact)) =>
+      val (wz, ws, we, wx) = want(lang)
+      assert(zeros == wz && s == ws && exact == wx, s"$lang integers differ")
+      assert(est == we, s"$lang estimate differs: $est vs $we")
+      // m=16 gives σ ≈ 26%; everything is deterministic, so this band
+      // is a structure check, not a flake risk
+      assert(est > 0.3 * exact && est < 3.0 * exact,
+        s"$lang estimate $est far from exact $exact")
+    }
+  }
+
+  test("q146: streaming HLL equals the one-shot batch q145 (sketch columns)") {
+    val batch = SparkEntry.queries("q145_hll_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val stream = SparkEntry.queries("q146_stream_hll")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(stream == batch, "stream != batch")
+  }
+
+  test("q147: quantile bins bracket the true percentile and match a driver histogram replay") {
+    import operators.SketchQueries.{HistBins, HistPs}
+    val byLang = docs.groupBy(_._2).view.mapValues(_.map(_._4).sorted).toMap
+    val all = docs.map(_._4)
+    val (lo, hi) = (all.min, all.max)
+    val w = (hi - lo) / HistBins + 1
+    val rows = SparkEntry.queries("q147_hist_quantiles")(spark, sf).collect()
+    assert(rows.length == byLang.size * HistPs.size, "one row per (lang, p)")
+    rows.foreach { r =>
+      val (lang, p, qbin) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (binLo, binHi) = (r.getLong(3), r.getLong(4))
+      val (cumLe, nDocs) = (r.getLong(5), r.getLong(6))
+      val vals = byLang(lang)
+      assert(nDocs == vals.length, s"$lang n_docs")
+      assert(binLo == lo + qbin * w && binHi == lo + (qbin + 1) * w - 1,
+        s"$lang bin bounds")
+      // driver replay of the histogram rule
+      val bins = vals.map(v => (v - lo) / w)
+      val wantBin = bins.distinct.sorted.find(b =>
+        bins.count(_ <= b).toLong * 100 >= p * vals.length).get
+      assert(qbin == wantBin, s"$lang p$p bin $qbin != $wantBin")
+      assert(cumLe == bins.count(_ <= qbin), s"$lang p$p cum")
+      // the true percentile_disc value falls inside the bracket
+      val idx = math.ceil(p * vals.length / 100.0).toInt - 1
+      val truePv = vals(math.max(0, idx))
+      assert(truePv >= binLo && truePv <= binHi,
+        s"$lang p$p: true $truePv outside [$binLo, $binHi]")
+    }
+  }
 }
