@@ -46,7 +46,8 @@ object ClusterVerify {
     "q125_temperature_mix", "q126_phrase_search", "q127_source_similarity",
     "q128_winnowing", "q129_kcore", "q130_matryoshka",
     "q132_source_overlap", "q133_cluster_labels",
-    "q145_hll_distinct", "q147_hist_quantiles", "q148_audio_vad")
+    "q145_hll_distinct", "q147_hist_quantiles", "q148_audio_vad",
+    "q149_collocations")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

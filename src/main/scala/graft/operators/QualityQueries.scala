@@ -210,6 +210,62 @@ object QualityQueries {
         col("n_fluent").cast("double") / col("n_bigrams"))
   }
 
+  /** q149 collocation-mining geometry: bigrams below [[CollocMinCount]]
+    * corpus occurrences never rank (a hapax pair of two rare words has
+    * unboundedly high PMI — the standard min-count guard of Church &
+    * Hanks 1990); the report is the [[CollocTopK]] best by PMI ratio.
+    * Both interpolated into the oracle. */
+  val CollocMinCount = 5L
+  val CollocTopK = 20
+
+  /** q149: PMI collocation mining (Church & Hanks 1990) — the phrase-
+    * vocabulary induction step of a tokenizer/curation pipeline: rank
+    * adjacent word pairs by pointwise mutual information
+    * p(xy)/(p(x)p(y)) = c_xy·T²/(N·c_x·c_y). The SCORE is doubles —
+    * but every operand is an exactly-representable integer and the
+    * factor chain is FIXED left-associated (the q64 BM25 doctrine), so
+    * both engines round identically at every step and the
+    * (score DESC, w1, w2) cut is bit-stable. Counts key by xxhash64
+    * (fixed-width shuffles; the strings ride as aggregate payload into
+    * the final top-k only); the exact-string oracle is the collision
+    * check. The min-count gate cuts the rank input to frequent pairs
+    * BEFORE the unigram joins; the top-k plans as TakeOrdered. */
+  private[graft] def collocations(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .withColumn("a", slice(col("ts"), lit(1), size(col("ts")) - 1))
+      .withColumn("b", slice(col("ts"), lit(2), size(col("ts")) - 1))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("z.a").as("w1"), col("z.b").as("w2"))
+    // distinct-bigram counts: consumed by N (unfiltered sum) AND the
+    // gated rank input — materialize the vocabulary-sized table once
+    val big0 = pairs
+      .select(xxhash64(col("w1"), col("w2")).as("gh"),
+        xxhash64(col("w1")).as("uh"), xxhash64(col("w2")).as("vh"),
+        col("w1"), col("w2"))
+      .groupBy(col("gh"), col("uh"), col("vh"))
+      .agg(count(lit(1)).as("c_xy"),
+        min(col("w1")).as("w1"), min(col("w2")).as("w2"))
+      .localCheckpoint()
+    val uni = docs.select(explode(toks).as("w"))
+      .select(xxhash64(col("w")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = big0.agg(sum(col("c_xy")).as("n_bigrams"))
+      .crossJoin(uni.agg(sum(col("c")).as("t_toks")))
+    big0.filter(col("c_xy") >= CollocMinCount)
+      .join(uni.select(col("h").as("uh"), col("c").as("c_x")).hint("merge"), "uh")
+      .join(uni.select(col("h").as("vh"), col("c").as("c_y")).hint("merge"), "vh")
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        col("c_xy").cast("double") * col("t_toks") / col("n_bigrams") *
+          col("t_toks") / col("c_x") / col("c_y"))
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTopK)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("t_toks"), col("n_bigrams"), col("score"))
+  }
+
   /** q142 Kneser-Ney absolute discount D = [[KnDiscNum]]/[[KnDiscDen]]
     * (the standard 0.75), kept as a RATIONAL so the smoothed
     * probability comparison stays an integer cross-multiply. */
@@ -460,6 +516,7 @@ object QualityQueries {
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
     "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
+    "q149_collocations" -> ((s, d) => collocations(documents(s, d))),
     "q142_kn_fluency" -> ((s, d) => knFluency(documents(s, d))),
     "q143_filter_cascade" -> ((s, d) => filterCascade(documents(s, d))),
     "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))),
@@ -519,6 +576,38 @@ object QualityQueries {
              AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS fluent_frac
          FROM tf JOIN cbg USING (w1, w2) JOIN cu USING (w1)
          GROUP BY 1""",
+
+    // Exact string-keyed PMI replay — same parallel-unnest bigram
+    // stream, same gate, and the IDENTICAL left-associated factor
+    // chain, so the double scores (and thus the top-k cut) agree bit
+    // for bit; string keys make it the xxhash collision check
+    "q149_collocations" ->
+      s"""WITH t AS (
+           SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         bi AS (
+           SELECT unnest(ts[1:len(ts)-1]) AS w1,
+                  unnest(ts[2:len(ts)]) AS w2
+           FROM t WHERE len(ts) >= 2),
+         big AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+         uni AS (
+           SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM t)
+           GROUP BY 1),
+         tot AS (
+           SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM big) AS n_bigrams,
+                  (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t_toks)
+         SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+           CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+           t.t_toks, t.n_bigrams,
+           CAST(b.c_xy AS DOUBLE) * t.t_toks / t.n_bigrams * t.t_toks
+             / u1.c / u2.c AS score
+         FROM big b
+         JOIN uni u1 ON b.w1 = u1.w
+         JOIN uni u2 ON b.w2 = u2.w
+         CROSS JOIN tot t
+         WHERE b.c_xy >= $CollocMinCount
+         ORDER BY score DESC, b.w1 ASC, b.w2 ASC
+         LIMIT $CollocTopK""",
 
     // Exact string-keyed recomputation of q142 — the q94 oracle plus
     // the three continuation-count tables, band and backoff tests as

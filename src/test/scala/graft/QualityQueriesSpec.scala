@@ -217,4 +217,38 @@ class QualityQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q149: PMI top-k equals a driver replay; gate and score algebra hold") {
+    import QualityQueries.{CollocMinCount, CollocTopK}
+    val texts = docs.select(col("text")).collect().map(_.getString(0))
+    val bigrams = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val unis = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    texts.foreach { t =>
+      val ts = t.trim.split("\\s+")
+      ts.foreach(w => unis(w) += 1)
+      if (ts.length >= 2)
+        ts.sliding(2).foreach(p => bigrams((p(0), p(1))) += 1)
+    }
+    val nBi = bigrams.values.sum
+    val tToks = unis.values.sum
+    val want = bigrams.toSeq
+      .filter(_._2 >= CollocMinCount)
+      .map { case ((w1, w2), cxy) =>
+        val score = cxy.toDouble * tToks / nBi * tToks / unis(w1) / unis(w2)
+        (w1, w2, cxy, unis(w1), unis(w2), tToks, nBi, score)
+      }
+      .sortBy { case (w1, w2, _, _, _, _, _, s) => (-s, w1, w2) }
+      .take(CollocTopK)
+    val got = QualityQueries.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+    assert(got == want,
+      s"top-$CollocTopK differs:\n got=${got.take(3)}\nwant=${want.take(3)}")
+    // semantics: every reported pair clears the gate, scores descend,
+    // and the list is non-trivial on the real corpus
+    assert(got.nonEmpty && got.forall(_._3 >= CollocMinCount))
+    assert(got.map(_._8) == got.map(_._8).sorted.reverse, "scores must descend")
+  }
+
 }
