@@ -46,8 +46,11 @@ object VectorQueries {
     * corpus/nlist, i.e. "pruning" that stops pruning at scale. Floor 16
     * keeps the small-corpus geometry (= the old constant at every test
     * SF); the cap bounds the model-sized centroid matrix and the n×nlist
-    * brute assignment term — past it, assignment would route through a
-    * coarse quantizer hierarchy rather than scoring every centroid. */
+    * brute assignment term. PAST the cap both sides are defended:
+    * assignment routes through the two-level coarse quantizer
+    * (IvfIndex.HierNlistThreshold) and the SEARCH path sub-splits
+    * saturated cells (IvfIndex.subCellCount) so per-probe candidate
+    * volume stays ≈ nprobe × SubProbes × IvfTargetCellRows, flat in n. */
   val IvfTargetCellRows = 128L
   def ivfNList(n: Long): Int =
     math.min(65536, math.max(16,
