@@ -111,6 +111,17 @@ object ApproxOracle {
     OracleExport.write(
       IvfIndex.probeCells(e, probes, nlist,
         VectorQueries.ivfNProbe(nlist), Some(n)), "ivf_probe_cells")
+    // q150: the FORCED two-level geometry (TwoLevelNList coarse cells —
+    // small enough that every harness SF saturates them and the
+    // sub-cell search path is REAL); coarse assignment and probe cells
+    // are pure per-row kernel functions, so they export; everything
+    // downstream (sub-centroid strides, sub-assignment argmax, probe
+    // sub-ranks, candidates, rescore) is replayed relationally.
+    val cents2 = IvfIndex.centroids(e, VectorQueries.TwoLevelNList, Some(n))
+    OracleExport.write(IvfIndex.assignWith(e, cents2), "ivf2_cells")
+    OracleExport.write(
+      IvfIndex.probeCellsWith(probes, cents2, VectorQueries.TwoLevelNProbe),
+      "ivf2_probe_cells")
     // q90: the streamed appendable index freezes centroids from the
     // FIRST of three vec_id slices (StreamingQueries.incIvfDir); the
     // assignment is a pure per-row function of (emb, frozen centroids),

@@ -63,6 +63,16 @@ object VectorQueries {
   def ivfNProbe(nlist: Int): Int =
     math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
+  /** q150 forced two-level search geometry: a coarse grid small enough
+    * that EVERY harness SF saturates it (nsub = ⌈n/(nlist·target)⌉ =
+    * 8 at n=500, 32 at n=2000 — always > IvfIndex.SubProbes), so the
+    * oracle exercises REAL sub-cell pruning, not the degenerate
+    * nsub ≤ SubProbes twin case (that lossless case is pinned in
+    * IvfScalingSpec). All three interpolated into the oracle. */
+  val TwoLevelNList = 8
+  val TwoLevelNProbe = 4
+  val TwoLevelTargetRows = 8L
+
   /** q104 graph out-degree (neighbors kept per node) — interpolated
     * into the q104/q105 oracles. */
   val KnnGraphK = 4
@@ -378,6 +388,28 @@ object VectorQueries {
       IvfIndex.topK(e, e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
           nlist = nlist, nprobe = ivfNProbe(nlist), k = AnnK, Some(n))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                round(col("sim"), 4).as("cos"), col("rn"))
+    }),
+
+    // TWO-LEVEL IVF search under a FORCED saturated grid (the past-
+    // the-65536-cap regime in miniature): the coarse cells hold ≫
+    // target rows, so IvfIndex.topK routes through sub-centroids —
+    // deterministic per-cell stride picks, member→sub argmax, per-
+    // (probe, cell) sub-rank keeping SubProbes sub-cells, candidates
+    // joined on (cell, sub). Oracle: coarse assignment + probe cells
+    // export (pure kernel functions); the ENTIRE sub-cell machinery —
+    // strides, both argmax ranks, candidates, rescore, final cut — is
+    // replayed relationally in DuckDB, so the scale path that defends
+    // per-probe candidate volume past the nlist cap is hash-proven,
+    // not just spec'd.
+    "q150_ivf_two_level" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      IvfIndex.topK(e, e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+          nlist = TwoLevelNList, nprobe = TwoLevelNProbe, k = AnnK, Some(n),
+          targetRows = TwoLevelTargetRows)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -1604,6 +1636,76 @@ object VectorQueries {
            CROSS JOIN qv)
          SELECT vec_id, $pqCodeCastsSql, round(adc, 4) AS adc
          FROM sc ORDER BY sc.adc DESC, vec_id LIMIT $PqTopK""",
+
+    // Two-level search: the coarse assignment + probe cells come from
+    // the ivf2_* exports (pure kernel functions under the FORCED
+    // saturated grid); the sub-centroid strides, both argmax ranks,
+    // the (cell, sub) candidate join, the exact rescore and the final
+    // cut are all replayed relationally — integer stride arithmetic
+    // mirrors the Spark truncating casts exactly (// on positives).
+    "q150_ivf_two_level" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         nn AS (SELECT count(*) AS n FROM embeddings),
+         geom AS (
+           SELECT greatest(1, CAST(ceil(CAST(n AS DOUBLE)
+             / ${TwoLevelNList * TwoLevelTargetRows}) AS BIGINT)) AS nsub
+           FROM nn),
+         mem AS (
+           SELECT c.cell, c.vec_id, eb.fv,
+             CAST(row_number() OVER (PARTITION BY c.cell
+               ORDER BY c.vec_id ASC) - 1 AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY c.cell) AS BIGINT) AS cnt
+           FROM ${graft.OracleExport.p("ivf2_cells")} c
+           JOIN eb ON eb.vec_id = c.vec_id),
+         subc AS (
+           SELECT cell, rk // stride AS sub, fv AS semb
+           FROM (SELECT mem.*, greatest(1, cnt // g.nsub) AS stride,
+                   g.nsub AS nsub
+                 FROM mem CROSS JOIN geom g)
+           WHERE rk % stride = 0 AND rk < stride * nsub),
+         sassign AS (
+           SELECT vec_id, cell, sub FROM (
+             SELECT m.vec_id, m.cell, s.sub,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY list_cosine_similarity(m.fv, s.semb) DESC,
+                          s.sub ASC) AS rn
+             FROM mem m JOIN subc s ON s.cell = m.cell)
+           WHERE rn = 1),
+         pe AS (
+           SELECT pc.probe_id, eb.fv AS pf
+           FROM (SELECT DISTINCT probe_id
+                 FROM ${graft.OracleExport.p("ivf2_probe_cells")}) pc
+           JOIN eb ON eb.vec_id = pc.probe_id),
+         psub AS (
+           SELECT probe_id, cell, sub FROM (
+             SELECT pc.probe_id, pc.cell, s.sub,
+               row_number() OVER (PARTITION BY pc.probe_id, pc.cell
+                 ORDER BY list_cosine_similarity(pe.pf, s.semb) DESC,
+                          s.sub ASC) AS rn
+             FROM ${graft.OracleExport.p("ivf2_probe_cells")} pc
+             JOIN subc s ON s.cell = pc.cell
+             JOIN pe ON pe.probe_id = pc.probe_id)
+           WHERE rn <= ${IvfIndex.SubProbes}),
+         cand AS (
+           SELECT DISTINCT ps.probe_id, sa.vec_id
+           FROM sassign sa
+           JOIN psub ps ON sa.cell = ps.cell AND sa.sub = ps.sub
+           WHERE sa.vec_id <> ps.probe_id),
+         scored AS (
+           SELECT cand.probe_id, cand.vec_id,
+             list_cosine_similarity(pe.pf, eb.fv) AS sim
+           FROM cand
+           JOIN pe ON pe.probe_id = cand.probe_id
+           JOIN eb ON eb.vec_id = cand.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY sim DESC, vec_id ASC) AS rn
+           FROM scored)
+         SELECT probe_id, neighbor_id, round(sim, 4) AS cos,
+           CAST(rn AS BIGINT) AS rn
+         FROM ranked WHERE rn <= $AnnK""",
 
     // IVF-PQ: the candidate set from the SAME exported
     // ivf_cells/ivf_probe_cells tables q37 uses (identical

@@ -269,6 +269,29 @@ class PlanAuditSpec extends SparkTestBase {
     assertTwoPhaseProbeRank(p)
   }
 
+  test("q150 two-level ivf: (cell, sub) candidates equi-join, ranks grouped") {
+    val p = plan("q150_ivf_two_level")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sub-cell candidate generation degenerated to a cross product\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe sub-cell routing / probe-vector re-attach must broadcast\n" + p)
+    // every rank in the two-level search (member sub-argmax, probe
+    // sub-rank, final per-probe rank) routes through GroupedTopK's
+    // two-phase plan; the only plain windows are subCentroids' per-cell
+    // stride pick, which partitions by cell — no window may partition
+    // by probe_id alone without the local __pid phase beside it
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.exists(_.contains("__pid")),
+      "no per-partition local top-k phase — a rank runs single-reducer " +
+        "over the raw candidate stream\n" + winSpecs.mkString("\n"))
+    val probeOnly = winSpecs.filter(w =>
+      w.contains("probe_id") && !w.contains("cell") && !w.contains("__pid"))
+    assert(probeOnly.size <= 1,
+      "more than the exact final rank partitions by probe_id alone\n" +
+        winSpecs.mkString("\n"))
+  }
+
   /** The ANN per-probe rank contract: NO window may rank the raw
     * candidate stream partitioned by probe_id alone — ~10 probes over
     * ~corpus×nprobe/nlist candidates is one reducer per probe at scale.
