@@ -33,6 +33,15 @@ object RelationalQueries {
   private[graft] val AnomMinWin = 5
   private[graft] val AnomZsq = 9L
 
+  /** q151 association-rule min-support gate: a pair survives when it
+    * appears in ≥ n_baskets/[[AsrMinSupDen]] baskets (integer
+    * cross-multiply; interpolated into the oracle). 1/7 sits INSIDE the
+    * harness support range at every SF (pair supports cluster near the
+    * uniform 1/7.0±ε), so the gate provably keeps some pairs and
+    * prunes others — a coarser bar would pass everything and leave the
+    * gate untested. */
+  private[graft] val AsrMinSupDen = 7L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1-style pricing summary: partial+final hash agg, codegen'd.
     "q01_pricing_summary" -> ((s, d) => {
@@ -318,6 +327,56 @@ object RelationalQueries {
           col("band"), col("version"), col("is_current"))
     }),
 
+    // Association-rule mining (Agrawal & Srikant '94 a-priori at k=2 —
+    // the market-basket op of event analytics): baskets are (user, day)
+    // activity sets, items the distinct event types seen in one. Per
+    // rule x→y: support count c_xy, item counts c_x/c_y, confidence
+    // c_xy/c_x (ONE IEEE division) and lift as the fixed
+    // left-associated chain c_xy·n/c_x/c_y — exact integers in, so
+    // both doubles are bit-stable cross-engine. Scale: the basket item
+    // table is materialized ONCE (it feeds the basket count, the item
+    // counts and both sides of the pair join); items-per-basket is
+    // bounded by the event-type vocabulary, so the within-basket pair
+    // self-join is |basket|²-bounded and shuffles on the basket key;
+    // everything downstream is vocab² rows, the support gate an
+    // integer cross-multiply, and the scalar basket count a broadcast
+    // one-row table.
+    "q151_assoc_rules" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val items = events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) DIV $dayUs").as("day"), col("event_type"))
+        .distinct()
+        .localCheckpoint()
+      val nb = items.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val cx = items.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      val gated = items
+        .join(items.withColumnRenamed("event_type", "tpe2"),
+          Seq("user_id", "day"))
+        .filter(col("event_type") < col("tpe2"))
+        .groupBy(col("event_type").as("x"), col("tpe2").as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .crossJoin(broadcast(nb))
+        .filter(col("c_xy") * AsrMinSupDen >= col("n_baskets"))
+        // vocab²-bounded — materialize once so the two union branches
+        // (rule directions) read it rather than re-planning the whole
+        // pair-count subtree (and its scalar cross join) twice
+        .localCheckpoint()
+      val rules = gated.unionAll(gated.select(col("y").as("x"),
+        col("x").as("y"), col("c_xy"), col("n_baskets")))
+      rules
+        .join(broadcast(cx.select(col("event_type").as("x"),
+          col("c").as("c_x"))), "x")
+        .join(broadcast(cx.select(col("event_type").as("y"),
+          col("c").as("c_y"))), "y")
+        .select(col("x").as("antecedent"), col("y").as("consequent"),
+          col("c_xy"), col("c_x"), col("c_y"), col("n_baskets"),
+          (col("c_xy").cast("double") / col("c_x")).as("confidence"),
+          (col("c_xy").cast("double") * col("n_baskets") / col("c_x") /
+            col("c_y")).as("lift"))
+    }),
+
     // Rolling z-score anomaly detection (W2/W3 put to work — the
     // standard telemetry-outlier rule, batch form): each event scored
     // against the mean/variance of its user's trailing AnomWin events
@@ -586,6 +645,38 @@ object RelationalQueries {
            CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
                 AS BIGINT) AS is_current
          FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    // q151: same basket/item/pair derivation; // on positive micros
+    // matches Spark's truncating DIV, the support gate is the same
+    // integer cross-multiply, and both doubles are the same fixed
+    // operand chains over exactly-representable integers.
+    "q151_assoc_rules" ->
+      s"""WITH items AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type
+           FROM events),
+         nb AS (SELECT count(*) AS n_baskets
+                FROM (SELECT DISTINCT user_id, day FROM items)),
+         cx AS (SELECT event_type, count(*) AS c FROM items GROUP BY 1),
+         gated AS (
+           SELECT p.x, p.y, p.c_xy, nb.n_baskets FROM (
+             SELECT a.event_type AS x, b.event_type AS y,
+               count(*) AS c_xy
+             FROM items a JOIN items b
+               ON a.user_id = b.user_id AND a.day = b.day
+             WHERE a.event_type < b.event_type
+             GROUP BY 1, 2) p
+           CROSS JOIN nb
+           WHERE p.c_xy * $AsrMinSupDen >= nb.n_baskets),
+         rules AS (
+           SELECT x, y, c_xy, n_baskets FROM gated
+           UNION ALL SELECT y, x, c_xy, n_baskets FROM gated)
+         SELECT r.x AS antecedent, r.y AS consequent, r.c_xy,
+           cx1.c AS c_x, cx2.c AS c_y, r.n_baskets,
+           CAST(r.c_xy AS DOUBLE) / cx1.c AS confidence,
+           (CAST(r.c_xy AS DOUBLE) * r.n_baskets) / cx1.c / cx2.c AS lift
+         FROM rules r JOIN cx cx1 ON cx1.event_type = r.x
+                      JOIN cx cx2 ON cx2.event_type = r.y""",
 
     // q124: same trailing frame, same cross-multiplied integer z-test.
     // DuckDB's sum(BIGINT) widens to HUGEINT — harmless inside the

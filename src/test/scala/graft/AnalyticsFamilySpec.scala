@@ -466,4 +466,49 @@ class AnalyticsFamilySpec extends SparkTestBase {
     // the history is non-trivial at this sf: some user must change bands
     assert(rows.length > perUser.size, "no user ever changed band — trivial input")
   }
+
+  test("q151: rules equal a driver a-priori replay; support gate and symmetry hold") {
+    // independent replay from the raw events table: baskets are
+    // (user, day) distinct event-type sets, day = micros/86400000000
+    val dayUs = 86400000000L
+    val items = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / dayUs, r.getString(2)))
+      .distinct
+    val nBaskets = items.map(e => (e._1, e._2)).distinct.length.toLong
+    val cx = items.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cxy = items.groupBy(e => (e._1, e._2)).values
+      .flatMap { basket =>
+        val ts = basket.map(_._3).sorted
+        for (i <- ts.indices; j <- (i + 1) until ts.length)
+          yield (ts(i), ts(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = cxy.filter { case (_, c) =>
+      c * operators.RelationalQueries.AsrMinSupDen >= nBaskets
+    }.flatMap { case ((x, y), c) =>
+      Seq((x, y, c), (y, x, c))
+    }.map { case (x, y, c) =>
+      (x, y, c, cx(x), cx(y), nBaskets,
+        c.toDouble / cx(x), c.toDouble * nBaskets / cx(x) / cx(y))
+    }.toSet
+
+    val rows = SparkEntry.queries("q151_assoc_rules")(spark, sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getDouble(6), r.getDouble(7))).toSet
+    assert(got == want,
+      s"rules differ from the driver replay: extra=${(got -- want).take(3)} " +
+        s"missing=${(want -- got).take(3)}")
+
+    // structural invariants: both directions of every surviving pair,
+    // never a self-rule, and the gate actually prunes something
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs.forall { case (x, y) => x != y && dirs((y, x)) },
+      "every rule must appear in both directions, never x→x")
+    assert(want.nonEmpty, "no rule survived — trivial input")
+    assert(cxy.size * 2 > want.size,
+      "the support gate pruned nothing — gate untested at this sf")
+  }
 }

@@ -76,7 +76,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q147_hist_quantiles",   // fixed bins + integer cross-multiply quantile pick
     "q148_audio_vad",        // per-window integer energies + integer gate
     "q149_collocations",     // hashed counts + fixed-chain PMI + TakeOrdered
-    "q150_ivf_two_level")    // stride sub-cells + two argmax ranks + rescore
+    "q150_ivf_two_level",    // stride sub-cells + two argmax ranks + rescore
+    "q151_assoc_rules")      // basket pair counts + integer support gate
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

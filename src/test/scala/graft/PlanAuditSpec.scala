@@ -269,6 +269,18 @@ class PlanAuditSpec extends SparkTestBase {
     assertTwoPhaseProbeRank(p)
   }
 
+  test("q151 assoc rules: basket self-join equi-joins, dims broadcast") {
+    val p = plan("q151_assoc_rules")
+    assert(!p.contains("CartesianProduct"),
+      "the within-basket pair join degenerated to a cross product\n" + p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row basket-count scalar may nested-loop\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-sized item-count joins must broadcast\n" + p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "pair counting must run partial then final\n" + p)
+  }
+
   test("q150 two-level ivf: (cell, sub) candidates equi-join, ranks grouped") {
     val p = plan("q150_ivf_two_level")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
