@@ -47,7 +47,8 @@ object ClusterVerify {
     "q128_winnowing", "q129_kcore", "q130_matryoshka",
     "q132_source_overlap", "q133_cluster_labels",
     "q145_hll_distinct", "q147_hist_quantiles", "q148_audio_vad",
-    "q149_collocations", "q150_ivf_two_level", "q151_assoc_rules")
+    "q149_collocations", "q150_ivf_two_level", "q151_assoc_rules",
+    "q152_textrank")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

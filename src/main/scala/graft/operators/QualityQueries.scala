@@ -266,6 +266,110 @@ object QualityQueries {
         col("t_toks"), col("n_bigrams"), col("score"))
   }
 
+  /** q152 TextRank geometry: co-occurrence edges below [[TrMinCount]]
+    * corpus occurrences are dropped (the sparsity guard that keeps the
+    * word graph ≪ vocab² — one-off adjacencies are noise, not
+    * structure); the report is the [[TrTopK]] best words by rank mass.
+    * Both interpolated into the oracle. */
+  val TrMinCount = 2L
+  val TrTopK = 25
+
+  /** q152: TextRank keyword extraction (Mihalcea & Tarau 2004) —
+    * PageRank over the word co-occurrence graph: vertices are words,
+    * an undirected edge links words adjacent somewhere in the corpus
+    * at least [[TrMinCount]] times, and the rank is q105's integer-
+    * mass iteration ([[VectorQueries.pageRankMass]] — the SAME loop,
+    * damping and mass constants), so the score table is bit-identical
+    * cross-engine with zero float surface before the final cut.
+    *
+    * Scale posture: the pair table is vocabulary-sized and hash-keyed
+    * (q149's doctrine — strings ride as agg payload only), materialized
+    * ONCE and consumed by the edge list (both directions), the word
+    * table and the node set; the PageRank loop shuffles on fixed-width
+    * hashed keys with the dangling scalar a broadcast one-row table;
+    * the tail is a TakeOrdered [[TrTopK]] cut under the
+    * (pr_mass DESC, word) total order. The exact-string oracle doubles
+    * as the xxhash collision check. */
+  private[graft] def textRank(docs: DataFrame): DataFrame = {
+    val bi = docs.select(toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .withColumn("a", slice(col("ts"), lit(1), size(col("ts")) - 1))
+      .withColumn("b", slice(col("ts"), lit(2), size(col("ts")) - 1))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("z.a").as("w1"), col("z.b").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = bi
+      .select(least(col("w1"), col("w2")).as("u"),
+        greatest(col("w1"), col("w2")).as("v"))
+      .groupBy(xxhash64(col("u")).as("uh"), xxhash64(col("v")).as("vh"))
+      .agg(count(lit(1)).as("c"), min(col("u")).as("u"), min(col("v")).as("v"))
+      .filter(col("c") >= TrMinCount)
+      .localCheckpoint()
+    val edges = und.select(col("uh").as("src"), col("vh").as("dst"))
+      .unionAll(und.select(col("vh").as("src"), col("uh").as("dst")))
+    val words = und.select(col("uh").as("h"), col("u").as("w"))
+      .unionAll(und.select(col("vh").as("h"), col("v").as("w")))
+      .groupBy(col("h")).agg(min(col("w")).as("word"))
+    val nodes = words.select(col("h").as("vec_id"))
+    val pr = VectorQueries.pageRankMass(nodes, edges, nodes.count())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    pr.join(words.withColumnRenamed("h", "vec_id"), "vec_id")
+      .join(deg.withColumnRenamed("src", "vec_id"), "vec_id")
+      .orderBy(col("pr_mass").desc, col("word").asc)
+      .limit(TrTopK)
+      .select(col("word"), col("degree"), col("pr_mass"))
+  }
+
+  /** The q152 oracle: exact-string graph build + [[VectorQueries
+    * .PrIters]] unrolled integer-mass iterations — the same generated-
+    * CTE shape as q105's, over word keys instead of vec_ids (an
+    * undirected graph has no dangling nodes, but the dang CTE stays so
+    * the arithmetic is operand-for-operand identical to the Spark
+    * loop). */
+  private def textRankOracle: String = {
+    import VectorQueries.{PrMass, PrDampNum, PrDampDen, PrIters}
+    val iters = (1 to PrIters).map { k =>
+      s"""dang$k AS (
+           SELECT coalesce(sum(pr), 0) AS dg FROM r${k - 1}
+           WHERE w NOT IN (SELECT src FROM outdeg)),
+         c$k AS (
+           SELECT e.dst, sum(r.pr // o.outdeg) AS m
+           FROM edges e JOIN r${k - 1} r ON r.w = e.src
+                        JOIN outdeg o ON o.src = e.src
+           GROUP BY 1),
+         r$k AS (
+           SELECT nd.w,
+             bb.base + ($PrDampNum * (coalesce(c$k.m, 0)
+               + dang$k.dg // nn.n)) // $PrDampDen AS pr
+           FROM nodes nd CROSS JOIN nn CROSS JOIN bb CROSS JOIN dang$k
+           LEFT JOIN c$k ON c$k.dst = nd.w)"""
+    }.mkString(",\n         ")
+    s"""WITH t AS (
+           SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         bi AS (
+           SELECT unnest(ts[1:len(ts)-1]) AS w1,
+                  unnest(ts[2:len(ts)]) AS w2
+           FROM t WHERE len(ts) >= 2),
+         up AS (
+           SELECT least(w1, w2) AS u, greatest(w1, w2) AS v,
+             count(*) AS c
+           FROM bi WHERE w1 <> w2 GROUP BY 1, 2),
+         g AS (SELECT u, v FROM up WHERE c >= $TrMinCount),
+         edges AS (SELECT u AS src, v AS dst FROM g
+                   UNION ALL SELECT v AS src, u AS dst FROM g),
+         nodes AS (SELECT DISTINCT src AS w FROM edges),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         bb AS (SELECT (3 * $PrMass) // ($PrDampDen * nn.n) AS base FROM nn),
+         r0 AS (SELECT w, $PrMass // nn.n AS pr FROM nodes CROSS JOIN nn),
+         $iters
+         SELECT r.w AS word, CAST(o.outdeg AS BIGINT) AS degree,
+           CAST(r.pr AS BIGINT) AS pr_mass
+         FROM r$PrIters r JOIN outdeg o ON o.src = r.w
+         ORDER BY pr_mass DESC, word ASC LIMIT $TrTopK"""
+  }
+
   /** q142 Kneser-Ney absolute discount D = [[KnDiscNum]]/[[KnDiscDen]]
     * (the standard 0.75), kept as a RATIONAL so the smoothed
     * probability comparison stays an integer cross-multiply. */
@@ -517,6 +621,7 @@ object QualityQueries {
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
     "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
     "q149_collocations" -> ((s, d) => collocations(documents(s, d))),
+    "q152_textrank" -> ((s, d) => textRank(documents(s, d))),
     "q142_kn_fluency" -> ((s, d) => knFluency(documents(s, d))),
     "q143_filter_cascade" -> ((s, d) => filterCascade(documents(s, d))),
     "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))),
@@ -608,6 +713,8 @@ object QualityQueries {
          WHERE b.c_xy >= $CollocMinCount
          ORDER BY score DESC, b.w1 ASC, b.w2 ASC
          LIMIT $CollocTopK""",
+
+    "q152_textrank" -> textRankOracle,
 
     // Exact string-keyed recomputation of q142 — the q94 oracle plus
     // the three continuation-count tables, band and backoff tests as

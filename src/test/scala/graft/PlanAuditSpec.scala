@@ -281,6 +281,17 @@ class PlanAuditSpec extends SparkTestBase {
       "pair counting must run partial then final\n" + p)
   }
 
+  test("q152 textrank: top-k is TakeOrdered; scalars broadcast; no strings in the loop") {
+    val p = plan("q152_textrank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the keyword cut must be TakeOrdered, never a global sort\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the rank iteration degenerated to a cross product\n" + p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <=
+      graft.operators.VectorQueries.PrIters,
+      "only the per-iteration 1-row dangling scalars may nested-loop\n" + p)
+  }
+
   test("q150 two-level ivf: (cell, sub) candidates equi-join, ranks grouped") {
     val p = plan("q150_ivf_two_level")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

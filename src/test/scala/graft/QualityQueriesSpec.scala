@@ -251,4 +251,54 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(got.map(_._8) == got.map(_._8).sorted.reverse, "scores must descend")
   }
 
+  test("q152: TextRank top-k equals a driver integer-mass replay") {
+    import QualityQueries.{TrMinCount, TrTopK}
+    import graft.operators.VectorQueries.{PrMass, PrDampNum, PrDampDen, PrIters}
+    val texts = docs.select(col("text")).collect().map(_.getString(0))
+    // undirected co-occurrence graph: adjacent distinct words, pair
+    // count gate, then 3 integer-mass PageRank iterations
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    texts.foreach { t =>
+      val ts = t.trim.split("\\s+")
+      if (ts.length >= 2)
+        ts.sliding(2).filter(p => p(0) != p(1)).foreach { p =>
+          val k = if (p(0) < p(1)) (p(0), p(1)) else (p(1), p(0))
+          pairCounts(k) += 1
+        }
+    }
+    val kept = pairCounts.filter(_._2 >= TrMinCount).keys.toSeq
+    val adj = scala.collection.mutable.Map.empty[String, List[String]]
+      .withDefaultValue(Nil)
+    kept.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.length.toLong
+    val base = (3L * PrMass) / (PrDampDen * n)
+    var rank = nodes.map(_ -> PrMass / n).toMap
+    for (_ <- 1 to PrIters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      nodes.foreach { u =>
+        val share = rank(u) / adj(u).size
+        adj(u).foreach(v => contrib(v) += share)
+      }
+      // no dangling nodes in an undirected graph — dg = 0, kept for
+      // operand parity with pageRankMass
+      rank = nodes.map(u =>
+        u -> (base + (PrDampNum * (contrib(u) + 0L / n)) / PrDampDen)).toMap
+    }
+    val want = nodes.map(u => (u, adj(u).size.toLong, rank(u)))
+      .sortBy { case (w, _, pr) => (-pr, w) }
+      .take(TrTopK)
+    val got = QualityQueries.textRank(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want,
+      s"top-$TrTopK differs:\n got=${got.take(3)}\nwant=${want.take(3)}")
+    // the graph is non-trivial: the gate kept edges AND pruned edges,
+    // and some word out-ranks the uniform start mass
+    assert(kept.nonEmpty && kept.size < pairCounts.size,
+      "TrMinCount gate must keep some pairs and prune others")
+    assert(got.head._3 > PrMass / n, "top word must out-rank uniform mass")
+  }
+
 }
