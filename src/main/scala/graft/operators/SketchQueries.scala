@@ -111,6 +111,38 @@ object SketchQueries {
   private[graft] val HistBins = 256L
   private[graft] val HistPs = Seq(50, 90, 99)
 
+  /** q153 base-2 log-bin histogram quantiles over a merged
+    * (lang, b, cnt) count table — the STREAMING-legitimate variant of
+    * q147: the bin grid is ABSOLUTE (b = ⌊log2 n_chars⌋ via the same
+    * length(bin(x)) trick q145's ρ uses — ≤ 64 bins forever, no
+    * corpus min/max barrier to wait for), so batch/shard histograms
+    * merge by plain count addition with no re-binning. The quantile
+    * pick is the same integer cross-multiply cum·100 ≥ p·n; the
+    * answer is the integer [2^b, 2^(b+1)) bin bracket. Windows run
+    * only over the geometry-bounded (≤ 64 × langs) bin table. */
+  def logHistQuantiles(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val cum = counts
+      .groupBy(col("lang"), col("b")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum_le",
+        sum(col("cnt")).over(byLang.orderBy(col("b").asc)))
+      .withColumn("n_docs", sum(col("cnt")).over(byLang))
+      .localCheckpoint()
+    val ps = HistPs.map(p => lit(p.toLong))
+    val qb = cum.withColumn("p", explode(array(ps: _*)))
+      .filter(col("cum_le") * 100 >= col("p") * col("n_docs"))
+      .groupBy(col("lang"), col("p")).agg(min(col("b")).as("qb")).alias("q")
+    qb.join(cum.alias("c"),
+        col("q.lang") === col("c.lang") && col("q.qb") === col("c.b"))
+      .select(col("q.lang").as("lang"), col("q.p").as("p"),
+        col("q.qb").cast("long").as("qb"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(q.qb AS INT))").as("bin_lo"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(q.qb AS INT) + 1)") - 1)
+          .as("bin_hi"),
+        col("c.cum_le").as("cum_le"), col("c.n_docs").as("n_docs"))
+  }
+
   /** The CMS tail over an exact (tok, exact_cnt) count table — shared
     * by batch q135 and the streaming twin q140 (whose counts arrive via
     * the incremental store), so both pin against the SAME oracle SQL.

@@ -464,6 +464,33 @@ object StreamingQueries {
           col("zeros"), col("s_scaled"), col("est"))
     }),
 
+    // Streaming mergeable quantiles (q147's monitoring use case as a
+    // stream): per-batch PARTIAL base-2 log-bin histograms under
+    // batch_id, LSM-folded mid-run, merge-on-read SUM, then the shared
+    // logHistQuantiles tail. The ABSOLUTE grid (no corpus min/max
+    // barrier) is what makes the histogram mergeable by addition — so
+    // stream == one-shot batch BY ALGEBRA, and the oracle is the plain
+    // batch replay over all documents.
+    "q153_stream_quantiles" -> ((s, d) => {
+      import graft.operators.SketchQueries
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val landing = tmp("graft-q153-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
+          landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q153-store"))
+      val ckpt = tmp("graft-q153-ckpt")
+      withCompactionEvery2(s) {
+        StreamingQuantiles.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      SketchQueries.logHistQuantiles(StreamingQuantiles.histogram(s, store))
+    }),
+
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
@@ -615,6 +642,31 @@ object StreamingQueries {
     "q146_stream_hll" ->
       s"""SELECT lang, m_regs, zeros, s_scaled, est FROM (
          ${graft.operators.SketchQueries.oracleSql("q145_hll_distinct")}) t""",
+
+    // q153: the one-shot batch replay of the absolute log-bin grid —
+    // stream equality is the mergeability claim itself
+    "q153_stream_quantiles" ->
+      s"""WITH binned AS (
+           SELECT lang, length(bin(n_chars)) - 1 AS b FROM documents),
+         counts AS (
+           SELECT lang, b, count(*) AS cnt FROM binned GROUP BY 1, 2),
+         cum AS (
+           SELECT lang, b, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum_le,
+             sum(cnt) OVER (PARTITION BY lang) AS n_docs
+           FROM counts),
+         ps AS (SELECT unnest([${graft.operators.SketchQueries.HistPs.mkString(", ")}]) AS p),
+         qb AS (
+           SELECT lang, p, min(b) AS qb
+           FROM cum CROSS JOIN ps
+           WHERE cum_le * 100 >= p * n_docs
+           GROUP BY lang, p)
+         SELECT q.lang, CAST(q.p AS BIGINT) AS p, CAST(q.qb AS BIGINT) AS qb,
+           (CAST(1 AS BIGINT) << q.qb) AS bin_lo,
+           (CAST(1 AS BIGINT) << (q.qb + 1)) - 1 AS bin_hi,
+           CAST(c.cum_le AS BIGINT) AS cum_le,
+           CAST(c.n_docs AS BIGINT) AS n_docs
+         FROM qb q JOIN cum c ON q.lang = c.lang AND q.qb = c.b""",
 
     // band self-join candidates -> exact set Jaccard over shingle hashes
     // (the same exports q25 recomputes its summary from — here the PAIRS

@@ -239,4 +239,35 @@ class SketchQueriesSpec extends SparkTestBase {
         s"$lang p$p: true $truePv outside [$binLo, $binHi]")
     }
   }
+
+  test("q153: streamed log-bin quantiles equal a driver replay; brackets hold") {
+    import operators.SketchQueries.HistPs
+    def log2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val byLang = docs.groupBy(_._2).view.mapValues(_.map(_._4).sorted).toMap
+    val rows = SparkEntry.queries("q153_stream_quantiles")(spark, sf).collect()
+    assert(rows.length == byLang.size * HistPs.size, "one row per (lang, p)")
+    rows.foreach { r =>
+      val (lang, p, qb) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (binLo, binHi) = (r.getLong(3), r.getLong(4))
+      val (cumLe, nDocs) = (r.getLong(5), r.getLong(6))
+      val vals = byLang(lang)
+      assert(nDocs == vals.length, s"$lang n_docs")
+      assert(binLo == (1L << qb) && binHi == (1L << (qb + 1)) - 1,
+        s"$lang bin bounds")
+      // driver replay of the absolute-grid rule — the stream answer
+      // must equal the one-shot batch answer (mergeability by algebra)
+      val bins = vals.map(log2)
+      val wantBin = bins.distinct.sorted.find(b =>
+        bins.count(_ <= b).toLong * 100 >= p * vals.length).get
+      assert(qb == wantBin, s"$lang p$p bin $qb != $wantBin")
+      assert(cumLe == bins.count(_ <= qb), s"$lang p$p cum")
+      val idx = math.ceil(p * vals.length / 100.0).toInt - 1
+      val truePv = vals(math.max(0, idx))
+      assert(truePv >= binLo && truePv <= binHi,
+        s"$lang p$p: true $truePv outside [$binLo, $binHi]")
+    }
+    // the grid is non-degenerate on this corpus: more than one bin seen
+    assert(docs.map(d => log2(d._4)).distinct.length > 1,
+      "all docs fell in one log bin — grid untested")
+  }
 }
