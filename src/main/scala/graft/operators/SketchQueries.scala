@@ -143,6 +143,16 @@ object SketchQueries {
         col("c.cum_le").as("cum_le"), col("c.n_docs").as("n_docs"))
   }
 
+  /** q154 KMV geometry: [[KmvK]] minimum hash values kept per source
+    * (Beyer et al. 2007 — the distinct-value sketch whose UNION is
+    * just a merge-and-recut, which is what makes cross-source overlap
+    * estimation a k-row join instead of a corpus-sized one); hashes
+    * are the md5 first-12-hex slice → a 48-bit value, so the k-th
+    * minimum estimator (k−1)·2^48/kth is exact-integer until its one
+    * IEEE division. */
+  private[graft] val KmvK = 64
+  private[graft] val KmvSpace = 281474976710656L // 2^48
+
   /** The CMS tail over an exact (tok, exact_cnt) count table — shared
     * by batch q135 and the streaming twin q140 (whose counts arrive via
     * the incremental store), so both pin against the SAME oracle SQL.
@@ -290,6 +300,56 @@ object SketchQueries {
     // a bin [lo, hi] bracket, all integers, no division, no
     // interpolation float surface. The only windows run over the
     // geometry-bounded bin table, never the corpus.
+    // KMV cross-source distinct-overlap estimation (Beyer et al. 2007)
+    // — "how much does source A's content overlap source B's", the
+    // curation question behind source-mix design, answered WITHOUT the
+    // corpus-sized pairwise gram join q132 does exactly: each source
+    // keeps only its KmvK minimum 48-bit gram hashes (two-phase
+    // GroupedTopK — sources are LOW-cardinality groups, exactly the
+    // regime where a plain source-partitioned window single-reduces
+    // the corpus); a pair's union sketch is the merged re-cut of two
+    // k-row sketches, so the pair stage touches k×sources rows total.
+    // Union estimate (n_k−1)·2^48/kth and Jaccard n_common/n_k are
+    // each ONE IEEE division over exact integers — bit-stable. The
+    // exact-string oracle rebuilds the identical sketch (md5 slices),
+    // doubling as the collision check.
+    "q154_kmv_overlap" -> ((s, d) => {
+      val g = documents(s, d)
+        .select(col("source"), whitespaceToks.as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("source"),
+          explode(TextQueries.tokenTrigrams(col("ts"))).as("g"))
+        .select(col("source"),
+          hexSlice(md5(col("g").cast("binary")), 1, 12).as("h"))
+        .distinct()
+      val sk = GroupedTopK.topK(g, Seq("source"), Seq(col("h").asc), KmvK)
+        .select(col("source"), col("h"))
+        .localCheckpoint() // ≤ k×sources rows; feeds pairs + both merge legs
+      val srcs = sk.select(col("source")).distinct()
+      // ≤ sources² rows — materialize once so both merge legs read the
+      // pair list rather than re-planning the s1<s2 loop join twice
+      val sp = srcs.select(col("source").as("s1"))
+        .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+        .localCheckpoint()
+      val merged = sp
+        .join(sk.select(col("source").as("s1"), col("h")), "s1")
+        .select(col("s1"), col("s2"), col("h"))
+        .unionAll(sp
+          .join(sk.select(col("source").as("s2"), col("h")), "s2")
+          .select(col("s1"), col("s2"), col("h")))
+        .groupBy(col("s1"), col("s2"), col("h"))
+        .agg(count(lit(1)).as("nsk")) // 2 ⇔ the value is in BOTH sketches
+      val cut = GroupedTopK.topK(merged, Seq("s1", "s2"),
+        Seq(col("h").asc), KmvK)
+      cut.groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"),
+          sum(when(col("nsk") === 2, 1L).otherwise(0L)).as("n_common"))
+        .select(col("s1"), col("s2"), col("n_k"), col("kth"), col("n_common"),
+          (((col("n_k") - 1) * KmvSpace).cast("double") / col("kth"))
+            .as("union_est"),
+          (col("n_common").cast("double") / col("n_k")).as("jacc_est"))
+    }),
+
     "q147_hist_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).select(col("lang"), col("n_chars"))
@@ -457,6 +517,56 @@ object SketchQueries {
          FROM agg a LEFT JOIN exact e ON a.lang = e.lang""",
 
     // same grid, same integer cross-multiply quantile rule
+    // q154: the identical sketch rebuilt from exact strings — the same
+    // md5 12-hex slice (sum-over-range hex parse), the same per-source
+    // k-minimum cut, the same pair merge-and-recut, the same one-
+    // division estimators over exact integers.
+    "q154_kmv_overlap" ->
+      s"""WITH toksrc AS (
+           SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         grams AS (
+           -- DISTINCT before the hex-parse cross join: a gram seen N
+           -- times in a source would otherwise contribute N×12 digit
+           -- rows to its (source, g) group and sum to N× the true value
+           SELECT DISTINCT source, unnest(list_transform(range(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+           FROM toksrc WHERE len(ts) >= 3),
+         gh AS (
+           SELECT DISTINCT source,
+             CAST(sum((instr('0123456789abcdef',
+                 substr(md5(g), CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) AS h
+           FROM grams CROSS JOIN range(1, 13) t(i)
+           GROUP BY source, g),
+         sk AS (
+           SELECT source, h FROM (
+             SELECT source, h, row_number() OVER (
+               PARTITION BY source ORDER BY h ASC) AS rn
+             FROM gh) WHERE rn <= $KmvK),
+         sp AS (
+           SELECT a.source AS s1, b.source AS s2
+           FROM (SELECT DISTINCT source FROM sk) a
+           JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+         m AS (
+           SELECT s1, s2, h, count(*) AS nsk FROM (
+             SELECT sp.s1, sp.s2, k.h FROM sp JOIN sk k ON k.source = sp.s1
+             UNION ALL
+             SELECT sp.s1, sp.s2, k.h FROM sp JOIN sk k ON k.source = sp.s2)
+           GROUP BY 1, 2, 3),
+         cut AS (
+           SELECT * FROM (
+             SELECT m.*, row_number() OVER (
+               PARTITION BY s1, s2 ORDER BY h ASC) AS rn FROM m)
+           WHERE rn <= $KmvK)
+         SELECT s1, s2, count(*) AS n_k, max(h) AS kth,
+           CAST(sum(CASE WHEN nsk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           CAST((count(*) - 1) * $KmvSpace AS DOUBLE) / max(h) AS union_est,
+           CAST(sum(CASE WHEN nsk = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS jacc_est
+         FROM cut GROUP BY s1, s2""",
+
     "q147_hist_quantiles" ->
       s"""WITH stats AS (
            SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),

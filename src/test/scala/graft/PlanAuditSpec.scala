@@ -281,6 +281,21 @@ class PlanAuditSpec extends SparkTestBase {
       "pair counting must run partial then final\n" + p)
   }
 
+  test("q154 kmv: corpus joins equi; sketch cut two-phase; only source pairs nested-loop") {
+    val p = plan("q154_kmv_overlap")
+    assert(!p.contains("CartesianProduct"),
+      "the pair stage degenerated to a cross product\n" + p)
+    // the s1<s2 source-pair join over the ≤sources-row lists is the
+    // only legitimate nested loop; the gram/sketch legs are equi-joins
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the tiny source-pair join may nested-loop\n" + p)
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.exists(_.contains("__pid")),
+      "the per-source k-min cut must run two-phase GroupedTopK — " +
+        "sources are low-cardinality groups\n" + winSpecs.mkString("\n"))
+  }
+
   test("q152 textrank: top-k is TakeOrdered; scalars broadcast; no strings in the loop") {
     val p = plan("q152_textrank")
     assert(p.contains("TakeOrderedAndProject"),

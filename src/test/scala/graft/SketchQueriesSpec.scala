@@ -270,4 +270,49 @@ class SketchQueriesSpec extends SparkTestBase {
     assert(docs.map(d => log2(d._4)).distinct.length > 1,
       "all docs fell in one log bin — grid untested")
   }
+
+  test("q154: KMV pair sketches equal a driver replay; estimates bracket truth") {
+    import operators.SketchQueries.{KmvK, KmvSpace}
+    def h48(g: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 12), 16)
+    }
+    // per-source distinct trigram hash sets from the raw strings
+    val srcRows = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val gsets = srcRows.groupBy(_._1).view.mapValues { rows =>
+      rows.flatMap { case (_, t) =>
+        val ts = t.trim.split("\\s+")
+        if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")) else Iterator.empty
+      }.map(h48).toSet
+    }.toMap
+    val sketches = gsets.view.mapValues(_.toSeq.sorted.take(KmvK).toSet).toMap
+    val want = (for {
+      s1 <- gsets.keys; s2 <- gsets.keys if s1 < s2
+    } yield {
+      val cut = (sketches(s1) ++ sketches(s2)).toSeq.sorted.take(KmvK)
+      val nK = cut.length.toLong
+      val kth = cut.max
+      val nCommon = cut.count(v => sketches(s1)(v) && sketches(s2)(v)).toLong
+      (s1, s2, nK, kth, nCommon,
+        ((nK - 1) * KmvSpace).toDouble / kth, nCommon.toDouble / nK)
+    }).toSet
+    val got = SparkEntry.queries("q154_kmv_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got == want,
+      s"pair sketches differ: extra=${(got -- want).take(2)} " +
+        s"missing=${(want -- got).take(2)}")
+    // the estimator is non-vacuous and sane on this corpus: some pair
+    // shares sketch values, and every union estimate is within 5σ
+    // (σ ≈ true/√k, Beyer et al. 2007) of the exact distinct union
+    assert(got.exists(_._5 > 0), "no pair shares a sketch value")
+    got.foreach { case (s1, s2, _, _, _, uEst, _) =>
+      val exact = (gsets(s1) ++ gsets(s2)).size.toDouble
+      assert(math.abs(uEst - exact) <= 5.0 * exact / math.sqrt(KmvK.toDouble),
+        s"($s1,$s2) union_est $uEst vs exact $exact out of 5-sigma")
+    }
+  }
 }
