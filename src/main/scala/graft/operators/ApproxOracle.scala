@@ -61,6 +61,10 @@ object ApproxOracle {
       Multimodal.videoFrames(Multimodal.realAssets(
         docs.select("doc_id").filter(col("doc_id") % 3 === 2))).toDF(),
       "video_frames")
+    // q155: the per-frame aHashes of the shot-structured GIFs (pure
+    // per-row generate+decode) — DuckDB re-segments them relationally
+    OracleExport.write(
+      Multimodal.shotFrames(docs.select("doc_id")).toDF(), "shot_frames")
     // q91: the per-cell areal-resize rows (pure per-row decode +
     // integer grid sums) — DuckDB redoes the corpus-mean-image rollup
     OracleExport.write(

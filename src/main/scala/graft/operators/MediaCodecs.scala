@@ -267,6 +267,77 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** q155 shot geometry: [[shotGifFrames]] frames per asset; the
+    * transition into frame `idx` is a CUT iff the deterministic
+    * per-transition coin lands 0 (≈1/3 of transitions), and frames
+    * WITHIN a shot repeat the shot's scene with a one-block jitter —
+    * so consecutive-frame aHash Hamming is bimodal BY CONSTRUCTION
+    * (≈0–3 within a shot, ≈25–40 across a cut), the same
+    * signal-planting move [[makeWavBursts]] makes for VAD (makeGif's
+    * every-frame-a-new-scene streams are all-cut by design). */
+  def shotGifFrames(seed: Long): Int = 8 + math.floorMod(seed, 5).toInt
+
+  /** Is the transition (idx−1 → idx) a planted cut? (idx ≥ 1.) The
+    * coin is a splitmix64-style finalizer — a plain linear-congruence
+    * mod 3 degenerates to (seed+idx) mod 3 (any odd multiplier ≡ 1
+    * mod 3), which plants perfectly periodic length-3 shots. */
+  def shotCut(seed: Long, idx: Int): Boolean = idx > 0 && {
+    var z = seed * 0x9E3779B97F4A7C15L + idx * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    math.floorMod(z ^ (z >>> 31), 3) == 0
+  }
+
+  /** Which shot (scene) frame `idx` belongs to: cuts seen so far. */
+  def shotSceneIdx(seed: Long, idx: Int): Int =
+    (1 to idx).count(shotCut(seed, _))
+
+  /** One frame of the shot-structured GIF: the shot's seeded 8x8-block
+    * grayscale scene (fixed 48x40 canvas — cells align with the aHash
+    * grid), with ONE block nudged by a small idx-dependent delta so
+    * within-shot frames differ without moving the hash. Gray values
+    * stay in [28, 227]+-24, inside the lossless indexed palette. */
+  def shotFrame(seed: Long, idx: Int): BufferedImage = {
+    val rnd = new scala.util.Random(0x5407abcL ^ (seed * 733 + shotSceneIdx(seed, idx)))
+    val (w, h) = (48, 40)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val scene = Array.fill(64)(rnd.nextInt(200) + 28)
+    val j = math.floorMod(idx * 37, 64)
+    scene(j) = math.max(0, math.min(255,
+      scene(j) + (math.floorMod(idx, 3) - 1) * 24))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = scene(math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic REAL shot-structured multi-frame GIF — the same
+    * `javax.imageio` sequence writer as [[makeGif]]. */
+  def makeShotGif(seed: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until shotGifFrames(seed)).foreach { i =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(shotFrame(seed, i), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------- audio
 
   /** Decode WAV bytes through the real RIFF/PCM parser: format, frame

@@ -178,6 +178,30 @@ object Multimodal {
   val VadWin = 200
   val VadAmpSq = 12000L * 12000L
 
+  /** q155 shot-boundary gate: a transition is a CUT iff consecutive
+    * frames' aHash Hamming distance ≥ this. Sits centrally in the
+    * planted bimodal signal (within-shot jitter flips ≈0–3 bits,
+    * scene changes ≈25–40) — interpolated into the oracle. */
+  val ShotHamMin = 10L
+
+  /** One decoded frame of a shot-structured GIF asset (q155). */
+  case class ShotFrame(asset_id: Long, frame_idx: Int, ahash: Long)
+
+  /** Per-frame aHashes of the shot-structured video slice (ids ≡ 2
+    * mod 3, the realAssets video law), through the REAL multi-frame
+    * GIF decode — generation + decode both executor-side, the same
+    * mapPartitions shape as [[audioWindows]]. */
+  def shotFrames(ids: DataFrame): Dataset[ShotFrame] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .filter(_ % 3 == 2)
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.decodeGif(MediaCodecs.makeShotGif(id)).map(f =>
+          ShotFrame(id, f.frameIdx, f.aHash))
+      })
+  }
+
   /** One VAD analysis window of a burst-WAV asset. */
   case class AudioWindow(asset_id: Long, win_idx: Int, n_samples: Int,
                          energy: Long)

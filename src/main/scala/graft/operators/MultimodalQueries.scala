@@ -160,6 +160,36 @@ object MultimodalQueries {
              coalesce(max(when(active, col("win_idx"))).cast("long"),
                lit(-1L)).as("last_active"),
              sum(col("energy")).as("energy_total"))
+    }),
+
+    // Shot-boundary detection over shot-structured REAL GIFs (L4 video
+    // segmentation — the standard frame-difference cut detector): a
+    // transition whose consecutive-frame aHash Hamming clears
+    // ShotHamMin is a cut; the running cut count segments each asset
+    // into shots, and the per-asset rollup (frames, shots, cuts,
+    // longest shot) derives from ONE per-(asset, shot) length table,
+    // so the decode+window lineage runs exactly once. The lag/sum
+    // windows partition by asset_id — corpus-cardinality groups over
+    // ≤ 12 frames each. Oracle: the exported per-frame rows (pure
+    // per-row codec calls) re-segmented relationally in DuckDB.
+    "q155_shot_detect" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byAsset = Window.partitionBy(col("asset_id"))
+        .orderBy(col("frame_idx").asc)
+      val shots = Multimodal.shotFrames(documents(s, d).select("doc_id")).toDF()
+        .withColumn("prev", lag(col("ahash"), 1).over(byAsset))
+        .withColumn("is_cut", (col("prev").isNotNull &&
+          expr("CAST(bit_count(ahash ^ prev) AS BIGINT)") >=
+            Multimodal.ShotHamMin).cast("long"))
+        .withColumn("shot_id", sum(col("is_cut")).over(
+          byAsset.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("asset_id"), col("shot_id"))
+        .agg(count(lit(1)).as("len"))
+      shots.groupBy(col("asset_id"))
+        .agg(sum(col("len")).as("n_frames"),
+             count(lit(1)).as("n_shots"),
+             (count(lit(1)) - 1).as("n_cuts"),
+             max(col("len")).as("max_shot_len"))
     })
   )
 
@@ -264,6 +294,33 @@ object MultimodalQueries {
           coalesce(CAST(max(CASE WHEN energy * 4 >= CAST(n_samples AS BIGINT) * ${Multimodal.VadAmpSq}
             THEN win_idx END) AS BIGINT), -1) AS last_active,
           CAST(sum(energy) AS BIGINT) AS energy_total
-          FROM ${graft.OracleExport.p("audio_windows")} GROUP BY asset_id"""
+          FROM ${graft.OracleExport.p("audio_windows")} GROUP BY asset_id""",
+
+    // q155: the exported per-frame rows re-segmented — same lag, same
+    // integer Hamming gate, same running-cut shot ids, same rollup
+    "q155_shot_detect" ->
+      s"""WITH d AS (
+           SELECT asset_id, frame_idx, ahash,
+             lag(ahash) OVER (PARTITION BY asset_id ORDER BY frame_idx)
+               AS prev
+           FROM ${graft.OracleExport.p("shot_frames")}),
+         g AS (
+           SELECT asset_id, frame_idx,
+             CASE WHEN prev IS NOT NULL AND
+               bit_count(xor(ahash, prev)) >= ${Multimodal.ShotHamMin}
+               THEN 1 ELSE 0 END AS is_cut
+           FROM d),
+         s AS (
+           SELECT asset_id,
+             sum(is_cut) OVER (PARTITION BY asset_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+           FROM g),
+         l AS (SELECT asset_id, shot_id, count(*) AS len
+               FROM s GROUP BY 1, 2)
+         SELECT asset_id, CAST(sum(len) AS BIGINT) AS n_frames,
+           count(*) AS n_shots,
+           CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+           CAST(max(len) AS BIGINT) AS max_shot_len
+         FROM l GROUP BY asset_id"""
   )
 }

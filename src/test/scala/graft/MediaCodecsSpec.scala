@@ -220,4 +220,41 @@ class MediaCodecsSpec extends SparkTestBase {
       assert(got(id) == want, s"asset $id: ${got(id)} != $want")
     }
   }
+
+  test("q155: detected cuts recover the PLANTED shot structure; signal is bimodal") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 2)
+    // decode through the REAL reader and measure the actual signal
+    var withinMax = 0L
+    var cutMin = Long.MaxValue
+    val want = ids.map { id =>
+      val frames = MediaCodecs.decodeGif(MediaCodecs.makeShotGif(id))
+      assert(frames.length == MediaCodecs.shotGifFrames(id), s"asset $id frames")
+      val cuts = (1 until frames.length).filter { i =>
+        val ham = java.lang.Long.bitCount(frames(i).aHash ^ frames(i - 1).aHash)
+        val planted = MediaCodecs.shotCut(id, i)
+        if (planted) cutMin = math.min(cutMin, ham)
+        else withinMax = math.max(withinMax, ham)
+        ham >= Multimodal.ShotHamMin
+      }
+      // the detector recovers exactly the planted boundaries
+      assert(cuts == (1 until frames.length).filter(MediaCodecs.shotCut(id, _)),
+        s"asset $id: detected $cuts != planted")
+      id -> ((frames.length.toLong, cuts.length + 1L, cuts.length.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q155_shot_detect")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == want.keySet, "one row per video asset")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"asset $id: ${got(id)} != $w")
+    }
+    // the planted signal really is bimodal around the gate
+    assert(withinMax < Multimodal.ShotHamMin && cutMin >= Multimodal.ShotHamMin,
+      s"signal not separated: within-shot max $withinMax, cut min $cutMin, " +
+        s"gate ${Multimodal.ShotHamMin}")
+    // non-degenerate corpus: some asset has cuts, some shot is longer than 1
+    assert(want.values.exists(_._3 > 0) && withinMax >= 0 && cutMin < Long.MaxValue)
+  }
 }

@@ -79,7 +79,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q150_ivf_two_level",    // stride sub-cells + two argmax ranks + rescore
     "q151_assoc_rules",      // basket pair counts + integer support gate
     "q152_textrank",         // hashed word graph + integer-mass PageRank
-    "q154_kmv_overlap")      // per-source k-min cut + pair merge re-cut
+    "q154_kmv_overlap",      // per-source k-min cut + pair merge re-cut
+    "q155_shot_detect")      // per-asset lag gate + run segmentation
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

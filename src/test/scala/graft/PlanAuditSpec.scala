@@ -281,6 +281,18 @@ class PlanAuditSpec extends SparkTestBase {
       "pair counting must run partial then final\n" + p)
   }
 
+  test("q155 shot detect: joinless single lineage; windows keyed by asset") {
+    val p = plan("q155_shot_detect")
+    assert(!p.contains("Join"),
+      "the rollup must derive from ONE shot-length table — a join " +
+        "means the decode lineage is consumed twice\n" + p)
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("asset_id")),
+      "lag/segment windows must partition by asset_id (corpus-" +
+        "cardinality groups)\n" + winSpecs.mkString("\n"))
+  }
+
   test("q154 kmv: corpus joins equi; sketch cut two-phase; only source pairs nested-loop") {
     val p = plan("q154_kmv_overlap")
     assert(!p.contains("CartesianProduct"),
