@@ -193,6 +193,16 @@ object VectorQueries {
   val PrDampDen = 20L
   val PrIters = 3
 
+  /** q156 HITS geometry: total mass per vector (authority and hub
+    * each re-normalize to this every half-round) and full
+    * (authority, hub) rounds. The mass is 10⁶ — NOT PrMass — because
+    * the sum-normalization product x·M must stay in BIGINT: x ≤
+    * indeg·M, so x·M ≤ indeg·M², bounding indeg at 2⁶³/10¹² ≈ 9.2M —
+    * far above any kNN-graph in-degree; PrMass would cap indeg at 9.
+    * The ~1e-6 relative quantization is the same trade PrMass makes. */
+  val HitsMass = 1000000L
+  val HitsIters = 2
+
   /** The approximate k-NN GRAPH stage q104 exposes and q105 ranks over
     * — every vector's [[KnnGraphK]] best neighbors among its OWN IVF
     * cell's members (the SemDeDup/graph-dedup candidate rule: cells are
@@ -496,6 +506,19 @@ object VectorQueries {
     "q105_pagerank" -> ((s, d) => {
       val e = emb(s, d)
       pageRankMass(e.select(col("vec_id")),
+        knnGraph(s, d).select(col("src"), col("dst")), e.count())
+    }),
+
+    // HITS hubs/authorities over the q104 graph (the OTHER canonical
+    // link-analysis iteration next to q105's PageRank — in a kNN graph
+    // a high authority is a vector many neighborhoods point AT, a high
+    // hub one whose out-neighbors are those magnets; the asymmetry
+    // q105's single score can't express). Same integer-mass doctrine:
+    // every half-round renormalizes by an integer floor rule, so the
+    // oracle's generated-CTE replay matches bit-for-bit.
+    "q156_hits" -> ((s, d) => {
+      val e = emb(s, d)
+      hitsMass(e.select(col("vec_id")),
         knnGraph(s, d).select(col("src"), col("dst")), e.count())
     }),
 
@@ -1360,6 +1383,7 @@ object VectorQueries {
     // exactly the Spark DIV arithmetic, so pr_mass matches
     // bit-for-bit with no float tolerance anywhere.
     "q105_pagerank" -> prOracle,
+    "q156_hits" -> hitsOracle,
 
     // q106: the full eigensolve replayed from the exported moments —
     // see pcaOracle/pcaChain below.
@@ -2148,6 +2172,44 @@ object VectorQueries {
     rank.select(col("vec_id"), col("pr").as("pr_mass"))
   }
 
+  /** Integer-mass HITS (Kleinberg 1999) over a directed edge table:
+    * per round, authority = Σ in-neighbor hub mass and hub = Σ out-
+    * neighbor authority mass, each re-normalized to [[HitsMass]] by
+    * the integer floor rule x·M DIV Σx — all BIGINT (see the HitsMass
+    * overflow bound), so the table is bit-identical cross-engine, the
+    * [[pageRankMass]] guarantee. Same plan shape too: contributions
+    * shuffle on the graph key, the normalizer is a broadcast one-row
+    * scalar, lineage truncates per half-round (each mass vector is
+    * consumed twice — by the opposite half-round and the output join),
+    * the final hub half stays a plan for the audit.
+    * Returns (vec_id, auth_mass, hub_mass). */
+  def hitsMass(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+    var hub = nodes.select(col("vec_id"), lit(HitsMass / n).as("h"))
+    var auth: DataFrame = null
+    for (it <- 1 to HitsIters) {
+      val aRaw = edges.join(hub.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val aSum = aRaw.agg(coalesce(sum(col("ar")), lit(1L)).as("s"))
+      auth = nodes
+        .join(aRaw.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .crossJoin(broadcast(aSum))
+        .select(col("vec_id"),
+          expr(s"coalesce(ar, CAST(0 AS BIGINT)) * $HitsMass DIV s").as("a"))
+        .localCheckpoint()
+      val hRaw = edges.join(auth.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hSum = hRaw.agg(coalesce(sum(col("hr")), lit(1L)).as("s"))
+      hub = nodes
+        .join(hRaw.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .crossJoin(broadcast(hSum))
+        .select(col("vec_id"),
+          expr(s"coalesce(hr, CAST(0 AS BIGINT)) * $HitsMass DIV s").as("h"))
+      if (it < HitsIters) hub = hub.localCheckpoint()
+    }
+    auth.join(hub, "vec_id")
+      .select(col("vec_id"), col("a").as("auth_mass"), col("h").as("hub_mass"))
+  }
+
   /** Synchronous clamped-seed label propagation (q110's engine, usable
     * over ANY directed edge table — the undirected closure is built
     * here): `seeds` is (vec_id, lbl) with lbl NULL for unlabeled
@@ -2246,6 +2308,39 @@ object VectorQueries {
                 FROM embeddings CROSS JOIN nn),
          $iters
          SELECT vec_id, CAST(pr AS BIGINT) AS pr_mass FROM r$PrIters"""
+  }
+
+  /** The full q156 oracle: the q104 edge replay + [[HitsIters]]
+    * unrolled integer-mass HITS rounds — iteration count, mass and
+    * the floor-normalization rule all shared with the Spark loop. */
+  private def hitsOracle: String = {
+    val rounds = (1 to HitsIters).map { k =>
+      s"""ar$k AS (
+           SELECT e.dst, sum(h.h) AS ar
+           FROM edges e JOIN h${k - 1} h ON h.vec_id = e.src GROUP BY 1),
+         sa$k AS (SELECT coalesce(sum(ar), 1) AS s FROM ar$k),
+         a$k AS (
+           SELECT nd.vec_id, coalesce(ar.ar, 0) * $HitsMass // s.s AS a
+           FROM nodes nd CROSS JOIN sa$k s
+           LEFT JOIN ar$k ar ON ar.dst = nd.vec_id),
+         hr$k AS (
+           SELECT e.src, sum(a.a) AS hr
+           FROM edges e JOIN a$k a ON a.vec_id = e.dst GROUP BY 1),
+         sh$k AS (SELECT coalesce(sum(hr), 1) AS s FROM hr$k),
+         h$k AS (
+           SELECT nd.vec_id, coalesce(hr.hr, 0) * $HitsMass // s.s AS h
+           FROM nodes nd CROSS JOIN sh$k s
+           LEFT JOIN hr$k hr ON hr.src = nd.vec_id)"""
+    }.mkString(",\n         ")
+    s"""WITH $knnEdgeCtes,
+         nodes AS (SELECT vec_id FROM embeddings),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         h0 AS (SELECT vec_id, $HitsMass // nn.n AS h
+                FROM embeddings CROSS JOIN nn),
+         $rounds
+         SELECT a.vec_id, CAST(a.a AS BIGINT) AS auth_mass,
+           CAST(h.h AS BIGINT) AS hub_mass
+         FROM a$HitsIters a JOIN h$HitsIters h ON h.vec_id = a.vec_id"""
   }
 
   /** The full q116 oracle: edge replay, then [[NnDescentRounds]]

@@ -110,6 +110,46 @@ class GraphFamilySpec extends SparkTestBase {
       s"mass $total drifted from $M beyond floor-loss bounds")
   }
 
+  test("q156: driver replay of integer-mass HITS matches; asymmetry is real") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = VectorQueries.emb(spark, sf).count()
+    val nodes = (0L until n).toArray
+    val inE = edges.groupBy(_._2)
+    val outE = edges.groupBy(_._1)
+    val M = VectorQueries.HitsMass
+    var hub = nodes.map(_ => M / n)
+    var auth = nodes.map(_ => 0L)
+    for (_ <- 1 to VectorQueries.HitsIters) {
+      val aRaw = nodes.map(v => inE.getOrElse(v, Array.empty[(Long, Long)])
+        .map { case (src, _) => hub(src.toInt) }.sum)
+      val aS = math.max(1L, aRaw.sum)
+      auth = aRaw.map(x => x * M / aS)
+      val hRaw = nodes.map(v => outE.getOrElse(v, Array.empty[(Long, Long)])
+        .map { case (_, dst) => auth(dst.toInt) }.sum)
+      val hS = math.max(1L, hRaw.sum)
+      hub = hRaw.map(x => x * M / hS)
+    }
+    val got = SparkEntry.queries("q156_hits")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == nodes.toSet, "one row per node")
+    nodes.foreach { v =>
+      assert(got(v) == ((auth(v.toInt), hub(v.toInt))),
+        s"node $v: spark ${got(v)} != replay " +
+          s"(${auth(v.toInt)}, ${hub(v.toInt)}) — integer HITS must be exact")
+    }
+    // the two scores measure different things on a kNN graph: the
+    // authority and hub argmax nodes differ somewhere, and in-degree-0
+    // nodes carry zero authority while still holding hub mass
+    val topAuth = got.maxBy { case (v, (a, _)) => (a, -v) }._1
+    val topHub = got.maxBy { case (v, (_, h)) => (h, -v) }._1
+    assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0)
+    val noIn = nodes.filter(v => !inE.contains(v))
+    noIn.foreach(v => assert(got(v)._1 == 0L, s"in-degree-0 node $v authority"))
+    assert(topAuth != topHub || noIn.nonEmpty,
+      "authority and hub collapsed to the same ordering — asymmetry untested")
+  }
+
   test("q108: driver replay of the greedy matches; MMR picks are more diverse than top-k") {
     val e = VectorQueries.emb(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap

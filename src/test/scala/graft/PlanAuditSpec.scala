@@ -281,6 +281,16 @@ class PlanAuditSpec extends SparkTestBase {
       "pair counting must run partial then final\n" + p)
   }
 
+  test("q156 hits: contributions equi-join on graph keys; scalars broadcast") {
+    val p = plan("q156_hits")
+    assert(!p.contains("CartesianProduct"),
+      "the half-round iteration degenerated to a cross product\n" + p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "only the per-half-round 1-row normalizer scalars may nested-loop\n" + p)
+    assert(!p.contains("windowspecdefinition("),
+      "no window belongs in the HITS iteration\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
