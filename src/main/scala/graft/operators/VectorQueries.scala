@@ -203,6 +203,11 @@ object VectorQueries {
   val HitsMass = 1000000L
   val HitsIters = 2
 
+  /** q157 noise gate: a foreign label must hold ≥ this many of the
+    * [[KnnGraphK]] neighbor seats to flag the row — a 3-of-4
+    * supermajority, so one stray neighbor can never flag alone. */
+  val NoiseMinVotes = 3
+
   /** The approximate k-NN GRAPH stage q104 exposes and q105 ranks over
     * — every vector's [[KnnGraphK]] best neighbors among its OWN IVF
     * cell's members (the SemDeDup/graph-dedup candidate rule: cells are
@@ -718,6 +723,45 @@ object VectorQueries {
         .select(col("vec_id"),
           coalesce(col("lbl"), lit(-1)).cast("long").as("label"),
           (col("vec_id") % LpSeedMod === 0).as("is_seed"))
+    }),
+
+    // kNN label-noise audit (confident-learning-lite, the Northcutt
+    // '21 idea reduced to its integer core): a labeled example whose
+    // k nearest neighbors SUPERMAJORITY-vote for a different class is
+    // a likely annotation error — the standard pre-training label QA
+    // pass. One pass over the materialized q104 edge table: neighbor
+    // labels join on dst (graph-key shuffle), per-(src, label) integer
+    // vote counts, the (cnt DESC, label ASC) total-order argmax over
+    // ≤ KnnGraphK rows per src (degree-bounded window, never corpus-
+    // cardinality), flag iff the winning foreign label holds ≥
+    // NoiseMinVotes of the KnnGraphK seats. Isolated nodes (singleton
+    // sub-cells have no out-edges) keep -1/0 sentinels and can never
+    // flag. All integers — the oracle replays vote-for-vote.
+    "q157_label_noise" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lbl = emb(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"))
+      val votes = knnGraph(s, d).select(col("src"), col("dst"))
+        .join(lbl.select(col("vec_id").as("dst"), col("label").as("nlbl")),
+          Seq("dst"))
+        .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // consumed twice: argmax leg + own-label leg
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("nlbl").asc)
+      val top = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("nlbl").as("vlbl"),
+          col("cnt").as("vcnt"))
+      val own = votes.select(col("src").as("vec_id"),
+        col("nlbl").as("label"), col("cnt").as("ocnt"))
+      lbl.join(top, Seq("vec_id"), "left")
+        .join(own, Seq("vec_id", "label"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("vlbl"), lit(-1L)).as("voted_label"),
+          coalesce(col("vcnt"), lit(0L)).as("voted_cnt"),
+          coalesce(col("ocnt"), lit(0L)).as("own_cnt"),
+          (col("vlbl").isNotNull && col("vlbl") =!= col("label") &&
+            col("vcnt") >= NoiseMinVotes).as("noisy"))
     }),
 
     // Distributed PCA projection (L3): the corpus is touched exactly
@@ -1384,6 +1428,30 @@ object VectorQueries {
     // bit-for-bit with no float tolerance anywhere.
     "q105_pagerank" -> prOracle,
     "q156_hits" -> hitsOracle,
+
+    // q157: the edge replay + the identical vote/argmax/gate chain —
+    // integers end-to-end, no tolerance anywhere.
+    "q157_label_noise" ->
+      s"""WITH $knnEdgeCtes,
+         lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         votes AS (
+           SELECT e.src, l.label AS nlbl, CAST(count(*) AS BIGINT) AS cnt
+           FROM edges e JOIN lbl l ON l.vec_id = e.dst GROUP BY 1, 2),
+         top AS (
+           SELECT src, nlbl, cnt, row_number() OVER (
+             PARTITION BY src ORDER BY cnt DESC, nlbl ASC) AS rn
+           FROM votes)
+         SELECT l.vec_id, l.label,
+           coalesce(t.nlbl, -1) AS voted_label,
+           coalesce(t.cnt, 0) AS voted_cnt,
+           coalesce(o.cnt, 0) AS own_cnt,
+           (t.nlbl IS NOT NULL AND t.nlbl <> l.label
+             AND t.cnt >= $NoiseMinVotes) AS noisy
+         FROM lbl l
+         LEFT JOIN (SELECT src, nlbl, cnt FROM top WHERE rn = 1) t
+           ON t.src = l.vec_id
+         LEFT JOIN votes o ON o.src = l.vec_id AND o.nlbl = l.label""",
 
     // q106: the full eigensolve replayed from the exported moments —
     // see pcaOracle/pcaChain below.

@@ -150,6 +150,41 @@ class GraphFamilySpec extends SparkTestBase {
       "authority and hub collapsed to the same ordering — asymmetry untested")
   }
 
+  test("q157: driver vote replay matches; gate is a real supermajority") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = SparkEntry.queries("q157_label_noise")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got.keySet == lbl.keySet, "one audited row per labeled vector")
+    val bySrc = edges.groupBy(_._1)
+    lbl.foreach { case (v, own) =>
+      val votes = bySrc.getOrElse(v, Array.empty[(Long, Long)])
+        .groupBy { case (_, dst) => lbl(dst) }.view.mapValues(_.length.toLong)
+        .toMap
+      val (vlbl, vcnt) =
+        if (votes.isEmpty) (-1L, 0L)
+        else votes.toSeq.minBy { case (l, c) => (-c, l) }
+      val ocnt = votes.getOrElse(own, 0L)
+      val noisy = votes.nonEmpty && vlbl != own &&
+        vcnt >= VectorQueries.NoiseMinVotes
+      assert(got(v) == ((own, vlbl, vcnt, ocnt, noisy)),
+        s"node $v: spark ${got(v)} != replay ($own, $vlbl, $vcnt, $ocnt, $noisy)")
+    }
+    // the audit must be non-vacuous in BOTH directions, and the gate
+    // must actually bind: a sub-supermajority disagreement (plain
+    // plurality would flag it) must exist and stay unflagged
+    val rows = got.values
+    assert(rows.exists(_._5), "no noisy rows — the gate can't be exercised")
+    assert(rows.exists(r => r._2 == r._1 && !r._5), "no clean rows")
+    assert(rows.exists(r => r._2 != r._1 && r._2 >= 0 &&
+        r._3 < VectorQueries.NoiseMinVotes && !r._5),
+      "gate vacuous: every disagreeing plurality already reaches the gate")
+  }
+
   test("q108: driver replay of the greedy matches; MMR picks are more diverse than top-k") {
     val e = VectorQueries.emb(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap

@@ -81,7 +81,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q152_textrank",         // hashed word graph + integer-mass PageRank
     "q154_kmv_overlap",      // per-source k-min cut + pair merge re-cut
     "q155_shot_detect",      // per-asset lag gate + run segmentation
-    "q156_hits")             // integer-mass half-rounds + floor renorm
+    "q156_hits",             // integer-mass half-rounds + floor renorm
+    "q157_label_noise")      // integer votes + total-order argmax
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -291,6 +291,18 @@ class PlanAuditSpec extends SparkTestBase {
       "no window belongs in the HITS iteration\n" + p)
   }
 
+  test("q157 label noise: graph-key equi-joins; argmax window degree-bounded") {
+    val p = plan("q157_label_noise")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "vote counting must stay on graph-key equi-joins\n" + p)
+    // the only window is the per-src argmax over ≤ KnnGraphK vote rows
+    // (WindowGroupLimit nodes are the rank-limit pushdown — welcome)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) <= 1,
+      "extra windows crept into the vote chain\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
