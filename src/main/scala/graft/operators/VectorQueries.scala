@@ -208,6 +208,12 @@ object VectorQueries {
     * supermajority, so one stray neighbor can never flag alone. */
   val NoiseMinVotes = 3
 
+  /** q158 walk length: steps taken beyond the start node, so each
+    * non-terminating walk emits WalkSteps+1 rows. Fixed and small —
+    * DeepWalk/node2vec corpora use many short walks, and per-step cost
+    * is one frontier×degree join regardless of corpus size. */
+  val WalkSteps = 3
+
   /** The approximate k-NN GRAPH stage q104 exposes and q105 ranks over
     * — every vector's [[KnnGraphK]] best neighbors among its OWN IVF
     * cell's members (the SemDeDup/graph-dedup candidate rule: cells are
@@ -762,6 +768,42 @@ object VectorQueries {
           coalesce(col("ocnt"), lit(0L)).as("own_cnt"),
           (col("vlbl").isNotNull && col("vlbl") =!= col("label") &&
             col("vcnt") >= NoiseMinVotes).as("noisy"))
+    }),
+
+    // Deterministic random-walk corpus (DeepWalk, Perozzi '14 /
+    // node2vec p=q=1, Grover '16): the training-pair generator for
+    // graph embeddings — one walk per node, WalkSteps hops over the
+    // q104 graph. "Random" is an md5 draw over (walk, step, candidate)
+    // — per-walk, per-step independent, yet bit-reproducible in BOTH
+    // engines, the repo's standing determinism trade. Each hop is one
+    // frontier×edges equi-join keyed by the current node plus a
+    // groupBy-min(struct(h, dst)) argmin — NO window anywhere, per-walk
+    // state is one row, per-hop volume ≤ n·KnnGraphK regardless of
+    // corpus size. Walks at isolated nodes end at step 0; revisits are
+    // legal (it's a walk, not a path).
+    "q158_random_walks" -> ((s, d) => {
+      val e = emb(s, d)
+      val edges = knnGraph(s, d).select(col("src"), col("dst"))
+      var frontier = e.select(col("vec_id").as("walk_id"),
+        col("vec_id").as("node"))
+      var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+        col("node"))
+      for (k <- 1 to WalkSteps) {
+        val cand = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select(col("walk_id"), struct(
+            conv(substring(md5(concat_ws(":",
+              col("walk_id"), lit(k), col("dst"))), 1, 12), 16, 10)
+              .cast("long").as("h"),
+            col("dst").as("node")).as("pick"))
+        frontier = cand.groupBy(col("walk_id"))
+          .agg(min(col("pick")).as("pick"))
+          .select(col("walk_id"), col("pick.node").as("node"))
+          .localCheckpoint() // consumed twice: next hop + output union
+        out = out.unionByName(frontier.select(col("walk_id"),
+          lit(k.toLong).as("step"), col("node")))
+      }
+      out
     }),
 
     // Distributed PCA projection (L3): the corpus is touched exactly
@@ -1452,6 +1494,10 @@ object VectorQueries {
          LEFT JOIN (SELECT src, nlbl, cnt FROM top WHERE rn = 1) t
            ON t.src = l.vec_id
          LEFT JOIN votes o ON o.src = l.vec_id AND o.nlbl = l.label""",
+
+    // q158: the edge replay + WalkSteps generated hop CTEs — the same
+    // md5 draw (12-hex prefix → BIGINT) and the same (h, dst) argmin.
+    "q158_random_walks" -> walkOracle,
 
     // q106: the full eigensolve replayed from the exported moments —
     // see pcaOracle/pcaChain below.
@@ -2409,6 +2455,34 @@ object VectorQueries {
          SELECT a.vec_id, CAST(a.a AS BIGINT) AS auth_mass,
            CAST(h.h AS BIGINT) AS hub_mass
          FROM a$HitsIters a JOIN h$HitsIters h ON h.vec_id = a.vec_id"""
+  }
+
+  /** The full q158 oracle: edge replay + [[WalkSteps]] generated hop
+    * CTEs, each the identical md5 draw + (h, dst) argmin the Spark
+    * loop runs — step count, hash input format and tie-break all
+    * shared constants, so the corpus matches row-for-row. */
+  private def walkOracle: String = {
+    val steps = (1 to WalkSteps).map { k =>
+      s"""c$k AS (
+           SELECT w.walk, e.dst,
+             ${md5ModSql(
+               s"CAST(w.walk AS VARCHAR) || ':$k:' || CAST(e.dst AS VARCHAR)")}
+               AS h
+           FROM w${k - 1} w JOIN edges e ON e.src = w.node),
+         w$k AS (
+           SELECT walk, dst AS node FROM (
+             SELECT walk, dst,
+               row_number() OVER (PARTITION BY walk ORDER BY h, dst) AS rn
+             FROM c$k)
+           WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val sel = (0 to WalkSteps).map(k =>
+      s"SELECT walk AS walk_id, CAST($k AS BIGINT) AS step, node FROM w$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH $knnEdgeCtes,
+         w0 AS (SELECT vec_id AS walk, vec_id AS node FROM embeddings),
+         $steps
+         $sel"""
   }
 
   /** The full q116 oracle: edge replay, then [[NnDescentRounds]]

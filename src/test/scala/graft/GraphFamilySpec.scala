@@ -185,6 +185,54 @@ class GraphFamilySpec extends SparkTestBase {
       "gate vacuous: every disagreeing plurality already reaches the gate")
   }
 
+  test("q158: driver walk replay matches; the per-walk draw actually diversifies") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outE = edges.groupBy(_._1)
+    val nodes = VectorQueries.emb(spark, sf).collect().map(_.getLong(0))
+    def h(walk: Long, step: Int, dst: Long): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$walk:$step:$dst".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      BigInt(hex, 16)
+    }
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    nodes.foreach { start =>
+      var cur = start
+      want += ((start, 0L, start))
+      var k = 1
+      var alive = true
+      while (alive && k <= VectorQueries.WalkSteps) {
+        val nbrs = outE.getOrElse(cur, Array.empty[(Long, Long)])
+        if (nbrs.isEmpty) alive = false
+        else {
+          cur = nbrs.map { case (_, dst) => (h(start, k, dst), dst) }
+            .minBy(identity)._2
+          want += ((start, k.toLong, cur))
+          k += 1
+        }
+      }
+    }
+    val got = SparkEntry.queries("q158_random_walks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      "walk corpus != driver replay")
+    // the draw must be per-walk: two different walks standing on the
+    // SAME node at the same step somewhere pick DIFFERENT next hops —
+    // otherwise this is just "everyone follows the rank-1 edge"
+    val byStep = got.groupBy(_._2)
+    val diverged = (1 until VectorQueries.WalkSteps).exists { k =>
+      val at = byStep.getOrElse(k.toLong, Array.empty).map(r => r._1 -> r._3)
+      val next = byStep.getOrElse(k + 1L, Array.empty)
+        .map(r => r._1 -> r._3).toMap
+      at.groupBy(_._2).values.exists { walksHere =>
+        walksHere.flatMap { case (w, _) => next.get(w) }.distinct.length > 1
+      }
+    }
+    assert(diverged,
+      "no two co-located walks ever diverged — the md5 draw is vacuous")
+  }
+
   test("q108: driver replay of the greedy matches; MMR picks are more diverse than top-k") {
     val e = VectorQueries.emb(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap

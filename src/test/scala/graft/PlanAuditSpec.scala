@@ -303,6 +303,15 @@ class PlanAuditSpec extends SparkTestBase {
       "extra windows crept into the vote chain\n" + p)
   }
 
+  test("q158 random walks: hop joins stay equi; argmin is agg, not window") {
+    val p = plan("q158_random_walks")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "a hop join degenerated\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "the per-hop argmin must be groupBy-min(struct), not a window\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
