@@ -51,6 +51,12 @@ object SketchQueries {
     * unbiased estimator of the group's Σ w (Duffield et al. §2). */
   private[graft] val PsK = 8
 
+  /** AMS sketch width (q159): independent ±1 counters averaged into
+    * the F₂ estimate. 16 gives relative error ≈ 1/√16 — the classic
+    * sketch-accuracy dial; the state is S BIGINTs however large the
+    * key domain grows. */
+  private[graft] val AmsCounters = 16
+
   private def whitespaceToks: Column = split(trim(col("text")), "\\s+")
 
   /** HLL geometry (q145/q146): b = 4 bits → m = 16 registers addressed
@@ -350,6 +356,51 @@ object SketchQueries {
           (col("n_common").cast("double") / col("n_k")).as("jacc_est"))
     }),
 
+    // AMS F₂ / self-join-size estimation (Alon, Matias & Szegedy '96,
+    // the STOC Gödel-prize sketch): estimate Σ c_k² over the user_id
+    // key WITHOUT materializing anything key-domain-sized — the number
+    // a distributed planner wants before committing to a join strategy
+    // on a 100 TB fact table (Σ c² IS the self-join row count, and
+    // pairwise join size follows from the same counters). Each of the
+    // AmsCounters counters is Σ ±c with a deterministic md5-parity
+    // sign — per-key state never exists, the sketch is S BIGINTs, and
+    // shards merge by ADDITION (counter_j is a plain sum), so the
+    // sketch is partition- and stream-mergeable by algebra. E[counter²]
+    // = F₂ under 4-wise independence (md5 in practice); the estimate
+    // averages the S squares. Squares route through DECIMAL(38,0) —
+    // counter ≤ Σc can reach 10¹³ at 100 TB, so counter² overflows
+    // BIGINT by design, not by accident. The exact F₂ rides along as
+    // the accuracy audit (the q145 doctrine), and the single division
+    // is one IEEE double over exactly-represented operands.
+    "q159_ams_f2" -> ((s, d) => {
+      val c = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed twice: the grid and the exact audit
+      val grid = c.withColumn("j",
+          explode(sequence(lit(1), lit(AmsCounters))))
+        .select(col("j"), ((lit(1L) - lit(2L) *
+          (hexSlice(md5(concat_ws(":", col("j"), col("user_id"))), 12, 1)
+            % 2)) * col("c")).as("sc"))
+      val ctr = grid.groupBy(col("j")).agg(sum(col("sc")).as("counter"))
+        .withColumn("x2",
+          (col("counter").cast("decimal(19,0)") *
+            col("counter").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .localCheckpoint() // consumed twice: output rows + the Σx² leg
+      val est = ctr.agg(sum(col("x2")).cast("decimal(38,0)").as("sx"))
+      val exact = c.agg(
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("f2"),
+        count(lit(1)).as("n_keys"))
+      // decimal→double only at the OUTPUT boundary (IEEE-nearest in
+      // both engines over identical decimal values — the arithmetic
+      // itself never leaves DECIMAL)
+      ctr.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .select(col("j").cast("long").as("j"), col("counter"),
+          col("x2").cast("double").as("x2"),
+          (col("sx").cast("double") / AmsCounters).as("f2_est"),
+          col("f2").cast("double").as("f2_exact"), col("n_keys"))
+    }),
+
     "q147_hist_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).select(col("lang"), col("n_chars"))
@@ -389,6 +440,38 @@ object SketchQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // q159: the identical sketch rebuilt — same md5-parity signs, same
+    // DECIMAL(38,0) squares, the same single IEEE division.
+    "q159_ams_f2" ->
+      s"""WITH c AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         grid AS (
+           SELECT js.j, u.c, CAST(1 - 2 * ((instr('0123456789abcdef',
+               substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+                 CAST(u.user_id AS VARCHAR)), 12, 1)) - 1) % 2)
+             AS BIGINT) AS sgn
+           FROM c u CROSS JOIN
+             (SELECT unnest(generate_series(1, $AmsCounters)) AS j) js),
+         ctr AS (
+           SELECT j, CAST(sum(sgn * c) AS BIGINT) AS counter
+           FROM grid GROUP BY 1),
+         x AS (
+           SELECT j, counter, CAST(CAST(counter AS DECIMAL(19,0)) *
+             CAST(counter AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS x2
+           FROM ctr),
+         sx AS (SELECT CAST(sum(x2) AS DECIMAL(38,0)) AS sx FROM x),
+         ex AS (
+           SELECT CAST(sum(CAST(c AS DECIMAL(19,0)) *
+               CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS f2,
+             CAST(count(*) AS BIGINT) AS n_keys
+           FROM c)
+         SELECT CAST(x.j AS BIGINT) AS j, x.counter,
+           CAST(x.x2 AS DOUBLE) AS x2,
+           CAST(sx.sx AS DOUBLE) / $AmsCounters AS f2_est,
+           CAST(ex.f2 AS DOUBLE) AS f2_exact, ex.n_keys
+         FROM x CROSS JOIN sx CROSS JOIN ex""",
 
     "q134_bloom_decontam" ->
       """WITH toksrc AS (

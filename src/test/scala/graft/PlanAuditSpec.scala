@@ -312,6 +312,17 @@ class PlanAuditSpec extends SparkTestBase {
       "the per-hop argmin must be groupBy-min(struct), not a window\n" + p)
   }
 
+  test("q159 ams f2: counters partial-agg; only the 1-row summaries nested-loop") {
+    val p = plan("q159_ams_f2")
+    assert(!p.contains("CartesianProduct"),
+      "the sketch build degenerated to a cross product\n" + p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
+      "only the two 1-row summary scalars may nested-loop\n" + p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "counter sums must map-side combine\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),

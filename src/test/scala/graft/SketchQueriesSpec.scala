@@ -315,4 +315,48 @@ class SketchQueriesSpec extends SparkTestBase {
         s"($s1,$s2) union_est $uEst vs exact $exact out of 5-sigma")
     }
   }
+
+  test("q159: AMS counters equal a driver replay; sketch is addition-mergeable; estimate brackets F2") {
+    import operators.SketchQueries.AmsCounters
+    def sign(j: Int, u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      1L - 2L * ((h.charAt(11) match {
+        case c if c <= '9' => c - '0'
+        case c             => c - 'a' + 10
+      }) % 2)
+    }
+    val counts = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val f2 = counts.map { case (_, c) => BigInt(c) * BigInt(c) }.sum
+    val ctrs = (1 to AmsCounters).map(j =>
+      j.toLong -> counts.map { case (u, c) => sign(j, u) * c }.sum).toMap
+    val est = ctrs.values.map(v => BigInt(v) * BigInt(v)).sum.toDouble /
+      AmsCounters
+    val got = SparkEntry.queries("q159_ams_f2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.length == AmsCounters)
+    got.foreach { case (j, counter, x2, f2Est, f2Exact, nKeys) =>
+      assert(counter == ctrs(j), s"counter $j: $counter != ${ctrs(j)}")
+      assert(x2 == (BigInt(counter) * BigInt(counter)).toDouble)
+      assert(f2Est == est && f2Exact == f2.toDouble &&
+        nKeys == counts.length.toLong)
+    }
+    // addition-mergeability — the property that makes the sketch
+    // shard- and stream-safe: counters built on two disjoint halves
+    // of the key space sum to the whole-corpus counters
+    val (loHalf, hiHalf) = counts.partition(_._1 % 2 == 0)
+    (1 to AmsCounters).foreach { j =>
+      val lo = loHalf.map { case (u, c) => sign(j, u) * c }.sum
+      val hi = hiHalf.map { case (u, c) => sign(j, u) * c }.sum
+      assert(lo + hi == ctrs(j), s"counter $j not addition-mergeable")
+    }
+    // estimator sanity: Var = 2(F2² − F4)/S ≤ 2F2²/S, so 5σ with
+    // σ = F2·√(2/S) brackets truth generously
+    assert(math.abs(est - f2.toDouble) <=
+        5.0 * f2.toDouble * math.sqrt(2.0 / AmsCounters),
+      s"AMS estimate $est vs exact $f2 out of 5-sigma")
+  }
 }
