@@ -49,7 +49,8 @@ object ClusterVerify {
     "q145_hll_distinct", "q147_hist_quantiles", "q148_audio_vad",
     "q149_collocations", "q150_ivf_two_level", "q151_assoc_rules",
     "q152_textrank", "q154_kmv_overlap", "q155_shot_detect", "q156_hits",
-    "q157_label_noise", "q158_random_walks", "q159_ams_f2")
+    "q157_label_noise", "q158_random_walks", "q159_ams_f2",
+    "q160_kcenter")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

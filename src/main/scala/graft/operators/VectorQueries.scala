@@ -214,6 +214,11 @@ object VectorQueries {
     * is one frontier×degree join regardless of corpus size. */
   val WalkSteps = 3
 
+  /** q160 coreset size: Gonzalez rounds. Each round is one linear
+    * corpus scan + one global argmax — total cost K scans, so K is a
+    * budget dial, not a correctness one. */
+  val KCenterK = 5
+
   /** The approximate k-NN GRAPH stage q104 exposes and q105 ranks over
     * — every vector's [[KnnGraphK]] best neighbors among its OWN IVF
     * cell's members (the SemDeDup/graph-dedup candidate rule: cells are
@@ -768,6 +773,51 @@ object VectorQueries {
           coalesce(col("ocnt"), lit(0L)).as("own_cnt"),
           (col("vlbl").isNotNull && col("vlbl") =!= col("label") &&
             col("vcnt") >= NoiseMinVotes).as("noisy"))
+    }),
+
+    // (the audited round shape lives in [[kcenterRoundPlan]] —
+    // localCheckpoint collapses it out of this query's final plan)
+    // k-center coreset selection (Gonzalez '85 greedy farthest-point
+    // — the 2-approximation): pick the K mutually-farthest vectors as
+    // a coverage coreset, the geometric data-pruning complement to
+    // q89's SemDeDup (which removes the CLOSEST pairs; this keeps the
+    // spread). Fully relational — no driver loop over data: each round
+    // is (a) a 1-row global argmax max(struct(dmin, −vec_id)) (map-side
+    // combinable; ties to the smaller id), (b) a broadcast of that one
+    // picked row back into (c) a linear dmin-update scan
+    // least(dmin, 1−cos). K scans total, state is one double per row,
+    // every score a pure function of bit-identical cosines (the MMR
+    // doctrine) so the oracle's unrolled replay matches exactly.
+    // radius_k = covering radius of the first k−1 centers — the spec
+    // pins the non-increasing guarantee.
+    "q160_kcenter" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("emb"))
+      val seed = e.agg(min(col("vec_id")).as("cid"))
+      var out = seed.select(lit(1L).as("k"), col("cid").as("center_id"),
+        lit(0.0).as("radius"))
+      var cur = seed
+      var state: DataFrame = null
+      for (k <- 2 to KCenterK) {
+        val cEmb = e.join(broadcast(cur.select(col("cid").as("vec_id"))),
+          "vec_id").select(col("emb").as("cemb"))
+        val nd = (lit(1.0) - cosine(col("emb"), col("cemb"))).as("nd")
+        state =
+          (if (state == null)
+             e.crossJoin(broadcast(cEmb)).select(col("vec_id"), col("emb"),
+               nd.as("dmin"))
+           else
+             state.crossJoin(broadcast(cEmb)).select(col("vec_id"),
+               col("emb"), least(col("dmin"), nd).as("dmin")))
+            .localCheckpoint() // consumed twice: argmax + next round
+        cur = state
+          .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("nid")))
+            .as("m"))
+          .select((-col("m.nid")).as("cid"), col("m.d").as("r"))
+          .localCheckpoint() // 1 row, consumed twice: output + next cEmb
+        out = out.unionByName(cur.select(lit(k.toLong).as("k"),
+          col("cid").as("center_id"), col("r").as("radius")))
+      }
+      out
     }),
 
     // Deterministic random-walk corpus (DeepWalk, Perozzi '14 /
@@ -1498,6 +1548,10 @@ object VectorQueries {
     // q158: the edge replay + WalkSteps generated hop CTEs — the same
     // md5 draw (12-hex prefix → BIGINT) and the same (h, dst) argmin.
     "q158_random_walks" -> walkOracle,
+
+    // q160: the greedy unrolled — same seed, same least/1−cos update,
+    // same (dmin DESC, vec_id ASC) argmax, exact cosines throughout.
+    "q160_kcenter" -> kcenterOracle,
 
     // q106: the full eigensolve replayed from the exported moments —
     // see pcaOracle/pcaChain below.
@@ -2483,6 +2537,56 @@ object VectorQueries {
          w0 AS (SELECT vec_id AS walk, vec_id AS node FROM embeddings),
          $steps
          $sel"""
+  }
+
+  /** One UN-materialized Gonzalez round (seed → dmin scan → argmax) —
+    * split out so PlanAuditSpec can pin the round shape q160's
+    * localCheckpoints collapse: the 1-row center must broadcast into a
+    * linear scan, the argmax must be an aggregate. */
+  private[graft] def kcenterRoundPlan(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"), col("emb"))
+    val seed = e.agg(min(col("vec_id")).as("cid"))
+    val cEmb = e.join(broadcast(seed.select(col("cid").as("vec_id"))),
+      "vec_id").select(col("emb").as("cemb"))
+    e.crossJoin(broadcast(cEmb))
+      .select(col("vec_id"),
+        (lit(1.0) - cosine(col("emb"), col("cemb"))).as("dmin"))
+      .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("nid")))
+        .as("m"))
+      .select((-col("m.nid")).as("cid"), col("m.d").as("r"))
+  }
+
+  /** The full q160 oracle: [[KCenterK]] generated Gonzalez rounds —
+    * seed = min vec_id, dmin update least(dmin, 1−cos), argmax under
+    * the (dmin DESC, vec_id ASC) total order — every constant and
+    * tie-break shared with the Spark loop. */
+  private def kcenterOracle: String = {
+    val rounds = (2 to KCenterK).map { k =>
+      val upd = if (k == 2)
+        "1 - list_cosine_similarity(v.emb, c.emb)"
+      else
+        "least(v.dmin, 1 - list_cosine_similarity(v.emb, c.emb))"
+      val src = if (k == 2) "e" else s"s${k - 1}"
+      s"""c${k - 1} AS (
+           SELECT e2.emb FROM e e2 JOIN p${k - 1} p ON e2.vec_id = p.cid),
+         s$k AS (
+           SELECT v.vec_id, v.emb, $upd AS dmin
+           FROM $src v CROSS JOIN c${k - 1} c),
+         p$k AS (
+           SELECT vec_id AS cid, dmin AS r FROM s$k
+           ORDER BY dmin DESC, vec_id ASC LIMIT 1)"""
+    }.mkString(",\n         ")
+    val sel = (2 to KCenterK).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS k, cid AS center_id, r AS radius FROM p$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         p1 AS (SELECT min(vec_id) AS cid FROM e),
+         $rounds
+         SELECT CAST(1 AS BIGINT) AS k, cid AS center_id,
+           CAST(0.0 AS DOUBLE) AS radius FROM p1
+         UNION ALL $sel"""
   }
 
   /** The full q116 oracle: edge replay, then [[NnDescentRounds]]

@@ -233,6 +233,44 @@ class GraphFamilySpec extends SparkTestBase {
       "no two co-located walks ever diverged — the md5 draw is vacuous")
   }
 
+  test("q160: driver Gonzalez replay matches; radius non-increasing and beats the naive coreset") {
+    val e = VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val K = VectorQueries.KCenterK
+    var centers = List((1L, e.keys.min, 0.0))
+    val dmin = scala.collection.mutable.Map.empty[Long, Double]
+    for (k <- 2 to K) {
+      val ce = e(centers.head._2)
+      e.keys.foreach { v =>
+        val nd = 1.0 - cos(e(v), ce)
+        dmin(v) = dmin.get(v).fold(nd)(math.min(_, nd))
+      }
+      val (cid, r) = e.keys.toSeq
+        .map(v => (v, dmin(v))).minBy { case (v, d0) => (-d0, v) }
+      centers ::= ((k.toLong, cid, r))
+    }
+    val want = centers.reverse
+    val got = SparkEntry.queries("q160_kcenter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toList == want, s"greedy picks differ:\n$got\nvs\n$want")
+    // the Gonzalez guarantees this operator exists for: the radius
+    // sequence never increases, and the selected coreset covers the
+    // corpus strictly better than the naive first-K-ids subset
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"covering radius increased: $radii")
+    def covRadius(cs: Seq[Long]): Double = e.keys.map(v =>
+      cs.map(c => 1.0 - cos(e(v), e(c))).min).max
+    val naive = e.keys.toSeq.sorted.take(K)
+    assert(covRadius(got.map(_._2).toSeq) < covRadius(naive),
+      "greedy coreset does not beat the first-K-ids baseline")
+  }
+
   test("q108: driver replay of the greedy matches; MMR picks are more diverse than top-k") {
     val e = VectorQueries.emb(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap

@@ -84,7 +84,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q156_hits",             // integer-mass half-rounds + floor renorm
     "q157_label_noise",      // integer votes + total-order argmax
     "q158_random_walks",     // md5 draw + struct-min argmin per hop
-    "q159_ams_f2")           // signed integer sums + decimal squares
+    "q159_ams_f2",           // signed integer sums + decimal squares
+    "q160_kcenter")          // global struct-argmax + exact-cos dmin
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

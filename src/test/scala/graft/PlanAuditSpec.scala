@@ -323,6 +323,21 @@ class PlanAuditSpec extends SparkTestBase {
       "counter sums must map-side combine\n" + p)
   }
 
+  test("q160 kcenter: a round is one broadcast 1-row scan + an agg argmax") {
+    // audit the un-materialized round (q160 itself localCheckpoints
+    // each round, collapsing the shape out of the final plan)
+    val p = graft.operators.VectorQueries.kcenterRoundPlan(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"),
+      "a round degenerated to a cross product\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row center frames must broadcast, never shuffle-join\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "the global argmax must be an aggregate, not a window\n" + p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "argmax must be an aggregate\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
