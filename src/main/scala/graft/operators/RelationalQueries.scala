@@ -33,6 +33,10 @@ object RelationalQueries {
   private[graft] val AnomMinWin = 5
   private[graft] val AnomZsq = 9L
 
+  /** q161 transition-mass scale (the q105/q156 integer-mass doctrine):
+    * p̂(next|prev) is reported as cnt·MarkovMass DIV row_total. */
+  private[graft] val MarkovMass = 1000000L
+
   /** q151 association-rule min-support gate: a pair survives when it
     * appears in ≥ n_baskets/[[AsrMinSupDen]] baskets (integer
     * cross-multiply; interpolated into the oracle). 1/7 sits INSIDE the
@@ -311,6 +315,40 @@ object RelationalQueries {
     // (corpus-cardinality keys, the plain-window regime) over the SAME
     // (ts, event_id) sort, so Spark plans one shuffle + one sort and
     // the run-compression shrinks the rows before the second pass.
+    // First-order Markov transition model over per-user event streams
+    // (the sequence-mining primitive under next-event prediction,
+    // session simulation and anomaly baselines): adjacent (prev, next)
+    // event-type bigrams under the (ts, event_id) total order, row-
+    // normalized to integer transition masses p̂(b|a) = c_ab·M DIV c_a
+    // (the q105/q156 mass doctrine — M=10⁶, so c_ab must stay ≤
+    // 2⁶³/10⁶ ≈ 9.2·10¹², comfortably above any per-pair count), and
+    // the modal next state per row via the (cnt DESC, type ASC)
+    // total-order argmax. Scale: ONE user-keyed lead window over the
+    // fact table (the shuffle every sequence op here shares), then
+    // everything downstream is vocab²-bounded.
+    "q161_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val big = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // vocab² rows; feeds totals + argmax + output
+      val tot = big.groupBy(col("prev_type"))
+        .agg(sum(col("cnt")).as("row_total"))
+      val w = Window.partitionBy(col("prev_type"))
+        .orderBy(col("cnt").desc, col("next_type").asc)
+      big.join(tot, "prev_type")
+        .withColumn("p_mass", expr(s"cnt * $MarkovMass DIV row_total"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("prev_type"), col("next_type"), col("cnt"),
+          col("row_total"), col("p_mass"), (col("rn") === 1).as("is_top"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -628,6 +666,26 @@ object RelationalQueries {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM act JOIN coh USING (user_id)
          WHERE day >= cohort_day GROUP BY 1, 2""",
+
+    // q161: the same lead-bigram / count / floor-mass / argmax chain —
+    // integers end-to-end, // matches Spark's DIV on positives.
+    "q161_markov" ->
+      s"""WITH seq AS (
+           SELECT event_type, lead(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         big AS (
+           SELECT event_type AS prev_type, next_type,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (
+           SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS row_total
+           FROM big GROUP BY 1)
+         SELECT b.prev_type, b.next_type, b.cnt, t.row_total,
+           CAST(b.cnt * $MarkovMass // t.row_total AS BIGINT) AS p_mass,
+           (row_number() OVER (PARTITION BY b.prev_type
+              ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
+         FROM big b JOIN tot t USING (prev_type)""",
 
     // q144: the same lag-compress / lead-stitch pipeline; floor(/100)
     // is one double divide on both engines so the band is bit-exact.

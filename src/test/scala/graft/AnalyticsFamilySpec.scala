@@ -511,4 +511,42 @@ class AnalyticsFamilySpec extends SparkTestBase {
     assert(cxy.size * 2 > want.size,
       "the support gate pruned nothing — gate untested at this sf")
   }
+
+  test("q161: transitions equal a driver bigram replay; rows are mass-conserving; one modal next per state") {
+    import operators.RelationalQueries.MarkovMass
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        r.getString(3)))
+    val bigrams = evs.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.zip(seq.tail)
+    }.toSeq
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = cnt.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val got = SparkEntry.queries("q161_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.map(r => (r._1, r._2)).toSet == cnt.keySet,
+      "transition support differs from the replay")
+    got.foreach { case (a, b, c, rt, pm, _) =>
+      assert(c == cnt((a, b)) && rt == tot(a) && pm == c * MarkovMass / rt,
+        s"($a→$b): got ($c, $rt, $pm)")
+    }
+    // per-state invariants: masses conserve up to floor loss (< one
+    // unit per successor), and exactly one modal next state — the
+    // (cnt DESC, type ASC) argmax, re-derived independently
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val mass = rows.map(_._5).sum
+      assert(mass <= MarkovMass && mass > MarkovMass - rows.length,
+        s"state $a: mass $mass drifted beyond floor-loss bounds")
+      val tops = rows.filter(_._6)
+      val want = rows.minBy(r => (-r._3, r._2))
+      assert(tops.length == 1 && tops.head == want,
+        s"state $a: modal next ${tops.toSeq} != $want")
+    }
+  }
 }

@@ -338,6 +338,18 @@ class PlanAuditSpec extends SparkTestBase {
       "argmax must be an aggregate\n" + p)
   }
 
+  test("q161 markov: one user-keyed sequence window; downstream vocab-bounded") {
+    val p = plan("q161_markov")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "the transition table must equi-join its row totals\n" + p)
+    // the lead window is collapsed into the checkpointed bigram table;
+    // only the argmax window over the vocab²-bounded table remains
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) <= 1,
+      "extra windows in the transition chain\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
