@@ -37,6 +37,14 @@ object RelationalQueries {
     * p̂(next|prev) is reported as cnt·MarkovMass DIV row_total. */
   private[graft] val MarkovMass = 1000000L
 
+  /** q162 CUSUM alarm bar, in squared σ units (h = 4σ → 16): alarm
+    * iff S'² ≥ h²·T·n, the cross-multiplied integer form of
+    * S/n ≥ h·√(T/n) (cumulative excess ≥ h per-day standard
+    * deviations under the Poisson σ ≈ √mean). Squares route through
+    * DECIMAL(38,0) — S' ≤ n·T can reach ~10¹⁷ at 100 TB, so S'²
+    * overflows BIGINT by design (the q159 discipline). */
+  private[graft] val CusumHsq = 16L
+
   /** q151 association-rule min-support gate: a pair survives when it
     * appears in ≥ n_baskets/[[AsrMinSupDen]] baskets (integer
     * cross-multiply; interpolated into the oracle). 1/7 sits INSIDE the
@@ -347,6 +355,44 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .select(col("prev_type"), col("next_type"), col("cnt"),
           col("row_total"), col("p_mass"), (col("rn") === 1).as("is_top"))
+    }),
+
+    // CUSUM changepoint detection (Page '54) over per-type daily event
+    // volumes — the drift detector behind pipeline-health monitoring
+    // (did a source's arrival rate shift?). The textbook recursion
+    // S_t = max(0, S_{t-1} + (x_t − μ)) is NOT windowable, but its
+    // closed form IS: S_t = P_t − min(0, min_{j≤t} P_j) with P the
+    // prefix sum of deviations — two frames over ONE (type, day)
+    // sort. Everything is cross-multiplied integers: deviations are
+    // scaled by n_days (x·n − T avoids the rational mean), and the
+    // alarm S'² ≥ CusumHsq·T·n is the squared form of "cumulative
+    // excess ≥ h per-day σ" — h in σ units makes the bar SF-stable,
+    // unlike any fixed fraction of T. Scale: windows run over the
+    // types×days aggregate, never the fact table (the q147 doctrine);
+    // the fact table is touched once, by the daily rollup.
+    "q162_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // consumed twice: totals + the prefix chain
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("t_total"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").asc)
+      val dec = "decimal(19,0)"
+      daily.join(tot, "event_type")
+        .withColumn("pd",
+          sum(col("x") * col("n_days") - col("t_total")).over(w))
+        .withColumn("s_scaled",
+          col("pd") - least(min(col("pd")).over(w), lit(0L)))
+        .select(col("event_type"), col("day"), col("x"), col("t_total"),
+          col("n_days"), col("s_scaled"),
+          (col("s_scaled").cast(dec) * col("s_scaled").cast(dec) >=
+            lit(CusumHsq).cast(dec) * col("t_total").cast(dec) *
+              col("n_days").cast(dec)).as("alarm"))
     }),
 
     "q144_scd2" -> ((s, d) => {
@@ -686,6 +732,35 @@ object RelationalQueries {
            (row_number() OVER (PARTITION BY b.prev_type
               ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
          FROM big b JOIN tot t USING (prev_type)""",
+
+    // q162: the same rollup / prefix-dev / prefix-min / squared-bar
+    // chain — HUGEINT squares on the DuckDB side mirror the
+    // DECIMAL(38,0) routing, booleans compare exactly.
+    "q162_cusum" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(x) AS BIGINT) AS t_total,
+             CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+         p1 AS (
+           SELECT d.event_type, d.day, d.x, t.t_total, t.n_days,
+             CAST(sum(d.x * t.n_days - t.t_total) OVER
+               (PARTITION BY d.event_type ORDER BY d.day ASC)
+               AS BIGINT) AS pd
+           FROM daily d JOIN tot t USING (event_type)),
+         p2 AS (
+           SELECT *, CAST(least(min(pd) OVER
+               (PARTITION BY event_type ORDER BY day ASC), 0)
+               AS BIGINT) AS smin
+           FROM p1)
+         SELECT event_type, day, x, t_total, n_days,
+           pd - smin AS s_scaled,
+           CAST(pd - smin AS HUGEINT) * (pd - smin) >=
+             CAST($CusumHsq AS HUGEINT) * t_total * n_days AS alarm
+         FROM p2""",
 
     // q144: the same lag-compress / lead-stitch pipeline; floor(/100)
     // is one double divide on both engines so the band is bit-exact.

@@ -512,6 +512,48 @@ class AnalyticsFamilySpec extends SparkTestBase {
       "the support gate pruned nothing — gate untested at this sf")
   }
 
+  test("q162: the windowed closed form equals the textbook CUSUM recursion; alarm bar binds both ways") {
+    import operators.RelationalQueries.CusumHsq
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0),
+        (r.getTimestamp(1).getTime * 1000) / dayUs))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((tpe, day), x) => (tpe, day, x) }
+    val got = SparkEntry.queries("q162_cusum")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got.keySet == daily.map(t => (t._1, t._2)).toSet)
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2)
+      val t = series.map(_._3).sum
+      val n = series.length.toLong
+      // the recursion the closed form must reproduce:
+      // S_t = max(0, S_{t-1} + (x_t·n − T))
+      var sRec = 0L
+      series.foreach { case (_, day, x) =>
+        sRec = math.max(0L, sRec + (x * n - t))
+        val (gx, gt, gn, gs, galarm) = got((tpe, day))
+        assert(gx == x && gt == t && gn == n,
+          s"($tpe,$day) rollup mismatch")
+        assert(gs == sRec,
+          s"($tpe,$day): windowed S $gs != recursion $sRec")
+        val wantAlarm =
+          BigInt(sRec) * BigInt(sRec) >= BigInt(CusumHsq) * t * n
+        assert(galarm == wantAlarm, s"($tpe,$day) alarm")
+      }
+    }
+    // the bar binds both ways on this corpus: alarms exist, and at
+    // least one whole series stays quiet (a bar below all noise or
+    // above all signal tests nothing)
+    val byType = got.toSeq.groupBy(_._1._1)
+    assert(byType.values.exists(_.exists(_._2._5)), "no alarms anywhere")
+    assert(byType.values.exists(rows => !rows.exists(_._2._5)),
+      "every series alarms — the bar is below the noise floor")
+  }
+
   test("q161: transitions equal a driver bigram replay; rows are mass-conserving; one modal next per state") {
     import operators.RelationalQueries.MarkovMass
     val evs = Tables.events(spark, sf)

@@ -86,7 +86,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q158_random_walks",     // md5 draw + struct-min argmin per hop
     "q159_ams_f2",           // signed integer sums + decimal squares
     "q160_kcenter",          // global struct-argmax + exact-cos dmin
-    "q161_markov")           // user-keyed lead + integer floor mass
+    "q161_markov",           // user-keyed lead + integer floor mass
+    "q162_cusum")            // prefix-dev windows + squared integer bar
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

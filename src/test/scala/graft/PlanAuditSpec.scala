@@ -350,6 +350,19 @@ class PlanAuditSpec extends SparkTestBase {
       "extra windows in the transition chain\n" + p)
   }
 
+  test("q162 cusum: windows over the daily aggregate, one sort; fact table scanned once") {
+    val p = plan("q162_cusum")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "the totals join must stay an equi-join\n" + p)
+    // both prefix frames (running dev sum, running min) share one
+    // (event_type, day) sort — at most two Window nodes, zero extra
+    // Exchanges between them
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) <= 2,
+      "extra windows in the CUSUM chain\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
