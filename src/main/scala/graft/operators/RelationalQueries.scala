@@ -45,6 +45,27 @@ object RelationalQueries {
     * overflows BIGINT by design (the q159 discipline). */
   private[graft] val CusumHsq = 16L
 
+  /** The q161 tail over ANY (prev_type, next_type) transition stream —
+    * counts, integer masses, modal next state. Shared with the
+    * streaming twin (q163), whose keyed extractor must produce the
+    * exact multiset of transitions the batch lead window does. */
+  def markovView(transitions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = transitions
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocab² rows; feeds totals + argmax + output
+    val tot = big.groupBy(col("prev_type"))
+      .agg(sum(col("cnt")).as("row_total"))
+    val w = Window.partitionBy(col("prev_type"))
+      .orderBy(col("cnt").desc, col("next_type").asc)
+    big.join(tot, "prev_type")
+      .withColumn("p_mass", expr(s"cnt * $MarkovMass DIV row_total"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        col("row_total"), col("p_mass"), (col("rn") === 1).as("is_top"))
+  }
+
   /** q151 association-rule min-support gate: a pair survives when it
     * appears in ≥ n_baskets/[[AsrMinSupDen]] baskets (integer
     * cross-multiply; interpolated into the oracle). 1/7 sits INSIDE the
@@ -338,23 +359,12 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      val big = events(s, d)
+      markovView(events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
         .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("prev_type"), col("next_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // vocab² rows; feeds totals + argmax + output
-      val tot = big.groupBy(col("prev_type"))
-        .agg(sum(col("cnt")).as("row_total"))
-      val w = Window.partitionBy(col("prev_type"))
-        .orderBy(col("cnt").desc, col("next_type").asc)
-      big.join(tot, "prev_type")
-        .withColumn("p_mass", expr(s"cnt * $MarkovMass DIV row_total"))
-        .withColumn("rn", row_number().over(w))
-        .select(col("prev_type"), col("next_type"), col("cnt"),
-          col("row_total"), col("p_mass"), (col("rn") === 1).as("is_top"))
+        .select(col("event_type").as("prev_type"), col("next_type")))
     }),
 
     // CUSUM changepoint detection (Page '54) over per-type daily event

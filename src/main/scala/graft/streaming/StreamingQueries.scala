@@ -184,6 +184,20 @@ object StreamingQueries {
           "micros_to_convert")
     }),
 
+    // ST × W8: q161's Markov transition model as a STREAM — per-user
+    // keyed last-event state (StreamingMarkov) chaining each batch
+    // onto the stored predecessor, transitions emitted AT ARRIVAL;
+    // the aggregated view is the SAME markovView code q161 runs, and
+    // the oracle IS q161's batch SQL — stream == batch re-proven on
+    // rows, schema and hash every round.
+    "q163_stream_markov" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q163-landing")
+      splitByTime(events, landing, 3)
+      flushDrops(s, events, landing, 3)
+      runLandingMarkov(s, landing, events)
+    }),
+
     // ST × W6: q124's rolling z-score anomaly as a STREAM — per-user
     // keyed trailing-window state (StreamingAnomaly), flags emitted at
     // arrival, idle state dropped by event-time timeout. The oracle IS
@@ -603,6 +617,18 @@ object StreamingQueries {
       dir0
     }
 
+  /** q163's stream over an ALREADY-POPULATED landing dir — shared with
+    * the drop-count-invariance spec (the keyed last-event state makes
+    * batch boundaries invisible to the transition multiset). */
+  private[graft] def runLandingMarkov(s: SparkSession, landing: String,
+                                      schemaFrom: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.markovView(
+      runAppend(
+        StreamingMarkov.transitions(s, readLanding(s, landing, schemaFrom)).toDF(),
+        s"q163-${new java.io.File(landing).getName}", Seq(landing))
+        .filter(col("user_id") >= 0)
+        .select(col("prev_type"), col("next_type")))
+
   /** q131's stream over an ALREADY-POPULATED landing dir — shared with
     * the drop-count-invariance spec (one drop vs three must be
     * invisible in the output). */
@@ -627,6 +653,11 @@ object StreamingQueries {
     // greedy per-user fold must reproduce the min-chain exactly
     "q115_stream_funnel" ->
       graft.operators.RelationalQueries.oracleSql("q112_funnel"),
+
+    // identical derivation to q161's batch lead window — the stream's
+    // keyed last-event chaining must emit the same transition multiset
+    "q163_stream_markov" ->
+      graft.operators.RelationalQueries.oracleSql("q161_markov"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

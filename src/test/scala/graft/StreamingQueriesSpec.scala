@@ -55,6 +55,26 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(oneDrop, q("q131_stream_anomaly"), "q131 drop-count")
   }
 
+  test("q163: streamed Markov transitions equal the batch lead-window model") {
+    val got = q("q163_stream_markov")
+    val want = SparkEntry.queries("q161_markov")(spark, sf)
+    assert(got.count() > 0, "no transitions streamed")
+    assertSame(got, want, "q163")
+  }
+
+  test("q163: drop-count invariance — one drop and three drops chain identically") {
+    // the keyed last-event state makes micro-batch boundaries
+    // invisible: a batch's first event chains onto the stored
+    // predecessor exactly as the lead window would
+    import graft.streaming.StreamingQueries.{tmp, drop, flushDrops}
+    val landing = tmp("graft-q163one-landing")
+    drop(events, landing, 0)
+    flushDrops(spark, events, landing, 1)
+    val oneDrop = graft.streaming.StreamingQueries.runLandingMarkov(
+      spark, landing, events)
+    assertSame(oneDrop, q("q163_stream_markov"), "q163 drop-count")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")
