@@ -405,6 +405,39 @@ object RelationalQueries {
               col("n_days").cast(dec)).as("alarm"))
     }),
 
+    // Key-skew profile (the shuffle-planning diagnostic): before
+    // committing a 100 TB join/agg to a key, measure how the key's
+    // frequency mass is distributed — WITHOUT a global sort. One
+    // key-count pass, then (a) a ≤64-row base-2 log-bin histogram of
+    // per-key counts (the q153 length(bin(x)) grid — absolute, no
+    // corpus min/max barrier) and (b) broadcast 1-row summary scalars
+    // (n_keys, total, max). max_share is the heaviest key's row
+    // fraction — ONE IEEE division over exact integers (the KMV
+    // doctrine); everything else stays BIGINT. AQE's skew thresholds
+    // and salting decisions read exactly this shape.
+    "q164_key_skew" -> ((s, d) => {
+      val c = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // consumed twice: bins + summary
+      val bins = c
+        .select(length(bin(col("cnt"))).cast("long").as("bin"), col("cnt"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_keys_in_bin"),
+          sum(col("cnt")).as("rows_in_bin"))
+      val summ = c.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"), max(col("cnt")).as("max_cnt"))
+      bins.crossJoin(broadcast(summ))
+        .select(col("bin"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")
+            .as("bin_lo"),
+          (expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))") - 1)
+            .as("bin_hi"),
+          col("n_keys_in_bin"), col("rows_in_bin"), col("n_keys"),
+          col("total_rows"), col("max_cnt"),
+          (col("max_cnt").cast("double") / col("total_rows"))
+            .as("max_share"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -742,6 +775,28 @@ object RelationalQueries {
            (row_number() OVER (PARTITION BY b.prev_type
               ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
          FROM big b JOIN tot t USING (prev_type)""",
+
+    // q164: same count/log-bin/summary derivation; bit shifts and the
+    // single share division match exactly.
+    "q164_key_skew" ->
+      """WITH c AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         bins AS (
+           SELECT CAST(length(bin(cnt)) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_keys_in_bin,
+             CAST(sum(cnt) AS BIGINT) AS rows_in_bin
+           FROM c GROUP BY 1),
+         summ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+           FROM c)
+         SELECT bin, CAST(1 AS BIGINT) << (bin - 1) AS bin_lo,
+           (CAST(1 AS BIGINT) << bin) - 1 AS bin_hi,
+           n_keys_in_bin, rows_in_bin, n_keys, total_rows, max_cnt,
+           CAST(max_cnt AS DOUBLE) / total_rows AS max_share
+         FROM bins CROSS JOIN summ""",
 
     // q162: the same rollup / prefix-dev / prefix-min / squared-bar
     // chain — HUGEINT squares on the DuckDB side mirror the

@@ -512,6 +512,30 @@ class AnalyticsFamilySpec extends SparkTestBase {
       "the support gate pruned nothing — gate untested at this sf")
   }
 
+  test("q164: skew profile equals a driver replay; bins partition the key set") {
+    val counts = Tables.events(spark, sf).select(col("user_id")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong)
+      .values.toSeq
+    def b(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val wantBins = counts.groupBy(b).view
+      .mapValues(cs => (cs.length.toLong, cs.sum)).toMap
+    val (nk, tot, mx) = (counts.length.toLong, counts.sum, counts.max)
+    val got = SparkEntry.queries("q164_key_skew")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8)))
+    assert(got.map(_._1).toSet == wantBins.keySet)
+    got.foreach { case (bin, lo, hi, nb, rb, gnk, gtot, gmx, share) =>
+      assert(lo == (1L << (bin - 1)) && hi == (1L << bin) - 1)
+      assert((nb, rb) == wantBins(bin), s"bin $bin")
+      assert(gnk == nk && gtot == tot && gmx == mx && share == mx.toDouble / tot)
+    }
+    // the bins tile the key set exactly — nothing dropped or counted
+    // twice — and the profile is non-degenerate (≥ 2 occupied bins)
+    assert(got.map(_._4).sum == nk && got.map(_._5).sum == tot)
+    assert(got.length >= 2, "degenerate single-bin profile tests nothing")
+  }
+
   test("q162: the windowed closed form equals the textbook CUSUM recursion; alarm bar binds both ways") {
     import operators.RelationalQueries.CusumHsq
     val dayUs = 86400000000L

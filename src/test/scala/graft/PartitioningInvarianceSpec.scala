@@ -87,7 +87,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q159_ams_f2",           // signed integer sums + decimal squares
     "q160_kcenter",          // global struct-argmax + exact-cos dmin
     "q161_markov",           // user-keyed lead + integer floor mass
-    "q162_cusum")            // prefix-dev windows + squared integer bar
+    "q162_cusum",            // prefix-dev windows + squared integer bar
+    "q164_key_skew")         // log-bin histogram + broadcast scalars
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

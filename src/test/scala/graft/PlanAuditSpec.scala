@@ -363,6 +363,17 @@ class PlanAuditSpec extends SparkTestBase {
       "extra windows in the CUSUM chain\n" + p)
   }
 
+  test("q164 key skew: one count pass; windowless; only the summary nested-loops") {
+    val p = plan("q164_key_skew")
+    assert(!p.contains("CartesianProduct"),
+      "profile degenerated to a cross product\n" + p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      "only the 1-row summary may nested-loop\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "the profile must not sort the key-count table\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
