@@ -50,7 +50,8 @@ object ClusterVerify {
     "q149_collocations", "q150_ivf_two_level", "q151_assoc_rules",
     "q152_textrank", "q154_kmv_overlap", "q155_shot_detect", "q156_hits",
     "q157_label_noise", "q158_random_walks", "q159_ams_f2",
-    "q160_kcenter", "q161_markov", "q162_cusum", "q164_key_skew")
+    "q160_kcenter", "q161_markov", "q162_cusum", "q164_key_skew",
+    "q165_zorder")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

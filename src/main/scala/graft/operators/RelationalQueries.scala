@@ -45,6 +45,17 @@ object RelationalQueries {
     * overflows BIGINT by design (the q159 discipline). */
   private[graft] val CusumHsq = 16L
 
+  /** q165 Z-order geometry: 5-bit bucketed dims (user_id mod 32,
+    * day-offset clamped to 31) interleaved into a 10-bit z-address;
+    * blocks of [[ZBlockCells]] z-cells = 4×4 (u, d) tiles; the audit
+    * box is [[ZBoxLo]]..[[ZBoxHi]] on BOTH dims — inside every SF's
+    * populated bucket range, so the comparison is exercised
+    * everywhere. */
+  private[graft] val ZDimBits = 5
+  private[graft] val ZBlockCells = 16L
+  private[graft] val ZBoxLo = 8L
+  private[graft] val ZBoxHi = 15L
+
   /** The q161 tail over ANY (prev_type, next_type) transition stream —
     * counts, integer masses, modal next state. Shared with the
     * streaming twin (q163), whose keyed extractor must produce the
@@ -438,6 +449,48 @@ object RelationalQueries {
             .as("max_share"))
     }),
 
+    // Z-order layout audit (Morton '66 bit-interleaving — the
+    // multi-dimensional clustering behind Delta/Iceberg OPTIMIZE
+    // ZORDER): would re-clustering this fact table by an interleaved
+    // (user, day) key let zone maps skip more data for a 2-dim box
+    // query than the single-key layout does? Rows get a z-address
+    // (bit-interleaved 5-bit bucketed dims), blocks are fixed z-cell
+    // ranges (z DIV ZBlockCells = 4×4 tiles — pure arithmetic, no
+    // sort/ntile), and each block carries its (u, d) zone map; the
+    // single-key baseline blocks by the user bucket alone. `touched` =
+    // the zone map intersects the audit box — exactly the data-
+    // skipping test a scan planner runs. The spec pins the point:
+    // rows under touched z-blocks < rows under touched linear blocks.
+    // Scale: one fact scan, one broadcast day-origin scalar, block
+    // tables geometry-bounded (≤ 64 + 32 rows).
+    "q165_zorder" -> ((s, d) => {
+      val base = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val d0 = base.agg(min(col("day")).as("d0"))
+      val zExpr = (0 until ZDimBits).map(i =>
+        s"(shiftleft(shiftright(ub, $i) & 1, ${2 * i})" +
+          s" + shiftleft(shiftright(db, $i) & 1, ${2 * i + 1}))")
+        .mkString(" + ")
+      val dims = base.crossJoin(broadcast(d0))
+        .select((col("user_id") % 32).as("ub"),
+          least(col("day") - col("d0"), lit(31L)).as("db"))
+        .withColumn("z", expr(zExpr))
+        .localCheckpoint() // one fact scan; feeds both block layouts
+      def blocks(df: DataFrame, blockCol: Column, layout: String) =
+        df.groupBy(blockCol.as("block"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("ub")).as("u_min"), max(col("ub")).as("u_max"),
+            min(col("db")).as("d_min"), max(col("db")).as("d_max"))
+          .select(lit(layout).as("layout"), col("block"), col("n_rows"),
+            col("u_min"), col("u_max"), col("d_min"), col("d_max"),
+            (col("u_min") <= ZBoxHi && col("u_max") >= ZBoxLo &&
+              col("d_min") <= ZBoxHi && col("d_max") >= ZBoxLo)
+              .as("touched"))
+      blocks(dims, expr(s"z DIV $ZBlockCells"), "zorder")
+        .unionByName(blocks(dims, col("ub"), "linear"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -775,6 +828,39 @@ object RelationalQueries {
            (row_number() OVER (PARTITION BY b.prev_type
               ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
          FROM big b JOIN tot t USING (prev_type)""",
+
+    // q165: same bucketing, interleave, block grids and zone-map box
+    // test — DuckDB's native >>/<</& mirror Spark's shift functions.
+    "q165_zorder" -> {
+      val zSql = (0 until ZDimBits).map(i =>
+        s"((((ub >> $i) & 1) << ${2 * i}) + (((db >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH d0 AS (
+           SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+         dims AS (
+           SELECT CAST(user_id % 32 AS BIGINT) AS ub,
+             CAST(least(epoch_us(ts) // 86400000000 - d0.d0, 31)
+               AS BIGINT) AS db
+           FROM events CROSS JOIN d0),
+         zd AS (SELECT ub, db, CAST($zSql AS BIGINT) AS z FROM dims),
+         zb AS (
+           SELECT 'zorder' AS layout, z // $ZBlockCells AS block,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(ub) AS u_min, max(ub) AS u_max,
+             min(db) AS d_min, max(db) AS d_max
+           FROM zd GROUP BY 2),
+         lb AS (
+           SELECT 'linear' AS layout, ub AS block,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(ub) AS u_min, max(ub) AS u_max,
+             min(db) AS d_min, max(db) AS d_max
+           FROM zd GROUP BY 2),
+         ab AS (SELECT * FROM zb UNION ALL SELECT * FROM lb)
+         SELECT layout, block, n_rows, u_min, u_max, d_min, d_max,
+           (u_min <= $ZBoxHi AND u_max >= $ZBoxLo AND
+            d_min <= $ZBoxHi AND d_max >= $ZBoxLo) AS touched
+         FROM ab"""
+    },
 
     // q164: same count/log-bin/summary derivation; bit shifts and the
     // single share division match exactly.

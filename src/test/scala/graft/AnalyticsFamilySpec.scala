@@ -536,6 +536,49 @@ class AnalyticsFamilySpec extends SparkTestBase {
     assert(got.length >= 2, "degenerate single-bin profile tests nothing")
   }
 
+  test("q165: zone maps equal a driver replay; z-layout skips strictly more than the linear layout") {
+    import operators.RelationalQueries.{ZBlockCells, ZBoxLo, ZBoxHi}
+    val dayUs = 86400000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime * 1000) / dayUs))
+    val d0 = raw.map(_._2).min
+    val dims = raw.map { case (u, day) =>
+      (u % 32, math.min(day - d0, 31L)) }
+    def z(ub: Long, db: Long): Long = (0 until 5).map(i =>
+      (((ub >> i) & 1) << (2 * i)) + (((db >> i) & 1) << (2 * i + 1))).sum
+    def zone(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) =
+      (rows.length.toLong, rows.map(_._1).min, rows.map(_._1).max,
+        rows.map(_._2).min, rows.map(_._2).max)
+    val want =
+      dims.groupBy { case (ub, db) => ("zorder", z(ub, db) / ZBlockCells) }
+        .view.mapValues(r => zone(r.toSeq)).toMap ++
+      dims.groupBy { case (ub, _) => ("linear", ub) }
+        .view.mapValues(r => zone(r.toSeq)).toMap
+    val got = SparkEntry.queries("q165_zorder")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got.keySet == want.keySet, "block sets differ")
+    got.foreach { case (k, (n, ul, uh, dl, dh, touched)) =>
+      assert((n, ul, uh, dl, dh) == want(k), s"block $k zone map")
+      assert(touched ==
+        (ul <= ZBoxHi && uh >= ZBoxLo && dl <= ZBoxHi && dh >= ZBoxLo))
+    }
+    // each layout tiles every row exactly once, and the operator's
+    // reason to exist holds: the box query reads strictly fewer rows
+    // under z-blocks than under single-key blocks (and some, not zero)
+    Seq("zorder", "linear").foreach { l =>
+      assert(got.collect { case ((`l`, _), v) => v._1 }.sum == dims.length)
+    }
+    def touchedRows(l: String): Long =
+      got.collect { case ((`l`, _), v) if v._6 => v._1 }.sum
+    assert(touchedRows("zorder") > 0, "the box selects nothing")
+    assert(touchedRows("zorder") < touchedRows("linear"),
+      s"z-order (${touchedRows("zorder")}) must beat linear " +
+        s"(${touchedRows("linear")})")
+  }
+
   test("q162: the windowed closed form equals the textbook CUSUM recursion; alarm bar binds both ways") {
     import operators.RelationalQueries.CusumHsq
     val dayUs = 86400000000L

@@ -88,7 +88,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q160_kcenter",          // global struct-argmax + exact-cos dmin
     "q161_markov",           // user-keyed lead + integer floor mass
     "q162_cusum",            // prefix-dev windows + squared integer bar
-    "q164_key_skew")         // log-bin histogram + broadcast scalars
+    "q164_key_skew",         // log-bin histogram + broadcast scalars
+    "q165_zorder")           // bit-interleave grid + zone-map blocks
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -374,6 +374,19 @@ class PlanAuditSpec extends SparkTestBase {
       "the profile must not sort the key-count table\n" + p)
   }
 
+  test("q165 zorder: one fact scan feeds both layouts; windowless block grids") {
+    val p = plan("q165_zorder")
+    assert(!p.contains("CartesianProduct"),
+      "the audit degenerated to a cross product\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "block assignment must be arithmetic, never a sort/ntile\n" + p)
+    // the z-addressed scan is checkpointed once and unioned twice —
+    // no second read of the fact table
+    assert(!p.contains("FileScan") || p.linesIterator.count(
+        _.contains("Scan parquet")) <= 1,
+      "the fact table must be scanned once\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
