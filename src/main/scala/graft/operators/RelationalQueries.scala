@@ -45,6 +45,20 @@ object RelationalQueries {
     * overflows BIGINT by design (the q159 discipline). */
   private[graft] val CusumHsq = 16L
 
+  /** q166 significance bar: the two-proportion pooled z² test at 95 %
+    * (z² ≥ 3.84), applied as the integer cross-multiply
+    * (c₁n₂−c₂n₁)²·N·100 ≥ 384·n₁n₂·C·(N−C) — χ²₁'s exact rational
+    * form, no sqrt/variance float surface. Operands route through
+    * DECIMAL(38,0): c·n reaches ~10²⁰ at 100 TB user counts. */
+  private[graft] val AbZsqNum = 384L
+  private[graft] val AbZsqDen = 100L
+
+  /** q166 conversion bar: a user "converts" on a type after ≥ this
+    * many events of it — sits at the harness's per-(user, type)
+    * density (~13 at every SF), so conversion rates land mid-range
+    * and the significance gate is genuinely exercised. */
+  private[graft] val AbConvK = 14L
+
   /** q165 Z-order geometry: 5-bit bucketed dims (user_id mod 32,
     * day-offset clamped to 31) interleaved into a 10-bit z-address;
     * blocks of [[ZBlockCells]] z-cells = 4×4 (u, d) tiles; the audit
@@ -491,6 +505,56 @@ object RelationalQueries {
         .unionByName(blocks(dims, col("ub"), "linear"))
     }),
 
+    // A/B two-proportion test (the experiment-analysis primitive):
+    // variants split by user-id parity (the deterministic assignment
+    // any hash-bucketed experiment uses), one experiment per event
+    // type — "did the user perform ≥ AbConvK events of the type". The
+    // pooled z² significance test runs as ONE exact integer
+    // cross-multiply (see [[AbZsqNum]], STRICT >, so a zero-difference
+    // split is never "significant") — χ²₁ without sqrt, variance
+    // floats or accumulated doubles; the two rates are single IEEE
+    // divisions over exact integers. Scale: one (user, type) count
+    // pass, per-variant integer rollups, a vocab-bounded result — the
+    // fact table shuffles once, on the (user, type) key.
+    "q166_ab_test" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val ut = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint() // feeds per-variant user and converter counts
+      val users = ut.select(col("user_id")).distinct()
+        .groupBy((col("user_id") % 2).as("variant"))
+        .agg(count(lit(1)).as("n"))
+      val conv = ut.filter(col("k") >= AbConvK)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
+        .agg(count(lit(1)).as("c"))
+      // explicit (type × variant) grid so a variant with ZERO
+      // converters still contributes (c=0, n) instead of a NULL leg
+      val wide = ut.select(col("event_type")).distinct()
+        .crossJoin(broadcast(users))
+        .join(conv, Seq("event_type", "variant"), "left")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("variant") === 0, coalesce(col("c"), lit(0L))))
+            .as("c1"),
+          sum(when(col("variant") === 0, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, coalesce(col("c"), lit(0L))))
+            .as("c2"),
+          sum(when(col("variant") === 1, col("n"))).as("n2"))
+      wide.select(col("event_type"), col("n1"), col("c1"), col("n2"),
+          col("c2"),
+          (col("c1").cast("double") / col("n1")).as("rate1"),
+          (col("c2").cast("double") / col("n2")).as("rate2"),
+          ((col("c1").cast(dec) * col("n2").cast(dec) -
+              col("c2").cast(dec) * col("n1").cast(dec)) *
+            (col("c1").cast(dec) * col("n2").cast(dec) -
+              col("c2").cast(dec) * col("n1").cast(dec)) *
+            (col("n1") + col("n2")).cast(dec) * AbZsqDen >
+            lit(AbZsqNum).cast(dec) * col("n1").cast(dec) *
+              col("n2").cast(dec) * (col("c1") + col("c2")).cast(dec) *
+              (col("n1") + col("n2") - col("c1") - col("c2")).cast(dec))
+            .as("significant"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -828,6 +892,44 @@ object RelationalQueries {
            (row_number() OVER (PARTITION BY b.prev_type
               ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
          FROM big b JOIN tot t USING (prev_type)""",
+
+    // q166: same distinct projection, parity split and cross-multiply
+    // — HUGEINT mirrors the DECIMAL(38,0) routing, booleans exact.
+    "q166_ab_test" ->
+      s"""WITH ut AS (
+           SELECT user_id, event_type, count(*) AS k
+           FROM events GROUP BY 1, 2),
+         users AS (
+           SELECT user_id % 2 AS variant,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+           FROM ut GROUP BY 1),
+         conv AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(count(*) AS BIGINT) AS c
+           FROM ut WHERE k >= $AbConvK GROUP BY 1, 2),
+         grid AS (
+           SELECT t.event_type, u.variant, u.n
+           FROM (SELECT DISTINCT event_type FROM ut) t CROSS JOIN users u),
+         wide AS (
+           SELECT g.event_type,
+             CAST(sum(CASE WHEN g.variant = 0
+               THEN coalesce(c.c, 0) END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g.variant = 0 THEN g.n END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g.variant = 1
+               THEN coalesce(c.c, 0) END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN g.variant = 1 THEN g.n END) AS BIGINT) AS n2
+           FROM grid g LEFT JOIN conv c
+             ON c.event_type = g.event_type AND c.variant = g.variant
+           GROUP BY 1)
+         SELECT event_type, n1, c1, n2, c2,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           CAST(c2 AS DOUBLE) / n2 AS rate2,
+           (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+             (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+             (n1 + n2) * $AbZsqDen >
+           CAST($AbZsqNum AS HUGEINT) * n1 * n2 * (c1 + c2) *
+             (n1 + n2 - c1 - c2) AS significant
+         FROM wide""",
 
     // q165: same bucketing, interleave, block grids and zone-map box
     // test — DuckDB's native >>/<</& mirror Spark's shift functions.

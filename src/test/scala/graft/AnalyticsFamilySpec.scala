@@ -579,6 +579,40 @@ class AnalyticsFamilySpec extends SparkTestBase {
         s"(${touchedRows("linear")})")
   }
 
+  test("q166: A/B counts and the z-squared gate equal a driver replay") {
+    import operators.RelationalQueries.{AbConvK, AbZsqNum, AbZsqDen}
+    val uc = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val allUsers = uc.keySet.map(_._1)
+    val n = Array(0L, 1L).map(v => v -> allUsers.count(_ % 2 == v).toLong).toMap
+    val types = uc.keySet.map(_._2)
+    val got = SparkEntry.queries("q166_ab_test")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))))
+      .toMap
+    assert(got.keySet == types)
+    types.foreach { t =>
+      val c = Array(0L, 1L).map(v => v -> allUsers.count(u =>
+        u % 2 == v && uc.getOrElse((u, t), 0L) >= AbConvK).toLong).toMap
+      val (n1, c1, n2, c2, r1, r2, sig) = got(t)
+      assert(n1 == n(0L) && c1 == c(0L) && n2 == n(1L) && c2 == c(1L),
+        s"$t counts: got ($n1,$c1,$n2,$c2) want (${n(0L)},${c(0L)},${n(1L)},${c(1L)})")
+      assert(r1 == c1.toDouble / n1 && r2 == c2.toDouble / n2)
+      val diff = BigInt(c1) * n2 - BigInt(c2) * n1
+      val wantSig = diff * diff * (n1 + n2) * AbZsqDen >
+        BigInt(AbZsqNum) * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+      assert(sig == wantSig, s"$t significance")
+    }
+    // conversion is non-trivial (neither empty nor saturated), and an
+    // A/A split must not call everything significant
+    assert(got.values.exists(v => v._2 > 0 || v._4 > 0), "no converters")
+    assert(got.values.exists(v => v._2 < v._1 || v._4 < v._3), "saturated")
+    assert(got.values.exists(!_._7),
+      "every type significant under a null split — the bar is broken")
+  }
+
   test("q162: the windowed closed form equals the textbook CUSUM recursion; alarm bar binds both ways") {
     import operators.RelationalQueries.CusumHsq
     val dayUs = 86400000000L

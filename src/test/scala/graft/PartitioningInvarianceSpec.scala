@@ -89,7 +89,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q161_markov",           // user-keyed lead + integer floor mass
     "q162_cusum",            // prefix-dev windows + squared integer bar
     "q164_key_skew",         // log-bin histogram + broadcast scalars
-    "q165_zorder")           // bit-interleave grid + zone-map blocks
+    "q165_zorder",           // bit-interleave grid + zone-map blocks
+    "q166_ab_test")          // integer counts + decimal z² gate
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -387,6 +387,16 @@ class PlanAuditSpec extends SparkTestBase {
       "the fact table must be scanned once\n" + p)
   }
 
+  test("q166 ab test: one fact shuffle; grid joins broadcast; windowless") {
+    val p = plan("q166_ab_test")
+    assert(!p.contains("CartesianProduct"),
+      "the experiment grid degenerated\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "no window belongs in the proportion test\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 2-row variant table must broadcast\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
