@@ -70,6 +70,32 @@ object RelationalQueries {
   private[graft] val ZBoxLo = 8L
   private[graft] val ZBoxHi = 15L
 
+  /** The q162 tail over ANY (event_type, day, x) daily-count table —
+    * totals, prefix deviations, prefix-min closed form, squared alarm
+    * bar. Shared with the streaming twin (q167), whose merge-on-read
+    * summed partials must equal the one-shot rollup BY ALGEBRA
+    * (counts add). */
+  def cusumView(daily0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = daily0
+      .localCheckpoint() // consumed twice: totals + the prefix chain
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("t_total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("day").asc)
+    val dec = "decimal(19,0)"
+    daily.join(tot, "event_type")
+      .withColumn("pd",
+        sum(col("x") * col("n_days") - col("t_total")).over(w))
+      .withColumn("s_scaled",
+        col("pd") - least(min(col("pd")).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("x"), col("t_total"),
+        col("n_days"), col("s_scaled"),
+        (col("s_scaled").cast(dec) * col("s_scaled").cast(dec) >=
+          lit(CusumHsq).cast(dec) * col("t_total").cast(dec) *
+            col("n_days").cast(dec)).as("alarm"))
+  }
+
   /** The q161 tail over ANY (prev_type, next_type) transition stream —
     * counts, integer masses, modal next state. Shared with the
     * streaming twin (q163), whose keyed extractor must produce the
@@ -405,30 +431,12 @@ object RelationalQueries {
     // unlike any fixed fraction of T. Scale: windows run over the
     // types×days aggregate, never the fact table (the q147 doctrine);
     // the fact table is touched once, by the daily rollup.
-    "q162_cusum" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = events(s, d)
+    "q162_cusum" -> ((s, d) =>
+      cusumView(events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) DIV 86400000000").as("day"))
         .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("x"))
-        .localCheckpoint() // consumed twice: totals + the prefix chain
-      val tot = daily.groupBy(col("event_type"))
-        .agg(sum(col("x")).as("t_total"), count(lit(1)).as("n_days"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("day").asc)
-      val dec = "decimal(19,0)"
-      daily.join(tot, "event_type")
-        .withColumn("pd",
-          sum(col("x") * col("n_days") - col("t_total")).over(w))
-        .withColumn("s_scaled",
-          col("pd") - least(min(col("pd")).over(w), lit(0L)))
-        .select(col("event_type"), col("day"), col("x"), col("t_total"),
-          col("n_days"), col("s_scaled"),
-          (col("s_scaled").cast(dec) * col("s_scaled").cast(dec) >=
-            lit(CusumHsq).cast(dec) * col("t_total").cast(dec) *
-              col("n_days").cast(dec)).as("alarm"))
-    }),
+        .agg(count(lit(1)).as("x")))),
 
     // Key-skew profile (the shuffle-planning diagnostic): before
     // committing a 100 TB join/agg to a key, measure how the key's

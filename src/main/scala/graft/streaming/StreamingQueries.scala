@@ -505,6 +505,25 @@ object StreamingQueries {
       SketchQueries.logHistQuantiles(StreamingQuantiles.histogram(s, store))
     }),
 
+    // ST × W9: q162's CUSUM as a STREAM — per-batch partial
+    // (type, day) counts under batch_id (replay-idempotent dynamic
+    // overwrite), LSM-folded mid-run, merge-on-read SUM feeding the
+    // SAME cusumView code; counts add, so stream == batch BY ALGEBRA
+    // and the oracle IS q162's batch SQL.
+    "q167_stream_cusum" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q167-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q167-store"))
+      val ckpt = tmp("graft-q167-ckpt")
+      withCompactionEvery2(s) {
+        StreamingCusum.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.cusumView(
+        StreamingCusum.daily(s, store))
+    }),
+
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
@@ -658,6 +677,11 @@ object StreamingQueries {
     // keyed last-event chaining must emit the same transition multiset
     "q163_stream_markov" ->
       graft.operators.RelationalQueries.oracleSql("q161_markov"),
+
+    // identical derivation to the q162 batch chain — summed partial
+    // counts must equal the one-shot rollup by algebra
+    "q167_stream_cusum" ->
+      graft.operators.RelationalQueries.oracleSql("q162_cusum"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

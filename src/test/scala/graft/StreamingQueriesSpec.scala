@@ -75,6 +75,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(oneDrop, q("q163_stream_markov"), "q163 drop-count")
   }
 
+  test("q167: streamed CUSUM equals the one-shot batch chain") {
+    val got = q("q167_stream_cusum")
+    val want = SparkEntry.queries("q162_cusum")(spark, sf)
+    assert(got.count() > 0, "no CUSUM rows streamed")
+    assertSame(got, want, "q167")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")
