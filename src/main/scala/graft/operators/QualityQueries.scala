@@ -51,6 +51,10 @@ object QualityQueries {
   /** Corpus count at or below which a token is "rare" (q85). */
   val RareCutoff = 2L
 
+  /** q168 Good-Turing mass scale: r* is reported as the integer
+    * (r+1)·N_{r+1}·GtMass DIV N_r (the q105/q161 doctrine). */
+  val GtMass = 1000000L
+
   /** q86 hashed-feature space: first 3 md5 hex chars = 4096 buckets.
     * Closed and tiny by construction — that is what makes the profile
     * broadcast-able at any corpus size. */
@@ -616,7 +620,42 @@ object QualityQueries {
         col("pass_rep"), col("pass_rare"), col("first_fail"), col("keep"))
   }
 
+  /** Good-Turing count-of-counts smoothing (q168 — Good '53, the
+    * Gale & Sampson '95 estimator's exact integer core): how much
+    * probability mass belongs to UNSEEN tokens, and what a count of r
+    * is really worth. One tf pass (terms keyed by the token string in
+    * the agg only — the count-of-counts table that shuffles afterwards
+    * is O(distinct counts) ≤ O(√T) rows), N_r = #terms seen exactly r
+    * times, r* = (r+1)·N_{r+1}·GtMass DIV N_r via one self-join on
+    * r+1 (no window), p0 = N₁/T as the single IEEE division. Rows
+    * where N_{r+1} = 0 report rstar_mass 0 — the estimator's standard
+    * undefined tail, left to the consumer (Gale–Sampson smooth the
+    * N_r curve; that is a modeling choice, not an engine one).
+    * The terms are token BIGRAMS — the q94 LM's event space, and the
+    * smallest unit where unseen mass is a real phenomenon (this
+    * corpus's unigram vocabulary is closed: every word repeats). */
+  private[graft] def goodTuring(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(toks.as("ts")).filter(size(col("ts")) >= 2)
+      .select(explode(tokenBigrams(col("ts"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val nr = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // bounded table; feeds output + r+1 leg + sums
+    val tot = nr.agg(sum(col("r") * col("n_r")).as("t_tokens"),
+      max(when(col("r") === 1, col("n_r"))).as("n1"))
+    nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        expr(s"(r + 1) * coalesce(n_r1, CAST(0 AS BIGINT)) * $GtMass" +
+          " DIV n_r").as("rstar_mass"),
+        col("t_tokens"),
+        (coalesce(col("n1"), lit(0L)).cast("double") / col("t_tokens"))
+          .as("p0"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_good_turing" -> ((s, d) => goodTuring(documents(s, d))),
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
     "q94_bigram_fluency" -> ((s, d) => bigramFluency(documents(s, d))),
@@ -628,6 +667,33 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q168: the identical tf / count-of-counts / r+1 self-join /
+    // floor-mass chain — integers end-to-end, one IEEE division.
+    "q168_good_turing" ->
+      s"""WITH ts AS (
+           SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+           FROM documents),
+         tok AS (
+           SELECT unnest(list_transform(range(1, len(ts)),
+             i -> ts[i] || ' ' || ts[i + 1])) AS tok
+           FROM ts WHERE len(ts) >= 2),
+         tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS r
+                FROM tok GROUP BY 1),
+         nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                FROM tf GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(r * n_r) AS BIGINT) AS t_tokens,
+             CAST(max(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+           FROM nr)
+         SELECT a.r, a.n_r,
+           CAST((a.r + 1) * coalesce(b.n_r, 0) * $GtMass // a.n_r
+             AS BIGINT) AS rstar_mass,
+           tot.t_tokens,
+           CAST(coalesce(tot.n1, 0) AS DOUBLE) / tot.t_tokens AS p0
+         FROM nr a
+         LEFT JOIN nr b ON b.r = a.r + 1
+         CROSS JOIN tot""",
+
     // Exact string-keyed recomputation — a Spark-side xxhash64
     // collision between distinct tokens would desync n_rare/n_hapax
     // and fail the hash compare, so the oracle doubles as the

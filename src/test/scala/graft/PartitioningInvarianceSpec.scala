@@ -90,7 +90,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q162_cusum",            // prefix-dev windows + squared integer bar
     "q164_key_skew",         // log-bin histogram + broadcast scalars
     "q165_zorder",           // bit-interleave grid + zone-map blocks
-    "q166_ab_test")          // integer counts + decimal z² gate
+    "q166_ab_test",          // integer counts + decimal z² gate
+    "q168_good_turing")      // count-of-counts + floor GT masses
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

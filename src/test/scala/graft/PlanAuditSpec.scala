@@ -397,6 +397,17 @@ class PlanAuditSpec extends SparkTestBase {
       "the 2-row variant table must broadcast\n" + p)
   }
 
+  test("q168 good turing: bounded-table self-join; windowless; one corpus scan") {
+    val p = plan("q168_good_turing")
+    assert(!p.contains("CartesianProduct"),
+      "the r+1 join degenerated\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "the r+1 lookup must be a join on the bounded table, not a window\n" + p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      "only the 1-row totals may nested-loop\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),

@@ -301,4 +301,35 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(got.head._3 > PrMass / n, "top word must out-rank uniform mass")
   }
 
+  test("q168: count-of-counts equal a driver replay; GT mass discounts the seen") {
+    import QualityQueries.GtMass
+    val counts = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap { r =>
+        val ts = r.getString(0).trim.split("\\s+")
+        if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")) else Iterator.empty
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+    val nr = counts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = counts.sum
+    val got = SparkEntry.queries("q168_good_turing")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == nr.keySet)
+    got.foreach { case (r, (gnr, rstar, gt, p0)) =>
+      assert(gnr == nr(r), s"N_$r")
+      assert(rstar == (r + 1) * nr.getOrElse(r + 1, 0L) * GtMass / nr(r),
+        s"r*_$r")
+      assert(gt == t && p0 == nr.getOrElse(1L, 0L).toDouble / t)
+    }
+    // Good-Turing's point: the total adjusted mass over SEEN counts is
+    // BELOW the raw mass — the difference is the unseen reserve p0.
+    // Σ_r N_r·r* (in GtMass·token units) vs Σ_r N_r·r·GtMass:
+    val adj = got.map { case (r, (gnr, rstar, _, _)) =>
+      BigInt(gnr) * rstar }.sum
+    val raw = got.map { case (r, (gnr, _, _, _)) =>
+      BigInt(gnr) * r * GtMass }.sum
+    assert(adj < raw, "GT must reserve mass for the unseen")
+    assert(got.contains(1L) && got(1L)._1 > 0, "no hapaxes — p0 vacuous")
+  }
+
 }
