@@ -53,6 +53,12 @@ object RelationalQueries {
   private[graft] val AbZsqNum = 384L
   private[graft] val AbZsqDen = 100L
 
+  /** q169 sequential-support gate: an ordered pattern x→y survives at
+    * support ≥ n_baskets/[[SeqSupDen]] (integer cross-multiply). 1/12
+    * sits inside the harness's 5–11 % support band, so it provably
+    * keeps AND prunes at every SF. */
+  private[graft] val SeqSupDen = 12L
+
   /** q166 conversion bar: a user "converts" on a type after ≥ this
     * many events of it — sits at the harness's per-(user, type)
     * density (~13 at every SF), so conversion rates land mid-range
@@ -563,6 +569,43 @@ object RelationalQueries {
             .as("significant"))
     }),
 
+    // Sequential pattern mining at k=2 (AprioriAll, Agrawal & Srikant
+    // ICDE'95 — q151's DIRECTED sibling): x→y is supported by a
+    // (user, day) basket iff some x-event precedes some y-event in it,
+    // i.e. min_ts(x) < max_ts(y) — so one per-(basket, type) min/max
+    // rollup replaces any event-pair self-join. The basket-keyed type
+    // join is |types|²-bounded per basket; support gate is the integer
+    // cross-multiply s·SeqSupDen ≥ n_baskets; confidence = support /
+    // baskets-with-both, ONE IEEE division. The ORDER is the payload:
+    // support(x→y) ≠ support(y→x) wherever sequence matters, which
+    // q151's unordered rules cannot see.
+    "q169_seq_patterns" -> ((s, d) => {
+      val tm = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        .groupBy(col("user_id"), col("day"), col("event_type"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .localCheckpoint() // feeds basket count, both join legs, both-count
+      val nb = tm.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = tm.select(col("user_id"), col("day"),
+          col("event_type").as("x"), col("mn"))
+        .join(tm.select(col("user_id"), col("day"),
+          col("event_type").as("y"), col("mx")), Seq("user_id", "day"))
+        .filter(col("x") =!= col("y"))
+        .localCheckpoint() // vocab²-bounded per basket; feeds sup + both
+      val sup = pairs.filter(col("mn") < col("mx"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("support"))
+      val both = pairs.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("n_both"))
+      sup.join(both, Seq("x", "y")).crossJoin(broadcast(nb))
+        .filter(col("support") * SeqSupDen >= col("n_baskets"))
+        .select(col("x"), col("y"), col("support"), col("n_both"),
+          col("n_baskets"),
+          (col("support").cast("double") / col("n_both")).as("confidence"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -900,6 +943,33 @@ object RelationalQueries {
            (row_number() OVER (PARTITION BY b.prev_type
               ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
          FROM big b JOIN tot t USING (prev_type)""",
+
+    // q169: same rollup, basket join, strict-precedence test, gate
+    // and single division.
+    "q169_seq_patterns" ->
+      s"""WITH tm AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events GROUP BY 1, 2, 3),
+         nb AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_baskets
+           FROM (SELECT DISTINCT user_id, day FROM tm)),
+         pairs AS (
+           SELECT a.event_type AS x, b.event_type AS y, a.mn, b.mx
+           FROM tm a JOIN tm b
+             ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type <> b.event_type),
+         sup AS (
+           SELECT x, y, CAST(count(*) AS BIGINT) AS support
+           FROM pairs WHERE mn < mx GROUP BY 1, 2),
+         withboth AS (
+           SELECT x, y, CAST(count(*) AS BIGINT) AS n_both
+           FROM pairs GROUP BY 1, 2)
+         SELECT s.x, s.y, s.support, b.n_both, nb.n_baskets,
+           CAST(s.support AS DOUBLE) / b.n_both AS confidence
+         FROM sup s JOIN withboth b ON b.x = s.x AND b.y = s.y
+         CROSS JOIN nb
+         WHERE s.support * $SeqSupDen >= nb.n_baskets""",
 
     // q166: same distinct projection, parity split and cross-multiply
     // — HUGEINT mirrors the DECIMAL(38,0) routing, booleans exact.

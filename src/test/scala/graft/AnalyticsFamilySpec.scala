@@ -579,6 +579,47 @@ class AnalyticsFamilySpec extends SparkTestBase {
         s"(${touchedRows("linear")})")
   }
 
+  test("q169: ordered supports equal a driver replay; direction is non-vacuous; gate prunes") {
+    import operators.RelationalQueries.SeqSupDen
+    val dayUs = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map { r =>
+        val us = r.getTimestamp(1).getTime * 1000
+        ((r.getLong(0), us / dayUs), r.getString(2), us)
+      }
+    val baskets = evs.groupBy(_._1)
+    val nBaskets = baskets.size.toLong
+    val sup = scala.collection.mutable.Map.empty[(String, String), Long]
+    val nBoth = scala.collection.mutable.Map.empty[(String, String), Long]
+    baskets.values.foreach { rows =>
+      val byType = rows.groupBy(_._2).view
+        .mapValues(rs => (rs.map(_._3).min, rs.map(_._3).max)).toMap
+      for (x <- byType.keys; y <- byType.keys if x != y) {
+        nBoth((x, y)) = nBoth.getOrElse((x, y), 0L) + 1
+        if (byType(x)._1 < byType(y)._2)
+          sup((x, y)) = sup.getOrElse((x, y), 0L) + 1
+      }
+    }
+    val want = sup.filter { case (k, s) => s * SeqSupDen >= nBaskets }
+      .map { case ((x, y), s) =>
+        (x, y, s, nBoth((x, y)), nBaskets, s.toDouble / nBoth((x, y))) }
+      .toSet
+    val got = SparkEntry.queries("q169_seq_patterns")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want,
+      s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // the operator's reasons to exist: the gate prunes something, and
+    // ORDER matters — some surviving x→y has a different support than
+    // its reverse
+    assert(want.nonEmpty, "no pattern survived")
+    assert(sup.size > want.size, "the support gate pruned nothing")
+    assert(got.exists { case (x, y, s, _, _, _) =>
+      sup.getOrElse((y, x), -1L) != s },
+      "every pattern is direction-symmetric — sequence adds nothing")
+  }
+
   test("q166: A/B counts and the z-squared gate equal a driver replay") {
     import operators.RelationalQueries.{AbConvK, AbZsqNum, AbZsqDen}
     val uc = Tables.events(spark, sf)

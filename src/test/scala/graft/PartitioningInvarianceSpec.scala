@@ -91,7 +91,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q164_key_skew",         // log-bin histogram + broadcast scalars
     "q165_zorder",           // bit-interleave grid + zone-map blocks
     "q166_ab_test",          // integer counts + decimal z² gate
-    "q168_good_turing")      // count-of-counts + floor GT masses
+    "q168_good_turing",      // count-of-counts + floor GT masses
+    "q169_seq_patterns")     // basket min/max join + integer gate
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

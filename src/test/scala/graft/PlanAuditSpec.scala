@@ -408,6 +408,17 @@ class PlanAuditSpec extends SparkTestBase {
       "only the 1-row totals may nested-loop\n" + p)
   }
 
+  test("q169 seq patterns: basket-keyed equi-join; windowless; scalar broadcast") {
+    val p = plan("q169_seq_patterns")
+    assert(!p.contains("CartesianProduct"),
+      "the basket pair join degenerated\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "precedence must be a min/max rollup, never a sequence window\n" + p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      "only the 1-row basket count may nested-loop\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
