@@ -225,8 +225,80 @@ object ApproxOracle {
          ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
        GROUP BY t.probe_id"""
 
+  /** q170 helper: per-probe RANKED top-AnnK from a candidate CTE —
+    * topKIds keeping the rank. Expects an `eb` CTE in scope. */
+  private def topKRanked(candCte: String): String =
+    s"""SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rn FROM (
+         SELECT c.probe_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.probe_id
+             ORDER BY list_cosine_similarity(pe.fv, e.fv) DESC,
+                      c.vec_id ASC) AS rn
+         FROM ($candCte) c
+         JOIN eb pe ON pe.vec_id = c.probe_id
+         JOIN eb e  ON e.vec_id  = c.vec_id)
+       WHERE rn <= ${VectorQueries.AnnK}"""
+
+  /** q170 helper: one arm's per-probe dcg-mass/hit rows. Expects
+    * `truth` (probe_id, vec_id, rel) and `probes` in scope. */
+  private def ndcgArm(method: String, ansCte: String): String =
+    s"""SELECT '$method' AS method, p.probe_id,
+         coalesce(h.n_hit, 0) AS n_hit,
+         coalesce(h.dcg_mass, 0) AS dcg_mass
+       FROM probes p LEFT JOIN (
+         SELECT t.probe_id,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(sum(t.rel * ${VectorQueries.NdcgMass} // a.rn)
+             AS BIGINT) AS dcg_mass
+         FROM truth t JOIN $ansCte a
+           ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+         GROUP BY 1) h ON h.probe_id = p.probe_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q70_bpe_merges" -> bpeOracle,
+
+    // q170: NDCG@k of both arms vs the graded brute truth — the q141
+    // machinery with ranks kept; rel·mass DIV position discounts as
+    // exact integers, the two divisions at the very end.
+    "q170_ann_ndcg" ->
+      s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         truth AS (
+           SELECT probe_id, vec_id,
+             ${VectorQueries.AnnK} + 1 - rn AS rel FROM (
+             SELECT pe.vec_id AS probe_id, e.vec_id,
+               row_number() OVER (PARTITION BY pe.vec_id
+                 ORDER BY list_cosine_similarity(pe.fv, e.fv) DESC,
+                          e.vec_id ASC) AS rn
+             FROM eb pe JOIN eb e
+               ON pe.vec_id < 10 AND e.vec_id <> pe.vec_id)
+           WHERE rn <= ${VectorQueries.AnnK}),
+         probes AS (SELECT DISTINCT probe_id FROM truth),
+         ivfk AS (${topKRanked(
+            s"""SELECT DISTINCT pc.probe_id, a.vec_id
+                FROM ${p("ivf_cells")} a JOIN ${p("ivf_probe_cells")} pc
+                  ON a.cell = pc.cell
+                WHERE a.vec_id <> pc.probe_id""")}),
+         lshk AS (${topKRanked(
+            s"""SELECT DISTINCT pb.vec_id AS probe_id, x.vec_id AS vec_id
+                FROM ${p("lsh_buckets")} x JOIN ${p("lsh_buckets")} pb
+                  ON x.t = pb.t AND x.bucket = pb.bucket
+                WHERE pb.vec_id < 10 AND x.vec_id <> pb.vec_id""")}),
+         arms AS (${ndcgArm("ivf", "ivfk")}
+               UNION ALL
+               ${ndcgArm("lsh", "lshk")}),
+         summ AS (
+           SELECT method, CAST(sum(dcg_mass) AS BIGINT) AS sum_dcg,
+             CAST(count(*) AS BIGINT) AS n_probes
+           FROM arms GROUP BY 1)
+         SELECT a.method, a.probe_id,
+           CAST(a.n_hit AS BIGINT) AS n_hit,
+           CAST(a.dcg_mass AS BIGINT) AS dcg_mass,
+           CAST(a.dcg_mass AS DOUBLE) / ${VectorQueries.NdcgIdealMass}
+             AS ndcg,
+           CAST(s.sum_dcg AS DOUBLE) /
+             (s.n_probes * ${VectorQueries.NdcgIdealMass}) AS mean_ndcg
+         FROM arms a JOIN summ s USING (method)""",
 
     // q141: recall@k of both approximate methods vs brute-force truth —
     // truth recomputed from the embeddings table (the q31 window), each

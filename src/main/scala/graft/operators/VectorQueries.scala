@@ -219,6 +219,17 @@ object VectorQueries {
     * budget dial, not a correctness one. */
   val KCenterK = 5
 
+  /** q170 discount mass: a truth item of graded relevance rel
+    * retrieved at arm position i contributes rel·NdcgMass DIV i —
+    * reciprocal-discounted DCG in exact integers (log2 discounts are
+    * the textbook flavor but transcendental; 1/i is the equally
+    * standard "reciprocal rank" discount and stays rational).
+    * [[NdcgIdealMass]] is the perfect-retrieval score — a constant of
+    * the (AnnK, mass) geometry. */
+  val NdcgMass = 1000000L
+  val NdcgIdealMass: Long =
+    (1 to AnnK).map(j => (AnnK + 1 - j).toLong * NdcgMass / j).sum
+
   /** The approximate k-NN GRAPH stage q104 exposes and q105 ranks over
     * — every vector's [[KnnGraphK]] best neighbors among its OWN IVF
     * cell's members (the SemDeDup/graph-dedup candidate rule: cells are
@@ -475,6 +486,54 @@ object VectorQueries {
             col("n_truth"), col("n_hit"),
             (col("n_hit").cast("double") / col("n_truth")).as("recall"))
       recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
+    }),
+
+    // Rank-weighted NDCG@k audit of the ANN arms (D8 — q141's
+    // rank-sensitive sibling): recall counts hits; NDCG grades WHICH
+    // truth items were retrieved and WHERE they landed. (MRR against
+    // the brute top-1 would be vacuous here: an exact-rescore arm
+    // provably ranks any retrieved global-best first, so its first-
+    // rank is always 0 or 1.) Relevance = AnnK+1−truth_rank, discount
+    // = reciprocal arm position, both exact integers: dcg_mass =
+    // Σ rel·NdcgMass DIV i; the per-probe ndcg and per-arm mean are
+    // the only IEEE divisions. Same probes, geometry and candidate
+    // machinery as q141.
+    "q170_ann_ndcg" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val nlist = ivfNList(n)
+      val truth = bruteTopK(e)
+        .select(col("probe_id"), col("vec_id"),
+          (lit(AnnK + 1L) - col("rn")).as("rel"))
+        .localCheckpoint() // AnnK rows/probe; feeds both arms + probes
+      val probes = truth.select(col("probe_id")).distinct()
+      val ivf = IvfIndex.topK(e, e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
+          nlist = nlist, nprobe = ivfNProbe(nlist), k = AnnK, Some(n))
+        .select(col("probe_id"), col("vec_id"), col("rn").cast("long").as("rn"))
+      val lsh = lshTopK(e)
+        .select(col("probe_id"), col("vec_id"), col("rn").cast("long").as("rn"))
+      def ndcgOf(method: String, approx: DataFrame): DataFrame = {
+        val hits = truth.join(approx, Seq("probe_id", "vec_id"))
+          .groupBy(col("probe_id"))
+          .agg(sum(expr(s"rel * $NdcgMass DIV rn")).as("dcg_mass"),
+            count(lit(1)).as("n_hit"))
+        val perProbe = probes.join(hits, Seq("probe_id"), "left")
+          .select(lit(method).as("method"), col("probe_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            coalesce(col("dcg_mass"), lit(0L)).as("dcg_mass"))
+          .localCheckpoint() // 10 rows; feeds output + the mean
+        val summ = perProbe.groupBy(col("method"))
+          .agg(sum(col("dcg_mass")).as("sum_dcg"),
+            count(lit(1)).as("n_probes"))
+        perProbe.join(summ, "method")
+          .select(col("method"), col("probe_id"), col("n_hit"),
+            col("dcg_mass"),
+            (col("dcg_mass").cast("double") / NdcgIdealMass).as("ndcg"),
+            (col("sum_dcg").cast("double") /
+              (col("n_probes") * NdcgIdealMass)).as("mean_ndcg"))
+      }
+      ndcgOf("ivf", ivf).unionByName(ndcgOf("lsh", lsh))
     }),
 
     // IVF through the WRITE PATH: the corpus materialized

@@ -31,6 +31,47 @@ class AnnRecallSpec extends SparkTestBase {
     }
   }
 
+  test("q170: dcg masses equal the registered queries' own graded-hit fold") {
+    import graft.operators.VectorQueries.{AnnK, NdcgMass, NdcgIdealMass}
+    val rel = SparkEntry.queries("q31_knn_brute")(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (AnnK + 1L - r.getLong(2)))
+      .toMap
+    def dcgOf(name: String): Map[Long, (Long, Long)] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("probe_id"), col("neighbor_id"), col("rn")).collect()
+        .flatMap { r =>
+          val k = (r.getLong(0), r.getLong(1))
+          rel.get(k).map(rl => r.getLong(0) -> (rl * NdcgMass / r.getLong(2), 1L))
+        }
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+    val expect = Map("ivf" -> dcgOf("q37_ann_ivf"), "lsh" -> dcgOf("q33_ann_lsh"))
+    val got = SparkEntry.queries("q170_ann_ndcg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 20)
+    got.foreach { case ((method, probe), (nHit, dcg, ndcg, _)) =>
+      val (wantDcg, wantHit) = expect(method).getOrElse(probe, (0L, 0L))
+      assert(dcg == wantDcg && nHit == wantHit,
+        s"$method probe $probe: audit ($nHit, $dcg), own-query ($wantHit, $wantDcg)")
+      assert(ndcg == dcg.toDouble / NdcgIdealMass)
+    }
+    Seq("ivf", "lsh").foreach { m =>
+      val rows = got.collect { case ((`m`, _), v) => v }.toSeq
+      val mean = rows.map(_._2).sum.toDouble / (rows.length * NdcgIdealMass)
+      rows.foreach(v => assert(v._4 == mean, s"$m mean ndcg"))
+    }
+    // rank-sensitivity is non-vacuous: some probe's dcg differs from
+    // the best possible arrangement of the SAME hit count — the
+    // information recall@k cannot carry
+    val bestFor = (0L to AnnK.toLong).map(h =>
+      h -> (1L to h).map(j => (AnnK + 1L - j) * NdcgMass / j).sum).toMap
+    assert(got.values.exists(v => v._1 > 0 && v._2 != bestFor(v._1)),
+      "every dcg is the best arrangement of its hit count — grading adds nothing")
+    assert(got.values.exists(v => v._1 < AnnK), "no probe misses anything")
+  }
+
   test("q141: each arm equals the registered queries' own intersection") {
     val truth = ids("q31_knn_brute")
     val expect = Map(

@@ -92,7 +92,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q165_zorder",           // bit-interleave grid + zone-map blocks
     "q166_ab_test",          // integer counts + decimal z² gate
     "q168_good_turing",      // count-of-counts + floor GT masses
-    "q169_seq_patterns")     // basket min/max join + integer gate
+    "q169_seq_patterns",     // basket min/max join + integer gate
+    "q170_ann_ndcg")         // graded-hit joins + integer dcg masses
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
