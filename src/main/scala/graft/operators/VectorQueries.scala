@@ -1232,6 +1232,58 @@ object VectorQueries {
                 round(col("adc"), 4).as("adc"))
     }),
 
+    // Reconstruction-error audit of the compression ladder (D9 —
+    // the quantizers' own quality gate, the storage-side twin of
+    // q141/q170's search-side gates): per method (raw-vector PQ,
+    // residual IVFADC-PQ, SQ8), the corpus-wide mean squared
+    // reconstruction error — THE number that decides which rung of
+    // the ladder a deployment can afford (Jégou et al. §V compare
+    // codecs exactly this way). Per-vector SSE is the codegen'd
+    // native dot of the error vector (left-to-right, bit-identical to
+    // list_dot_product); corpus aggregation routes through
+    // Num.dsum/davg so the sums are order-independent. Each decode
+    // joins model-sized broadcasts only — the corpus is scanned once
+    // per method.
+    "q171_recon_audit" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("emb"))
+      val (codes, cents) = pqModel(s, d)
+      val pqRec = joinCodebooks(codes, cents)
+        .select(col("vec_id"), reconstruction(cents).as("rec"))
+      val (rcodes, rcents, anchors) = pqResidualModel(s, d)
+      val resRec = joinCodebooks(rcodes, rcents)
+        .join(broadcast(anchors), "cell")
+        .select(col("vec_id"),
+          zip_with(col("ccv"), reconstruction(rcents), (a, b) => a + b)
+            .as("rec"))
+      val (lo, hi) = sqStats(s, d)
+      val loL = array(lo.map(lit): _*)
+      val hiL = array(hi.map(lit): _*)
+      def loAt(i: Column): Column = element_at(loL, (i + 1).cast("int"))
+      def hiAt(i: Column): Column = element_at(hiL, (i + 1).cast("int"))
+      val sqRec = e
+        .withColumn("codes", transform(col("emb"), (x, i) =>
+          when(hiAt(i) === loAt(i), lit(0)).otherwise(
+            least(lit(SqLevels - 1), greatest(lit(0),
+              floor((x - loAt(i)) / (hiAt(i) - loAt(i)) * SqLevels)
+                .cast("int"))))))
+        .select(col("vec_id"), transform(col("codes"), (c, i) =>
+          loAt(i) + (c.cast("double") + 0.5) * (hiAt(i) - loAt(i))
+            / SqLevels).as("rec"))
+      def sseOf(method: String, rec: DataFrame): DataFrame =
+        e.join(rec, "vec_id")
+          .withColumn("err", zip_with(col("emb"), col("rec"),
+            (a, b) => a - b))
+          .select(lit(method).as("method"),
+            dot(col("err"), col("err")).as("sse"))
+          .groupBy(col("method"))
+          .agg(count(lit(1)).as("n_vecs"),
+            graft.functions.Num.dsum(col("sse")).as("sse_sum"),
+            graft.functions.Num.davg(col("sse")).as("mse"))
+      sseOf("pq", pqRec)
+        .unionByName(sseOf("pq_residual", resRec))
+        .unionByName(sseOf("sq8", sqRec))
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
     // of a lexical BM25 ranker (q64's per-term statistics, summed over
     // the probe doc's terms) and the semantic cosine ranker (q31's
@@ -1611,6 +1663,9 @@ object VectorQueries {
     // q160: the greedy unrolled — same seed, same least/1−cos update,
     // same (dmin DESC, vec_id ASC) argmax, exact cosines throughout.
     "q160_kcenter" -> kcenterOracle,
+
+    // q171: all three decoders replayed + error dots + decimal sums.
+    "q171_recon_audit" -> reconAuditOracle,
 
     // q106: the full eigensolve replayed from the exported moments —
     // see pcaOracle/pcaChain below.
@@ -2982,6 +3037,85 @@ object VectorQueries {
 
   /** One suffixed Lloyd chain per PQ subspace, with the codebook size
     * derived from count(*) — the generated half of the q95/q96 oracles. */
+  /** The full q171 oracle: all three decoders replayed — the PQ and
+    * residual Lloyd chains (the q95/q97 generators), the SQ8 grid (the
+    * q98 CTEs), elementwise error lists, list_dot_product SSEs, and
+    * the Num.dsum/davg decimal mirror. */
+  private def reconAuditOracle: String = {
+    val pqJoins =
+      ((1 until PqM).map(i => s"JOIN a2_p$i USING (vec_id)") ++
+        (0 until PqM).map(i => s"JOIN c1_p$i p$i ON p$i.cid = a2_p$i.cid"))
+        .mkString("\n           ")
+    val rJoins =
+      ((1 until PqM).map(i => s"JOIN a2_r$i USING (vec_id)") ++
+        (0 until PqM).map(i => s"JOIN c1_r$i p$i ON p$i.cid = a2_r$i.cid"))
+        .mkString("\n           ")
+    def arm(method: String, recCte: String): String =
+      s"""SELECT '$method' AS method, list_dot_product(dl, dl) AS sse
+         FROM (SELECT list_transform(generate_series(1, len(eb.fv)),
+                 i -> eb.fv[i] - r.rec[i]) AS dl
+               FROM eb JOIN $recCte r USING (vec_id))"""
+    s"""WITH eb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings),
+         $pqChainsSql,
+         pqrec AS (
+           SELECT a2_p0.vec_id, $pqConcatSql AS rec
+           FROM a2_p0
+           $pqJoins),
+         cm AS (
+           SELECT cell, pos,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS cx
+           FROM (SELECT a.cell, unnest(eb.fv) AS x,
+                        unnest(range(len(eb.fv))) AS pos
+                 FROM ${graft.OracleExport.p("ivf_cells")} a
+                 JOIN eb ON eb.vec_id = a.vec_id)
+           GROUP BY cell, pos),
+         cc AS (SELECT cell, list(cx ORDER BY pos) AS ccv
+                FROM cm GROUP BY cell),
+         rs AS (
+           SELECT eb.vec_id,
+             list_transform(generate_series(1, len(eb.fv)),
+               i -> eb.fv[i] - cc.ccv[i]) AS rv
+           FROM eb
+           JOIN ${graft.OracleExport.p("ivf_cells")} a ON a.vec_id = eb.vec_id
+           JOIN cc ON cc.cell = a.cell),
+         $pqResidualChainsSql,
+         rrec AS (
+           SELECT a2_r0.vec_id,
+             list_transform(generate_series(1, len(cc.ccv)),
+               i -> cc.ccv[i] + ($pqConcatSql)[i]) AS rec
+           FROM a2_r0
+           $rJoins
+           JOIN ${graft.OracleExport.p("ivf_cells")} a
+             ON a.vec_id = a2_r0.vec_id
+           JOIN cc ON cc.cell = a.cell),
+         ex AS (
+           SELECT vec_id, unnest(fv) AS x, unnest(range(len(fv))) AS pos
+           FROM eb),
+         st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+         cd AS (
+           SELECT vec_id, pos, lo, hi,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(${SqLevels - 1}, greatest(0,
+                    CAST(floor((x - lo) / (hi - lo) * $SqLevels) AS INT)))
+             END AS code
+           FROM ex JOIN st USING (pos)),
+         sqrec AS (
+           SELECT vec_id,
+             list(lo + (code + 0.5) * (hi - lo) / $SqLevels ORDER BY pos)
+               AS rec
+           FROM cd GROUP BY vec_id),
+         sses AS (${arm("pq", "pqrec")}
+               UNION ALL ${arm("pq_residual", "rrec")}
+               UNION ALL ${arm("sq8", "sqrec")})
+         SELECT method, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(sse AS DECIMAL(38,6))) AS DOUBLE) AS sse_sum,
+           CAST(sum(CAST(sse AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+             AS mse
+         FROM sses GROUP BY 1"""
+  }
+
   private def pqChainsSql: String =
     (0 until PqM).map(i =>
       kmLloyd2CtesSub(s"_p$i", pqSliceSql(i, PqM), "eb", pqKSql)).mkString(",\n         ")

@@ -72,6 +72,51 @@ class AnnRecallSpec extends SparkTestBase {
     assert(got.values.exists(v => v._1 < AnnK), "no probe misses anything")
   }
 
+  test("q171: ladder ordering holds; sq8 arm equals a driver replay; mse is the exact ratio") {
+    import graft.operators.VectorQueries.SqLevels
+    val got = SparkEntry.queries("q171_recon_audit")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("pq", "pq_residual", "sq8"))
+    val n = graft.operators.VectorQueries.emb(spark, sf).count()
+    got.values.foreach { case (nv, sseSum, mse) =>
+      assert(nv == n && mse == sseSum / nv)
+    }
+    // the published ladder ordering, corpus-wide: residual coding beats
+    // raw-vector PQ at the same code budget (Jégou §IV), and SQ8's
+    // 16× larger codes beat both
+    assert(got("pq_residual")._2 < got("pq")._2,
+      "residual coding must beat raw-vector PQ")
+    assert(got("sq8")._2 < got("pq_residual")._2,
+      "sq8 must beat the 4-byte codes")
+    // independent driver replay of the SQ8 arm (grid, codes, recon,
+    // error dots, decimal-rounded sum)
+    val vecs = graft.operators.VectorQueries.emb(spark, sf).collect()
+      .map(r => r.getSeq[Double](2).toArray)
+    val dim = vecs.head.length
+    val lo = (0 until dim).map(i => vecs.map(_(i)).min)
+    val hi = (0 until dim).map(i => vecs.map(_(i)).max)
+    val sseSum = vecs.map { v =>
+      var sse = 0.0
+      var i = 0
+      while (i < dim) {
+        val rec =
+          if (hi(i) == lo(i)) lo(i) + 0.5 * (hi(i) - lo(i)) / SqLevels
+          else {
+            val c = math.min(SqLevels - 1,
+              math.max(0, math.floor((v(i) - lo(i)) / (hi(i) - lo(i)) * SqLevels).toInt))
+            lo(i) + (c + 0.5) * (hi(i) - lo(i)) / SqLevels
+          }
+        val e = v(i) - rec
+        sse += e * e
+        i += 1
+      }
+      BigDecimal(sse).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(got("sq8")._2 == sseSum.toDouble,
+      s"sq8 sse ${got("sq8")._2} != driver replay $sseSum")
+  }
+
   test("q141: each arm equals the registered queries' own intersection") {
     val truth = ids("q31_knn_brute")
     val expect = Map(

@@ -93,7 +93,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q166_ab_test",          // integer counts + decimal z² gate
     "q168_good_turing",      // count-of-counts + floor GT masses
     "q169_seq_patterns",     // basket min/max join + integer gate
-    "q170_ann_ndcg")         // graded-hit joins + integer dcg masses
+    "q170_ann_ndcg",         // graded-hit joins + integer dcg masses
+    "q171_recon_audit")      // three decodes + decimal-routed SSE sums
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
