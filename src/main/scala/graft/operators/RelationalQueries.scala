@@ -76,6 +76,48 @@ object RelationalQueries {
   private[graft] val ZBoxLo = 8L
   private[graft] val ZBoxHi = 15L
 
+  /** The q166 tail over ANY (user_id, event_type, k) per-user count
+    * table — variant split, conversion gate, grid, rates, z² test.
+    * Shared with the streaming twin (q172): per-user counts are
+    * addition-mergeable, so the stream's merge-on-read sums feed the
+    * IDENTICAL tail. */
+  def abTestView(ut0: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ut = ut0
+      .localCheckpoint() // feeds per-variant user and converter counts
+    val users = ut.select(col("user_id")).distinct()
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"))
+    val conv = ut.filter(col("k") >= AbConvK)
+      .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("c"))
+    // explicit (type × variant) grid so a variant with ZERO
+    // converters still contributes (c=0, n) instead of a NULL leg
+    val wide = ut.select(col("event_type")).distinct()
+      .crossJoin(broadcast(users))
+      .join(conv, Seq("event_type", "variant"), "left")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, coalesce(col("c"), lit(0L))))
+          .as("c1"),
+        sum(when(col("variant") === 0, col("n"))).as("n1"),
+        sum(when(col("variant") === 1, coalesce(col("c"), lit(0L))))
+          .as("c2"),
+        sum(when(col("variant") === 1, col("n"))).as("n2"))
+    wide.select(col("event_type"), col("n1"), col("c1"), col("n2"),
+        col("c2"),
+        (col("c1").cast("double") / col("n1")).as("rate1"),
+        (col("c2").cast("double") / col("n2")).as("rate2"),
+        ((col("c1").cast(dec) * col("n2").cast(dec) -
+            col("c2").cast(dec) * col("n1").cast(dec)) *
+          (col("c1").cast(dec) * col("n2").cast(dec) -
+            col("c2").cast(dec) * col("n1").cast(dec)) *
+          (col("n1") + col("n2")).cast(dec) * AbZsqDen >
+          lit(AbZsqNum).cast(dec) * col("n1").cast(dec) *
+            col("n2").cast(dec) * (col("c1") + col("c2")).cast(dec) *
+            (col("n1") + col("n2") - col("c1") - col("c2")).cast(dec))
+          .as("significant"))
+  }
+
   /** The q162 tail over ANY (event_type, day, x) daily-count table —
     * totals, prefix deviations, prefix-min closed form, squared alarm
     * bar. Shared with the streaming twin (q167), whose merge-on-read
@@ -530,44 +572,10 @@ object RelationalQueries {
     // divisions over exact integers. Scale: one (user, type) count
     // pass, per-variant integer rollups, a vocab-bounded result — the
     // fact table shuffles once, on the (user, type) key.
-    "q166_ab_test" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val ut = events(s, d)
+    "q166_ab_test" -> ((s, d) =>
+      abTestView(events(s, d)
         .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("k"))
-        .localCheckpoint() // feeds per-variant user and converter counts
-      val users = ut.select(col("user_id")).distinct()
-        .groupBy((col("user_id") % 2).as("variant"))
-        .agg(count(lit(1)).as("n"))
-      val conv = ut.filter(col("k") >= AbConvK)
-        .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
-        .agg(count(lit(1)).as("c"))
-      // explicit (type × variant) grid so a variant with ZERO
-      // converters still contributes (c=0, n) instead of a NULL leg
-      val wide = ut.select(col("event_type")).distinct()
-        .crossJoin(broadcast(users))
-        .join(conv, Seq("event_type", "variant"), "left")
-        .groupBy(col("event_type"))
-        .agg(sum(when(col("variant") === 0, coalesce(col("c"), lit(0L))))
-            .as("c1"),
-          sum(when(col("variant") === 0, col("n"))).as("n1"),
-          sum(when(col("variant") === 1, coalesce(col("c"), lit(0L))))
-            .as("c2"),
-          sum(when(col("variant") === 1, col("n"))).as("n2"))
-      wide.select(col("event_type"), col("n1"), col("c1"), col("n2"),
-          col("c2"),
-          (col("c1").cast("double") / col("n1")).as("rate1"),
-          (col("c2").cast("double") / col("n2")).as("rate2"),
-          ((col("c1").cast(dec) * col("n2").cast(dec) -
-              col("c2").cast(dec) * col("n1").cast(dec)) *
-            (col("c1").cast(dec) * col("n2").cast(dec) -
-              col("c2").cast(dec) * col("n1").cast(dec)) *
-            (col("n1") + col("n2")).cast(dec) * AbZsqDen >
-            lit(AbZsqNum).cast(dec) * col("n1").cast(dec) *
-              col("n2").cast(dec) * (col("c1") + col("c2")).cast(dec) *
-              (col("n1") + col("n2") - col("c1") - col("c2")).cast(dec))
-            .as("significant"))
-    }),
+        .agg(count(lit(1)).as("k")))),
 
     // Sequential pattern mining at k=2 (AprioriAll, Agrawal & Srikant
     // ICDE'95 — q151's DIRECTED sibling): x→y is supported by a

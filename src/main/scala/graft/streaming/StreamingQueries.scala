@@ -524,6 +524,25 @@ object StreamingQueries {
         StreamingCusum.daily(s, store))
     }),
 
+    // ST × W10: q166's A/B test as a STREAM — partial (user, type)
+    // counts under batch_id, LSM-folded, merge-on-read SUM feeding the
+    // SAME abTestView code; the conversion gate applies at read (a
+    // per-batch gate would miss users who cross the bar across
+    // batches); oracle IS q166's batch SQL.
+    "q172_stream_ab" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q172-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q172-store"))
+      val ckpt = tmp("graft-q172-ckpt")
+      withCompactionEvery2(s) {
+        StreamingAbTest.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.abTestView(
+        StreamingAbTest.userCounts(s, store))
+    }),
+
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
@@ -682,6 +701,11 @@ object StreamingQueries {
     // counts must equal the one-shot rollup by algebra
     "q167_stream_cusum" ->
       graft.operators.RelationalQueries.oracleSql("q162_cusum"),
+
+    // identical derivation to the q166 batch chain — the read-time
+    // conversion gate over merged counts must equal the one-shot gate
+    "q172_stream_ab" ->
+      graft.operators.RelationalQueries.oracleSql("q166_ab_test"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

@@ -82,6 +82,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q167")
   }
 
+  test("q172: streamed A/B monitor equals the one-shot batch test") {
+    val got = q("q172_stream_ab")
+    val want = SparkEntry.queries("q166_ab_test")(spark, sf)
+    assert(got.count() > 0, "no experiment rows streamed")
+    assertSame(got, want, "q172")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")
