@@ -52,7 +52,8 @@ object ClusterVerify {
     "q157_label_noise", "q158_random_walks", "q159_ams_f2",
     "q160_kcenter", "q161_markov", "q162_cusum", "q164_key_skew",
     "q165_zorder", "q166_ab_test", "q168_good_turing",
-    "q169_seq_patterns", "q170_ann_ndcg", "q171_recon_audit")
+    "q169_seq_patterns", "q170_ann_ndcg", "q171_recon_audit",
+    "q173_media_gates")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

@@ -12,7 +12,55 @@ import graft.Tables._
   */
 object MultimodalQueries {
 
+  /** q173 media-gate bars — each sits INSIDE the harness feature
+    * ranges (luma 107–144, popcount 26–38, rms 8453–8508, frames 2–8),
+    * so every gate provably keeps AND drops; comparisons are against
+    * deterministically-decoded values, so the cascade is exact. */
+  private[graft] val MgMinBytes = 1000L
+  private[graft] val MgLumaLo = 110.0
+  private[graft] val MgLumaHi = 140.0
+  private[graft] val MgHashLo = 28L
+  private[graft] val MgHashHi = 36L
+  private[graft] val MgRmsMin = 8470.0
+  private[graft] val MgMinFrames = 3L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Media curation filter cascade (L4 × D5 — q143's multimodal
+    // twin): the keep/drop funnel a multimodal training set runs over
+    // its decoded assets. Per-modality integer/exact gates — payload
+    // size, luma exposure band (too dark/bright), aHash bit balance
+    // (near-constant images), audio silence, degenerate 1-frame
+    // "videos" — composed in a fixed order with a first_fail
+    // attribution, exactly the audit shape a curation pipeline needs
+    // to see WHERE its corpus dies. One pass over the memoized decode
+    // stage; every bar sits inside the harness feature ranges, so
+    // every gate provably keeps AND drops (the q143/q151 doctrine).
+    "q173_media_gates" -> ((s, d) => {
+      val isImg = col("modality").isin("image", "video")
+      val pop = expr("CAST(bit_count(ahash) AS BIGINT)")
+      mediaFeaturesStage(s, d)
+        .withColumn("pass_bytes", (col("n_bytes") >= MgMinBytes).cast("long"))
+        .withColumn("pass_luma", (!isImg ||
+          (col("mean_luma") >= MgLumaLo && col("mean_luma") <= MgLumaHi))
+          .cast("long"))
+        .withColumn("pass_hash", (!isImg ||
+          (pop >= MgHashLo && pop <= MgHashHi)).cast("long"))
+        .withColumn("pass_rms", (col("modality") =!= "audio" ||
+          col("rms") >= MgRmsMin).cast("long"))
+        .withColumn("pass_frames", (col("modality") =!= "video" ||
+          col("n_frames") >= MgMinFrames).cast("long"))
+        .withColumn("first_fail",
+          when(col("pass_bytes") === 0L, 1L)
+            .when(col("pass_luma") === 0L, 2L)
+            .when(col("pass_hash") === 0L, 3L)
+            .when(col("pass_rms") === 0L, 4L)
+            .when(col("pass_frames") === 0L, 5L)
+            .otherwise(0L))
+        .withColumn("keep", (col("first_fail") === 0L).cast("long"))
+        .select(col("asset_id"), col("modality"), col("pass_bytes"),
+          col("pass_luma"), col("pass_hash"), col("pass_rms"),
+          col("pass_frames"), col("first_fail"), col("keep"))
+    }),
     // Decode pipeline rollup per modality (L4): asset counts, payload
     // bytes, frame totals — runs the full mapPartitions decode path.
     "q35_multimodal_stats" -> ((s, d) => {
@@ -215,6 +263,42 @@ object MultimodalQueries {
         .toDF().localCheckpoint())
 
   val oracleSql: Map[String, String] = Map(
+    // q173: identical gate cascade over the exported decoded features.
+    "q173_media_gates" ->
+      s"""WITH m AS (SELECT * FROM $media),
+         g AS (
+           SELECT asset_id, modality,
+             CASE WHEN n_bytes >= $MgMinBytes THEN 1 ELSE 0 END AS pass_bytes,
+             CASE WHEN modality NOT IN ('image', 'video')
+                    OR (mean_luma >= $MgLumaLo AND mean_luma <= $MgLumaHi)
+                  THEN 1 ELSE 0 END AS pass_luma,
+             CASE WHEN modality NOT IN ('image', 'video')
+                    OR (bit_count(ahash) >= $MgHashLo
+                        AND bit_count(ahash) <= $MgHashHi)
+                  THEN 1 ELSE 0 END AS pass_hash,
+             CASE WHEN modality <> 'audio' OR rms >= $MgRmsMin
+                  THEN 1 ELSE 0 END AS pass_rms,
+             CASE WHEN modality <> 'video' OR n_frames >= $MgMinFrames
+                  THEN 1 ELSE 0 END AS pass_frames
+           FROM m)
+         SELECT asset_id, modality,
+           CAST(pass_bytes AS BIGINT) AS pass_bytes,
+           CAST(pass_luma AS BIGINT) AS pass_luma,
+           CAST(pass_hash AS BIGINT) AS pass_hash,
+           CAST(pass_rms AS BIGINT) AS pass_rms,
+           CAST(pass_frames AS BIGINT) AS pass_frames,
+           CAST(CASE WHEN pass_bytes = 0 THEN 1
+                     WHEN pass_luma = 0 THEN 2
+                     WHEN pass_hash = 0 THEN 3
+                     WHEN pass_rms = 0 THEN 4
+                     WHEN pass_frames = 0 THEN 5
+                     ELSE 0 END AS BIGINT) AS first_fail,
+           CAST(CASE WHEN pass_bytes = 1 AND pass_luma = 1
+                      AND pass_hash = 1 AND pass_rms = 1
+                      AND pass_frames = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM g""",
+
     // Mirrors assetsFromDocuments + decodeStub arithmetic: modality by
     // doc_id%3, payload = utf8 bytes of text, duration = n_chars*10 ms,
     // video frames = max(1, duration/1000 int-div), others 1.

@@ -94,7 +94,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q168_good_turing",      // count-of-counts + floor GT masses
     "q169_seq_patterns",     // basket min/max join + integer gate
     "q170_ann_ndcg",         // graded-hit joins + integer dcg masses
-    "q171_recon_audit")      // three decodes + decimal-routed SSE sums
+    "q171_recon_audit",      // three decodes + decimal-routed SSE sums
+    "q173_media_gates")      // per-row exact gates over the decode stage
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"
