@@ -53,7 +53,8 @@ object ClusterVerify {
     "q160_kcenter", "q161_markov", "q162_cusum", "q164_key_skew",
     "q165_zorder", "q166_ab_test", "q168_good_turing",
     "q169_seq_patterns", "q170_ann_ndcg", "q171_recon_audit",
-    "q173_media_gates")
+    "q173_media_gates", "q174_k_anonymity", "q175_attribution",
+    "q176_discretize", "q177_decayed_popularity")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

@@ -59,6 +59,22 @@ object RelationalQueries {
     * keeps AND prunes at every SF. */
   private[graft] val SeqSupDen = 12L
 
+  /** q174 k-anonymity bar: a quasi-identifier group is re-identifiable
+    * when fewer than this many rows share it (Sweeney '02's k). */
+  private[graft] val KAnonK = 5L
+
+  /** q176 discretizer geometry: 256 fixed value bins (the q147 grid,
+    * one dimension) and the percentile mass scale. */
+  private[graft] val DiscBins = 256L
+  private[graft] val DiscMass = 1000000L
+
+  /** q177 decay geometry: the weight of an event halves every
+    * [[PopHalfLifeDays]] days — implemented as the EXACT integer
+    * PopMass >> (age DIV halflife), so decayed masses are BIGINTs and
+    * shards merge by addition. */
+  private[graft] val PopMass = 1048576L
+  private[graft] val PopHalfLifeDays = 7L
+
   /** q166 conversion bar: a user "converts" on a type after ≥ this
     * many events of it — sits at the harness's per-(user, type)
     * density (~13 at every SF), so conversion rates land mid-range
@@ -614,6 +630,132 @@ object RelationalQueries {
           (col("support").cast("double") / col("n_both")).as("confidence"))
     }),
 
+    // k-anonymity audit across a generalization ladder (Sweeney '02 —
+    // the privacy gate a dataset release runs BEFORE publication):
+    // for each generalization level of the quasi-identifier (full QI →
+    // drop the account band → region only), the group-size profile:
+    // min k (the anonymity certificate), re-identifiable groups/rows
+    // at k < KAnonK, and the suppression fraction a k-anonymous
+    // release would pay — the Mondrian question "how coarse must we
+    // generalize" answered as one table. Integer counts end-to-end,
+    // ONE IEEE division per level; nation is a broadcast dim; each
+    // level is a vocab-bounded rollup of the same joined scan.
+    "q174_k_anonymity" -> ((s, d) => {
+      val c = customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("region"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("band"))
+        .localCheckpoint() // one scan feeds all three ladder levels
+      def level(lvl: Long, desc: String, keys: Seq[Column]): DataFrame =
+        c.groupBy(keys: _*).agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("n_groups"), min(col("k")).as("min_k"),
+            sum(when(col("k") < KAnonK, 1L).otherwise(0L))
+              .as("n_risky_groups"),
+            sum(when(col("k") < KAnonK, col("k")).otherwise(0L))
+              .as("n_risky_rows"),
+            sum(col("k")).as("n_rows"))
+          .select(lit(lvl).as("level"), lit(desc).as("qi"),
+            col("n_groups"), col("min_k"), col("n_risky_groups"),
+            col("n_risky_rows"),
+            (col("n_risky_rows").cast("double") / col("n_rows"))
+              .as("risky_frac"),
+            (col("min_k") >= KAnonK).as("k_anonymous"))
+      level(0L, "region+segment+band",
+          Seq(col("region"), col("c_mktsegment"), col("band")))
+        .unionByName(level(1L, "region+segment",
+          Seq(col("region"), col("c_mktsegment"))))
+        .unionByName(level(2L, "region", Seq(col("region"))))
+    }),
+
+    // Marketing-touch revenue attribution (the warehouse-standard
+    // first/last-touch models): each purchase credits its value to the
+    // most recent — and, for the first-touch model, the earliest —
+    // PRECEDING view/click in the user's (ts, event_id)-ordered
+    // stream; 'direct' when no touch precedes. One user-keyed
+    // window with an UNBOUNDED-PRECEDING-to-−1 ROWS frame computes
+    // both models in one sort (ignoreNulls last/first — the SQL
+    // idiom for "carry the latest matching event forward"); revenue
+    // sums route through Num.dsumR (order-independent), counts stay
+    // integers. Channel cardinality bounds the result.
+    "q175_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click"),
+        col("event_type"))
+      val p = events(s, d)
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("value"), col("lt"), col("ft"))
+        .localCheckpoint() // purchases only; feeds both models
+      def model(m: String, c: Column): DataFrame =
+        p.groupBy(coalesce(c, lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            graft.functions.Num.dsumR(col("value"), 2).as("revenue"))
+          .select(lit(m).as("model"), col("channel"),
+            col("n_purchases"), col("revenue"))
+      model("last", col("lt")).unionByName(model("first", col("ft")))
+    }),
+
+    // Quantile discretization (the MLlib QuantileDiscretizer /
+    // feature-binning transform, done the 100 TB way): per-row
+    // percentile features WITHOUT a global sort — a 256-bin fixed grid
+    // between the corpus min/max (one agg barrier), per-bin counts and
+    // a running cum-below over the GEOMETRY-BOUNDED bin table (the
+    // only window), broadcast back into a windowless per-row
+    // transform: pct_mass = cum_below·M DIV n, the percentile floor
+    // in integer mass units. Row-linear, one fact shuffle (the bin
+    // rollup), the transform itself shuffle-free.
+    "q176_discretize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_id"), col("value"))
+      val st = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      val binned = ev.crossJoin(broadcast(st))
+        .select(col("event_id"), col("n"),
+          least(lit(DiscBins - 1), greatest(lit(0L),
+            floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+              * DiscBins).cast("long"))).as("bin"))
+        .localCheckpoint() // feeds the bin rollup + the transform
+      val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_below",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("bin").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bin"), col("cum_below"))
+      binned.join(broadcast(cum), "bin")
+        .select(col("event_id"), col("bin"),
+          expr(s"cum_below * $DiscMass DIV n").as("pct_mass"))
+    }),
+
+    // Time-decayed popularity (the feature-store freshness score:
+    // exponential half-life counting, Cormode et al.'s decayed
+    // aggregates): every event weighs PopMass >> (age DIV halflife) —
+    // the EXACT integer power-of-two decay, so masses are BIGINTs,
+    // shards/streams merge by addition, and no transcendental exp()
+    // ever appears. One fact rollup + a broadcast day-origin scalar;
+    // share = ONE IEEE division against the broadcast total.
+    "q177_decayed_popularity" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val mx = daily.agg(max(col("day")).as("dmax"))
+      val mass = daily.crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          expr(s"shiftright($PopMass, " +
+            s"CAST((dmax - day) DIV $PopHalfLifeDays AS INT))").as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_mass"))
+        .localCheckpoint() // vocab rows; feeds output + the total
+      val tot = mass.agg(sum(col("decayed_mass")).as("t"))
+      mass.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_events"), col("decayed_mass"),
+          (col("decayed_mass").cast("double") / col("t")).as("share"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -951,6 +1093,89 @@ object RelationalQueries {
            (row_number() OVER (PARTITION BY b.prev_type
               ORDER BY b.cnt DESC, b.next_type ASC)) = 1 AS is_top
          FROM big b JOIN tot t USING (prev_type)""",
+
+    // q175: the same one-window two-model attribution; IGNORE NULLS
+    // frames match Spark's ignoreNulls last/first exactly.
+    "q175_attribution" -> {
+      def model(m: String, c: String): String =
+        s"""SELECT '$m' AS model, coalesce($c, 'direct') AS channel,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS revenue
+           FROM p GROUP BY 2"""
+      s"""WITH a AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN event_type END IGNORE NULLS) OVER w AS lt,
+             first_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN event_type END IGNORE NULLS) OVER w AS ft
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         p AS (SELECT * FROM a WHERE event_type = 'purchase')
+         ${model("last", "lt")}
+         UNION ALL ${model("first", "ft")}"""
+    },
+
+    // q176: same grid, same bounded running sum, same floor mass.
+    "q176_discretize" ->
+      s"""WITH st AS (
+           SELECT min(value) AS lo, max(value) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events),
+         binned AS (
+           SELECT event_id, st.n,
+             least(${DiscBins - 1}, greatest(0,
+               CAST(floor((value - st.lo) / (st.hi - st.lo) * $DiscBins)
+                 AS BIGINT))) AS bin
+           FROM events CROSS JOIN st),
+         cum AS (
+           SELECT bin, CAST(coalesce(sum(cnt) OVER (ORDER BY bin ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_below
+           FROM (SELECT bin, count(*) AS cnt FROM binned GROUP BY 1))
+         SELECT b.event_id, b.bin,
+           CAST(c.cum_below * $DiscMass // b.n AS BIGINT) AS pct_mass
+         FROM binned b JOIN cum c USING (bin)""",
+
+    // q177: same day-origin scalar, the identical power-of-two decay.
+    "q177_decayed_popularity" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         mx AS (SELECT max(day) AS dmax FROM daily),
+         mass AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum($PopMass >> CAST((mx.dmax - day)
+               // $PopHalfLifeDays AS INT)) AS BIGINT) AS decayed_mass
+           FROM daily CROSS JOIN mx GROUP BY 1),
+         tot AS (SELECT CAST(sum(decayed_mass) AS BIGINT) AS t FROM mass)
+         SELECT event_type, n_events, decayed_mass,
+           CAST(decayed_mass AS DOUBLE) / tot.t AS share
+         FROM mass CROSS JOIN tot""",
+
+    // q174: same ladder, identical group-size profiles per level.
+    "q174_k_anonymity" -> {
+      def lvl(l: Int, desc: String, keys: String): String =
+        s"""SELECT CAST($l AS BIGINT) AS level, '$desc' AS qi,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(sum(CASE WHEN k < $KAnonK THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_risky_groups,
+             CAST(sum(CASE WHEN k < $KAnonK THEN k ELSE 0 END)
+               AS BIGINT) AS n_risky_rows,
+             CAST(sum(CASE WHEN k < $KAnonK THEN k ELSE 0 END) AS DOUBLE)
+               / sum(k) AS risky_frac,
+             min(k) >= $KAnonK AS k_anonymous
+           FROM (SELECT $keys, count(*) AS k FROM c GROUP BY ALL)"""
+      s"""WITH c AS (
+           SELECT n.n_regionkey AS region, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+           FROM customer JOIN nation n ON n.n_nationkey = c_nationkey)
+         ${lvl(0, "region+segment+band", "region, c_mktsegment, band")}
+         UNION ALL ${lvl(1, "region+segment", "region, c_mktsegment")}
+         UNION ALL ${lvl(2, "region", "region")}"""
+    },
 
     // q169: same rollup, basket join, strict-precedence test, gate
     // and single division.

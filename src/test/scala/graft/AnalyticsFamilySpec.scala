@@ -579,6 +579,133 @@ class AnalyticsFamilySpec extends SparkTestBase {
         s"(${touchedRows("linear")})")
   }
 
+  test("q174: ladder profiles equal a driver replay; generalization actually helps") {
+    import operators.RelationalQueries.KAnonK
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](2).longValue)
+      .toMap
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (nations(r.getAs[Number](0).longValue), r.getString(1),
+        math.floor(r.getDouble(2) / 2000).toLong))
+    def profile(key: ((Long, String, Long)) => Any): (Long, Long, Long, Long, Long) = {
+      val ks = rows.groupBy(key).values.map(_.length.toLong).toSeq
+      (ks.length.toLong, ks.min, ks.count(_ < KAnonK).toLong,
+        ks.filter(_ < KAnonK).sum, ks.sum)
+    }
+    val want = Map(
+      0L -> profile(identity),
+      1L -> profile(t => (t._1, t._2)),
+      2L -> profile(_._1))
+    val got = SparkEntry.queries("q174_k_anonymity")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.foreach { case (lvl, (ng, mk, rg, rr, frac, anon)) =>
+      val (wng, wmk, wrg, wrr, wn) = want(lvl)
+      assert((ng, mk, rg, rr) == ((wng, wmk, wrg, wrr)), s"level $lvl")
+      assert(frac == wrr.toDouble / wn && anon == (mk >= KAnonK))
+    }
+    // the ladder's reason to exist: generalizing must monotonically
+    // shrink risk, and the ladder must cross the bar somewhere
+    assert(got(0L)._4 >= got(1L)._4 && got(1L)._4 >= got(2L)._4)
+    assert(got.values.exists(!_._6) && got.values.exists(_._6),
+      "ladder never crosses the k-anonymity bar — nothing audited")
+  }
+
+  test("q175: attribution equals a driver replay; the two models genuinely differ") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime * 1000,
+        r.getLong(2)), r.getString(3), r.getDouble(4)))
+    val attributed = evs.groupBy(_._1).values.flatMap { rows =>
+      var lt: Option[String] = None
+      var ft: Option[String] = None
+      rows.sortBy(_._2).flatMap { case (_, _, tpe, v) =>
+        val out = if (tpe == "purchase")
+          Some((lt.getOrElse("direct"), ft.getOrElse("direct"), v))
+        else None
+        if (tpe == "view" || tpe == "click") {
+          lt = Some(tpe); if (ft.isEmpty) ft = Some(tpe)
+        }
+        out
+      }
+    }.toSeq
+    def agg(sel: ((String, String, Double)) => String) =
+      attributed.groupBy(sel).view.mapValues { vs =>
+        (vs.length.toLong,
+          vs.map(v => BigDecimal(v._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    val want = Map("last" -> agg(_._1), "first" -> agg(_._2))
+    val got = SparkEntry.queries("q175_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet ==
+      want.toSeq.flatMap { case (m, cs) => cs.keys.map(m -> _) }.toSet)
+    got.foreach { case ((m, ch), v) =>
+      assert(v == want(m)(ch), s"$m/$ch: got $v want ${want(m)(ch)}")
+    }
+    // ordering matters: the two models must disagree on some channel
+    val lastM = got.collect { case (("last", c), v) => c -> v }.toMap
+    val firstM = got.collect { case (("first", c), v) => c -> v }.toMap
+    assert(lastM != firstM, "first- and last-touch agree everywhere — order vacuous")
+  }
+
+  test("q176: percentile masses equal a driver replay and are monotone in value") {
+    import operators.RelationalQueries.{DiscBins, DiscMass}
+    val vals = Tables.events(spark, sf)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (lo, hi, n) = (vals.values.min, vals.values.max, vals.size.toLong)
+    def binOf(v: Double): Long = math.min(DiscBins - 1,
+      math.max(0L, math.floor((v - lo) / (hi - lo) * DiscBins).toLong))
+    val cnt = vals.values.groupBy(binOf).view.mapValues(_.size.toLong).toMap
+    def cumBelow(b: Long): Long = cnt.filter(_._1 < b).values.sum
+    val got = SparkEntry.queries("q176_discretize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == vals.keySet)
+    got.foreach { case (id, (bin, pm)) =>
+      assert(bin == binOf(vals(id)) && pm == cumBelow(bin) * DiscMass / n,
+        s"event $id")
+    }
+    // the transform's contract: monotone in the raw value, and spread
+    // (not everything in one bin)
+    val sorted = vals.toSeq.sortBy(_._2).map(t => got(t._1)._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    assert(got.values.map(_._1).toSet.size > 10, "degenerate binning")
+  }
+
+  test("q177: decayed masses equal a driver replay; decay is non-vacuous") {
+    import operators.RelationalQueries.{PopMass, PopHalfLifeDays}
+    val dayUs = 86400000000L
+    val days = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), (r.getTimestamp(1).getTime * 1000) / dayUs))
+    val dmax = days.map(_._2).max
+    val want = days.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.map { case (_, d) =>
+        PopMass >> ((dmax - d) / PopHalfLifeDays).toInt }.sum)
+    }.toMap
+    val t = want.values.map(_._2).sum
+    val got = SparkEntry.queries("q177_decayed_popularity")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (tpe, (n, m, share)) =>
+      assert((n, m) == want(tpe) && share == m.toDouble / t, tpe)
+    }
+    // decay must bite: old events weigh strictly less than PopMass,
+    // and the freshest events still weigh exactly PopMass
+    assert(days.exists { case (_, d) => dmax - d >= PopHalfLifeDays })
+    got.foreach { case (tpe, (n, m, _)) =>
+      assert(m < n * PopMass, s"$tpe: no event decayed") }
+    assert(days.exists { case (_, d) => d == dmax }, "no full-weight events")
+  }
+
   test("q169: ordered supports equal a driver replay; direction is non-vacuous; gate prunes") {
     import operators.RelationalQueries.SeqSupDen
     val dayUs = 86400000000L

@@ -95,7 +95,11 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q169_seq_patterns",     // basket min/max join + integer gate
     "q170_ann_ndcg",         // graded-hit joins + integer dcg masses
     "q171_recon_audit",      // three decodes + decimal-routed SSE sums
-    "q173_media_gates")      // per-row exact gates over the decode stage
+    "q173_media_gates",      // per-row exact gates over the decode stage
+    "q174_k_anonymity",      // ladder of bounded group-size rollups
+    "q175_attribution",      // user-keyed ignoreNulls frames + dsumR
+    "q176_discretize",       // fixed grid + bounded cum + floor mass
+    "q177_decayed_popularity") // integer power-of-two decay masses
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -419,6 +419,50 @@ class PlanAuditSpec extends SparkTestBase {
       "only the 1-row basket count may nested-loop\n" + p)
   }
 
+  test("q174 k-anonymity: broadcast dim join; three bounded rollups; windowless") {
+    val p = plan("q174_k_anonymity")
+    // the customer⋈broadcast(nation) scan is localCheckpointed, so the
+    // visible plan is the three bounded rollups over the checkpoint
+    assert(!p.contains("CartesianProduct"),
+      "the QI join degenerated\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the ladder may shuffle-join\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "group-size profiles must be plain rollups\n" + p)
+  }
+
+  test("q175 attribution: ONE user-keyed window sort carries both models") {
+    val p = plan("q175_attribution")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    // both ignoreNulls frames live in the checkpointed purchase table;
+    // the visible plan is the two bounded rollups
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) <= 1,
+      "extra windows in the attribution chain\n" + p)
+  }
+
+  test("q176 discretize: the per-row transform is windowless and broadcast-fed") {
+    val p = plan("q176_discretize")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the bounded cum table must broadcast into the transform\n" + p)
+    // the one allowed window is the running sum over the ≤256-row bin
+    // rollup — never the fact table
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) <= 1,
+      "extra windows beyond the bounded-bin running sum\n" + p)
+  }
+
+  test("q177 decayed popularity: one fact rollup; scalars broadcast; windowless") {
+    val p = plan("q177_decayed_popularity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")), p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      "only the 1-row total may nested-loop\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
