@@ -297,7 +297,17 @@ object VectorQueries {
     * truth q141's recall audit compares the approximate methods
     * against. Probes broadcast against one corpus pass; the rank is the
     * two-phase GroupedTopK (a plain 10-partition window would drag the
-    * whole scored corpus through one reducer per probe). */
+    * whole scored corpus through one reducer per probe).
+    *
+    * Memoized per corpus via [[bruteTruth]] for the consumers that
+    * share it (q31, q141's recall, q170's NDCG): the brute pass is the
+    * expensive truth scan — at 100 TB the audits must share one, not
+    * re-run it per metric. */
+  private[graft] def bruteTruth(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, s"brute_topk:$d") {
+      bruteTopK(emb(s, d)).localCheckpoint()
+    }
+
   private[graft] def bruteTopK(e: DataFrame): DataFrame = {
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
@@ -359,7 +369,7 @@ object VectorQueries {
     // scored corpus through one reducer per probe (10 groups at
     // 100 TB); per-partition candidates first keeps every task bounded.
     "q31_knn_brute" -> ((s, d) => {
-      bruteTopK(emb(s, d))
+      bruteTruth(s, d)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 round(col("sim"), 4).as("cos"), col("rn"))
     }),
@@ -469,8 +479,7 @@ object VectorQueries {
       val e = emb(s, d)
       val n = e.count()
       val nlist = ivfNList(n)
-      val truth = bruteTopK(e).select(col("probe_id"), col("vec_id"))
-        .localCheckpoint()
+      val truth = bruteTruth(s, d).select(col("probe_id"), col("vec_id"))
       val ivf = IvfIndex.topK(e, e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),
           nlist = nlist, nprobe = ivfNProbe(nlist), k = AnnK, Some(n))
@@ -502,10 +511,9 @@ object VectorQueries {
       val e = emb(s, d)
       val n = e.count()
       val nlist = ivfNList(n)
-      val truth = bruteTopK(e)
+      val truth = bruteTruth(s, d)
         .select(col("probe_id"), col("vec_id"),
           (lit(AnnK + 1L) - col("rn")).as("rel"))
-        .localCheckpoint() // AnnK rows/probe; feeds both arms + probes
       val probes = truth.select(col("probe_id")).distinct()
       val ivf = IvfIndex.topK(e, e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("emb").as("pemb")),

@@ -51,8 +51,13 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q31 knn: probe side is broadcast against the corpus scan") {
-    assert(plan("q31_knn_brute").contains("BroadcastNestedLoopJoin") ||
-           plan("q31_knn_brute").contains("BroadcastHashJoin"))
+    // q31 itself serves the memoized truth stage (a checkpoint scan),
+    // so audit the UNDERLYING brute plan the stage builds
+    val p = graft.operators.VectorQueries
+      .bruteTopK(graft.operators.VectorQueries.emb(spark, sf))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"), p)
   }
 
   test("q42 chess explorer: probe keys broadcast into the agg store") {
