@@ -428,6 +428,53 @@ object ApproxOracle {
            coalesce(round(avg(jaccard), 4), 0.0) AS avg_jaccard
          FROM jac WHERE jaccard >= $MinJaccard""",
 
+    // q178: the q25 pair chain with ids kept, the q56 split buckets,
+    // canonicalized split combos, one division per row
+    "q178_split_leakage" ->
+      s"""WITH cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM ${p("minhash_bands")} x JOIN ${p("minhash_bands")} y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id),
+         sizes AS (
+           SELECT doc_id, count(*) AS n
+           FROM ${p("minhash_shingles")} GROUP BY doc_id),
+         common AS (
+           SELECT c.doc_a, c.doc_b, count(sb.sh) AS ci
+           FROM cand c
+           JOIN ${p("minhash_shingles")} sa ON sa.doc_id = c.doc_a
+           LEFT JOIN ${p("minhash_shingles")} sb
+             ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM common m JOIN sizes na ON na.doc_id = m.doc_a
+                         JOIN sizes nb ON nb.doc_id = m.doc_b
+           WHERE round(CAST(m.ci AS DOUBLE) / (na.n + nb.n - m.ci), 4)
+             >= $MinJaccard),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN bkt < 204 THEN 'train'
+                  WHEN bkt < 230 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bkt
+             FROM documents)),
+         combos AS (
+           SELECT least(a.split, b.split) AS split_lo,
+             greatest(a.split, b.split) AS split_hi,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs JOIN sp a ON a.doc_id = pairs.doc_a
+                      JOIN sp b ON b.doc_id = pairs.doc_b
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM combos)
+         SELECT split_lo, split_hi, n_pairs,
+           split_lo <> split_hi AS is_cross,
+           CAST(n_pairs AS DOUBLE) / tot.t AS pair_frac
+         FROM combos CROSS JOIN tot""",
+
     // per-(doc, bit) majority vote over the token-hash multiset, packed
     // back into the signed 64-bit signature (bit 63 contributes the
     // negative 2^63 — DuckDB's << overflows at 63 where Java wraps)

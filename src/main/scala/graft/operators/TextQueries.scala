@@ -127,6 +127,43 @@ object TextQueries {
       MinHashLSH.candidatePairs(documents(s, d),
         minJaccard = ApproxOracle.MinJaccard)),
 
+    // Cross-split leakage audit (D11 — the eval-hygiene question q56's
+    // SPLIT and q25's NEAR-DUP machinery exist to answer together): how
+    // many near-duplicate pairs STRADDLE the train/val/test boundary?
+    // A doc whose near-twin sits in another split leaks supervision
+    // into evaluation — the within-corpus analogue of q63's benchmark
+    // decontamination, and the audit every published split should ship
+    // with. Pairs from the q25 banded join + exact rescore; splits by
+    // the q56 md5 bucket; pair volume is O(near-dup pairs), the rollup
+    // ≤ 6 split-combo rows, leak shares single IEEE divisions.
+    "q178_split_leakage" -> ((s, d) => {
+      val docs = documents(s, d)
+      val split = docs
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .withColumn("split", when(col("bkt") < 204, "train")
+          .when(col("bkt") < 230, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"))
+      val combos = MinHashLSH
+        .verifiedPairs(docs.select(col("doc_id"), col("text")),
+          ApproxOracle.MinJaccard)
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint() // ≤6 rows; feeds output + the total
+      val tot = combos.agg(sum(col("n_pairs")).as("t"))
+      combos.crossJoin(broadcast(tot))
+        .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+          (col("split_lo") =!= col("split_hi")).as("is_cross"),
+          (col("n_pairs").cast("double") / col("t")).as("pair_frac"))
+    }),
+
     // Near-dedup quality audit (the "is my LSH geometry right" harness
     // a production dedup pipeline runs before trusting its band
     // parameters): candidate-stage precision/recall of the q25

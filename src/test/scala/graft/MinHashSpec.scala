@@ -44,4 +44,37 @@ class MinHashSpec extends SparkTestBase {
     assert(row.length == 1)
     assert(row.head.getLong(0) == 0L)
   }
+
+  test("q178: combo counts equal a driver tagging of the verified pairs; leakage is real") {
+    import graft.operators.ApproxOracle
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bkt = Integer.parseInt(h.substring(0, 2), 16)
+      if (bkt < 204) "train" else if (bkt < 230) "val" else "test"
+    }
+    val pairs = MinHashLSH.verifiedPairs(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        ApproxOracle.MinJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q178_split_leakage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet)
+    val total = pairs.length.toLong
+    got.foreach { case ((lo, hi), (n, cross, frac)) =>
+      assert(n == want((lo, hi)) && cross == (lo != hi) &&
+        frac == n.toDouble / total, s"($lo,$hi)")
+      assert(lo <= hi, "combos must be canonicalized")
+    }
+    assert(got.values.map(_._1).sum == total, "pairs lost or double-counted")
+    // the audit's reason to exist: this corpus DOES leak across splits
+    assert(got.exists { case ((lo, hi), _) => lo != hi },
+      "no cross-split near-dup — leakage untestable here")
+    assert(got.exists { case ((lo, hi), _) => lo == hi })
+  }
 }

@@ -99,7 +99,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q174_k_anonymity",      // ladder of bounded group-size rollups
     "q175_attribution",      // user-keyed ignoreNulls frames + dsumR
     "q176_discretize",       // fixed grid + bounded cum + floor mass
-    "q177_decayed_popularity") // integer power-of-two decay masses
+    "q177_decayed_popularity", // integer power-of-two decay masses
+    "q178_split_leakage")    // banded pairs + md5 split tagging
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

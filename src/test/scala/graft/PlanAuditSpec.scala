@@ -468,6 +468,14 @@ class PlanAuditSpec extends SparkTestBase {
       "only the 1-row total may nested-loop\n" + p)
   }
 
+  test("q178 split leakage: band-keyed candidates; no all-pairs anywhere") {
+    val p = plan("q178_split_leakage")
+    assert(!p.contains("CartesianProduct"),
+      "the pair machinery degenerated to all-pairs\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "no window belongs in the leakage rollup\n" + p)
+  }
+
   test("q155 shot detect: joinless single lineage; windows keyed by asset") {
     val p = plan("q155_shot_detect")
     assert(!p.contains("Join"),
