@@ -54,7 +54,8 @@ object ClusterVerify {
     "q165_zorder", "q166_ab_test", "q168_good_turing",
     "q169_seq_patterns", "q170_ann_ndcg", "q171_recon_audit",
     "q173_media_gates", "q174_k_anonymity", "q175_attribution",
-    "q176_discretize", "q177_decayed_popularity", "q178_split_leakage")
+    "q176_discretize", "q177_decayed_popularity", "q178_split_leakage",
+    "q179_link_prediction")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

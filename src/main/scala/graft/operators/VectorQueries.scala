@@ -219,6 +219,10 @@ object VectorQueries {
     * budget dial, not a correctness one. */
   val KCenterK = 5
 
+  /** q179 answer size: predicted links kept after the total-order
+    * TakeOrdered cut. */
+  val LinkPredK = 20
+
   /** q170 discount mass: a truth item of graded relevance rel
     * retrieved at arm position i contributes rel·NdcgMass DIV i —
     * reciprocal-discounted DCG in exact integers (log2 discounts are
@@ -603,6 +607,33 @@ object VectorQueries {
       val e = emb(s, d)
       hitsMass(e.select(col("vec_id")),
         knnGraph(s, d).select(col("src"), col("dst")), e.count())
+    }),
+
+    // Common-neighbor link prediction (Liben-Nowell & Kleinberg '03 —
+    // THE baseline every link-prediction paper reports): score each
+    // non-adjacent pair by how many neighbors it shares in the q104
+    // graph's undirected closure; the top-scored pairs are the
+    // predicted edges (in a kNN graph: near-duplicates the K-cut
+    // separated, and the NN-Descent candidate rule quantified).
+    // Wedge enumeration is the q122 machinery — volume Σdeg², bounded
+    // by graph degree, never corpus²; existing edges leave via a
+    // LEFT ANTI join; the cut is a total-order TakeOrdered. Integers
+    // end-to-end.
+    "q179_link_prediction" -> ((s, d) => {
+      val e = knnGraph(s, d).select(col("src"), col("dst"))
+      val und = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint() // feeds both wedge legs + the anti join
+      val wedges = und.select(col("src").as("u"), col("dst").as("v"))
+        .join(und.select(col("src").as("v"), col("dst").as("w")), "v")
+        .filter(col("u") < col("w"))
+      val scored = wedges.groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("common"))
+        .join(und.select(col("src").as("u"), col("dst").as("w")),
+          Seq("u", "w"), "left_anti")
+      scored.orderBy(col("common").desc, col("u").asc, col("w").asc)
+        .limit(LinkPredK)
     }),
 
     // NN-Descent (Dong et al. 2011) — the published distributed
@@ -1674,6 +1705,28 @@ object VectorQueries {
 
     // q171: all three decoders replayed + error dots + decimal sums.
     "q171_recon_audit" -> reconAuditOracle,
+
+    // q179: edge replay + closure + the same wedge/anti/cut chain.
+    "q179_link_prediction" ->
+      s"""WITH $knnEdgeCtes,
+         und AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT dst AS src, src AS dst FROM edges),
+         wedges AS (
+           SELECT a.src AS u, b.dst AS w
+           FROM und a JOIN und b ON b.src = a.dst
+           WHERE a.src < b.dst),
+         scored AS (
+           SELECT u, w, CAST(count(*) AS BIGINT) AS common
+           FROM wedges GROUP BY 1, 2),
+         nonadj AS (
+           SELECT s.u, s.w, s.common
+           FROM scored s
+           WHERE NOT EXISTS (SELECT 1 FROM und e
+                             WHERE e.src = s.u AND e.dst = s.w))
+         SELECT u, w, common FROM nonadj
+         ORDER BY common DESC, u ASC, w ASC LIMIT $LinkPredK""",
 
     // q106: the full eigensolve replayed from the exported moments —
     // see pcaOracle/pcaChain below.

@@ -271,6 +271,33 @@ class GraphFamilySpec extends SparkTestBase {
       "greedy coreset does not beat the first-K-ids baseline")
   }
 
+  test("q179: driver wedge replay matches; predictions are non-adjacent and ranked") {
+    val edges = SparkEntry.queries("q104_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (edges ++ edges.map(_.swap)).toSet
+    val byNode = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    und.foreach { case (u, v) =>
+      byNode(v).foreach { w =>
+        if (u < w) scores((u, w)) = scores.getOrElse((u, w), 0L) + 1
+      }
+    }
+    val want = scores.toSeq.filter { case ((u, w), _) => !und((u, w)) }
+      .map { case ((u, w), c) => (u, w, c) }
+      .sortBy { case (u, w, c) => (-c, u, w) }
+      .take(VectorQueries.LinkPredK)
+    val got = SparkEntry.queries("q179_link_prediction")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"predictions differ:\n$got\nvs\n$want")
+    got.foreach { case (u, w, c) =>
+      assert(!und((u, w)) && !und((w, u)), s"($u,$w) already an edge")
+      assert(c >= 1)
+    }
+    // non-vacuous: the top prediction shares MULTIPLE neighbors (a
+    // count-1 wedge list would make the ranking meaningless)
+    assert(got.head._3 >= 2, "no pair shares more than one neighbor")
+  }
+
   test("q108: driver replay of the greedy matches; MMR picks are more diverse than top-k") {
     val e = VectorQueries.emb(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap

@@ -468,6 +468,16 @@ class PlanAuditSpec extends SparkTestBase {
       "only the 1-row total may nested-loop\n" + p)
   }
 
+  test("q179 link prediction: wedge equi-joins; TakeOrdered cut; no window") {
+    val p = plan("q179_link_prediction")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "wedge enumeration degenerated\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the cut must be TakeOrdered, not sort-then-limit\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")), p)
+  }
+
   test("q178 split leakage: band-keyed candidates; no all-pairs anywhere") {
     val p = plan("q178_split_leakage")
     assert(!p.contains("CartesianProduct"),
