@@ -428,6 +428,71 @@ object ApproxOracle {
            coalesce(round(avg(jaccard), 4), 0.0) AS avg_jaccard
          FROM jac WHERE jaccard >= $MinJaccard""",
 
+    // q180: the q178 pair chain + recursive-closure components (the
+    // q54 oracle's reach CTE) + md5(root) splits + the re-audit rollup
+    "q180_cluster_split" ->
+      s"""WITH RECURSIVE cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM ${p("minhash_bands")} x JOIN ${p("minhash_bands")} y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id),
+         sizes AS (
+           SELECT doc_id, count(*) AS n
+           FROM ${p("minhash_shingles")} GROUP BY doc_id),
+         common AS (
+           SELECT c.doc_a, c.doc_b, count(sb.sh) AS ci
+           FROM cand c
+           JOIN ${p("minhash_shingles")} sa ON sa.doc_id = c.doc_a
+           LEFT JOIN ${p("minhash_shingles")} sb
+             ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM common m JOIN sizes na ON na.doc_id = m.doc_a
+                         JOIN sizes nb ON nb.doc_id = m.doc_b
+           WHERE round(CAST(m.ci AS DOUBLE) / (na.n + nb.n - m.ci), 4)
+             >= $MinJaccard),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (
+           SELECT a AS doc_id, least(a, min(b)) AS root
+           FROM reach GROUP BY a),
+         sp AS (
+           SELECT doc_id, root,
+             CASE WHEN bkt < 204 THEN 'train'
+                  WHEN bkt < 230 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT r.doc_id, r.root,
+               (instr('0123456789abcdef',
+                  substr(md5(CAST(r.root AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef',
+                  substr(md5(CAST(r.root AS VARCHAR)), 2, 1)) - 1 AS bkt
+             FROM (SELECT d.doc_id, coalesce(l.root, d.doc_id) AS root
+                   FROM documents d LEFT JOIN labels l USING (doc_id)) r)),
+         tagged AS (
+           SELECT a.split AS sa, b.split AS sb
+           FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+                        JOIN sp b ON b.doc_id = p.doc_b),
+         wthn AS (
+           SELECT sa AS split, CAST(count(*) AS BIGINT) AS n_pairs_within
+           FROM tagged WHERE sa = sb GROUP BY 1),
+         crossed AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs_cross
+           FROM tagged WHERE sa <> sb),
+         base AS (
+           SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN doc_id <> root THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nonroot_docs
+           FROM sp GROUP BY 1)
+         SELECT b.split, b.n_docs, b.n_nonroot_docs,
+           CAST(coalesce(w.n_pairs_within, 0) AS BIGINT) AS n_pairs_within,
+           c.n_pairs_cross
+         FROM base b LEFT JOIN wthn w ON w.split = b.split
+         CROSS JOIN crossed c""",
+
     // q178: the q25 pair chain with ids kept, the q56 split buckets,
     // canonicalized split combos, one division per row
     "q178_split_leakage" ->

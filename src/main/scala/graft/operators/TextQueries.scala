@@ -127,6 +127,59 @@ object TextQueries {
       MinHashLSH.candidatePairs(documents(s, d),
         minJaccard = ApproxOracle.MinJaccard)),
 
+    // Cluster-aware split assignment (L5z — the FIX for the leakage
+    // q178 measures): route every near-dup CLUSTER wholly into one
+    // split by hashing its component ROOT instead of the doc id
+    // (singletons keep their own id as root, so unclustered docs get
+    // exactly the q56 assignment). Cross-split near-dup pairs are then
+    // zero BY CONSTRUCTION — and the query PROVES it relationally (the
+    // n_pairs_cross column is computed, not asserted) while showing
+    // the split ratios survived. Pairs and clusters are the q25/q54
+    // machinery (banded candidates, star-contraction CC); the md5
+    // bucket rule is q56's, applied to the root.
+    "q180_cluster_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = MinHashLSH
+        .verifiedPairs(docs.select(col("doc_id"), col("text")),
+          ApproxOracle.MinJaccard)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // feeds CC + the leakage re-audit
+      val lab = ConnectedComponents.labels(s,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val rooted = docs.select(col("doc_id"))
+        .join(lab.select(col("doc_id"), col("comp_id").as("root0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root0"), col("doc_id")).as("root"))
+        .withColumn("h", md5(col("root").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .withColumn("split", when(col("bkt") < 204, "train")
+          .when(col("bkt") < 230, "val").otherwise("test"))
+        .select(col("doc_id"), col("root"), col("split"))
+        .localCheckpoint() // feeds the rollup + both pair legs
+      val tagged = pairs
+        .join(rooted.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(rooted.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+      val within = tagged.filter(col("sa") === col("sb"))
+        .groupBy(col("sa").as("split"))
+        .agg(count(lit(1)).as("n_pairs_within"))
+      val cross = tagged.filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("n_pairs_cross"))
+      rooted.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("root"), 1L)
+            .otherwise(0L)).as("n_nonroot_docs"))
+        .join(within, Seq("split"), "left")
+        .crossJoin(broadcast(cross))
+        .select(col("split"), col("n_docs"), col("n_nonroot_docs"),
+          coalesce(col("n_pairs_within"), lit(0L)).as("n_pairs_within"),
+          col("n_pairs_cross"))
+    }),
+
     // Cross-split leakage audit (D11 — the eval-hygiene question q56's
     // SPLIT and q25's NEAR-DUP machinery exist to answer together): how
     // many near-duplicate pairs STRADDLE the train/val/test boundary?

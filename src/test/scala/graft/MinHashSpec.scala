@@ -77,4 +77,57 @@ class MinHashSpec extends SparkTestBase {
       "no cross-split near-dup — leakage untestable here")
     assert(got.exists { case ((lo, hi), _) => lo == hi })
   }
+
+  test("q180: cluster-aware split equals a driver replay and zeroes the leakage q178 measures") {
+    import graft.operators.ApproxOracle
+    def bucketSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bkt = Integer.parseInt(h.substring(0, 2), 16)
+      if (bkt < 204) "train" else if (bkt < 230) "val" else "test"
+    }
+    val pairs = MinHashLSH.verifiedPairs(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        ApproxOracle.MinJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver union-find over the pairs, min-root convention
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val docIds = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val rootOf = docIds.map(d => d -> find(d)).toMap
+    val splitOf = rootOf.view.mapValues(bucketSplit).toMap
+    val want = docIds.groupBy(splitOf).view.mapValues { ds =>
+      (ds.length.toLong, ds.count(d => rootOf(d) != d).toLong)
+    }.toMap
+    val wantWithin = pairs.groupBy(p => splitOf(p._1))
+      .view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q180_cluster_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (split, (nd, nnr, npw, npc)) =>
+      assert((nd, nnr) == want(split), s"$split docs")
+      assert(npw == wantWithin.getOrElse(split, 0L), s"$split within pairs")
+      assert(npc == 0L, "the fix must zero cross-split pairs")
+    }
+    // the fix is non-vacuous in both directions: clusters exist (some
+    // doc was re-rooted), and the PROBLEM exists (q178 measures real
+    // leakage under doc-level splits on this same corpus)
+    assert(got.values.map(_._2).sum > 0, "no doc re-rooted — fix vacuous")
+    assert(pairs.exists { case (a, b) =>
+        bucketSplit(a) != bucketSplit(b) },
+      "doc-level splits leak nothing here — the fix fixes nothing")
+    // twins always share a split under the fix
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b)) }
+  }
 }

@@ -101,7 +101,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q176_discretize",       // fixed grid + bounded cum + floor mass
     "q177_decayed_popularity", // integer power-of-two decay masses
     "q178_split_leakage",    // banded pairs + md5 split tagging
-    "q179_link_prediction")  // wedge counts + anti join + total-order cut
+    "q179_link_prediction",  // wedge counts + anti join + total-order cut
+    "q180_cluster_split")    // CC roots + md5 split + pair re-audit
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

@@ -478,6 +478,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")), p)
   }
 
+  test("q180 cluster split: band-keyed pairs + CC; no all-pairs; windowless") {
+    val p = plan("q180_cluster_split")
+    assert(!p.contains("CartesianProduct"),
+      "the pair/cluster machinery degenerated\n" + p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      "no window belongs in the split rollup\n" + p)
+  }
+
   test("q178 split leakage: band-keyed candidates; no all-pairs anywhere") {
     val p = plan("q178_split_leakage")
     assert(!p.contains("CartesianProduct"),
