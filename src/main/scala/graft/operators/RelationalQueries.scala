@@ -68,6 +68,12 @@ object RelationalQueries {
   private[graft] val DiscBins = 256L
   private[graft] val DiscMass = 1000000L
 
+  /** q181 RFM quartile grid: bins per metric histogram (the q147/q176
+    * machinery, applied three times). Quartiles are BIN-BRACKET
+    * quartiles — ties at bin granularity land in the lower quartile,
+    * the same integer cross-multiply rule both engines share. */
+  private[graft] val RfmBins = 256L
+
   /** q177 decay geometry: the weight of an event halves every
     * [[PopHalfLifeDays]] days — implemented as the EXACT integer
     * PopMass >> (age DIV halflife), so decayed masses are BIGINTs and
@@ -756,6 +762,67 @@ object RelationalQueries {
           (col("decayed_mass").cast("double") / col("t")).as("share"))
     }),
 
+    // RFM segmentation (Hughes '94 — the warehouse-standard
+    // customer-value grid behind retention/marketing marts): per user,
+    // Recency (days since last event), Frequency (event count) and
+    // Monetary (decimal-routed value sum), each quartile-bucketed
+    // WITHOUT a global sort — three 256-bin histograms + the q147
+    // integer cross-multiply quantile pick give three broadcast
+    // (q25, q50, q75) bin thresholds; quartile = 1 + three bin
+    // comparisons (bin-bracket quartiles, ties to the lower bucket).
+    // One user rollup, three bounded histogram barriers, a ≤64-row
+    // segment table. M sums route through DECIMAL(38,6), so the only
+    // doubles are the deterministic grid arithmetic.
+    "q181_rfm" -> ((s, d) => {
+      val mx = events(s, d)
+        .agg(max(expr("unix_micros(ts) DIV 86400000000")).as("dmax"))
+      val users = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("m"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          (col("dmax") - col("last_day")).cast("double").as("r"),
+          col("f").cast("double").as("f"), col("m"))
+        .localCheckpoint() // feeds three histogram barriers + the join
+      def quartileOf(metric: String): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val st = users.agg(min(col(metric)).as("lo"),
+          max(col(metric)).as("hi"), count(lit(1)).as("n"))
+        val binned = users.crossJoin(broadcast(st))
+          .select(col("user_id"), col("n"),
+            least(lit(RfmBins - 1), greatest(lit(0L),
+              floor((col(metric) - col("lo")) / (col("hi") - col("lo"))
+                * RfmBins).cast("long"))).as("bin"))
+          .localCheckpoint() // feeds the histogram + the assignment
+        val cum = binned.groupBy(col("bin"), col("n"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.orderBy(col("bin").asc)))
+        val qs = cum.agg(
+          min(when(col("cum") * 100 >= col("n") * 25, col("bin")))
+            .as("q25"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("bin")))
+            .as("q50"),
+          min(when(col("cum") * 100 >= col("n") * 75, col("bin")))
+            .as("q75"))
+        binned.crossJoin(broadcast(qs))
+          .select(col("user_id"),
+            (lit(1L) + (col("bin") > col("q25")).cast("long") +
+              (col("bin") > col("q50")).cast("long") +
+              (col("bin") > col("q75")).cast("long"))
+              .as(s"${metric}_q"))
+      }
+      users.select(col("user_id"))
+        .join(quartileOf("r"), "user_id")
+        .join(quartileOf("f"), "user_id")
+        .join(quartileOf("m"), "user_id")
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -1115,6 +1182,55 @@ object RelationalQueries {
          p AS (SELECT * FROM a WHERE event_type = 'purchase')
          ${model("last", "lt")}
          UNION ALL ${model("first", "ft")}"""
+    },
+
+    // q181: the same three histogram chains, quantile picks and
+    // bin-comparison quartiles — r/f as exact small ints in doubles,
+    // m through the identical decimal route.
+    "q181_rfm" -> {
+      def chain(sfx: String): String =
+        s"""st_$sfx AS (
+             SELECT min($sfx) AS lo, max($sfx) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+             FROM users),
+           b_$sfx AS (
+             SELECT user_id, st.n,
+               least(${RfmBins - 1}, greatest(0,
+                 CAST(floor(($sfx - st.lo) / (st.hi - st.lo) * $RfmBins)
+                   AS BIGINT))) AS bin
+             FROM users CROSS JOIN st_$sfx st),
+           cc_$sfx AS (
+             SELECT bin, n, sum(cnt) OVER (ORDER BY bin ASC) AS cum
+             FROM (SELECT bin, n, count(*) AS cnt
+                   FROM b_$sfx GROUP BY 1, 2)),
+           qs_$sfx AS (
+             SELECT min(CASE WHEN cum * 100 >= 25 * n THEN bin END) AS q25,
+               min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS q50,
+               min(CASE WHEN cum * 100 >= 75 * n THEN bin END) AS q75
+             FROM cc_$sfx),
+           a_$sfx AS (
+             SELECT user_id, CAST(1
+               + CASE WHEN bin > q.q25 THEN 1 ELSE 0 END
+               + CASE WHEN bin > q.q50 THEN 1 ELSE 0 END
+               + CASE WHEN bin > q.q75 THEN 1 ELSE 0 END AS BIGINT)
+               AS ${sfx}_q
+             FROM b_$sfx CROSS JOIN qs_$sfx q)"""
+      s"""WITH mx AS (
+           SELECT max(epoch_us(ts) // 86400000000) AS dmax FROM events),
+         users AS (
+           SELECT user_id,
+             CAST(mx.dmax - max(epoch_us(ts) // 86400000000)
+               AS DOUBLE) AS r,
+             CAST(count(*) AS DOUBLE) AS f,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS m
+           FROM events CROSS JOIN mx GROUP BY user_id, mx.dmax),
+         ${chain("r")},
+         ${chain("f")},
+         ${chain("m")}
+         SELECT a_r.r_q, a_f.f_q, a_m.m_q,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a_r JOIN a_f USING (user_id) JOIN a_m USING (user_id)
+         GROUP BY 1, 2, 3"""
     },
 
     // q176: same grid, same bounded running sum, same floor mass.

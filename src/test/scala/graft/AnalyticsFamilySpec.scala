@@ -579,6 +579,51 @@ class AnalyticsFamilySpec extends SparkTestBase {
         s"(${touchedRows("linear")})")
   }
 
+  test("q181: segments equal a full driver replay; F and M quartiles genuinely spread") {
+    import operators.RelationalQueries.RfmBins
+    val dayUs = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime * 1000) / dayUs,
+        r.getDouble(2)))
+    val dmax = evs.map(_._2).max
+    val users = evs.groupBy(_._1).view.mapValues { rows =>
+      ((dmax - rows.map(_._2).max).toDouble, rows.length.toDouble,
+        rows.map(r => BigDecimal(r._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }.toMap
+    def quartiles(ms: Map[Long, Double]): Map[Long, Long] = {
+      val (lo, hi, n) = (ms.values.min, ms.values.max, ms.size.toLong)
+      def binOf(v: Double): Long = math.min(RfmBins - 1,
+        math.max(0L, math.floor((v - lo) / (hi - lo) * RfmBins).toLong))
+      val bins = ms.view.mapValues(binOf).toMap
+      val cnt = bins.values.groupBy(identity).view.mapValues(_.size.toLong)
+      val sortedBins = cnt.keys.toSeq.sorted
+      var cum = 0L
+      val cums = sortedBins.map { b => cum += cnt(b); b -> cum }.toMap
+      def pick(p: Long): Long =
+        sortedBins.find(b => cums(b) * 100 >= p * n).get
+      val (q25, q50, q75) = (pick(25), pick(50), pick(75))
+      bins.view.mapValues(b => 1L + (if (b > q25) 1 else 0) +
+        (if (b > q50) 1 else 0) + (if (b > q75) 1 else 0)).toMap
+    }
+    val rq = quartiles(users.view.mapValues(_._1).toMap)
+    val fq = quartiles(users.view.mapValues(_._2).toMap)
+    val mq = quartiles(users.view.mapValues(_._3).toMap)
+    val want = users.keys.groupBy(u => (rq(u), fq(u), mq(u)))
+      .view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q181_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want,
+      s"extra=${(got.toSet -- want.toSet).take(3)} missing=${(want.toSet -- got.toSet).take(3)}")
+    assert(got.values.sum == users.size.toLong, "users lost")
+    // F and M must genuinely spread across all four buckets (R may
+    // collapse under heavy ties — the documented bin-bracket rule)
+    assert(got.keys.map(_._2).toSet == Set(1L, 2L, 3L, 4L), "F collapsed")
+    assert(got.keys.map(_._3).toSet == Set(1L, 2L, 3L, 4L), "M collapsed")
+  }
+
   test("q174: ladder profiles equal a driver replay; generalization actually helps") {
     import operators.RelationalQueries.KAnonK
     val nations = Tables.nation(spark, sf).collect()

@@ -102,7 +102,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q177_decayed_popularity", // integer power-of-two decay masses
     "q178_split_leakage",    // banded pairs + md5 split tagging
     "q179_link_prediction",  // wedge counts + anti join + total-order cut
-    "q180_cluster_split")    // CC roots + md5 split + pair re-audit
+    "q180_cluster_split",    // CC roots + md5 split + pair re-audit
+    "q181_rfm")              // three histogram picks + bin quartiles
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

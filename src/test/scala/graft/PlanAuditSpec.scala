@@ -478,6 +478,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")), p)
   }
 
+  test("q181 rfm: user rollup + bounded histogram barriers; no fact-table window") {
+    val p = plan("q181_rfm")
+    assert(!p.contains("CartesianProduct"),
+      "the quartile machinery degenerated\n" + p)
+    // the three per-metric quartile frames join on user_id — a real
+    // key-keyed shuffle join, correct at any scale (≤ 2 SMJs); the
+    // threshold scalars broadcast inside the checkpointed assignments
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) SortMergeJoin.*""")) <= 2,
+      "more shuffle joins than the three-way user merge\n" + p)
+    // cum windows run over ≤256-bin tables (one per metric, collapsed
+    // behind the binned checkpoints); none may survive on user rows
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) <= 3,
+      "a window escaped onto a user-cardinality frame\n" + p)
+  }
+
   test("q180 cluster split: band-keyed pairs + CC; no all-pairs; windowless") {
     val p = plan("q180_cluster_split")
     assert(!p.contains("CartesianProduct"),
