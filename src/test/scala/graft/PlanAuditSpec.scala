@@ -324,8 +324,10 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.linesIterator.count(
         _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
       "only the two 1-row summary scalars may nested-loop\n" + p)
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
-      "counter sums must map-side combine\n" + p)
+    // assert the PARTIAL functions specifically — "HashAggregate"
+    // alone is true of any agg plan and would make this vacuous
+    assert(p.contains("partial_sum"),
+      "counter sums must map-side combine (partial_sum)\n" + p)
   }
 
   test("q160 kcenter: a round is one broadcast 1-row scan + an agg argmax") {
