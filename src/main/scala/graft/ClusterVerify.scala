@@ -55,7 +55,8 @@ object ClusterVerify {
     "q169_seq_patterns", "q170_ann_ndcg", "q171_recon_audit",
     "q173_media_gates", "q174_k_anonymity", "q175_attribution",
     "q176_discretize", "q177_decayed_popularity", "q178_split_leakage",
-    "q179_link_prediction", "q180_cluster_split", "q181_rfm")
+    "q179_link_prediction", "q180_cluster_split", "q181_rfm",
+    "q182_burst_detect")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

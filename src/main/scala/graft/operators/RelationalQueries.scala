@@ -68,6 +68,13 @@ object RelationalQueries {
   private[graft] val DiscBins = 256L
   private[graft] val DiscMass = 1000000L
 
+  /** q182 burst geometry: the trailing event-time window (1 h in
+    * micros) and the flag bar — ≥ BurstK events inside one window is
+    * "bot-like" on this corpus's ~2.2 events/user/day density, so the
+    * bar provably flags AND clears at every SF. */
+  private[graft] val BurstWindowUs = 3600000000L
+  private[graft] val BurstK = 3L
+
   /** q181 RFM quartile grid: bins per metric histogram (the q147/q176
     * machinery, applied three times). Quartiles are BIN-BRACKET
     * quartiles — ties at bin granularity land in the lower quartile,
@@ -823,6 +830,30 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Burst / bot-likeness detection (the anti-abuse data-quality gate
+    // training pipelines run over engagement logs): a user's burst
+    // score is the max number of their events inside ANY trailing
+    // 1-hour window — computed with a RANGE frame over event-time
+    // micros (the time-based window mode none of the ROWS-frame ops
+    // exercise; ties in event time are handled by the frame semantics
+    // identically in both engines, no total-order fragility). One
+    // user-keyed window sort, integer counts, a user-cardinality
+    // rollup; flagged = burst ≥ BurstK, a bar inside the corpus's
+    // burst range so it provably flags AND clears.
+    "q182_burst_detect" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc)
+        .rangeBetween(-BurstWindowUs, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .withColumn("burst", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst"))
+        .select(col("user_id"), col("n_events"), col("max_burst"),
+          (col("max_burst") >= BurstK).as("flagged"))
+    }),
+
     "q144_scd2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -1183,6 +1214,19 @@ object RelationalQueries {
          ${model("last", "lt")}
          UNION ALL ${model("first", "ft")}"""
     },
+
+    // q182: the same RANGE frame over epoch micros, identical bar.
+    "q182_burst_detect" ->
+      s"""WITH b AS (
+           SELECT user_id, count(*) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts)
+             RANGE BETWEEN $BurstWindowUs PRECEDING AND CURRENT ROW)
+             AS burst
+           FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(burst) AS BIGINT) AS max_burst,
+           max(burst) >= $BurstK AS flagged
+         FROM b GROUP BY 1""",
 
     // q181: the same three histogram chains, quantile picks and
     // bin-comparison quartiles — r/f as exact small ints in doubles,

@@ -579,6 +579,29 @@ class AnalyticsFamilySpec extends SparkTestBase {
         s"(${touchedRows("linear")})")
   }
 
+  test("q182: burst scores equal a driver trailing-window replay; the bar binds both ways") {
+    import operators.RelationalQueries.{BurstWindowUs, BurstK}
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000))
+    val want = evs.groupBy(_._1).view.mapValues { rows =>
+      val ts = rows.map(_._2).sorted
+      val maxBurst = ts.map(t =>
+        ts.count(u => u >= t - BurstWindowUs && u <= t).toLong).max
+      (rows.length.toLong, maxBurst)
+    }.toMap
+    val got = SparkEntry.queries("q182_burst_detect")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (n, mb, fl)) =>
+      assert((n, mb) == want(u), s"user $u")
+      assert(fl == (mb >= BurstK))
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "the burst bar must flag some users and clear others")
+  }
+
   test("q181: segments equal a full driver replay; F and M quartiles genuinely spread") {
     import operators.RelationalQueries.RfmBins
     val dayUs = 86400000000L

@@ -103,7 +103,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q178_split_leakage",    // banded pairs + md5 split tagging
     "q179_link_prediction",  // wedge counts + anti join + total-order cut
     "q180_cluster_split",    // CC roots + md5 split + pair re-audit
-    "q181_rfm")              // three histogram picks + bin quartiles
+    "q181_rfm",              // three histogram picks + bin quartiles
+    "q182_burst_detect")     // event-time RANGE frame + integer bar
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

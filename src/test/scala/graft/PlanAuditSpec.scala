@@ -480,6 +480,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")), p)
   }
 
+  test("q182 burst: ONE user-keyed range-frame window, then a plain rollup") {
+    val p = plan("q182_burst_detect")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) == 1,
+      "exactly one window — the trailing range frame\n" + p)
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      "the frame must be RANGE (event-time), not ROWS\n" + p)
+  }
+
   test("q181 rfm: user rollup + bounded histogram barriers; no fact-table window") {
     val p = plan("q181_rfm")
     assert(!p.contains("CartesianProduct"),
