@@ -160,7 +160,10 @@ object RelationalQueries {
       .agg(sum(col("x")).as("t_total"), count(lit(1)).as("n_days"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("day").asc)
-    val dec = "decimal(19,0)"
+    // 38,0 as documented: BIGINT inputs always fit, and the s_scaled²
+    // product (≤ ~8.5e37 for any pair of longs) stays inside 38 digits
+    // — decimal(19,0) would silently null past ~1e19 inputs.
+    val dec = "decimal(38,0)"
     daily.join(tot, "event_type")
       .withColumn("pd",
         sum(col("x") * col("n_days") - col("t_total")).over(w))
@@ -727,11 +730,15 @@ object RelationalQueries {
       val ev = events(s, d).select(col("event_id"), col("value"))
       val st = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
         count(lit(1)).as("n"))
+      // hi==lo guard (constant column): 0/0 is NaN and the engines
+      // disagree on floor(NaN) — route the degenerate grid to bin 0
+      // in BOTH engines (same guard q171's SQ8 arm uses).
       val binned = ev.crossJoin(broadcast(st))
         .select(col("event_id"), col("n"),
-          least(lit(DiscBins - 1), greatest(lit(0L),
-            floor((col("value") - col("lo")) / (col("hi") - col("lo"))
-              * DiscBins).cast("long"))).as("bin"))
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(lit(DiscBins - 1), greatest(lit(0L),
+              floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+                * DiscBins).cast("long")))).as("bin"))
         .localCheckpoint() // feeds the bin rollup + the transform
       val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
         .withColumn("cum_below",
@@ -756,10 +763,16 @@ object RelationalQueries {
         .select(col("event_type"),
           expr("unix_micros(ts) DIV 86400000000").as("day"))
       val mx = daily.agg(max(col("day")).as("dmax"))
+      // Clamp: PopMass = 2^20, so any age past 20 half-lives is weight
+      // 0 EXACTLY — without the guard Java's shift masks the amount
+      // mod 64, wrapping events older than 64 half-lives back to full
+      // weight on a long-span corpus (a 100 TB bug the harness span
+      // can't see). Mirrored in the oracle.
       val mass = daily.crossJoin(broadcast(mx))
         .select(col("event_type"),
-          expr(s"shiftright($PopMass, " +
-            s"CAST((dmax - day) DIV $PopHalfLifeDays AS INT))").as("w"))
+          expr(s"CASE WHEN (dmax - day) DIV $PopHalfLifeDays > 20" +
+            s" THEN CAST(0 AS BIGINT) ELSE shiftright($PopMass, " +
+            s"CAST((dmax - day) DIV $PopHalfLifeDays AS INT)) END").as("w"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_mass"))
         .localCheckpoint() // vocab rows; feeds output + the total
@@ -798,11 +811,14 @@ object RelationalQueries {
         import org.apache.spark.sql.expressions.Window
         val st = users.agg(min(col(metric)).as("lo"),
           max(col(metric)).as("hi"), count(lit(1)).as("n"))
+        // hi==lo guard: constant metric → everyone bin 0 (NaN-free),
+        // matching the oracle's CASE and q171's SQ8 arm.
         val binned = users.crossJoin(broadcast(st))
           .select(col("user_id"), col("n"),
-            least(lit(RfmBins - 1), greatest(lit(0L),
-              floor((col(metric) - col("lo")) / (col("hi") - col("lo"))
-                * RfmBins).cast("long"))).as("bin"))
+            when(col("hi") === col("lo"), lit(0L)).otherwise(
+              least(lit(RfmBins - 1), greatest(lit(0L),
+                floor((col(metric) - col("lo")) / (col("hi") - col("lo"))
+                  * RfmBins).cast("long")))).as("bin"))
           .localCheckpoint() // feeds the histogram + the assignment
         val cum = binned.groupBy(col("bin"), col("n"))
           .agg(count(lit(1)).as("cnt"))
@@ -1239,9 +1255,10 @@ object RelationalQueries {
              FROM users),
            b_$sfx AS (
              SELECT user_id, st.n,
-               least(${RfmBins - 1}, greatest(0,
-                 CAST(floor(($sfx - st.lo) / (st.hi - st.lo) * $RfmBins)
-                   AS BIGINT))) AS bin
+               CASE WHEN st.hi = st.lo THEN 0 ELSE
+                 least(${RfmBins - 1}, greatest(0,
+                   CAST(floor(($sfx - st.lo) / (st.hi - st.lo) * $RfmBins)
+                     AS BIGINT))) END AS bin
              FROM users CROSS JOIN st_$sfx st),
            cc_$sfx AS (
              SELECT bin, n, sum(cnt) OVER (ORDER BY bin ASC) AS cum
@@ -1285,9 +1302,10 @@ object RelationalQueries {
            FROM events),
          binned AS (
            SELECT event_id, st.n,
-             least(${DiscBins - 1}, greatest(0,
-               CAST(floor((value - st.lo) / (st.hi - st.lo) * $DiscBins)
-                 AS BIGINT))) AS bin
+             CASE WHEN st.hi = st.lo THEN 0 ELSE
+               least(${DiscBins - 1}, greatest(0,
+                 CAST(floor((value - st.lo) / (st.hi - st.lo) * $DiscBins)
+                   AS BIGINT))) END AS bin
            FROM events CROSS JOIN st),
          cum AS (
            SELECT bin, CAST(coalesce(sum(cnt) OVER (ORDER BY bin ASC
@@ -1306,8 +1324,9 @@ object RelationalQueries {
          mx AS (SELECT max(day) AS dmax FROM daily),
          mass AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum($PopMass >> CAST((mx.dmax - day)
-               // $PopHalfLifeDays AS INT)) AS BIGINT) AS decayed_mass
+             CAST(sum(CASE WHEN (mx.dmax - day) // $PopHalfLifeDays > 20
+               THEN 0 ELSE $PopMass >> CAST((mx.dmax - day)
+               // $PopHalfLifeDays AS INT) END) AS BIGINT) AS decayed_mass
            FROM daily CROSS JOIN mx GROUP BY 1),
          tot AS (SELECT CAST(sum(decayed_mass) AS BIGINT) AS t FROM mass)
          SELECT event_type, n_events, decayed_mass,

@@ -137,12 +137,20 @@ class IvfScalingSpec extends SparkTestBase {
     }.toDF("vec_id", "emb").localCheckpoint()
     val probes = corpus.filter(col("vec_id") < 6)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    // FLAT baseline: targetRows=n forces subCellCount = 1, so this
+    // call genuinely takes the single-level path (the default 128
+    // would two-level here too and compare the call to itself)
+    assert(IvfIndex.subCellCount(n, 8, n.toLong) == 1,
+      "baseline regime error: must be flat")
+    val flat = IvfIndex.topK(corpus, probes, 8, 2, 5, Some(n),
+        targetRows = n.toLong)
+      .select("probe_id", "vec_id", "rn").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // targetRows=128 → nsub = 4096/(8×128) = 4 = SubProbes: every
     // sub-cell of a probed cell is scanned, so the two-level result
     // must equal the flat path EXACTLY (same candidates, same ranks)
-    val flat = IvfIndex.topK(corpus, probes, 8, 2, 5, Some(n))
-      .select("probe_id", "vec_id", "rn").collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(IvfIndex.subCellCount(n, 8, 128L) == IvfIndex.SubProbes,
+      "two-level regime error: nsub must equal SubProbes")
     val two = IvfIndex.topK(corpus, probes, 8, 2, 5, Some(n), targetRows = 128L)
       .select("probe_id", "vec_id", "rn").collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
