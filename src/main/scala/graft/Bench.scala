@@ -44,6 +44,16 @@ object Bench {
     // iterator + takeWhile: stop at the FIRST failure instead of
     // re-running a deterministically-broken query `runs` times
     val timings = (1 to runs).iterator.map { _ =>
+      // Reap dead session state BEFORE the clock starts: queries
+      // localCheckpoint intermediates, whose blocks stay pinned until a
+      // driver GC lets the ContextCleaner run — without this, every
+      // query pays the accumulated backlog of all queries before it in
+      // the (sorted) board, and late-alphabet timings creep ~2× over a
+      // 180-query session (measured r9→r10: q79 1.07→4.68 s over 7
+      // bare runs, flat at ~1.2 s with the reap). ~0.1 s per call,
+      // OUTSIDE the timed window; memoized stages stay strongly
+      // referenced by StageCache, so only dead intermediates go.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
@@ -163,6 +173,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // backstop for the per-query reap in timeQuery: the streaming
+      // pipelines run long enough between timeQuery calls that the
+      // cleaner's own periodic trigger (default 30 MINUTES) matters
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

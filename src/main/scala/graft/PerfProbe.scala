@@ -14,6 +14,7 @@ object PerfProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,6 +22,11 @@ object PerfProbe {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
+        if (sys.env.contains("SPARK_GRAFT_PROBE_GC")) {
+          val g0 = System.nanoTime()
+          System.gc()
+          System.err.println(f"[probe] gc ${(System.nanoTime() - g0) / 1e9}%.2f s")
+        }
         val t0 = System.nanoTime()
         fn(spark, sfDir).collect()
         (System.nanoTime() - t0) / 1e9

@@ -21,6 +21,7 @@ object SharedStages {
     Map(
       "ngram_pairs" -> time(TextQueries.ngramPairsStage(s, d).count()),
       "media_features" -> time(MultimodalQueries.mediaFeaturesStage(s, d).count()),
+      "shot_frames" -> time(MultimodalQueries.shotFramesStage(s, d).count()),
       "ivf_index" -> time(VectorQueries.ivfIndexDir(s, d)),
       "shard_export" -> time(TextQueries.shardExportDir(s, d)),
       "pq_model" -> time(VectorQueries.pqModel(s, d)),

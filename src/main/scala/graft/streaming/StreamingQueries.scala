@@ -174,11 +174,18 @@ object StreamingQueries {
     "q115_stream_funnel" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q115-landing")
-      splitByTime(events, landing, 3)
-      flushDrops(s, events, landing, 3)
+      // the q117 harness treatment: TWO real drops — one batch boundary
+      // inside the data is all the cross-batch state-carry semantics
+      // needs, and each extra micro-batch pays a full keyed-state
+      // commit round; 8 state partitions — the funnel keeps three
+      // optional longs per user, so 32 stores of per-batch delta-file
+      // I/O were pure fixed cost at sf0.1. Oracle (q112's batch SQL)
+      // and semantics unchanged.
+      splitByTime(events, landing, 2)
+      flushDrops(s, events, landing, 2)
       val out = runAppend(
         StreamingFunnel.funnel(s, readLanding(s, landing, events)).toDF(),
-        "q115", Seq(landing))
+        "q115", Seq(landing), statePartitions = Some(8))
       out.filter(col("user_id") >= 0)
         .select("user_id", "stage", "t_view", "t_click", "t_purchase",
           "micros_to_convert")
