@@ -654,7 +654,137 @@ object QualityQueries {
           .as("p0"))
   }
 
+  /** q185 annotator rules: A = length gate (n_chars ≥ bar), B =
+    * lexical-diversity gate (distinct/total tokens ≥ ratio, as the
+    * integer cross-multiply n_dist·10⁶ ≥ n_toks·ppm). Both bars sit at
+    * the harness medians (306 chars, 0.462 diversity), so each rule
+    * splits the corpus near-half and their DISAGREEMENT is populated —
+    * a kappa of a degenerate always-agree pair teaches nothing. */
+  private[graft] val KappaLenBar = 300L
+  private[graft] val KappaDivPpm = 460000L
+
+  /** q186 calibration geometry: 10 fixed confidence bins on the
+    * diversity mass; the "label" is the length gate. */
+  private[graft] val EceBins = 10L
+  private[graft] val EceMass = 1000000L
+  private[graft] val EceLenBar = 300L
+
+  /** q187 chi² feature-selection gates: corpus df floor (prunes the
+    * long tail before any join fan-out), in-source df floor, and the
+    * per-source answer size. */
+  private[graft] val Chi2MinDf = 5L
+  private[graft] val Chi2MinA = 2L
+  private[graft] val Chi2TopK = 5
+
+  /** Inter-annotator agreement, Cohen's kappa per source (D13 — the
+    * label-quality audit run before trusting any labeling pipeline;
+    * Cohen '60): two deterministic integer-gated "annotators"
+    * ([[KappaLenBar]]/[[KappaDivPpm]]), per-source marginals from ONE
+    * rollup, kappa = (n·agree − chance) / (n² − chance) with chance =
+    * a₁b₁ + a₀b₀ — every product routed DECIMAL(38,0) (n² passes
+    * BIGINT at ~3·10⁹ docs per source; 100 TB does not), ONE IEEE
+    * division, and the pe = 1 degenerate (a constant-label source)
+    * defined to kappa 0 in both engines rather than dividing by zero. */
+  private[graft] def kappaAgreement(docs: DataFrame): DataFrame = {
+    val lab = docs.select(col("source"), col("n_chars"), toks.as("ts"))
+      .select(col("source"),
+        (col("n_chars") >= KappaLenBar).cast("long").as("a"),
+        (size(array_distinct(col("ts"))).cast("long") * EceMass >=
+          size(col("ts")).cast("long") * KappaDivPpm).cast("long").as("b"))
+    lab.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("a1"),
+        sum(col("b")).as("b1"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("kappa", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * n
+             - (CAST(a1 AS DECIMAL(38,0)) * b1
+                + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)) = 0
+           THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(CAST(n AS DECIMAL(38,0)) * n_agree
+               - (CAST(a1 AS DECIMAL(38,0)) * b1
+                  + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * n
+               - (CAST(a1 AS DECIMAL(38,0)) * b1
+                  + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)) AS DOUBLE)
+           END"""))
+      .select(col("source"), col("n"), col("a1"), col("b1"),
+        col("n_agree"), col("kappa"))
+  }
+
+  /** Calibration audit, expected-calibration-error shape (D14 — is the
+    * pipeline's quality score an honest probability?): the diversity
+    * mass as "confidence", the length gate as "outcome", 10 fixed
+    * bins; per bin the exact integer gap mass |Σconf − pos·10⁶|
+    * (= n_b·|avg conf − accuracy| without any floor-loss), the ECE the
+    * mass-weighted total. One fact rollup to ≤10 rows, everything
+    * exact integers but the two reporting divisions. */
+  private[graft] def calibration(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("n_chars"), toks.as("ts"))
+      .select(
+        expr(s"CAST(size(array_distinct(ts)) AS BIGINT) * $EceMass" +
+          s" DIV size(ts)").as("conf_ppm"),
+        (col("n_chars") >= EceLenBar).cast("long").as("pos"))
+      .withColumn("bin", least(lit(EceBins - 1),
+        expr(s"conf_ppm * $EceBins DIV $EceMass")))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("conf_ppm")).as("sum_conf"),
+        sum(col("pos")).as("n_pos"))
+      .localCheckpoint() // ≤10 rows; feeds output + the ECE total
+    val tot = bins.agg(sum(col("n_b")).as("n"),
+      sum(abs(col("sum_conf") - col("n_pos") * EceMass)).as("gap_total"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_b"),
+        expr("sum_conf DIV n_b").as("avg_conf_ppm"),
+        expr(s"n_pos * $EceMass DIV n_b").as("acc_ppm"),
+        abs(col("sum_conf") - col("n_pos") * EceMass).as("gap_mass"),
+        expr("gap_total DIV n").as("ece_ppm"))
+  }
+
+  /** χ² token↔source feature selection (L5 — Yang & Pedersen '97's
+    * strongest selector, the "which tokens characterize this source"
+    * question behind domain tagging and contamination triage): doc-
+    * level 2×2 contingency per (source, token) from ONE distinct
+    * (doc, token) projection, χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * over DECIMAL(38,0)-routed exact subproducts (N⁴ caps the route at
+    * ~10⁹ docs — past that the denominators move to doubles AFTER the
+    * exact (ad−bc)², same answer to double precision), positive
+    * associations only, top-[[Chi2TopK]] per source by the
+    * (χ² DESC, token ASC) total order via two-phase GroupedTopK.
+    * Scale: the contingency table is (sources × vocab)-sized, joins
+    * are one token-keyed hash join plus two broadcasts. */
+  private[graft] def chi2Tokens(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(toks)).as("token"))
+      .localCheckpoint() // feeds the contingency + the df table
+    val bySource = dt.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val dfT = bySource.groupBy(col("token")).agg(sum(col("a")).as("df"))
+    val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nAll = docs.agg(count(lit(1)).as("n"))
+    val scored = bySource
+      .join(dfT, "token")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nAll))
+      .filter(col("df") >= Chi2MinDf && col("a") >= Chi2MinA)
+      .withColumn("ad_bc", expr(
+        """CAST(a AS DECIMAL(38,0)) * (n - n_s - df + a)
+           - CAST(n_s - a AS DECIMAL(38,0)) * (df - a)"""))
+      .filter(col("ad_bc") > 0)
+      .withColumn("chi2", expr(
+        """CAST(CAST(n AS DECIMAL(38,0)) * ad_bc * ad_bc AS DOUBLE)
+           / CAST(CAST(n_s AS DECIMAL(38,0)) * (n - n_s) * df * (n - df)
+             AS DOUBLE)"""))
+    GroupedTopK.topK(scored, Seq("source"),
+        Seq(col("chi2").desc, col("token").asc), Chi2TopK)
+      .select(col("source"), col("token"), col("a").as("df_in_source"),
+        col("df").as("df_corpus"), col("chi2"), col("rn").cast("long").as("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_kappa" -> ((s, d) => kappaAgreement(documents(s, d))),
+    "q186_calibration" -> ((s, d) => calibration(documents(s, d))),
+    "q187_chi2_tokens" -> ((s, d) => chi2Tokens(documents(s, d))),
     "q168_good_turing" -> ((s, d) => goodTuring(documents(s, d))),
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
     "q86_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d))),
@@ -667,6 +797,103 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q185: identical gates, HUGEINT mirrors the DECIMAL(38,0) route,
+    // identical degenerate-denominator CASE.
+    "q185_kappa" ->
+      s"""WITH lab AS (
+           SELECT source,
+             CASE WHEN n_chars >= $KappaLenBar THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_distinct(regexp_split_to_array(trim(text),
+                 '\\s+'))) * $EceMass
+               >= len(regexp_split_to_array(trim(text), '\\s+'))
+                 * $KappaDivPpm THEN 1 ELSE 0 END AS b
+           FROM documents),
+         m AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS a1, CAST(sum(b) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+           FROM lab GROUP BY 1)
+         SELECT source, n, a1, b1, n_agree,
+           CASE WHEN CAST(n AS HUGEINT) * n
+               - (CAST(a1 AS HUGEINT) * b1
+                  + CAST(n - a1 AS HUGEINT) * (n - b1)) = 0
+           THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(CAST(n AS HUGEINT) * n_agree
+               - (CAST(a1 AS HUGEINT) * b1
+                  + CAST(n - a1 AS HUGEINT) * (n - b1)) AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n
+               - (CAST(a1 AS HUGEINT) * b1
+                  + CAST(n - a1 AS HUGEINT) * (n - b1)) AS DOUBLE)
+           END AS kappa
+         FROM m""",
+
+    // q186: identical confidence mass, bins, exact gap masses.
+    "q186_calibration" ->
+      s"""WITH scored AS (
+           SELECT len(list_distinct(regexp_split_to_array(trim(text),
+               '\\s+'))) * $EceMass
+               // len(regexp_split_to_array(trim(text), '\\s+'))
+               AS conf_ppm,
+             CASE WHEN n_chars >= $EceLenBar THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         bins AS (
+           SELECT least(${EceBins - 1}, conf_ppm * $EceBins // $EceMass)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM scored GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             CAST(sum(abs(sum_conf - n_pos * $EceMass)) AS BIGINT)
+               AS gap_total
+           FROM bins)
+         SELECT bin, n_b,
+           sum_conf // n_b AS avg_conf_ppm,
+           n_pos * $EceMass // n_b AS acc_ppm,
+           abs(sum_conf - n_pos * $EceMass) AS gap_mass,
+           tot.gap_total // tot.n AS ece_ppm
+         FROM bins CROSS JOIN tot""",
+
+    // q187: identical contingency, HUGEINT-routed subproducts, the
+    // same (chi2 DESC, token ASC) total order and per-source cut.
+    "q187_chi2_tokens" ->
+      s"""WITH dt AS (
+           SELECT DISTINCT source, doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text),
+               '\\s+'))) AS token
+           FROM documents),
+         bys AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+                 FROM dt GROUP BY 1, 2),
+         dft AS (SELECT token, CAST(sum(a) AS BIGINT) AS df
+                 FROM bys GROUP BY 1),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                FROM documents GROUP BY 1),
+         nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         scored AS (
+           SELECT b.source, b.token, b.a, d.df,
+             CAST(CAST(nall.n AS HUGEINT) * adbc.v * adbc.v AS DOUBLE)
+               / CAST(CAST(s.n_s AS HUGEINT) * (nall.n - s.n_s) * d.df
+                 * (nall.n - d.df) AS DOUBLE) AS chi2
+           FROM bys b
+           JOIN dft d USING (token)
+           JOIN ns s USING (source)
+           CROSS JOIN nall,
+           LATERAL (SELECT CAST(b.a AS HUGEINT)
+               * (nall.n - s.n_s - d.df + b.a)
+             - CAST(s.n_s - b.a AS HUGEINT) * (d.df - b.a) AS v) adbc
+           WHERE d.df >= $Chi2MinDf AND b.a >= $Chi2MinA
+             AND adbc.v > 0),
+         ranked AS (
+           SELECT source, token, a, df, chi2,
+             row_number() OVER (PARTITION BY source
+               ORDER BY chi2 DESC, token ASC) AS rn
+           FROM scored)
+         SELECT source, token, a AS df_in_source, df AS df_corpus,
+           chi2, CAST(rn AS BIGINT) AS rn
+         FROM ranked WHERE rn <= $Chi2TopK""",
+
     // q168: the identical tf / count-of-counts / r+1 self-join /
     // floor-mass chain — integers end-to-end, one IEEE division.
     "q168_good_turing" ->

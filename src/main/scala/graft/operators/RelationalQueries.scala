@@ -94,6 +94,51 @@ object RelationalQueries {
     * and the significance gate is genuinely exercised. */
   private[graft] val AbConvK = 14L
 
+  /** q183 Benford expectations, ppm: floor(log10(1+1/d)·10⁶) per first
+    * digit d. Computed ONCE here and interpolated into BOTH engines'
+    * SQL as integer literals, so no runtime log10 (whose libm ulps
+    * differ cross-engine) ever enters the compared result. */
+  private[graft] val BenfordPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000.0).toLong)
+
+  /** q183 flag bar: a digit deviating from its Benford share by more
+    * than this many ppm is flagged. The harness value column lands
+    * surprisingly close to Benford (per-digit deviations 62–18629 ppm
+    * at sf0.01), so the bar sits mid-range: digits 1/2/7 flag, 3/4/9
+    * clear — both branches exercised. */
+  private[graft] val BenfordTolPpm = 8000L
+
+  /** q188 seasonality gate (cross-multiply form): a (type, dow) cell is
+    * flagged when |7·n − total| · Den ≥ total · Num, i.e. the cell
+    * deviates ≥ Num/Den from the uniform day share. */
+  private[graft] val SeasonNum = 1L
+  private[graft] val SeasonDen = 5L
+
+  /** q189 burstiness bars on CV²·10⁶ of inter-event gaps: a Poisson
+    * process sits at CV² = 1; above/below the bars is bursty/regular.
+    * Gaps enter as exact micros, CV² as the integer mass
+    * (n·Σg² − (Σg)²)·10⁶ DIV (Σg)² routed through DECIMAL(38,0)
+    * (Σg² at 100 TB spans ~10³⁰ — far past BIGINT by design). */
+  private[graft] val BurstyCv2Ppm = 1500000L
+  private[graft] val RegularCv2Ppm = 700000L
+  private[graft] val CvMass = 1000000L
+
+  /** q193 attribution-window funnel: each stage must follow the prior
+    * within this many micros (48 h) — unlike q112's unbounded chain, a
+    * slow journey DROPS out of the windowed funnel, which is the
+    * within-session conversion question ad analytics actually asks.
+    * The harness's stage gaps have median ~34 h and p90 ~120 h, so the
+    * bar converts SOME journeys and drops others at every SF. */
+  private[graft] val FunnelWindowUs = 172800000000L
+
+  /** q184 robust-outlier geometry: the q176 256-bin histogram grid
+    * picks a BINNED median and MAD per event_type (bin-midpoint
+    * representatives — the deterministic grid arithmetic both engines
+    * share), and an event is an outlier when |value − med| > K·MAD.
+    * No global sort anywhere: two bounded histogram barriers. */
+  private[graft] val MadBins = 256L
+  private[graft] val MadK = 3L
+
   /** q165 Z-order geometry: 5-bit bucketed dims (user_id mod 32,
     * day-offset clamped to 31) interleaved into a 10-bit z-address;
     * blocks of [[ZBlockCells]] z-cells = 4×4 (u, d) tiles; the audit
@@ -174,6 +219,85 @@ object RelationalQueries {
         (col("s_scaled").cast(dec) * col("s_scaled").cast(dec) >=
           lit(CusumHsq).cast(dec) * col("t_total").cast(dec) *
             col("n_days").cast(dec)).as("alarm"))
+  }
+
+  /** The q181 tail over ANY per-user (user_id, last_day, f, m) rollup —
+    * recency grid, three histogram quartile chains, the segment count.
+    * Shared with the streaming twin (q197): per-user (max, count,
+    * decimal-sum) partials are mergeable by (max, add, add), so the
+    * stream's merge-on-read rollup feeds the IDENTICAL tail and
+    * stream == batch holds BY ALGEBRA. `m` must arrive as the exact
+    * decimal-routed double (sum of DECIMAL(38,6) partials cast once). */
+  def rfmView(perUser0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = perUser0.agg(max(col("last_day")).as("dmax"))
+    val users = perUser0.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        (col("dmax") - col("last_day")).cast("double").as("r"),
+        col("f").cast("double").as("f"), col("m"))
+      .localCheckpoint() // feeds three histogram barriers + the join
+    def quartileOf(metric: String): DataFrame = {
+      val st = users.agg(min(col(metric)).as("lo"),
+        max(col(metric)).as("hi"), count(lit(1)).as("n"))
+      // hi==lo guard: constant metric → everyone bin 0 (NaN-free),
+      // matching the oracle's CASE and q171's SQ8 arm.
+      val binned = users.crossJoin(broadcast(st))
+        .select(col("user_id"), col("n"),
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(lit(RfmBins - 1), greatest(lit(0L),
+              floor((col(metric) - col("lo")) / (col("hi") - col("lo"))
+                * RfmBins).cast("long")))).as("bin"))
+        .localCheckpoint() // feeds the histogram + the assignment
+      val cum = binned.groupBy(col("bin"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("bin").asc)))
+      val qs = cum.agg(
+        min(when(col("cum") * 100 >= col("n") * 25, col("bin")))
+          .as("q25"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("bin")))
+          .as("q50"),
+        min(when(col("cum") * 100 >= col("n") * 75, col("bin")))
+          .as("q75"))
+      binned.crossJoin(broadcast(qs))
+        .select(col("user_id"),
+          (lit(1L) + (col("bin") > col("q25")).cast("long") +
+            (col("bin") > col("q50")).cast("long") +
+            (col("bin") > col("q75")).cast("long"))
+            .as(s"${metric}_q"))
+    }
+    users.select(col("user_id"))
+      .join(quartileOf("r"), "user_id")
+      .join(quartileOf("f"), "user_id")
+      .join(quartileOf("m"), "user_id")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The q177 tail over ANY (event_type, day, n) daily-count table —
+    * day-origin scalar, clamped power-of-two decay, share division.
+    * Shared with the streaming twin (q198): daily counts add, so the
+    * stream's merge-on-read sums feed the IDENTICAL tail. */
+  def decayedPopularityView(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint() // feeds dmax + the rollup
+    val mx = daily.agg(max(col("day")).as("dmax"))
+    // Clamp: PopMass = 2^20, so any age past 20 half-lives is weight
+    // 0 EXACTLY — without the guard Java's shift masks the amount
+    // mod 64, wrapping events older than 64 half-lives back to full
+    // weight on a long-span corpus. Mirrored in the oracle.
+    val mass = daily.crossJoin(broadcast(mx))
+      .select(col("event_type"), col("n"),
+        expr(s"CASE WHEN (dmax - day) DIV $PopHalfLifeDays > 20" +
+          s" THEN CAST(0 AS BIGINT) ELSE shiftright($PopMass, " +
+          s"CAST((dmax - day) DIV $PopHalfLifeDays AS INT)) END").as("w"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n") * col("w")).as("decayed_mass"))
+      .localCheckpoint() // vocab rows; feeds output + the total
+    val tot = mass.agg(sum(col("decayed_mass")).as("t"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"), col("decayed_mass"),
+        (col("decayed_mass").cast("double") / col("t")).as("share"))
   }
 
   /** The q161 tail over ANY (prev_type, next_type) transition stream —
@@ -759,27 +883,14 @@ object RelationalQueries {
     // ever appears. One fact rollup + a broadcast day-origin scalar;
     // share = ONE IEEE division against the broadcast total.
     "q177_decayed_popularity" -> ((s, d) => {
-      val daily = events(s, d)
+      // pre-roll to (type, day) counts — collapses map-side before the
+      // decay tail, and makes the daily table the SHARED mergeable unit
+      // the streaming twin (q198) lands per batch
+      decayedPopularityView(events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) DIV 86400000000").as("day"))
-      val mx = daily.agg(max(col("day")).as("dmax"))
-      // Clamp: PopMass = 2^20, so any age past 20 half-lives is weight
-      // 0 EXACTLY — without the guard Java's shift masks the amount
-      // mod 64, wrapping events older than 64 half-lives back to full
-      // weight on a long-span corpus (a 100 TB bug the harness span
-      // can't see). Mirrored in the oracle.
-      val mass = daily.crossJoin(broadcast(mx))
-        .select(col("event_type"),
-          expr(s"CASE WHEN (dmax - day) DIV $PopHalfLifeDays > 20" +
-            s" THEN CAST(0 AS BIGINT) ELSE shiftright($PopMass, " +
-            s"CAST((dmax - day) DIV $PopHalfLifeDays AS INT)) END").as("w"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_mass"))
-        .localCheckpoint() // vocab rows; feeds output + the total
-      val tot = mass.agg(sum(col("decayed_mass")).as("t"))
-      mass.crossJoin(broadcast(tot))
-        .select(col("event_type"), col("n_events"), col("decayed_mass"),
-          (col("decayed_mass").cast("double") / col("t")).as("share"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))
     }),
 
     // RFM segmentation (Hughes '94 — the warehouse-standard
@@ -794,56 +905,15 @@ object RelationalQueries {
     // segment table. M sums route through DECIMAL(38,6), so the only
     // doubles are the deterministic grid arithmetic.
     "q181_rfm" -> ((s, d) => {
-      val mx = events(s, d)
-        .agg(max(expr("unix_micros(ts) DIV 86400000000")).as("dmax"))
-      val users = events(s, d)
+      // one user rollup (max day, count, decimal-routed value sum) —
+      // the mergeable per-user unit the streaming twin (q197) lands as
+      // per-batch partials — then the shared quartile tail
+      rfmView(events(s, d)
         .select(col("user_id"),
           expr("unix_micros(ts) DIV 86400000000").as("day"), col("value"))
         .groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
-          sum(col("value").cast("decimal(38,6)")).cast("double").as("m"))
-        .crossJoin(broadcast(mx))
-        .select(col("user_id"),
-          (col("dmax") - col("last_day")).cast("double").as("r"),
-          col("f").cast("double").as("f"), col("m"))
-        .localCheckpoint() // feeds three histogram barriers + the join
-      def quartileOf(metric: String): DataFrame = {
-        import org.apache.spark.sql.expressions.Window
-        val st = users.agg(min(col(metric)).as("lo"),
-          max(col(metric)).as("hi"), count(lit(1)).as("n"))
-        // hi==lo guard: constant metric → everyone bin 0 (NaN-free),
-        // matching the oracle's CASE and q171's SQ8 arm.
-        val binned = users.crossJoin(broadcast(st))
-          .select(col("user_id"), col("n"),
-            when(col("hi") === col("lo"), lit(0L)).otherwise(
-              least(lit(RfmBins - 1), greatest(lit(0L),
-                floor((col(metric) - col("lo")) / (col("hi") - col("lo"))
-                  * RfmBins).cast("long")))).as("bin"))
-          .localCheckpoint() // feeds the histogram + the assignment
-        val cum = binned.groupBy(col("bin"), col("n"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(
-            Window.orderBy(col("bin").asc)))
-        val qs = cum.agg(
-          min(when(col("cum") * 100 >= col("n") * 25, col("bin")))
-            .as("q25"),
-          min(when(col("cum") * 100 >= col("n") * 50, col("bin")))
-            .as("q50"),
-          min(when(col("cum") * 100 >= col("n") * 75, col("bin")))
-            .as("q75"))
-        binned.crossJoin(broadcast(qs))
-          .select(col("user_id"),
-            (lit(1L) + (col("bin") > col("q25")).cast("long") +
-              (col("bin") > col("q50")).cast("long") +
-              (col("bin") > col("q75")).cast("long"))
-              .as(s"${metric}_q"))
-      }
-      users.select(col("user_id"))
-        .join(quartileOf("r"), "user_id")
-        .join(quartileOf("f"), "user_id")
-        .join(quartileOf("m"), "user_id")
-        .groupBy(col("r_q"), col("f_q"), col("m_q"))
-        .agg(count(lit(1)).as("n_users"))
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("m")))
     }),
 
     // Burst / bot-likeness detection (the anti-abuse data-quality gate
@@ -1035,6 +1105,202 @@ object RelationalQueries {
              dsumR(col("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // Benford first-digit audit (D12 — the fraud/synthetic-data smell
+    // test finance and data-quality teams run on any value column):
+    // first significant digit of the integer cent amount via the
+    // EXACT string route (integer formatting is identical cross-
+    // engine; log10-based digit extraction is not), per-digit counts
+    // against the Benford expectation floor(log10(1+1/d)·10⁶)
+    // interpolated as integer ppm constants ([[BenfordPpm]] — no
+    // runtime log10 in either engine). One fact rollup to ≤9 rows; an
+    // explicit 1–9 grid so absent digits still report; deviation and
+    // flag in exact ppm integers, share the single IEEE division.
+    "q183_benford" -> ((s, d) => {
+      val digits = events(s, d)
+        .select(expr("CAST(substring(CAST(CAST(floor(value * 100) AS " +
+          "BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+        .localCheckpoint() // ≤9 rows; feeds grid join + the total
+      val tot = digits.agg(sum(col("n_d")).as("n"))
+      val expPpm = BenfordPpm.tail.foldLeft(
+        when(col("digit") === BenfordPpm.head._1, lit(BenfordPpm.head._2))) {
+        case (acc, (dd, p)) => acc.when(col("digit") === dd, lit(p))
+      }
+      s.range(1, 10).toDF("digit")
+        .join(digits, Seq("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), coalesce(col("n_d"), lit(0L)).as("n_d"),
+          col("n"), expPpm.as("exp_ppm"))
+        .withColumn("obs_ppm", expr(s"n_d * ${DiscMass} DIV n"))
+        .select(col("digit"), col("n_d"), col("obs_ppm"), col("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"),
+          (col("n_d").cast("double") / col("n")).as("share"),
+          (abs(col("obs_ppm") - col("exp_ppm")) >= BenfordTolPpm)
+            .as("flagged"))
+    }),
+
+    // Day-of-week seasonality profile (W17 — the traffic-shape
+    // baseline behind alerting and capacity marts): dow computed
+    // ARITHMETICALLY from epoch days ((day+4) mod 7, 0=Sunday) so
+    // neither engine's calendar functions enter the result; per
+    // (type, dow) counts on an explicit grid (absent cells report 0),
+    // uniform-share deviation in exact ppm, the flag an integer
+    // cross-multiply (|7n − total|·Den ≥ total·Num). One fact rollup,
+    // everything downstream vocab×7 rows.
+    "q188_seasonality" -> ((s, d) => {
+      val cnt = events(s, d)
+        .select(col("event_type"),
+          expr("pmod(unix_micros(ts) DIV 86400000000 + 4, 7)").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // vocab×7 rows; feeds grid + totals
+      val grid = cnt.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 7).toDF("dow"))
+      val tot = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+      grid.join(cnt, Seq("event_type", "dow"), "left")
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"),
+          coalesce(col("n"), lit(0L)).as("n"), col("total"))
+        .select(col("event_type"), col("dow"), col("n"), col("total"),
+          expr(s"n * $DiscMass DIV total").as("obs_ppm"),
+          lit(DiscMass / 7).as("exp_ppm"),
+          (abs(col("n") * 7 - col("total")) * SeasonDen >=
+            col("total") * SeasonNum).as("flagged"))
+    }),
+
+    // Inter-event burstiness audit (W18 — q182's statistical sibling:
+    // the bot/automation smell test over arrival processes): per user,
+    // the squared coefficient of variation of inter-event gaps as the
+    // EXACT integer mass (n·Σg² − (Σg)²)·10⁶ DIV (Σg)², gaps in
+    // micros from ONE user-keyed lag window. Σg² routes through
+    // DECIMAL(38,0) — gap² alone can hit ~10²² at real spans and the
+    // scaled numerator ~10³⁶, past BIGINT by design (headroom to the
+    // 38-digit cap is documented at the constant). A Poisson arrival
+    // sits at CV² = 10⁶; the bars classify bursty / poissonish /
+    // regular, and Cauchy–Schwarz keeps the mass non-negative.
+    "q189_burstiness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val gaps = events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"))
+        .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("g").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sum_gap"),
+          sum(col("g").cast("decimal(38,0)") *
+            col("g").cast("decimal(38,0)")).as("sum_gap2"))
+        .filter(col("n_gaps") >= 2 && col("sum_gap") > 0)
+        .withColumn("cv2_ppm", expr(
+          s"""CAST(((CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2
+             - CAST(sum_gap AS DECIMAL(38,0)) * CAST(sum_gap AS DECIMAL(38,0)))
+             * $CvMass)
+             DIV (CAST(sum_gap AS DECIMAL(38,0)) * CAST(sum_gap AS DECIMAL(38,0)))
+             AS BIGINT)"""))
+        .select(col("user_id"), col("n_gaps"), col("sum_gap"),
+          col("cv2_ppm"),
+          when(col("cv2_ppm") > BurstyCv2Ppm, "bursty")
+            .when(col("cv2_ppm") < RegularCv2Ppm, "regular")
+            .otherwise("poissonish").as("label"))
+    }),
+
+    // Attribution-window funnel (W19 — q112's bounded sibling, the
+    // within-session conversion question ad analytics actually asks):
+    // each stage must land within [[FunnelWindowUs]] of the prior one,
+    // so a slow journey DROPS OUT instead of converting years later.
+    // Same min-chain joins as q112 with an upper bound on every stage
+    // predicate — the chain stays semi-join-shaped and user-keyed.
+    "q193_windowed_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      def stage(tpe: String, after: DataFrame, afterCol: String,
+                out: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+          .join(after, Seq("user_id"))
+          .filter(col("t") >= col(afterCol) &&
+            col("t") <= col(afterCol) + FunnelWindowUs)
+          .groupBy(col("user_id")).agg(min(col("t")).as(out))
+      val users = ev.select(col("user_id")).distinct()
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t_view"))
+      val s2 = stage("click", s1, "t_view", "t_click")
+        .select(col("user_id"), col("t_click"))
+      val s3 = stage("purchase", s2, "t_click", "t_purchase")
+        .select(col("user_id"), col("t_purchase"))
+      users.join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L)).as("stage"),
+          col("t_view"), col("t_click"), col("t_purchase"),
+          (col("t_purchase") - col("t_view")).as("micros_to_convert"))
+    }),
+
+    // Robust outlier gate (W20 — median/MAD instead of q124's
+    // mean/stddev, the estimator that does NOT move when the outliers
+    // it hunts contaminate it): per event_type, a BINNED median and
+    // MAD from two 256-bin histogram barriers (the q176/q181
+    // machinery — no global sort at any scale), bin-midpoint
+    // representatives in deterministic shared grid arithmetic, outlier
+    // = |value − med| > K·MAD. Three linear passes over one projected
+    // fact checkpoint; all windows are over ≤ types×256-row tables.
+    "q184_mad_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_type"), col("value"))
+        .localCheckpoint() // feeds the two histogram passes + the gate
+      val st = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+      def medBin(facts: DataFrame, v: Column, loC: Column, hiC: Column,
+                 out: String): DataFrame = {
+        // hi==lo guard as everywhere (q176/q181/q171)
+        val binned = facts.withColumn("bin",
+          when(hiC === loC, lit(0L)).otherwise(
+            least(lit(MadBins - 1), greatest(lit(0L),
+              floor((v - loC) / (hiC - loC) * MadBins).cast("long")))))
+        binned.groupBy(col("event_type"), col("n"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("bin").asc)))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cum") * 2 >= col("n"), col("bin"))).as(out))
+      }
+      val med = medBin(ev.join(broadcast(st), "event_type"),
+          col("value"), col("lo"), col("hi"), "med_bin")
+        .join(st, "event_type")
+        .select(col("event_type"), col("lo"), col("hi"), col("n"),
+          (col("lo") + (col("med_bin").cast("double") + lit(0.5)) *
+            (col("hi") - col("lo")) / lit(MadBins.toDouble)).as("med"),
+          greatest(col("hi") - (col("lo") + (col("med_bin").cast("double")
+            + lit(0.5)) * (col("hi") - col("lo")) / lit(MadBins.toDouble)),
+            (col("lo") + (col("med_bin").cast("double") + lit(0.5)) *
+              (col("hi") - col("lo")) / lit(MadBins.toDouble)) - col("lo"))
+            .as("max_dev"))
+      val devs = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+        .localCheckpoint() // feeds the MAD histogram + the outlier gate
+      val mad = medBin(devs, col("dev"), lit(0.0), col("max_dev"), "mad_bin")
+        .join(med, "event_type")
+        .select(col("event_type"),
+          ((col("mad_bin").cast("double") + lit(0.5)) * col("max_dev") /
+            lit(MadBins.toDouble)).as("mad"))
+      devs.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("dev") > col("mad") * MadK, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n_events"), col("med"), col("mad"),
+          col("n_outliers"),
+          (col("n_outliers").cast("double") / col("n_events"))
+            .as("outlier_frac"))
+    }),
+
     // As-of join: for each purchase, the latest prior-or-equal click by
     // the same user (AsOfJoin operator — single shuffle, no crossjoin).
     "q19_asof_join" -> ((s, d) => {
@@ -1049,6 +1315,183 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q183: identical digit route (integer cent string), identical ppm
+    // constants (interpolated from the SAME Scala-computed table).
+    "q183_benford" -> {
+      val cases = BenfordPpm.map { case (dd, p) => s"WHEN $dd THEN $p" }
+        .mkString(" ")
+      s"""WITH cnt AS (
+           SELECT CAST(substring(CAST(CAST(floor(value * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_d
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM cnt),
+         j AS (
+           SELECT CAST(r.range AS BIGINT) AS digit,
+             coalesce(c.n_d, 0) AS n_d,
+             coalesce(c.n_d, 0) * $DiscMass // t.n AS obs_ppm,
+             CAST(CASE CAST(r.range AS BIGINT) $cases END AS BIGINT)
+               AS exp_ppm,
+             t.n
+           FROM range(1, 10) r
+           LEFT JOIN cnt c ON c.digit = r.range CROSS JOIN tot t)
+         SELECT digit, n_d, obs_ppm, exp_ppm,
+           abs(obs_ppm - exp_ppm) AS dev_ppm,
+           CAST(n_d AS DOUBLE) / n AS share,
+           abs(obs_ppm - exp_ppm) >= $BenfordTolPpm AS flagged
+         FROM j"""
+    },
+
+    // q188: identical arithmetic dow, grid, ppm and cross-multiply gate.
+    "q188_seasonality" ->
+      s"""WITH cnt AS (
+           SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT DISTINCT c.event_type, CAST(r.range AS BIGINT) AS dow
+           FROM cnt c CROSS JOIN range(0, 7) r),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+                 FROM cnt GROUP BY 1),
+         j AS (
+           SELECT g.event_type, g.dow, coalesce(c.n, 0) AS n, t.total
+           FROM grid g LEFT JOIN cnt c
+             ON c.event_type = g.event_type AND c.dow = g.dow
+           JOIN tot t ON t.event_type = g.event_type)
+         SELECT event_type, dow, n, total,
+           n * $DiscMass // total AS obs_ppm,
+           CAST(${DiscMass / 7} AS BIGINT) AS exp_ppm,
+           abs(n * 7 - total) * $SeasonDen >= total * $SeasonNum AS flagged
+         FROM j""",
+
+    // q189: identical gap window, HUGEINT mirrors the DECIMAL(38,0)
+    // route, identical mass division and bars.
+    "q189_burstiness" ->
+      s"""WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS g
+           FROM events),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sum_gap,
+             sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sum_gap2
+           FROM g WHERE g IS NOT NULL GROUP BY 1
+           HAVING count(*) >= 2 AND sum(g) > 0),
+         m AS (
+           SELECT user_id, n_gaps, sum_gap,
+             CAST(((CAST(n_gaps AS HUGEINT) * sum_gap2
+               - CAST(sum_gap AS HUGEINT) * CAST(sum_gap AS HUGEINT))
+               * $CvMass)
+               // (CAST(sum_gap AS HUGEINT) * CAST(sum_gap AS HUGEINT))
+               AS BIGINT) AS cv2_ppm
+           FROM a)
+         SELECT user_id, n_gaps, sum_gap, cv2_ppm,
+           CASE WHEN cv2_ppm > $BurstyCv2Ppm THEN 'bursty'
+                WHEN cv2_ppm < $RegularCv2Ppm THEN 'regular'
+                ELSE 'poissonish' END AS label
+         FROM m""",
+
+    // q193: q112's chain with the per-stage window bound.
+    "q193_windowed_funnel" ->
+      s"""WITH s1 AS (
+           SELECT user_id, min(epoch_us(ts)) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t_view
+             AND epoch_us(e.ts) <= s1.t_view + $FunnelWindowUs
+           GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t_click
+             AND epoch_us(e.ts) <= s2.t_click + $FunnelWindowUs
+           GROUP BY 1)
+         SELECT u.user_id,
+           CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                     WHEN s2.t_click IS NOT NULL THEN 2
+                     WHEN s1.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           s1.t_view, s2.t_click, s3.t_purchase,
+           s3.t_purchase - s1.t_view AS micros_to_convert
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 ON s1.user_id = u.user_id
+         LEFT JOIN s2 ON s2.user_id = u.user_id
+         LEFT JOIN s3 ON s3.user_id = u.user_id""",
+
+    // q184: identical histogram chains, bin-midpoint grid arithmetic
+    // (same operand order), MAD gate. min() stands in for Spark's
+    // first() on the per-type constants.
+    "q184_mad_outliers" ->
+      s"""WITH st AS (
+           SELECT event_type, min(value) AS lo, max(value) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         b1 AS (
+           SELECT e.event_type, st.n,
+             CASE WHEN st.hi = st.lo THEN 0 ELSE
+               least(${MadBins - 1}, greatest(0,
+                 CAST(floor((e.value - st.lo) / (st.hi - st.lo)
+                   * $MadBins) AS BIGINT))) END AS bin
+           FROM events e JOIN st USING (event_type)),
+         c1 AS (
+           SELECT event_type, n, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC)
+               AS cum
+           FROM (SELECT event_type, n, bin, count(*) AS cnt
+                 FROM b1 GROUP BY 1, 2, 3)),
+         m1 AS (
+           SELECT event_type,
+             min(CASE WHEN cum * 2 >= n THEN bin END) AS med_bin
+           FROM c1 GROUP BY 1),
+         med AS (
+           SELECT st.event_type, st.n,
+             st.lo + (CAST(m1.med_bin AS DOUBLE) + 0.5)
+               * (st.hi - st.lo) / ${MadBins.toDouble} AS med,
+             greatest(
+               st.hi - (st.lo + (CAST(m1.med_bin AS DOUBLE) + 0.5)
+                 * (st.hi - st.lo) / ${MadBins.toDouble}),
+               (st.lo + (CAST(m1.med_bin AS DOUBLE) + 0.5)
+                 * (st.hi - st.lo) / ${MadBins.toDouble}) - st.lo)
+               AS max_dev
+           FROM st JOIN m1 USING (event_type)),
+         d AS (
+           SELECT e.event_type, med.n, med.med, med.max_dev,
+             abs(e.value - med.med) AS dev
+           FROM events e JOIN med USING (event_type)),
+         b2 AS (
+           SELECT event_type, n,
+             CASE WHEN max_dev = 0.0 THEN 0 ELSE
+               least(${MadBins - 1}, greatest(0,
+                 CAST(floor((dev - 0.0) / (max_dev - 0.0) * $MadBins)
+                   AS BIGINT))) END AS bin
+           FROM d),
+         c2 AS (
+           SELECT event_type, n, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC)
+               AS cum
+           FROM (SELECT event_type, n, bin, count(*) AS cnt
+                 FROM b2 GROUP BY 1, 2, 3)),
+         m2 AS (
+           SELECT event_type,
+             min(CASE WHEN cum * 2 >= n THEN bin END) AS mad_bin
+           FROM c2 GROUP BY 1),
+         mad AS (
+           SELECT med.event_type,
+             (CAST(m2.mad_bin AS DOUBLE) + 0.5) * med.max_dev
+               / ${MadBins.toDouble} AS mad
+           FROM med JOIN m2 USING (event_type))
+         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           min(d.med) AS med, min(mad.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > mad.mad * $MadK THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN d.dev > mad.mad * $MadK THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS outlier_frac
+         FROM d JOIN mad USING (event_type) GROUP BY 1""",
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q183–q193 — the round-10 audit/analytics additions (Benford,
+  * MAD outliers, Cohen's kappa, calibration/ECE, χ² feature selection,
+  * seasonality, burstiness, windowed funnel). The DuckDB oracles prove
+  * cross-engine equality; these specs pin semantics the hash compare
+  * can't express, via independent driver-side recomputation from the
+  * raw tables (never via the operator's own building blocks).
+  */
+class AuditFamilySpec extends SparkTestBase {
+
+  private def events: Array[(Long, Long, Long, String, Double)] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), expr("unix_micros(ts)"), col("user_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+
+  private def docs: Array[(Long, String, String, Long)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("q183: digit shares equal a driver recount; constants are a Benford pmf") {
+    // the interpolated table must actually BE Benford's law
+    val ppm = graft.operators.RelationalQueries.BenfordPpm.toMap
+    assert(ppm.keySet == (1 to 9).toSet && ppm.values.sum > 999990 &&
+      ppm.values.sum <= 1000000, s"not a pmf: $ppm")
+    assert((1 to 8).forall(d => ppm(d) > ppm(d + 1)), "must decrease in d")
+    val digits = events.map { case (_, _, _, _, v) =>
+      math.floor(v * 100).toLong.toString.substring(0, 1).toInt }
+    val n = digits.length.toLong
+    val got = SparkEntry.queries("q183_benford")(spark, sf).collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(6)))).toMap
+    assert(got.keySet == (1 to 9).toSet, "one row per digit 1..9")
+    (1 to 9).foreach { d =>
+      val nd = digits.count(_ == d).toLong
+      val (gn, gobs, gflag) = got(d)
+      assert(gn == nd, s"digit $d count $gn != $nd")
+      assert(gobs == nd * 1000000L / n, s"digit $d obs ppm")
+      assert(gflag == (math.abs(nd * 1000000L / n - ppm(d)) >=
+        graft.operators.RelationalQueries.BenfordTolPpm), s"digit $d flag")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "both flag branches must be populated")
+  }
+
+  test("q188: dow profile equals a driver recount under arithmetic dow") {
+    val cells = events.groupBy { case (_, us, _, tpe, _) =>
+      (tpe, ((us / 86400000000L + 4) % 7)) }.map { case (k, v) => k -> v.size.toLong }
+    val byType = events.groupBy(_._4).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("q188_seasonality")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(6)))).toMap
+    assert(got.keySet == byType.keySet.flatMap(t => (0L to 6L).map(t -> _)),
+      "explicit type x dow grid")
+    got.foreach { case ((tpe, dow), (gn, gtot, gflag)) =>
+      val n = cells.getOrElse((tpe, dow), 0L)
+      assert(gn == n && gtot == byType(tpe), s"cell ($tpe, $dow)")
+      assert(gflag == (math.abs(n * 7 - byType(tpe)) * 5 >= byType(tpe)),
+        s"flag ($tpe, $dow)")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "both flag branches must be populated")
+  }
+
+  test("q189: CV² masses equal an exact driver replay; Poisson-ish data sits near 10⁶") {
+    val byUser = events.groupBy(_._3).map { case (u, es) =>
+      u -> es.sortBy(e => (e._2, e._1)).map(_._2) }
+    val want = byUser.flatMap { case (u, ts) =>
+      val gaps = ts.sliding(2).collect { case Array(a, b) => b - a }.toArray
+      val sg = gaps.sum
+      if (gaps.length >= 2 && sg > 0) {
+        val n = BigInt(gaps.length)
+        val sg2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+        val num = (n * sg2 - BigInt(sg) * BigInt(sg)) * 1000000
+        Some(u -> (num / (BigInt(sg) * BigInt(sg))).toLong)
+      } else None
+    }
+    val got = SparkEntry.queries("q189_burstiness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == want.keySet, "gated user set")
+    want.foreach { case (u, cv2) =>
+      assert(got(u)._1 == cv2, s"user $u cv2 ${got(u)._1} != $cv2")
+      assert(cv2 >= 0, "Cauchy-Schwarz keeps the mass non-negative")
+      val lbl = got(u)._2
+      assert(lbl == (if (cv2 > 1500000L) "bursty"
+        else if (cv2 < 700000L) "regular" else "poissonish"), s"user $u label")
+    }
+    // synthetic arrivals are near-Poisson: the median mass should sit
+    // in the poissonish band, with at least one user outside it
+    val masses = want.values.toSeq.sorted
+    assert(masses(masses.size / 2) > 400000L && masses(masses.size / 2) < 2500000L,
+      s"median CV² mass ${masses(masses.size / 2)} implausible for event data")
+  }
+
+  test("q193: windowed funnel equals a driver replay and never outranks q112") {
+    val W = graft.operators.RelationalQueries.FunnelWindowUs
+    val byUser = events.groupBy(_._3)
+    val want = byUser.map { case (u, es) =>
+      val views = es.filter(_._4 == "view").map(_._2)
+      val tView = if (views.isEmpty) None else Some(views.min)
+      val tClick = tView.flatMap { tv =>
+        val cs = es.filter(e => e._4 == "click" && e._2 >= tv && e._2 <= tv + W)
+          .map(_._2)
+        if (cs.isEmpty) None else Some(cs.min)
+      }
+      val tPurch = tClick.flatMap { tc =>
+        val ps = es.filter(e => e._4 == "purchase" && e._2 >= tc && e._2 <= tc + W)
+          .map(_._2)
+        if (ps.isEmpty) None else Some(ps.min)
+      }
+      u -> ((tView, tClick, tPurch))
+    }
+    val got = SparkEntry.queries("q193_windowed_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got.keySet == byUser.keySet, "one row per user")
+    want.foreach { case (u, (tv, tc, tp)) =>
+      val (stage, gv, gc, gp) = got(u)
+      assert((gv, gc, gp) == ((tv, tc, tp)), s"user $u chain")
+      assert(stage == Seq(tv, tc, tp).count(_.isDefined).toLong, s"user $u stage")
+    }
+    val unbounded = SparkEntry.queries("q112_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, (stage, _, _, _)) =>
+      assert(stage <= unbounded(u),
+        s"user $u: a bounded funnel can only drop stages, never add them")
+    }
+    assert(got.values.exists(_._1 == 3L),
+      "somebody must still convert inside the window")
+    assert(got.exists { case (u, (st, _, _, _)) => st < unbounded(u) },
+      "the window must actually drop someone q112 converts")
+  }
+
+  test("q184: binned median/MAD and the outlier count equal a driver replay") {
+    val byType = events.groupBy(_._4).map { case (t, es) => t -> es.map(_._5) }
+    val got = SparkEntry.queries("q184_mad_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.keySet == byType.keySet, "one row per event_type")
+    byType.foreach { case (t, vs) =>
+      val (lo, hi, n) = (vs.min, vs.max, vs.length.toLong)
+      def bin(v: Double, l: Double, h: Double): Long =
+        if (h == l) 0L
+        else math.min(255L, math.max(0L, math.floor((v - l) / (h - l) * 256).toLong))
+      def medBin(bs: Seq[Long]): Long = {
+        val cnt = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sorted = cnt.keys.toSeq.sorted
+        var cum = 0L
+        sorted.find { b => cum += cnt(b); cum * 2 >= n }.get
+      }
+      val mb = medBin(vs.map(bin(_, lo, hi)).toSeq)
+      val med = lo + (mb.toDouble + 0.5) * (hi - lo) / 256.0
+      val maxDev = math.max(hi - med, med - lo)
+      val devs = vs.map(v => math.abs(v - med))
+      val madB = medBin(devs.map(bin(_, 0.0, maxDev)).toSeq)
+      val mad = (madB.toDouble + 0.5) * maxDev / 256.0
+      val nOut = devs.count(_ > mad * 3).toLong
+      val (gn, gmed, gmad, gout) = got(t)
+      assert(gn == n && gmed == med && gmad == mad && gout == nOut,
+        s"$t: got ($gn, $gmed, $gmad, $gout) want ($n, $med, $mad, $nOut)")
+      assert(nOut > 0 && nOut * 4 < n,
+        s"$t: outlier gate must flag some and pass most ($nOut of $n)")
+    }
+  }
+
+  test("q185: kappa equals an exact driver replay; annotators genuinely disagree") {
+    val rows = docs.map { case (_, src, text, nChars) =>
+      val ts = text.trim.split("\\s+")
+      (src, if (nChars >= 300) 1L else 0L,
+        if (ts.distinct.length.toLong * 1000000L >= ts.length.toLong * 460000L) 1L
+        else 0L)
+    }
+    val got = SparkEntry.queries("q185_kappa")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val bySrc = rows.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val a1 = rs.map(_._2).sum; val b1 = rs.map(_._3).sum
+      val agree = rs.count(r => r._2 == r._3).toLong
+      val chance = BigInt(a1) * b1 + BigInt(n - a1) * (n - b1)
+      val den = BigInt(n) * n - chance
+      val kappa =
+        if (den == 0) 0.0
+        else (BigInt(n) * agree - chance).toDouble / den.toDouble
+      val (gn, ga, gb, gagree, gk) = got(src)
+      assert((gn, ga, gb, gagree) == ((n, a1, b1, agree)), s"$src marginals")
+      assert(gk == kappa, s"$src kappa $gk != $kappa")
+    }
+    val disagreements = rows.count(r => r._2 != r._3)
+    assert(disagreements > 0 && disagreements < rows.length,
+      "the two annotators must both agree and disagree somewhere")
+  }
+
+  test("q186: gap masses and the ECE equal an exact driver replay") {
+    val scored = docs.map { case (_, _, text, nChars) =>
+      val ts = text.trim.split("\\s+")
+      (ts.distinct.length.toLong * 1000000L / ts.length,
+        if (nChars >= 300) 1L else 0L)
+    }
+    val byBin = scored.groupBy { case (c, _) => math.min(9L, c * 10 / 1000000L) }
+    val got = SparkEntry.queries("q186_calibration")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == byBin.keySet)
+    val gapTotal = byBin.values.map(rs =>
+      math.abs(rs.map(_._1).sum - rs.map(_._2).sum * 1000000L)).sum
+    byBin.foreach { case (b, rs) =>
+      val (gn, ggap, gece) = got(b)
+      assert(gn == rs.length.toLong, s"bin $b size")
+      assert(ggap == math.abs(rs.map(_._1).sum - rs.map(_._2).sum * 1000000L),
+        s"bin $b gap mass")
+      assert(gece == gapTotal / scored.length, s"bin $b ece")
+    }
+    assert(byBin.size >= 3, "the confidence signal must spread over bins")
+  }
+
+  test("q187: top-χ² tokens equal an exact driver replay per source") {
+    val N = docs.length.toLong
+    val dt = docs.flatMap { case (id, src, text, _) =>
+      text.trim.split("\\s+").distinct.map(t => (src, id, t)) }
+    val nS = docs.groupBy(_._2).map { case (s, v) => s -> v.length.toLong }
+    val a = dt.groupBy(r => (r._1, r._3)).map { case (k, v) => k -> v.length.toLong }
+    val dfT = dt.groupBy(_._3).map { case (t, v) => t -> v.length.toLong }
+    val want = a.toSeq.flatMap { case ((src, tok), av) =>
+      val df = dfT(tok); val ns = nS(src)
+      if (df < 5 || av < 2) None
+      else {
+        val adbc = BigInt(av) * (N - ns - df + av) - BigInt(ns - av) * (df - av)
+        if (adbc <= 0) None
+        else Some((src, tok,
+          (BigInt(N) * adbc * adbc).toDouble /
+            (BigInt(ns) * (N - ns) * df * (N - df)).toDouble))
+      }
+    }.groupBy(_._1).map { case (src, rs) =>
+      src -> rs.sortBy(r => (-r._3, r._2)).take(5).map(r => (r._2, r._3))
+    }
+    val got = SparkEntry.queries("q187_chi2_tokens")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getString(1), r.getDouble(4)))
+      .groupBy(_._1).map { case (src, rs) =>
+        src -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    assert(got.keySet == want.keySet, "per-source answers")
+    want.foreach { case (src, topk) =>
+      assert(got(src) == topk, s"$src: ${got(src)} != $topk")
+    }
+  }
+}

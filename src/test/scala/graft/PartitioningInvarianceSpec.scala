@@ -104,7 +104,15 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q179_link_prediction",  // wedge counts + anti join + total-order cut
     "q180_cluster_split",    // CC roots + md5 split + pair re-audit
     "q181_rfm",              // three histogram picks + bin quartiles
-    "q182_burst_detect")     // event-time RANGE frame + integer bar
+    "q182_burst_detect",     // event-time RANGE frame + integer bar
+    "q183_benford",          // digit-string rollup + ppm constants
+    "q184_mad_outliers",     // two histogram medians + MAD gate
+    "q185_kappa",            // integer gates + decimal-routed chance
+    "q186_calibration",      // integer masses + fixed bins
+    "q187_chi2_tokens",      // decimal contingency + total-order cut
+    "q188_seasonality",      // arithmetic dow grid + ppm gate
+    "q189_burstiness",       // user-keyed lag + decimal CV² mass
+    "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {
     val key = "spark.sql.shuffle.partitions"

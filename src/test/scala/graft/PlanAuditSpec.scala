@@ -923,6 +923,47 @@ class PlanAuditSpec extends SparkTestBase {
       s"the corpus must not be re-scanned by the quantile tail:\n$p")
   }
 
+  test("q184 MAD: stats broadcast to the facts; windows only over the bounded bin tables") {
+    val p = plan("q184_mad_outliers")
+    assert(!p.contains("CartesianProduct"),
+      s"per-type stats must broadcast-hash, never cross-product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join side except the facts is types-sized — must broadcast:\n$p")
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("event_type")),
+      s"histogram cums must partition by event_type:\n${winSpecs.mkString("\n")}")
+  }
+
+  test("q187 chi2: no cartesian; the per-source cut is two-phase (no single global window)") {
+    val p = plan("q187_chi2_tokens")
+    assert(!p.contains("CartesianProduct"), p)
+    // GroupedTopK's local prune: a local rank (partition_id in the
+    // window key) must precede the final per-source rank
+    assert(p.linesIterator.count(_.contains("windowspecdefinition(")) >= 2,
+      s"expected the two-phase GroupedTopK cut:\n$p")
+  }
+
+  test("q189 burstiness: the only window is user-keyed; aggregation is partial+final") {
+    val p = plan("q189_burstiness")
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("user_id")),
+      s"gap lag must partition by user_id:\n${winSpecs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q183/q188: one fact rollup each; everything downstream is grid-sized") {
+    Seq("q183_benford", "q188_seasonality").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // exactly one aggregation pass touches the parquet facts: the
+      // scan feeds a partial HashAggregate before any exchange
+      assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*""")) <= 1,
+        s"$q: the fact table must be scanned once:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
