@@ -4,18 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming CUSUM drift detection (ST16 — q162 as a stream): each
-  * micro-batch lands its PARTIAL per-(type, day) event counts under a
-  * batch_id partition (dynamic overwrite → replay-idempotent), the
-  * store LSM-folds mid-run under the shared every-2-batches trigger,
-  * and the answer is the SAME
-  * [[graft.operators.RelationalQueries.cusumView]] the one-shot batch
-  * runs, over the merge-on-read SUM. Counts are addition-mergeable, so
-  * stream == batch BY ALGEBRA no matter how the drops were micro-
-  * batched or when folds ran — the q153 argument, applied to the
-  * monitoring op itself. The oracle IS q162's batch SQL.
+/** Streaming per-(type, day) event-count store — the mergeable daily
+  * unit TWO read tails share:
+  *
+  *  - ST16 / q167: [[graft.operators.RelationalQueries.cusumView]]
+  *    (CUSUM drift monitoring, q162's batch chain);
+  *  - ST19 / q198:
+  *    [[graft.operators.RelationalQueries.decayedPopularityView]]
+  *    (half-life popularity, q177's batch chain).
+  *
+  * Each micro-batch lands its PARTIAL counts under a batch_id
+  * partition (dynamic overwrite → replay-idempotent), the store
+  * LSM-folds mid-run under the shared every-2-batches trigger, and
+  * each answer is the SAME view code the one-shot batch runs, over the
+  * merge-on-read SUM. Counts are addition-mergeable, so stream ==
+  * batch BY ALGEBRA no matter how the drops were micro-batched or when
+  * folds ran — the q153 argument, applied to the monitoring ops
+  * themselves. One ingest store, many tails: this is the production
+  * shape (land counts once, derive every daily metric from the store),
+  * not a per-metric re-ingest.
   */
-object StreamingCusum {
+object StreamingDailyCounts {
 
   def processBatch(spark: SparkSession, storeDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
@@ -47,7 +56,9 @@ object StreamingCusum {
       .awaitTermination()
   }
 
-  /** Merge-on-read daily counts: sum of the live partial partitions. */
+  /** Merge-on-read daily counts: sum of the live partial partitions.
+    * Column `x` matches cusumView's input; q198 renames it to `n` for
+    * the popularity tail. */
   def daily(spark: SparkSession, storeDir: String): DataFrame =
     BatchStore.liveRows(spark, storeDir)
       .groupBy(col("event_type"), col("day")).agg(sum(col("cnt")).as("x"))

@@ -524,11 +524,50 @@ object StreamingQueries {
       val store = graft.TempDirs.register(tmp("graft-q167-store"))
       val ckpt = tmp("graft-q167-ckpt")
       withCompactionEvery2(s) {
-        StreamingCusum.run(s, landing, events, store, ckpt)
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
       }
       rmTree(landing); rmTree(ckpt)
       graft.operators.RelationalQueries.cusumView(
-        StreamingCusum.daily(s, store))
+        StreamingDailyCounts.daily(s, store))
+    }),
+
+    // ST × F14: q177's decayed popularity as a STREAM — the SAME
+    // partial (type, day) count store q167 lands (one daily ingest op,
+    // two read tails: drift monitoring and freshness scoring — the
+    // production shape, not a per-metric re-ingest), read through the
+    // SAME decayedPopularityView the one-shot batch runs. Counts add,
+    // so stream == batch BY ALGEBRA; oracle IS q177's batch SQL.
+    "q198_stream_decayed_pop" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q198-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q198-store"))
+      val ckpt = tmp("graft-q198-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.decayedPopularityView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
+    // ST × W13: q181's RFM segmentation as a STREAM — per-batch
+    // partial (max day, count, decimal sum) per user, LSM-folded,
+    // merge-on-read (MAX, SUM, SUM) feeding the SAME rfmView quartile
+    // tail; the decimal→double cast happens once, after the merge,
+    // exactly where the batch casts. Oracle IS q181's batch SQL.
+    "q197_stream_rfm" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q197-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q197-store"))
+      val ckpt = tmp("graft-q197-ckpt")
+      withCompactionEvery2(s) {
+        StreamingRfm.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.rfmView(
+        StreamingRfm.perUser(s, store))
     }),
 
     // ST × W10: q166's A/B test as a STREAM — partial (user, type)
@@ -713,6 +752,16 @@ object StreamingQueries {
     // conversion gate over merged counts must equal the one-shot gate
     "q172_stream_ab" ->
       graft.operators.RelationalQueries.oracleSql("q166_ab_test"),
+
+    // identical derivation to the q177 batch chain — summed daily
+    // counts feed the same clamped power-of-two decay
+    "q198_stream_decayed_pop" ->
+      graft.operators.RelationalQueries.oracleSql("q177_decayed_popularity"),
+
+    // identical derivation to the q181 batch chain — per-user
+    // (MAX, SUM, SUM) partials must merge to the one-shot rollup
+    "q197_stream_rfm" ->
+      graft.operators.RelationalQueries.oracleSql("q181_rfm"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

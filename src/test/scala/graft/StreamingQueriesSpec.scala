@@ -89,6 +89,25 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q172")
   }
 
+  test("q197: streamed RFM equals the one-shot batch segmentation") {
+    val got = q("q197_stream_rfm")
+    val want = SparkEntry.queries("q181_rfm")(spark, sf)
+    assert(got.count() > 0, "no segments streamed")
+    assertSame(got, want, "q197")
+    // the merge really is (MAX, SUM, SUM): user counts must total the
+    // corpus user count, not a per-batch subset
+    val users = got.agg(sum(col("n_users"))).head().getLong(0)
+    val corpus = events.select("user_id").distinct().count()
+    assert(users == corpus, s"segment users $users != corpus users $corpus")
+  }
+
+  test("q198: streamed decayed popularity equals the one-shot batch chain") {
+    val got = q("q198_stream_decayed_pop")
+    val want = SparkEntry.queries("q177_decayed_popularity")(spark, sf)
+    assert(got.count() > 0, "no popularity rows streamed")
+    assertSame(got, want, "q198")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")
