@@ -428,6 +428,53 @@ object ApproxOracle {
            coalesce(round(avg(jaccard), 4), 0.0) AS avg_jaccard
          FROM jac WHERE jaccard >= $MinJaccard""",
 
+    // q196: the q25 pair chain bucketed against the threshold ladder —
+    // the exact ppm-integer compare, the same grid and base share.
+    "q196_dedup_sweep" -> {
+      val ladder = TextQueries.SweepThresholdsPpm.mkString(", ")
+      s"""WITH cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM ${p("minhash_bands")} x JOIN ${p("minhash_bands")} y
+             ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id),
+         sizes AS (
+           SELECT doc_id, count(*) AS n
+           FROM ${p("minhash_shingles")} GROUP BY doc_id),
+         common AS (
+           SELECT c.doc_a, c.doc_b, count(sb.sh) AS ci
+           FROM cand c
+           JOIN ${p("minhash_shingles")} sa ON sa.doc_id = c.doc_a
+           LEFT JOIN ${p("minhash_shingles")} sb
+             ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT m.doc_a, m.doc_b,
+             CAST(round(round(CAST(m.ci AS DOUBLE) / (na.n + nb.n - m.ci),
+               4) * ${TextQueries.CanonMass}) AS BIGINT) AS j_ppm
+           FROM common m JOIN sizes na ON na.doc_id = m.doc_a
+                         JOIN sizes nb ON nb.doc_id = m.doc_b
+           WHERE round(CAST(m.ci AS DOUBLE) / (na.n + nb.n - m.ci), 4)
+             >= $MinJaccard),
+         thr AS (SELECT unnest([$ladder]) AS thr_ppm),
+         cleared AS (
+           SELECT t.thr_ppm, pr.doc_a, pr.doc_b
+           FROM pairs pr JOIN thr t ON pr.j_ppm >= t.thr_ppm),
+         np AS (SELECT thr_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM cleared GROUP BY 1),
+         nd AS (SELECT thr_ppm, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+                FROM (SELECT thr_ppm, unnest([doc_a, doc_b]) AS doc
+                      FROM cleared) GROUP BY 1),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM pairs)
+         SELECT CAST(t.thr_ppm AS BIGINT) AS thr_ppm,
+           coalesce(np.n_pairs, 0) AS n_pairs,
+           coalesce(nd.n_docs, 0) AS n_docs,
+           CASE WHEN base.n_base = 0 THEN 0.0
+                ELSE CAST(coalesce(np.n_pairs, 0) AS DOUBLE) / base.n_base
+           END AS pair_frac
+         FROM thr t LEFT JOIN np USING (thr_ppm)
+         LEFT JOIN nd USING (thr_ppm) CROSS JOIN base"""
+    },
+
     // q180: the q178 pair chain + recursive-closure components (the
     // q54 oracle's reach CTE) + md5(root) splits + the re-audit rollup
     "q180_cluster_split" ->

@@ -110,32 +110,22 @@ object MultimodalQueries {
     // self-join, exact Hamming rescore. The oracle redoes the UNFILTERED
     // all-pairs Hamming join in DuckDB, so every round also proves the
     // banding lossless at the threshold.
-    "q78_image_neardup" -> ((s, d) => {
-      // composes on the memoized decode stage (mediaFeaturesStage):
-      // the self-join consumes the decoded table twice, and the codec
-      // cost is already billed to q77
-      val img = mediaFeaturesStage(s, d)
-        .filter(col("modality") === "image")
-        .select(col("asset_id"), col("ahash"))
-      val bands = img.select(col("asset_id"), col("ahash"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band_idx"),
-            shiftrightunsigned(col("ahash"), i * 16)
-              .bitwiseAND(lit(0xffffL)).as("band_key"))): _*)).as("b"))
-        .select(col("asset_id"), col("ahash"),
-          col("b.band_idx"), col("b.band_key"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.asset_id") < col("b.asset_id"))
-        .select(col("a.asset_id").as("asset_a"),
-          col("b.asset_id").as("asset_b"),
-          expr("CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)").as("hamming"))
-        // filter FIRST (partition-local, hamming already computed), so
-        // the dedup shuffle carries only near-dup pairs — band-collision
-        // candidates at high Hamming never reach the exchange
-        .filter(col("hamming") <= 3)
-        .distinct()
+    "q78_image_neardup" -> ((s, d) => imageNearDupPairs(s, d)),
+
+    // Media dup-cluster resolution (L4 × L2 — q54's end-game applied to
+    // the image modality: near-dup PAIRS are not yet an answer; the
+    // curation decision needs CLUSTERS and one survivor each): q78's
+    // banded Hamming pairs (lossless at the ≤3 bar by pigeonhole over
+    // the 4 16-bit bands) under the shared star-contraction CC, keep
+    // rule = min asset id. Oracle: recursive transitive closure over
+    // the exported decoded-features table.
+    "q194_media_dup_clusters" -> ((s, d) => {
+      val lab = ConnectedComponents.labels(s,
+        imageNearDupPairs(s, d)
+          .select(col("asset_a").as("src"), col("asset_b").as("dst")))
+      lab.groupBy(col("comp_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("keep_asset"))
     }),
 
     // REAL per-frame video decode (L4, the last modality off the stub):
@@ -250,6 +240,37 @@ object MultimodalQueries {
     * rows (q82). */
   private def vframes = graft.OracleExport.p("video_frames")
 
+  /** q78's banded image near-dup pairs (asset_a, asset_b, hamming) —
+    * shared by the pair query and the q194 cluster resolution. The
+    * self-join consumes the memoized decode stage twice; the codec
+    * cost is billed to q77. Banding is LOSSLESS at the ≤3 bar: 3 bit
+    * diffs across 4 disjoint 16-bit bands leave at least one band
+    * equal (pigeonhole), so the band join finds every qualifying pair. */
+  private[operators] def imageNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val img = mediaFeaturesStage(s, d)
+      .filter(col("modality") === "image")
+      .select(col("asset_id"), col("ahash"))
+    val bands = img.select(col("asset_id"), col("ahash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band_idx"),
+          shiftrightunsigned(col("ahash"), i * 16)
+            .bitwiseAND(lit(0xffffL)).as("band_key"))): _*)).as("b"))
+      .select(col("asset_id"), col("ahash"),
+        col("b.band_idx"), col("b.band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"),
+        expr("CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)").as("hamming"))
+      // filter FIRST (partition-local, hamming already computed), so
+      // the dedup shuffle carries only near-dup pairs — band-collision
+      // candidates at high Hamming never reach the exchange
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** The decoded-features table, memoized per (session, sf dir) as an
     * eager localCheckpoint — the media pipeline's shared materialized
     * stage (same idiom as TextQueries' ngramPairsStage, via StageCache):
@@ -351,6 +372,29 @@ object MultimodalQueries {
             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
           FROM img a JOIN img b ON a.asset_id < b.asset_id
           WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
+
+    // q194: recursive transitive closure over the exact all-pairs
+    // Hamming edges (the band join is lossless at the bar, so the
+    // closures agree), min-id components and survivors.
+    "q194_media_dup_clusters" ->
+      s"""WITH RECURSIVE img AS (
+           SELECT asset_id, ahash FROM $media WHERE modality = 'image'),
+         pairs AS (
+           SELECT a.asset_id AS pa, b.asset_id AS pb
+           FROM img a JOIN img b ON a.asset_id < b.asset_id
+           WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+         edges AS (SELECT pa AS a, pb AS b FROM pairs
+                   UNION SELECT pb, pa FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (
+           SELECT a AS id, least(a, min(b)) AS comp_id
+           FROM reach GROUP BY a)
+         SELECT comp_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(id) AS keep_asset
+         FROM labels GROUP BY comp_id""",
 
     // plain per-frame aggregate over the exported decoded frames — it
     // equals the Spark side (sampler keys ⋈ real frames) only if the

@@ -544,6 +544,169 @@ object TextQueries {
              min(when(col("rn") === 1, col("doc_id"))).as("keep_id"))
     }),
 
+    // Canonical-doc selection per dup cluster (L2 — q54's resolution
+    // rule made CONTENT-AWARE, the way production dedup actually picks
+    // survivors: keep the most lexically DIVERSE member, not merely
+    // the longest; a boilerplate-padded page outranks its original on
+    // length but not on distinct-token ratio). Clusters are the q54
+    // machinery verbatim (staged ngram pairs + star-contraction CC);
+    // quality is the exact integer mass n_distinct·10⁶ DIV n_toks, the
+    // argmax the (div_ppm DESC, doc_id ASC) total order. Oracle: the
+    // q54 recursive-closure CTE extended with the same diversity rank.
+    "q190_canonical_docs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val pairs = ngramPairsStage(s, d)
+      val lab = ConnectedComponents.labels(s,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val q = docs.select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"),
+          expr(s"CAST(size(array_distinct(ts)) AS BIGINT) * $CanonMass" +
+            " DIV size(ts)").as("div_ppm"))
+      lab.join(q, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("comp_id"))
+            .orderBy(col("div_ppm").desc, col("doc_id").asc)))
+        .groupBy(col("comp_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+          max(col("div_ppm")).as("best_div_ppm"),
+          (count(lit(1)) - 1).as("n_dropped"))
+    }),
+
+    // Dedup threshold-sensitivity sweep (D16 — the "how much does the
+    // knob matter" audit run before committing a corpus to one Jaccard
+    // bar): the q25 banded-candidate + exact-rescore pairs, bucketed
+    // against a fixed threshold ladder in ONE pass (each pair explodes
+    // to the ≤5 thresholds it clears); per threshold the surviving
+    // pair count, the distinct docs touched, and the share of the
+    // base-threshold pairs. Jaccard compares as the EXACT ppm integer
+    // (round(j·10⁶)) — a raw float ≥ against 0.7 would silently fail
+    // on the 0.699999… double. Explicit ladder grid so empty rungs
+    // still report.
+    "q196_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val pairs = MinHashLSH.verifiedPairs(
+          documents(s, d).select(col("doc_id"), col("text")),
+          ApproxOracle.MinJaccard)
+        .withColumn("j_ppm",
+          expr(s"CAST(round(jaccard * $CanonMass) AS BIGINT)"))
+        .localCheckpoint() // feeds the ladder explode + the base count
+      val cleared = pairs
+        .withColumn("thr_ppm", explode(typedLit(SweepThresholdsPpm)))
+        .filter(col("j_ppm") >= col("thr_ppm"))
+        .localCheckpoint() // feeds the pair count + the doc count
+      val np = cleared.groupBy(col("thr_ppm"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = cleared.select(col("thr_ppm"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("thr_ppm")).agg(countDistinct(col("doc")).as("n_docs"))
+      val base = pairs.agg(count(lit(1)).as("n_base"))
+      SweepThresholdsPpm.toDF("thr_ppm")
+        .join(np, Seq("thr_ppm"), "left")
+        .join(nd, Seq("thr_ppm"), "left")
+        .crossJoin(broadcast(base))
+        .select(col("thr_ppm"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          when(col("n_base") === 0, lit(0.0)).otherwise(
+            coalesce(col("n_pairs"), lit(0L)).cast("double") /
+              col("n_base")).as("pair_frac"))
+    }),
+
+    // Token-budget water-filling (L5 — the allocation step of data
+    // mixing under a budget: given B tokens to keep, each language
+    // gets min(its supply, a common level) with the level chosen so
+    // allocations total B — the classic water-fill, in CLOSED
+    // RELATIONAL FORM over the language-bounded table: sort by supply
+    // ascending, a language saturates iff supply·remaining ≤
+    // remaining-budget (integer cross-multiply — saturation is a
+    // PREFIX of the ascending order by the standard exchange
+    // argument), the first non-saturating row fixes the level as ONE
+    // integer division, floor remainder ≤ k−1 tokens documented. No
+    // iteration, no driver loop — one fact rollup, then windows over
+    // ≤|langs| rows. */
+    "q191_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val avail = documents(s, d)
+        .select(col("lang"), size(toks).cast("long").as("n_toks"))
+        .groupBy(col("lang")).agg(sum(col("n_toks")).as("avail"))
+        .localCheckpoint() // |langs| rows; feeds totals + the fill
+      val tot = avail.agg(sum(col("avail")).as("total"),
+        count(lit(1)).as("k"))
+      val ord = Window.orderBy(col("avail").asc, col("lang").asc)
+      val ranked = avail.crossJoin(broadcast(tot))
+        .withColumn("b", expr(s"total * $BudgetNum DIV $BudgetDen"))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("s_excl", coalesce(sum(col("avail")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("saturated",
+          col("avail") * (col("k") - col("rn") + 1) <= col("b") - col("s_excl"))
+        .localCheckpoint() // feeds the level pick + the output
+      val level = ranked.agg(
+        min(when(!col("saturated"),
+          struct(col("rn"), expr("(b - s_excl) DIV (k - rn + 1)").as("lv"))))
+          .as("first"))
+        .select(coalesce(col("first.lv"), lit(Long.MaxValue)).as("level"))
+      ranked.crossJoin(broadcast(level))
+        .select(col("lang"), col("avail"), col("b").as("budget"),
+          col("saturated"),
+          when(col("saturated"), col("avail")).otherwise(col("level"))
+            .as("alloc"))
+    }),
+
+    // Greedy max-coverage selection (L5 — Nemhauser/Wolsey's (1−1/e)
+    // greedy, the "pick K docs that cover the most distinct content"
+    // step behind seed-corpus and eval-set construction): coverage
+    // units are word TRIGRAMS (the q109 novelty unit — the harness
+    // token vocabulary is only ~31 words, which one doc covers
+    // entirely; trigrams number ~16k and make the greedy genuinely
+    // iterate). SetCoverRounds driver-paced rounds (the q70 BPE-merge
+    // pattern), each one anti-join (drop covered grams) + one count
+    // rollup + one TakeOrdered argmax under the (gain DESC, doc_id
+    // ASC) total order. The covered set stays a gram-bounded TABLE
+    // (never driver memory); picked ids are excluded explicitly so a
+    // zero-gain re-pick is impossible. Oracle: the same rounds
+    // unrolled as generated CTEs over exact gram STRINGS — doubling
+    // as the xxhash64 losslessness check (q85 doctrine).
+    "q192_set_cover" -> ((s, d) => {
+      import s.implicits._
+      val dt = documents(s, d)
+        .select(col("doc_id"), toks.as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(tokenTrigrams(col("ts")))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .localCheckpoint() // feeds every round's gain scan
+      var covered: DataFrame = null
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var coveredTotal = 0L
+      (1 to SetCoverRounds).foreach { r =>
+        val pickedIds = picks.map(_._2)
+        val remaining =
+          (if (covered == null) dt
+           else dt.join(covered, Seq("th"), "left_anti"))
+            .filter(!col("doc_id").isInCollection(
+              if (pickedIds.isEmpty) Seq(-1L) else pickedIds))
+        val top = remaining.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id").asc)
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"set-cover round $r found no doc with uncovered tokens — " +
+            "corpus vocabulary exhausted below SetCoverRounds")
+        val (docId, gain) = (top(0).getLong(0), top(0).getLong(1))
+        coveredTotal += gain
+        picks += ((r.toLong, docId, gain, coveredTotal))
+        val newCov = dt.filter(col("doc_id") === docId).select(col("th"))
+        covered =
+          (if (covered == null) newCov else covered.union(newCov))
+            .distinct().localCheckpoint()
+      }
+      picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+    }),
+
     // TF-IDF top term per doc (L5). idf here is the RATIONAL N/df
     // (no log dampening): every score is then one IEEE multiply +
     // divide over exact integers, so Spark and DuckDB produce
@@ -1179,6 +1342,27 @@ object TextQueries {
   private val NgramN = 3
   private val NgramMinJ = 0.8
 
+  /** q190/q196 ppm mass scale (the shared 10⁶ doctrine). */
+  private[graft] val CanonMass = 1000000L
+
+  /** q191 budget: Num/Den of the corpus token total. 4/5 sits ABOVE
+    * the harness's smallest language shares (fr ≈ 12.8%, de ≈ 14% of
+    * tokens vs a 16% fair share at k = 5), so the small languages
+    * saturate while en absorbs the remainder — both branches of the
+    * water-fill provably exercised at every SF. */
+  private[graft] val BudgetNum = 4L
+  private[graft] val BudgetDen = 5L
+
+  /** q192 greedy rounds — fixed, so the oracle unrolls exactly this
+    * many CTE stages. */
+  private[graft] val SetCoverRounds = 5
+
+  /** q196 threshold ladder, ppm — brackets the q25 base threshold so
+    * the sweep's bottom rung equals the base pair set and the top
+    * rungs genuinely prune. */
+  private[graft] val SweepThresholdsPpm = Seq(500000L, 600000L, 700000L,
+    800000L, 900000L)
+
   /** q123 containment threshold — shared with its oracle SQL. */
   private val ContainMinC = 0.8
 
@@ -1803,6 +1987,107 @@ object TextQueries {
            FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
          SELECT comp_id, CAST(count(*) AS BIGINT) AS n_members,
            min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id
+         FROM members GROUP BY comp_id""",
+
+    // q191: identical ascending fill — same cross-multiply saturation
+    // test, same first-non-saturated level division.
+    "q191_token_budget" ->
+      s"""WITH avail AS (
+           SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS BIGINT) AS avail
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k FROM avail),
+         ranked AS (
+           SELECT a.lang, a.avail, tot.k,
+             tot.total * $BudgetNum // $BudgetDen AS b,
+             CAST(row_number() OVER (ORDER BY a.avail ASC, a.lang ASC)
+               AS BIGINT) AS rn,
+             CAST(coalesce(sum(a.avail) OVER (
+               ORDER BY a.avail ASC, a.lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s_excl
+           FROM avail a CROSS JOIN tot),
+         sat AS (
+           SELECT *, avail * (k - rn + 1) <= b - s_excl AS saturated
+           FROM ranked),
+         lvl AS (
+           SELECT coalesce((SELECT (b - s_excl) // (k - rn + 1)
+             FROM sat WHERE NOT saturated ORDER BY rn LIMIT 1),
+             9223372036854775807) AS level)
+         SELECT s.lang, s.avail, s.b AS budget, s.saturated,
+           CASE WHEN s.saturated THEN s.avail ELSE lvl.level END AS alloc
+         FROM sat s CROSS JOIN lvl""",
+
+    // q192: the greedy rounds unrolled as generated CTEs over exact
+    // token strings (doubling as the xxhash64 losslessness check).
+    "q192_set_cover" -> {
+      val rounds = (2 to SetCoverRounds).map { r =>
+        val picked = (1 until r).map(i => s"SELECT doc_id FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""g$r AS (
+             SELECT d.doc_id, CAST(count(*) AS BIGINT) AS gain
+             FROM dt d ANTI JOIN c${r - 1} c ON c.tok = d.tok
+             WHERE d.doc_id NOT IN ($picked)
+             GROUP BY 1),
+           p$r AS (SELECT doc_id, gain FROM g$r
+                   ORDER BY gain DESC, doc_id ASC LIMIT 1),
+           c$r AS (SELECT tok FROM c${r - 1}
+                   UNION SELECT DISTINCT d.tok FROM dt d
+                   JOIN p$r USING (doc_id))"""
+      }.mkString(",\n")
+      val rows = (1 to SetCoverRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, doc_id, gain FROM p$r")
+        .mkString(" UNION ALL ")
+      s"""WITH dt AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS tok
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS ts
+                 FROM documents)
+           WHERE len(ts) >= 3),
+         g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+                FROM dt GROUP BY 1),
+         p1 AS (SELECT doc_id, gain FROM g1
+                ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         c1 AS (SELECT DISTINCT d.tok FROM dt d JOIN p1 USING (doc_id)),
+         $rounds,
+         picks AS ($rows)
+         SELECT round, doc_id, gain,
+           CAST(sum(gain) OVER (ORDER BY round ASC) AS BIGINT)
+             AS covered_total
+         FROM picks"""
+    },
+
+    // q190: the q54 closure + the identical diversity-mass argmax.
+    "q190_canonical_docs" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp_id
+           FROM reach GROUP BY a),
+         q AS (
+           SELECT doc_id,
+             len(list_distinct(toks)) * $CanonMass // len(toks) AS div_ppm
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents)),
+         members AS (
+           SELECT l.comp_id, l.doc_id, q.div_ppm,
+             row_number() OVER (PARTITION BY l.comp_id
+               ORDER BY q.div_ppm DESC, l.doc_id ASC) AS rn
+           FROM labels l JOIN q USING (doc_id))
+         SELECT comp_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+           CAST(max(div_ppm) AS BIGINT) AS best_div_ppm,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
          FROM members GROUP BY comp_id""",
 
     "q20_text_stats" ->

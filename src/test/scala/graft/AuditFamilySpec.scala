@@ -225,6 +225,130 @@ class AuditFamilySpec extends SparkTestBase {
     assert(byBin.size >= 3, "the confidence signal must spread over bins")
   }
 
+  test("q190: canonical picks are the diversity argmax of exactly the q54 clusters") {
+    val q54 = SparkEntry.queries("q54_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val divPpm = docs.map { case (id, _, text, _) =>
+      val ts = text.trim.split("\\s+")
+      id -> ts.distinct.length.toLong * 1000000L / ts.length
+    }.toMap
+    val got = SparkEntry.queries("q190_canonical_docs")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == q54.keySet && got.forall { case (c, v) => v._1 == q54(c) },
+      "q190 must resolve exactly the q54 cluster set")
+    // the canonical member maximizes (div_ppm, -doc_id) within its
+    // cluster: it can never have a LOWER diversity than the cluster's
+    // reported best, and best must equal its own diversity
+    got.foreach { case (comp, (nMembers, canon, best, dropped)) =>
+      assert(divPpm(canon) == best, s"cluster $comp: canonical not the argmax")
+      assert(dropped == nMembers - 1, s"cluster $comp: dropped count")
+    }
+    // the content-aware rule must actually differ from q54's length
+    // rule somewhere, else the operator is a rename
+    val q54keep = SparkEntry.queries("q54_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (c, (_, canon, _, _)) => canon != q54keep(c) },
+      "diversity argmax never disagrees with the length argmax — vacuous")
+  }
+
+  test("q191: water-fill equals a driver replay; budget exactly exhausted up to floor") {
+    val byLang = docs.map { case (_, _, text, _) => text }
+      .zip(Tables.documents(spark, sf).select("lang").collect().map(_.getString(0)))
+    val avail = byLang.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(_._1.trim.split("\\s+").length.toLong).sum }
+    val total = avail.values.sum
+    val b = total * 4 / 5
+    val k = avail.size.toLong
+    val asc = avail.toSeq.sortBy { case (l, a) => (a, l) }
+    var sExcl = 0L; var level = Long.MaxValue; var found = false
+    val want = asc.zipWithIndex.map { case ((l, a), i) =>
+      val rn = i + 1L
+      val sat = a * (k - rn + 1) <= b - sExcl
+      if (!sat && !found) { level = (b - sExcl) / (k - rn + 1); found = true }
+      sExcl += a
+      l -> ((a, sat, if (sat) a else level))
+    }.toMap
+    val got = SparkEntry.queries("q191_token_budget")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got == want, s"water-fill mismatch:\n$got\n$want")
+    val allocSum = got.values.map(_._3).sum
+    assert(allocSum <= b && b - allocSum < k,
+      s"allocation $allocSum must exhaust the budget $b up to a <k floor remainder")
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "both the saturated and level branches must be populated")
+  }
+
+  test("q192: greedy cover equals a driver replay; gains non-increasing") {
+    val sets = docs.flatMap { case (id, _, text, _) =>
+      val ts = text.trim.split("\\s+")
+      if (ts.length < 3) None
+      else Some(id -> ts.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    var covered = Set.empty[String]; var picked = Set.empty[Long]
+    val want = (1 to 5).map { r =>
+      val (docId, gain) = sets.view.filterKeys(!picked(_))
+        .map { case (id, s) => (id, (s -- covered).size.toLong) }
+        .minBy { case (id, g) => (-g, id) }
+      covered ++= sets(docId); picked += docId
+      (r.toLong, docId, gain, covered.size.toLong)
+    }
+    val got = SparkEntry.queries("q192_set_cover")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"greedy trace:\n$got\n$want")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse,
+      "greedy gains must be non-increasing (submodularity)")
+    assert(got.last._3 > 0, "five rounds must all find new content here")
+  }
+
+  test("q194: media clusters equal a driver union-find over the q78 pairs") {
+    val pairs = SparkEntry.queries("q78_image_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find)
+    val got = SparkEntry.queries("q194_media_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == members.keySet.map(k => members(k).min),
+      "components keyed by min member")
+    members.foreach { case (_, ms) =>
+      val (n, keep) = got(ms.min)
+      assert(n == ms.length.toLong && keep == ms.min,
+        s"cluster ${ms.min}: ($n, $keep) vs ${ms.length}")
+    }
+    assert(got.nonEmpty && got.values.exists(_._1 > 1),
+      "the shot-structured media corpus must contain a real dup cluster")
+  }
+
+  test("q196: sweep is monotone and its bottom rung equals the base pair set") {
+    val got = SparkEntry.queries("q196_dedup_sweep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(500000L, 600000L, 700000L, 800000L, 900000L))
+    val ladder = got.toSeq.sortBy(_._1)
+    assert(ladder.map(_._2._1) == ladder.map(_._2._1).sorted.reverse,
+      "pair counts must fall as the threshold rises")
+    assert(ladder.map(_._2._2) == ladder.map(_._2._2).sorted.reverse,
+      "doc counts must fall as the threshold rises")
+    val base = graft.operators.MinHashLSH.verifiedPairs(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      graft.operators.ApproxOracle.MinJaccard).count()
+    assert(got(500000L)._1 == base && got(500000L)._3 == 1.0,
+      "the bottom rung IS the base threshold")
+    assert(ladder.last._2._1 < base,
+      "the top rung must genuinely prune at this corpus")
+  }
+
   test("q187: top-χ² tokens equal an exact driver replay per source") {
     val N = docs.length.toLong
     val dt = docs.flatMap { case (id, src, text, _) =>

@@ -112,6 +112,11 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q187_chi2_tokens",      // decimal contingency + total-order cut
     "q188_seasonality",      // arithmetic dow grid + ppm gate
     "q189_burstiness",       // user-keyed lag + decimal CV² mass
+    "q190_canonical_docs",   // CC labels + diversity argmax rank
+    "q191_token_budget",     // ascending fill over the lang table
+    "q192_set_cover",        // ITERATIVE: anti-join + argmax rounds
+    "q194_media_dup_clusters", // banded Hamming pairs + CC rollup
+    "q196_dedup_sweep",      // ppm ladder explode + distinct docs
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {
