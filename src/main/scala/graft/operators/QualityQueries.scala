@@ -676,6 +676,67 @@ object QualityQueries {
   private[graft] val Chi2MinA = 2L
   private[graft] val Chi2TopK = 5
 
+  /** q200 PSI bands (the conventional 0.1 / 0.25 industry bars — kept
+    * standard rather than tuned to the corpus). The harness languages
+    * genuinely track the corpus baseline, and the audit SHOWS it: PSI
+    * shrinks as n grows (sf0.001 ≈ 0.03–0.07, sf0.01 ≈ 0.01–0.16 with
+    * de's moderate being small-sample noise, sf0.1 ≈ 0.003–0.019 all
+    * stable) — exactly the convergence an honest drift metric reports
+    * on undrifted data. The spec therefore pins the EXACT psi values
+    * against a driver replay rather than demanding every band fire. */
+  private[graft] val PsiModerate = 0.1
+  private[graft] val PsiShifted = 0.25
+
+  /** Population-stability-index drift audit per language (D16 — THE
+    * production drift metric between a segment's score distribution
+    * and the corpus baseline): the q186 diversity mass binned into the
+    * same 10 fixed bins, add-one smoothing on an explicit lang×bin
+    * grid over the CORPUS-POPULATED bins (a lang-empty cell of a
+    * populated bin must shift the index, not crash the log; a bin
+    * empty in the whole corpus carries no distribution mass and drops
+    * out via the baseline inner join),
+    * PSI = Σ (p−q)·ln(p/q) with each ln ROUNDED IN DECIMAL SPACE to
+    * scale 9 (the q137 trick — libm ulps cannot flip the compared
+    * value) and the sum decimal-routed (order-invariant). p and q are
+    * each ONE division of exact integers. */
+  private[graft] def psiDrift(docs: DataFrame): DataFrame = {
+    import graft.functions.Num.dsum
+    val s = docs.sparkSession
+    val scored = docs.select(col("lang"), toks.as("ts"))
+      .select(col("lang"),
+        expr(s"CAST(size(array_distinct(ts)) AS BIGINT) * $EceMass" +
+          s" DIV size(ts)").as("conf_ppm"))
+      .withColumn("bin", least(lit(EceBins - 1),
+        expr(s"conf_ppm * $EceBins DIV $EceMass")))
+    val cells = scored.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_lb"))
+      .localCheckpoint() // ≤langs×10 rows; feeds grid + both totals
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("n_lb")).as("n_l"))
+    val byBin = cells.groupBy(col("bin")).agg(sum(col("n_lb")).as("n_b"))
+    val nAll = cells.agg(sum(col("n_lb")).as("n"))
+    val grid = cells.select(col("lang")).distinct()
+      .crossJoin(s.range(0, EceBins).toDF("bin"))
+    val lnR = (c: Column) => c
+      .cast(org.apache.spark.sql.types.DecimalType(20, 9)).cast("double")
+    val terms = grid
+      .join(cells, Seq("lang", "bin"), "left")
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(byBin), "bin")
+      .crossJoin(broadcast(nAll))
+      .select(col("lang"), col("n_l"),
+        ((coalesce(col("n_lb"), lit(0L)) + 1).cast("double") /
+          (col("n_l") + EceBins)).as("p"),
+        ((col("n_b") + 1).cast("double") / (col("n") + EceBins)).as("q"))
+      .select(col("lang"), col("n_l"),
+        ((col("p") - col("q")) * lnR(log(col("p") / col("q")))).as("term"))
+    terms.groupBy(col("lang"))
+      .agg(max(col("n_l")).as("n_docs"), dsum(col("term"), 12).as("psi"))
+      .select(col("lang"), col("n_docs"), col("psi"),
+        when(col("psi") < PsiModerate, "stable")
+          .when(col("psi") < PsiShifted, "moderate")
+          .otherwise("shifted").as("band"))
+  }
+
   /** Inter-annotator agreement, Cohen's kappa per source (D13 — the
     * label-quality audit run before trusting any labeling pipeline;
     * Cohen '60): two deterministic integer-gated "annotators"
@@ -783,6 +844,7 @@ object QualityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_kappa" -> ((s, d) => kappaAgreement(documents(s, d))),
+    "q200_psi_drift" -> ((s, d) => psiDrift(documents(s, d))),
     "q186_calibration" -> ((s, d) => calibration(documents(s, d))),
     "q187_chi2_tokens" -> ((s, d) => chi2Tokens(documents(s, d))),
     "q168_good_turing" -> ((s, d) => goodTuring(documents(s, d))),
@@ -797,6 +859,52 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q200: identical bins, explicit grid, add-one smoothing,
+    // decimal-rounded ln terms, decimal-routed per-lang sum.
+    "q200_psi_drift" ->
+      s"""WITH scored AS (
+           SELECT lang,
+             least(${EceBins - 1},
+               (len(list_distinct(regexp_split_to_array(trim(text),
+                   '\\s+'))) * $EceMass
+                 // len(regexp_split_to_array(trim(text), '\\s+')))
+               * $EceBins // $EceMass) AS bin
+           FROM documents),
+         cells AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_lb
+                   FROM scored GROUP BY 1, 2),
+         bylang AS (SELECT lang, CAST(sum(n_lb) AS BIGINT) AS n_l
+                    FROM cells GROUP BY 1),
+         bybin AS (SELECT bin, CAST(sum(n_lb) AS BIGINT) AS n_b
+                   FROM cells GROUP BY 1),
+         nall AS (SELECT CAST(sum(n_lb) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT l.lang, CAST(r.range AS BIGINT) AS bin
+                  FROM (SELECT DISTINCT lang FROM cells) l
+                  CROSS JOIN range(0, $EceBins) r),
+         pq AS (
+           SELECT g.lang, bl.n_l,
+             CAST(coalesce(c.n_lb, 0) + 1 AS DOUBLE)
+               / (bl.n_l + $EceBins) AS p,
+             CAST(bb.n_b + 1 AS DOUBLE) / (nall.n + $EceBins) AS q
+           FROM grid g
+           LEFT JOIN cells c ON c.lang = g.lang AND c.bin = g.bin
+           JOIN bylang bl ON bl.lang = g.lang
+           JOIN bybin bb ON bb.bin = g.bin
+           CROSS JOIN nall),
+         terms AS (
+           SELECT lang, n_l,
+             (p - q) * CAST(CAST(ln(p / q) AS DECIMAL(20,9)) AS DOUBLE)
+               AS term
+           FROM pq),
+         agg AS (
+           SELECT lang, CAST(max(n_l) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS psi
+           FROM terms GROUP BY 1)
+         SELECT lang, n_docs, psi,
+           CASE WHEN psi < $PsiModerate THEN 'stable'
+                WHEN psi < $PsiShifted THEN 'moderate'
+                ELSE 'shifted' END AS band
+         FROM agg""",
+
     // q185: identical gates, HUGEINT mirrors the DECIMAL(38,0) route,
     // identical degenerate-denominator CASE.
     "q185_kappa" ->

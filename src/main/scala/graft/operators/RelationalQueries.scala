@@ -330,6 +330,77 @@ object RelationalQueries {
     * gate untested. */
   private[graft] val AsrMinSupDen = 7L
 
+  /** q201 audit geometry: md5-bucket sample width (16/256 = 6.25 % of
+    * events — audit-bounded like q139's sample) and the per-row error
+    * tolerance: one 256-grid bin is 10⁶/256 ≈ 3906 ppm; 60 000 ppm
+    * brackets bin granularity plus the sample-vs-population rank gap
+    * at harness sizes, so the share is high but provably < 1. */
+  private[graft] val AuditBuckets = 16L
+  private[graft] val AuditTolPpm = 60000.0
+
+  /** The q176 percentile transform (event_id, bin, pct_mass) — shared
+    * by the registered query and q201's fidelity audit. */
+  private[graft] def discretized(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(col("event_id"), col("value"))
+    val st = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+      count(lit(1)).as("n"))
+    // hi==lo guard (constant column): 0/0 is NaN and the engines
+    // disagree on floor(NaN) — route the degenerate grid to bin 0
+    // in BOTH engines (same guard q171's SQ8 arm uses).
+    val binned = ev.crossJoin(broadcast(st))
+      .select(col("event_id"), col("n"),
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(DiscBins - 1), greatest(lit(0L),
+            floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+              * DiscBins).cast("long")))).as("bin"))
+      .localCheckpoint() // feeds the bin rollup + the transform
+    val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_below",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bin").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("cum_below"))
+    binned.join(broadcast(cum), "bin")
+      .select(col("event_id"), col("bin"),
+        expr(s"cum_below * $DiscMass DIV n").as("pct_mass"))
+  }
+
+  /** The (user, day, event_type) basket item table q151 and q199 share
+    * — distinct per basket, checkpointed once per call site. */
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint()
+
+  /** q199's single a-priori minsup (Agrawal & Srikant use ONE σ at
+    * every level): 1/19 sits INSIDE the candidate-triple support range
+    * at every SF (sf0.001 [0.035, 0.071], sf0.01 [0.048, 0.055],
+    * sf0.1 [0.050, 0.054] measured), so L₃ provably keeps AND prunes
+    * everywhere — q151's rule-mining bar (1/7) would leave sf0.001's
+    * candidate set empty. */
+  private[graft] val Asr3MinSupDen = 19L
+
+  /** Support-gated frequent pairs (x < y, c_xy, n_baskets) at
+    * minsup 1/`den` — a-priori's L₂, shared by q151's rules and
+    * q199's candidate pruning. vocab²-bounded; materialized once so
+    * every consumer reads the table rather than re-planning the
+    * pair-count subtree. */
+  private def gatedPairs(items: DataFrame, nb: DataFrame,
+                         den: Long = AsrMinSupDen): DataFrame =
+    items
+      .join(items.withColumnRenamed("event_type", "tpe2"),
+        Seq("user_id", "day"))
+      .filter(col("event_type") < col("tpe2"))
+      .groupBy(col("event_type").as("x"), col("tpe2").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .crossJoin(broadcast(nb))
+      .filter(col("c_xy") * den >= col("n_baskets"))
+      .localCheckpoint()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1-style pricing summary: partial+final hash agg, codegen'd.
     "q01_pricing_summary" -> ((s, d) => {
@@ -849,30 +920,84 @@ object RelationalQueries {
     // transform: pct_mass = cum_below·M DIV n, the percentile floor
     // in integer mass units. Row-linear, one fact shuffle (the bin
     // rollup), the transform itself shuffle-free.
-    "q176_discretize" -> ((s, d) => {
+    "q176_discretize" -> ((s, d) => discretized(s, d)),
+
+    // A-priori 3-itemsets (W21 — q151 one level up, WITH the pruning
+    // step that makes a-priori scale: a triple is a candidate only if
+    // ALL THREE of its sub-pairs cleared the SAME minsup gate —
+    // Agrawal & Srikant's single σ at every level — so the candidate
+    // space is bounded by L₂² long before any support count). Within-
+    // basket triple counts are |basket|³-bounded by the type
+    // vocabulary; the three sub-pair prunes are broadcast semi-joins
+    // against the vocab²-row gated-pair table. The output keeps every
+    // pruned-in candidate WITH its own support verdict, so both
+    // a-priori branches (candidate-but-infrequent vs frequent) are
+    // visible and oracled.
+    "q199_itemsets3" -> ((s, d) => {
+      val items = basketItems(s, d)
+      val nb = items.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val g = gatedPairs(items, nb, Asr3MinSupDen).select(col("x"), col("y"))
+      val triples = items
+        .join(items.withColumnRenamed("event_type", "tpe2"),
+          Seq("user_id", "day"))
+        .filter(col("event_type") < col("tpe2"))
+        .join(items.withColumnRenamed("event_type", "tpe3"),
+          Seq("user_id", "day"))
+        .filter(col("tpe2") < col("tpe3"))
+        .groupBy(col("event_type").as("x"), col("tpe2").as("y"),
+          col("tpe3").as("z"))
+        .agg(count(lit(1)).as("c_xyz"))
+      triples
+        .join(broadcast(g), Seq("x", "y"), "left_semi")
+        .join(broadcast(g.select(col("x"), col("y").as("z"))),
+          Seq("x", "z"), "left_semi")
+        .join(broadcast(g.select(col("x").as("y"), col("y").as("z"))),
+          Seq("y", "z"), "left_semi")
+        .crossJoin(broadcast(nb))
+        .select(col("x"), col("y"), col("z"), col("c_xyz"),
+          col("n_baskets"),
+          (col("c_xyz") * Asr3MinSupDen >= col("n_baskets")).as("frequent"))
+    }),
+
+    // Discretizer fidelity audit (D17 — "is the histogram percentile
+    // close enough to the truth": the 100 TB answer to exact global
+    // percent_rank, which would need a global sort, is to CERTIFY the
+    // q176 histogram transform against exact ranks on a deterministic
+    // md5-bucket SAMPLE — the q139 audit lever). Exact sample
+    // percentile from ONE window over the sample-bounded rows; error
+    // vs q176's pct_mass in ppm; decimal-routed mean, max, and a
+    // within-tolerance share. The tolerance brackets bin granularity
+    // (10⁶/256 ≈ 3906 ppm) plus sampling noise.
+    "q201_discretizer_audit" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, d).select(col("event_id"), col("value"))
-      val st = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
-        count(lit(1)).as("n"))
-      // hi==lo guard (constant column): 0/0 is NaN and the engines
-      // disagree on floor(NaN) — route the degenerate grid to bin 0
-      // in BOTH engines (same guard q171's SQ8 arm uses).
-      val binned = ev.crossJoin(broadcast(st))
-        .select(col("event_id"), col("n"),
-          when(col("hi") === col("lo"), lit(0L)).otherwise(
-            least(lit(DiscBins - 1), greatest(lit(0L),
-              floor((col("value") - col("lo")) / (col("hi") - col("lo"))
-                * DiscBins).cast("long")))).as("bin"))
-        .localCheckpoint() // feeds the bin rollup + the transform
-      val cum = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum_below",
-          coalesce(sum(col("cnt")).over(
-            Window.orderBy(col("bin").asc)
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bin"), col("cum_below"))
-      binned.join(broadcast(cum), "bin")
-        .select(col("event_id"), col("bin"),
-          expr(s"cum_below * $DiscMass DIV n").as("pct_mass"))
+      import graft.functions.Num.dsumR
+      val sample = events(s, d)
+        .withColumn("h", md5(col("event_id").cast("string").cast("binary")))
+        .withColumn("bkt",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+           expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1)
+        .filter(col("bkt") < AuditBuckets)
+        .select(col("event_id"), col("value"))
+        .localCheckpoint() // audit-bounded; feeds the rank + the join
+      val exact = sample
+        .withColumn("exact_ppm",
+          percent_rank().over(Window.orderBy(col("value").asc,
+            col("event_id").asc)) * DiscMass)
+      exact.join(discretized(s, d).select(col("event_id"),
+          col("pct_mass")), "event_id")
+        .select((col("exact_ppm") - col("pct_mass").cast("double"))
+          .as("err"))
+        .agg(count(lit(1)).as("n_sample"),
+          dsumR(abs(col("err")), 1, 3).as("mean_abs_scaled"),
+          max(abs(col("err"))).as("max_abs_err_ppm"),
+          sum(when(abs(col("err")) <= AuditTolPpm, 1L).otherwise(0L))
+            .as("n_within"))
+        .select(col("n_sample"),
+          (col("mean_abs_scaled") / col("n_sample")).as("mean_abs_err_ppm"),
+          col("max_abs_err_ppm"),
+          (col("n_within").cast("double") / col("n_sample"))
+            .as("within_tol_frac"))
     }),
 
     // Time-decayed popularity (the feature-store freshness score:
@@ -971,27 +1096,11 @@ object RelationalQueries {
     // integer cross-multiply, and the scalar basket count a broadcast
     // one-row table.
     "q151_assoc_rules" -> ((s, d) => {
-      val dayUs = 86400000000L
-      val items = events(s, d)
-        .select(col("user_id"),
-          expr(s"unix_micros(ts) DIV $dayUs").as("day"), col("event_type"))
-        .distinct()
-        .localCheckpoint()
+      val items = basketItems(s, d)
       val nb = items.select(col("user_id"), col("day")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val cx = items.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
-      val gated = items
-        .join(items.withColumnRenamed("event_type", "tpe2"),
-          Seq("user_id", "day"))
-        .filter(col("event_type") < col("tpe2"))
-        .groupBy(col("event_type").as("x"), col("tpe2").as("y"))
-        .agg(count(lit(1)).as("c_xy"))
-        .crossJoin(broadcast(nb))
-        .filter(col("c_xy") * AsrMinSupDen >= col("n_baskets"))
-        // vocab²-bounded — materialize once so the two union branches
-        // (rule directions) read it rather than re-planning the whole
-        // pair-count subtree (and its scalar cross join) twice
-        .localCheckpoint()
+      val gated = gatedPairs(items, nb)
       val rules = gated.unionAll(gated.select(col("y").as("x"),
         col("x").as("y"), col("c_xy"), col("n_baskets")))
       rules
@@ -1315,6 +1424,88 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q199: identical basket/pair/triple chains, EXISTS sub-pair
+    // prunes, the same cross-multiply support verdict.
+    "q199_itemsets3" ->
+      s"""WITH items AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type
+           FROM events),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+                FROM (SELECT DISTINCT user_id, day FROM items)),
+         p AS (
+           SELECT a.event_type AS x, b.event_type AS y,
+             CAST(count(*) AS BIGINT) AS c_xy
+           FROM items a JOIN items b
+             ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+           GROUP BY 1, 2),
+         g AS (SELECT x, y FROM p CROSS JOIN nb
+               WHERE c_xy * $Asr3MinSupDen >= n_baskets),
+         t AS (
+           SELECT a.event_type AS x, b.event_type AS y,
+             c.event_type AS z, CAST(count(*) AS BIGINT) AS c_xyz
+           FROM items a
+           JOIN items b ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+           JOIN items c ON a.user_id = c.user_id AND a.day = c.day
+             AND b.event_type < c.event_type
+           GROUP BY 1, 2, 3),
+         cand AS (
+           SELECT t.* FROM t
+           WHERE EXISTS (SELECT 1 FROM g WHERE g.x = t.x AND g.y = t.y)
+             AND EXISTS (SELECT 1 FROM g WHERE g.x = t.x AND g.y = t.z)
+             AND EXISTS (SELECT 1 FROM g WHERE g.x = t.y AND g.y = t.z))
+         SELECT x, y, z, c_xyz, nb.n_baskets,
+           c_xyz * $Asr3MinSupDen >= nb.n_baskets AS frequent
+         FROM cand CROSS JOIN nb""",
+
+    // q201: the q176 transform CTEs + the identical sample, exact
+    // window rank and error rollup.
+    "q201_discretizer_audit" ->
+      s"""WITH st AS (
+           SELECT min(value) AS lo, max(value) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events),
+         binned AS (
+           SELECT event_id, st.n,
+             CASE WHEN st.hi = st.lo THEN 0 ELSE
+               least(${DiscBins - 1}, greatest(0,
+                 CAST(floor((value - st.lo) / (st.hi - st.lo) * $DiscBins)
+                   AS BIGINT))) END AS bin
+           FROM events CROSS JOIN st),
+         cum AS (
+           SELECT bin, CAST(coalesce(sum(cnt) OVER (ORDER BY bin ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_below
+           FROM (SELECT bin, count(*) AS cnt FROM binned GROUP BY 1)),
+         disc AS (
+           SELECT b.event_id,
+             CAST(c.cum_below * $DiscMass // b.n AS BIGINT) AS pct_mass
+           FROM binned b JOIN cum c USING (bin)),
+         samp AS (
+           SELECT event_id, value FROM events
+           WHERE (instr('0123456789abcdef',
+                   substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef',
+                   substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1
+               < $AuditBuckets),
+         exact AS (
+           SELECT event_id,
+             percent_rank() OVER (ORDER BY value ASC, event_id ASC)
+               * $DiscMass AS exact_ppm
+           FROM samp),
+         err AS (
+           SELECT e.exact_ppm - CAST(d.pct_mass AS DOUBLE) AS err
+           FROM exact e JOIN disc d USING (event_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(round(sum(CAST(abs(err) AS DECIMAL(38,3))), 1) AS DOUBLE)
+             / count(*) AS mean_abs_err_ppm,
+           max(abs(err)) AS max_abs_err_ppm,
+           CAST(sum(CASE WHEN abs(err) <= $AuditTolPpm THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS within_tol_frac
+         FROM err""",
+
     // q183: identical digit route (integer cent string), identical ppm
     // constants (interpolated from the SAME Scala-computed table).
     "q183_benford" -> {

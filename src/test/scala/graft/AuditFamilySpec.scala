@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 class AuditFamilySpec extends SparkTestBase {
 
+  private def md5Bucket(id: Long): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(h.substring(0, 2), 16)
+  }
+
   private def events: Array[(Long, Long, Long, String, Double)] =
     Tables.events(spark, sf)
       .select(col("event_id"), expr("unix_micros(ts)"), col("user_id"),
@@ -253,10 +260,11 @@ class AuditFamilySpec extends SparkTestBase {
   }
 
   test("q191: water-fill equals a driver replay; budget exactly exhausted up to floor") {
-    val byLang = docs.map { case (_, _, text, _) => text }
-      .zip(Tables.documents(spark, sf).select("lang").collect().map(_.getString(0)))
-    val avail = byLang.groupBy(_._2).map { case (l, rs) =>
-      l -> rs.map(_._1.trim.split("\\s+").length.toLong).sum }
+    val avail = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.map(_._2.trim.split("\\s+").length.toLong).sum }
     val total = avail.values.sum
     val b = total * 4 / 5
     val k = avail.size.toLong
@@ -347,6 +355,108 @@ class AuditFamilySpec extends SparkTestBase {
       "the bottom rung IS the base threshold")
     assert(ladder.last._2._1 < base,
       "the top rung must genuinely prune at this corpus")
+  }
+
+  test("q199: a-priori trace equals a driver replay; both support verdicts populated") {
+    val dayUs = 86400000000L
+    val items = events.map(e => (e._3, e._2 / dayUs, e._4)).distinct
+    val baskets = items.map(i => (i._1, i._2)).distinct
+    val nb = baskets.size.toLong
+    val pairCnt = items.groupBy(i => (i._1, i._2)).values.toSeq
+      .flatMap { es =>
+        val ts = es.map(_._3).distinct.sorted
+        for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val frequentPairs = pairCnt.filter { case (_, c) => c * 19 >= nb }.keySet
+    val tripleCnt = items.groupBy(i => (i._1, i._2)).values.toSeq
+      .flatMap { es =>
+        val ts = es.map(_._3).distinct.sorted
+        for {
+          i <- ts.indices; j <- i + 1 until ts.length
+          k <- j + 1 until ts.length
+        } yield (ts(i), ts(j), ts(k))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = tripleCnt.filter { case ((x, y, z), _) =>
+      frequentPairs((x, y)) && frequentPairs((x, z)) && frequentPairs((y, z))
+    }.map { case (k, c) => k -> ((c, c * 19 >= nb)) }
+    val got = SparkEntry.queries("q199_itemsets3")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got == want, s"a-priori trace:\n$got\n$want")
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "the single-sigma gate must keep AND prune candidates here")
+  }
+
+  test("q200: PSI equals a driver replay with the decimal-rounded ln terms") {
+    val scored = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val ts = r.getString(1).trim.split("\\s+")
+        val conf = ts.distinct.length.toLong * 1000000L / ts.length
+        (r.getString(0), math.min(9L, conf * 10 / 1000000L))
+      }
+    val cells = scored.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val byLang = scored.groupBy(_._1).map { case (l, v) => l -> v.size.toLong }
+    val byBin = scored.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+    val n = scored.size.toLong
+    val want = byLang.map { case (lang, nl) =>
+      // corpus-empty bins carry no distribution mass and are excluded
+      // (the byBin inner join in the operator); lang-empty cells of
+      // populated bins are add-one smoothed
+      val psi = (0L until 10L).filter(byBin.contains).map { b =>
+        val p = (cells.getOrElse((lang, b), 0L) + 1).toDouble / (nl + 10)
+        val q = (byBin(b) + 1).toDouble / (n + 10)
+        val lnR = BigDecimal(math.log(p / q))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        BigDecimal((p - q) * lnR)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      lang -> psi
+    }
+    val got = SparkEntry.queries("q200_psi_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (lang, psi) =>
+      val (gn, gpsi, gband) = got(lang)
+      assert(gn == byLang(lang), s"$lang n_docs")
+      assert(gpsi == psi, s"$lang psi $gpsi != $psi")
+      assert(gband == (if (psi < 0.1) "stable"
+        else if (psi < 0.25) "moderate" else "shifted"), s"$lang band")
+    }
+    assert(want.values.max > 0.0, "PSI must register SOME finite divergence")
+  }
+
+  test("q201: audit equals a driver replay; the histogram transform is imperfect but bounded") {
+    val vals = events.map(e => (e._1, e._5))
+    val sample = vals.filter { case (id, _) => md5Bucket(id) < 16 }
+    val (lo, hi, n) = (vals.map(_._2).min, vals.map(_._2).max, vals.length.toLong)
+    val binOf = (v: Double) =>
+      if (hi == lo) 0L
+      else math.min(255L, math.max(0L, math.floor((v - lo) / (hi - lo) * 256).toLong))
+    val binCnt = vals.map(v => binOf(v._2)).groupBy(identity)
+      .map { case (b, v) => b -> v.size.toLong }
+    val cumBelow = (0L to 255L).map(b =>
+      b -> (0L until b).map(binCnt.getOrElse(_, 0L)).sum).toMap
+    val pctMass = vals.map { case (id, v) =>
+      id -> cumBelow(binOf(v)) * 1000000L / n }.toMap
+    val sorted = sample.sortBy(s => (s._2, s._1))
+    val ns = sorted.length
+    val errs = sorted.zipWithIndex.map { case ((id, _), i) =>
+      i.toDouble / (ns - 1) * 1000000L - pctMass(id).toDouble }
+    val meanAbs = errs.map(e =>
+        BigDecimal(math.abs(e)).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      .sum.setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble / ns
+    val got = SparkEntry.queries("q201_discretizer_audit")(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == ns.toLong, "sample size")
+    assert(got.getDouble(1) == meanAbs,
+      s"mean err ${got.getDouble(1)} != $meanAbs")
+    assert(got.getDouble(2) == errs.map(math.abs).max, "max err")
+    assert(got.getDouble(3) ==
+      errs.count(e => math.abs(e) <= 60000.0).toDouble / ns, "tol share")
+    assert(got.getDouble(3) > 0.0 && got.getDouble(3) < 1.0,
+      "the tolerance must split the sample — an all-pass audit is vacuous")
   }
 
   test("q187: top-χ² tokens equal an exact driver replay per source") {

@@ -117,6 +117,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q192_set_cover",        // ITERATIVE: anti-join + argmax rounds
     "q194_media_dup_clusters", // banded Hamming pairs + CC rollup
     "q196_dedup_sweep",      // ppm ladder explode + distinct docs
+    "q199_itemsets3",        // basket triple counts + semi-join prunes
+    "q200_psi_drift",        // decimal-rounded ln terms + dsum
+    "q201_discretizer_audit", // sample window + decimal error rollup
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {
