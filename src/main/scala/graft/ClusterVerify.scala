@@ -56,7 +56,13 @@ object ClusterVerify {
     "q173_media_gates", "q174_k_anonymity", "q175_attribution",
     "q176_discretize", "q177_decayed_popularity", "q178_split_leakage",
     "q179_link_prediction", "q180_cluster_split", "q181_rfm",
-    "q182_burst_detect")
+    "q182_burst_detect",
+    "q183_benford", "q184_mad_outliers", "q185_kappa",
+    "q186_calibration", "q187_chi2_tokens", "q188_seasonality",
+    "q189_burstiness", "q190_canonical_docs", "q191_token_budget",
+    "q192_set_cover", "q193_windowed_funnel", "q194_media_dup_clusters",
+    "q196_dedup_sweep", "q199_itemsets3", "q200_psi_drift",
+    "q201_discretizer_audit")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

@@ -300,6 +300,33 @@ object RelationalQueries {
         (col("decayed_mass").cast("double") / col("t")).as("share"))
   }
 
+  /** The q188 tail over ANY (event_type, day, n) daily-count table —
+    * arithmetic dow, explicit grid, ppm deviation, cross-multiply
+    * flag. Shared with the streaming twin (q202): a THIRD read tail of
+    * the mergeable daily-count store (after q167's CUSUM and q198's
+    * decay) — counts add, so stream == batch by algebra. */
+  def seasonalityView(daily0: DataFrame): DataFrame = {
+    val s = daily0.sparkSession
+    val cnt = daily0
+      .select(col("event_type"), expr("pmod(day + 4, 7)").as("dow"),
+        col("n"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint() // vocab×7 rows; feeds grid + totals
+    val grid = cnt.select(col("event_type")).distinct()
+      .crossJoin(s.range(0, 7).toDF("dow"))
+    val tot = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    grid.join(cnt, Seq("event_type", "dow"), "left")
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"),
+        coalesce(col("n"), lit(0L)).as("n"), col("total"))
+      .select(col("event_type"), col("dow"), col("n"), col("total"),
+        expr(s"n * $DiscMass DIV total").as("obs_ppm"),
+        lit(DiscMass / 7).as("exp_ppm"),
+        (abs(col("n") * 7 - col("total")) * SeasonDen >=
+          col("total") * SeasonNum).as("flagged"))
+  }
+
   /** The q161 tail over ANY (prev_type, next_type) transition stream —
     * counts, integer masses, modal next state. Shared with the
     * streaming twin (q163), whose keyed extractor must produce the
@@ -1257,24 +1284,13 @@ object RelationalQueries {
     // cross-multiply (|7n − total|·Den ≥ total·Num). One fact rollup,
     // everything downstream vocab×7 rows.
     "q188_seasonality" -> ((s, d) => {
-      val cnt = events(s, d)
+      // pre-roll to (type, day) counts — the same mergeable daily unit
+      // the streaming twin (q202) reads from the shared count store
+      seasonalityView(events(s, d)
         .select(col("event_type"),
-          expr("pmod(unix_micros(ts) DIV 86400000000 + 4, 7)").as("dow"))
-        .groupBy(col("event_type"), col("dow"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint() // vocab×7 rows; feeds grid + totals
-      val grid = cnt.select(col("event_type")).distinct()
-        .crossJoin(s.range(0, 7).toDF("dow"))
-      val tot = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
-      grid.join(cnt, Seq("event_type", "dow"), "left")
-        .join(broadcast(tot), "event_type")
-        .select(col("event_type"), col("dow"),
-          coalesce(col("n"), lit(0L)).as("n"), col("total"))
-        .select(col("event_type"), col("dow"), col("n"), col("total"),
-          expr(s"n * $DiscMass DIV total").as("obs_ppm"),
-          lit(DiscMass / 7).as("exp_ppm"),
-          (abs(col("n") * 7 - col("total")) * SeasonDen >=
-            col("total") * SeasonNum).as("flagged"))
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))
     }),
 
     // Inter-event burstiness audit (W18 — q182's statistical sibling:

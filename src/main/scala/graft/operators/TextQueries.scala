@@ -707,6 +707,43 @@ object TextQueries {
       picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
     }),
 
+    // Dedup yield accounting (L2 — the curation ledger every corpus
+    // release ships: how many docs/tokens survive the near-dup ladder,
+    // per source): q54's clusters with its keep rule (longest, then
+    // lowest id); a doc is kept iff unclustered OR the cluster keeper.
+    // One CC, one rank window over cluster members, one source rollup;
+    // yields as exact ppm integer masses, shares one division each.
+    "q203_dedup_yield" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(toks).cast("long").as("n_toks"))
+        .localCheckpoint() // feeds the keep join + the rollup
+      val pairs = ngramPairsStage(s, d)
+      val lab = ConnectedComponents.labels(s,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val keep = lab.join(docs.select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("comp_id"))
+            .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .select(col("doc_id"), (col("rn") === 1).as("is_keeper"))
+      docs.join(keep, Seq("doc_id"), "left")
+        .select(col("source"), col("n_toks"),
+          coalesce(col("is_keeper"), lit(true)).as("kept"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_toks")).as("tokens_total"),
+          sum(when(col("kept"), col("n_toks")).otherwise(0L))
+            .as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens_total"), col("tokens_kept"),
+          expr(s"tokens_kept * $CanonMass DIV tokens_total")
+            .as("token_yield_ppm"),
+          expr(s"n_kept * $CanonMass DIV n_docs").as("doc_yield_ppm"))
+    }),
+
     // TF-IDF top term per doc (L5). idf here is the RATIONAL N/df
     // (no log dampening): every score is then one IEEE multiply +
     // divide over exact integers, so Spark and DuckDB produce
@@ -2060,6 +2097,44 @@ object TextQueries {
              AS covered_total
          FROM picks"""
     },
+
+    // q203: the q54 closure + keep rule, rolled up to the source
+    // ledger with the identical ppm yields.
+    "q203_dedup_yield" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         labels AS (
+           SELECT a AS doc_id, least(a, min(b)) AS comp_id
+           FROM reach GROUP BY a),
+         members AS (
+           SELECT l.comp_id, l.doc_id,
+             row_number() OVER (PARTITION BY l.comp_id
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+           FROM labels l JOIN documents d ON l.doc_id = d.doc_id),
+         toksz AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+               AS BIGINT) AS n_toks
+           FROM documents),
+         tagged AS (
+           SELECT t.source, t.n_toks,
+             CASE WHEN m.doc_id IS NULL THEN TRUE ELSE m.rn = 1 END AS kept
+           FROM toksz t LEFT JOIN members m ON m.doc_id = t.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) * $CanonMass
+             // sum(n_toks) AS BIGINT) AS token_yield_ppm,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) * $CanonMass
+             // count(*) AS BIGINT) AS doc_yield_ppm
+         FROM tagged GROUP BY source""",
 
     // q190: the q54 closure + the identical diversity-mass argmax.
     "q190_canonical_docs" ->

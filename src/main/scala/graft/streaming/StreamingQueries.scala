@@ -551,6 +551,26 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST × W17: q188's seasonality profile as a STREAM — the THIRD
+    // read tail of the shared daily-count store (after q167's CUSUM
+    // and q198's decay): dow derives arithmetically from the stored
+    // day, counts add, stream == batch by algebra; oracle IS q188's
+    // batch SQL. One ingest op, three monitoring surfaces — the
+    // production shape.
+    "q202_stream_seasonality" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q202-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q202-store"))
+      val ckpt = tmp("graft-q202-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.seasonalityView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
     // ST × W13: q181's RFM segmentation as a STREAM — per-batch
     // partial (max day, count, decimal sum) per user, LSM-folded,
     // merge-on-read (MAX, SUM, SUM) feeding the SAME rfmView quartile
@@ -762,6 +782,11 @@ object StreamingQueries {
     // (MAX, SUM, SUM) partials must merge to the one-shot rollup
     "q197_stream_rfm" ->
       graft.operators.RelationalQueries.oracleSql("q181_rfm"),
+
+    // identical derivation to the q188 batch chain — summed daily
+    // counts feed the same arithmetic-dow grid and gate
+    "q202_stream_seasonality" ->
+      graft.operators.RelationalQueries.oracleSql("q188_seasonality"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

@@ -459,6 +459,40 @@ class AuditFamilySpec extends SparkTestBase {
       "the tolerance must split the sample — an all-pass audit is vacuous")
   }
 
+  test("q203: the dedup ledger conserves docs/tokens and matches the q54 keep rule") {
+    val q54 = SparkEntry.queries("q54_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keepers = q54.map(_._3).toSet
+    val clustered = SparkEntry.queries("q190_canonical_docs")(spark, sf)
+      .collect().map(_.getLong(0)) // same cluster set — just the roots
+    val docsBySrc = docs.groupBy(_._2)
+    val got = SparkEntry.queries("q203_dedup_yield")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == docsBySrc.keySet, "one ledger row per source")
+    // conservation: total docs and kept docs reconcile with the
+    // cluster table (kept = all docs − non-keeper cluster members)
+    val totalDocs = got.values.map(_._1).sum
+    val totalKept = got.values.map(_._2).sum
+    val clusterMembers = q54.map(_._2).sum
+    assert(totalDocs == docs.length.toLong)
+    assert(totalKept == totalDocs - (clusterMembers - q54.length),
+      s"kept $totalKept must drop exactly the non-keeper members")
+    got.foreach { case (src, (nd, nk, tt, tk, typpm, dyppm)) =>
+      val rows = docsBySrc(src)
+      assert(nd == rows.length.toLong, s"$src n_docs")
+      val toks = rows.map { case (id, _, text, _) =>
+        id -> text.trim.split("\\s+").length.toLong }
+      assert(tt == toks.map(_._2).sum, s"$src tokens_total")
+      assert(nk <= nd && tk <= tt, s"$src kept must not exceed totals")
+      assert(typpm == tk * 1000000L / tt && dyppm == nk * 1000000L / nd,
+        s"$src yields")
+    }
+    assert(totalKept < totalDocs,
+      "the ladder must actually drop documents on this corpus")
+    assert(clustered.nonEmpty, "cluster set must be non-trivial")
+  }
+
   test("q187: top-χ² tokens equal an exact driver replay per source") {
     val N = docs.length.toLong
     val dt = docs.flatMap { case (id, src, text, _) =>

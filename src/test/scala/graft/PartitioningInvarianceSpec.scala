@@ -120,6 +120,7 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q199_itemsets3",        // basket triple counts + semi-join prunes
     "q200_psi_drift",        // decimal-rounded ln terms + dsum
     "q201_discretizer_audit", // sample window + decimal error rollup
+    "q203_dedup_yield",      // CC keep rule + source token ledger
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

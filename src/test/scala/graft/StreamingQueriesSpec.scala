@@ -108,6 +108,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q198")
   }
 
+  test("q202: streamed seasonality equals the one-shot batch profile") {
+    val got = q("q202_stream_seasonality")
+    val want = SparkEntry.queries("q188_seasonality")(spark, sf)
+    assert(got.count() > 0, "no seasonality rows streamed")
+    assertSame(got, want, "q202")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")
