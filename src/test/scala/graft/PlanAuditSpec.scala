@@ -964,6 +964,25 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q199 itemsets: sub-pair prunes broadcast; no cartesian anywhere") {
+    val p = plan("q199_itemsets3")
+    assert(!p.contains("CartesianProduct"), p)
+    // three semi-join prunes against the vocab²-row pair table must
+    // broadcast, never shuffle the triple table
+    assert(p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) >= 3,
+      s"expected three broadcast semi-join prunes:\n$p")
+  }
+
+  test("q203 ledger: one keep-rank window, cluster-keyed; no cartesian") {
+    val p = plan("q203_dedup_yield")
+    assert(!p.contains("CartesianProduct"), p)
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("comp_id")),
+      s"the keep rank must partition by comp_id:\n${winSpecs.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.
