@@ -62,7 +62,10 @@ object ClusterVerify {
     "q189_burstiness", "q190_canonical_docs", "q191_token_budget",
     "q192_set_cover", "q193_windowed_funnel", "q194_media_dup_clusters",
     "q196_dedup_sweep", "q199_itemsets3", "q200_psi_drift",
-    "q201_discretizer_audit")
+    "q201_discretizer_audit",
+    "q195_unpivot", "q203_dedup_yield", "q204_ewma_trend",
+    "q206_fuzzy_vocab", "q207_stratified_sample", "q208_winsor_stats",
+    "q209_session_paths", "q210_cumulative_distinct", "q212_hll_curve")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

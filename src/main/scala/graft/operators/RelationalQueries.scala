@@ -428,6 +428,114 @@ object RelationalQueries {
       .filter(col("c_xy") * den >= col("n_baskets"))
       .localCheckpoint()
 
+  /** q204 EWMA geometry: truncated exponential smoothing over the last
+    * [[EwmaK]] days with ratio 3/4 — age-j weight is the EXACT integer
+    * 3^j · 4^(K−1−j) (the rational (3/4)^j cleared of denominators),
+    * so a day's smoothed mass is an integer dot product over the K-day
+    * tail of the daily-count grid. Truncation at K is what makes this
+    * scale: the textbook EWMA recursion s_t = αx_t + (1−α)s_{t−1} is a
+    * SEQUENTIAL scan over the whole calendar, while the truncated form
+    * is a K-term weighted sum any executor computes independently —
+    * and daily counts ADD, so shards/streams merge BEFORE the dot
+    * product (the q167/q198/q202 store-tail mergeability). (3/4)^16 ≈
+    * 1 %, below the trend signal at any realistic daily volume. Masses
+    * route through DECIMAL(38,0): 4^15 ≈ 10⁹ times a 100 TB-scale
+    * daily count (~10¹²) tops BIGINT by design (the q159 discipline). */
+  private[graft] val EwmaK = 16
+  private[graft] def ewmaWeight(j: Int): Long = {
+    require(j >= 0 && j < EwmaK)
+    var w = 1L
+    (0 until j).foreach(_ => w *= 3L)
+    (0 until (EwmaK - 1 - j)).foreach(_ => w *= 4L)
+    w
+  }
+
+  /** The q204 tail over ANY (event_type, day, n) daily-count table —
+    * explicit day grid, K-lag weighted dot product, one per-type lag
+    * window for the trend flag. Shared with the streaming twin (q205),
+    * the FOURTH read tail of the mergeable daily-count store: counts
+    * add, the weight table is constant, so stream == batch BY ALGEBRA. */
+  def ewmaTrendView(daily0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = daily0.localCheckpoint() // feeds span + types + the dot product
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // grid = types × [d0..d1]: vocab × calendar-span rows — absent
+    // (type, day) cells must report a decayed mass, not vanish.
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+      .localCheckpoint() // feeds the K-offset probe + the n re-join
+    val wCase = (0 until EwmaK)
+      .map(j => s"WHEN $j THEN ${ewmaWeight(j)}L").mkString(" ")
+    // K probe rows per grid cell, equi-joined to the daily counts —
+    // a hash join on (event_type, src_day); days with no events simply
+    // contribute no term (weight × 0).
+    val mass = grid
+      .withColumn("j", explode(expr(s"sequence(0, ${EwmaK - 1})")))
+      .withColumn("src_day", col("day") - col("j"))
+      .join(daily.select(col("event_type"), col("day").as("src_day"),
+        col("n")), Seq("event_type", "src_day"))
+      .withColumn("w", expr(s"CASE j $wCase END"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n").cast("decimal(19,0)") *
+        col("w").cast("decimal(19,0)")).cast("decimal(38,0)")
+        .as("mass"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    grid
+      .join(daily, Seq("event_type", "day"), "left")
+      .join(mass, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("mass"), lit(0L).cast("decimal(38,0)")).as("mass"))
+      .withColumn("prev_mass", lag(col("mass"), 1).over(w))
+      // decimal→double only at the OUTPUT boundary (q159 discipline);
+      // the rising comparison happens in exact decimal. First grid day
+      // has no prior mass → NOT rising (false, not null — a nullable
+      // boolean column stringifies differently across engines).
+      .select(col("event_type"), col("day"), col("n"),
+        col("mass").cast("double").as("ewma_mass"),
+        when(col("prev_mass").isNull, lit(false))
+          .otherwise(col("mass") > col("prev_mass")).as("rising"))
+  }
+
+  /** q208 winsorization bounds, bin-bracket percentiles on the
+    * [[DiscBins]] grid (the q176/q181 cross-multiply rule): clip at
+    * the p05 bin's LOWER edge and the p95 bin's UPPER edge, so the
+    * clip range always contains the central 90 % of the histogram. */
+  private[graft] val WinsorLoPct = 5L
+  private[graft] val WinsorHiPct = 95L
+
+  /** The q210 tail over ANY per-(type, user) (fday, lday) first/last-
+    * seen table — new-user rollup, day grid, prefix sum. Shared with
+    * the streaming twin (q211): fday is MIN-mergeable and lday (which
+    * only feeds the grid's right edge) MAX-mergeable, so the stream's
+    * merge-on-read rollup feeds the IDENTICAL tail and stream == batch
+    * BY ALGEBRA — the "a user is new exactly once" identity survives
+    * any micro-batch slicing because min(day) does. */
+  def cumulativeDistinctView(perUser0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = perUser0.localCheckpoint() // feeds span + the rollup
+    val firstSeen = perUser
+      .groupBy(col("event_type"), col("fday").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .localCheckpoint() // vocab×calendar rows; feeds grid + the join
+    // span over ALL event days (min first-seen == global min, max
+    // LAST-seen == global max): the curve must extend flat to the last
+    // calendar day even if no user is new on it
+    val span = perUser.agg(min(col("fday")).as("d0"),
+      max(col("lday")).as("d1"))
+    val grid = firstSeen.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    grid.join(firstSeen, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1-style pricing summary: partial+final hash agg, codegen'd.
     "q01_pricing_summary" -> ((s, d) => {
@@ -1426,6 +1534,144 @@ object RelationalQueries {
             .as("outlier_frac"))
     }),
 
+    // Unpivot/melt (A11 — the reshape dual of q49's pivot): the three
+    // lineitem charge components become (measure, value) rows via
+    // Dataset.unpivot — a WITHIN-ROW transform (one generator, zero
+    // shuffle) feeding one partial+final rollup. The scan reads exactly
+    // 4 columns; at 100 TB the explode multiplies rows 3× map-side and
+    // the rollup collapses them to |flags|×3 before any exchange.
+    "q195_unpivot" -> ((s, d) => {
+      import graft.functions.Num.dsumR
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"), dsumR(col("value"), 2).as("total"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    }),
+
+    // Truncated-EWMA trend (W24 — the smoothed daily health metric
+    // behind every ops dashboard): see [[ewmaTrendView]]. Pre-rolls to
+    // the same mergeable (type, day) count unit the q167/q198/q202
+    // store tails share; the streaming twin (q205) reads the store
+    // through the IDENTICAL view.
+    "q204_ewma_trend" -> ((s, d) =>
+      ewmaTrendView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Winsorized robust stats (D18 — the outlier-resistant mean the
+    // monitoring literature prefers over the raw mean, computed the
+    // 100 TB way): clip bounds are BIN-BRACKET percentiles from the
+    // q176 256-bin histogram (one rollup barrier, cross-multiply rule,
+    // NO global sort), broadcast back into a windowless per-row clip.
+    // The raw and winsorized means ride the same decimal-routed pass;
+    // clip edges are the same IEEE lo + bin·(hi−lo)/Bins both engines
+    // evaluate over identical doubles.
+    "q208_winsor_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Num.dsum
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+      val binned = ev.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("value"), col("lo"), col("hi"),
+          col("n"),
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(lit(DiscBins - 1), greatest(lit(0L),
+              floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+                * DiscBins).cast("long")))).as("bin"))
+        .localCheckpoint() // feeds the histogram + the clip pass
+      val cum = binned.groupBy(col("event_type"), col("n"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bin").asc)))
+      val qs = cum.groupBy(col("event_type"))
+        .agg(
+          min(when(col("cum") * 100 >= col("n") * WinsorLoPct, col("bin")))
+            .as("b_lo"),
+          min(when(col("cum") * 100 >= col("n") * WinsorHiPct, col("bin")))
+            .as("b_hi"))
+      binned.join(broadcast(qs), "event_type")
+        .select(col("event_type"), col("value"), col("n"),
+          (col("lo") + col("b_lo").cast("double") * (col("hi") - col("lo"))
+            / DiscBins).as("lo_edge"),
+          (col("lo") + (col("b_hi") + 1).cast("double") *
+            (col("hi") - col("lo")) / DiscBins).as("hi_edge"))
+        .select(col("event_type"), col("n"), col("lo_edge"), col("hi_edge"),
+          col("value"),
+          least(greatest(col("value"), col("lo_edge")), col("hi_edge"))
+            .as("clipped"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          first(col("lo_edge")).as("p05_edge"),
+          first(col("hi_edge")).as("p95_edge"),
+          sum(when(col("value") < col("lo_edge"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("value") > col("hi_edge"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          dsum(col("value")).as("sum_raw"),
+          dsum(col("clipped")).as("sum_winsor"))
+        .select(col("event_type"), col("n"), col("p05_edge"),
+          col("p95_edge"), col("n_clip_lo"), col("n_clip_hi"),
+          (col("sum_raw") / col("n")).as("mean_raw"),
+          (col("sum_winsor") / col("n")).as("mean_winsor"))
+    }),
+
+    // Session entry paths (W22 — "how do journeys start", the path
+    // analysis complement of q161's Markov chain and q169's unordered
+    // patterns): per (user, day) session, the EXACT ordered prefix of
+    // the first 3 events (one session-keyed sort window, rows cut at 3
+    // before any further shuffle), counted per path. The path table is
+    // vocab³-bounded, so the final rank window is a bounded single
+    // reducer by geometry, not by luck.
+    "q209_session_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val paths = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("s1"),
+          max(when(col("rn") === 2, col("event_type"))).as("s2"),
+          max(when(col("rn") === 3, col("event_type"))).as("s3"))
+        .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      paths
+        .withColumn("rnk", rank().over(
+          Window.orderBy(col("n_sessions").desc, col("path").asc))
+          .cast("long"))
+        .select(col("path"), col("n_sessions"), col("rnk"),
+          (col("rnk") <= 10).as("is_top10"))
+    }),
+
+    // Cumulative-distinct curve (W23 — "distinct users to date", the
+    // growth metric behind every KPI deck): the naive COUNT(DISTINCT)
+    // OVER a running frame rescans every prefix — quadratic, and the
+    // distinct state is unbounded per frame. The scalable identity:
+    // a user is new exactly once, at min(day) — so ONE (type, user)
+    // rollup, a vocab×calendar new-user table, and a prefix sum over the
+    // grid give the exact curve. The oracle computes the quadratic
+    // form; this plan never holds more than the grid.
+    "q210_cumulative_distinct" -> ((s, d) =>
+      cumulativeDistinctView(events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("day")).as("fday"), max(col("day")).as("lday")))),
+
     // As-of join: for each purchase, the latest prior-or-equal click by
     // the same user (AsOfJoin operator — single shuffle, no crossjoin).
     "q19_asof_join" -> ((s, d) => {
@@ -2297,6 +2543,163 @@ object RelationalQueries {
            string_agg(event_type, ',' ORDER BY ts, event_id)
              FILTER (WHERE rn <= 3) AS first_types
          FROM w GROUP BY user_id, sess""",
+
+    // q195: the UNION ALL long form of the same melt, identical
+    // decimal-routed rollup.
+    "q195_unpivot" ->
+      """WITH u AS (
+           SELECT l_returnflag, 'l_extendedprice' AS measure,
+             l_extendedprice AS value FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS total,
+           min(value) AS vmin, max(value) AS vmax
+         FROM u GROUP BY 1, 2""",
+
+    // q204: identical grid, the same interpolated integer weight table,
+    // HUGEINT mirrors the DECIMAL(38,0) route, double only at output.
+    "q204_ewma_trend" -> {
+      val wCase = (0 until EwmaK)
+        .map(j => s"WHEN $j THEN ${ewmaWeight(j)}").mkString(" ")
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, 20000) r
+           WHERE s.d0 + r.range <= s.d1),
+         terms AS (
+           SELECT g.event_type, g.day,
+             CAST(d.n AS HUGEINT) *
+               CAST((CASE r.range $wCase END) AS HUGEINT) AS term
+           FROM grid g CROSS JOIN range(0, $EwmaK) r
+           JOIN daily d ON d.event_type = g.event_type
+             AND d.day = g.day - r.range),
+         mass AS (
+           SELECT event_type, day, sum(term) AS mass
+           FROM terms GROUP BY 1, 2),
+         j AS (
+           SELECT g.event_type, g.day, coalesce(d.n, 0) AS n,
+             coalesce(m.mass, 0) AS mass
+           FROM grid g
+           LEFT JOIN daily d ON d.event_type = g.event_type
+             AND d.day = g.day
+           LEFT JOIN mass m ON m.event_type = g.event_type
+             AND m.day = g.day),
+         l AS (
+           SELECT event_type, day, n, mass,
+             lag(mass) OVER (PARTITION BY event_type ORDER BY day ASC)
+               AS prev_mass
+           FROM j)
+         SELECT event_type, day, n, CAST(mass AS DOUBLE) AS ewma_mass,
+           CASE WHEN prev_mass IS NULL THEN FALSE
+                ELSE mass > prev_mass END AS rising
+         FROM l"""
+    },
+
+    // q208: identical 256-bin histogram, bin-bracket cross-multiply
+    // percentiles, the same IEEE edge expression and decimal means.
+    "q208_winsor_stats" ->
+      s"""WITH st AS (
+           SELECT event_type, min(value) AS lo, max(value) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         b AS (
+           SELECT e.event_type, e.value, s.lo, s.hi, s.n,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least(${DiscBins - 1}, greatest(0,
+                    CAST(floor((e.value - s.lo) / (s.hi - s.lo)
+                      * $DiscBins) AS BIGINT)))
+             END AS bin
+           FROM events e JOIN st s ON s.event_type = e.event_type),
+         cum AS (
+           SELECT event_type, n, bin, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY event_type
+               ORDER BY bin ASC) AS cum
+           FROM b GROUP BY event_type, n, bin),
+         qs AS (
+           SELECT event_type,
+             min(CASE WHEN cum * 100 >= n * $WinsorLoPct THEN bin END)
+               AS b_lo,
+             min(CASE WHEN cum * 100 >= n * $WinsorHiPct THEN bin END)
+               AS b_hi
+           FROM cum GROUP BY 1),
+         e2 AS (
+           SELECT b.event_type, b.n, b.value,
+             b.lo + CAST(q.b_lo AS DOUBLE) * (b.hi - b.lo) / $DiscBins
+               AS lo_edge,
+             b.lo + CAST(q.b_hi + 1 AS DOUBLE) * (b.hi - b.lo) / $DiscBins
+               AS hi_edge
+           FROM b JOIN qs q ON q.event_type = b.event_type)
+         SELECT event_type, n, min(lo_edge) AS p05_edge,
+           min(hi_edge) AS p95_edge,
+           CAST(sum(CASE WHEN value < lo_edge THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN value > hi_edge THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_hi,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / n
+             AS mean_raw,
+           CAST(sum(CAST(least(greatest(value, lo_edge), hi_edge)
+             AS DECIMAL(38,6))) AS DOUBLE) / n AS mean_winsor
+         FROM e2 GROUP BY event_type, n""",
+
+    // q209: the q60 ordered string_agg idiom over the same rn ≤ 3 cut.
+    "q209_session_paths" ->
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 86400000000
+               ORDER BY ts ASC, event_id ASC) AS rn
+           FROM events),
+         p AS (
+           SELECT string_agg(event_type, '>' ORDER BY ts ASC,
+             event_id ASC) AS path
+           FROM r WHERE rn <= 3 GROUP BY user_id, day),
+         c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+               FROM p GROUP BY 1)
+         SELECT path, n_sessions,
+           CAST(rank() OVER (ORDER BY n_sessions DESC, path ASC)
+             AS BIGINT) AS rnk,
+           rank() OVER (ORDER BY n_sessions DESC, path ASC) <= 10
+             AS is_top10
+         FROM c""",
+
+    // q210: the INDEPENDENT quadratic derivation — explode every
+    // (grid day × prior event) and count distinct per cell; the Spark
+    // plan's first-seen identity must reproduce it exactly.
+    "q210_cumulative_distinct" ->
+      """WITH e AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         f0 AS (SELECT event_type, user_id, min(day) AS day
+                FROM e GROUP BY 1, 2),
+         fs AS (SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS new_users
+           FROM f0 GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM e) t
+           CROSS JOIN span s CROSS JOIN range(0, 20000) r
+           WHERE s.d0 + r.range <= s.d1),
+         j AS (SELECT g.event_type, g.day, e2.user_id
+               FROM grid g LEFT JOIN e e2
+                 ON e2.event_type = g.event_type AND e2.day <= g.day)
+         SELECT j.event_type, j.day,
+           coalesce(f.new_users, 0) AS new_users,
+           CAST(count(DISTINCT j.user_id) AS BIGINT) AS cum_users
+         FROM j LEFT JOIN fs f ON f.event_type = j.event_type
+           AND f.day = j.day
+         GROUP BY j.event_type, j.day, f.new_users""",
 
     "q49_pivot" ->
       """SELECT o_orderpriority,

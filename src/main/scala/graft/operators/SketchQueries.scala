@@ -319,6 +319,57 @@ object SketchQueries {
     // each ONE IEEE division over exact integers — bit-stable. The
     // exact-string oracle rebuilds the identical sketch (md5 slices),
     // doubling as the collision check.
+    // HLL distinct-GROWTH curve (SK8 — q210's cumulative curve at
+    // sketch cost, the form that survives when per-day exact user sets
+    // stop fitting): registers are MAX-mergeable, so the cumulative
+    // sketch at day t is the prefix-max of the daily register table —
+    // one window over the GEOMETRY-BOUNDED (types × calendar × m) grid,
+    // never over users. The exact curve (q210's first-seen identity)
+    // rides along, so the query IS its own accuracy audit (err in ppm,
+    // the q145 exact-beside-estimate pattern, extended per-day).
+    "q212_hll_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .localCheckpoint() // feeds registers + span + the exact curve
+      val regs = e
+        .withColumn("h", md5(col("user_id").cast("string").cast("binary")))
+        .select(col("event_type"), col("day"),
+          hexSlice(col("h"), 1, 1).as("b"),
+          hexSlice(col("h"), 2, 8).as("x"))
+        .withColumn("rho", when(col("x") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("x")))))
+        .groupBy(col("event_type"), col("day"), col("b"))
+        .agg(max(col("rho")).as("m"))
+      val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+        .crossJoin(broadcast(s.range(HllM).toDF("b")))
+      val w = Window.partitionBy(col("event_type"), col("b"))
+        .orderBy(col("day").asc)
+      val summary = grid.join(regs, Seq("event_type", "day", "b"), "left")
+        .withColumn("cm", max(coalesce(col("m"), lit(0))).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(pow(lit(2.0), lit(HllScale) - col("cm")).cast("long"))
+          .as("s_scaled"),
+          sum(when(col("cm") === 0, 1L).otherwise(0L)).as("zeros"))
+        .withColumn("est", lit(HllNumerator) / col("s_scaled").cast("double"))
+      val exact = RelationalQueries.cumulativeDistinctView(
+        e.groupBy(col("event_type"), col("user_id"))
+          .agg(min(col("day")).as("fday"), max(col("day")).as("lday")))
+      summary
+        .join(exact.select(col("event_type"), col("day"),
+          col("cum_users")), Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("zeros"),
+          col("s_scaled"), col("est"), col("cum_users"),
+          when(col("cum_users") === 0, lit(-1L)).otherwise(
+            floor(abs(col("est") / col("cum_users") - 1.0) * 1000000)
+              .cast("long")).as("err_ppm"))
+    }),
+
     "q154_kmv_overlap" -> ((s, d) => {
       val g = documents(s, d)
         .select(col("source"), whitespaceToks.as("ts"))
@@ -598,6 +649,74 @@ object SketchQueries {
            $HllNumerator / CAST(a.s_scaled AS DOUBLE) AS est,
            coalesce(e.n_exact, 0) AS n_exact
          FROM agg a LEFT JOIN exact e ON a.lang = e.lang""",
+
+    // q212: the identical sketch rebuilt per (type, day), the same
+    // prefix-max window over the same explicit grid, exact curve via
+    // the first-seen identity (itself proven against the brute
+    // quadratic by q210's own oracle).
+    "q212_hll_curve" ->
+      s"""WITH e AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         hashed AS (
+           SELECT DISTINCT event_type, day,
+             md5(CAST(user_id AS VARCHAR)) AS h
+           FROM e),
+         xs AS (
+           SELECT event_type, day, h,
+             CAST(sum((instr('0123456789abcdef',
+               substr(h, CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 9 - i) AS BIGINT)) AS BIGINT) AS x
+           FROM hashed CROSS JOIN range(2, 10) r(i)
+           GROUP BY event_type, day, h),
+         regs AS (
+           SELECT event_type, day,
+             instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS b,
+             max(CASE WHEN x = 0 THEN 33
+                      ELSE 33 - length(bin(x)) END) AS m
+           FROM xs GROUP BY event_type, day, b),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day, g.range AS b
+           FROM (SELECT DISTINCT event_type FROM e) t
+           CROSS JOIN span s CROSS JOIN range(0, 20000) r
+           CROSS JOIN range(0, $HllM) g
+           WHERE s.d0 + r.range <= s.d1),
+         cumreg AS (
+           SELECT g.event_type, g.day, g.b,
+             max(coalesce(r.m, 0)) OVER (PARTITION BY g.event_type, g.b
+               ORDER BY g.day ASC) AS cm
+           FROM grid g LEFT JOIN regs r ON r.event_type = g.event_type
+             AND r.day = g.day AND r.b = g.b),
+         agg AS (
+           SELECT event_type, day,
+             CAST(sum(CAST(power(2, $HllScale - cm) AS BIGINT))
+               AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN cm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zeros
+           FROM cumreg GROUP BY 1, 2),
+         f0 AS (SELECT event_type, user_id, min(day) AS fday
+                FROM e GROUP BY 1, 2),
+         fs AS (SELECT event_type, fday AS day,
+             CAST(count(*) AS BIGINT) AS nu
+           FROM f0 GROUP BY 1, 2),
+         gridd AS (SELECT DISTINCT event_type, day FROM grid),
+         ex AS (
+           SELECT g.event_type, g.day,
+             CAST(sum(coalesce(f.nu, 0)) OVER (PARTITION BY g.event_type
+               ORDER BY g.day ASC) AS BIGINT) AS cum_users
+           FROM gridd g LEFT JOIN fs f ON f.event_type = g.event_type
+             AND f.day = g.day)
+         SELECT a.event_type, a.day, a.zeros, a.s_scaled,
+           $HllNumerator / CAST(a.s_scaled AS DOUBLE) AS est,
+           x.cum_users,
+           CASE WHEN x.cum_users = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(floor(abs(($HllNumerator /
+                  CAST(a.s_scaled AS DOUBLE)) / x.cum_users - 1.0)
+                  * 1000000) AS BIGINT) END AS err_ppm
+         FROM agg a JOIN ex x ON x.event_type = a.event_type
+           AND x.day = a.day""",
 
     // same grid, same integer cross-multiply quantile rule
     // q154: the identical sketch rebuilt from exact strings — the same

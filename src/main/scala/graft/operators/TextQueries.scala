@@ -27,6 +27,17 @@ object TextQueries {
     * exact rerank pays float cost for. Interpolated into the oracle. */
   val HammingPool = 50
 
+  /** q206 edit-distance bar: the FastSS deletion-neighborhood depth
+    * AND the verify threshold (they must match — the neighborhood is
+    * lossless exactly up to its own depth). d=2 catches the
+    * substitution/transposition-heavy variants OCR produces while the
+    * neighborhood stays L²-bounded per token. */
+  private[graft] val FuzzyD = 2
+
+  /** q207 sampling rate denominator: budget = ⌊total/4⌋ docs (25 %),
+    * apportioned across sources by largest remainder. */
+  private[graft] val SampleDen = 4L
+
   /** q103 chunking geometry: fixed token windows of [[ChunkW]] starting
     * every [[ChunkStride]] tokens (overlap W − stride = 8) — the
     * RAG/embedding-ingest slicer. Both interpolated into the oracle so
@@ -1320,6 +1331,92 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_tokens")).as("total_tokens"),
              sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Fuzzy vocabulary join (L5dd — spelling-variant detection, the
+    // cleanup pass every OCR/web corpus needs before token stats):
+    // candidate pairs come from FastSS deletion neighborhoods (Bocek
+    // et al. '07): every edit script of cost ≤ d decomposes into ≤ d
+    // deletions on EACH side reaching a common string, so two tokens
+    // within distance d always share a ≤d-deletion variant — the
+    // neighborhood equi-join is LOSSLESS, never all-pairs, and
+    // vocab·L²-bounded. Exact levenshtein verifies survivors (both
+    // engines run textbook Wagner–Fischer — integer-exact). The
+    // oracle is the brute O(vocab²) pair filter, so every run
+    // re-proves the blocking lost nothing.
+    "q206_fuzzy_vocab" -> ((s, d) => {
+      val vocab = documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      // ≤2-deletion neighborhood, enumerated with higher-order
+      // functions (zero UDF surface): d1 = delete one char, d2 =
+      // delete one more from each d1 member. The CASE guards the
+      // empty string (sequence(1,0) would DESCEND, not return []).
+      val nbr = vocab
+        .withColumn("d1", expr(
+          """transform(sequence(1, length(tok)),
+             i -> concat(substr(tok, 1, i - 1),
+                         substr(tok, i + 1, length(tok))))"""))
+        .withColumn("d2", expr(
+          """flatten(transform(d1, v ->
+               CASE WHEN length(v) >= 1
+                 THEN transform(sequence(1, length(v)),
+                   i -> concat(substr(v, 1, i - 1),
+                               substr(v, i + 1, length(v))))
+                 ELSE array() END))"""))
+        .select(col("tok"), col("n"),
+          explode(array_distinct(concat(array(col("tok")), col("d1"),
+            col("d2")))).as("v"))
+        .localCheckpoint() // vocab·L² rows; feeds BOTH sides of the join
+      nbr.select(col("v"), col("tok").as("tok_a"), col("n").as("n_a"))
+        .join(nbr.select(col("v"), col("tok").as("tok_b"),
+          col("n").as("n_b")), "v")
+        .filter(col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"))
+        .distinct()
+        .filter(levenshtein(col("tok_a"), col("tok_b")) <= FuzzyD)
+        .select(col("tok_a"), col("tok_b"),
+          levenshtein(col("tok_a"), col("tok_b")).cast("long").as("dist"),
+          col("n_a"), col("n_b"))
+    }),
+
+    // Stratified quota sampling (L5ee — the per-source subsample every
+    // eval set and data ablation starts from): the global budget
+    // (total/[[SampleDen]]) apportions across sources by Hamilton's
+    // largest-remainder method — EXACT integer base quotas, the
+    // leftover seats to the largest integer remainders (ties by source
+    // name) — so Σ quota == budget by construction, no float
+    // apportionment drift. Selection inside each stratum is the
+    // deterministic md5 order (the q201/q139 sampling lever): a
+    // per-source rank window — a PARTITIONED parallel sort, never a
+    // global one — cut at the broadcast quota.
+    "q207_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select(col("doc_id"), col("source"))
+      val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint() // strata rows; feeds the total + the quota chain
+      val tot = cnt.agg(sum(col("n_docs")).as("total"))
+      val q0 = cnt.crossJoin(broadcast(tot))
+        .withColumn("budget", expr(s"total DIV $SampleDen"))
+        .withColumn("base", expr("budget * n_docs DIV total"))
+        .withColumn("rem", expr("budget * n_docs % total"))
+        .localCheckpoint() // strata rows; feeds leftover + the rank
+      val leftover = q0.agg(
+        (first(col("budget")) - sum(col("base"))).as("leftover"))
+      val quotas = q0.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .select(col("source"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("quota"))
+      val wsel = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      docs
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("rk", row_number().over(wsel).cast("long"))
+        .join(broadcast(quotas), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rk"), col("quota"))
     })
   )
 
@@ -2243,6 +2340,48 @@ object TextQueries {
          round(quantile_cont(n_chars, 0.5),2) AS p50,
          round(quantile_cont(n_chars, 0.9),2) AS p90,
          round(quantile_cont(n_chars, 0.99),2) AS p99
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+
+    // q206: the brute O(vocab²) pair filter — every run re-proves the
+    // deletion-neighborhood candidate generation lost nothing.
+    "q206_fuzzy_vocab" ->
+      s"""WITH v AS (
+           SELECT t AS tok, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                   AS t FROM documents)
+           GROUP BY 1)
+         SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+         FROM v a JOIN v b ON a.tok < b.tok
+         WHERE levenshtein(a.tok, b.tok) <= $FuzzyD""",
+
+    // q207: identical Hamilton apportionment and md5 rank order.
+    "q207_stratified_sample" ->
+      s"""WITH cnt AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cnt),
+         q0 AS (
+           SELECT c.source, c.n_docs, t.total,
+             t.total // $SampleDen AS budget,
+             (t.total // $SampleDen) * c.n_docs // t.total AS base,
+             (t.total // $SampleDen) * c.n_docs % t.total AS rem
+           FROM cnt c CROSS JOIN tot t),
+         lo AS (SELECT min(budget) - sum(base) AS leftover FROM q0),
+         qt AS (
+           SELECT source, CAST(base + CASE WHEN
+               row_number() OVER (ORDER BY rem DESC, source ASC)
+                 <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+           FROM q0 CROSS JOIN lo l),
+         sel AS (
+           SELECT d.source, d.doc_id,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC)
+               AS BIGINT) AS rk
+           FROM documents d)
+         SELECT s.source, s.doc_id, s.rk, q.quota
+         FROM sel s JOIN qt q ON q.source = s.source
+         WHERE s.rk <= q.quota"""
   )
 }

@@ -571,6 +571,45 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST × W24: q204's truncated EWMA trend as a STREAM — the FOURTH
+    // read tail of the shared daily-count store (after CUSUM, decay
+    // and seasonality): the weight table is a constant and counts add,
+    // so the K-term dot product over the merge-on-read sums equals the
+    // one-shot batch BY ALGEBRA; oracle IS q204's batch SQL.
+    "q205_stream_ewma" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q205-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q205-store"))
+      val ckpt = tmp("graft-q205-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.ewmaTrendView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
+    // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
+    // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
+    // day partials under batch_id, LSM-folded), merge-on-read
+    // (MIN, MAX) feeding the SAME cumulativeDistinctView; "new exactly
+    // once" survives any slicing because min(day) does. Oracle IS
+    // q210's batch SQL — itself the brute quadratic distinct count.
+    "q211_stream_cumdistinct" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q211-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q211-store"))
+      val ckpt = tmp("graft-q211-ckpt")
+      withCompactionEvery2(s) {
+        StreamingFirstSeen.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.cumulativeDistinctView(
+        StreamingFirstSeen.perUser(s, store))
+    }),
+
     // ST × W13: q181's RFM segmentation as a STREAM — per-batch
     // partial (max day, count, decimal sum) per user, LSM-folded,
     // merge-on-read (MAX, SUM, SUM) feeding the SAME rfmView quartile
@@ -787,6 +826,16 @@ object StreamingQueries {
     // counts feed the same arithmetic-dow grid and gate
     "q202_stream_seasonality" ->
       graft.operators.RelationalQueries.oracleSql("q188_seasonality"),
+
+    // identical derivation to the q204 batch chain — summed daily
+    // counts feed the same constant weight table and lag window
+    "q205_stream_ewma" ->
+      graft.operators.RelationalQueries.oracleSql("q204_ewma_trend"),
+
+    // identical derivation to the q210 batch chain — (MIN, MAX)-merged
+    // first-seen partials feed the same grid prefix sum
+    "q211_stream_cumdistinct" ->
+      graft.operators.RelationalQueries.oracleSql("q210_cumulative_distinct"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

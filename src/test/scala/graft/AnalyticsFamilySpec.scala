@@ -928,4 +928,154 @@ class AnalyticsFamilySpec extends SparkTestBase {
         s"state $a: modal next ${tops.toSeq} != $want")
     }
   }
+
+  test("q195: the melt equals a driver long-form replay, measure by measure") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")).collect()
+      .flatMap(r => Seq(
+        (r.getString(0), "l_extendedprice", r.getDouble(1)),
+        (r.getString(0), "l_discount", r.getDouble(2)),
+        (r.getString(0), "l_tax", r.getDouble(3))))
+    val want = rows.groupBy(r => (r._1, r._2)).map { case (k, vs) =>
+      val tot = vs.map(v => BigDecimal(v._3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      k -> ((vs.length.toLong, tot, vs.map(_._3).min, vs.map(_._3).max))
+    }
+    val got = SparkEntry.queries("q195_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == want, s"melt rollup:\n$got\n$want")
+    // the melt must conserve rows: 3 long rows per fact row
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+  }
+
+  test("q204: EWMA masses equal a driver dot-product replay; trend flips both ways") {
+    import operators.RelationalQueries.{EwmaK, ewmaWeight}
+    // the weight table must BE the cleared-denominator (3/4)^j ladder
+    assert(ewmaWeight(0) == math.pow(4, EwmaK - 1).toLong)
+    (0 until EwmaK - 1).foreach(j =>
+      assert(4L * ewmaWeight(j + 1) == 3L * ewmaWeight(j), s"j=$j"))
+    val dayUs = 86400000000L
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000 / dayUs))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (d0, d1) = (daily.keys.map(_._2).min, daily.keys.map(_._2).max)
+    val types = daily.keys.map(_._1).toSeq.distinct
+    val want = (for { t <- types; day <- d0 to d1 } yield {
+      val mass = (0 until EwmaK).map(j =>
+        BigInt(daily.getOrElse((t, day - j), 0L)) * ewmaWeight(j)).sum
+      (t, day) -> ((daily.getOrElse((t, day), 0L), mass))
+    }).toMap
+    val got = SparkEntry.queries("q204_ewma_trend")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == want.keySet, "grid differs")
+    got.foreach { case (k, (n, m, rising)) =>
+      assert(n == want(k)._1 && m == want(k)._2.toDouble, s"$k")
+      val prev = want.get((k._1, k._2 - 1))
+      assert(rising == prev.exists(p => want(k)._2 > p._2), s"$k rising")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "the trend flag must flip both ways on this corpus")
+  }
+
+  test("q208: winsorized stats equal a driver histogram replay; clipping is non-vacuous") {
+    import operators.RelationalQueries.{DiscBins, WinsorLoPct, WinsorHiPct}
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = evs.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2)
+      val (lo, hi, n) = (vs.min, vs.max, vs.length.toLong)
+      def binOf(v: Double): Long = if (hi == lo) 0L else math.min(
+        DiscBins - 1, math.max(0L,
+          math.floor((v - lo) / (hi - lo) * DiscBins).toLong))
+      val cnt = vs.map(binOf).groupBy(identity).view.mapValues(_.size.toLong)
+      val sorted = cnt.keys.toSeq.sorted
+      var c = 0L
+      val cums = sorted.map { b => c += cnt(b); b -> c }.toMap
+      def pick(p: Long): Long = sorted.find(b => cums(b) * 100 >= p * n).get
+      val (bLo, bHi) = (pick(WinsorLoPct), pick(WinsorHiPct))
+      val loE = lo + bLo.toDouble * (hi - lo) / DiscBins
+      val hiE = lo + (bHi + 1).toDouble * (hi - lo) / DiscBins
+      def dsum(xs: Seq[Double]): Double = xs.map(x => BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      t -> ((n, loE, hiE, vs.count(_ < loE).toLong, vs.count(_ > hiE).toLong,
+        dsum(vs.toSeq) / n, dsum(vs.toSeq.map(v =>
+          math.min(math.max(v, loE), hiE))) / n))
+    }
+    val got = SparkEntry.queries("q208_winsor_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    assert(got == want, s"winsor replay:\n$got\n$want")
+    assert(got.values.exists(v => v._4 > 0 || v._5 > 0),
+      "clipping must be non-vacuous on this corpus")
+    assert(got.values.forall(v => v._4 * 100 <= v._1 * WinsorLoPct + 100 &&
+      v._5 * 100 <= v._1 * (100 - WinsorHiPct) + 100),
+      "clip fractions must respect the percentile bars (±1 bin bracket)")
+  }
+
+  test("q209: entry paths equal a driver replay; ranks are the (count desc, path) order") {
+    val dayUs = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000,
+        r.getString(2), r.getLong(3)))
+    val paths = evs.groupBy(e => (e._1, e._2 / dayUs)).values.map { rows =>
+      rows.sortBy(e => (e._2, e._4)).take(3).map(_._3).mkString(">")
+    }
+    val cnt = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the rank() ordering (n DESC, path ASC) is a total order — no two
+    // rows tie on BOTH keys — so rank == row position
+    val order = cnt.toSeq.sortBy { case (p, n) => (-n, p) }
+    val rnk = order.zipWithIndex.map { case ((p, _), i) =>
+      p -> (i + 1).toLong }.toMap
+    val got = SparkEntry.queries("q209_session_paths")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.keySet == cnt.keySet, "path set differs")
+    got.foreach { case (p, (n, rk, top)) =>
+      assert(n == cnt(p) && rk == rnk(p) && top == (rk <= 10), s"path $p")
+    }
+    // session conservation: one path per (user, day) session
+    assert(got.values.map(_._1).sum ==
+      evs.map(e => (e._1, e._2 / dayUs)).distinct.length.toLong)
+  }
+
+  test("q210: the first-seen identity equals brute cumulative distincts; curve is monotone") {
+    val dayUs = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 / dayUs))
+    val (d0, d1) = (evs.map(_._3).min, evs.map(_._3).max)
+    val types = evs.map(_._1).distinct
+    val want = (for { t <- types; day <- d0 to d1 } yield {
+      // BRUTE definition: distinct users among ALL events up to `day`
+      val cum = evs.filter(e => e._1 == t && e._3 <= day)
+        .map(_._2).distinct.length.toLong
+      val fresh = evs.filter(e => e._1 == t).groupBy(_._2)
+        .count(_._2.map(_._3).min == day).toLong
+      (t, day) -> ((fresh, cum))
+    }).toMap
+    val got = SparkEntry.queries("q210_cumulative_distinct")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"cumulative curve:\n${(got.toSet -- want.toSet).take(3)}")
+    types.foreach { t =>
+      val curve = (d0 to d1).map(day => got((t, day))._2)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"$t: curve not monotone")
+      assert(curve.last ==
+        evs.filter(_._1 == t).map(_._2).distinct.length.toLong,
+        s"$t: final cum != distinct users")
+    }
+  }
 }

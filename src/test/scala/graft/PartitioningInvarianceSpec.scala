@@ -121,6 +121,14 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q200_psi_drift",        // decimal-rounded ln terms + dsum
     "q201_discretizer_audit", // sample window + decimal error rollup
     "q203_dedup_yield",      // CC keep rule + source token ledger
+    "q195_unpivot",          // melt explode + decimal rollup
+    "q204_ewma_trend",       // decimal dot product + per-type lag window
+    "q206_fuzzy_vocab",      // deletion-neighborhood join + distinct pairs
+    "q207_stratified_sample", // remainder rank + per-source md5 rank
+    "q208_winsor_stats",     // histogram percentiles + decimal means
+    "q209_session_paths",    // session sort windows + global rank
+    "q210_cumulative_distinct", // first-seen rollup + grid prefix sum
+    "q212_hll_curve",        // register max rollup + grid prefix-max window
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

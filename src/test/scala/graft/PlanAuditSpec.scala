@@ -983,6 +983,70 @@ class PlanAuditSpec extends SparkTestBase {
       s"the keep rank must partition by comp_id:\n${winSpecs.mkString("\n")}")
   }
 
+  test("q195 melt: zero exchange before the rollup's partial aggregate") {
+    val p = plan("q195_unpivot")
+    // the unpivot explode happens map-side: the FIRST aggregate
+    // (partial) must appear with no Exchange between scan and it —
+    // i.e. exactly one Exchange in the whole plan (the final agg's).
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*""")) == 1,
+      s"melt must shuffle once (the rollup):\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"unpivot must prune to the 4 melted columns:\n$p")
+  }
+
+  test("q204 EWMA: the weight dot product joins hash-wise; no cartesian") {
+    val p = plan("q204_ewma_trend")
+    assert(!p.contains("CartesianProduct"), p)
+    // the K-offset probe joins the daily counts on (type, src_day):
+    // an equi-join, never a theta join over the calendar
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"offset probe must stay an equi-join:\n$p")
+  }
+
+  test("q206 fuzzy vocab: candidates come from the neighborhood equi-join, never all-pairs") {
+    val p = plan("q206_fuzzy_vocab")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"FastSS must equi-join on the deletion variant:\n$p")
+  }
+
+  test("q207 sample: quotas broadcast into the per-source rank; one fact scan family") {
+    val p = plan("q207_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the strata-bounded quota table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q208 winsor: bounded quantile tables broadcast back into the clip pass") {
+    val p = plan("q208_winsor_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats and quantile edges must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q210 cumulative distinct: no quadratic join — grid joins hash-wise") {
+    val p = plan("q210_cumulative_distinct")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly ONE nested-loop join is allowed: the 1-row span scalar
+    // broadcast under the grid explode. The day<=day prefix explode the
+    // oracle pays must NOT appear here.
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q212 HLL curve: windows run over the geometry-bounded grid, keyed by (type, b)") {
+    val p = plan("q212_hll_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // the prefix-max window must partition by (event_type, b) — a
+    // types×m-way parallel window over the calendar grid, never a
+    // single-reducer scan of users
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.exists(l => l.contains("event_type") && l.contains("b#")),
+      s"prefix-max must key by (event_type, b):\n${specs.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -316,6 +316,59 @@ class SketchQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q212: cumulative HLL curve equals a driver prefix-max replay; estimate grows with the curve") {
+    import operators.SketchQueries.{HllM, HllScale, HllNumerator}
+    val dayUs = 86400000000L
+    val evs = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 / dayUs))
+    val (d0, d1) = (evs.map(_._3).min, evs.map(_._3).max)
+    val types = evs.map(_._1).distinct
+    // daily registers, then the prefix max per (type, b)
+    val daily = scala.collection.mutable
+      .Map.empty[(String, Long, Long), Int].withDefaultValue(0)
+    evs.distinct.foreach { case (t, u, day) =>
+      val h = md5Hex(u.toString)
+      val b = hexSlice(h, 1, 1)
+      val x = hexSlice(h, 2, 8)
+      val rho = if (x == 0) 33
+        else 33 - java.lang.Long.toBinaryString(x).length
+      if (rho > daily((t, day, b))) daily((t, day, b)) = rho
+    }
+    val want = (for { t <- types; day <- d0 to d1 } yield {
+      val cms = (0L until HllM.toLong).map(b =>
+        (d0 to day).map(dd => daily((t, dd, b))).max)
+      val s = cms.map(m => 1L << (HllScale - m)).sum
+      val zeros = cms.count(_ == 0).toLong
+      val est = HllNumerator / s.toDouble
+      val cum = evs.filter(e => e._1 == t && e._3 <= day)
+        .map(_._2).distinct.length.toLong
+      val err = if (cum == 0) -1L
+        else math.floor(math.abs(est / cum - 1.0) * 1000000).toLong
+      (t, day) -> ((zeros, s, est, cum, err))
+    }).toMap
+    val got = SparkEntry.queries("q212_hll_curve")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want,
+      s"first diff: ${(got.toSet -- want.toSet).take(2)} vs " +
+        s"${(want.toSet -- got.toSet).take(2)}")
+    // registers only grow → s_scaled non-increasing → est non-decreasing
+    types.foreach { t =>
+      val curve = (d0 to d1).map(day => got((t, day)))
+      assert(curve.map(_._2).zip(curve.tail.map(_._2))
+        .forall { case (a, b) => a >= b }, s"$t: harmonic mass grew")
+      assert(curve.map(_._3).zip(curve.tail.map(_._3))
+        .forall { case (a, b) => a <= b }, s"$t: estimate shrank")
+      val (_, _, est, cum, _) = curve.last
+      assert(est > 0.3 * cum && est < 3.0 * cum,
+        s"$t: final estimate $est far from exact $cum")
+    }
+  }
+
   test("q159: AMS counters equal a driver replay; sketch is addition-mergeable; estimate brackets F2") {
     import operators.SketchQueries.AmsCounters
     def sign(j: Int, u: Long): Long = {

@@ -115,6 +115,29 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q202")
   }
 
+  test("q205: streamed EWMA trend equals the one-shot batch smoothing") {
+    val got = q("q205_stream_ewma")
+    val want = SparkEntry.queries("q204_ewma_trend")(spark, sf)
+    assert(got.count() > 0, "no EWMA rows streamed")
+    assertSame(got, want, "q205")
+  }
+
+  test("q211: streamed cumulative-distinct curve equals the one-shot batch identity") {
+    val got = q("q211_stream_cumdistinct")
+    val want = SparkEntry.queries("q210_cumulative_distinct")(spark, sf)
+    assert(got.count() > 0, "no curve rows streamed")
+    assertSame(got, want, "q211")
+    // the (MIN, MAX) merge really is first-seen: per type, the final
+    // cum must equal the corpus distinct-user count, not a per-batch one
+    val last = got.groupBy(col("event_type"))
+      .agg(max_by(col("cum_users"), col("day")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == corpus, s"$last != $corpus")
+  }
+
   test("q72: incremental near-dup pairs equal the one-shot batch pairs") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val got = q("q72_stream_neardup")

@@ -175,4 +175,66 @@ class TextPipelineOpsSpec extends SparkTestBase {
     assert(out.forall { case (_, c, t, r) => c <= t && r > 0 && r <= 1.0 })
     assert(out.map(_._3).distinct.length == 1, "total is corpus-wide constant")
   }
+
+  test("q206: FastSS candidates equal a brute driver levenshtein sweep — blocking is lossless") {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val vocab = docs.select($"text").as[String].collect()
+      .flatMap(_.trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val toks = vocab.keys.toSeq.sorted
+    val want = (for {
+      i <- toks.indices; j <- i + 1 until toks.length
+      d = lev(toks(i), toks(j)) if d <= 2
+    } yield (toks(i), toks(j)) ->
+      ((d.toLong, vocab(toks(i)), vocab(toks(j))))).toMap
+    val got = SparkEntry.queries("q206_fuzzy_vocab")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want,
+      s"missed=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(got.nonEmpty, "the corpus vocab must contain SOME variant pairs")
+  }
+
+  test("q207: quotas are a Hamilton apportionment; selection is the md5 prefix per source") {
+    import graft.operators.TextQueries.SampleDen
+    val byDoc = docs.select($"doc_id", $"source")
+      .as[(Long, String)].collect()
+    val cnt = byDoc.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val total = byDoc.length.toLong
+    val budget = total / SampleDen
+    val base = cnt.view.mapValues(n => budget * n / total).toMap
+    val leftover = budget - base.values.sum
+    val seats = cnt.keys.toSeq
+      .sortBy(s => (-(budget * cnt(s) % total), s)).take(leftover.toInt).toSet
+    val quota = cnt.keys.map(s =>
+      s -> (base(s) + (if (seats(s)) 1L else 0L))).toMap
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = byDoc.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (md5hex(id), id)).take(quota(src).toInt)
+        .zipWithIndex.map { case (id, i) =>
+          (src, id) -> ((i + 1).toLong, quota(src)) }
+    }.toMap
+    val got = SparkEntry.queries("q207_stratified_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want,
+      s"missed=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    // Σ quota == budget BY CONSTRUCTION — the property float
+    // apportionment loses; and the remainder seats must be exercised
+    assert(got.size.toLong == budget, s"selected ${got.size} != $budget")
+    assert(leftover > 0 || cnt.values.forall(n => budget * n % total == 0),
+      "corpus should exercise the largest-remainder branch")
+  }
 }
