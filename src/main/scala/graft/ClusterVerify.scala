@@ -65,7 +65,8 @@ object ClusterVerify {
     "q201_discretizer_audit",
     "q195_unpivot", "q203_dedup_yield", "q204_ewma_trend",
     "q206_fuzzy_vocab", "q207_stratified_sample", "q208_winsor_stats",
-    "q209_session_paths", "q210_cumulative_distinct", "q212_hll_curve")
+    "q209_session_paths", "q210_cumulative_distinct", "q212_hll_curve",
+    "q213_gini_concentration", "q214_jsd_matrix")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

@@ -842,7 +842,89 @@ object QualityQueries {
         col("df").as("df_corpus"), col("chi2"), col("rn").cast("long").as("rn"))
   }
 
+  /** Corpus concentration audit (D19 — "is a source's token mass
+    * dominated by a few giant documents", the Lorenz/Gini lens data
+    * curation uses to spot scrape pathologies): per-source ASCENDING
+    * rank of per-doc token counts — a PARTITIONED window (sources are
+    * the stratum dimension; never a global sort) — then the closed
+    * form Gini = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). Every product routes
+    * DECIMAL(38,0): i·x alone reaches ~10¹⁵ and its sum ~10²⁵ at
+    * 100 TB-scale sources, past BIGINT by design (the q159
+    * discipline); the two outputs are each ONE IEEE division of exact
+    * decimals. The top-decile token share rides the SAME sort via an
+    * integer cross-multiply decile cut — no second shuffle. */
+  private[graft] def giniConcentration(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("x").asc, col("doc_id").asc)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs.select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), sum(col("x")).as("total_toks"),
+        sum(col("i").cast(dec) * col("x").cast(dec)).as("ix"),
+        sum(when(col("i") * 10 > col("n") * 9, col("x")).otherwise(0L))
+          .as("top_toks"))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+        ((lit(2L).cast(dec) * col("ix") -
+          (col("n_docs") + 1).cast(dec) * col("total_toks").cast(dec))
+          .cast("double") /
+          (col("n_docs").cast(dec) * col("total_toks").cast(dec))
+            .cast("double")).as("gini"),
+        (col("top_toks").cast("double") / col("total_toks"))
+          .as("top10_share"))
+  }
+
+  /** Pairwise source-divergence matrix (D20 — the source-similarity
+    * map behind mixture design, the distributional complement of
+    * q132's exact chunk overlap): Jensen–Shannon divergence between
+    * per-source unigram distributions over the SHARED corpus vocab
+    * grid, add-one smoothed (the q200 recipe), every ln rounded in
+    * decimal space to scale 9 and the sum decimal-routed — bit-stable
+    * cross-engine. The term table is vocab × pairs rows; sources are
+    * an operational dimension (bounded), so the pair fan-out is the
+    * bounded axis while the vocab axis stays an equi-join on tok. */
+  private[graft] def jsdMatrix(docs: DataFrame): DataFrame = {
+    import graft.functions.Num.dsum
+    val cnt = docs.select(col("source"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sources×vocab rows; feeds grid + totals
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vsize = cnt.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val filled = cnt.select(col("source")).distinct()
+      .crossJoin(cnt.select(col("tok")).distinct())
+      .join(cnt, Seq("source", "tok"), "left")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(vsize))
+      .select(col("source"), col("tok"), col("n"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n") + col("v"))).as("p"))
+      .localCheckpoint() // sources×vocab rows; feeds BOTH pair sides
+    val lnR = (c: Column) => c
+      .cast(org.apache.spark.sql.types.DecimalType(20, 9)).cast("double")
+    filled.select(col("source").as("src_a"), col("tok"),
+        col("n").as("n_a"), col("p"))
+      .join(filled.select(col("source").as("src_b"), col("tok"),
+        col("n").as("n_b"), col("p").as("q")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (lit(0.5) * (col("p") *
+          lnR(log(col("p") * 2.0 / (col("p") + col("q")))) +
+          col("q") *
+          lnR(log(col("q") * 2.0 / (col("p") + col("q")))))).as("term"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        dsum(col("term"), 12).as("jsd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_gini_concentration" -> ((s, d) =>
+      giniConcentration(documents(s, d))),
+    "q214_jsd_matrix" -> ((s, d) => jsdMatrix(documents(s, d))),
     "q185_kappa" -> ((s, d) => kappaAgreement(documents(s, d))),
     "q200_psi_drift" -> ((s, d) => psiDrift(documents(s, d))),
     "q186_calibration" -> ((s, d) => calibration(documents(s, d))),
@@ -859,6 +941,70 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q213: identical rank order, HUGEINT mirrors the DECIMAL(38,0)
+    // route, the same decile cross-multiply and single divisions.
+    "q213_gini_concentration" ->
+      """WITH x AS (
+           SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+               AS BIGINT) AS x
+           FROM documents),
+         r AS (
+           SELECT source, x,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY x ASC, doc_id ASC) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM x),
+         a AS (
+           SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS total_toks,
+             sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS ix,
+             CAST(sum(CASE WHEN i * 10 > n * 9 THEN x ELSE 0 END)
+               AS BIGINT) AS top_toks
+           FROM r GROUP BY 1)
+         SELECT source, n_docs, total_toks,
+           CAST(CAST(2 AS HUGEINT) * ix
+             - CAST(n_docs + 1 AS HUGEINT) * total_toks AS DOUBLE)
+             / CAST(CAST(n_docs AS HUGEINT) * total_toks AS DOUBLE)
+             AS gini,
+           CAST(top_toks AS DOUBLE) / total_toks AS top10_share
+         FROM a""",
+
+    // q214: identical shared-vocab grid, add-one smoothing,
+    // decimal-rounded ln terms, decimal-routed per-pair sum.
+    "q214_jsd_matrix" ->
+      """WITH cnt AS (
+           SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                 FROM documents)
+           WHERE t <> '' GROUP BY 1, 2),
+         totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                    FROM cnt GROUP BY 1),
+         vsize AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                   FROM cnt),
+         filled AS (
+           SELECT s.source, t.tok, tt.n,
+             CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (tt.n + vs.v) AS p
+           FROM (SELECT DISTINCT source FROM cnt) s
+           CROSS JOIN (SELECT DISTINCT tok FROM cnt) t
+           LEFT JOIN cnt c ON c.source = s.source AND c.tok = t.tok
+           JOIN totals tt ON tt.source = s.source
+           CROSS JOIN vsize vs),
+         terms AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             a.n AS n_a, b.n AS n_b,
+             0.5 * (a.p * CAST(CAST(ln(a.p * 2.0 / (a.p + b.p))
+                 AS DECIMAL(20,9)) AS DOUBLE)
+               + b.p * CAST(CAST(ln(b.p * 2.0 / (a.p + b.p))
+                 AS DECIMAL(20,9)) AS DOUBLE)) AS term
+           FROM filled a JOIN filled b ON a.tok = b.tok
+             AND a.source < b.source)
+         SELECT src_a, src_b, CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS jsd
+         FROM terms GROUP BY 1, 2""",
+
     // q200: identical bins, explicit grid, add-one smoothing,
     // decimal-rounded ln terms, decimal-routed per-lang sum.
     "q200_psi_drift" ->

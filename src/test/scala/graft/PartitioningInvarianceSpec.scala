@@ -129,6 +129,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q209_session_paths",    // session sort windows + global rank
     "q210_cumulative_distinct", // first-seen rollup + grid prefix sum
     "q212_hll_curve",        // register max rollup + grid prefix-max window
+    "q213_gini_concentration", // per-source rank windows + decimal products
+    "q214_jsd_matrix",       // shared-vocab grid + decimal-rounded ln terms
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1047,6 +1047,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"prefix-max must key by (event_type, b):\n${specs.mkString("\n")}")
   }
 
+  test("q213 gini: rank windows are source-keyed; no cartesian") {
+    val p = plan("q213_gini_concentration")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("source")),
+      s"the Lorenz rank must partition by source:\n${specs.mkString("\n")}")
+  }
+
+  test("q214 JSD: pair terms come from the tok equi-join, never all-pairs") {
+    // the grid/smoothing subtree sits behind the `filled` checkpoint;
+    // what remains visible is the pair join — it must be an equi-join
+    // on tok (src_a < src_b is a post-filter), not a nested loop.
+    val p = plan("q214_jsd_matrix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair stage must equi-join on tok:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -332,4 +332,74 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(got.contains(1L) && got(1L)._1 > 0, "no hapaxes — p0 vacuous")
   }
 
+  test("q213: Gini equals a driver Lorenz replay; bounds and decile algebra hold") {
+    val byDoc = docs.select(org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    val want = byDoc.groupBy(_._1).map { case (src, ds) =>
+      val xs = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val ix = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x }.sum
+      val gini = (BigInt(2) * ix - BigInt(n + 1) * tot).toDouble /
+        (BigInt(n) * tot).toDouble
+      val top = xs.zipWithIndex.collect {
+        case (x, i) if (i + 1) * 10 > n * 9 => x }.sum
+      src -> ((n, tot, gini, top.toDouble / tot))
+    }
+    val got = SparkEntry.queries("q213_gini_concentration")(spark,
+      "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want, s"gini replay:\n$got\n$want")
+    got.values.foreach { case (n, _, g, ts) =>
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of [0,1)")
+      // the top decile holds AT LEAST its uniform share of tokens
+      assert(ts * n >= math.floor(n / 10.0), s"decile share $ts impossible")
+    }
+  }
+
+  test("q214: JSD equals a driver replay; symmetric-by-construction, bounded by ln 2") {
+    val toksBySrc = docs.select(org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val cnt = toksBySrc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = toksBySrc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val vocab = toksBySrc.map(_._2).distinct.sorted
+    val v = vocab.length.toLong
+    def lnR(x: Double): Double = BigDecimal(math.log(x))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcs = totals.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+    } yield {
+      val (a, b) = (srcs(i), srcs(j))
+      val terms = vocab.map { t =>
+        val p = (cnt.getOrElse((a, t), 0L) + 1).toDouble / (totals(a) + v)
+        val q = (cnt.getOrElse((b, t), 0L) + 1).toDouble / (totals(b) + v)
+        BigDecimal(0.5 * (p * lnR(p * 2.0 / (p + q)) +
+          q * lnR(q * 2.0 / (p + q))))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (a, b) -> ((totals(a), totals(b), terms.sum.toDouble))
+    }).toMap
+    val got = SparkEntry.queries("q214_jsd_matrix")(spark,
+      "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want,
+      s"first diff: ${(got.toSet -- want.toSet).take(2)} vs " +
+        s"${(want.toSet -- got.toSet).take(2)}")
+    val n = srcs.length
+    assert(got.size == n * (n - 1) / 2, "pair grid incomplete")
+    got.values.foreach { case (_, _, jsd) =>
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9,
+        s"JSD $jsd outside [0, ln 2]")
+    }
+    assert(got.values.exists(_._3 > 0.0), "all-zero divergence is vacuous")
+  }
 }
