@@ -66,7 +66,8 @@ object ClusterVerify {
     "q195_unpivot", "q203_dedup_yield", "q204_ewma_trend",
     "q206_fuzzy_vocab", "q207_stratified_sample", "q208_winsor_stats",
     "q209_session_paths", "q210_cumulative_distinct", "q212_hll_curve",
-    "q213_gini_concentration", "q214_jsd_matrix")
+    "q213_gini_concentration", "q214_jsd_matrix", "q215_grouping_sets",
+    "q216_reconcile")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

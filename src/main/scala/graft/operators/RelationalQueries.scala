@@ -1672,6 +1672,60 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("user_id"))
         .agg(min(col("day")).as("fday"), max(col("day")).as("lday")))),
 
+    // Explicit GROUPING SETS (A7's third face after rollup/cube —
+    // Spark 4's Dataset.groupingSets API): the (status×priority),
+    // (status), () lattice in ONE pass — a single expand+aggregate,
+    // not three scans unioned. NULL grouping slots coalesce to 'ALL'
+    // (the q44 discipline) so the compare is null-free.
+    "q215_grouping_sets" -> ((s, d) => {
+      import graft.functions.Num.dsumR
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsumR(col("o_totalprice"), 2).as("rev"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("rev"))
+    }),
+
+    // Referential-integrity reconciliation (D21 — the fact-vs-header
+    // audit every warehouse runs before trusting a join: which order
+    // keys exist on one side only, and what money rides on them): one
+    // rollup per side, ONE full-outer equi-join on the key, presence
+    // classification, and a side-level decimal ledger. At 100 TB both
+    // sides shuffle once on the join key and everything downstream is
+    // 3 rows.
+    "q216_reconcile" -> ((s, d) => {
+      import graft.functions.Num.dsumR
+      val o = orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).as("price"))
+      val l = lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).as("gross"))
+      o.join(l, Seq("k"), "full_outer")
+        .select(
+          when(col("n_orders").isNotNull && col("n_lines").isNotNull,
+            "both")
+            .when(col("n_orders").isNotNull, "order_only")
+            .otherwise("lineitem_only").as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("price"), lit(0).cast("decimal(38,6)"))
+            .as("price"),
+          coalesce(col("gross"), lit(0).cast("decimal(38,6)"))
+            .as("gross"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("n_lines")).as("n_lines"),
+          round(sum(col("price")), 2).cast("double").as("total_price"),
+          round(sum(col("gross")), 2).cast("double").as("total_gross"))
+    }),
+
     // As-of join: for each purchase, the latest prior-or-equal click by
     // the same user (AsOfJoin operator — single shuffle, no crossjoin).
     "q19_asof_join" -> ((s, d) => {
@@ -2543,6 +2597,45 @@ object RelationalQueries {
            string_agg(event_type, ',' ORDER BY ts, event_id)
              FILTER (WHERE rn <= 3) AS first_types
          FROM w GROUP BY user_id, sess""",
+
+    // q215: the same lattice via GROUP BY GROUPING SETS.
+    "q215_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           coalesce(o_orderpriority, 'ALL') AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+             AS DOUBLE) AS rev
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           (o_orderstatus), ())""",
+
+    // q216: identical per-side rollups, full-outer presence classes,
+    // decimal ledger.
+    "q216_reconcile" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS price
+           FROM orders GROUP BY 1),
+         l AS (
+           SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_lines,
+             sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS gross
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT CASE WHEN o.n_orders IS NOT NULL
+                        AND l.n_lines IS NOT NULL THEN 'both'
+                       WHEN o.n_orders IS NOT NULL THEN 'order_only'
+                       ELSE 'lineitem_only' END AS side,
+             coalesce(o.n_orders, 0) AS n_orders,
+             coalesce(l.n_lines, 0) AS n_lines,
+             coalesce(o.price, 0) AS price,
+             coalesce(l.gross, 0) AS gross
+           FROM o FULL OUTER JOIN l ON o.k = l.k)
+         SELECT side, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price,
+           CAST(round(sum(gross), 2) AS DOUBLE) AS total_gross
+         FROM j GROUP BY 1""",
 
     // q195: the UNION ALL long form of the same melt, identical
     // decimal-routed rollup.

@@ -159,6 +159,58 @@ object SketchQueries {
   private[graft] val KmvK = 64
   private[graft] val KmvSpace = 281474976710656L // 2^48
 
+  /** Per-source distinct 48-bit trigram hashes — the KMV input unit,
+    * shared by q154's one-shot build and the streaming twin's
+    * per-batch partial sketches. */
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), whitespaceToks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("source"),
+        explode(TextQueries.tokenTrigrams(col("ts"))).as("g"))
+      .select(col("source"),
+        hexSlice(md5(col("g").cast("binary")), 1, 12).as("h"))
+      .distinct()
+
+  /** The q154 tail over ANY (source, h) candidate table that CONTAINS
+    * each source's true k minima: re-cut to k per source, pair-merge,
+    * re-cut per pair, estimate. Shared with the streaming twin (q217)
+    * BY ORDER-STATISTICS ALGEBRA: each of the global k smallest hashes
+    * is among the k smallest of whichever batch carried it, so the
+    * union of per-batch k-min sketches always contains the global
+    * k-min set and the re-cut recovers it exactly — the merge rule
+    * Beyer et al. define for KMV union, applied across micro-batches
+    * instead of across sources. */
+  def kmvOverlapView(g0: DataFrame): DataFrame = {
+    val sk = GroupedTopK.topK(g0.distinct(), Seq("source"),
+      Seq(col("h").asc), KmvK)
+      .select(col("source"), col("h"))
+      .localCheckpoint() // ≤ k×sources rows; feeds pairs + both merge legs
+    val srcs = sk.select(col("source")).distinct()
+    // ≤ sources² rows — materialize once so both merge legs read the
+    // pair list rather than re-planning the s1<s2 loop join twice
+    val sp = srcs.select(col("source").as("s1"))
+      .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+      .localCheckpoint()
+    val merged = sp
+      .join(sk.select(col("source").as("s1"), col("h")), "s1")
+      .select(col("s1"), col("s2"), col("h"))
+      .unionAll(sp
+        .join(sk.select(col("source").as("s2"), col("h")), "s2")
+        .select(col("s1"), col("s2"), col("h")))
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg(count(lit(1)).as("nsk")) // 2 ⇔ the value is in BOTH sketches
+    val cut = GroupedTopK.topK(merged, Seq("s1", "s2"),
+      Seq(col("h").asc), KmvK)
+    cut.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"),
+        sum(when(col("nsk") === 2, 1L).otherwise(0L)).as("n_common"))
+      .select(col("s1"), col("s2"), col("n_k"), col("kth"), col("n_common"),
+        (((col("n_k") - 1) * KmvSpace).cast("double") / col("kth"))
+          .as("union_est"),
+        (col("n_common").cast("double") / col("n_k")).as("jacc_est"))
+  }
+
   /** The CMS tail over an exact (tok, exact_cnt) count table — shared
     * by batch q135 and the streaming twin q140 (whose counts arrive via
     * the incremental store), so both pin against the SAME oracle SQL.
@@ -370,42 +422,7 @@ object SketchQueries {
               .cast("long")).as("err_ppm"))
     }),
 
-    "q154_kmv_overlap" -> ((s, d) => {
-      val g = documents(s, d)
-        .select(col("source"), whitespaceToks.as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .select(col("source"),
-          explode(TextQueries.tokenTrigrams(col("ts"))).as("g"))
-        .select(col("source"),
-          hexSlice(md5(col("g").cast("binary")), 1, 12).as("h"))
-        .distinct()
-      val sk = GroupedTopK.topK(g, Seq("source"), Seq(col("h").asc), KmvK)
-        .select(col("source"), col("h"))
-        .localCheckpoint() // ≤ k×sources rows; feeds pairs + both merge legs
-      val srcs = sk.select(col("source")).distinct()
-      // ≤ sources² rows — materialize once so both merge legs read the
-      // pair list rather than re-planning the s1<s2 loop join twice
-      val sp = srcs.select(col("source").as("s1"))
-        .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
-        .localCheckpoint()
-      val merged = sp
-        .join(sk.select(col("source").as("s1"), col("h")), "s1")
-        .select(col("s1"), col("s2"), col("h"))
-        .unionAll(sp
-          .join(sk.select(col("source").as("s2"), col("h")), "s2")
-          .select(col("s1"), col("s2"), col("h")))
-        .groupBy(col("s1"), col("s2"), col("h"))
-        .agg(count(lit(1)).as("nsk")) // 2 ⇔ the value is in BOTH sketches
-      val cut = GroupedTopK.topK(merged, Seq("s1", "s2"),
-        Seq(col("h").asc), KmvK)
-      cut.groupBy(col("s1"), col("s2"))
-        .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"),
-          sum(when(col("nsk") === 2, 1L).otherwise(0L)).as("n_common"))
-        .select(col("s1"), col("s2"), col("n_k"), col("kth"), col("n_common"),
-          (((col("n_k") - 1) * KmvSpace).cast("double") / col("kth"))
-            .as("union_est"),
-          (col("n_common").cast("double") / col("n_k")).as("jacc_est"))
-    }),
+    "q154_kmv_overlap" -> ((s, d) => kmvOverlapView(kmvHashes(documents(s, d)))),
 
     // AMS F₂ / self-join-size estimation (Alon, Matias & Szegedy '96,
     // the STOC Gödel-prize sketch): estimate Σ c_k² over the user_id

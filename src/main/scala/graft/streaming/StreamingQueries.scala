@@ -512,6 +512,33 @@ object StreamingQueries {
       SketchQueries.logHistQuantiles(StreamingQuantiles.histogram(s, store))
     }),
 
+    // ST × SK6: q154's KMV overlap as a STREAM — per-batch PARTIAL
+    // per-source k-min sketches under batch_id, LSM-folded, merged by
+    // ORDER STATISTICS (not addition): the union of per-batch k-min
+    // sets contains every global k-minimum, so kmvOverlapView's re-cut
+    // recovers the one-shot sketch exactly. The sketch rides the
+    // stream, never the grams — ≤ k×sources rows per batch whatever
+    // the drop size. Oracle IS q154's batch SQL.
+    "q217_stream_kmv" -> ((s, d) => {
+      import graft.operators.SketchQueries
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val landing = tmp("graft-q217-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w &&
+          col("doc_id") < mn + (i + 1) * w), landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q217-store"))
+      val ckpt = tmp("graft-q217-ckpt")
+      withCompactionEvery2(s) {
+        StreamingKmv.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      SketchQueries.kmvOverlapView(StreamingKmv.sketchUnion(s, store))
+    }),
+
     // ST × W9: q162's CUSUM as a STREAM — per-batch partial
     // (type, day) counts under batch_id (replay-idempotent dynamic
     // overwrite), LSM-folded mid-run, merge-on-read SUM feeding the
@@ -836,6 +863,11 @@ object StreamingQueries {
     // first-seen partials feed the same grid prefix sum
     "q211_stream_cumdistinct" ->
       graft.operators.RelationalQueries.oracleSql("q210_cumulative_distinct"),
+
+    // identical derivation to the q154 batch chain — the union of
+    // per-batch k-min sketches re-cuts to the one-shot sketch
+    "q217_stream_kmv" ->
+      graft.operators.SketchQueries.oracleSql("q154_kmv_overlap"),
 
     // identical derivation to the q124 batch anomaly window — the
     // stream's trailing-state fold must reproduce the frame exactly

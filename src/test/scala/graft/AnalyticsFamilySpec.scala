@@ -929,6 +929,66 @@ class AnalyticsFamilySpec extends SparkTestBase {
     }
   }
 
+  test("q215: grouping sets equal the three driver rollups, level by level") {
+    val os = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def roll(key: ((String, String, Double)) => (String, String))
+      : Map[(String, String), (Long, Double)] =
+      os.groupBy(key).map { case (k, vs) =>
+        k -> ((vs.length.toLong, vs.map(v => BigDecimal(v._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val want = roll(v => (v._1, v._2)) ++ roll(v => (v._1, "ALL")) ++
+      roll(_ => ("ALL", "ALL"))
+    val got = SparkEntry.queries("q215_grouping_sets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"lattice:\n$got\n$want")
+    // exactly the three requested levels — no cube spillover
+    assert(got.keySet.count(_._2 == "ALL") ==
+      os.map(_._1).distinct.length + 1, "unexpected lattice levels")
+  }
+
+  test("q216: reconciliation equals a driver full-outer replay; orphans exist both ways or are counted") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val og = o.groupBy(_._1).view.mapValues(vs => (vs.length.toLong,
+      vs.map(v => BigDecimal(v._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum)).toMap
+    val lg = l.groupBy(_._1).view.mapValues(vs => (vs.length.toLong,
+      vs.map(v => BigDecimal(v._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum)).toMap
+    val want = (og.keySet ++ lg.keySet).groupBy { k =>
+      (og.contains(k), lg.contains(k)) match {
+        case (true, true) => "both"
+        case (true, false) => "order_only"
+        case _ => "lineitem_only"
+      }
+    }.map { case (side, ks) =>
+      side -> ((ks.size.toLong,
+        ks.toSeq.map(k => og.get(k).map(_._1).getOrElse(0L)).sum,
+        ks.toSeq.map(k => lg.get(k).map(_._1).getOrElse(0L)).sum,
+        ks.toSeq.map(k => og.get(k).map(_._2).getOrElse(BigDecimal(0))).sum
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ks.toSeq.map(k => lg.get(k).map(_._2).getOrElse(BigDecimal(0))).sum
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q216_reconcile")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want, s"ledger:\n$got\n$want")
+    // conservation: the ledger accounts for every row and cent
+    assert(got.values.map(_._2).sum == o.length.toLong &&
+      got.values.map(_._3).sum == l.length.toLong, "rows lost")
+  }
+
   test("q195: the melt equals a driver long-form replay, measure by measure") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"),

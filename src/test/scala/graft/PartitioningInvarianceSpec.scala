@@ -131,6 +131,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q212_hll_curve",        // register max rollup + grid prefix-max window
     "q213_gini_concentration", // per-source rank windows + decimal products
     "q214_jsd_matrix",       // shared-vocab grid + decimal-rounded ln terms
+    "q215_grouping_sets",    // one-pass expand lattice + decimal rollup
+    "q216_reconcile",        // full-outer presence classes + decimal ledger
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1066,6 +1066,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"pair stage must equi-join on tok:\n$p")
   }
 
+  test("q215 grouping sets: ONE expand + aggregate pass, one fact scan") {
+    val p = plan("q215_grouping_sets")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Expand.*""")) == 1,
+      s"the lattice must be one Expand, not unioned scans:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      s"one scan must feed all three levels:\n$p")
+  }
+
+  test("q216 reconcile: both sides pre-aggregate BEFORE the full-outer join") {
+    val p = plan("q216_reconcile")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    // each side's per-key rollup must be partial+final around its own
+    // exchange — the join sees keys, never raw fact rows
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"per-side rollups must precede the join:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

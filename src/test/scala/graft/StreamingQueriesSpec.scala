@@ -122,6 +122,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q205")
   }
 
+  test("q217: streamed KMV sketches re-cut to the one-shot batch overlap matrix") {
+    val got = q("q217_stream_kmv")
+    val want = SparkEntry.queries("q154_kmv_overlap")(spark, sf)
+    assert(got.count() > 0, "no overlap rows streamed")
+    assertSame(got, want, "q217")
+  }
+
   test("q211: streamed cumulative-distinct curve equals the one-shot batch identity") {
     val got = q("q211_stream_cumdistinct")
     val want = SparkEntry.queries("q210_cumulative_distinct")(spark, sf)
