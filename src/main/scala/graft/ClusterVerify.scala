@@ -67,7 +67,7 @@ object ClusterVerify {
     "q206_fuzzy_vocab", "q207_stratified_sample", "q208_winsor_stats",
     "q209_session_paths", "q210_cumulative_distinct", "q212_hll_curve",
     "q213_gini_concentration", "q214_jsd_matrix", "q215_grouping_sets",
-    "q216_reconcile")
+    "q216_reconcile", "q218_embedding_contrast")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

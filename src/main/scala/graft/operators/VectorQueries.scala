@@ -358,6 +358,38 @@ object VectorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-space separability audit (D22 — "do my embeddings
+    // still separate classes, or has the space collapsed": the
+    // anisotropy/contrast check run before trusting any ANN or
+    // clustering built on a new embedding model). A DETERMINISTIC
+    // systematic pair sample — vector i paired with i + span/2, one
+    // equi-join on the shifted id, exactly ⌊n/2⌋ pairs, linear in the
+    // corpus — cosined with the native codegen'd expression, then a
+    // 2-row contrast: same-label pairs vs cross-label pairs. A healthy
+    // space shows mean(same) >> mean(cross); a collapsed (anisotropic)
+    // space shows both ≈ 1. Means are decimal-routed; min/max are
+    // exact IEEE comparisons over bit-identical doubles (both engines
+    // run the same dot/norm accumulation order).
+    "q218_embedding_contrast" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      val e = emb(s, d).localCheckpoint() // feeds span + both join sides
+      val span = e.agg(min(col("vec_id")).as("mn"),
+        max(col("vec_id")).as("mx"))
+      val a = e.crossJoin(broadcast(span))
+        .select(col("vec_id"), col("label"), col("emb"),
+          expr("vec_id + (mx - mn + 1) DIV 2").as("pid"))
+      val pairs = a.join(e.select(col("vec_id").as("pid"),
+          col("label").as("plabel"), col("emb").as("pemb")), "pid")
+        .select((col("label") === col("plabel")).as("same_label"),
+          cosine(col("emb"), col("pemb")).as("cs"))
+      pairs.groupBy(col("same_label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("cs")).as("sum_cs"),
+          min(col("cs")).as("min_cos"), max(col("cs")).as("max_cos"))
+        .select(col("same_label"), col("n_pairs"),
+          (col("sum_cs") / col("n_pairs")).as("mean_cos"),
+          col("min_cos"), col("max_cos"))
+    }),
     // Per-label centroid, exploded to (label, pos, val) rows so the
     // oracle compares scalars, not float arrays. A10.
     "q30_centroids" -> ((s, d) => {
@@ -1645,6 +1677,24 @@ object VectorQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q218: identical systematic pairing, list_cosine_similarity over
+    // the same double-widened arrays, decimal-routed means.
+    "q218_embedding_contrast" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         span AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM e),
+         p AS (
+           SELECT a.label = b.label AS same_label,
+             list_cosine_similarity(a.emb, b.emb) AS cs
+           FROM e a CROSS JOIN span s
+           JOIN e b ON b.vec_id = a.vec_id + (s.mx - s.mn + 1) // 2)
+         SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(cs AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+             AS mean_cos,
+           min(cs) AS min_cos, max(cs) AS max_cos
+         FROM p GROUP BY 1""",
     "q30_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos,
          CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)/count(*) AS centroid,

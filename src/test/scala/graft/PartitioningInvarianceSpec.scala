@@ -133,6 +133,7 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q214_jsd_matrix",       // shared-vocab grid + decimal-rounded ln terms
     "q215_grouping_sets",    // one-pass expand lattice + decimal rollup
     "q216_reconcile",        // full-outer presence classes + decimal ledger
+    "q218_embedding_contrast", // systematic pair join + decimal cosine means
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

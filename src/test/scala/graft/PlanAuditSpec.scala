@@ -1084,6 +1084,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"per-side rollups must precede the join:\n$p")
   }
 
+  test("q218 contrast: systematic pairs come from the shifted-id equi-join") {
+    val p = plan("q218_embedding_contrast")
+    assert(!p.contains("CartesianProduct"), p)
+    // one nested loop allowed: the 1-row span scalar; the pair join
+    // itself must hash on the shifted id, never loop n×n
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the span scalar may nest-loop:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

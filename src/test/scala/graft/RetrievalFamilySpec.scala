@@ -9,6 +9,47 @@ import graft.operators.{TextQueries, VectorQueries}
   */
 class RetrievalFamilySpec extends SparkTestBase {
 
+  test("q218: contrast equals a driver systematic-pair replay; same-label pairs are more similar") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val (mn, mx) = (vecs.map(_._1).min, vecs.map(_._1).max)
+    val k = (mx - mn + 1) / 2
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val pairs = vecs.flatMap { case (id, lab, e) =>
+      byId.get(id + k).map { case (_, plab, pe) =>
+        (lab == plab, cos(e, pe)) }
+    }
+    val want = pairs.groupBy(_._1).map { case (sl, ps) =>
+      val mean = ps.map(p => BigDecimal(p._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / ps.length
+      sl -> ((ps.length.toLong, mean, ps.map(_._2).min, ps.map(_._2).max))
+    }
+    val got = SparkEntry.queries("q218_embedding_contrast")(spark, sf)
+      .collect()
+      .map(r => r.getBoolean(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want, s"contrast replay:\n$got\n$want")
+    assert(got.values.map(_._1).sum == (mx - mn + 1) / 2 ||
+      got.values.map(_._1).sum <= vecs.length / 2 + 1,
+      "systematic sample size off")
+    // the space must actually separate labels for the audit to mean
+    // anything (harness embeddings are label-clustered by construction)
+    if (got.contains(true) && got.contains(false))
+      assert(got(true)._2 > got(false)._2,
+        s"same-label mean ${got(true)._2} !> cross ${got(false)._2}")
+  }
+
   test("q99: every probe answers a full fused top-k with exact RRF arithmetic") {
     val out = SparkEntry.queries("q99_hybrid_retrieval")(spark, sf).collect()
     val byProbe = out.groupBy(_.getLong(0))
