@@ -192,19 +192,20 @@ object Bench {
         .foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => }
 
-    // concurrent-server throughput probe (the reference GUI's serving
+    // Concurrent-server throughput probe (the reference GUI's serving
     // regime): 8 clients × 12 mixed explore/retraction requests against
-    // one cached sample store — runs after the timed queries. Measured
-    // as the MEDIAN OF 3 rounds after the same dead-state reap the
-    // timed queries get: a 216-query board leaves enough dead
-    // localCheckpoint/broadcast state that a single un-reaped probe
-    // under-reads ~3× (measured 4.4 vs 15 standalone via
-    // graft.ServerProbe) — GC churn, not server cost, and the probe
-    // should measure the server.
-    val serverBench: () => Double = () => {
+    // one cached sample store, MEDIAN OF 3 rounds. Measured BEFORE the
+    // board, in the serving-shaped session the claim is about: probing
+    // after 216 analytics queries conflated session aging with server
+    // cost — identical idle boards read 4–11 rps (vs ~15 in a fresh
+    // session, graft.ServerProbe), noise that would mask a real 2×
+    // server regression, and neither a dead-state reap nor evicting
+    // every memoized stage recovered it. A real deployment serves from
+    // a serving process, not from the tail of an analytics board; the
+    // post-board regime stays bisectable via ServerProbe.
+    val serverRps: Double = {
       import spark.implicits._
       import graft.chess._
-      System.gc()
       val games = ChessIngest.parseGames(spark,
         spark.createDataset(Seq(SampleGames.pgn)), Core.Level.Human)
       val agg = ChessIngest.positionsAgg(
@@ -215,19 +216,28 @@ object Bench {
         s"""{"token":"b1","query":{"positions":[{"fen":"${Position.StartFen}"}],"fetchChildren":true}}""",
         s"""{"token":"b2","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e4"}],"fetchChildren":true}}""",
         s"""{"token":"b3","retractions":{"fen":"$e2e4","synthesize":true}}""")
-      val rounds = (1 to 3).map { _ =>
+      val rounds = (1 to 3).map { r =>
         System.gc()
         val (rps, _) = ChessServer.throughput(spark, agg, lines,
           clients = 8, perClient = 12, games = Some(games))
+        System.err.println(f"[bench] server probe round $r: $rps%.2f req/s")
         rps
       }
       agg.unpersist(blocking = false)
       median(rounds)
     }
+    // let the probe's own load decay so it cannot contaminate the
+    // board's loadavg_pre / contended self-certification
+    val settleDeadline = System.currentTimeMillis() + 240000L
+    while (System.currentTimeMillis() < settleDeadline &&
+           loadavg().toDoubleOption.exists(_ > MaxLoadDefault)) {
+      System.err.println(s"[bench] settling after server probe: loadavg ${loadavg()}")
+      Thread.sleep(10000)
+    }
 
     val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries,
       stageWarm = Some(graft.operators.SharedStages.warm),
-      serverBench = Some(serverBench))
+      serverBench = Some(() => serverRps))
     // artifact first, own line, flushed — then a file mirror, THEN teardown
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
