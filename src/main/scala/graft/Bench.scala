@@ -54,6 +54,17 @@ object Bench {
       // OUTSIDE the timed window; memoized stages stay strongly
       // referenced by StageCache, so only dead intermediates go.
       System.gc()
+      // Reap ZOMBIE state-store providers too: every completed
+      // streaming pipeline leaves its loaded providers behind (the
+      // checkpoint dir is deleted, the in-memory maps are not), and
+      // the 60 s maintenance tick re-snapshots every one of them —
+      // recreating deleted /tmp checkpoints — for the rest of the
+      // session. The storm lands on whichever pipeline is running
+      // when the tick fires, which is why the 15–25 s spikes MIGRATE
+      // between otherwise-identical boards (r10: driver q117 17.2 s /
+      // idle 8.0 s, idle q71 25.5 s / driver 9.9 s). Unloading between
+      // timed runs bounds live providers to the current query's own.
+      graft.streaming.StateStoreReaper.unloadAll()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
@@ -113,7 +124,8 @@ object Bench {
           streaming: Map[String, (SparkSession, String) => DataFrame],
           runs: Int = 3,
           stageWarm: Option[(SparkSession, String) => Map[String, Double]] = None,
-          serverBench: Option[() => Double] = None): (String, Int) = {
+          serverBench: Option[() => Double] = None,
+          extra: Seq[(String, String)] = Nil): (String, Int) = {
     waitForIdle()
     val loadPre = loadavg()
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
@@ -160,11 +172,25 @@ object Bench {
         s""""streaming":${queriesJson(streamR)},""" +
         s""""streaming_total":${total(streamR)},""" +
         serverRps.map(r => s""""server_rps":$r,""").getOrElse("") +
+        extra.map { case (k, v) => s"${jsonStr(k)}:$v," }.mkString +
         s""""errors":$errJson,"n_failed":${errs.size},""" +
         s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
         s""""contended":$contended,"max_loadavg":$maxLoad,""" +
         s""""sf":${jsonStr(sfDir)}}"""
     (json, if (errs.nonEmpty) 1 else 0)
+  }
+
+  /** Block (up to `budgetMs`) until loadavg drops under the contention
+    * threshold — used before the server probe and again before the
+    * board, so BOTH measurements happen in the idle regime the
+    * artifact self-certifies. */
+  private def settle(budgetMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + budgetMs
+    while (System.currentTimeMillis() < deadline &&
+           loadavg().toDoubleOption.exists(_ > MaxLoadDefault)) {
+      System.err.println(s"[bench] settling: loadavg ${loadavg()}")
+      Thread.sleep(10000)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,6 +229,18 @@ object Bench {
     // every memoized stage recovered it. A real deployment serves from
     // a serving process, not from the tail of an analytics board; the
     // post-board regime stays bisectable via ServerProbe.
+    //
+    // The probe SETTLES FIRST, unconditionally: the r10 driver
+    // artifact read server_rps 2.23 vs 19.81 idle on the SAME commit
+    // because the driver launches Bench straight after a ~20-minute
+    // sbt phase — the probe ran on a still-hot machine while the
+    // board's loadavg_pre (sampled after the post-probe settle loop)
+    // read 1.92, so only the flattering half of the run was
+    // self-certified. Now both harnesses probe in the same regime and
+    // the artifact records the loadavg the probe actually saw
+    // ("server_probe_loadavg") so a contended probe is visible.
+    settle(300000L)
+    val probeLoad = loadavg()
     val serverRps: Double = {
       import spark.implicits._
       import graft.chess._
@@ -228,16 +266,12 @@ object Bench {
     }
     // let the probe's own load decay so it cannot contaminate the
     // board's loadavg_pre / contended self-certification
-    val settleDeadline = System.currentTimeMillis() + 240000L
-    while (System.currentTimeMillis() < settleDeadline &&
-           loadavg().toDoubleOption.exists(_ > MaxLoadDefault)) {
-      System.err.println(s"[bench] settling after server probe: loadavg ${loadavg()}")
-      Thread.sleep(10000)
-    }
+    settle(240000L)
 
     val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries,
       stageWarm = Some(graft.operators.SharedStages.warm),
-      serverBench = Some(() => serverRps))
+      serverBench = Some(() => serverRps),
+      extra = Seq("server_probe_loadavg" -> probeLoad))
     // artifact first, own line, flushed — then a file mirror, THEN teardown
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
