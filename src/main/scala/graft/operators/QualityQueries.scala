@@ -845,23 +845,31 @@ object QualityQueries {
   /** Corpus concentration audit (D19 — "is a source's token mass
     * dominated by a few giant documents", the Lorenz/Gini lens data
     * curation uses to spot scrape pathologies): per-source ASCENDING
-    * rank of per-doc token counts — a PARTITIONED window (sources are
-    * the stratum dimension; never a global sort) — then the closed
-    * form Gini = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). Every product routes
-    * DECIMAL(38,0): i·x alone reaches ~10¹⁵ and its sum ~10²⁵ at
-    * 100 TB-scale sources, past BIGINT by design (the q159
-    * discipline); the two outputs are each ONE IEEE division of exact
-    * decimals. The top-decile token share rides the SAME sort via an
-    * integer cross-multiply decile cut — no second shuffle. */
+    * Lorenz rank of per-doc token counts, then the closed form
+    * Gini = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). The rank i is a
+    * per-source PREFIX COUNT, so it goes through ScanSum's two-pass
+    * distributed scan (the q58/q83 machinery: each task sorts only
+    * its own range slice, per-slice subtotals broadcast, offsets add
+    * back) — the r10 verdict flagged the previous per-source
+    * row_number window here: sources are a ~20-way operational axis,
+    * so at 100 TB each task single-reducer-sorted ~5 TB. n comes from
+    * an aggregate + broadcast join for the same reason (an unordered
+    * count().over(partitionBy(source)) funnels identically). Every
+    * product routes DECIMAL(38,0): i·x alone reaches ~10¹⁵ and its
+    * sum ~10²⁵ at 100 TB-scale sources, past BIGINT by design (the
+    * q159 discipline); the two outputs are each ONE IEEE division of
+    * exact decimals. The top-decile token share rides the SAME scan
+    * via an integer decile cross-multiply — no second shuffle. */
   private[graft] def giniConcentration(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bySrc = Window.partitionBy(col("source"))
-    val w = bySrc.orderBy(col("x").asc, col("doc_id").asc)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    docs.select(col("source"), col("doc_id"),
+    val base = docs.select(col("source"), col("doc_id"),
         size(toks).cast("long").as("x"))
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(bySrc))
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ScanSum.runningSum(
+        base.withColumn("__ord", struct(col("x"), col("doc_id")))
+          .withColumn("__one", lit(1L)),
+        "source", "__ord", "__one", outCol = "i")
+      .join(broadcast(counts), "source")
       .groupBy(col("source"))
       .agg(max(col("n")).as("n_docs"), sum(col("x")).as("total_toks"),
         sum(col("i").cast(dec) * col("x").cast(dec)).as("ix"),
@@ -895,7 +903,7 @@ object QualityQueries {
     val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val vsize = cnt.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))
-    val filled = cnt.select(col("source")).distinct()
+    val filled = broadcast(cnt.select(col("source")).distinct())
       .crossJoin(cnt.select(col("tok")).distinct())
       .join(cnt, Seq("source", "tok"), "left")
       .join(broadcast(totals), "source")

@@ -1387,19 +1387,33 @@ object TextQueries {
     // leftover seats to the largest integer remainders (ties by source
     // name) — so Σ quota == budget by construction, no float
     // apportionment drift. Selection inside each stratum is the
-    // deterministic md5 order (the q201/q139 sampling lever): a
-    // per-source rank window — a PARTITIONED parallel sort, never a
-    // global one — cut at the broadcast quota.
+    // deterministic md5 order (the q201/q139 sampling lever), cut by
+    // the q83 histogram-threshold recipe: a 256-bin md5-prefix
+    // histogram (strata × 256 rows, bounded) finds each source's
+    // boundary bin, a windowless filter keeps only bins ≤ boundary
+    // (~quota + one bin-width of docs), and ScanSum's two-pass
+    // distributed scan supplies the exact rank + tie-break over the
+    // survivors — no task ever sorts a corpus-proportional stratum
+    // (the old per-source row_number window funneled every doc of a
+    // ~20-way operational axis through one reducer each; at 100 TB
+    // with SampleDen=4 that was a ~5 TB single-task sort).
     "q207_stratified_sample" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val docs = documents(s, d).select(col("doc_id"), col("source"))
       val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .localCheckpoint() // strata rows; feeds the total + the quota chain
       val tot = cnt.agg(sum(col("n_docs")).as("total"))
+      // budget·n_docs routes DECIMAL(38,0) (HUGEINT in the oracle): at
+      // 100 TB (n_docs ~1e12, budget ~total/4) the BIGINT product
+      // wraps — the q159 discipline applied to apportionment. `div`
+      // over decimals returns the exact integral quotient as BIGINT.
       val q0 = cnt.crossJoin(broadcast(tot))
         .withColumn("budget", expr(s"total DIV $SampleDen"))
-        .withColumn("base", expr("budget * n_docs DIV total"))
-        .withColumn("rem", expr("budget * n_docs % total"))
+        .withColumn("prod", col("budget").cast(dec) * col("n_docs").cast(dec))
+        .withColumn("base", expr("prod DIV total"))
+        .withColumn("rem", (col("prod") -
+          col("base").cast(dec) * col("total").cast(dec)).cast("long"))
         .localCheckpoint() // strata rows; feeds leftover + the rank
       val leftover = q0.agg(
         (first(col("budget")) - sum(col("base"))).as("leftover"))
@@ -1409,12 +1423,27 @@ object TextQueries {
         .select(col("source"),
           (col("base") + when(col("rk") <= col("leftover"), 1L)
             .otherwise(0L)).as("quota"))
-      val wsel = Window.partitionBy(col("source"))
-        .orderBy(col("h").asc, col("doc_id").asc)
-      docs
+      val withH = docs
         .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
-        .withColumn("rk", row_number().over(wsel).cast("long"))
+        .withColumn("bin", expr("CAST(conv(substr(h, 1, 2), 16, 10) AS INT)"))
+      // boundary bin per source: first (ascending-h) bin whose
+      // cumulative count reaches the quota — computed over the
+      // strata×256 histogram, never over docs (bin ASC == h-prefix
+      // ASC: fixed-width lowercase hex)
+      val bounds = withH.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("bn"))
         .join(broadcast(quotas), "source")
+        .withColumn("cum", sum(col("bn")).over(
+          Window.partitionBy(col("source")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") >= col("quota"))
+        .groupBy(col("source"))
+        .agg(min(col("bin")).as("bbin"), max(col("quota")).as("quota"))
+      val survivors = withH.join(broadcast(bounds), "source")
+        .filter(col("bin") <= col("bbin"))
+        .withColumn("__ord", struct(col("h"), col("doc_id")))
+        .withColumn("__one", lit(1L))
+      ScanSum.runningSum(survivors, "source", "__ord", "__one", outCol = "rk")
         .filter(col("rk") <= col("quota"))
         .select(col("source"), col("doc_id"), col("rk"), col("quota"))
     })
@@ -2357,6 +2386,8 @@ object TextQueries {
          WHERE levenshtein(a.tok, b.tok) <= $FuzzyD""",
 
     // q207: identical Hamilton apportionment and md5 rank order.
+    // budget·n_docs routes HUGEINT (DECIMAL(38,0) on the Spark side):
+    // the BIGINT product wraps at 100 TB-scale corpora.
     "q207_stratified_sample" ->
       s"""WITH cnt AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
@@ -2365,8 +2396,10 @@ object TextQueries {
          q0 AS (
            SELECT c.source, c.n_docs, t.total,
              t.total // $SampleDen AS budget,
-             (t.total // $SampleDen) * c.n_docs // t.total AS base,
-             (t.total // $SampleDen) * c.n_docs % t.total AS rem
+             CAST(t.total // $SampleDen AS HUGEINT) * c.n_docs
+               // t.total AS base,
+             CAST(t.total // $SampleDen AS HUGEINT) * c.n_docs
+               % t.total AS rem
            FROM cnt c CROSS JOIN tot t),
          lo AS (SELECT min(budget) - sum(base) AS leftover FROM q0),
          qt AS (

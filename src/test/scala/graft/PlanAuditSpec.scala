@@ -1010,11 +1010,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"FastSS must equi-join on the deletion variant:\n$p")
   }
 
-  test("q207 sample: quotas broadcast into the per-source rank; one fact scan family") {
+  test("q207 sample: quotas broadcast; no corpus-cardinality window partition") {
     val p = plan("q207_stratified_sample")
     assert(p.contains("BroadcastHashJoin"),
       s"the strata-bounded quota table must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // every window must run over a bounded or slice-local key space:
+    // __pid (ScanSum's partition-local scan + its subtotal offsets),
+    // bin (the strata×256 boundary histogram), or rem (the strata-row
+    // quota rank). A bare per-source rank over docs — the r10 weak
+    // shape (each task single-reducer-sorting a whole stratum) — has
+    // none of these and fails here.
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(l =>
+        l.contains("__pid") || l.contains("bin#") || l.contains("rem#")),
+      s"corpus-cardinality window partition:\n${specs.mkString("\n")}")
   }
 
   test("q208 winsor: bounded quantile tables broadcast back into the clip pass") {
@@ -1047,13 +1058,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"prefix-max must key by (event_type, b):\n${specs.mkString("\n")}")
   }
 
-  test("q213 gini: rank windows are source-keyed; no cartesian") {
+  test("q213 gini: Lorenz rank goes through ScanSum, never a whole-stratum sort") {
     val p = plan("q213_gini_concentration")
     assert(!p.contains("CartesianProduct"), p)
+    // both surviving windows are ScanSum's: the (source, __pid)
+    // slice-local scan and the (source)-keyed offset scan over the
+    // partitions×strata subtotal table — every spec references __pid.
+    // The r10 weak shape (row_number over (source) ordered by the doc
+    // sort keys) references no __pid and fails here.
     val specs = p.linesIterator
       .filter(_.contains("windowspecdefinition(")).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("source")),
-      s"the Lorenz rank must partition by source:\n${specs.mkString("\n")}")
+    assert(specs.nonEmpty && specs.forall(l =>
+        l.contains("source") && l.contains("__pid")),
+      s"the Lorenz rank must ride ScanSum's __pid-keyed scans:\n${specs.mkString("\n")}")
   }
 
   test("q214 JSD: pair terms come from the tok equi-join, never all-pairs") {
