@@ -68,6 +68,25 @@ object RelationalQueries {
   private[graft] val DiscBins = 256L
   private[graft] val DiscMass = 1000000L
 
+  /** Oracle-side calendar-grid cap (q204/q210/q212): DuckDB's
+    * `range()` cannot take a correlated bound, so the day grids
+    * enumerate a fixed `range(0, MaxGridDays)` and keep `day <= d1`.
+    * The Spark side uses an unbounded `sequence(d0, d1)`, so a corpus
+    * spanning more days than the cap would silently make the ORACLE
+    * grid shorter and fail the gate as a spurious row mismatch —
+    * [[oracleGridWhere]] instead makes the overflow fail LOUDLY via
+    * DuckDB's error() as a bound violation. ~54 years of days; raise
+    * the constant (both sides read it) if a corpus ever exceeds it. */
+  private[graft] val MaxGridDays = 20000L
+
+  /** The shared grid WHERE: in-span filter + the loud span-overflow
+    * guard. Expects the span CTE aliased `s` (columns d0/d1) and the
+    * range aliased `r`. */
+  private[graft] val oracleGridWhere: String =
+    s"""s.d0 + r.range <= s.d1
+           AND (CASE WHEN s.d1 - s.d0 < $MaxGridDays THEN TRUE
+                ELSE error('day span exceeds MaxGridDays') = '' END)"""
+
   /** q182 burst geometry: the trailing event-time window (1 h in
     * micros) and the flag bar — ≥ BurstK events inside one window is
     * "bot-like" on this corpus's ~2.2 events/user/day density, so the
@@ -2666,8 +2685,8 @@ object RelationalQueries {
          grid AS (
            SELECT t.event_type, s.d0 + r.range AS day
            FROM (SELECT DISTINCT event_type FROM daily) t
-           CROSS JOIN span s CROSS JOIN range(0, 20000) r
-           WHERE s.d0 + r.range <= s.d1),
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
          terms AS (
            SELECT g.event_type, g.day,
              CAST(d.n AS HUGEINT) *
@@ -2769,7 +2788,7 @@ object RelationalQueries {
     // (grid day × prior event) and count distinct per cell; the Spark
     // plan's first-seen identity must reproduce it exactly.
     "q210_cumulative_distinct" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT event_type, user_id,
              epoch_us(ts) // 86400000000 AS day
            FROM events),
@@ -2782,8 +2801,8 @@ object RelationalQueries {
          grid AS (
            SELECT t.event_type, s.d0 + r.range AS day
            FROM (SELECT DISTINCT event_type FROM e) t
-           CROSS JOIN span s CROSS JOIN range(0, 20000) r
-           WHERE s.d0 + r.range <= s.d1),
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
          j AS (SELECT g.event_type, g.day, e2.user_id
                FROM grid g LEFT JOIN e e2
                  ON e2.event_type = g.event_type AND e2.day <= g.day)

@@ -697,9 +697,10 @@ object SketchQueries {
          grid AS (
            SELECT t.event_type, s.d0 + r.range AS day, g.range AS b
            FROM (SELECT DISTINCT event_type FROM e) t
-           CROSS JOIN span s CROSS JOIN range(0, 20000) r
+           CROSS JOIN span s
+           CROSS JOIN range(0, ${RelationalQueries.MaxGridDays}) r
            CROSS JOIN range(0, $HllM) g
-           WHERE s.d0 + r.range <= s.d1),
+           WHERE ${RelationalQueries.oracleGridWhere}),
          cumreg AS (
            SELECT g.event_type, g.day, g.b,
              max(coalesce(r.m, 0)) OVER (PARTITION BY g.event_type, g.b

@@ -363,7 +363,8 @@ object VectorQueries {
     // anisotropy/contrast check run before trusting any ANN or
     // clustering built on a new embedding model). A DETERMINISTIC
     // systematic pair sample — vector i paired with i + span/2, one
-    // equi-join on the shifted id, exactly ⌊n/2⌋ pairs, linear in the
+    // equi-join on the shifted id, about n/2 pairs (n − ⌊span/2⌋ for
+    // contiguous ids; id gaps thin it further), linear in the
     // corpus — cosined with the native codegen'd expression, then a
     // 2-row contrast: same-label pairs vs cross-label pairs. A healthy
     // space shows mean(same) >> mean(cross); a collapsed (anisotropic)

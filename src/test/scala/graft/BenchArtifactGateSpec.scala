@@ -20,19 +20,29 @@ import org.json4s.jackson.JsonMethods
   *  - `server_rps` must clear [[BenchArtifactGateSpec.ServerRpsFloor]]
   *    — rps drifted 16.5 → 13.55 across r8→r9 with nothing watching;
   *    an accidental 5× regression would previously have passed every
-  *    gate.
+  *    gate;
+  *  - PER-QUERY times must not regress vs the PREVIOUS committed idle
+  *    artifact beyond [[BenchArtifactGateSpec.RegressionRatio]] AND an
+  *    absolute floor, minus a documented per-round waiver list —
+  *    r10's +12.6% batch creep (q49 2.9×, q122/q114 2.1×) and the q71
+  *    2.7× streaming spike passed every earlier gate because nothing
+  *    compared the two committed artifacts that were both sitting in
+  *    the repo root.
   */
 class BenchArtifactGateSpec extends AnyFunSuite {
+  import BenchArtifactGateSpec._
 
   private val repoRoot = new java.io.File(".").getCanonicalFile
 
-  private def newestIdleArtifact: java.io.File = {
+  private def idleArtifacts: Seq[java.io.File] = {
     val arts = Option(repoRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_IDLE_r\\d+\\.json"))
     assert(arts.nonEmpty, s"no BENCH_IDLE_r*.json under $repoRoot")
-    arts.maxBy(f => f.getName.stripPrefix("BENCH_IDLE_r")
-      .stripSuffix(".json").toInt)
+    arts.sortBy(f => f.getName.stripPrefix("BENCH_IDLE_r")
+      .stripSuffix(".json").toInt).toSeq
   }
+
+  private def newestIdleArtifact: java.io.File = idleArtifacts.last
 
   private lazy val artifact: JValue = JsonMethods.parse(
     java.nio.file.Files.readString(newestIdleArtifact.toPath))
@@ -41,6 +51,15 @@ class BenchArtifactGateSpec extends AnyFunSuite {
     case JObject(fields) => fields.map(_._1).toSet
     case other => fail(s"artifact field '$field' is not an object: $other")
   }
+
+  private def timesOf(art: JValue, field: String): Map[String, Double] =
+    art \ field match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v))    => k -> v.toDouble
+      }.toMap
+      case other => fail(s"artifact field '$field' is not an object: $other")
+    }
 
   test("idle artifact batch keys == SparkEntry.queries at HEAD") {
     val streaming = SparkEntry.streamingQueries.keySet
@@ -81,6 +100,56 @@ class BenchArtifactGateSpec extends AnyFunSuite {
       f"server_rps $rps%.2f under the ${BenchArtifactGateSpec.ServerRpsFloor} floor " +
         "— concurrent-serving throughput regressed")
   }
+
+  test("no unwaived per-query regression vs the previous idle artifact") {
+    val arts = idleArtifacts
+    assume(arts.size >= 2, "only one idle artifact — nothing to compare")
+    val prevFile = arts(arts.size - 2)
+    val prev = JsonMethods.parse(
+      java.nio.file.Files.readString(prevFile.toPath))
+    val round = newestIdleArtifact.getName
+      .stripPrefix("BENCH_IDLE_r").stripSuffix(".json").toInt
+    val waived = Waivers.getOrElse(round, Map.empty).keySet
+    val batchV = regressions(timesOf(prev, "queries"),
+      timesOf(artifact, "queries"), RegressionRatio, BatchAbsFloorSec, waived)
+    val streamV = regressions(timesOf(prev, "streaming"),
+      timesOf(artifact, "streaming"), RegressionRatio, StreamAbsFloorSec, waived)
+    assert(batchV.isEmpty && streamV.isEmpty,
+      s"per-query regressions vs ${prevFile.getName} (waive with a " +
+        s"one-line cause in BenchArtifactGateSpec.Waivers($round) or " +
+        s"reverse them):\n${(batchV ++ streamV).mkString("\n")}")
+  }
+
+  test("regression detector flags an injected regression (and honors waivers)") {
+    // the gate must be RED on a planted 2× — not just green on today's
+    // artifacts (the r10 lesson: a gate nobody has seen fail gates
+    // nothing)
+    val prev = Map("qA" -> 1.0, "qB" -> 0.1, "qC" -> 4.0)
+    val cur  = Map("qA" -> 2.5, "qB" -> 0.2, "qC" -> 4.2, "qNew" -> 9.9)
+    val hits = regressions(prev, cur, RegressionRatio, BatchAbsFloorSec, Set.empty)
+    assert(hits.size == 1 && hits.head.contains("qA"),
+      s"expected exactly the planted qA 2.5x: $hits")
+    // qB doubles but is under the absolute floor (noise); qC is over
+    // the floor but under the ratio; qNew has no baseline
+    assert(regressions(prev, cur, RegressionRatio, BatchAbsFloorSec,
+      Set("qA")).isEmpty, "a waived query must not fire")
+  }
+
+  test("waiver lists only name queries that exist in the artifact pair") {
+    // a stale waiver (renamed/removed query) silently gates nothing —
+    // fail it so the list stays an honest record
+    val round = newestIdleArtifact.getName
+      .stripPrefix("BENCH_IDLE_r").stripSuffix(".json").toInt
+    val known = keysOf("queries") ++ keysOf("streaming")
+    val stale = Waivers.getOrElse(round, Map.empty).keySet -- known
+    assert(stale.isEmpty, s"waivers for unknown queries: $stale")
+  }
+
+  test("state-store reaper hook resolves (a Spark rename must not silently no-op it)") {
+    assert(graft.streaming.StateStoreReaper.unloadAll(),
+      "StateStore.unloadAll reflection failed — the bench zombie-provider " +
+        "reap is a no-op; update StateStoreReaper for this Spark version")
+  }
 }
 
 object BenchArtifactGateSpec {
@@ -91,4 +160,50 @@ object BenchArtifactGateSpec {
     * flags a ≥2× regression from r9 while staying above scheduler
     * noise on a 32-core box. */
   val ServerRpsFloor = 8.0
+
+  /** Per-query gate: a shared query regresses when it exceeds BOTH the
+    * ratio and the absolute floor vs the previous idle artifact. The
+    * absolute floors keep sub-second (batch) / harness-noise
+    * (streaming: per-run state-store + micro-batch scheduling jitter
+    * of a second or two) blips from tripping a ratio computed on tiny
+    * denominators. */
+  val RegressionRatio = 1.5
+  val BatchAbsFloorSec = 0.4
+  val StreamAbsFloorSec = 2.0
+
+  /** Pure detector, unit-tested with a planted regression above:
+    * violations among shared keys, minus waived names. */
+  def regressions(prev: Map[String, Double], cur: Map[String, Double],
+                  ratio: Double, absFloorSec: Double,
+                  waived: Set[String]): Seq[String] =
+    (prev.keySet & cur.keySet -- waived).toSeq.sorted.flatMap { k =>
+      val (a, b) = (prev(k), cur(k))
+      if (a > 0 && b > ratio * a && b - a > absFloorSec)
+        Some(f"$k: $a%.2f -> $b%.2f s (${b / a}%.2fx)")
+      else None
+    }
+
+  /** Waivers keyed by the NEWEST artifact's round — they expire the
+    * moment the next round's artifact lands. Every entry needs a
+    * one-line cause; the stale-waiver test keeps the names honest.
+    *
+    * Round 10 (r09 → r10): the verdict-diagnosed session-pressure
+    * creep — zombie state-store providers re-snapshotted on every
+    * 60 s maintenance tick landed on whichever query was running
+    * (the spikes MIGRATE between the driver and idle boards on the
+    * same commit). Addressed in r11 by StateStoreReaper (bench-side
+    * reap between timed runs + unload after each pipeline) and the
+    * q71 harness treatment; expectation is these reverse in
+    * BENCH_IDLE_r11, where the gate re-arms without waivers. */
+  val Waivers: Map[Int, Map[String, String]] = Map(
+    10 -> Map(
+      "q108_mmr_diverse"       -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q114_semantic_clusters" -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q121_contrastive_mine"  -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q122_triangles"         -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q170_ann_ndcg"          -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q171_recon_audit"       -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q91_image_resize"       -> "r10 session-pressure creep (verdict); reap lands r11",
+      "q163_stream_markov"     -> "r10 migrating maintenance-storm spike; reap lands r11",
+      "q71_stream_sessions"    -> "r10 migrating maintenance-storm spike; q115 treatment + reap land r11"))
 }
