@@ -929,7 +929,48 @@ object QualityQueries {
         dsum(col("term"), 12).as("jsd"))
   }
 
+  /** Spearman rank correlation audit (D23 — "does doc length track
+    * lexical diversity per source": the monotone-association check
+    * that decides whether one quality signal is redundant given
+    * another, without assuming linearity). BOTH rank axes go through
+    * ScanSum's two-pass distributed scan (the q213 doctrine — the
+    * second call simply re-ranges the first call's output on the
+    * other axis, ranks riding along as payload); ties break by doc_id
+    * on both axes, so this is Spearman of the deterministic tie-broken
+    * total order — the SAME order the oracle's row_number uses, making
+    * ρ cross-engine exact. Σd² routes DECIMAL(38,0) (d² alone reaches
+    * ~10²⁴ at stratum scale; the denominator n(n²−1) ~10³⁶ — HUGEINT
+    * in the oracle); ρ = 1 − 6Σd²/(n(n²−1)) is one IEEE division of
+    * exact decimals. n < 2 (denominator 0) defines ρ = 0 both sides. */
+  private[graft] def spearmanAudit(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = docs.select(col("source"), col("doc_id"),
+        col("n_chars").as("x"),
+        size(array_distinct(toks)).cast("long").as("y"))
+    val rx = ScanSum.runningSum(
+      base.withColumn("__ord", struct(col("x"), col("doc_id")))
+        .withColumn("__one", lit(1L)),
+      "source", "__ord", "__one", outCol = "rx")
+    val ry = ScanSum.runningSum(
+      rx.drop("__ord")
+        .withColumn("__ord", struct(col("y"), col("doc_id"))),
+      "source", "__ord", "__one", outCol = "ry")
+    ry.select(col("source"),
+        (col("rx") - col("ry")).as("dd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dd").cast(dec) * col("dd").cast(dec)).cast(dec).as("d2"))
+      .withColumn("den", col("n_docs").cast(dec) *
+        (col("n_docs").cast(dec) * col("n_docs").cast(dec) - 1))
+      .select(col("source"), col("n_docs"),
+        col("d2").cast("double").as("sum_d2"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise(lit(1.0) - (lit(6L).cast(dec) * col("d2"))
+            .cast("double") / col("den").cast("double")).as("rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_spearman" -> ((s, d) => spearmanAudit(documents(s, d))),
     "q213_gini_concentration" -> ((s, d) =>
       giniConcentration(documents(s, d))),
     "q214_jsd_matrix" -> ((s, d) => jsdMatrix(documents(s, d))),
@@ -949,6 +990,35 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q221: identical tie-broken rank orders ((x, doc_id) / (y,
+    // doc_id) — the same total order ScanSum ranks), HUGEINT mirrors
+    // the DECIMAL(38,0) Σd² and n(n²−1), one division at the end.
+    "q221_spearman" ->
+      """WITH b AS (
+           SELECT source, doc_id, n_chars AS x,
+             CAST(len(list_distinct(
+               regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS y
+           FROM documents),
+         r AS (
+           SELECT source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY x, doc_id) AS HUGEINT) AS rx,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY y, doc_id) AS HUGEINT) AS ry
+           FROM b),
+         a AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sum((rx - ry) * (rx - ry)) AS d2
+           FROM r GROUP BY 1)
+         SELECT source, n_docs, CAST(d2 AS DOUBLE) AS sum_d2,
+           CASE WHEN CAST(n_docs AS HUGEINT)
+                  * (CAST(n_docs AS HUGEINT) * n_docs - 1) = 0 THEN 0.0
+                ELSE 1.0 - CAST(6 * d2 AS DOUBLE)
+                  / CAST(CAST(n_docs AS HUGEINT)
+                      * (CAST(n_docs AS HUGEINT) * n_docs - 1) AS DOUBLE)
+           END AS rho
+         FROM a""",
+
     // q213: identical rank order, HUGEINT mirrors the DECIMAL(38,0)
     // route, the same decile cross-multiply and single divisions.
     "q213_gini_concentration" ->

@@ -518,6 +518,56 @@ object RelationalQueries {
           .otherwise(col("mass") > col("prev_mass")).as("rising"))
   }
 
+  /** OLS daily-volume trend (W25 — the least-squares line behind every
+    * "is this metric growing" dashboard panel, computed as SUFFICIENT
+    * STATISTICS): slope and intercept of n ~ day over the types ×
+    * calendar grid (zero days count — a trend over only active days
+    * is biased upward), from one aggregation of five exact partials
+    * (n, Σx, Σy, Σxy, Σx²) — the textbook closed form
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Days re-base to
+    * x = day − d0 so the products stay small; every product routes
+    * DECIMAL(38,0) (Σxy alone reaches ~4·10²⁰ at 100 TB daily counts;
+    * HUGEINT in the oracle); slope/intercept are single IEEE divisions
+    * of exact decimals, and `rising` compares the exact numerator.
+    * The partials are addition-mergeable, so the streaming twin
+    * (q220) reads the SAME view over the daily-count store —
+    * stream == batch BY ALGEBRA, the sixth read tail of one ingest. */
+  def olsTrendView(daily0: DataFrame): DataFrame = {
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = daily0.localCheckpoint() // feeds span + types + stats
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val terms = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("d0"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val stats = terms.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x").cast(dec19) * col("y").cast(dec19)).cast(dec).as("sxy"),
+        sum(col("x").cast(dec19) * col("x").cast(dec19)).cast(dec).as("sxx"))
+      .withColumn("num",
+        col("n_days").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den",
+        col("n_days").cast(dec) * col("sxx") - col("sx") * col("sx"))
+    // den == 0 iff the span is a single day: the line degenerates to
+    // the mean level with zero slope (defined identically both sides)
+    stats.select(col("event_type"), col("n_days"), col("total"),
+      when(col("den") === 0, lit(0.0))
+        .otherwise(col("num").cast("double") / col("den").cast("double"))
+        .as("slope"),
+      when(col("den") === 0,
+          col("total").cast("double") / col("n_days"))
+        .otherwise((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("double") / col("den").cast("double"))
+        .as("intercept"),
+      (col("num") > 0).as("rising"))
+  }
+
   /** q208 winsorization bounds, bin-bracket percentiles on the
     * [[DiscBins]] grid (the q176/q181 cross-multiply rule): clip at
     * the p05 bin's LOWER edge and the p95 bin's UPPER edge, so the
@@ -1583,6 +1633,122 @@ object RelationalQueries {
           expr("unix_micros(ts) DIV 86400000000").as("day"))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n")))),
+
+    // OLS daily-volume trend (W25): see [[olsTrendView]]. Pre-rolls to
+    // the same mergeable (type, day) count unit as q167/q198/q202/q204;
+    // the streaming twin (q220) reads the store through the IDENTICAL
+    // view — the SIXTH tail of one daily ingest.
+    "q219_ols_trend" -> ((s, d) =>
+      olsTrendView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Exact distributed quantiles (A13 — percentile_disc without the
+    // sort: the answer to "exact p50/p90 at 100 TB" that q201 could
+    // only audit approximately): per event_type, the k-th smallest
+    // value located by DISTRIBUTED SELECTION — one 256-bin histogram
+    // barrier finds the boundary bin per target rank (k = ⌈p·n⌉, both
+    // engines integer), a windowless filter keeps only that bin's
+    // members (~n/256 rows), and ScanSum's two-pass scan ranks them
+    // exactly. No task ever sorts more than its slice of two bins; the
+    // oracle is the INDEPENDENT brute rank (row_number over the raw
+    // values), so the binning needs no cross-engine agreement — only
+    // the selected values must match.
+    "q223_exact_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_type"), col("value"))
+        .localCheckpoint() // feeds stats + histogram + boundary members
+      val st = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val binned = ev.join(broadcast(st), "event_type")
+        .withColumn("bin", when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(255), floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * 256).cast("int"))))
+      val hist = binned.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("bn"))
+      // two target ranks per type: k_p50 = ceil(n/2), k_p90 = ceil(.9n)
+      val targets = st.select(col("event_type"), col("n"))
+        .withColumn("t", explode(array(
+          struct(lit("p50").as("tgt"), expr("(n + 1) DIV 2").as("k")),
+          struct(lit("p90").as("tgt"), expr("(9 * n + 9) DIV 10").as("k")))))
+        .select(col("event_type"), col("n"), col("t.tgt").as("tgt"),
+          col("t.k").as("k"))
+      val wb = Window.partitionBy(col("event_type"), col("tgt"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // boundary bin per (type, target): first bin whose cumulative
+      // count reaches k — over the types×256 histogram, never rows
+      val bounds = hist.join(broadcast(targets), "event_type")
+        .withColumn("cum", sum(col("bn")).over(wb))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("event_type"), col("tgt"))
+        .agg(min_by(struct(col("bin").as("bbin"),
+          (col("k") - col("cum") + col("bn")).as("kk")), col("bin")).as("b"))
+        .select(col("event_type"), col("tgt"), col("b.bbin").as("bbin"),
+          col("b.kk").as("kk"))
+      val members = binned.join(broadcast(bounds), "event_type")
+        .filter(col("bin") === col("bbin"))
+        .withColumn("__grp", concat(col("event_type"), lit(":"), col("tgt")))
+        .withColumn("__one", lit(1L))
+      val picked = graft.operators.ScanSum
+        .runningSum(members, "__grp", "value", "__one", outCol = "rk")
+        .filter(col("rk") === col("kk"))
+      picked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("tgt") === "p50", col("value"))).as("p50"),
+          max(when(col("tgt") === "p90", col("value"))).as("p90"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov audit (D24 — "did the value
+    // distribution shift between regimes": the distribution-free
+    // drift test PSI (q200) approximates with bins, done EXACTLY).
+    // Weekend vs weekday per event_type (dow arithmetically from
+    // epoch days, the q188 rule); D = sup|F_we − F_wd| evaluated at
+    // every jump point: per-(type, value) group counts, cumulated in
+    // value order by ScanSum's distributed scan (one call per side —
+    // never a per-type single-reducer window over the value axis),
+    // then ONE max of the exact cross-multiplied gap
+    // |cum_we·n_wd − cum_wd·n_we| in DECIMAL(38,0) (the product
+    // reaches ~10²⁴ at 100 TB; HUGEINT in the oracle). d_stat is a
+    // single IEEE division of exact decimals; the 95 % flag compares
+    // against c(α)·√((n+m)/nm) — IEEE sqrt is correctly rounded, so
+    // both engines evaluate the identical double.
+    "q222_ks_audit" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"), col("value"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .withColumn("we", (col("day") + 4) % 7 >= 5)
+      val cnt = ev.groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("we"), 1L).otherwise(0L)).as("cwe"),
+             sum(when(!col("we"), 1L).otherwise(0L)).as("cwd"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cwe")).as("nwe"), sum(col("cwd")).as("nwd"))
+      val c1 = graft.operators.ScanSum
+        .runningSum(cnt, "event_type", "value", "cwe", outCol = "cum_we")
+      val c2 = graft.operators.ScanSum
+        .runningSum(c1, "event_type", "value", "cwd", outCol = "cum_wd")
+      c2.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("nwe"), col("nwd"),
+          abs(col("cum_we").cast(dec) * col("nwd").cast(dec) -
+              col("cum_wd").cast(dec) * col("nwe").cast(dec)).as("gap"))
+        .groupBy(col("event_type"))
+        .agg(max(col("nwe")).as("n_weekend"), max(col("nwd")).as("n_weekday"),
+          max(col("gap")).as("dnum"))
+        .select(col("event_type"), col("n_weekend"), col("n_weekday"),
+          when(col("n_weekend") === 0 || col("n_weekday") === 0, lit(0.0))
+            .otherwise(col("dnum").cast("double") /
+              (col("n_weekend").cast(dec) * col("n_weekday").cast(dec))
+                .cast("double")).as("d_stat"))
+        // c(0.05) = 1.358; both sides of the compare are functions of
+        // the same exact integers through identical IEEE ops
+        .withColumn("significant",
+          col("n_weekend") > 0 && col("n_weekday") > 0 &&
+          col("d_stat") > lit(1.358) * sqrt(
+            (col("n_weekend") + col("n_weekday")).cast("double") /
+            (col("n_weekend").cast("double") * col("n_weekday").cast("double"))))
+    }),
 
     // Winsorized robust stats (D18 — the outlier-resistant mean the
     // monitoring literature prefers over the raw mean, computed the
@@ -2671,6 +2837,111 @@ object RelationalQueries {
              AS total,
            min(value) AS vmin, max(value) AS vmax
          FROM u GROUP BY 1, 2""",
+
+    // q219: identical grid and re-based x, HUGEINT mirrors the
+    // DECIMAL(38,0) sufficient statistics, doubles only at output —
+    // slope/intercept are single divisions of the same exact integers.
+    "q219_ols_trend" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         terms AS (
+           SELECT g.event_type,
+             CAST(g.day - g.d0 AS HUGEINT) AS x,
+             CAST(coalesce(d.n, 0) AS HUGEINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS total,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM terms GROUP BY 1),
+         b AS (
+           SELECT event_type, n_days, total,
+             n_days * sxy - sx * sy AS num,
+             n_days * sxx - sx * sx AS den,
+             sy * sxx - sx * sxy AS inum
+           FROM a)
+         SELECT event_type, n_days, total,
+           CASE WHEN den = 0 THEN 0.0
+                ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+           CASE WHEN den = 0 THEN CAST(total AS DOUBLE) / n_days
+                ELSE CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) END
+             AS intercept,
+           num > 0 AS rising
+         FROM b""",
+
+    // q222: identical group counts, cumulated by an ORDER BY value
+    // window (rows are unique per (type, value), so the frame is
+    // unambiguous); HUGEINT mirrors the cross-multiplied gap.
+    "q222_ks_audit" ->
+      """WITH e AS (
+           SELECT event_type, value,
+             (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we
+           FROM events),
+         cnt AS (
+           SELECT event_type, value,
+             CAST(count(*) FILTER (we) AS BIGINT) AS cwe,
+             CAST(count(*) FILTER (NOT we) AS BIGINT) AS cwd
+           FROM e GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(cwe) AS BIGINT) AS nwe,
+                   CAST(sum(cwd) AS BIGINT) AS nwd
+                 FROM cnt GROUP BY 1),
+         c AS (
+           SELECT event_type,
+             sum(cwe) OVER w AS cum_we, sum(cwd) OVER w AS cum_wd
+           FROM cnt
+           WINDOW w AS (PARTITION BY event_type ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         g AS (
+           SELECT c.event_type, t.nwe, t.nwd,
+             abs(CAST(c.cum_we AS HUGEINT) * t.nwd
+               - CAST(c.cum_wd AS HUGEINT) * t.nwe) AS gap
+           FROM c JOIN tot t ON t.event_type = c.event_type),
+         m AS (SELECT event_type, max(nwe) AS n_weekend,
+                 max(nwd) AS n_weekday, max(gap) AS dnum
+               FROM g GROUP BY 1)
+         SELECT event_type, n_weekend, n_weekday,
+           CASE WHEN n_weekend = 0 OR n_weekday = 0 THEN 0.0
+                ELSE CAST(dnum AS DOUBLE)
+                  / CAST(CAST(n_weekend AS HUGEINT) * n_weekday AS DOUBLE)
+                END AS d_stat,
+           n_weekend > 0 AND n_weekday > 0 AND
+             (CASE WHEN n_weekend = 0 OR n_weekday = 0 THEN 0.0
+                   ELSE CAST(dnum AS DOUBLE)
+                     / CAST(CAST(n_weekend AS HUGEINT) * n_weekday
+                         AS DOUBLE) END)
+             > 1.358 * sqrt(CAST(n_weekend + n_weekday AS DOUBLE)
+                 / (CAST(n_weekend AS DOUBLE) * CAST(n_weekday AS DOUBLE)))
+             AS significant
+         FROM m""",
+
+    // q223: the INDEPENDENT brute rank — DuckDB sorts the raw values
+    // and picks the same explicit k = ceil(p·n) ordinals, so the
+    // Spark side's histogram/selection machinery is verified end to
+    // end without sharing any of it.
+    "q223_exact_quantiles" ->
+      """WITH st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value) AS rn
+           FROM events)
+         SELECT r.event_type, s.n,
+           max(CASE WHEN r.rn = (s.n + 1) // 2 THEN r.value END) AS p50,
+           max(CASE WHEN r.rn = (9 * s.n + 9) // 10 THEN r.value END) AS p90
+         FROM r JOIN st s ON s.event_type = r.event_type
+         GROUP BY 1, 2""",
 
     // q204: identical grid, the same interpolated integer weight table,
     // HUGEINT mirrors the DECIMAL(38,0) route, double only at output.

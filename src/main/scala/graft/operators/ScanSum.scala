@@ -51,6 +51,9 @@ object ScanSum {
       .withColumn("__lcum", sum(col(valueCol)).over(local))
       .join(broadcast(offsets), Seq(partCol, "__pid"))
       .withColumn(outCol, col("__lcum") + col("__off"))
-      .drop("__pid", "__lcum")
+      // drop ALL scratch columns — a leaked __off makes a CHAINED
+      // ScanSum call (q221 ranks two axes, q222 cumulates two sides)
+      // fail with an ambiguous reference on its own offsets join
+      .drop("__pid", "__lcum", "__off")
   }
 }

@@ -635,6 +635,26 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST × W25: q219's OLS daily trend as a STREAM — the SIXTH read
+    // tail of the shared daily-count store (CUSUM, decay, seasonality,
+    // EWMA, and now the regression line): the five OLS sufficient
+    // statistics are sums over the (type, day) grid, and counts add,
+    // so the closed-form slope over the merge-on-read sums equals the
+    // one-shot batch BY ALGEBRA; oracle IS q219's batch SQL.
+    "q220_stream_ols" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q220-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q220-store"))
+      val ckpt = tmp("graft-q220-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.olsTrendView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
     // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
     // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
     // day partials under batch_id, LSM-folded), merge-on-read
@@ -876,6 +896,12 @@ object StreamingQueries {
     // counts feed the same constant weight table and lag window
     "q205_stream_ewma" ->
       graft.operators.RelationalQueries.oracleSql("q204_ewma_trend"),
+
+    // q220: the daily-count store's merge-on-read sums feed the
+    // identical derivation to the q219 batch chain — summed daily
+    // counts are all the sufficient statistics see.
+    "q220_stream_ols" ->
+      graft.operators.RelationalQueries.oracleSql("q219_ols_trend"),
 
     // identical derivation to the q210 batch chain — (MIN, MAX)-merged
     // first-seen partials feed the same grid prefix sum

@@ -134,6 +134,10 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q215_grouping_sets",    // one-pass expand lattice + decimal rollup
     "q216_reconcile",        // full-outer presence classes + decimal ledger
     "q218_embedding_contrast", // systematic pair join + decimal cosine means
+    "q219_ols_trend",        // grid sufficient stats, decimal closed form
+    "q221_spearman",         // TWO chained ScanSum rank axes + decimal d2
+    "q222_ks_audit",         // ScanSum prefix CDFs + decimal cross-multiply max
+    "q223_exact_quantiles",  // histogram boundary + ScanSum selection
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1073,6 +1073,45 @@ class PlanAuditSpec extends SparkTestBase {
       s"the Lorenz rank must ride ScanSum's __pid-keyed scans:\n${specs.mkString("\n")}")
   }
 
+  test("q219 OLS: grid sufficient stats — only the 1-row span may nest-loop") {
+    val p = plan("q219_ols_trend")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q221 Spearman: both rank axes ride ScanSum's __pid-keyed scans") {
+    val p = plan("q221_spearman")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a rank axis bypassed ScanSum:\n${specs.mkString("\n")}")
+  }
+
+  test("q222 KS: prefix CDFs ride ScanSum; no per-type value-axis reducer") {
+    val p = plan("q222_ks_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a cumulative side bypassed ScanSum:\n${specs.mkString("\n")}")
+  }
+
+  test("q223 exact quantiles: windows over the bin histogram or ScanSum slices only") {
+    val p = plan("q223_exact_quantiles")
+    assert(!p.contains("CartesianProduct"), p)
+    // boundary scan: (event_type, tgt) over the types×256 histogram;
+    // selection: ScanSum's __pid-keyed scans over the boundary bin —
+    // a raw per-type rank over values has neither key and fails
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(l =>
+        l.contains("__pid") || l.contains("bin#")),
+      s"corpus-cardinality window partition:\n${specs.mkString("\n")}")
+  }
+
   test("q214 JSD: pair terms come from the tok equi-join, never all-pairs") {
     // the grid/smoothing subtree sits behind the `filled` checkpoint;
     // what remains visible is the pair join — it must be an equi-join

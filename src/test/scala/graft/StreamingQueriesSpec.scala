@@ -122,6 +122,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q205")
   }
 
+  test("q220: streamed OLS trend equals the one-shot batch regression") {
+    val got = q("q220_stream_ols")
+    val want = SparkEntry.queries("q219_ols_trend")(spark, sf)
+    assert(got.count() > 0, "no OLS rows streamed")
+    assertSame(got, want, "q220")
+  }
+
   test("q217: streamed KMV sketches re-cut to the one-shot batch overlap matrix") {
     val got = q("q217_stream_kmv")
     val want = SparkEntry.queries("q154_kmv_overlap")(spark, sf)
