@@ -969,7 +969,37 @@ object QualityQueries {
             .cast("double") / col("den").cast("double")).as("rho"))
   }
 
+  /** Unseen-vocabulary estimate (D25 — "how much of this source's
+    * vocabulary have we NOT seen yet": Chao1's lower bound on species
+    * richness (Chao '84) plus Good–Turing sample coverage — the pair
+    * a crawler reads to decide whether more of a source is worth
+    * fetching). Everything derives from ONE per-(source, token) count
+    * rollup: V observed types, F₁ singletons, F₂ doubletons, N token
+    * mass; chao1 = V + F₁(F₁−1)/(2(F₂+1)) (the bias-corrected form —
+    * defined at F₂ = 0) with the product routed DECIMAL(38,0)
+    * (F₁ ~10¹⁰ squares past BIGINT at corpus scale; HUGEINT in the
+    * oracle) and ONE IEEE division; coverage = 1 − F₁/N likewise.
+    * Tokens hash-shuffle once; strings never re-shuffle. */
+  private[graft] def chao1Audit(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs.select(col("source"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("v_obs"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("v_obs"), col("n_tokens"), col("f1"),
+        col("f2"),
+        (col("v_obs").cast("double") +
+          (col("f1").cast(dec) * (col("f1").cast(dec) - 1)).cast("double") /
+          ((col("f2") + 1) * 2).cast("double")).as("chao1"),
+        (lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_chao1" -> ((s, d) => chao1Audit(documents(s, d))),
     "q221_spearman" -> ((s, d) => spearmanAudit(documents(s, d))),
     "q213_gini_concentration" -> ((s, d) =>
       giniConcentration(documents(s, d))),
@@ -990,6 +1020,28 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q225: one count rollup; HUGEINT mirrors F₁(F₁−1); the same
+    // additive double then single divisions.
+    "q225_chao1" ->
+      """WITH c AS (
+           SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                 FROM documents)
+           WHERE t <> '' GROUP BY 1, 2),
+         a AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+           FROM c GROUP BY 1)
+         SELECT source, v_obs, n_tokens, f1, f2,
+           CAST(v_obs AS DOUBLE)
+             + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+               / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+           1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+         FROM a""",
+
     // q221: identical tie-broken rank orders ((x, doc_id) / (y,
     // doc_id) — the same total order ScanSum ranks), HUGEINT mirrors
     // the DECIMAL(38,0) Σd² and n(n²−1), one division at the end.

@@ -568,6 +568,52 @@ object RelationalQueries {
       (col("num") > 0).as("rising"))
   }
 
+  /** q224/q228 lag horizon: one week of lags — the rhythm the events
+    * corpus actually carries (see q188's dow profile). */
+  private[graft] val AcfMaxLag = 7
+
+  /** Exact integer autocorrelation over the (type, day) count grid —
+    * see the q224 registration comment for the algebra. Emits one row
+    * per (type, lag 1..[[AcfMaxLag]]) with the exact decimal
+    * numerator/denominator ratio and a positive-memory flag on the
+    * exact numerator sign. */
+  def acfView(daily0: DataFrame): DataFrame = {
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = daily0.localCheckpoint() // feeds span + types + grid
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint() // feeds totals + both join sides
+    val tot = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("y")).as("sy"))
+    // centered residual (cleared denominator): e = n·y − S, exact
+    val cent = grid.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("day"),
+        (col("nd").cast(dec19) * col("y").cast(dec19) -
+          col("sy").cast(dec19)).cast(dec19).as("e"))
+      .localCheckpoint() // feeds c0 + both lag sides
+    val c0 = cent.groupBy(col("event_type"))
+      .agg(sum(col("e") * col("e")).cast(dec).as("den"))
+    val lagged = cent
+      .withColumn("k", explode(expr(s"sequence(1, $AcfMaxLag)")))
+      .withColumn("day2", col("day") + col("k"))
+      .join(cent.select(col("event_type"), col("day").as("day2"),
+        col("e").as("e2")), Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("e") * col("e2")).cast(dec).as("num"))
+    lagged.join(broadcast(c0), "event_type")
+      .select(col("event_type"), col("k").cast("long").as("lag"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("r"),
+        (col("num") > 0).as("positive_memory"))
+  }
+
   /** q208 winsorization bounds, bin-bracket percentiles on the
     * [[DiscBins]] grid (the q176/q181 cross-multiply rule): clip at
     * the p05 bin's LOWER edge and the p95 bin's UPPER edge, so the
@@ -1700,6 +1746,25 @@ object RelationalQueries {
           max(when(col("tgt") === "p50", col("value"))).as("p50"),
           max(when(col("tgt") === "p90", col("value"))).as("p90"))
     }),
+
+    // Autocorrelation function (W26 — "does the daily series remember
+    // itself at lag k": the weekly-rhythm detector that reads the
+    // periodicity q188 only profiles by day-of-week). r_k over the
+    // types×calendar grid (zero days count), computed EXACTLY by the
+    // cleared-denominator trick: with S = Σy and n days,
+    // n²·c_k = Σ (n·yₜ − S)(n·yₜ₊ₖ − S), so r_k = c_k/c₀ is a ratio
+    // of two exact DECIMAL(38,0) sums (products reach ~10³³ at 100 TB
+    // daily counts — HUGEINT in the oracle) — no float mean anywhere,
+    // ONE IEEE division per lag. Plan shape: a 7-lag explode + one
+    // (type, day) equi-join over the grid — no window at all. Reads
+    // the same mergeable daily-count unit as q167/q198/q202/q204/q219;
+    // the streaming twin (q228) is the SEVENTH tail of that store.
+    "q224_acf" -> ((s, d) =>
+      acfView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
 
     // Two-sample Kolmogorov–Smirnov audit (D24 — "did the value
     // distribution shift between regimes": the distribution-free
@@ -2878,6 +2943,43 @@ object RelationalQueries {
              AS intercept,
            num > 0 AS rising
          FROM b""",
+
+    // q224: identical grid; HUGEINT mirrors the cleared-denominator
+    // residuals and both quadratic sums; one division per lag.
+    "q224_acf" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS HUGEINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         tot AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS nd,
+                   sum(y) AS sy FROM g GROUP BY 1),
+         cent AS (
+           SELECT g.event_type, g.day, t.nd * g.y - t.sy AS e
+           FROM g JOIN tot t ON t.event_type = g.event_type),
+         c0 AS (SELECT event_type, sum(e * e) AS den
+                FROM cent GROUP BY 1),
+         nums AS (
+           SELECT a.event_type, k.range AS lag, sum(a.e * b.e) AS num
+           FROM cent a CROSS JOIN range(1, ${AcfMaxLag + 1}) k
+           JOIN cent b ON b.event_type = a.event_type
+             AND b.day = a.day + k.range
+           GROUP BY 1, 2)
+         SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+           CASE WHEN c.den = 0 THEN 0.0
+                ELSE CAST(n.num AS DOUBLE) / CAST(c.den AS DOUBLE) END AS r,
+           n.num > 0 AS positive_memory
+         FROM nums n JOIN c0 c ON c.event_type = n.event_type""",
 
     // q222: identical group counts, cumulated by an ORDER BY value
     // window (rows are unique per (type, value), so the frame is

@@ -281,6 +281,48 @@ object SketchQueries {
           sum(coalesce(col("exact_grams"), lit(0L))).as("exact_grams"))
     }),
 
+    // Bloom false-positive-rate audit (D26 — "is the filter's error
+    // what the math promised": the calibration check that decides
+    // whether q134's m/k geometry is still right as the benchmark
+    // grows). KNOWN NEGATIVES = distinct probe-side trigrams absent
+    // from the benchmark gram set (exact anti-join — ground truth by
+    // construction); measured FPR = the fraction whose 3 probe
+    // positions are all set. The expected rate CONDITIONS ON THE
+    // ACTUAL LOAD, (bits_set/m)³ — an identity both engines evaluate
+    // as one division and two multiplies over the same exact integers
+    // (no e^{−kn/m} approximation, no pow). One row out; the bit
+    // table stays ≤65536 rows and broadcasts.
+    "q226_bloom_fpr" -> ((s, d) => {
+      val g = gramDigests(documents(s, d))
+      val bench = g.filter(col("doc_id") % 97 === 0)
+      val bits = bench
+        .select(explode(array(
+          BloomOffsets.map(o => hexSlice(col("h"), o, 4)): _*)).as("p"))
+        .distinct()
+        .localCheckpoint() // ≤65536 rows; feeds load + membership
+      val neg = g.filter(col("doc_id") % 97 =!= 0)
+        .select(col("g"), col("h")).distinct()
+        .join(bench.select(col("g")).distinct(), Seq("g"), "left_anti")
+        .localCheckpoint() // feeds the probe + the denominator
+      val falsePos = neg
+        .select(col("g"), explode(array(
+          BloomOffsets.map(o => hexSlice(col("h"), o, 4)): _*)).as("p"))
+        .join(broadcast(bits), "p")
+        .groupBy(col("g")).agg(count(lit(1)).as("k_set"))
+        .filter(col("k_set") === BloomOffsets.size)
+        .agg(count(lit(1)).as("false_pos"))
+      neg.agg(count(lit(1)).as("n_neg"))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+        .crossJoin(broadcast(falsePos))
+        .select(col("n_neg"), col("bits_set"), col("false_pos"),
+          (col("false_pos").cast("double") / col("n_neg").cast("double"))
+            .as("fpr"),
+          {
+            val load = col("bits_set").cast("double") / lit(65536.0)
+            (load * load * load).as("expected_fpr")
+          })
+    }),
+
     // Count-Min heavy hitters: 3×4096 counter table built from the
     // EXACT per-token counts (counter(r,p) = Σ cnt over tokens hashing
     // to p in row r — identical to adding per occurrence, one shuffle
@@ -540,6 +582,50 @@ object SketchQueries {
            CAST(sx.sx AS DOUBLE) / $AmsCounters AS f2_est,
            CAST(ex.f2 AS DOUBLE) AS f2_exact, ex.n_keys
          FROM x CROSS JOIN sx CROSS JOIN ex""",
+
+    // q226: the same md5-slice bit table and positions as q134's
+    // oracle, negatives via EXCEPT, membership via k-of-k HAVING;
+    // the conditional expected rate is the identical (b/m)³ chain.
+    "q226_bloom_fpr" ->
+      """WITH toksrc AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+           FROM toksrc WHERE len(ts) >= 3),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         negg AS (
+           SELECT DISTINCT g FROM grams WHERE doc_id % 97 <> 0
+           EXCEPT SELECT g FROM bench),
+         posb AS (
+           SELECT DISTINCT
+             (instr('0123456789abcdef', substr(md5(g), o, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(g), o + 1, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(g), o + 2, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(g), o + 3, 1)) - 1) AS p
+           FROM bench CROSS JOIN (SELECT unnest([1, 9, 17]) AS o) os),
+         posn AS (
+           SELECT g,
+             (instr('0123456789abcdef', substr(md5(g), o, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(g), o + 1, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(g), o + 2, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(g), o + 3, 1)) - 1) AS p
+           FROM negg CROSS JOIN (SELECT unnest([1, 9, 17]) AS o) os),
+         fp AS (
+           SELECT g FROM posn WHERE p IN (SELECT p FROM posb)
+           GROUP BY g HAVING count(*) = 3),
+         s AS (
+           SELECT CAST((SELECT count(*) FROM negg) AS BIGINT) AS n_neg,
+             CAST((SELECT count(*) FROM posb) AS BIGINT) AS bits_set,
+             CAST((SELECT count(*) FROM fp) AS BIGINT) AS false_pos)
+         SELECT n_neg, bits_set, false_pos,
+           CAST(false_pos AS DOUBLE) / CAST(n_neg AS DOUBLE) AS fpr,
+           (CAST(bits_set AS DOUBLE) / 65536.0)
+             * (CAST(bits_set AS DOUBLE) / 65536.0)
+             * (CAST(bits_set AS DOUBLE) / 65536.0) AS expected_fpr
+         FROM s""",
 
     "q134_bloom_decontam" ->
       """WITH toksrc AS (

@@ -1380,6 +1380,80 @@ object TextQueries {
           col("n_a"), col("n_b"))
     }),
 
+    // Heaps'-law vocabulary-growth fit (L5ff — "how fast does new
+    // vocabulary appear as the corpus grows": V(N) ≈ K·N^β, the
+    // growth-planning companion to q137's Zipf fit; Heaps 1978). Over
+    // the trigram vocabulary (the unit the dedup/coverage ops here
+    // use). The growth CURVE costs no sort: a trigram enters the
+    // vocabulary at its FIRST doc (min doc_id — the q210 first-seen
+    // identity on the token axis), so V at any doc-id checkpoint is a
+    // prefix count over 32 fixed id buckets, and N is the matching
+    // prefix of per-bucket token mass — two bounded 32-row prefix
+    // scans, never a corpus window. The log-log line then reuses the
+    // q219 OLS closed form with ln values pinned to exact ppb
+    // integers (round(ln·10⁹) — the q200/q214 decimal-ln trick made
+    // integral), so all five sufficient statistics are exact
+    // DECIMAL(38,0)/HUGEINT and β is ONE IEEE division. Emits the
+    // exponent, the ln-intercept (no cross-engine exp), and the
+    // final V/N. */
+    "q227_heaps_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = documents(s, d)
+        .select(col("doc_id"), toks.as("ts"))
+        .filter(size(col("ts")) >= 3)
+      val grams = docs.select(col("doc_id"),
+        explode(tokenTrigrams(col("ts"))).as("g"))
+      val span = docs.agg(min(col("doc_id")).as("mn"),
+        (max(col("doc_id")) - min(col("doc_id")) + 1).as("w"))
+      // bucket i ∈ [0, 31]: fixed doc-id stripes (exact integer DIV —
+      // never float division on ids); checkpoint i = the corpus
+      // prefix through stripe i
+      val vNew = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fdoc"))
+        .crossJoin(broadcast(span))
+        .groupBy(expr("CAST((fdoc - mn) * 32 DIV w AS INT)").as("b"))
+        .agg(count(lit(1)).as("dv"))
+      val nNew = grams.crossJoin(broadcast(span))
+        .groupBy(expr("CAST((doc_id - mn) * 32 DIV w AS INT)").as("b"))
+        .agg(count(lit(1)).as("dn"))
+      val wc = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ≤32 rows from here on — every window/aggregate below is
+      // geometry-bounded
+      val pts = vNew.join(nNew, Seq("b"), "full")
+        .select(col("b"), coalesce(col("dv"), lit(0L)).as("dv"),
+          coalesce(col("dn"), lit(0L)).as("dn"))
+        .withColumn("v", sum(col("dv")).over(wc))
+        .withColumn("n", sum(col("dn")).over(wc))
+        .filter(col("v") > 0 && col("n") > 0)
+        .select(
+          (log(col("n").cast("double")).cast(
+            org.apache.spark.sql.types.DecimalType(20, 9)) *
+            lit(1000000000L)).cast("long").as("x"),
+          (log(col("v").cast("double")).cast(
+            org.apache.spark.sql.types.DecimalType(20, 9)) *
+            lit(1000000000L)).cast("long").as("y"),
+          col("v"), col("n"))
+      val fit = pts.agg(count(lit(1)).as("k"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec19) * col("y").cast(dec19)).cast(dec).as("sxy"),
+          sum(col("x").cast(dec19) * col("x").cast(dec19)).cast(dec).as("sxx"),
+          max(col("v")).as("vocab"), max(col("n")).as("tokens"))
+        .withColumn("num",
+          col("k").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den",
+          col("k").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      fit.select(col("k").as("n_points"), col("vocab"), col("tokens"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("beta"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / (col("den") * lit(1000000000L).cast(dec))
+            .cast("double")).as("ln_k"))
+    }),
+
     // Stratified quota sampling (L5ee — the per-source subsample every
     // eval set and data ablation starts from): the global budget
     // (total/[[SampleDen]]) apportions across sources by Hamilton's
@@ -2384,6 +2458,67 @@ object TextQueries {
            a.n AS n_a, b.n AS n_b
          FROM v a JOIN v b ON a.tok < b.tok
          WHERE levenshtein(a.tok, b.tok) <= $FuzzyD""",
+
+    // q227: identical stripes, first-seen identity, ppb-integer ln
+    // values (the decimal-rounded ln trick made integral), HUGEINT
+    // sufficient statistics — β and ln K are single divisions of the
+    // same exact integers.
+    "q227_heaps_fit" ->
+      """WITH d2 AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+           FROM d2),
+         span AS (SELECT min(doc_id) AS mn,
+                    max(doc_id) - min(doc_id) + 1 AS w FROM d2),
+         vnew AS (
+           SELECT CAST((f.min_doc - s.mn) * 32 // s.w AS INT) AS b,
+             count(*) AS dv
+           FROM (SELECT g, min(doc_id) AS min_doc FROM grams GROUP BY g) f
+           CROSS JOIN span s GROUP BY 1),
+         nnew AS (
+           SELECT CAST((doc_id - s.mn) * 32 // s.w AS INT) AS b,
+             count(*) AS dn
+           FROM grams CROSS JOIN span s GROUP BY 1),
+         pts0 AS (
+           SELECT coalesce(v.b, n.b) AS b, coalesce(dv, 0) AS dv,
+             coalesce(dn, 0) AS dn
+           FROM vnew v FULL JOIN nnew n ON n.b = v.b),
+         pts1 AS (
+           SELECT b, sum(dv) OVER cw AS v, sum(dn) OVER cw AS n FROM pts0
+           WINDOW cw AS (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pts AS (
+           SELECT
+             CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(20,9))
+               * 1000000000 AS BIGINT) AS x,
+             CAST(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(20,9))
+               * 1000000000 AS BIGINT) AS y,
+             v, n
+           FROM pts1 WHERE v > 0 AND n > 0),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             CAST(max(v) AS BIGINT) AS vocab,
+             CAST(max(n) AS BIGINT) AS tokens
+           FROM pts),
+         f AS (
+           SELECT k, vocab, tokens,
+             k * sxy - sx * sy AS num, k * sxx - sx * sx AS den,
+             sy * sxx - sx * sxy AS inum
+           FROM a)
+         SELECT k AS n_points, vocab, tokens,
+           CASE WHEN den = 0 THEN 0.0
+                ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS beta,
+           CASE WHEN den = 0 THEN 0.0
+                ELSE CAST(inum AS DOUBLE)
+                   / CAST(den * 1000000000 AS DOUBLE) END AS ln_k
+         FROM f""",
 
     // q207: identical Hamilton apportionment and md5 rank order.
     // budget·n_docs routes HUGEINT (DECIMAL(38,0) on the Spark side):

@@ -655,6 +655,25 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST × W26: q224's autocorrelation as a STREAM — the SEVENTH read
+    // tail of the shared daily-count store: the residuals and both
+    // quadratic sums are pure functions of the summed (type, day)
+    // grid, and counts add, so stream == batch BY ALGEBRA; oracle IS
+    // q224's batch SQL.
+    "q228_stream_acf" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q228-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q228-store"))
+      val ckpt = tmp("graft-q228-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.acfView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
     // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
     // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
     // day partials under batch_id, LSM-folded), merge-on-read
@@ -902,6 +921,11 @@ object StreamingQueries {
     // counts are all the sufficient statistics see.
     "q220_stream_ols" ->
       graft.operators.RelationalQueries.oracleSql("q219_ols_trend"),
+
+    // q228: the residual/quadratic sums are pure functions of the
+    // summed daily grid — identical derivation to the q224 batch chain.
+    "q228_stream_acf" ->
+      graft.operators.RelationalQueries.oracleSql("q224_acf"),
 
     // identical derivation to the q210 batch chain — (MIN, MAX)-merged
     // first-seen partials feed the same grid prefix sum

@@ -138,6 +138,10 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q221_spearman",         // TWO chained ScanSum rank axes + decimal d2
     "q222_ks_audit",         // ScanSum prefix CDFs + decimal cross-multiply max
     "q223_exact_quantiles",  // histogram boundary + ScanSum selection
+    "q224_acf",              // cleared-denominator lag join, decimal sums
+    "q225_chao1",            // count-of-counts rollup, decimal product
+    "q226_bloom_fpr",        // md5-slice bit table + anti-join negatives
+    "q227_heaps_fit",        // first-seen stripes + ppb-ln OLS
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1112,6 +1112,33 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus-cardinality window partition:\n${specs.mkString("\n")}")
   }
 
+  test("q224 ACF: lag equi-join over the grid — ZERO window nodes") {
+    val p = plan("q224_acf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the whole statistic is joins + aggregates; any Window here means
+    // someone reintroduced a sequential scan over the calendar
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"ACF must not window:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q226 bloom FPR: assembly is scalar broadcasts only; membership stage anti-joins") {
+    // the bit-table/anti-join subtree sits behind the two
+    // localCheckpoint stages (bits feeds load + membership, negatives
+    // feed probe + denominator), so audit the STAGE plan for the
+    // membership shape and the final assembly for scalar-only joins
+    val p = plan("q226_bloom_fpr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
+      s"only the two 1-row scalar broadcasts may nest-loop:\n$p")
+    val stage = plan("q134_bloom_decontam")
+    assert(stage.contains("BroadcastHashJoin"),
+      s"the bloom membership family must broadcast the bit table:\n$stage")
+  }
+
   test("q214 JSD: pair terms come from the tok equi-join, never all-pairs") {
     // the grid/smoothing subtree sits behind the `filled` checkpoint;
     // what remains visible is the pair join — it must be an equi-join

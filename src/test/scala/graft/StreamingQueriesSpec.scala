@@ -122,6 +122,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q205")
   }
 
+  test("q228: streamed ACF equals the one-shot batch autocorrelation") {
+    val got = q("q228_stream_acf")
+    val want = SparkEntry.queries("q224_acf")(spark, sf)
+    assert(got.count() > 0, "no ACF rows streamed")
+    assertSame(got, want, "q228")
+  }
+
   test("q220: streamed OLS trend equals the one-shot batch regression") {
     val got = q("q220_stream_ols")
     val want = SparkEntry.queries("q219_ols_trend")(spark, sf)

@@ -107,6 +107,122 @@ class TrendStatsSpec extends SparkTestBase {
     }
   }
 
+  test("q224: ACF equals a cleared-denominator BigInt replay; lag-7 rhythm visible") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }.toSeq
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val got = rows("q224_acf")
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    daily.map(_._1).distinct.foreach { t =>
+      val byDay = daily.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val ys = (d0 to d1).map(d => BigInt(byDay.getOrElse(d, 0L)))
+      val n = BigInt(ys.size); val s = ys.sum
+      val e = ys.map(y => n * y - s)
+      val den = e.map(x => x * x).sum
+      (1 to 7).foreach { k =>
+        val num = (0 until e.size - k).map(i => e(i) * e(i + k)).sum
+        val r = got((t, k.toLong))
+        val want = if (den == 0) 0.0 else num.toDouble / den.toDouble
+        assert(r.getDouble(2) == want, s"$t lag $k: ${r.getDouble(2)} != $want")
+        assert(r.getBoolean(3) == (num > 0), s"$t lag $k flag")
+      }
+    }
+    // the audit must read SOMETHING: at least one (type, lag) with
+    // nonzero memory in either direction
+    assert(rows("q224_acf").exists(r => r.getDouble(2) != 0.0),
+      "every autocorrelation exactly zero — vacuous")
+  }
+
+  test("q225: Chao1 equals a count-of-counts replay; estimate bounds observed") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val got = rows("q225_chao1").map(r => r.getString(0) -> r).toMap
+    toks.groupBy(_._1).foreach { case (src, xs) =>
+      val cnt = xs.groupBy(_._2).map(_._2.size)
+      val v = cnt.size.toLong; val n = cnt.map(_.toLong).sum
+      val f1 = cnt.count(_ == 1).toLong; val f2 = cnt.count(_ == 2).toLong
+      val r = got(src)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((v, n, f1, f2)), s"$src counts")
+      val chao1 = v.toDouble +
+        (BigInt(f1) * BigInt(f1 - 1)).toDouble / (2 * (f2 + 1)).toDouble
+      assert(r.getDouble(5) == chao1, s"$src chao1")
+      assert(r.getDouble(5) >= v.toDouble, s"$src estimate below observed")
+      assert(r.getDouble(6) == 1.0 - f1.toDouble / n.toDouble, s"$src coverage")
+    }
+  }
+
+  test("q226: Bloom FPR equals an exact MessageDigest replay; filter genuinely FPs") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def positions(g: String): Seq[Int] = Seq(1, 9, 17).map { o =>
+      Integer.parseInt(md5hex(g).substring(o - 1, o + 3), 16)
+    }
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.size >= 3)
+      .flatMap { case (id, ts) =>
+        ts.sliding(3).map(w => id -> w.mkString(" ")).toSeq.distinct
+      }
+    val bench = grams.filter(_._1 % 97 == 0).map(_._2).toSet
+    val neg = grams.filter(_._1 % 97 != 0).map(_._2).distinct.filterNot(bench)
+    val bits = bench.flatMap(positions)
+    val fp = neg.count(g => positions(g).forall(bits))
+    val r = rows("q226_bloom_fpr").head
+    assert(r.getLong(0) == neg.size.toLong, "n_neg")
+    assert(r.getLong(1) == bits.size.toLong, "bits_set")
+    assert(r.getLong(2) == fp.toLong, s"false_pos ${r.getLong(2)} != $fp")
+    assert(r.getDouble(3) == fp.toDouble / neg.size, "fpr")
+    val load = bits.size.toDouble / 65536.0
+    assert(r.getDouble(4) == load * load * load, "expected_fpr")
+    // the audit is only informative if the filter actually errs AND
+    // the negatives dominate (an empty negative set reads nothing)
+    assert(neg.nonEmpty && bits.nonEmpty, "vacuous audit inputs")
+  }
+
+  test("q227: Heaps fit equals a stripes + ppb-ln replay; growth is sublinear") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      .filter(_._2.size >= 3)
+    val grams = docs.flatMap { case (id, ts) =>
+      ts.sliding(3).map(w => id -> w.mkString(" ")) }
+    val mn = docs.map(_._1).min; val w = docs.map(_._1).max - mn + 1
+    def bkt(id: Long): Int = ((id - mn) * 32 / w).toInt
+    val dv = grams.groupBy(_._2).map(_._2.map(_._1).min)
+      .groupBy(bkt).map { case (b, xs) => b -> xs.size.toLong }
+    val dn = grams.groupBy(g => bkt(g._1)).map { case (b, xs) => b -> xs.size.toLong }
+    val bs = (dv.keySet ++ dn.keySet).toSeq.sorted
+    var v = 0L; var n = 0L
+    val pts = bs.flatMap { b =>
+      v += dv.getOrElse(b, 0L); n += dn.getOrElse(b, 0L)
+      if (v > 0 && n > 0) Some((v, n)) else None
+    }
+    def ppb(x: Long): BigInt = BigInt(BigDecimal(math.log(x.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).underlying
+      .movePointRight(9).longValueExact())
+    val k = BigInt(pts.size)
+    val sx = pts.map(p => ppb(p._2)).sum; val sy = pts.map(p => ppb(p._1)).sum
+    val sxy = pts.map(p => ppb(p._2) * ppb(p._1)).sum
+    val sxx = pts.map(p => ppb(p._2) * ppb(p._2)).sum
+    val num = k * sxy - sx * sy; val den = k * sxx - sx * sx
+    val beta = if (den == 0) 0.0 else num.toDouble / den.toDouble
+    val r = rows("q227_heaps_fit").head
+    assert(r.getLong(0) == pts.size.toLong, "n_points")
+    assert(r.getLong(1) == pts.last._1 && r.getLong(2) == pts.last._2,
+      "final vocab/tokens")
+    assert(r.getDouble(3) == beta, s"beta ${r.getDouble(3)} != $beta")
+    // Heaps regime: vocabulary grows, but sublinearly
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta outside the Heaps regime")
+  }
+
   test("q223: exact quantiles equal a full-sort selection at k = ceil(p*n)") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("value"))
