@@ -980,11 +980,18 @@ object QualityQueries {
     * (F₁ ~10¹⁰ squares past BIGINT at corpus scale; HUGEINT in the
     * oracle) and ONE IEEE division; coverage = 1 − F₁/N likewise.
     * Tokens hash-shuffle once; strings never re-shuffle. */
-  private[graft] def chao1Audit(docs: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    docs.select(col("source"), explode(toks).as("tok"))
+  private[graft] def chao1Audit(docs: DataFrame): DataFrame =
+    chao1View(docs.select(col("source"), explode(toks).as("tok"))
       .filter(length(col("tok")) > 0)
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+
+  /** The Chao1 tail over ANY per-(source, tok) count table — shared
+    * with the streaming vocabulary store (q229): per-token counts are
+    * addition-mergeable, and V/F₁/F₂/N are pure functions of the
+    * merged counts, so stream == batch BY ALGEBRA. */
+  private[graft] def chao1View(cnt: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    cnt
       .groupBy(col("source"))
       .agg(count(lit(1)).as("v_obs"), sum(col("c")).as("n_tokens"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),

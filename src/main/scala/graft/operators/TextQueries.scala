@@ -1216,48 +1216,11 @@ object TextQueries {
     // accumulation-order independent. The closed-form slope/intercept/
     // r² are mirrored operand-for-operand in the oracle, so the doubles
     // agree to the bit.
-    "q137_zipf_fit" -> ((s, d) => {
-      import graft.functions.Num.dsum
-      val counts = documents(s, d)
+    "q137_zipf_fit" -> ((s, d) =>
+      zipfFitView(documents(s, d)
         .select(explode(toks).as("tok"))
         .filter(length(col("tok")) > 0)
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(ZipfV)
-      val prior = top.select(col("tok").as("tok2"), col("cnt").as("cnt2"))
-      val ranked = top.join(broadcast(prior),
-          col("cnt2") > col("cnt") ||
-            (col("cnt2") === col("cnt") && col("tok2") <= col("tok")))
-        .groupBy(col("tok"), col("cnt")).agg(count(lit(1)).as("rn"))
-      // ln is the one transcendental in the oracle surface: JVM
-      // Math.log and DuckDB ln may disagree by 1 ulp, and at the raw
-      // DECIMAL(38,12) cast a 1-ulp diff flips the captured decimal
-      // whenever the value sits within ~1 ulp of a 0.5e-12 boundary
-      // (~2e-4 per term — a real flake across 2·ZipfV terms). Rounding
-      // each ln IN DECIMAL SPACE to scale 9 first widens the boundary
-      // 1000×: a flip now needs the true value within an ulp of a
-      // 0.5e-9 tie (~2e-7 per term). The decimal→double re-cast is
-      // correctly rounded in both engines, so downstream products and
-      // sums are bit-identical. Residual accepted risk: ~2e-7/term ulp
-      // ties plus Spark's shortest-repr vs DuckDB's true-binary
-      // double→decimal rounding on those same ties.
-      val lnR = (c: Column) =>
-        log(c.cast("double"))
-          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).cast("double")
-      val xy = ranked.select(lnR(col("rn")).as("x"), lnR(col("cnt")).as("y"))
-      xy.agg(count(lit(1)).cast("double").as("n"),
-          dsum(col("x"), 12).as("sx"), dsum(col("y"), 12).as("sy"),
-          dsum(col("x") * col("x"), 12).as("sxx"),
-          dsum(col("y") * col("y"), 12).as("syy"),
-          dsum(col("x") * col("y"), 12).as("sxy"))
-        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
-        .withColumn("slope", col("num") / col("denx"))
-        .select(lit(ZipfV.toLong).as("v"), col("n").cast("long").as("n_fit"),
-          col("slope"),
-          ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
-          ((col("num") * col("num")) / (col("denx") * col("deny"))).as("r2"))
-    }),
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))),
 
     // Budget-constrained corpus selection (L5j — fill a token budget
     // with the best documents, the mixing-under-budget step before
@@ -1613,6 +1576,51 @@ object TextQueries {
     * ≥ k + w − 1 = 8 chars yields at least one shared fingerprint. */
   /** q137 fit width: tokens ranked 1..V enter the regression. */
   private[graft] val ZipfV = 200
+
+  /** q137's Zipf log-log fit over ANY (tok, cnt) table — extracted so
+    * the streaming vocabulary store (q230) feeds the IDENTICAL tail:
+    * counts add, so the merged store reproduces the one-shot fit by
+    * algebra. Rank = ZipfV-bounded prior-count self-join (never a
+    * global window); ln values rounded in decimal space to scale 9
+    * (see the comment below for why), sums decimal-routed via dsum. */
+  private[graft] def zipfFitView(counts: DataFrame): DataFrame = {
+    import graft.functions.Num.dsum
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(ZipfV)
+    val prior = top.select(col("tok").as("tok2"), col("cnt").as("cnt2"))
+    val ranked = top.join(broadcast(prior),
+        col("cnt2") > col("cnt") ||
+          (col("cnt2") === col("cnt") && col("tok2") <= col("tok")))
+      .groupBy(col("tok"), col("cnt")).agg(count(lit(1)).as("rn"))
+    // ln is the one transcendental in the oracle surface: JVM
+    // Math.log and DuckDB ln may disagree by 1 ulp, and at the raw
+    // DECIMAL(38,12) cast a 1-ulp diff flips the captured decimal
+    // whenever the value sits within ~1 ulp of a 0.5e-12 boundary
+    // (~2e-4 per term — a real flake across 2·ZipfV terms). Rounding
+    // each ln IN DECIMAL SPACE to scale 9 first widens the boundary
+    // 1000×: a flip now needs the true value within an ulp of a
+    // 0.5e-9 tie (~2e-7 per term). The decimal→double re-cast is
+    // correctly rounded in both engines, so downstream products and
+    // sums are bit-identical. Residual accepted risk: ~2e-7/term ulp
+    // ties plus Spark's shortest-repr vs DuckDB's true-binary
+    // double→decimal rounding on those same ties.
+    val lnR = (c: Column) =>
+      log(c.cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 9)).cast("double")
+    val xy = ranked.select(lnR(col("rn")).as("x"), lnR(col("cnt")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x"), 12).as("sx"), dsum(col("y"), 12).as("sy"),
+        dsum(col("x") * col("x"), 12).as("sxx"),
+        dsum(col("y") * col("y"), 12).as("syy"),
+        dsum(col("x") * col("y"), 12).as("sxy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", col("num") / col("denx"))
+      .select(lit(ZipfV.toLong).as("v"), col("n").cast("long").as("n_fit"),
+        col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        ((col("num") * col("num")) / (col("denx") * col("deny"))).as("r2"))
+  }
 
   /** q139 audit-sample gate: docs whose md5 bucket (0..255) falls below
     * this enter the dedup evaluation (192 = a 3/4 deterministic

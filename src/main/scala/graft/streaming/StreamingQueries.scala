@@ -279,6 +279,58 @@ object StreamingQueries {
       s.read.parquet(pairsDir).select("doc_a", "doc_b", "jaccard")
     }),
 
+    // ST26 × D25: q225's Chao1 unseen-vocabulary estimate as a STREAM
+    // — the FIRST tail of a NEW mergeable unit, the per-(source, tok)
+    // vocabulary store (the daily-count store's sibling on a
+    // data-sized key space): per-batch partial counts under batch_id,
+    // LSM-folded mid-run, merge-on-read SUM feeding the SAME
+    // chao1View; counts add, so stream == batch BY ALGEBRA and the
+    // oracle IS q225's batch SQL.
+    "q229_stream_chao1" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val landing = tmp("graft-q229-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w &&
+          col("doc_id") < mn + (i + 1) * w), landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q229-store"))
+      val ckpt = tmp("graft-q229-ckpt")
+      withCompactionEvery2(s) {
+        StreamingVocab.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.QualityQueries.chao1View(
+        StreamingVocab.counts(s, store))
+    }),
+
+    // ST27 × D1: q137's Zipf fit as a STREAM — the SECOND tail of the
+    // vocabulary store: the fit reads source-summed token counts, and
+    // counts add across batches AND sources, so the merged store feeds
+    // the IDENTICAL zipfFitView; oracle IS q137's batch SQL.
+    "q230_stream_zipf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val landing = tmp("graft-q230-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w &&
+          col("doc_id") < mn + (i + 1) * w), landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q230-store"))
+      val ckpt = tmp("graft-q230-ckpt")
+      withCompactionEvery2(s) {
+        StreamingVocab.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.TextQueries.zipfFitView(
+        StreamingVocab.counts(s, store)
+          .groupBy(col("tok")).agg(sum(col("c")).as("cnt")))
+    }),
+
     // ST7 stream–static decontamination: the static blocklist broadcasts,
     // the document stream is tagged statelessly; oracle re-derives every
     // doc's contaminated flag from the trigram overlap in DuckDB.
@@ -926,6 +978,13 @@ object StreamingQueries {
     // summed daily grid — identical derivation to the q224 batch chain.
     "q228_stream_acf" ->
       graft.operators.RelationalQueries.oracleSql("q224_acf"),
+
+    // q229/q230: the vocabulary store's merge-on-read sums feed the
+    // identical chao1/zipf tails — per-token counts are all they see.
+    "q229_stream_chao1" ->
+      graft.operators.QualityQueries.oracleSql("q225_chao1"),
+    "q230_stream_zipf" ->
+      graft.operators.TextQueries.oracleSql("q137_zipf_fit"),
 
     // identical derivation to the q210 batch chain — (MIN, MAX)-merged
     // first-seen partials feed the same grid prefix sum

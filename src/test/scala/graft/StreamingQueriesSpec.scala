@@ -122,6 +122,28 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q205")
   }
 
+  test("q229: streamed vocabulary store re-derives the one-shot Chao1 audit") {
+    val got = q("q229_stream_chao1")
+    val want = SparkEntry.queries("q225_chao1")(spark, sf)
+    assert(got.count() > 0, "no chao1 rows streamed")
+    assertSame(got, want, "q229")
+    // the store merge is load-bearing: a token that spans batches must
+    // count ONCE with its summed frequency, so per-source token mass
+    // must equal the corpus count exactly
+    val mass = got.agg(sum(col("n_tokens"))).head().getLong(0)
+    val corpus = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(mass == corpus, s"token mass $mass != corpus $corpus")
+  }
+
+  test("q230: streamed vocabulary store re-derives the one-shot Zipf fit") {
+    val got = q("q230_stream_zipf")
+    val want = SparkEntry.queries("q137_zipf_fit")(spark, sf)
+    assert(got.count() > 0, "no zipf rows streamed")
+    assertSame(got, want, "q230")
+  }
+
   test("q228: streamed ACF equals the one-shot batch autocorrelation") {
     val got = q("q228_stream_acf")
     val want = SparkEntry.queries("q224_acf")(spark, sf)
