@@ -77,6 +77,11 @@ object ApproxOracle {
     OracleExport.write(
       Multimodal.audioWindows(docs.select("doc_id")).toDF(),
       "audio_windows")
+    // q232: the per-window (energy, zero-crossing) pairs — DuckDB
+    // redoes the voiced/unvoiced gates, rollup and run segmentation
+    OracleExport.write(
+      Multimodal.audioZWindows(docs.select("doc_id")).toDF(),
+      "audio_zcr")
 
     // q106: the aggregated PCA moments — the export cut after which
     // both engines run identical sequential arithmetic (Pca.scala's

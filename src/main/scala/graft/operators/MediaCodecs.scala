@@ -418,6 +418,37 @@ object MediaCodecs {
     * the real RIFF parser: (win_idx, n_samples, Σ s²). Energy is an
     * exact BIGINT (|s| ≤ 32767 → ≤ win·2³⁰ per window), so the VAD
     * decision downstream is pure integer algebra. */
+  /** Per-window integer (energy, zero-crossing count) over a WAV
+    * payload — the two classic frame features of voiced/unvoiced
+    * segmentation (q232): zc counts STRICT sign changes between
+    * consecutive samples inside the window (s·prev < 0 — silence
+    * contributes none), so both features stay exact integers and the
+    * downstream gates are pure integer algebra like q148's VAD. */
+  def wavWindowStats(payload: Array[Byte],
+                     win: Int): Array[(Int, Int, Long, Long)] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val bytes = in.readAllBytes()
+      val nSamples = bytes.length / 2
+      def sample(i: Int): Long =
+        ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+      val nWin = (nSamples + win - 1) / win
+      Array.tabulate(nWin) { wi =>
+        var e = 0L; var zc = 0L
+        var i = wi * win
+        val end = math.min(nSamples, i + win)
+        val n = end - i
+        while (i < end) {
+          val s = sample(i)
+          e += s * s
+          if (i > wi * win && s * sample(i - 1) < 0) zc += 1
+          i += 1
+        }
+        (wi, n, e, zc)
+      }
+    } finally in.close()
+  }
+
   def wavWindowEnergies(payload: Array[Byte], win: Int): Array[(Int, Int, Long)] = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
     try {

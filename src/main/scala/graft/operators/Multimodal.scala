@@ -221,6 +221,22 @@ object Multimodal {
       })
   }
 
+  /** q232's per-window row: q148's energy window plus the
+    * zero-crossing count. */
+  case class AudioZWindow(asset_id: Long, win_idx: Int, n_samples: Int,
+                          energy: Long, zc: Long)
+
+  def audioZWindows(ids: DataFrame): Dataset[AudioZWindow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .filter(_ % 3 == 1)
+      .mapPartitions(_.flatMap { id =>
+        MediaCodecs.wavWindowStats(MediaCodecs.makeWavBursts(id), VadWin)
+          .map { case (wi, n, e, z) => AudioZWindow(id, wi, n, e, z) }
+      })
+  }
+
   case class ResizedCell(asset_id: Long, gx: Int, gy: Int,
                          luma_sum: Long, px: Long)
 

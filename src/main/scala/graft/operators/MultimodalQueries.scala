@@ -200,6 +200,42 @@ object MultimodalQueries {
              sum(col("energy")).as("energy_total"))
     }),
 
+    // Voiced/unvoiced audio segmentation (L4f — the ZCR×energy frame
+    // classifier real VAD pipelines run after q148's energy gate:
+    // voiced speech = high energy + LOW zero-crossing rate, fricative
+    // noise = high energy + HIGH ZCR). Both features are exact
+    // integers from the real RIFF decode, both gates are integer
+    // cross-multiplies (energy·4 ≥ n·amp²; zc·8 < n), and the longest
+    // voiced run derives from gaps-and-islands on win_idx — windows
+    // partition by asset_id (corpus-cardinality groups over bounded
+    // per-asset windows, the q155 shape). Oracle: the exported
+    // per-window rows re-gated and re-segmented relationally.
+    "q232_audio_zcr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Multimodal.audioZWindows(documents(s, d).select("doc_id")).toDF()
+      val active = col("energy") * 4 >=
+        col("n_samples").cast("long") * Multimodal.VadAmpSq
+      val voiced = active && col("zc") * 8 < col("n_samples").cast("long")
+      val flagged = w
+        .withColumn("a", when(active, 1L).otherwise(0L))
+        .withColumn("v", when(voiced, 1L).otherwise(0L))
+      val byAsset = Window.partitionBy(col("asset_id"))
+        .orderBy(col("win_idx").asc)
+      val runs = flagged.filter(col("v") === 1)
+        .withColumn("grp", col("win_idx") - row_number().over(byAsset))
+        .groupBy(col("asset_id"), col("grp")).agg(count(lit(1)).as("len"))
+        .groupBy(col("asset_id")).agg(max(col("len")).as("max_voiced_run"))
+      flagged.groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("a")).as("n_active"),
+          sum(col("v")).as("n_voiced"),
+          (sum(col("a")) - sum(col("v"))).as("n_unvoiced_active"),
+          sum(col("zc")).as("zc_total"))
+        .join(runs, Seq("asset_id"), "left")
+        .withColumn("max_voiced_run",
+          coalesce(col("max_voiced_run"), lit(0L)))
+    }),
+
     // Shot-boundary detection over shot-structured REAL GIFs (L4 video
     // segmentation — the standard frame-difference cut detector): a
     // transition whose consecutive-frame aHash Hamming clears
@@ -432,6 +468,39 @@ object MultimodalQueries {
             THEN win_idx END) AS BIGINT), -1) AS last_active,
           CAST(sum(energy) AS BIGINT) AS energy_total
           FROM ${graft.OracleExport.p("audio_windows")} GROUP BY asset_id""",
+
+    // q232: the exported per-window (energy, zc) rows re-gated with
+    // the same integer cross-multiplies, re-segmented with the same
+    // gaps-and-islands run grouping
+    "q232_audio_zcr" ->
+      s"""WITH w AS (
+           SELECT asset_id, win_idx, zc,
+             CASE WHEN energy * 4 >=
+               CAST(n_samples AS BIGINT) * ${Multimodal.VadAmpSq}
+               THEN 1 ELSE 0 END AS a,
+             CASE WHEN energy * 4 >=
+                 CAST(n_samples AS BIGINT) * ${Multimodal.VadAmpSq}
+               AND zc * 8 < CAST(n_samples AS BIGINT)
+               THEN 1 ELSE 0 END AS v
+           FROM ${graft.OracleExport.p("audio_zcr")}),
+         runs AS (
+           SELECT asset_id, CAST(max(len) AS BIGINT) AS max_voiced_run
+           FROM (
+             SELECT asset_id, grp, count(*) AS len FROM (
+               SELECT asset_id, win_idx,
+                 win_idx - row_number() OVER (PARTITION BY asset_id
+                   ORDER BY win_idx) AS grp
+               FROM w WHERE v = 1) i
+             GROUP BY asset_id, grp) l
+           GROUP BY asset_id)
+         SELECT w.asset_id, count(*) AS n_windows,
+           CAST(sum(a) AS BIGINT) AS n_active,
+           CAST(sum(v) AS BIGINT) AS n_voiced,
+           CAST(sum(a) - sum(v) AS BIGINT) AS n_unvoiced_active,
+           CAST(sum(zc) AS BIGINT) AS zc_total,
+           coalesce(max(r.max_voiced_run), 0) AS max_voiced_run
+         FROM w LEFT JOIN runs r ON r.asset_id = w.asset_id
+         GROUP BY w.asset_id""",
 
     // q155: the exported per-frame rows re-segmented — same lag, same
     // integer Hamming gate, same running-cut shot ids, same rollup

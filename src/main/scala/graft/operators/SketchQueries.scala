@@ -281,6 +281,60 @@ object SketchQueries {
           sum(coalesce(col("exact_grams"), lit(0L))).as("exact_grams"))
     }),
 
+    // Multi-granularity HLL distinct (SK9 — "distinct users at every
+    // rollup level from ONE scan": the sketch algebra DISTRIBUTES
+    // over the grouping-sets lattice because registers max-merge —
+    // a coarse level's registers are exactly the max of its fine
+    // level's, so one Expand pass computes every level's sketch and
+    // the levels are CONSISTENT by construction, which post-hoc
+    // per-level count-distincts never are. q145's estimator × q215's
+    // lattice, over (event_type, dow) / (event_type) / (). The exact
+    // distinct rides along from a second grouping-sets pass over the
+    // same 3-column projection, so the query is its own accuracy
+    // audit; est is the single division of exact integers. */
+    "q231_hll_rollup" -> ((s, d) => {
+      val e = graft.Tables.events(s, d).select(col("event_type"),
+        ((expr("unix_micros(ts) DIV 86400000000") + 4) % 7).as("dow"),
+        col("user_id"))
+      val withReg = e
+        .withColumn("h", md5(col("user_id").cast("string").cast("binary")))
+        .select(col("event_type"), col("dow"),
+          hexSlice(col("h"), 1, 1).as("b"),
+          hexSlice(col("h"), 2, 8).as("x"))
+        .withColumn("rho", when(col("x") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("x")))))
+      val regs = withReg.groupingSets(
+          Seq(Seq(col("event_type"), col("dow"), col("b")),
+            Seq(col("event_type"), col("b")), Seq(col("b"))),
+          col("event_type"), col("dow"), col("b"))
+        .agg(max(col("rho")).as("m"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"), col("b"), col("m"))
+      // group universe per level: types×7 + types + 1 rows — bounded
+      val groups = e.select(col("event_type"), col("dow")).distinct()
+        .unionByName(e.select(col("event_type")).distinct()
+          .withColumn("dow", lit(-1L)))
+        .unionByName(s.range(1).select(lit("ALL").as("event_type"),
+          lit(-1L).as("dow")))
+      val grid = groups.crossJoin(broadcast(s.range(HllM).toDF("b")))
+      val ests = grid.join(regs, Seq("event_type", "dow", "b"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0)))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(pow(lit(2.0), lit(HllScale) - col("m")).cast("long"))
+          .as("s_scaled"))
+        .withColumn("est", lit(HllNumerator) / col("s_scaled").cast("double"))
+      val exact = e.groupingSets(
+          Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+            Seq.empty),
+          col("event_type"), col("dow"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"), col("n_exact"))
+      ests.join(exact, Seq("event_type", "dow"))
+        .select(col("event_type"), col("dow"), col("s_scaled"), col("est"),
+          col("n_exact"))
+    }),
+
     // Bloom false-positive-rate audit (D26 — "is the filter's error
     // what the math promised": the calibration check that decides
     // whether q134's m/k geometry is still right as the benchmark
@@ -582,6 +636,69 @@ object SketchQueries {
            CAST(sx.sx AS DOUBLE) / $AmsCounters AS f2_est,
            CAST(ex.f2 AS DOUBLE) AS f2_exact, ex.n_keys
          FROM x CROSS JOIN sx CROSS JOIN ex""",
+
+    // q231: the identical register construction per (type, dow), then
+    // the three lattice levels rebuilt EXPLICITLY (coarse registers =
+    // max over the fine table — the same identity the Spark Expand
+    // relies on), the same grid fill, harmonic sum and division;
+    // exact distincts via GROUPING SETS.
+    "q231_hll_rollup" ->
+      s"""WITH e AS (
+           SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             user_id
+           FROM events),
+         hashed AS (
+           SELECT DISTINCT event_type, dow,
+             md5(CAST(user_id AS VARCHAR)) AS h
+           FROM e),
+         xs AS (
+           SELECT event_type, dow, h,
+             CAST(sum((instr('0123456789abcdef',
+                 substr(h, CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 9 - i) AS BIGINT)) AS BIGINT) AS x
+           FROM hashed CROSS JOIN range(2, 10) r(i)
+           GROUP BY event_type, dow, h),
+         fine AS (
+           SELECT event_type, dow,
+             instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS b,
+             max(CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END) AS m
+           FROM xs GROUP BY event_type, dow, b),
+         regs AS (
+           SELECT event_type, dow, b, m FROM fine
+           UNION ALL
+           SELECT event_type, CAST(-1 AS BIGINT), b, max(m)
+           FROM fine GROUP BY event_type, b
+           UNION ALL
+           SELECT 'ALL', CAST(-1 AS BIGINT), b, max(m)
+           FROM fine GROUP BY b),
+         groups AS (
+           SELECT DISTINCT event_type, dow FROM e
+           UNION ALL SELECT DISTINCT event_type, CAST(-1 AS BIGINT) FROM e
+           UNION ALL SELECT 'ALL', CAST(-1 AS BIGINT)),
+         grid AS (
+           SELECT g.event_type, g.dow, r.range AS b
+           FROM groups g CROSS JOIN range(0, $HllM) r),
+         filled AS (
+           SELECT g.event_type, g.dow, g.b, coalesce(r.m, 0) AS m
+           FROM grid g LEFT JOIN regs r ON r.event_type = g.event_type
+             AND r.dow = g.dow AND r.b = g.b),
+         agg AS (
+           SELECT event_type, dow,
+             CAST(sum(CAST(power(2, $HllScale - m) AS BIGINT)) AS BIGINT)
+               AS s_scaled
+           FROM filled GROUP BY 1, 2),
+         exact AS (
+           SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(dow, -1) AS dow,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM e
+           GROUP BY GROUPING SETS ((event_type, dow), (event_type), ()))
+         SELECT a.event_type, a.dow, a.s_scaled,
+           $HllNumerator / CAST(a.s_scaled AS DOUBLE) AS est,
+           x.n_exact
+         FROM agg a JOIN exact x
+           ON x.event_type = a.event_type AND x.dow = a.dow""",
 
     // q226: the same md5-slice bit table and positions as q134's
     // oracle, negatives via EXCEPT, membership via k-of-k HAVING;

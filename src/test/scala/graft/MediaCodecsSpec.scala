@@ -221,6 +221,47 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("q232: ZCR segmentation equals a driver replay; both classes occur corpus-wide") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    val got = SparkEntry.queries("q232_audio_zcr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).filter(_ % 3 == 1)
+    assert(got.keySet == ids.toSet, "one row per audio asset")
+    var voicedSeen = 0L; var unvoicedSeen = 0L
+    ids.foreach { id =>
+      val wins = MediaCodecs.wavWindowStats(
+        MediaCodecs.makeWavBursts(id), Multimodal.VadWin)
+      def active(w: (Int, Int, Long, Long)) =
+        w._3 * 4 >= w._2.toLong * Multimodal.VadAmpSq
+      def voiced(w: (Int, Int, Long, Long)) =
+        active(w) && w._4 * 8 < w._2.toLong
+      val a = wins.count(active).toLong
+      val v = wins.count(voiced).toLong
+      // longest voiced run via the same gaps-and-islands identity
+      val runs = wins.filter(voiced).map(_._1).sorted.zipWithIndex
+        .groupBy { case (wi, i) => wi - i }.values
+        .map(_.size.toLong)
+      val want = (wins.length.toLong, a, v, a - v, wins.map(_._4).sum,
+        if (runs.isEmpty) 0L else runs.max)
+      assert(got(id) == want, s"asset $id: ${got(id)} != $want")
+      voicedSeen += v; unvoicedSeen += a - v
+    }
+    // the classifier must discriminate on this corpus: the synthetic
+    // burst frequencies span 200–2000 Hz, so both classes occur
+    assert(voicedSeen > 0 && unvoicedSeen > 0,
+      s"one-sided classifier (voiced=$voicedSeen unvoiced=$unvoicedSeen)")
+    // energy windows agree with q148's decode (same RIFF path)
+    ids.take(3).foreach { id =>
+      val e1 = MediaCodecs.wavWindowEnergies(
+        MediaCodecs.makeWavBursts(id), Multimodal.VadWin).map(_._3).toSeq
+      val e2 = MediaCodecs.wavWindowStats(
+        MediaCodecs.makeWavBursts(id), Multimodal.VadWin).map(_._3).toSeq
+      assert(e1 == e2, s"asset $id: stats/energies decode divergence")
+    }
+  }
+
   test("q155: detected cuts recover the PLANTED shot structure; signal is bimodal") {
     import graft.operators.{MediaCodecs, Multimodal}
     val ids = Tables.documents(spark, sf).select("doc_id").collect()

@@ -142,6 +142,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q225_chao1",            // count-of-counts rollup, decimal product
     "q226_bloom_fpr",        // md5-slice bit table + anti-join negatives
     "q227_heaps_fit",        // first-seen stripes + ppb-ln OLS
+    "q231_hll_rollup",       // register max through the lattice + division
+    "q232_audio_zcr",        // integer gates + islands runs per asset
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1112,6 +1112,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus-cardinality window partition:\n${specs.mkString("\n")}")
   }
 
+  test("q231 HLL rollup: the lattice is Expand passes, not per-level scans") {
+    val p = plan("q231_hll_rollup")
+    assert(!p.contains("CartesianProduct"), p)
+    // one Expand for the register lattice + one for the exact lattice;
+    // a third means someone unioned per-level scans back in
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Expand.*""")) <= 2,
+      s"more Expand passes than the two lattices:\n$p")
+  }
+
+  test("q232 audio ZCR: windows keyed by asset; no cartesian") {
+    val p = plan("q232_audio_zcr")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("asset_id")),
+      s"run segmentation must partition by asset:\n${specs.mkString("\n")}")
+  }
+
   test("q224 ACF: lag equi-join over the grid — ZERO window nodes") {
     val p = plan("q224_acf")
     assert(!p.contains("CartesianProduct"), p)

@@ -200,6 +200,54 @@ class SketchQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q231: lattice HLL equals a driver replay at every level; coarse = max of fine") {
+    import operators.SketchQueries.{HllM, HllScale, HllNumerator}
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        ((expr("unix_micros(ts) DIV 86400000000") + 4) % 7).as("dow"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def regsOf(users: Seq[Long]): Array[Int] = {
+      val m = Array.fill(HllM)(0)
+      users.foreach { u =>
+        val h = md5hex(u.toString)
+        val b = Integer.parseInt(h.substring(0, 1), 16)
+        val x = java.lang.Long.parseLong(h.substring(1, 9), 16)
+        val rho = if (x == 0) 33 else 33 - java.lang.Long.toBinaryString(x).length
+        if (rho > m(b)) m(b) = rho
+      }
+      m
+    }
+    def estOf(m: Array[Int]): (Long, Double) = {
+      val s = m.map(r => math.pow(2.0, (HllScale - r).toDouble).toLong).sum
+      (s, HllNumerator / s.toDouble)
+    }
+    val got = SparkEntry.queries("q231_hll_rollup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val levels: Seq[((String, Long), Seq[Long])] =
+      ev.groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).toSeq).toSeq ++
+      ev.groupBy(_._1).map { case (t, xs) => (t, -1L) -> xs.map(_._3).toSeq } ++
+      Seq(("ALL", -1L) -> ev.map(_._3).toSeq)
+    assert(got.keySet == levels.map(_._1).toSet, "level universe differs")
+    levels.foreach { case (key, users) =>
+      val (s, e) = estOf(regsOf(users))
+      val (gs, ge, gx) = got(key)
+      assert(gs == s && ge == e, s"$key sketch differs: ($gs,$ge) != ($s,$e)")
+      assert(gx == users.distinct.size.toLong, s"$key exact")
+    }
+    // the lattice identity itself: the ALL row's registers are the
+    // max-merge of the per-type registers — same s_scaled either way
+    val types = ev.map(_._1).distinct
+    val merged = types.map(t => regsOf(ev.filter(_._1 == t).map(_._3)))
+      .transpose.map(_.max).toArray
+    assert(estOf(merged)._1 == got(("ALL", -1L))._1,
+      "coarse registers are not the max of fine registers")
+  }
+
   test("q146: streaming HLL equals the one-shot batch q145 (sketch columns)") {
     val batch = SparkEntry.queries("q145_hll_distinct")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
