@@ -67,7 +67,10 @@ object ClusterVerify {
     "q206_fuzzy_vocab", "q207_stratified_sample", "q208_winsor_stats",
     "q209_session_paths", "q210_cumulative_distinct", "q212_hll_curve",
     "q213_gini_concentration", "q214_jsd_matrix", "q215_grouping_sets",
-    "q216_reconcile", "q218_embedding_contrast")
+    "q216_reconcile", "q218_embedding_contrast",
+    "q219_ols_trend", "q221_spearman", "q222_ks_audit",
+    "q223_exact_quantiles", "q224_acf", "q225_chao1", "q226_bloom_fpr",
+    "q227_heaps_fit", "q231_hll_rollup", "q232_audio_zcr")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

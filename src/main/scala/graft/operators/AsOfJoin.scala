@@ -48,4 +48,56 @@ object AsOfJoin {
       .filter(col("__tag") === 1 && col("__filled").isNotNull)
       .select(leftCols.map(col) :+ col("__filled").as(rightTsOut): _*)
   }
+
+  /** NEAREST as-of (J6b): attach the right timestamp CLOSEST in time —
+    * either direction — to each left row, ties to the earlier side.
+    * Same tag+union machinery as [[apply]], but with BOTH directional
+    * fills over one key shuffle: the backward branch is the inclusive
+    * `last(_, ignoreNulls)` prefix fill (right rows order before left
+    * at equal ts, so a dt = 0 match lands here — which also settles
+    * the |dt| tie toward the earlier side for free), the forward
+    * branch is the strictly-later `first(_, ignoreNulls)` suffix fill
+    * (equal-ts rights sort BEFORE the left row and stay out of its
+    * suffix frame — no double count). Requires a NUMERIC ts column
+    * (epoch micros) so the |dt| argmin is exact integer arithmetic.
+    * Still one shuffle, two in-partition sorts' worth of window work,
+    * no range explosion — linear in events per key, skew-safe. */
+  def nearest(left: DataFrame, right: DataFrame,
+              key: String, leftTs: String, rightTsOut: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tsType = right.schema(rightTsOut).dataType
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__rts", lit(null).cast(tsType))
+    val r0 = right
+      .withColumn("__ts", col(rightTsOut).cast(left.schema(leftTs).dataType))
+      .withColumn("__tag", lit(0))
+      .withColumn("__rts", col(rightTsOut))
+    val r = r0.select(
+      leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__ts"), col("__tag"), col("__rts")): _*)
+
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l.select(leftCols.map(col) ++ Seq(col("__ts"), col("__tag"), col("__rts")): _*)
+      .unionByName(r)
+      .withColumn("__back", last(col("__rts"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first(col("__rts"), ignoreNulls = true).over(wf))
+      .filter(col("__tag") === 1 &&
+        (col("__back").isNotNull || col("__fwd").isNotNull))
+      .withColumn("__near",
+        when(col("__fwd").isNull, col("__back"))
+          .when(col("__back").isNull, col("__fwd"))
+          .when(col("__ts") - col("__back") <= col("__fwd") - col("__ts"),
+            col("__back"))
+          .otherwise(col("__fwd")))
+      .select(leftCols.map(col) :+ col("__near").as(rightTsOut): _*)
+  }
 }

@@ -1005,7 +1005,42 @@ object QualityQueries {
           col("n_tokens").cast("double")).as("coverage"))
   }
 
+  /** Hash-bucket bootstrap confidence interval (D27 — "how sure is
+    * this corpus mean": the bag-of-little-bootstraps-shaped
+    * uncertainty estimate that needs NO resampling pass — 32
+    * deterministic md5 buckets are 32 independent-ish subsamples, the
+    * between-bucket spread of their means estimates the sampling
+    * variance, and the whole thing is two aggregations). Bucket means
+    * are single IEEE divisions of exact integers; their first two
+    * moments go through dsum (exact decimal accumulation) so the
+    * 32-term sums are order-independent; the CI arithmetic is one
+    * identical IEEE chain per engine (sqrt is correctly rounded).
+    * n_buckets < 2 defines a zero-width interval both sides. */
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
+    import graft.functions.Num.dsum
+    val m = docs
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("bkt",
+        expr("CAST(conv(substr(h, 1, 2), 16, 10) AS INT) DIV 8"))
+      .groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("nj"), sum(col("n_chars")).as("sj"))
+      .withColumn("mj", col("sj").cast("double") / col("nj").cast("double"))
+    val a = m.groupBy(col("lang"))
+      .agg(sum(col("nj")).as("n_docs"), count(lit(1)).as("k"),
+        dsum(col("mj"), 6).as("sm"),
+        dsum(col("mj") * col("mj"), 6).as("smm"))
+    val grand = col("sm") / col("k")
+    val half = when(col("k") < 2, lit(0.0)).otherwise(
+      lit(1.96) * sqrt(greatest(
+        (col("smm") - col("sm") * col("sm") / col("k")) / (col("k") - 1),
+        lit(0.0)) / col("k")))
+    a.select(col("lang"), col("n_docs"), col("k").as("n_buckets"),
+      grand.as("mean_chars"),
+      (grand - half).as("ci_lo"), (grand + half).as("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_bootstrap_ci" -> ((s, d) => bootstrapCi(documents(s, d))),
     "q225_chao1" -> ((s, d) => chao1Audit(documents(s, d))),
     "q221_spearman" -> ((s, d) => spearmanAudit(documents(s, d))),
     "q213_gini_concentration" -> ((s, d) =>
@@ -1027,6 +1062,37 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q234: identical md5 buckets, single-division bucket means,
+    // decimal-accumulated moments, the same IEEE CI chain.
+    "q234_bootstrap_ci" ->
+      """WITH b AS (
+           SELECT lang,
+             ((instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) // 8
+               AS bkt,
+             CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(n_chars) AS BIGINT) AS sj
+           FROM documents GROUP BY 1, 2),
+         m AS (SELECT lang, nj,
+                 CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE) AS mj FROM b),
+         a AS (
+           SELECT lang, CAST(sum(nj) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(mj AS DECIMAL(38,6))) AS DOUBLE) AS sm,
+             CAST(sum(CAST(mj * mj AS DECIMAL(38,6))) AS DOUBLE) AS smm
+           FROM m GROUP BY 1)
+         SELECT lang, n_docs, k AS n_buckets,
+           sm / k AS mean_chars,
+           sm / k - (CASE WHEN k < 2 THEN 0.0
+             ELSE 1.96 * sqrt(greatest(
+               (smm - sm * sm / k) / (k - 1), 0.0) / k) END) AS ci_lo,
+           sm / k + (CASE WHEN k < 2 THEN 0.0
+             ELSE 1.96 * sqrt(greatest(
+               (smm - sm * sm / k) / (k - 1), 0.0) / k) END) AS ci_hi
+         FROM a""",
+
     // q225: one count rollup; HUGEINT mirrors F₁(F₁−1); the same
     // additive double then single divisions.
     "q225_chao1" ->

@@ -1766,6 +1766,27 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n")))),
 
+    // Nearest as-of join (J6b — "the closest reference reading in
+    // EITHER direction": sensor alignment / error-to-purchase
+    // attribution where backward-only as-of (q19/J6) picks a stale
+    // match over an imminent one). Same one-shuffle tag+union
+    // machinery as J6, both directional fills over a single key sort,
+    // exact integer |Δt| argmin, ties to the earlier side. The oracle
+    // is the INDEPENDENT brute per-user candidate join + rank — the
+    // window derivation shares nothing with it.
+    "q233_nearest_asof" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus").as("ptus"))
+      AsOfJoin.nearest(err, pur, "user_id", "tus", "ptus")
+        .select(col("event_id"), col("user_id"), col("tus"), col("ptus"),
+          (col("ptus") - col("tus")).as("dt_us"),
+          (col("ptus") <= col("tus")).as("matched_backward"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov audit (D24 — "did the value
     // distribution shift between regimes": the distribution-free
     // drift test PSI (q200) approximates with bins, done EXACTLY).
@@ -2943,6 +2964,25 @@ object RelationalQueries {
              AS intercept,
            num > 0 AS rising
          FROM b""",
+
+    // q233: the INDEPENDENT brute derivation — per-user candidate
+    // join, |Δt| rank with the same earlier-side tie order.
+    "q233_nearest_asof" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+           FROM events),
+         err AS (SELECT event_id, user_id, tus FROM e
+                 WHERE event_type = 'error'),
+         pur AS (SELECT user_id, tus AS ptus FROM e
+                 WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT l.event_id, l.user_id, l.tus, r.ptus,
+             row_number() OVER (PARTITION BY l.event_id
+               ORDER BY abs(r.ptus - l.tus), r.ptus) AS rn
+           FROM err l JOIN pur r ON r.user_id = l.user_id)
+         SELECT event_id, user_id, tus, ptus,
+           ptus - tus AS dt_us, ptus <= tus AS matched_backward
+         FROM cand WHERE rn = 1""",
 
     // q224: identical grid; HUGEINT mirrors the cleared-denominator
     // residuals and both quadratic sums; one division per lag.

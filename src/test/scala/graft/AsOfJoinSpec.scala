@@ -24,6 +24,45 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map(1L -> 90L, 2L -> 50L, 4L -> 400L))
   }
 
+  test("nearest as-of picks the closer side; ties go to the earlier side") {
+    val errors = Seq(
+      (1L, "u1", 100L), // purchases at 90, 130 -> 90 (|10| < |30|)
+      (2L, "u1", 125L), // 90, 130 -> 130 (|5| < |35|)
+      (3L, "u1", 110L), // 90, 130 -> 90 (tie |20| both -> earlier)
+      (4L, "u2", 10L),  // only later purchase at 500 -> 500 (forward-only)
+      (5L, "u2", 900L), // only earlier -> 500 (backward-only)
+      (6L, "u3", 7L),   // u3 has no purchases -> dropped
+      (7L, "u4", 50L)   // equal-ts purchase at 50 -> 50 (dt = 0)
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      ("u1", 90L), ("u1", 130L), ("u2", 500L), ("u4", 50L)
+    ).toDF("user_id", "pts")
+
+    val out = AsOfJoin.nearest(errors, purchases, "user_id", "ts", "pts")
+      .select("event_id", "pts").as[(Long, Long)].collect().toMap
+
+    assert(out == Map(1L -> 90L, 2L -> 130L, 3L -> 90L,
+      4L -> 500L, 5L -> 500L, 7L -> 50L))
+  }
+
+  test("nearest as-of == brute-force argmin on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"u${rnd.nextInt(9)}", rnd.nextInt(1000).toLong))
+    val right = (1 to 200).map(_ =>
+      (s"u${rnd.nextInt(9)}", rnd.nextInt(1000).toLong))
+    val out = AsOfJoin.nearest(left.toDF("event_id", "user_id", "ts"),
+        right.toDF("user_id", "pts"), "user_id", "ts", "pts")
+      .select("event_id", "pts").as[(Long, Long)].collect().toMap
+    val byUser = right.groupBy(_._1)
+    val want = left.flatMap { case (id, u, ts) =>
+      byUser.get(u).map { cs =>
+        id -> cs.map(_._2).minBy(p => (math.abs(p - ts), p))
+      }
+    }.toMap
+    assert(out == want, s"nearest diverges from brute force")
+  }
+
   test("as-of join keeps all left payload columns") {
     val l = Seq((1L, "u1", 10L, "x")).toDF("id", "k", "ts", "payload")
     val r = Seq(("u1", 5L)).toDF("k", "rts")

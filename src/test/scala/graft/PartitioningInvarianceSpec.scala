@@ -144,6 +144,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q227_heaps_fit",        // first-seen stripes + ppb-ln OLS
     "q231_hll_rollup",       // register max through the lattice + division
     "q232_audio_zcr",        // integer gates + islands runs per asset
+    "q233_nearest_asof",     // dual directional fills + integer argmin
+    "q234_bootstrap_ci",     // md5 buckets + dsum moments + IEEE CI
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1112,6 +1112,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus-cardinality window partition:\n${specs.mkString("\n")}")
   }
 
+  test("q233 nearest as-of: one key shuffle, no range explosion") {
+    val p = plan("q233_nearest_asof")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must never candidate-join:\n$p")
+    // both directional fills ride user_id-keyed windows
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"fills must partition by the join key:\n${specs.mkString("\n")}")
+  }
+
   test("q231 HLL rollup: the lattice is Expand passes, not per-level scans") {
     val p = plan("q231_hll_rollup")
     assert(!p.contains("CartesianProduct"), p)

@@ -223,6 +223,40 @@ class TrendStatsSpec extends SparkTestBase {
     assert(beta > 0.0 && beta < 1.0, s"beta $beta outside the Heaps regime")
   }
 
+  test("q234: bucket-bootstrap CI equals a driver replay; interval brackets the mean") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = rows("q234_bootstrap_ci").map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (lang, xs) =>
+      val byB = xs.groupBy(x =>
+        Integer.parseInt(md5hex(x._2.toString).substring(0, 2), 16) / 8)
+      val ms = byB.values.map(g =>
+        g.map(_._3).sum.toDouble / g.size).toSeq
+      val k = ms.size
+      def dsum6(vs: Seq[Double]): Double =
+        vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      val sm = dsum6(ms); val smm = dsum6(ms.map(m => m * m))
+      val grand = sm / k
+      val half = if (k < 2) 0.0
+        else 1.96 * math.sqrt(math.max(
+          (smm - sm * sm / k) / (k - 1), 0.0) / k)
+      val r = got(lang)
+      assert(r.getLong(1) == xs.size.toLong && r.getLong(2) == k.toLong,
+        s"$lang counts")
+      assert(r.getDouble(3) == grand, s"$lang mean ${r.getDouble(3)} != $grand")
+      assert(r.getDouble(4) == grand - half && r.getDouble(5) == grand + half,
+        s"$lang interval")
+      // structure: the interval is non-degenerate and brackets the mean
+      assert(half > 0 && r.getDouble(4) < r.getDouble(3) &&
+        r.getDouble(3) < r.getDouble(5), s"$lang degenerate CI")
+    }
+  }
+
   test("q223: exact quantiles equal a full-sort selection at k = ceil(p*n)") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("value"))
