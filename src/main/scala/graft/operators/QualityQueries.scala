@@ -801,6 +801,49 @@ object QualityQueries {
         expr("gap_total DIV n").as("ece_ppm"))
   }
 
+  /** Isotonic (PAVA) calibration curve (D29 — the monotone
+    * recalibration fitted on top of q186's reliability bins before a
+    * confidence score is trusted as a probability; Ayer '55, Barlow &
+    * Brunk '72). Computed NOT by the sequential pool-adjacent-
+    * violators loop but by its closed MINIMAX form — fitted(i) =
+    * max_{j≤i} min_{k≥i} mean(y over bins j..k), a classical identity
+    * with the weighted PAVA solution — which is three joins over the
+    * ≤[[EceBins]]-row bin table (≤ 10³ segment rows end to end,
+    * bounded by the BIN grid, never the corpus; the corpus is only
+    * touched by the one binning aggregation). Segment means are ONE
+    * IEEE division of exact integer sums, so min/max over them are
+    * bit-stable cross-engine; the spec replays the sequential PAVA
+    * algorithm in Scala and the two must agree exactly. */
+  private[graft] def isotonicCalibration(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("n_chars"), toks.as("ts"))
+      .select(
+        expr(s"CAST(size(array_distinct(ts)) AS BIGINT) * $EceMass" +
+          s" DIV size(ts)").as("conf_ppm"),
+        (col("n_chars") >= EceLenBar).cast("long").as("pos"))
+      .withColumn("bin", least(lit(EceBins - 1),
+        expr(s"conf_ppm * $EceBins DIV $EceMass")))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("pos")).as("n_pos"))
+      .localCheckpoint() // ≤10 populated bins; feeds the bounded joins
+    val seg = bins.select(col("bin").as("j"))
+      .crossJoin(broadcast(bins.select(col("bin").as("k"))))
+      .filter(col("j") <= col("k"))
+      .join(broadcast(bins),
+        col("bin") >= col("j") && col("bin") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg((sum(col("n_pos")).cast("double") /
+        sum(col("n_b")).cast("double")).as("seg_mean"))
+    val fitted = bins.select(col("bin").as("i"))
+      .join(broadcast(seg), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("seg_mean")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("acc_iso"))
+    bins.join(broadcast(fitted), col("bin") === col("i"))
+      .select(col("bin"), col("n_b"),
+        (col("n_pos").cast("double") / col("n_b").cast("double"))
+          .as("acc_raw"),
+        col("acc_iso"))
+  }
+
   /** χ² token↔source feature selection (L5 — Yang & Pedersen '97's
     * strongest selector, the "which tokens characterize this source"
     * question behind domain tagging and contamination triage): doc-
@@ -1049,6 +1092,7 @@ object QualityQueries {
     "q185_kappa" -> ((s, d) => kappaAgreement(documents(s, d))),
     "q200_psi_drift" -> ((s, d) => psiDrift(documents(s, d))),
     "q186_calibration" -> ((s, d) => calibration(documents(s, d))),
+    "q241_isotonic" -> ((s, d) => isotonicCalibration(documents(s, d))),
     "q187_chi2_tokens" -> ((s, d) => chi2Tokens(documents(s, d))),
     "q168_good_turing" -> ((s, d) => goodTuring(documents(s, d))),
     "q85_rare_token_quality" -> ((s, d) => rareTokenQuality(documents(s, d))),
@@ -1312,6 +1356,41 @@ object QualityQueries {
            abs(sum_conf - n_pos * $EceMass) AS gap_mass,
            tot.gap_total // tot.n AS ece_ppm
          FROM bins CROSS JOIN tot""",
+
+    // q241: identical bins; segment means are the same single IEEE
+    // divisions of exact integer sums, and the minimax (max over j of
+    // min over k) is order-free over bit-identical doubles.
+    "q241_isotonic" ->
+      s"""WITH scored AS (
+           SELECT len(list_distinct(regexp_split_to_array(trim(text),
+               '\\s+'))) * $EceMass
+               // len(regexp_split_to_array(trim(text), '\\s+'))
+               AS conf_ppm,
+             CASE WHEN n_chars >= $EceLenBar THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         bins AS (
+           SELECT least(${EceBins - 1}, conf_ppm * $EceBins // $EceMass)
+               AS bin,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM scored GROUP BY 1),
+         seg AS (
+           SELECT j.bin AS j, k.bin AS k,
+             CAST(sum(b.n_pos) AS DOUBLE) / CAST(sum(b.n_b) AS DOUBLE)
+               AS seg_mean
+           FROM bins j JOIN bins k ON j.bin <= k.bin
+           JOIN bins b ON b.bin >= j.bin AND b.bin <= k.bin
+           GROUP BY 1, 2),
+         inner_min AS (
+           SELECT i.bin AS i, s.j, min(s.seg_mean) AS mn
+           FROM bins i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin
+           GROUP BY 1, 2),
+         fitted AS (
+           SELECT i, max(mn) AS acc_iso FROM inner_min GROUP BY 1)
+         SELECT b.bin, b.n_b,
+           CAST(b.n_pos AS DOUBLE) / CAST(b.n_b AS DOUBLE) AS acc_raw,
+           f.acc_iso
+         FROM bins b JOIN fitted f ON f.i = b.bin""",
 
     // q187: identical contingency, HUGEINT-routed subproducts, the
     // same (chi2 DESC, token ASC) total order and per-source cut.

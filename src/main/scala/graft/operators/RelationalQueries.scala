@@ -614,6 +614,73 @@ object RelationalQueries {
         (col("num") > 0).as("positive_memory"))
   }
 
+  /** q236/q240 Mann–Kendall trend test (Mann '45, Kendall '75 — the
+    * distribution-free "is this metric trending" companion to q219's
+    * OLS line: no linearity/normality assumption, robust to single
+    * outlier days). S = Σ_{i<j} sign(yⱼ − yᵢ) over the types ×
+    * calendar grid (zero days count, the q219 rule), computed as ONE
+    * self-join of the BROADCAST grid on type with dayᵢ < dayⱼ — the
+    * pair table is calendar²-bounded (≤ [[MaxGridDays]]²/2 per type,
+    * an axis that does NOT grow with the corpus), and there is no
+    * window anywhere. Tie-corrected variance 18·Var(S) =
+    * n(n−1)(2n+5) − Σ t(t−1)(2t+5) rides the same grid as one
+    * value-rollup; S, n and the tie sum stay BIGINT by construction
+    * (n ≤ [[MaxGridDays]] ⇒ n·(n−1)·(2n+5) ≤ 1.6·10¹³ ≪ 2⁶³ — the
+    * calendar cap, not the corpus, bounds every product). z applies
+    * the S∓1 continuity correction as the identical IEEE chain both
+    * engines evaluate over the same exact integers. The statistic is
+    * a pure function of the summed (type, day) grid and counts add,
+    * so the streaming twin (q240) reads the SAME view over the
+    * daily-count store — stream == batch BY ALGEBRA. */
+  def mannKendallView(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint() // feeds span + types + grid
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint() // feeds both pair legs + ties + n_days
+    val sstat = grid
+      .select(col("event_type"), col("day").as("da"), col("y").as("ya"))
+      .join(broadcast(grid.select(col("event_type").as("et2"),
+        col("day").as("db"), col("y").as("yb"))),
+        col("event_type") === col("et2") && col("da") < col("db"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s_stat"))
+    val nd = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val ties = grid.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_sum"))
+    sstat
+      .join(broadcast(nd), "event_type")
+      .join(broadcast(ties), "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) -
+          col("tie_sum")).as("var18"))
+      .withColumn("var_s", col("var18").cast("double") / 18.0)
+      .withColumn("z",
+        when(col("var18") === 0, lit(0.0))
+          .when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+      .withColumn("trending", abs(col("z")) > 1.96)
+      .withColumn("direction",
+        when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
+          .otherwise("flat"))
+      .drop("var18")
+  }
+
+  /** q239 censor horizon: a user last seen within this many days of
+    * the corpus edge is CENSORED (still alive), not churned — the
+    * standard right-censoring rule survival analysis exists for. */
+  private[graft] val KmCensorDays = 7L
+
   /** q208 winsorization bounds, bin-bracket percentiles on the
     * [[DiscBins]] grid (the q176/q181 cross-multiply rule): clip at
     * the p05 bin's LOWER edge and the p95 bin's UPPER edge, so the
@@ -2007,6 +2074,237 @@ object RelationalQueries {
         .select(col("user_id"), col("ts").as("click_ts"))
       AsOfJoin(purchases, clicks, "user_id", "ts", "click_ts")
         .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+    }),
+
+    // Mann–Whitney U audit (D28 — "did the value distribution SHIFT
+    // LOCATION between regimes": the rank-sum location test beside
+    // q222's sup-gap KS, sensitive to a median shift KS can dilute).
+    // Weekend vs weekday per event_type (the q222 split). Tied values
+    // take the midrank, exactly: per-(type, value) group counts, the
+    // combined cumulative count by ScanSum's distributed scan (never a
+    // per-type single-reducer window over the value axis), and the
+    // DOUBLED weekend rank-sum 2R = Σ c_we·(2·cum_before + c + 1)
+    // stays integral in DECIMAL(38,0) (~10²⁴ at 100 TB; HUGEINT in
+    // the oracle). The tie term T = Σ(c³−c) routes the same way (the
+    // q187 rule: the decimal route caps at ~3·10¹² events in one tied
+    // value group — past that the term moves to doubles after exact
+    // c², same answer to double precision). u, z and the 95 % flag
+    // are the identical IEEE chain both engines evaluate over the
+    // same exact integers — σ² = (n₁n₂/12)·((N+1) − T/(N(N−1))).
+    "q235_mwu_audit" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"), col("value"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .withColumn("we", (col("day") + 4) % 7 >= 5)
+      val cnt = ev.groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("we"), 1L).otherwise(0L)).as("cwe"),
+             sum(when(!col("we"), 1L).otherwise(0L)).as("cwd"))
+        .withColumn("c", col("cwe") + col("cwd"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("cwe")).as("nwe"), sum(col("cwd")).as("nwd"),
+          sum((col("c").cast(dec19) * col("c").cast(dec19) * col("c"))
+            .cast(dec) - col("c").cast(dec)).cast(dec).as("tie_t"))
+      val cum = graft.operators.ScanSum
+        .runningSum(cnt, "event_type", "value", "c", outCol = "cumc")
+      val r2 = cum
+        .select(col("event_type"), (col("cwe").cast(dec19) *
+          ((col("cumc") - col("c")) * 2 + col("c") + 1).cast(dec19))
+          .cast(dec).as("term"))
+        .groupBy(col("event_type")).agg(sum(col("term")).cast(dec).as("r2"))
+      r2.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("nwe").as("n_weekend"),
+          col("nwd").as("n_weekday"), (col("nwe") + col("nwd")).as("nn"),
+          (col("r2") - (col("nwe").cast(dec19) * (col("nwe") + 1)
+            .cast(dec19)).cast(dec)).cast(dec).as("u2"), col("tie_t"))
+        .withColumn("u", col("u2").cast("double") / 2.0)
+        .withColumn("mu",
+          col("n_weekend").cast("double") * col("n_weekday").cast("double")
+            / 2.0)
+        .withColumn("var_u",
+          col("n_weekend").cast("double") * col("n_weekday").cast("double")
+            / 12.0 * ((col("nn").cast("double") + 1.0) -
+              col("tie_t").cast("double") /
+                (col("nn").cast("double") * (col("nn").cast("double") - 1.0))))
+        .withColumn("z",
+          when(col("n_weekend") === 0 || col("n_weekday") === 0 ||
+            !(col("var_u") > 0.0), lit(0.0))
+            .otherwise((col("u") - col("mu")) / sqrt(col("var_u"))))
+        .select(col("event_type"), col("n_weekend"), col("n_weekday"),
+          col("u"), col("z"), (abs(col("z")) > 1.96).as("significant"))
+    }),
+
+    // Mann–Kendall trend test (W27): see [[mannKendallView]]. Pre-rolls
+    // to the same mergeable (type, day) count unit as q219/q224; the
+    // streaming twin (q240) reads the store through the IDENTICAL
+    // view — the EIGHTH tail of one daily ingest.
+    "q236_mann_kendall" -> ((s, d) =>
+      mannKendallView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Theil–Sen robust slope (W28 — the median-of-pairwise-slopes
+    // line that shrugs off the outlier days that bend q219's OLS;
+    // Theil '50, Sen '68): slopes over the same calendar²-bounded
+    // pair table as q236 (broadcast grid self-join, an axis that does
+    // not grow with the corpus), each slope ONE IEEE division of
+    // exact integers, and the LOWER MEDIAN (k = ⌈m/2⌉, deterministic
+    // under ties — the ordinal's VALUE is tie-order-free) located by
+    // ScanSum's distributed running count in slope order — no
+    // per-type sort task ever holds the whole pair table.
+    "q237_sen_slope" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds span + types + grid
+      val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("y"))
+        .localCheckpoint() // feeds both pair legs
+      val pairs = grid
+        .select(col("event_type"), col("day").as("da"), col("y").as("ya"))
+        .join(broadcast(grid.select(col("event_type").as("et2"),
+          col("day").as("db"), col("y").as("yb"))),
+          col("event_type") === col("et2") && col("da") < col("db"))
+        .select(col("event_type"),
+          ((col("yb") - col("ya")).cast("double") /
+            (col("db") - col("da")).cast("double")).as("slope"),
+          lit(1L).as("one"))
+      val m = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("k", expr("(n_pairs + 1) DIV 2"))
+      graft.operators.ScanSum
+        .runningSum(pairs, "event_type", "slope", "one", outCol = "rk")
+        .join(broadcast(m), "event_type")
+        .filter(col("rk") === col("k"))
+        .select(col("event_type"), col("n_pairs"), col("slope").as("sen_slope"))
+    }),
+
+    // CUPED variance-reduction audit (W29 — Deng et al. WSDM'13, the
+    // pre-period covariate adjustment every large experimentation
+    // platform applies before reading an A/B delta): per (type, user),
+    // x = pre-period event count, y = experiment-period count (the
+    // calendar split at its integer midpoint), variant = user_id % 2
+    // (the q166 assignment). θ = cov(x,y)/var(x) from FIVE exact
+    // sufficient statistics in DECIMAL(38,0) (the q219 closed form
+    // turned covariate-wise; HUGEINT in the oracle); the adjusted
+    // delta (ȳ₁−ȳ₀) − θ(x̄₁−x̄₀) and the variance-reduction ρ² =
+    // num²/(den_x·den_y) are the identical IEEE chains both engines
+    // evaluate (ρ²'s num² would pass 10³⁸, so it multiplies as
+    // doubles AFTER the exact numerator — same answer to double
+    // precision). One shuffle on (type, user), then everything is
+    // types-sized.
+    "q238_cuped" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val ux = ev.crossJoin(broadcast(span))
+        .withColumn("pre",
+          col("day") < col("d0") + expr("(d1 - d0 + 1) DIV 2"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("x"),
+             sum(when(!col("pre"), 1L).otherwise(0L)).as("y"))
+        .withColumn("v", col("user_id") % 2)
+        .localCheckpoint() // feeds pooled stats + per-variant means
+      val pooled = ux.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec19) * col("y").cast(dec19)).cast(dec)
+            .as("sxy"),
+          sum(col("x").cast(dec19) * col("x").cast(dec19)).cast(dec)
+            .as("sxx"),
+          sum(col("y").cast(dec19) * col("y").cast(dec19)).cast(dec)
+            .as("syy"))
+        .withColumn("num", col("n").cast(dec) * col("sxy") -
+          col("sx") * col("sy"))
+        .withColumn("denx", col("n").cast(dec) * col("sxx") -
+          col("sx") * col("sx"))
+        .withColumn("deny", col("n").cast(dec) * col("syy") -
+          col("sy") * col("sy"))
+      val byV = ux.groupBy(col("event_type"))
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+          coalesce(sum(when(col("v") === 0, col("x"))), lit(0L)).as("sx0"),
+          coalesce(sum(when(col("v") === 1, col("x"))), lit(0L)).as("sx1"),
+          coalesce(sum(when(col("v") === 0, col("y"))), lit(0L)).as("sy0"),
+          coalesce(sum(when(col("v") === 1, col("y"))), lit(0L)).as("sy1"))
+      pooled.join(broadcast(byV), "event_type")
+        .withColumn("theta", when(col("denx") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("denx").cast("double")))
+        .withColumn("diff_raw",
+          when(col("n0") === 0 || col("n1") === 0, lit(0.0))
+            .otherwise(col("sy1").cast("double") / col("n1").cast("double") -
+              col("sy0").cast("double") / col("n0").cast("double")))
+        .withColumn("diff_adj",
+          when(col("n0") === 0 || col("n1") === 0, lit(0.0))
+            .otherwise(col("diff_raw") - col("theta") *
+              (col("sx1").cast("double") / col("n1").cast("double") -
+                col("sx0").cast("double") / col("n0").cast("double"))))
+        .withColumn("var_reduction",
+          when(col("denx") === 0 || col("deny") === 0, lit(0.0))
+            .otherwise(col("num").cast("double") * col("num").cast("double") /
+              (col("denx").cast("double") * col("deny").cast("double"))))
+        .select(col("event_type"), col("n").as("n_users"), col("n0"),
+          col("n1"), col("theta"), col("diff_raw"), col("diff_adj"),
+          col("var_reduction"))
+    }),
+
+    // Kaplan–Meier retention curve (W30 — the right-censored survival
+    // estimate behind every churn dashboard; Kaplan & Meier '58): per
+    // (type, user) lifetime t = lday − fday, churned iff last seen ≥
+    // [[KmCensorDays]] before the corpus edge (everyone else is
+    // CENSORED — alive, at risk, not an event). Risk sets n_t come
+    // from ScanSum's distributed prefix count in duration order (the
+    // risk set is n − #shorter-lifetimes — never a per-type sort);
+    // the product Π(1 − d/n) goes through ppb-integer ln terms (the
+    // q200 decimal-rounding recipe made integral: rounding ln to 1e-9
+    // erases the cross-engine libm ulp, and the prefix SUM of exact
+    // BIGINTs is order-free), cumulated by a second ScanSum pass.
+    // ln_surv_ppb is the bit-exact integer answer; survival = exp of
+    // it is the human-readable double.
+    "q239_survival" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val dmax = ev.agg(max(col("day")).as("d1"))
+      val pu = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+        .crossJoin(broadcast(dmax))
+        .select(col("event_type"), (col("lday") - col("fday")).as("t"),
+          (col("lday") <= col("d1") - KmCensorDays).as("churned"))
+      val dur = pu.groupBy(col("event_type"), col("t"))
+        .agg(count(lit(1)).as("ct"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+      val ntot = dur.groupBy(col("event_type"))
+        .agg(sum(col("ct")).as("n_users"))
+      val risk = graft.operators.ScanSum
+        .runningSum(dur, "event_type", "t", "ct", outCol = "cumct")
+        .join(broadcast(ntot), "event_type")
+        .withColumn("n_risk",
+          col("n_users") - (col("cumct") - col("ct")))
+        .withColumn("ln_ppb",
+          when(col("d") === 0 || col("n_risk") === col("d"), 0L)
+            .otherwise((log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double"))
+              .cast(org.apache.spark.sql.types.DecimalType(20, 9)) *
+              1000000000).cast("long")))
+      graft.operators.ScanSum
+        .runningSum(risk, "event_type", "t", "ln_ppb", outCol = "ln_surv_ppb")
+        .select(col("event_type"), col("t").as("t_days"), col("n_risk"),
+          col("d").as("d_churn"), (col("ct") - col("d")).as("n_censored"),
+          col("ln_surv_ppb"),
+          when(col("n_risk") === col("d"), lit(0.0))
+            .otherwise(exp(col("ln_surv_ppb").cast("double") / 1.0e9))
+            .as("survival"))
     })
   )
 
@@ -3260,6 +3558,258 @@ object RelationalQueries {
            ON l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 2 DAY
          WHERE l_quantity > 49.0
-         GROUP BY l_returnflag, o_orderpriority"""
+         GROUP BY l_returnflag, o_orderpriority""",
+
+    // q235: identical (type, value) group counts and midrank algebra —
+    // the cumulative combined count via an ORDER BY value window (rows
+    // unique per (type, value)); HUGEINT mirrors the doubled rank-sum
+    // and the tie term; u/z/flag are the same IEEE chain.
+    "q235_mwu_audit" ->
+      """WITH e AS (
+           SELECT event_type, value,
+             (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we
+           FROM events),
+         cnt AS (
+           SELECT event_type, value,
+             CAST(count(*) FILTER (we) AS BIGINT) AS cwe,
+             CAST(count(*) FILTER (NOT we) AS BIGINT) AS cwd,
+             CAST(count(*) AS BIGINT) AS c
+           FROM e GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(cwe) AS BIGINT) AS nwe,
+             CAST(sum(cwd) AS BIGINT) AS nwd,
+             sum(CAST(c AS HUGEINT) * c * c - c) AS tie_t
+           FROM cnt GROUP BY 1),
+         cum AS (
+           SELECT event_type, cwe, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+           FROM cnt),
+         r AS (
+           SELECT event_type,
+             sum(CAST(cwe AS HUGEINT) * (2 * (cumc - c) + c + 1)) AS r2
+           FROM cum GROUP BY 1),
+         s AS (
+           SELECT r.event_type, t.nwe, t.nwd, t.nwe + t.nwd AS nn,
+             r.r2 - CAST(t.nwe AS HUGEINT) * (t.nwe + 1) AS u2, t.tie_t
+           FROM r JOIN tot t ON t.event_type = r.event_type),
+         v AS (
+           SELECT event_type, nwe, nwd,
+             CAST(u2 AS DOUBLE) / 2.0 AS u,
+             CAST(nwe AS DOUBLE) * CAST(nwd AS DOUBLE) / 2.0 AS mu,
+             CAST(nwe AS DOUBLE) * CAST(nwd AS DOUBLE) / 12.0 *
+               ((CAST(nn AS DOUBLE) + 1.0) - CAST(tie_t AS DOUBLE) /
+                 (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))) AS var_u
+           FROM s)
+         SELECT event_type, nwe AS n_weekend, nwd AS n_weekday, u,
+           CASE WHEN nwe = 0 OR nwd = 0 OR NOT (var_u > 0.0) THEN 0.0
+                ELSE (u - mu) / sqrt(var_u) END AS z,
+           abs(CASE WHEN nwe = 0 OR nwd = 0 OR NOT (var_u > 0.0) THEN 0.0
+                ELSE (u - mu) / sqrt(var_u) END) > 1.96 AS significant
+         FROM v""",
+
+    // q236: identical grid; the pair table is the same calendar²-
+    // bounded self-join; S, n and the tie sum stay BIGINT (calendar-
+    // capped); z is the same S∓1 continuity-corrected IEEE chain.
+    "q236_mann_kendall" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         s AS (
+           SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+           FROM g a JOIN g b
+             ON b.event_type = a.event_type AND a.day < b.day
+           GROUP BY 1),
+         nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM g GROUP BY 1),
+         ties AS (
+           SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+           FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+                 FROM g GROUP BY 1, 2) GROUP BY 1),
+         v AS (
+           SELECT s.event_type, nd.n_days, s.s_stat,
+             nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - t.tie_sum
+               AS var18
+           FROM s JOIN nd ON nd.event_type = s.event_type
+           JOIN ties t ON t.event_type = s.event_type)
+         SELECT event_type, n_days, s_stat,
+           CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+           CASE WHEN var18 = 0 THEN 0.0
+                WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z,
+           abs(CASE WHEN var18 = 0 THEN 0.0
+                WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END) > 1.96 AS trending,
+           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+                ELSE 'flat' END AS direction
+         FROM v""",
+
+    // q237: identical pair slopes (one IEEE division of the same
+    // exact integers); the lower-median ordinal's VALUE is tie-order-
+    // free, so row_number in any slope order is a faithful mirror of
+    // the ScanSum running count.
+    "q237_sen_slope" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         p AS (
+           SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+               AS slope
+           FROM g a JOIN g b
+             ON b.event_type = a.event_type AND a.day < b.day),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM p GROUP BY 1),
+         r AS (
+           SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope)
+               AS rk
+           FROM p)
+         SELECT r.event_type, m.n_pairs, r.slope AS sen_slope
+         FROM r JOIN m ON m.event_type = r.event_type
+         WHERE r.rk = (m.n_pairs + 1) // 2""",
+
+    // q238: identical (type, user) pre/post rollup and variant split;
+    // HUGEINT mirrors the five sufficient statistics; theta/deltas/ρ²
+    // are the same IEEE chains (ρ² multiplies as doubles AFTER the
+    // exact numerator on both sides).
+    "q238_cuped" ->
+      """WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         ux AS (
+           SELECT event_type, user_id,
+             CAST(count(*) FILTER (day < d0 + (d1 - d0 + 1) // 2)
+               AS BIGINT) AS x,
+             CAST(count(*) FILTER (day >= d0 + (d1 - d0 + 1) // 2)
+               AS BIGINT) AS y,
+             user_id % 2 AS v
+           FROM ev CROSS JOIN span GROUP BY 1, 2, d0, d1),
+         pooled AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM ux GROUP BY 1),
+         pq AS (
+           SELECT event_type, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+           FROM pooled),
+         byv AS (
+           SELECT event_type,
+             CAST(count(*) FILTER (v = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (v = 1) AS BIGINT) AS n1,
+             CAST(coalesce(sum(x) FILTER (v = 0), 0) AS BIGINT) AS sx0,
+             CAST(coalesce(sum(x) FILTER (v = 1), 0) AS BIGINT) AS sx1,
+             CAST(coalesce(sum(y) FILTER (v = 0), 0) AS BIGINT) AS sy0,
+             CAST(coalesce(sum(y) FILTER (v = 1), 0) AS BIGINT) AS sy1
+           FROM ux GROUP BY 1),
+         j AS (
+           SELECT p.event_type, p.n, b.n0, b.n1,
+             CASE WHEN p.denx = 0 THEN 0.0
+                  ELSE CAST(p.num AS DOUBLE) / CAST(p.denx AS DOUBLE) END
+               AS theta,
+             CASE WHEN b.n0 = 0 OR b.n1 = 0 THEN 0.0
+                  ELSE CAST(b.sy1 AS DOUBLE) / CAST(b.n1 AS DOUBLE)
+                     - CAST(b.sy0 AS DOUBLE) / CAST(b.n0 AS DOUBLE) END
+               AS diff_raw,
+             b.sx0, b.sx1, p.num, p.denx, p.deny
+           FROM pq p JOIN byv b ON b.event_type = p.event_type)
+         SELECT event_type, n AS n_users, n0, n1, theta, diff_raw,
+           CASE WHEN n0 = 0 OR n1 = 0 THEN 0.0
+                ELSE diff_raw - theta *
+                  (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) END
+             AS diff_adj,
+           CASE WHEN denx = 0 OR deny = 0 THEN 0.0
+                ELSE CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+                  (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) END
+             AS var_reduction
+         FROM j""",
+
+    // q239: identical lifetimes/censor rule; the risk set is the same
+    // prefix count (an ORDER BY t window — rows unique per (type, t));
+    // ln terms rounded to ppb integers the same way, summed exactly;
+    // survival = exp of the shared integer.
+    "q239_survival" ->
+      s"""WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dm AS (SELECT max(day) AS d1 FROM ev),
+         pu AS (
+           SELECT event_type, user_id, min(day) AS fday, max(day) AS lday
+           FROM ev GROUP BY 1, 2),
+         pc AS (
+           SELECT p.event_type, p.lday - p.fday AS t,
+             p.lday <= d.d1 - $KmCensorDays AS churned
+           FROM pu p CROSS JOIN dm d),
+         dur AS (
+           SELECT event_type, t, CAST(count(*) AS BIGINT) AS ct,
+             CAST(count(*) FILTER (churned) AS BIGINT) AS d
+           FROM pc GROUP BY 1, 2),
+         ntot AS (SELECT event_type, CAST(sum(ct) AS BIGINT) AS n_users
+                  FROM dur GROUP BY 1),
+         r AS (
+           SELECT du.event_type, du.t, du.ct, du.d,
+             CAST(n.n_users - (sum(du.ct) OVER w - du.ct) AS BIGINT)
+               AS n_risk
+           FROM dur du JOIN ntot n ON n.event_type = du.event_type
+           WINDOW w AS (PARTITION BY du.event_type ORDER BY du.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l AS (
+           SELECT *, CASE WHEN d = 0 OR n_risk = d THEN 0
+             ELSE CAST(CAST(ln(CAST(n_risk - d AS DOUBLE)
+               / CAST(n_risk AS DOUBLE)) AS DECIMAL(20,9))
+               * 1000000000 AS BIGINT) END AS ln_ppb
+           FROM r),
+         c AS (
+           SELECT *, CAST(sum(ln_ppb) OVER (PARTITION BY event_type
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS ln_surv_ppb
+           FROM l)
+         SELECT event_type, t AS t_days, n_risk, d AS d_churn,
+           ct - d AS n_censored, ln_surv_ppb,
+           CASE WHEN n_risk = d THEN 0.0
+                ELSE exp(CAST(ln_surv_ppb AS DOUBLE) / 1.0e9) END
+             AS survival
+         FROM c"""
   )
 }

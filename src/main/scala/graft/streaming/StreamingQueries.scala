@@ -726,6 +726,25 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST × W27: q236's Mann–Kendall trend test as a STREAM — the
+    // EIGHTH read tail of the shared daily-count store: S, the tie
+    // sum and the variance are pure functions of the summed (type,
+    // day) grid, and counts add, so stream == batch BY ALGEBRA;
+    // oracle IS q236's batch SQL.
+    "q240_stream_mk" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q240-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q240-store"))
+      val ckpt = tmp("graft-q240-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.mannKendallView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
     // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
     // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
     // day partials under batch_id, LSM-folded), merge-on-read
@@ -978,6 +997,11 @@ object StreamingQueries {
     // summed daily grid — identical derivation to the q224 batch chain.
     "q228_stream_acf" ->
       graft.operators.RelationalQueries.oracleSql("q224_acf"),
+
+    // q240: S, ties and variance are pure functions of the summed
+    // daily grid — identical derivation to the q236 batch chain.
+    "q240_stream_mk" ->
+      graft.operators.RelationalQueries.oracleSql("q236_mann_kendall"),
 
     // q229/q230: the vocabulary store's merge-on-read sums feed the
     // identical chao1/zipf tails — per-token counts are all they see.

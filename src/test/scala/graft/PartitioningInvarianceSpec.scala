@@ -146,6 +146,12 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q232_audio_zcr",        // integer gates + islands runs per asset
     "q233_nearest_asof",     // dual directional fills + integer argmin
     "q234_bootstrap_ci",     // md5 buckets + dsum moments + IEEE CI
+    "q235_mwu_audit",        // ScanSum midranks + decimal rank-sum
+    "q236_mann_kendall",     // broadcast-grid pair join, integer S/ties
+    "q237_sen_slope",        // pair slopes + ScanSum median selection
+    "q238_cuped",            // user rollup + decimal sufficient stats
+    "q239_survival",         // two chained ScanSum passes + ppb ln terms
+    "q241_isotonic",         // bounded bin joins + IEEE segment means
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

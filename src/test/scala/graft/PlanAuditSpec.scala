@@ -1154,6 +1154,71 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the 1-row span broadcast may nest-loop:\n$p")
   }
 
+  test("q235 MWU: midranks ride ScanSum; no per-type value-axis reducer") {
+    val p = plan("q235_mwu_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"the combined cumulative count bypassed ScanSum:\n${specs.mkString("\n")}")
+  }
+
+  test("q236 Mann–Kendall: broadcast-grid pair join — ZERO window nodes") {
+    val p = plan("q236_mann_kendall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"Mann–Kendall must not window:\n$p")
+    // the pair stage must hash-join on event_type (da<db is a join
+    // residual), so only the 1-row span broadcast may nest-loop
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q237 Sen slope: the median selection rides ScanSum's __pid scans") {
+    val p = plan("q237_sen_slope")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"the slope rank bypassed ScanSum:\n${specs.mkString("\n")}")
+  }
+
+  test("q238 CUPED: pure rollups and closed forms — ZERO window nodes") {
+    val p = plan("q238_cuped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"CUPED is sufficient statistics only:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q239 survival: risk sets and the ln prefix both ride ScanSum") {
+    val p = plan("q239_survival")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a KM pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row corpus-edge broadcast may nest-loop:\n$p")
+  }
+
+  test("q241 isotonic: only the bounded bin-grid joins may nest-loop") {
+    val p = plan("q241_isotonic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"the minimax is joins over the ≤10-row bin table:\n$p")
+    // j≤k grid, the j..k membership join, and the j≤i≤k cover join are
+    // range-condition nested loops over ≤10-row broadcasts — bounded
+    // by the BIN grid; anything more means a corpus-sized nest-loop
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 3,
+      s"more nest-loops than the three bounded bin-grid joins:\n$p")
+  }
+
   test("q226 bloom FPR: assembly is scalar broadcasts only; membership stage anti-joins") {
     // the bit-table/anti-join subtree sits behind the two
     // localCheckpoint stages (bits feeds load + membership, negatives

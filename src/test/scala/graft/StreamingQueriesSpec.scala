@@ -158,6 +158,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q220")
   }
 
+  test("q240: streamed Mann–Kendall equals the one-shot batch trend test") {
+    val got = q("q240_stream_mk")
+    val want = SparkEntry.queries("q236_mann_kendall")(spark, sf)
+    assert(got.count() > 0, "no Mann–Kendall rows streamed")
+    assertSame(got, want, "q240")
+  }
+
   test("q217: streamed KMV sketches re-cut to the one-shot batch overlap matrix") {
     val got = q("q217_stream_kmv")
     val want = SparkEntry.queries("q154_kmv_overlap")(spark, sf)

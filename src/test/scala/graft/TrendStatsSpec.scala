@@ -277,4 +277,231 @@ class TrendStatsSpec extends SparkTestBase {
       assert(p90 > p50, s"$t degenerate spread")
     }
   }
+
+  test("q235: MWU equals a BigInt midrank replay; ties exercised; z chain identical") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        (expr("unix_micros(ts) DIV 86400000000") + 4) % 7 >= 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val got = rows("q235_mwu_audit").map(r => r.getString(0) -> r).toMap
+    var tiesSeen = false
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val nwe = BigInt(xs.count(_._3)); val nwd = BigInt(xs.count(!_._3))
+      val nn = nwe + nwd
+      var cumBefore = BigInt(0); var r2 = BigInt(0); var tieT = BigInt(0)
+      xs.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        val c = BigInt(g.size); val cwe = BigInt(g.count(_._3))
+        r2 += cwe * (2 * cumBefore + c + 1)
+        tieT += c * c * c - c
+        if (c > 1) tiesSeen = true
+        cumBefore += c
+      }
+      val u2 = r2 - nwe * (nwe + 1)
+      val u = u2.toDouble / 2.0
+      val mu = nwe.toDouble * nwd.toDouble / 2.0
+      val varU = nwe.toDouble * nwd.toDouble / 12.0 *
+        ((nn.toDouble + 1.0) - tieT.toDouble / (nn.toDouble * (nn.toDouble - 1.0)))
+      val z = if (nwe == 0 || nwd == 0 || !(varU > 0.0)) 0.0
+              else (u - mu) / math.sqrt(varU)
+      val r = got(t)
+      assert(r.getLong(1) == nwe.toLong && r.getLong(2) == nwd.toLong, s"$t sides")
+      assert(r.getDouble(3) == u, s"$t u ${r.getDouble(3)} != $u")
+      assert(r.getDouble(4) == z, s"$t z ${r.getDouble(4)} != $z")
+      assert(r.getBoolean(5) == (math.abs(z) > 1.96), s"$t flag")
+      assert(nwe > 0 && nwd > 0, s"$t missing a sample side — vacuous split")
+    }
+    // tie correction must actually fire somewhere — a tie-free corpus
+    // leaves the midrank algebra untested
+    assert(tiesSeen, "no tied values anywhere — midrank path vacuous")
+  }
+
+  test("q236: Mann–Kendall equals a BigInt pair replay on the full grid") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }.toSeq
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val got = rows("q236_mann_kendall").map(r => r.getString(0) -> r).toMap
+    var trendSeen = false
+    daily.map(_._1).distinct.foreach { t =>
+      val byDay = daily.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      val n = ys.size
+      var s = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += (if (ys(j) > ys(i)) 1L else if (ys(j) < ys(i)) -1L else 0L)
+      val tieSum = ys.groupBy(identity).values
+        .map { g => val tt = g.size.toLong; tt * (tt - 1) * (2 * tt + 5) }.sum
+      val var18 = n.toLong * (n - 1) * (2L * n + 5) - tieSum
+      val varS = var18.toDouble / 18.0
+      val z = if (var18 == 0) 0.0
+              else if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+              else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+              else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == n.toLong, s"$t n_days")
+      assert(r.getLong(2) == s, s"$t S ${r.getLong(2)} != $s")
+      assert(r.getDouble(3) == varS, s"$t var_s")
+      assert(r.getDouble(4) == z, s"$t z ${r.getDouble(4)} != $z")
+      assert(r.getBoolean(5) == (math.abs(z) > 1.96), s"$t trending")
+      assert(r.getString(6) ==
+        (if (s > 0) "up" else if (s < 0) "down" else "flat"), s"$t direction")
+      if (s != 0) trendSeen = true
+    }
+    assert(trendSeen, "every S exactly zero — vacuous")
+  }
+
+  test("q237: Sen slope equals a sorted full-pair replay at the lower median") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }.toSeq
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val got = rows("q237_sen_slope").map(r => r.getString(0) -> r).toMap
+    daily.map(_._1).distinct.foreach { t =>
+      val byDay = daily.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      val n = ys.size
+      val slopes = (for (i <- 0 until n; j <- i + 1 until n)
+        yield (ys(j) - ys(i)).toDouble / (j - i).toDouble).sorted
+      val m = slopes.size
+      val r = got(t)
+      assert(r.getLong(1) == m.toLong, s"$t n_pairs")
+      assert(r.getDouble(2) == slopes((m + 1) / 2 - 1),
+        s"$t sen ${r.getDouble(2)} != ${slopes((m + 1) / 2 - 1)}")
+    }
+  }
+
+  test("q238: CUPED equals a BigInt sufficient-statistics replay; reduction non-vacuous") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d0 = ev.map(_._3).min; val d1 = ev.map(_._3).max
+    val mid = d0 + (d1 - d0 + 1) / 2
+    val got = rows("q238_cuped").map(r => r.getString(0) -> r).toMap
+    var reductionSeen = false
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val perUser = xs.groupBy(_._2).map { case (uid, es) =>
+        (uid, BigInt(es.count(_._3 < mid)), BigInt(es.count(_._3 >= mid)))
+      }.toSeq
+      val n = BigInt(perUser.size)
+      val sx = perUser.map(_._2).sum; val sy = perUser.map(_._3).sum
+      val sxy = perUser.map(p => p._2 * p._3).sum
+      val sxx = perUser.map(p => p._2 * p._2).sum
+      val syy = perUser.map(p => p._3 * p._3).sum
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+      val theta = if (denx == 0) 0.0 else num.toDouble / denx.toDouble
+      val v0 = perUser.filter(_._1 % 2 == 0); val v1 = perUser.filter(_._1 % 2 == 1)
+      val (n0, n1) = (BigInt(v0.size), BigInt(v1.size))
+      val (sx0, sx1) = (v0.map(_._2).sum, v1.map(_._2).sum)
+      val (sy0, sy1) = (v0.map(_._3).sum, v1.map(_._3).sum)
+      val diffRaw = if (n0 == 0 || n1 == 0) 0.0
+        else sy1.toDouble / n1.toDouble - sy0.toDouble / n0.toDouble
+      val diffAdj = if (n0 == 0 || n1 == 0) 0.0
+        else diffRaw - theta *
+          (sx1.toDouble / n1.toDouble - sx0.toDouble / n0.toDouble)
+      val varRed = if (denx == 0 || deny == 0) 0.0
+        else num.toDouble * num.toDouble / (denx.toDouble * deny.toDouble)
+      val r = got(t)
+      assert(r.getLong(1) == n.toLong, s"$t n_users")
+      assert(r.getLong(2) == n0.toLong && r.getLong(3) == n1.toLong, s"$t variants")
+      assert(r.getDouble(4) == theta, s"$t theta ${r.getDouble(4)} != $theta")
+      assert(r.getDouble(5) == diffRaw, s"$t diff_raw")
+      assert(r.getDouble(6) == diffAdj, s"$t diff_adj")
+      assert(r.getDouble(7) == varRed, s"$t var_reduction")
+      assert(varRed >= 0.0 && varRed <= 1.0, s"$t rho2 out of range")
+      if (varRed > 0.0) reductionSeen = true
+    }
+    assert(reductionSeen, "no type with any pre/post correlation — vacuous")
+  }
+
+  test("q239: KM survival equals a right-censored product-limit replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d1 = ev.map(_._3).max
+    val censor = graft.operators.RelationalQueries.KmCensorDays
+    val got = rows("q239_survival")
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    var censoredSeen = false
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val lifetimes = xs.groupBy(_._2).toSeq.map { case (_, es) =>
+        val f = es.map(_._3).min; val l = es.map(_._3).max
+        (l - f, l <= d1 - censor)
+      }
+      val nUsers = lifetimes.size.toLong
+      val byT = lifetimes.groupBy(_._1).toSeq.sortBy(_._1)
+      var before = 0L; var cum = 0L
+      byT.foreach { case (tt, g) =>
+        val ct = g.size.toLong; val d = g.count(_._2).toLong
+        val nRisk = nUsers - before
+        val lnPpb = if (d == 0 || nRisk == d) 0L
+          else (BigDecimal(math.log((nRisk - d).toDouble / nRisk.toDouble))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(1000000000)).toLongExact
+        cum += lnPpb
+        val surv = if (nRisk == d) 0.0 else math.exp(cum.toDouble / 1.0e9)
+        val r = got((t, tt))
+        assert(r.getLong(2) == nRisk, s"$t/$tt n_risk")
+        assert(r.getLong(3) == d, s"$t/$tt d_churn")
+        assert(r.getLong(4) == ct - d, s"$t/$tt n_censored")
+        assert(r.getLong(5) == cum, s"$t/$tt ln_surv_ppb ${r.getLong(5)} != $cum")
+        assert(r.getDouble(6) == surv, s"$t/$tt survival")
+        if (ct - d > 0) censoredSeen = true
+        before += ct
+      }
+      // the curve must be a genuine survival curve: non-increasing
+      val curve = byT.map(bt => got((t, bt._1)).getDouble(6))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b <= a },
+        s"$t survival not monotone: $curve")
+    }
+    assert(censoredSeen, "no censored user anywhere — the censor rule is vacuous")
+  }
+
+  test("q241: isotonic minimax equals a sequential PAVA replay; monotone") {
+    import graft.operators.QualityQueries
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val binned = docs.map { case (nc, text) =>
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty)
+      val conf = ts.distinct.length.toLong * QualityQueries.EceMass / ts.length
+      val bin = math.min(QualityQueries.EceBins - 1,
+        conf * QualityQueries.EceBins / QualityQueries.EceMass)
+      (bin, if (nc >= QualityQueries.EceLenBar) 1L else 0L)
+    }
+    val bins = binned.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.size.toLong, g.map(_._2).sum) }
+    // sequential weighted PAVA over (weight = n_b, value = n_pos/n_b),
+    // block means compared as exact integer cross-multiplies
+    case class Block(nb: Long, pos: Long, bins: List[Long])
+    val stack = bins.foldLeft(List.empty[Block]) { case (st, (b, nb, pos)) =>
+      var cur = Block(nb, pos, List(b)); var rest = st
+      while (rest.nonEmpty &&
+          rest.head.pos * cur.nb >= cur.pos * rest.head.nb) {
+        cur = Block(rest.head.nb + cur.nb, rest.head.pos + cur.pos,
+          rest.head.bins ++ cur.bins)
+        rest = rest.tail
+      }
+      cur :: rest
+    }.reverse
+    val pava = stack.flatMap(bl =>
+      bl.bins.map(_ -> bl.pos.toDouble / bl.nb.toDouble)).toMap
+    val got = rows("q241_isotonic").map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == bins.map(_._1).toSet, "bin sets differ")
+    bins.foreach { case (b, nb, pos) =>
+      val r = got(b)
+      assert(r.getLong(1) == nb, s"bin $b n_b")
+      assert(r.getDouble(2) == pos.toDouble / nb.toDouble, s"bin $b acc_raw")
+      assert(r.getDouble(3) == pava(b),
+        s"bin $b minimax ${r.getDouble(3)} != PAVA ${pava(b)}")
+    }
+    val curve = bins.map(b => got(b._1).getDouble(3))
+    assert(curve.zip(curve.tail).forall { case (a, c) => c >= a },
+      s"isotonic fit not monotone: $curve")
+    assert(bins.size >= 3, "fewer than 3 populated bins — vacuous")
+  }
 }
