@@ -676,6 +676,64 @@ object RelationalQueries {
       .drop("var18")
   }
 
+  /** q242/q243 seasonal Mann–Kendall (Hirsch & Slack '84 — the
+    * trend test that is BLIND to the weekly rhythm q188/q224 expose:
+    * plain MK on a strongly periodic series reads the period as
+    * noise, the seasonal variant compares only like-with-like):
+    * pairs are restricted to the SAME day-of-week stratum (arithmetic
+    * dow, the q188 rule), S = Σ_k S_k and 18·Var(S) = Σ_k
+    * [n_k(n_k−1)(2n_k+5) − ties_k] sum over the 7 strata. Same
+    * broadcast-grid pair join as [[mannKendallView]] with (type, dow)
+    * as the join key — the pair table is ~7× SMALLER than plain MK's
+    * and still calendar²-bounded; everything stays BIGINT by the
+    * calendar cap; zero windows. A pure function of the summed
+    * (type, day) grid → the streaming twin (q243) reads the SAME
+    * view over the daily-count store, the NINTH tail of one ingest. */
+  def seasonalMannKendallView(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint() // feeds span + types + grid
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), ((col("day") + 4) % 7).as("dow"),
+        col("day"), coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint() // feeds both pair legs + per-stratum ties/n
+    val sstat = grid
+      .select(col("event_type"), col("dow"), col("day").as("da"),
+        col("y").as("ya"))
+      .join(broadcast(grid.select(col("event_type").as("et2"),
+        col("dow").as("dow2"), col("day").as("db"), col("y").as("yb"))),
+        col("event_type") === col("et2") && col("dow") === col("dow2") &&
+          col("da") < col("db"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s_stat"))
+    val strata = grid.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nk"))
+    val ties = grid.groupBy(col("event_type"), col("dow"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_k"))
+    val var18 = strata.join(ties, Seq("event_type", "dow"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("nk")).as("n_days"),
+        sum(col("nk") * (col("nk") - 1) * (col("nk") * 2 + 5) -
+          col("tie_k")).as("var18"))
+    sstat.join(broadcast(var18), "event_type")
+      .withColumn("var_s", col("var18").cast("double") / 18.0)
+      .withColumn("z",
+        when(col("var18") === 0, lit(0.0))
+          .when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+      .withColumn("trending", abs(col("z")) > 1.96)
+      .select(col("event_type"), col("n_days"), col("n_strata"),
+        col("s_stat"), col("var_s"), col("z"), col("trending"))
+  }
+
   /** q239 censor horizon: a user last seen within this many days of
     * the corpus edge is CENSORED (still alive), not churned — the
     * standard right-censoring rule survival analysis exists for. */
@@ -2144,6 +2202,90 @@ object RelationalQueries {
           expr("unix_micros(ts) DIV 86400000000").as("day"))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n")))),
+
+    // Seasonal Mann–Kendall (W31): see [[seasonalMannKendallView]].
+    // Same daily-count unit; the streaming twin (q243) is the NINTH
+    // tail of the store.
+    "q242_seasonal_mk" -> ((s, d) =>
+      seasonalMannKendallView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Delta-method ratio-metric A/B readout (W32 — Deng, Knoblich &
+    // Lu KDD'18: the variance of a RATIO of per-user sums, which
+    // naive per-event variance understates because events within a
+    // user correlate; the analysis unit must be the randomization
+    // unit). Per (type, user): event count N and value cents S (value
+    // exact through DECIMAL(12,2)·100 — both engines round the same
+    // stored double to the same 2-dp decimal); per (type, variant =
+    // user_id % 2, the q166 assignment): SIX exact sufficient
+    // statistics in DECIMAL(38,0)/HUGEINT. R_v = ΣS/ΣN is one IEEE
+    // division; Var(R_v) applies the delta method
+    // n·(s_S² − 2R·s_SN + R²·s_N²)/((n−1)·(ΣN)²) as the identical
+    // IEEE chain both engines evaluate over the same exact integers
+    // (the cleared-numerator (co)variances stay decimal-exact; only
+    // the R-weighted combination is floating). One shuffle on
+    // (type, user), then everything is types-sized.
+    "q244_delta_ratio" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ux = events(s, d)
+        .select(col("event_type"), col("user_id"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("ne"), sum(col("cents")).as("sc"))
+        .withColumn("v", col("user_id") % 2)
+      val stats = ux.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ne")).cast(dec).as("sn"),
+          sum(col("sc")).cast(dec).as("ss"),
+          sum(col("ne").cast(dec19) * col("ne").cast(dec19)).cast(dec)
+            .as("snn"),
+          sum(col("sc").cast(dec19) * col("sc").cast(dec19)).cast(dec)
+            .as("sss"),
+          sum(col("sc").cast(dec19) * col("ne").cast(dec19)).cast(dec)
+            .as("ssn"))
+        .withColumn("r", when(col("sn") === 0, lit(0.0))
+          .otherwise(col("ss").cast("double") / col("sn").cast("double")))
+        .withColumn("vr",
+          when(col("n") < 2 || col("sn") === 0, lit(0.0))
+            .otherwise(col("n").cast("double") *
+              ((col("n").cast(dec) * col("sss") - col("ss") * col("ss"))
+                .cast("double") -
+               lit(2.0) * col("r") *
+                (col("n").cast(dec) * col("ssn") - col("ss") * col("sn"))
+                  .cast("double") +
+               col("r") * col("r") *
+                (col("n").cast(dec) * col("snn") - col("sn") * col("sn"))
+                  .cast("double")) /
+              ((col("n") - 1).cast("double") *
+                col("sn").cast("double") * col("sn").cast("double"))))
+      val wide = stats.groupBy(col("event_type"))
+        .agg(sum(when(col("v") === 0, col("n"))).as("n0"),
+          sum(when(col("v") === 1, col("n"))).as("n1"),
+          sum(when(col("v") === 0, col("r"))).as("r0"),
+          sum(when(col("v") === 1, col("r"))).as("r1"),
+          sum(when(col("v") === 0, col("vr"))).as("vr0"),
+          sum(when(col("v") === 1, col("vr"))).as("vr1"))
+      wide.select(col("event_type"),
+          coalesce(col("n0"), lit(0L)).as("n0"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("r0"), lit(0.0)).as("r0"),
+          coalesce(col("r1"), lit(0.0)).as("r1"),
+          (coalesce(col("r1"), lit(0.0)) - coalesce(col("r0"), lit(0.0)))
+            .as("diff"),
+          coalesce(col("vr0"), lit(0.0)).as("v0"),
+          coalesce(col("vr1"), lit(0.0)).as("v1"))
+        .withColumn("z",
+          when(!(col("v0") + col("v1") > 0.0), lit(0.0))
+            .otherwise(col("diff") / sqrt(col("v0") + col("v1"))))
+        .select(col("event_type"), col("n0"), col("n1"), col("r0"),
+          col("r1"), col("diff"), col("z"),
+          (abs(col("z")) > 1.96).as("significant"))
+    }),
 
     // Theil–Sen robust slope (W28 — the median-of-pairwise-slopes
     // line that shrugs off the outlier days that bend q219's OLS;
@@ -3810,6 +3952,119 @@ object RelationalQueries {
            CASE WHEN n_risk = d THEN 0.0
                 ELSE exp(CAST(ln_surv_ppb AS DOUBLE) / 1.0e9) END
              AS survival
-         FROM c"""
+         FROM c""",
+
+    // q242: identical grid + arithmetic dow; pairs restricted to the
+    // same stratum; per-stratum variance terms summed exactly; the
+    // same S∓1 continuity-corrected IEEE chain.
+    "q242_seasonal_mk" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, (g.day + 4) % 7 AS dow, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         s AS (
+           SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+           FROM g a JOIN g b
+             ON b.event_type = a.event_type AND b.dow = a.dow
+            AND a.day < b.day
+           GROUP BY 1),
+         strata AS (
+           SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nk
+           FROM g GROUP BY 1, 2),
+         ties AS (
+           SELECT event_type, dow,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_k
+           FROM (SELECT event_type, dow, y, CAST(count(*) AS BIGINT) AS t
+                 FROM g GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         v AS (
+           SELECT st.event_type, CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(st.nk) AS BIGINT) AS n_days,
+             CAST(sum(st.nk * (st.nk - 1) * (2 * st.nk + 5) - t.tie_k)
+               AS BIGINT) AS var18
+           FROM strata st JOIN ties t
+             ON t.event_type = st.event_type AND t.dow = st.dow
+           GROUP BY 1)
+         SELECT s.event_type, v.n_days, v.n_strata, s.s_stat,
+           CAST(v.var18 AS DOUBLE) / 18.0 AS var_s,
+           CASE WHEN v.var18 = 0 THEN 0.0
+                WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z,
+           abs(CASE WHEN v.var18 = 0 THEN 0.0
+                WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END) > 1.96 AS trending
+         FROM s JOIN v ON v.event_type = s.event_type""",
+
+    // q244: identical per-user rollup (cents through the same
+    // DECIMAL(12,2)·100 route), HUGEINT sufficient statistics, and
+    // the same delta-method IEEE chain — exact numerators cast to
+    // double exactly where the Spark plan casts them.
+    "q244_delta_ratio" ->
+      """WITH ux AS (
+           SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+               AS BIGINT) AS sc,
+             user_id % 2 AS v
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ne) AS HUGEINT) AS sn,
+             CAST(sum(sc) AS HUGEINT) AS ss,
+             sum(CAST(ne AS HUGEINT) * ne) AS snn,
+             sum(CAST(sc AS HUGEINT) * sc) AS sss,
+             sum(CAST(sc AS HUGEINT) * ne) AS ssn
+           FROM ux GROUP BY 1, 2),
+         rv AS (
+           SELECT event_type, v, n, sn, ss, snn, sss, ssn,
+             CASE WHEN sn = 0 THEN 0.0
+                  ELSE CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) END AS r
+           FROM st),
+         vv AS (
+           SELECT event_type, v, n, r,
+             CASE WHEN n < 2 OR sn = 0 THEN 0.0
+                  ELSE CAST(n AS DOUBLE) *
+                    (CAST(n * sss - ss * ss AS DOUBLE)
+                     - 2.0 * r * CAST(n * ssn - ss * sn AS DOUBLE)
+                     + r * r * CAST(n * snn - sn * sn AS DOUBLE)) /
+                    (CAST(n - 1 AS DOUBLE)
+                     * CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) END AS vr
+           FROM rv),
+         wide AS (
+           SELECT event_type,
+             CAST(coalesce(sum(n) FILTER (v = 0), 0) AS BIGINT) AS n0,
+             CAST(coalesce(sum(n) FILTER (v = 1), 0) AS BIGINT) AS n1,
+             coalesce(sum(r) FILTER (v = 0), 0.0) AS r0,
+             coalesce(sum(r) FILTER (v = 1), 0.0) AS r1,
+             coalesce(sum(vr) FILTER (v = 0), 0.0) AS v0,
+             coalesce(sum(vr) FILTER (v = 1), 0.0) AS v1
+           FROM vv GROUP BY 1),
+         z AS (
+           SELECT event_type, n0, n1, r0, r1, r1 - r0 AS diff,
+             CASE WHEN NOT (v0 + v1 > 0.0) THEN 0.0
+                  ELSE (r1 - r0) / sqrt(v0 + v1) END AS z
+           FROM wide)
+         SELECT event_type, n0, n1, r0, r1, diff, z,
+           abs(z) > 1.96 AS significant
+         FROM z"""
   )
 }

@@ -745,6 +745,25 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST × W31: q242's seasonal Mann–Kendall as a STREAM — the NINTH
+    // read tail of the shared daily-count store: per-stratum S, ties
+    // and variance are pure functions of the summed (type, day) grid,
+    // and counts add, so stream == batch BY ALGEBRA; oracle IS q242's
+    // batch SQL.
+    "q243_stream_seasonal_mk" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q243-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q243-store"))
+      val ckpt = tmp("graft-q243-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.seasonalMannKendallView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
     // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
     // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
     // day partials under batch_id, LSM-folded), merge-on-read
@@ -1002,6 +1021,11 @@ object StreamingQueries {
     // daily grid — identical derivation to the q236 batch chain.
     "q240_stream_mk" ->
       graft.operators.RelationalQueries.oracleSql("q236_mann_kendall"),
+
+    // q243: per-stratum S/ties/variance are pure functions of the
+    // summed daily grid — identical derivation to the q242 batch chain.
+    "q243_stream_seasonal_mk" ->
+      graft.operators.RelationalQueries.oracleSql("q242_seasonal_mk"),
 
     // q229/q230: the vocabulary store's merge-on-read sums feed the
     // identical chao1/zipf tails — per-token counts are all they see.

@@ -152,6 +152,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q238_cuped",            // user rollup + decimal sufficient stats
     "q239_survival",         // two chained ScanSum passes + ppb ln terms
     "q241_isotonic",         // bounded bin joins + IEEE segment means
+    "q242_seasonal_mk",      // stratum-keyed pair join, integer S/ties
+    "q244_delta_ratio",      // user rollup + decimal sufficient stats
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

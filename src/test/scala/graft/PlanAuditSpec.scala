@@ -1175,6 +1175,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the 1-row span broadcast may nest-loop:\n$p")
   }
 
+  test("q242 seasonal MK: stratum-keyed pair join — ZERO window nodes") {
+    val p = plan("q242_seasonal_mk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"seasonal MK must not window:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q244 delta-ratio: pure rollups and closed forms — ZERO window nodes") {
+    val p = plan("q244_delta_ratio")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"delta-method A/B is two rollups and a closed form:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"delta-method A/B must not window:\n$p")
+  }
+
   test("q237 Sen slope: the median selection rides ScanSum's __pid scans") {
     val p = plan("q237_sen_slope")
     assert(!p.contains("CartesianProduct"), p)

@@ -165,6 +165,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q240")
   }
 
+  test("q243: streamed seasonal MK equals the one-shot batch stratum test") {
+    val got = q("q243_stream_seasonal_mk")
+    val want = SparkEntry.queries("q242_seasonal_mk")(spark, sf)
+    assert(got.count() > 0, "no seasonal MK rows streamed")
+    assertSame(got, want, "q243")
+  }
+
   test("q217: streamed KMV sketches re-cut to the one-shot batch overlap matrix") {
     val got = q("q217_stream_kmv")
     val want = SparkEntry.queries("q154_kmv_overlap")(spark, sf)

@@ -351,6 +351,86 @@ class TrendStatsSpec extends SparkTestBase {
     assert(trendSeen, "every S exactly zero — vacuous")
   }
 
+  test("q242: seasonal MK equals a per-stratum BigInt pair replay") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }.toSeq
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val got = rows("q242_seasonal_mk").map(r => r.getString(0) -> r).toMap
+    daily.map(_._1).distinct.foreach { t =>
+      val byDay = daily.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val days = (d0 to d1).map(d => (d, (d + 4) % 7, byDay.getOrElse(d, 0L)))
+      var s = 0L; var var18 = 0L
+      (0L to 6L).foreach { dw =>
+        val ys = days.filter(_._2 == dw).sortBy(_._1).map(_._3)
+        val nk = ys.size
+        for (i <- 0 until nk; j <- i + 1 until nk)
+          s += (if (ys(j) > ys(i)) 1L else if (ys(j) < ys(i)) -1L else 0L)
+        val tieK = ys.groupBy(identity).values
+          .map { g => val tt = g.size.toLong; tt * (tt - 1) * (2 * tt + 5) }.sum
+        var18 += nk.toLong * (nk - 1) * (2L * nk + 5) - tieK
+      }
+      val z = if (var18 == 0) 0.0
+              else if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+              else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+              else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == (d1 - d0 + 1), s"$t n_days")
+      assert(r.getLong(2) == math.min(7L, d1 - d0 + 1), s"$t n_strata")
+      assert(r.getLong(3) == s, s"$t S ${r.getLong(3)} != $s")
+      assert(r.getDouble(4) == var18.toDouble / 18.0, s"$t var_s")
+      assert(r.getDouble(5) == z, s"$t z")
+      assert(r.getBoolean(6) == (math.abs(z) > 1.96), s"$t trending")
+    }
+  }
+
+  test("q244: delta-method ratio A/B equals a BigInt sufficient-stats replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = rows("q244_delta_ratio").map(r => r.getString(0) -> r).toMap
+    var sigDiscriminates = Set.empty[Boolean]
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val perUser = xs.groupBy(_._2).toSeq.map { case (uid, es) =>
+        (uid, BigInt(es.size), BigInt(es.map(_._3).sum))
+      }
+      def side(v: Int): (BigInt, Double, Double) = {
+        val us = perUser.filter(_._1 % 2 == v)
+        val n = BigInt(us.size)
+        val sn = us.map(_._2).sum; val ss = us.map(_._3).sum
+        val snn = us.map(u => u._2 * u._2).sum
+        val sss = us.map(u => u._3 * u._3).sum
+        val ssn = us.map(u => u._3 * u._2).sum
+        val r = if (sn == 0) 0.0 else ss.toDouble / sn.toDouble
+        val vr = if (n < 2 || sn == 0) 0.0
+          else n.toDouble *
+            ((n * sss - ss * ss).toDouble -
+             2.0 * r * (n * ssn - ss * sn).toDouble +
+             r * r * (n * snn - sn * sn).toDouble) /
+            ((n - 1).toDouble * sn.toDouble * sn.toDouble)
+        (n, r, vr)
+      }
+      val (n0, r0, v0) = side(0); val (n1, r1, v1) = side(1)
+      val diff = r1 - r0
+      val z = if (!(v0 + v1 > 0.0)) 0.0 else diff / math.sqrt(v0 + v1)
+      val r = got(t)
+      assert(r.getLong(1) == n0.toLong && r.getLong(2) == n1.toLong, s"$t n")
+      assert(r.getDouble(3) == r0, s"$t r0 ${r.getDouble(3)} != $r0")
+      assert(r.getDouble(4) == r1, s"$t r1")
+      assert(r.getDouble(5) == diff, s"$t diff")
+      assert(r.getDouble(6) == z, s"$t z ${r.getDouble(6)} != $z")
+      assert(r.getBoolean(7) == (math.abs(z) > 1.96), s"$t significant")
+      assert(v0 > 0.0 && v1 > 0.0, s"$t a variant with zero delta variance — vacuous")
+      sigDiscriminates += r.getBoolean(7)
+    }
+    // under a null A/A-style split the test should mostly NOT fire —
+    // all-significant would mean the variance is understated
+    assert(sigDiscriminates.contains(false),
+      "every type significant under the hash split — variance understated")
+  }
+
   test("q237: Sen slope equals a sorted full-pair replay at the lower median") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
