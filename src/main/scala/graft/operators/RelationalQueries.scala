@@ -734,6 +734,65 @@ object RelationalQueries {
         col("s_stat"), col("var_s"), col("z"), col("trending"))
   }
 
+  /** q244/q245 delta-method ratio-metric A/B readout over ANY
+    * per-(type, user) (ne = event count, sc = value cents) rollup —
+    * see the q244 registration comment for the algebra. Both inputs
+    * are addition-mergeable, so the streaming twin (q245) reads the
+    * SAME view over the per-(type, user) metric store — stream ==
+    * batch BY ALGEBRA, the store's first read tail. */
+  def deltaRatioView(ux0: DataFrame): DataFrame = {
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ux = ux0.withColumn("v", col("user_id") % 2)
+    val stats = ux.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ne")).cast(dec).as("sn"),
+        sum(col("sc")).cast(dec).as("ss"),
+        sum(col("ne").cast(dec19) * col("ne").cast(dec19)).cast(dec)
+          .as("snn"),
+        sum(col("sc").cast(dec19) * col("sc").cast(dec19)).cast(dec)
+          .as("sss"),
+        sum(col("sc").cast(dec19) * col("ne").cast(dec19)).cast(dec)
+          .as("ssn"))
+      .withColumn("r", when(col("sn") === 0, lit(0.0))
+        .otherwise(col("ss").cast("double") / col("sn").cast("double")))
+      .withColumn("vr",
+        when(col("n") < 2 || col("sn") === 0, lit(0.0))
+          .otherwise(col("n").cast("double") *
+            ((col("n").cast(dec) * col("sss") - col("ss") * col("ss"))
+              .cast("double") -
+             lit(2.0) * col("r") *
+              (col("n").cast(dec) * col("ssn") - col("ss") * col("sn"))
+                .cast("double") +
+             col("r") * col("r") *
+              (col("n").cast(dec) * col("snn") - col("sn") * col("sn"))
+                .cast("double")) /
+            ((col("n") - 1).cast("double") *
+              col("sn").cast("double") * col("sn").cast("double"))))
+    stats.groupBy(col("event_type"))
+      .agg(sum(when(col("v") === 0, col("n"))).as("n0"),
+        sum(when(col("v") === 1, col("n"))).as("n1"),
+        sum(when(col("v") === 0, col("r"))).as("r0"),
+        sum(when(col("v") === 1, col("r"))).as("r1"),
+        sum(when(col("v") === 0, col("vr"))).as("vr0"),
+        sum(when(col("v") === 1, col("vr"))).as("vr1"))
+      .select(col("event_type"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("r0"), lit(0.0)).as("r0"),
+        coalesce(col("r1"), lit(0.0)).as("r1"),
+        (coalesce(col("r1"), lit(0.0)) - coalesce(col("r0"), lit(0.0)))
+          .as("diff"),
+        coalesce(col("vr0"), lit(0.0)).as("v0"),
+        coalesce(col("vr1"), lit(0.0)).as("v1"))
+      .withColumn("z",
+        when(!(col("v0") + col("v1") > 0.0), lit(0.0))
+          .otherwise(col("diff") / sqrt(col("v0") + col("v1"))))
+      .select(col("event_type"), col("n0"), col("n1"), col("r0"),
+        col("r1"), col("diff"), col("z"),
+        (abs(col("z")) > 1.96).as("significant"))
+  }
+
   /** q239 censor horizon: a user last seen within this many days of
     * the corpus edge is CENSORED (still alive), not churned — the
     * standard right-censoring rule survival analysis exists for. */
@@ -2228,63 +2287,96 @@ object RelationalQueries {
     // (the cleared-numerator (co)variances stay decimal-exact; only
     // the R-weighted combination is floating). One shuffle on
     // (type, user), then everything is types-sized.
-    "q244_delta_ratio" -> ((s, d) => {
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val ux = events(s, d)
+    "q244_delta_ratio" -> ((s, d) =>
+      deltaRatioView(events(s, d)
         .select(col("event_type"), col("user_id"),
           (col("value").cast("decimal(12,2)") * 100).cast("long")
             .as("cents"))
         .groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("ne"), sum(col("cents")).as("sc"))
-        .withColumn("v", col("user_id") % 2)
-      val stats = ux.groupBy(col("event_type"), col("v"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("ne")).cast(dec).as("sn"),
-          sum(col("sc")).cast(dec).as("ss"),
-          sum(col("ne").cast(dec19) * col("ne").cast(dec19)).cast(dec)
-            .as("snn"),
-          sum(col("sc").cast(dec19) * col("sc").cast(dec19)).cast(dec)
-            .as("sss"),
-          sum(col("sc").cast(dec19) * col("ne").cast(dec19)).cast(dec)
-            .as("ssn"))
-        .withColumn("r", when(col("sn") === 0, lit(0.0))
-          .otherwise(col("ss").cast("double") / col("sn").cast("double")))
-        .withColumn("vr",
-          when(col("n") < 2 || col("sn") === 0, lit(0.0))
-            .otherwise(col("n").cast("double") *
-              ((col("n").cast(dec) * col("sss") - col("ss") * col("ss"))
-                .cast("double") -
-               lit(2.0) * col("r") *
-                (col("n").cast(dec) * col("ssn") - col("ss") * col("sn"))
-                  .cast("double") +
-               col("r") * col("r") *
-                (col("n").cast(dec) * col("snn") - col("sn") * col("sn"))
-                  .cast("double")) /
-              ((col("n") - 1).cast("double") *
-                col("sn").cast("double") * col("sn").cast("double"))))
-      val wide = stats.groupBy(col("event_type"))
-        .agg(sum(when(col("v") === 0, col("n"))).as("n0"),
-          sum(when(col("v") === 1, col("n"))).as("n1"),
-          sum(when(col("v") === 0, col("r"))).as("r0"),
-          sum(when(col("v") === 1, col("r"))).as("r1"),
-          sum(when(col("v") === 0, col("vr"))).as("vr0"),
-          sum(when(col("v") === 1, col("vr"))).as("vr1"))
-      wide.select(col("event_type"),
-          coalesce(col("n0"), lit(0L)).as("n0"),
-          coalesce(col("n1"), lit(0L)).as("n1"),
-          coalesce(col("r0"), lit(0.0)).as("r0"),
-          coalesce(col("r1"), lit(0.0)).as("r1"),
-          (coalesce(col("r1"), lit(0.0)) - coalesce(col("r0"), lit(0.0)))
-            .as("diff"),
-          coalesce(col("vr0"), lit(0.0)).as("v0"),
-          coalesce(col("vr1"), lit(0.0)).as("v1"))
-        .withColumn("z",
-          when(!(col("v0") + col("v1") > 0.0), lit(0.0))
-            .otherwise(col("diff") / sqrt(col("v0") + col("v1"))))
-        .select(col("event_type"), col("n0"), col("n1"), col("r0"),
-          col("r1"), col("diff"), col("z"),
-          (abs(col("z")) > 1.96).as("significant"))
+        .agg(count(lit(1)).as("ne"), sum(col("cents")).as("sc")))),
+
+    // Last-digit uniformity audit (D30 — Benford's (q183) forensic
+    // sibling: FIRST digits follow Benford, LAST digits of genuine
+    // fine-grained amounts are UNIFORM, and a spike at .00/.99 or a
+    // favored digit is the classic hand-entered/rounded-data tell;
+    // Nigrini '96). Per event_type over the cents last digit (cents
+    // exact through the q244 DECIMAL(12,2)·100 route, |·| guards the
+    // engines' shared dividend-sign % semantics): χ² against uniform
+    // on the explicit 10-digit grid (a digit with ZERO mass must
+    // contribute (n/10)², not vanish), cleared to the exact integer
+    // numerator Σ(10·O_d − n)² in DECIMAL(38,0)/HUGEINT (~10²⁷ at
+    // 100 TB), ONE IEEE division by 10n, and the df=9 95 % bar
+    // compared on the identical double.
+    "q246_digit_audit" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"),
+        (abs((col("value").cast("decimal(12,2)") * 100).cast("long"))
+          % 10).as("digit"))
+      val cnt = ev.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("o"))
+      val tot = cnt.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+      val grid = tot.crossJoin(broadcast(
+        s.range(0, 10).toDF("digit")))
+      grid.join(cnt, Seq("event_type", "digit"), "left")
+        .select(col("event_type"), col("n"),
+          ((coalesce(col("o"), lit(0L)) * 10 - col("n")).cast(dec19) *
+            (coalesce(col("o"), lit(0L)) * 10 - col("n")).cast(dec19))
+            .cast(dec).as("sq"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), sum(col("sq")).cast(dec).as("ssq"))
+        .select(col("event_type"), col("n"),
+          (col("ssq").cast("double") /
+            (col("n") * 10).cast("double")).as("chi2"))
+        // χ²_{9, 0.95} = 16.919: identical doubles on both engines
+        .withColumn("uniform", col("chi2") <= 16.919)
+    }),
+
+    // Cramér's V association audit (D31 — "is the event mix actually
+    // different across weekdays, and by how much": the effect-size
+    // companion the χ² tests (q166/q187) lack; Cramér '46). One
+    // types×7 contingency rollup (arithmetic dow, the q188 rule),
+    // χ² = n·Σ O²/(r_t·c_d) − n with every subproduct exact in
+    // DECIMAL(38,0)/HUGEINT (O²·n ≤ n³ ~ 10³⁶ at 100 TB), each cell
+    // ONE IEEE division accumulated through dsum (order-invariant),
+    // V = √(χ²/(n·min(r−1,c−1))) as the shared IEEE chain with a
+    // zero clamp against the ~1e-12 decimal-rounding dip. 1 row out.
+    "q247_cramers_v" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"),
+        ((expr("unix_micros(ts) DIV 86400000000") + 4) % 7).as("dow"))
+      val cells = ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // ≤types×7 rows; feeds margins + terms
+      val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val cols_ = cells.groupBy(col("dow")).agg(sum(col("o")).as("cd"))
+      val nAll = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("dow")).as("c"))
+      val terms = cells
+        .join(broadcast(rows), "event_type")
+        .join(broadcast(cols_), "dow")
+        .crossJoin(broadcast(nAll))
+        .select(col("n"), col("r"), col("c"),
+          (((col("o").cast(dec19) * col("o").cast(dec19)).cast(dec) *
+            col("n")).cast("double") /
+            (col("rt").cast(dec19) * col("cd").cast(dec19)).cast("double"))
+            .as("term"))
+      terms.groupBy(col("n"), col("r"), col("c"))
+        .agg(dsum(col("term"), 12).as("tsum"))
+        .select(col("n"), col("r").as("r_types"), col("c").as("c_dows"),
+          greatest(col("tsum") - col("n").cast("double"), lit(0.0))
+            .as("chi2"))
+        .withColumn("v",
+          when(col("r_types") < 2 || col("c_dows") < 2, lit(0.0))
+            .otherwise(sqrt(col("chi2") /
+              (col("n") * least(col("r_types") - 1, col("c_dows") - 1))
+                .cast("double"))))
+        .withColumn("band",
+          when(col("v") < 0.1, "negligible").when(col("v") < 0.3, "weak")
+            .when(col("v") < 0.5, "moderate").otherwise("strong"))
     }),
 
     // Theil–Sen robust slope (W28 — the median-of-pairwise-slopes
@@ -4065,6 +4157,79 @@ object RelationalQueries {
            FROM wide)
          SELECT event_type, n0, n1, r0, r1, diff, z,
            abs(z) > 1.96 AS significant
-         FROM z"""
+         FROM z""",
+
+    // q246: identical cents route and 10-digit grid; HUGEINT mirrors
+    // the cleared numerator; one division + the same df=9 bar.
+    "q246_digit_audit" ->
+      """WITH e AS (
+           SELECT event_type,
+             abs(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) % 10
+               AS digit
+           FROM events),
+         cnt AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS o
+                 FROM e GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n
+                 FROM cnt GROUP BY 1),
+         grid AS (SELECT t.event_type, t.n, CAST(r.range AS BIGINT) AS digit
+                  FROM tot t CROSS JOIN range(0, 10) r),
+         sq AS (
+           SELECT g.event_type, g.n,
+             CAST(coalesce(c.o, 0) * 10 - g.n AS HUGEINT)
+               * (coalesce(c.o, 0) * 10 - g.n) AS sq
+           FROM grid g LEFT JOIN cnt c
+             ON c.event_type = g.event_type AND c.digit = g.digit),
+         agg AS (SELECT event_type, max(n) AS n, sum(sq) AS ssq
+                 FROM sq GROUP BY 1)
+         SELECT event_type, n,
+           CAST(ssq AS DOUBLE) / CAST(n * 10 AS DOUBLE) AS chi2,
+           CAST(ssq AS DOUBLE) / CAST(n * 10 AS DOUBLE) <= 16.919
+             AS uniform
+         FROM agg""",
+
+    // q247: identical contingency and margins; each cell term the
+    // same exact-integer division; the decimal-routed sum mirrors
+    // dsum; the same clamp + sqrt chain.
+    "q247_cramers_v" ->
+      """WITH e AS (
+           SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+           FROM events),
+         cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+                   FROM e GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         cd AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cd
+                FROM cells GROUP BY 1),
+         nall AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                    CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                    CAST(count(DISTINCT dow) AS BIGINT) AS c
+                  FROM cells),
+         terms AS (
+           SELECT nall.n, nall.r, nall.c,
+             CAST(CAST(ce.o AS HUGEINT) * ce.o * nall.n AS DOUBLE)
+               / CAST(CAST(rt.rt AS HUGEINT) * cd.cd AS DOUBLE) AS term
+           FROM cells ce
+           JOIN rt ON rt.event_type = ce.event_type
+           JOIN cd ON cd.dow = ce.dow
+           CROSS JOIN nall),
+         agg AS (
+           SELECT n, r, c,
+             CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS tsum
+           FROM terms GROUP BY 1, 2, 3),
+         ch AS (
+           SELECT n, r AS r_types, c AS c_dows,
+             greatest(tsum - CAST(n AS DOUBLE), 0.0) AS chi2
+           FROM agg),
+         vv AS (
+           SELECT n, r_types, c_dows, chi2,
+             CASE WHEN r_types < 2 OR c_dows < 2 THEN 0.0
+                  ELSE sqrt(chi2 / CAST(n * least(r_types - 1, c_dows - 1)
+                    AS DOUBLE)) END AS v
+           FROM ch)
+         SELECT n, r_types, c_dows, chi2, v,
+           CASE WHEN v < 0.1 THEN 'negligible' WHEN v < 0.3 THEN 'weak'
+                WHEN v < 0.5 THEN 'moderate' ELSE 'strong' END AS band
+         FROM vv"""
   )
 }

@@ -764,6 +764,27 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST30 × W32: q244's delta-method ratio A/B as a STREAM — the
+    // FIRST tail of a NEW mergeable unit, the per-(event_type,
+    // user_id) metric store (the vocabulary store's sibling on the
+    // randomization-unit axis): per-batch partial (event count, value
+    // cents) sums under batch_id, LSM-folded, merge-on-read SUM →
+    // the same deltaRatioView; both metrics add → stream == batch BY
+    // ALGEBRA; oracle IS q244's batch SQL.
+    "q245_stream_delta_ratio" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q245-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q245-store"))
+      val ckpt = tmp("graft-q245-ckpt")
+      withCompactionEvery2(s) {
+        StreamingUserMetrics.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.deltaRatioView(
+        StreamingUserMetrics.metrics(s, store))
+    }),
+
     // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
     // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
     // day partials under batch_id, LSM-folded), merge-on-read
@@ -1026,6 +1047,12 @@ object StreamingQueries {
     // summed daily grid — identical derivation to the q242 batch chain.
     "q243_stream_seasonal_mk" ->
       graft.operators.RelationalQueries.oracleSql("q242_seasonal_mk"),
+
+    // q245: the six per-variant sufficient statistics are pure
+    // functions of the merged per-user (ne, sc) sums — identical
+    // derivation to the q244 batch chain.
+    "q245_stream_delta_ratio" ->
+      graft.operators.RelationalQueries.oracleSql("q244_delta_ratio"),
 
     // q229/q230: the vocabulary store's merge-on-read sums feed the
     // identical chao1/zipf tails — per-token counts are all they see.

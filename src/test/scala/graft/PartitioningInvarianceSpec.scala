@@ -154,6 +154,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q241_isotonic",         // bounded bin joins + IEEE segment means
     "q242_seasonal_mk",      // stratum-keyed pair join, integer S/ties
     "q244_delta_ratio",      // user rollup + decimal sufficient stats
+    "q246_digit_audit",      // digit grid + exact cleared numerator
+    "q247_cramers_v",        // contingency margins + dsum cell terms
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1194,6 +1194,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"delta-method A/B must not window:\n$p")
   }
 
+  test("q246 digit audit: grid rollup and one division — ZERO window nodes") {
+    val p = plan("q246_digit_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"the digit audit is a rollup + grid join:\n$p")
+    // the 10-row digit grid rides one broadcast nest-loop by design
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 10-row digit grid may nest-loop:\n$p")
+  }
+
+  test("q247 Cramér's V: bounded contingency — ZERO window nodes") {
+    val p = plan("q247_cramers_v")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"Cramér's V is one contingency rollup + margins:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row scalar broadcast may nest-loop:\n$p")
+  }
+
   test("q237 Sen slope: the median selection rides ScanSum's __pid scans") {
     val p = plan("q237_sen_slope")
     assert(!p.contains("CartesianProduct"), p)

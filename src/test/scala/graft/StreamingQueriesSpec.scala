@@ -172,6 +172,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q243")
   }
 
+  test("q245: streamed delta-ratio A/B equals the one-shot batch readout") {
+    val got = q("q245_stream_delta_ratio")
+    val want = SparkEntry.queries("q244_delta_ratio")(spark, sf)
+    assert(got.count() > 0, "no delta-ratio rows streamed")
+    assertSame(got, want, "q245")
+  }
+
   test("q217: streamed KMV sketches re-cut to the one-shot batch overlap matrix") {
     val got = q("q217_stream_kmv")
     val want = SparkEntry.queries("q154_kmv_overlap")(spark, sf)

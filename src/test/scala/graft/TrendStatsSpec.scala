@@ -431,6 +431,57 @@ class TrendStatsSpec extends SparkTestBase {
       "every type significant under the hash split — variance understated")
   }
 
+  test("q246: digit χ² equals a BigInt cleared-numerator replay over all 10 digits") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        abs((col("value").cast("decimal(12,2)") * 100).cast("long")) % 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = rows("q246_digit_audit").map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val n = BigInt(xs.size)
+      val byD = xs.groupBy(_._2).map { case (d, g) => d -> BigInt(g.size) }
+      val ssq = (0L to 9L).map { d =>
+        val diff = byD.getOrElse(d, BigInt(0)) * 10 - n; diff * diff
+      }.sum
+      val chi2 = ssq.toDouble / (n * 10).toDouble
+      val r = got(t)
+      assert(r.getLong(1) == n.toLong, s"$t n")
+      assert(r.getDouble(2) == chi2, s"$t chi2 ${r.getDouble(2)} != $chi2")
+      assert(r.getBoolean(3) == (chi2 <= 16.919), s"$t uniform")
+      // all ten digits must occur somewhere, or the zero-mass grid
+      // leg is untested corpus-wide
+      assert(byD.size >= 5, s"$t degenerate digit spread")
+    }
+  }
+
+  test("q247: Cramér's V equals a decimal-summed contingency replay; bounded") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (expr("unix_micros(ts) DIV 86400000000") + 4) % 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cells = ev.groupBy(identity).map { case ((t, d), g) =>
+      (t, d, BigInt(g.size)) }.toSeq
+    val rt = cells.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
+    val cd = cells.groupBy(_._2).map { case (d, g) => d -> g.map(_._3).sum }
+    val n = BigInt(ev.size)
+    val rr = rt.size; val cc = cd.size
+    // mirror dsum: exact decimal accumulation of the per-cell doubles
+    val tsum = cells.map { case (t, d, o) =>
+      BigDecimal((o * o * n).toDouble / (rt(t) * cd(d)).toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val chi2 = math.max(tsum - n.toDouble, 0.0)
+    val v = if (rr < 2 || cc < 2) 0.0
+            else math.sqrt(chi2 / (n * BigInt(math.min(rr - 1, cc - 1))).toDouble)
+    val r = rows("q247_cramers_v").head
+    assert(r.getLong(0) == n.toLong, "n")
+    assert(r.getLong(1) == rr.toLong && r.getLong(2) == cc.toLong, "dims")
+    assert(r.getDouble(3) == chi2, s"chi2 ${r.getDouble(3)} != $chi2")
+    assert(r.getDouble(4) == v, s"v ${r.getDouble(4)} != $v")
+    assert(v >= 0.0 && v <= 1.0, "V out of range")
+    assert(rows("q247_cramers_v").length == 1, "must be exactly one row")
+  }
+
   test("q237: Sen slope equals a sorted full-pair replay at the lower median") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
