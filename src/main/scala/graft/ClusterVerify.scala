@@ -70,7 +70,11 @@ object ClusterVerify {
     "q216_reconcile", "q218_embedding_contrast",
     "q219_ols_trend", "q221_spearman", "q222_ks_audit",
     "q223_exact_quantiles", "q224_acf", "q225_chao1", "q226_bloom_fpr",
-    "q227_heaps_fit", "q231_hll_rollup", "q232_audio_zcr")
+    "q227_heaps_fit", "q231_hll_rollup", "q232_audio_zcr",
+    "q235_mwu_audit", "q236_mann_kendall", "q237_sen_slope",
+    "q238_cuped", "q239_survival", "q241_isotonic",
+    "q242_seasonal_mk", "q244_delta_ratio", "q246_digit_audit",
+    "q247_cramers_v", "q248_quantile_norm")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

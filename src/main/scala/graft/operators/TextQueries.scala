@@ -77,6 +77,46 @@ object TextQueries {
         element_at(ts, i + 2), element_at(ts, i + 3)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-source quantile normalization (L5gg — Bolstad '03's
+    // microarray recipe applied to corpus curation: before comparing
+    // per-source quality/length statistics, align each source's
+    // distribution onto the pooled one, so a source that writes long
+    // documents is not mistaken for a source that writes good ones).
+    // Per doc: its rank i within the source and the pooled value at
+    // ordinal k = ⌈i·N/n_s⌉ — BOTH ranks from ScanSum's distributed
+    // running count in n_chars order (never a per-source or global
+    // sort task; tie order inside an equal-value run is irrelevant
+    // because the per-source AGGREGATE is tie-permutation-invariant),
+    // the ordinal product i·N routed DECIMAL(38,0) DIV (exact
+    // IntegralDivide — ~10²⁴ at 100 TB; HUGEINT // in the oracle),
+    // then ONE equi-join on k. Output: per-source raw vs normalized
+    // decimal-exact means — normalized means converge by construction,
+    // which is the audit's read.
+    "q248_quantile_norm" -> ((s, d) => {
+      import graft.functions.Num.davg
+      val docs = documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("g", lit("all")).withColumn("one", lit(1L))
+        .localCheckpoint() // feeds both rank passes + counts
+      val ranked = graft.operators.ScanSum
+        .runningSum(docs, "source", "n_chars", "one", outCol = "i")
+      val pooled = graft.operators.ScanSum
+        .runningSum(docs.select(col("g"), col("n_chars"), col("one")),
+          "g", "n_chars", "one", outCol = "k")
+        .select(col("k"), col("n_chars").as("pooled"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val nAll = docs.agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(ns), "source").crossJoin(broadcast(nAll))
+        .withColumn("k", expr(
+          """CAST((CAST(i AS DECIMAL(38,0)) * n + ns - 1)
+             DIV CAST(ns AS DECIMAL(19,0)) AS BIGINT)"""))
+        .join(pooled, "k")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          davg(col("n_chars")).as("mean_raw"),
+          davg(col("pooled")).as("mean_norm"))
+    }),
+
     // Corpus stats per (lang, source) — A9.
     "q20_text_stats" -> ((s, d) => {
       documents(s, d)
@@ -1793,6 +1833,34 @@ object TextQueries {
            FROM c)"""
 
   val oracleSql: Map[String, String] = Map(
+    // q248: identical ranks (row_number in the same n_chars order —
+    // tie order is aggregate-invariant), the same exact ceil-ordinal
+    // (HUGEINT //), the same decimal-exact means.
+    "q248_quantile_norm" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+         r AS (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars)
+               AS i,
+             count(*) OVER (PARTITION BY source) AS ns
+           FROM d),
+         p AS (
+           SELECT n_chars AS pooled,
+             row_number() OVER (ORDER BY n_chars) AS k
+           FROM d),
+         nall AS (SELECT count(*) AS n FROM d),
+         j AS (
+           SELECT r.source, r.n_chars, p.pooled
+           FROM r CROSS JOIN nall
+           JOIN p ON p.k = (CAST(r.i AS HUGEINT) * nall.n + r.ns - 1)
+             // r.ns)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+             AS mean_raw,
+           CAST(sum(CAST(pooled AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+             AS mean_norm
+         FROM j GROUP BY 1""",
+
     // q132: the chunk replay + per-source distinct over exact chunk
     // STRINGS (the md5-collision check), same pair join and counts.
     "q132_source_overlap" ->

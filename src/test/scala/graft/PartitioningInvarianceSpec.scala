@@ -156,6 +156,7 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q244_delta_ratio",      // user rollup + decimal sufficient stats
     "q246_digit_audit",      // digit grid + exact cleared numerator
     "q247_cramers_v",        // contingency margins + dsum cell terms
+    "q248_quantile_norm",    // two ScanSum rank axes + ordinal join
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

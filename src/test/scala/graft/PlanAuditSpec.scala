@@ -1215,6 +1215,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the 1-row scalar broadcast may nest-loop:\n$p")
   }
 
+  test("q248 quantile norm: both rank axes ride ScanSum's __pid scans") {
+    val p = plan("q248_quantile_norm")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a rank axis bypassed ScanSum:\n${specs.mkString("\n")}")
+  }
+
   test("q237 Sen slope: the median selection rides ScanSum's __pid scans") {
     val p = plan("q237_sen_slope")
     assert(!p.contains("CartesianProduct"), p)

@@ -482,6 +482,36 @@ class TrendStatsSpec extends SparkTestBase {
     assert(rows("q247_cramers_v").length == 1, "must be exactly one row")
   }
 
+  test("q248: quantile normalization equals a sorted ceil-ordinal replay; means converge") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pooled = docs.map(_._2).sorted
+    val n = BigInt(pooled.length)
+    val got = rows("q248_quantile_norm").map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val vs = xs.map(_._2).sorted
+      val ns = BigInt(vs.length)
+      val normed = (1 to vs.length).map { i =>
+        val k = ((BigInt(i) * n + ns - 1) / ns).toInt
+        pooled(k - 1)
+      }
+      val r = got(src)
+      assert(r.getLong(1) == vs.length.toLong, s"$src n_docs")
+      assert(r.getDouble(2) == vs.map(BigInt(_)).sum.toDouble / vs.length,
+        s"$src mean_raw")
+      assert(r.getDouble(3) == normed.map(BigInt(_)).sum.toDouble / vs.length,
+        s"$src mean_norm ${r.getDouble(3)}")
+    }
+    // the audit's read: normalized means must be closer together than
+    // raw means (that is what quantile normalization is FOR)
+    def spread(f: org.apache.spark.sql.Row => Double): Double = {
+      val ms = got.values.map(f).toSeq; ms.max - ms.min
+    }
+    assert(spread(_.getDouble(3)) < spread(_.getDouble(2)),
+      "normalization did not tighten the cross-source mean spread")
+  }
+
   test("q237: Sen slope equals a sorted full-pair replay at the lower median") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
