@@ -74,7 +74,8 @@ object ClusterVerify {
     "q235_mwu_audit", "q236_mann_kendall", "q237_sen_slope",
     "q238_cuped", "q239_survival", "q241_isotonic",
     "q242_seasonal_mk", "q244_delta_ratio", "q246_digit_audit",
-    "q247_cramers_v", "q248_quantile_norm")
+    "q247_cramers_v", "q248_quantile_norm", "q249_tolerant_asof",
+    "q250_trending_tokens", "q252_churn_halflife")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

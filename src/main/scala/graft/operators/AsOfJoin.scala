@@ -100,4 +100,45 @@ object AsOfJoin {
           .otherwise(col("__fwd")))
       .select(leftCols.map(col) :+ col("__near").as(rightTsOut): _*)
   }
+
+  /** TOLERANT as-of (J6c — pandas' `merge_asof(tolerance=...)` /
+    * kdb's windowed aj shape): the latest prior-or-equal right
+    * timestamp, but a match STALER than `toleranceUs` is no match at
+    * all, and unmatched left rows are KEPT with a null (left-outer
+    * semantics — the attribution regime where "no recent touchpoint"
+    * is itself the signal, which [[apply]]'s inner semantics cannot
+    * express). Same one-shuffle tag+union prefix fill; the tolerance
+    * is a post-fill null-out, so the plan shape is identical to J6's.
+    * `leftTs`/`rightTsOut` must be integer epoch micros (the
+    * tolerance arithmetic is exact). */
+  def tolerant(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTsOut: String,
+               toleranceUs: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tsType = right.schema(rightTsOut).dataType
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__rts", lit(null).cast(tsType))
+    val r0 = right
+      .withColumn("__ts", col(rightTsOut).cast(left.schema(leftTs).dataType))
+      .withColumn("__tag", lit(0))
+      .withColumn("__rts", col(rightTsOut))
+    val r = r0.select(
+      leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__ts"), col("__tag"), col("__rts")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(leftCols.map(col) ++ Seq(col("__ts"), col("__tag"), col("__rts")): _*)
+      .unionByName(r)
+      .withColumn("__filled", last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .withColumn("__tol",
+        when(col("__filled").isNotNull &&
+          col("__ts") - col("__filled") <= toleranceUs, col("__filled")))
+      .select(leftCols.map(col) :+ col("__tol").as(rightTsOut): _*)
+  }
 }

@@ -798,6 +798,10 @@ object RelationalQueries {
     * standard right-censoring rule survival analysis exists for. */
   private[graft] val KmCensorDays = 7L
 
+  /** q249 as-of staleness bar (1 h in micros): a prior click older
+    * than this is attribution noise, not a touchpoint. */
+  private[graft] val AsOfToleranceUs = 3600000000L
+
   /** q208 winsorization bounds, bin-bracket percentiles on the
     * [[DiscBins]] grid (the q176/q181 cross-multiply rule): clip at
     * the p05 bin's LOWER edge and the p95 bin's UPPER edge, so the
@@ -1971,6 +1975,27 @@ object RelationalQueries {
           (col("ptus") <= col("tus")).as("matched_backward"))
     }),
 
+    // Tolerant as-of join (J6c — pandas merge_asof(tolerance=...)):
+    // for each error, the latest prior-or-equal click by the same
+    // user UNLESS it is staler than [[AsOfToleranceUs]] — and
+    // unmatched errors are KEPT with a null (left-outer semantics:
+    // "no recent touchpoint" is the signal J6's inner join drops).
+    // Same one-shuffle tag+union machinery; the oracle is the
+    // INDEPENDENT brute candidate join + max-prior-within-window.
+    "q249_tolerant_asof" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("ctus"))
+      AsOfJoin.tolerant(err, clk, "user_id", "tus", "ctus",
+        AsOfToleranceUs)
+        .select(col("event_id"), col("user_id"), col("tus"), col("ctus"),
+          col("ctus").isNotNull.as("matched"),
+          (col("tus") - col("ctus")).as("age_us"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov audit (D24 — "did the value
     // distribution shift between regimes": the distribution-free
     // drift test PSI (q200) approximates with bins, done EXACTLY).
@@ -2506,41 +2531,90 @@ object RelationalQueries {
     // BIGINTs is order-free), cumulated by a second ScanSum pass.
     // ln_surv_ppb is the bit-exact integer answer; survival = exp of
     // it is the human-readable double.
-    "q239_survival" -> ((s, d) => {
-      val ev = events(s, d).select(col("event_type"), col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
-      val dmax = ev.agg(max(col("day")).as("d1"))
-      val pu = ev.groupBy(col("event_type"), col("user_id"))
-        .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
-        .crossJoin(broadcast(dmax))
-        .select(col("event_type"), (col("lday") - col("fday")).as("t"),
-          (col("lday") <= col("d1") - KmCensorDays).as("churned"))
-      val dur = pu.groupBy(col("event_type"), col("t"))
-        .agg(count(lit(1)).as("ct"),
-          sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
-      val ntot = dur.groupBy(col("event_type"))
-        .agg(sum(col("ct")).as("n_users"))
-      val risk = graft.operators.ScanSum
-        .runningSum(dur, "event_type", "t", "ct", outCol = "cumct")
-        .join(broadcast(ntot), "event_type")
-        .withColumn("n_risk",
-          col("n_users") - (col("cumct") - col("ct")))
-        .withColumn("ln_ppb",
-          when(col("d") === 0 || col("n_risk") === col("d"), 0L)
-            .otherwise((log((col("n_risk") - col("d")).cast("double") /
-              col("n_risk").cast("double"))
-              .cast(org.apache.spark.sql.types.DecimalType(20, 9)) *
-              1000000000).cast("long")))
-      graft.operators.ScanSum
-        .runningSum(risk, "event_type", "t", "ln_ppb", outCol = "ln_surv_ppb")
-        .select(col("event_type"), col("t").as("t_days"), col("n_risk"),
-          col("d").as("d_churn"), (col("ct") - col("d")).as("n_censored"),
-          col("ln_surv_ppb"),
-          when(col("n_risk") === col("d"), lit(0.0))
-            .otherwise(exp(col("ln_surv_ppb").cast("double") / 1.0e9))
-            .as("survival"))
+    "q239_survival" -> ((s, d) =>
+      survivalView(events(s, d).select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day")))),
+
+    // Churn half-life fit (W34 — the single number a dashboard wants
+    // from q239's whole curve: IF retention decays exponentially,
+    // S(t) ≈ e^(−λt), then ln S(t) is LINEAR in t and λ is minus its
+    // slope — and q239's ln_surv_ppb IS ln S(t) as an exact integer,
+    // so the q219 OLS closed form applies verbatim with zero new
+    // float surface: five DECIMAL(38,0) sufficient statistics over
+    // the (t, ln_surv_ppb) points (bounded by distinct lifetimes ≤
+    // the calendar), slope one IEEE division, λ = −slope/10⁹,
+    // half-life = ln2/λ with the shared literal. The composition is
+    // the point: survival estimator → trend estimator, both already
+    // oracled on their own. */
+    "q252_churn_halflife" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val km = survivalView(events(s, d).select(col("event_type"),
+        col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day")))
+      km.select(col("event_type"), col("t_days").as("x"),
+          col("ln_surv_ppb").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec19) * col("y").cast(dec19)).cast(dec)
+            .as("sxy"),
+          sum(col("x").cast(dec19) * col("x").cast(dec19)).cast(dec)
+            .as("sxx"))
+        .withColumn("num",
+          col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den",
+          col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_ppb",
+          when(col("den") === 0, lit(0.0))
+            .otherwise(col("num").cast("double") / col("den").cast("double")))
+        .withColumn("lambda_per_day", -col("slope_ppb") / 1.0e9)
+        .withColumn("half_life_days",
+          when(col("lambda_per_day") > 0.0,
+            lit(0.6931471805599453) / col("lambda_per_day"))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n").as("n_points"),
+          col("lambda_per_day"), col("half_life_days"),
+          (col("lambda_per_day") > 0.0).as("decaying"))
     })
   )
+
+  /** The q239 Kaplan–Meier table over ANY (event_type, user_id, day)
+    * event projection — lifetimes, censoring at the corpus edge, risk
+    * sets and the ln-product prefix both through ScanSum. Shared with
+    * q252, which fits the exponential-decay line through the exact
+    * ln_surv_ppb integers this view emits. */
+  def survivalView(ev: DataFrame): DataFrame = {
+    val dmax = ev.agg(max(col("day")).as("d1"))
+    val pu = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+      .crossJoin(broadcast(dmax))
+      .select(col("event_type"), (col("lday") - col("fday")).as("t"),
+        (col("lday") <= col("d1") - KmCensorDays).as("churned"))
+    val dur = pu.groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("ct"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+    val ntot = dur.groupBy(col("event_type"))
+      .agg(sum(col("ct")).as("n_users"))
+    val risk = graft.operators.ScanSum
+      .runningSum(dur, "event_type", "t", "ct", outCol = "cumct")
+      .join(broadcast(ntot), "event_type")
+      .withColumn("n_risk",
+        col("n_users") - (col("cumct") - col("ct")))
+      .withColumn("ln_ppb",
+        when(col("d") === 0 || col("n_risk") === col("d"), 0L)
+          .otherwise((log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 9)) *
+            1000000000).cast("long")))
+    graft.operators.ScanSum
+      .runningSum(risk, "event_type", "t", "ln_ppb", outCol = "ln_surv_ppb")
+      .select(col("event_type"), col("t").as("t_days"), col("n_risk"),
+        col("d").as("d_churn"), (col("ct") - col("d")).as("n_censored"),
+        col("ln_surv_ppb"),
+        when(col("n_risk") === col("d"), lit(0.0))
+          .otherwise(exp(col("ln_surv_ppb").cast("double") / 1.0e9))
+          .as("survival"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     // q199: identical basket/pair/triple chains, EXISTS sub-pair
@@ -4045,6 +4119,94 @@ object RelationalQueries {
                 ELSE exp(CAST(ln_surv_ppb AS DOUBLE) / 1.0e9) END
              AS survival
          FROM c""",
+
+    // q249: the INDEPENDENT brute derivation — per-user candidate
+    // join, max prior click inside the window, LEFT JOIN keeps the
+    // unmatched errors with nulls.
+    "q249_tolerant_asof" ->
+      s"""WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+           FROM events),
+         err AS (SELECT event_id, user_id, tus FROM e
+                 WHERE event_type = 'error'),
+         clk AS (SELECT user_id, tus AS ctus FROM e
+                 WHERE event_type = 'click'),
+         best AS (
+           SELECT l.event_id, max(r.ctus) AS m
+           FROM err l JOIN clk r
+             ON r.user_id = l.user_id AND r.ctus <= l.tus
+            AND l.tus - r.ctus <= $AsOfToleranceUs
+           GROUP BY 1)
+         SELECT l.event_id, l.user_id, l.tus, b.m AS ctus,
+           b.m IS NOT NULL AS matched, l.tus - b.m AS age_us
+         FROM err l LEFT JOIN best b ON b.event_id = l.event_id""",
+
+    // q252: the q239 CTE chain (identical lifetimes/censor/ppb-ln
+    // rounding) + the q219 OLS closed form over (t, ln_surv_ppb);
+    // HUGEINT statistics, the same λ/half-life IEEE chain.
+    "q252_churn_halflife" ->
+      s"""WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dm AS (SELECT max(day) AS d1 FROM ev),
+         pu AS (
+           SELECT event_type, user_id, min(day) AS fday, max(day) AS lday
+           FROM ev GROUP BY 1, 2),
+         pc AS (
+           SELECT p.event_type, p.lday - p.fday AS t,
+             p.lday <= d.d1 - $KmCensorDays AS churned
+           FROM pu p CROSS JOIN dm d),
+         dur AS (
+           SELECT event_type, t, CAST(count(*) AS BIGINT) AS ct,
+             CAST(count(*) FILTER (churned) AS BIGINT) AS d
+           FROM pc GROUP BY 1, 2),
+         ntot AS (SELECT event_type, CAST(sum(ct) AS BIGINT) AS n_users
+                  FROM dur GROUP BY 1),
+         r AS (
+           SELECT du.event_type, du.t, du.ct, du.d,
+             CAST(n.n_users - (sum(du.ct) OVER w - du.ct) AS BIGINT)
+               AS n_risk
+           FROM dur du JOIN ntot n ON n.event_type = du.event_type
+           WINDOW w AS (PARTITION BY du.event_type ORDER BY du.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l AS (
+           SELECT *, CASE WHEN d = 0 OR n_risk = d THEN 0
+             ELSE CAST(CAST(ln(CAST(n_risk - d AS DOUBLE)
+               / CAST(n_risk AS DOUBLE)) AS DECIMAL(20,9))
+               * 1000000000 AS BIGINT) END AS ln_ppb
+           FROM r),
+         c AS (
+           SELECT event_type, t AS x,
+             CAST(sum(ln_ppb) OVER (PARTITION BY event_type
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS y
+           FROM l),
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM c GROUP BY 1),
+         b AS (
+           SELECT event_type, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+           FROM a),
+         s AS (
+           SELECT event_type, n,
+             CASE WHEN den = 0 THEN 0.0
+                  ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+               AS slope_ppb
+           FROM b),
+         z AS (
+           SELECT event_type, n, -slope_ppb / 1.0e9 AS lambda_per_day
+           FROM s)
+         SELECT event_type, n AS n_points, lambda_per_day,
+           CASE WHEN lambda_per_day > 0.0
+                THEN 0.6931471805599453 / lambda_per_day
+                ELSE 0.0 END AS half_life_days,
+           lambda_per_day > 0.0 AS decaying
+         FROM z""",
 
     // q242: identical grid + arithmetic dow; pairs restricted to the
     // same stratum; per-stratum variance terms summed exactly; the

@@ -18,6 +18,13 @@ object TextQueries {
   /** Whitespace tokens of `text`, after trim (so no empty edge tokens). */
   private def toks: Column = split(trim(col("text")), "\\s+")
 
+  /** q250 support gate and cut: a token must occur at least TrendMinN
+    * times across both halves to have a readable growth ratio, and
+    * the audit reports the top TrendTopK under the (score DESC,
+    * token ASC) total order. */
+  private[graft] val TrendMinN = 5L
+  private[graft] val TrendTopK = 20
+
   /** q101 hashed-feature dimensionality — matches the corpus embedding
     * dim so the hashed vectors are drop-in probes for the ANN family.
     * Interpolated into the oracle SQL. */
@@ -115,6 +122,36 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           davg(col("n_chars")).as("mean_raw"),
           davg(col("pooled")).as("mean_norm"))
+    }),
+
+    // Trending-token audit (D32 — "which vocabulary is GROWING":
+    // corpus drift made token-level, the monitoring read behind
+    // crawl-refresh and contamination triage). Time proxy = the
+    // doc_id axis split at its integer midpoint (the q227 Heaps
+    // convention: ingestion order), per-token counts in each half
+    // from ONE rollup, growth score = (c2+1)/(c1+1) as ONE IEEE
+    // division of exact integers (add-one so births rank above
+    // steady-state), support gate c1+c2 ≥ [[TrendMinN]], and the
+    // global top-[[TrendTopK]] under the (score DESC, token ASC)
+    // TOTAL order via TakeOrdered — the O3 shape, no window, no
+    // second scan.
+    "q250_trending_tokens" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val span = docs.agg(min(col("doc_id")).as("i0"),
+        max(col("doc_id")).as("i1"))
+      docs.crossJoin(broadcast(span))
+        .withColumn("late",
+          col("doc_id") >= col("i0") + expr("(i1 - i0 + 1) DIV 2"))
+        .select(col("late"), explode(toks).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
+        .filter(col("c1") + col("c2") >= TrendMinN)
+        .withColumn("score",
+          (col("c2") + 1).cast("double") / (col("c1") + 1).cast("double"))
+        .orderBy(col("score").desc, col("token").asc)
+        .limit(TrendTopK)
     }),
 
     // Corpus stats per (lang, source) — A9.
@@ -1833,6 +1870,28 @@ object TextQueries {
            FROM c)"""
 
   val oracleSql: Map[String, String] = Map(
+    // q250: identical doc-id midpoint split, per-token half counts,
+    // the same add-one IEEE ratio and (score DESC, token ASC) total
+    // order + cut.
+    "q250_trending_tokens" ->
+      s"""WITH span AS (
+           SELECT min(doc_id) AS i0, max(doc_id) AS i1 FROM documents),
+         tok AS (
+           SELECT d.doc_id >= s.i0 + (s.i1 - s.i0 + 1) // 2 AS late,
+             unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS token
+           FROM documents d CROSS JOIN span s),
+         cnt AS (
+           SELECT token,
+             CAST(count(*) FILTER (NOT late) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (late) AS BIGINT) AS c2
+           FROM tok WHERE len(token) > 0 GROUP BY 1),
+         sc AS (
+           SELECT token, c1, c2,
+             CAST(c2 + 1 AS DOUBLE) / CAST(c1 + 1 AS DOUBLE) AS score
+           FROM cnt WHERE c1 + c2 >= $TrendMinN)
+         SELECT token, c1, c2, score FROM sc
+         ORDER BY score DESC, token ASC LIMIT $TrendTopK""",
+
     // q248: identical ranks (row_number in the same n_chars order —
     // tie order is aggregate-invariant), the same exact ceil-ordinal
     // (HUGEINT //), the same decimal-exact means.

@@ -63,6 +63,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == want, s"nearest diverges from brute force")
   }
 
+  test("tolerant as-of: stale matches null out, unmatched lefts are kept") {
+    val errors = Seq(
+      (1L, "u1", 100L), // click at 90 within tol 20 -> 90
+      (2L, "u1", 200L), // latest click 90, age 110 > 20 -> null (NOT 50)
+      (3L, "u2", 10L),  // no prior click -> kept, null
+      (4L, "u3", 60L)   // equal-ts click at 60 -> 60 (age 0)
+    ).toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      ("u1", 50L), ("u1", 90L), ("u3", 60L)
+    ).toDF("user_id", "cts")
+
+    val out = AsOfJoin.tolerant(errors, clicks, "user_id", "ts", "cts", 20L)
+      .select("event_id", "cts").as[(Long, Option[Long])].collect().toMap
+
+    // row 2 is the semantic point: the latest prior click (90) is
+    // stale, and tolerance must NOT fall back to an older one —
+    // merge_asof semantics, not "latest within window"... which for
+    // a prefix fill coincide (the latest prior IS the max in-window
+    // candidate), proven against the brute oracle in q249
+    assert(out == Map(1L -> Some(90L), 2L -> None, 3L -> None,
+      4L -> Some(60L)))
+    assert(out.size == 4, "unmatched left rows must be kept")
+  }
+
   test("as-of join keeps all left payload columns") {
     val l = Seq((1L, "u1", 10L, "x")).toDF("id", "k", "ts", "payload")
     val r = Seq(("u1", 5L)).toDF("k", "rts")

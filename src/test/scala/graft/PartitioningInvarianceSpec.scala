@@ -157,6 +157,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q246_digit_audit",      // digit grid + exact cleared numerator
     "q247_cramers_v",        // contingency margins + dsum cell terms
     "q248_quantile_norm",    // two ScanSum rank axes + ordinal join
+    "q249_tolerant_asof",    // key-windowed fill + integer tolerance
+    "q250_trending_tokens",  // half counts + total-order TakeOrdered
+    "q252_churn_halflife",   // KM ScanSum chain + decimal OLS
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

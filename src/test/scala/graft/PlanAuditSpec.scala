@@ -1224,6 +1224,41 @@ class PlanAuditSpec extends SparkTestBase {
       s"a rank axis bypassed ScanSum:\n${specs.mkString("\n")}")
   }
 
+  test("q249 tolerant as-of: one key shuffle, no candidate join") {
+    val p = plan("q249_tolerant_asof")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tolerant as-of must never candidate-join:\n$p")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"the prefix fill must partition by the join key:\n${specs.mkString("\n")}")
+  }
+
+  test("q250 trending tokens: TakeOrdered cut, no window, no second scan") {
+    val p = plan("q250_trending_tokens")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must be the O3 TakeOrdered shape:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"trending tokens must not window:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q252 churn half-life: the KM chain's ScanSum scans, then closed forms") {
+    val p = plan("q252_churn_halflife")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a KM pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row corpus-edge broadcast may nest-loop:\n$p")
+  }
+
   test("q237 Sen slope: the median selection rides ScanSum's __pid scans") {
     val p = plan("q237_sen_slope")
     assert(!p.contains("CartesianProduct"), p)

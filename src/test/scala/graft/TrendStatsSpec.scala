@@ -512,6 +512,84 @@ class TrendStatsSpec extends SparkTestBase {
       "normalization did not tighten the cross-source mean spread")
   }
 
+  test("q250: trending tokens equal a half-count replay; top-k order total") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val i0 = docs.map(_._1).min; val i1 = docs.map(_._1).max
+    val mid = i0 + (i1 - i0 + 1) / 2
+    val cnt = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    docs.foreach { case (id, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val (a, b) = cnt.getOrElse(t, (0L, 0L))
+        cnt(t) = if (id >= mid) (a, b + 1) else (a + 1, b)
+      }
+    }
+    val want = cnt.toSeq
+      .filter { case (_, (c1, c2)) =>
+        c1 + c2 >= graft.operators.TextQueries.TrendMinN }
+      .map { case (t, (c1, c2)) =>
+        (t, c1, c2, (c2 + 1).toDouble / (c1 + 1).toDouble) }
+      .sortBy { case (t, _, _, s) => (-s, t) }
+      .take(graft.operators.TextQueries.TrendTopK)
+    val got = rows("q250_trending_tokens")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq,
+      s"trending mismatch:\n got=${got.toSeq}\nwant=${want.toSeq}")
+    // the ratio must discriminate — an all-equal score list means the
+    // split found no drift signal and the ORDER is carrying nothing
+    assert(want.map(_._4).distinct.size > 1, "flat score list — vacuous")
+  }
+
+  test("q252: churn half-life equals an OLS replay over the q239 ln integers") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d1 = ev.map(_._3).max
+    val censor = graft.operators.RelationalQueries.KmCensorDays
+    val got = rows("q252_churn_halflife").map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val lifetimes = xs.groupBy(_._2).toSeq.map { case (_, es) =>
+        val f = es.map(_._3).min; val l = es.map(_._3).max
+        (l - f, l <= d1 - censor)
+      }
+      val nUsers = lifetimes.size.toLong
+      val byT = lifetimes.groupBy(_._1).toSeq.sortBy(_._1)
+      var before = 0L; var cum = 0L
+      val pts = byT.map { case (tt, g) =>
+        val ct = g.size.toLong; val d = g.count(_._2).toLong
+        val nRisk = nUsers - before
+        val lnPpb = if (d == 0 || nRisk == d) 0L
+          else (BigDecimal(math.log((nRisk - d).toDouble / nRisk.toDouble))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(1000000000)).toLongExact
+        cum += lnPpb; before += ct
+        (BigInt(tt), BigInt(cum))
+      }
+      val n = BigInt(pts.size)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val slope = if (den == 0) 0.0 else num.toDouble / den.toDouble
+      val lambda = -slope / 1.0e9
+      val hl = if (lambda > 0.0) 0.6931471805599453 / lambda else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == pts.size.toLong, s"$t n_points")
+      assert(r.getDouble(2) == lambda, s"$t lambda ${r.getDouble(2)} != $lambda")
+      assert(r.getDouble(3) == hl, s"$t half_life")
+      assert(r.getBoolean(4) == (lambda > 0.0), s"$t decaying")
+      // a non-increasing, non-constant ln-survival sequence has a
+      // strictly negative OLS slope — so wherever the curve actually
+      // moves, the fit MUST read decay (at sf0.001 the single churn
+      // sits at the minimum lifetime, the curve is flat across the
+      // fitted points, and lambda = 0 is the correct answer)
+      if (pts.map(_._2).distinct.size > 1)
+        assert(lambda > 0.0, s"$t moving curve but no decay read")
+    }
+  }
+
   test("q237: Sen slope equals a sorted full-pair replay at the lower median") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
