@@ -196,6 +196,11 @@ object BenchArtifactGateSpec {
     * q71 harness treatment; expectation is these reverse in
     * BENCH_IDLE_r11, where the gate re-arms without waivers. */
   val Waivers: Map[Int, Map[String, String]] = Map(
+    11 -> Map(
+      "q207_stratified_sample" -> ("r10 verdict ask #3: reworked from a " +
+        "per-source rank window (single-reducer at 100 TB) onto " +
+        "histogram-threshold + ScanSum — the scale-safe plan pays ~2x " +
+        "at sf0.1; intentional trade, plan pinned by PlanAuditSpec")),
     10 -> Map(
       "q108_mmr_diverse"       -> "r10 session-pressure creep (verdict); reap lands r11",
       "q114_semantic_clusters" -> "r10 session-pressure creep (verdict); reap lands r11",
