@@ -75,7 +75,8 @@ object ClusterVerify {
     "q238_cuped", "q239_survival", "q241_isotonic",
     "q242_seasonal_mk", "q244_delta_ratio", "q246_digit_audit",
     "q247_cramers_v", "q248_quantile_norm", "q249_tolerant_asof",
-    "q250_trending_tokens", "q252_churn_halflife")
+    "q250_trending_tokens", "q252_churn_halflife",
+    "q253_color_profile", "q254_weighted_quantiles")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

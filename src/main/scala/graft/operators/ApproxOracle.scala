@@ -71,6 +71,13 @@ object ApproxOracle {
       Multimodal.resizedCells(Multimodal.realAssets(
         docs.select("doc_id").filter(col("doc_id") % 3 === 0))).toDF(),
       "resized_cells")
+    // q253: the per-asset RGB-octant pixel counts (pure per-row real
+    // PNG decode) — DuckDB redoes the dominant-bucket argmax and the
+    // corpus color rollup
+    OracleExport.write(
+      Multimodal.colorCells(Multimodal.realAssets(
+        docs.select("doc_id").filter(col("doc_id") % 3 === 0))).toDF(),
+      "color_cells")
     // q148: the per-window audio energies (pure per-row codec calls —
     // burst-WAV encode + RIFF decode both executor-side); DuckDB redoes
     // the integer VAD gate and the per-asset rollup

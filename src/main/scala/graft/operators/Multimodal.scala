@@ -260,6 +260,42 @@ object Multimodal {
     }
   }
 
+  case class ColorCell(asset_id: Long, bucket: Int, px: Long)
+
+  /** Per-asset RGB-octant pixel counts from the REAL PNG decode
+    * (bucket = (r≥128)·4 + (g≥128)·2 + (b≥128) — the 8-corner color
+    * cube, the coarsest quantization that still separates scenes).
+    * Narrow mapPartitions, payloads never leave executors; ≤ 8
+    * bounded-width rows per image (empty octants are omitted — the
+    * relational tail zero-fills via the explicit bucket grid). */
+  def colorCells(assets: Dataset[Asset]): Dataset[ColorCell] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.filter(_.mime == "image/png").flatMap { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, "undecodable image payload")
+        val counts = new Array[Long](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val b = (if (((rgb >> 16) & 0xff) >= 128) 4 else 0) +
+                    (if (((rgb >> 8) & 0xff) >= 128) 2 else 0) +
+                    (if ((rgb & 0xff) >= 128) 1 else 0)
+            counts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 8).filter(counts(_) > 0)
+          .map(b => ColorCell(a.asset_id, b, counts(b)))
+      }
+    }
+  }
+
   /** Per-frame decoded row for the video modality. */
   case class VideoFrame(asset_id: Long, frame_idx: Int, width: Int,
                         height: Int, mean_luma: Double, ahash: Long)

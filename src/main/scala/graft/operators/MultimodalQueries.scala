@@ -25,6 +25,45 @@ object MultimodalQueries {
   private[graft] val MgMinFrames = 3L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Color-profile audit (L4g — "is this image corpus tonally
+    // skewed": the dataset-balance read run before training a vision
+    // tower, and the dominant-color signal dedup/retrieval pipelines
+    // key thumbnails on). Per image: REAL PNG decode → RGB-octant
+    // pixel counts (executor-side, ≤8 bounded rows per asset, the q91
+    // shape); relational tail: per-asset dominant octant by the
+    // (px DESC, bucket ASC) total order via max_by, corpus rollup
+    // over the EXPLICIT 8-bucket grid (an empty octant must report
+    // zeros), share_ppm through DECIMAL IntegralDivide (px·10⁶
+    // passes 2⁶³ at ~10¹³ corpus pixels; HUGEINT // in the oracle).
+    // The per-cell rows are the oracle export; DuckDB redoes argmax
+    // + rollup relationally.
+    "q253_color_profile" -> ((s, d) => {
+      val cells = Multimodal.colorCells(Multimodal.realAssets(
+          documents(s, d).select("doc_id").filter(col("doc_id") % 3 === 0)))
+        .toDF().localCheckpoint() // feeds dominant + totals + t_px
+      val dom = cells.groupBy(col("asset_id"))
+        .agg(max_by(col("bucket"),
+          struct(col("px"), -col("bucket"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_dominant"))
+      val tot = cells.groupBy(col("bucket")).agg(sum(col("px")).as("n_px"))
+      val all = cells.agg(sum(col("px")).as("t_px"))
+      s.range(0, 8).toDF("bucket")
+        .join(tot.withColumn("bucket", col("bucket").cast("long")),
+          Seq("bucket"), "left")
+        .join(dom.withColumn("bucket", col("bucket").cast("long")),
+          Seq("bucket"), "left")
+        .crossJoin(broadcast(all))
+        .select(col("bucket"),
+          coalesce(col("n_px"), lit(0L)).as("n_px"),
+          coalesce(col("n_dominant"), lit(0L)).as("n_dominant"),
+          col("t_px"))
+        .withColumn("share_ppm", expr(
+          """CAST((CAST(n_px AS DECIMAL(19,0)) * 1000000)
+             DIV CAST(t_px AS DECIMAL(19,0)) AS BIGINT)"""))
+        .select(col("bucket"), col("n_px"), col("share_ppm"),
+          col("n_dominant"))
+    }),
+
     // Media curation filter cascade (L4 × D5 — q143's multimodal
     // twin): the keep/drop funnel a multimodal training set runs over
     // its decoded assets. Per-modality integer/exact gates — payload
@@ -329,6 +368,33 @@ object MultimodalQueries {
         .toDF().localCheckpoint())
 
   val oracleSql: Map[String, String] = Map(
+    // q253: the same dominant-octant argmax ((px DESC, bucket ASC)
+    // total order) and zero-filled 8-bucket rollup over the exported
+    // per-cell decode rows; HUGEINT mirrors the ppm IntegralDivide.
+    "q253_color_profile" ->
+      s"""WITH cells AS (
+           SELECT * FROM ${graft.OracleExport.p("color_cells")}),
+         dom0 AS (
+           SELECT asset_id, bucket,
+             row_number() OVER (PARTITION BY asset_id
+               ORDER BY px DESC, bucket ASC) AS rn
+           FROM cells),
+         dom AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_dominant
+                 FROM dom0 WHERE rn = 1 GROUP BY 1),
+         tot AS (SELECT bucket, CAST(sum(px) AS BIGINT) AS n_px
+                 FROM cells GROUP BY 1),
+         allpx AS (SELECT CAST(sum(px) AS BIGINT) AS t_px FROM cells),
+         grid AS (SELECT CAST(r.range AS BIGINT) AS bucket
+                  FROM range(0, 8) r)
+         SELECT g.bucket, coalesce(t.n_px, 0) AS n_px,
+           CAST(CAST(coalesce(t.n_px, 0) AS HUGEINT) * 1000000 // a.t_px
+             AS BIGINT) AS share_ppm,
+           coalesce(d.n_dominant, 0) AS n_dominant
+         FROM grid g
+         LEFT JOIN tot t ON t.bucket = g.bucket
+         LEFT JOIN dom d ON d.bucket = g.bucket
+         CROSS JOIN allpx a""",
+
     // q173: identical gate cascade over the exported decoded features.
     "q173_media_gates" ->
       s"""WITH m AS (SELECT * FROM $media),

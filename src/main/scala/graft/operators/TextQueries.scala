@@ -154,6 +154,65 @@ object TextQueries {
         .limit(TrendTopK)
     }),
 
+    // Token-weighted exact quantiles (A14 — "the median document
+    // length BY TOKEN MASS": unweighted medians (q28/q223) answer
+    // "what does the typical DOCUMENT look like", but a training run
+    // consumes TOKENS, so the curation-relevant percentile weights
+    // each doc by its token count — a corpus of many short docs and
+    // few huge ones has wildly different answers). Same distributed
+    // selection as q223 with WEIGHTED mass everywhere: per-source
+    // 256-bin histogram of token mass, boundary bin per target
+    // k = ⌈p·W⌉, windowless member filter, and ScanSum's weighted
+    // running mass locating the row whose interval CONTAINS k (w ≥ 1
+    // per doc, so intervals are disjoint and exactly one row
+    // qualifies; value ties make the pick tie-order-free). The
+    // oracle is the INDEPENDENT brute weighted rank — full ordered
+    // cumsum, no histogram shared.
+    "q254_weighted_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select(col("source"), col("doc_id"),
+          col("n_chars"), size(toks).cast("long").as("w"))
+        .localCheckpoint() // feeds stats + histogram + boundary members
+      val st = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("tw"), min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      val binned = docs.join(broadcast(st), "source")
+        .withColumn("bin", when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(255),
+            floor((col("n_chars") - col("lo")) / (col("hi") - col("lo"))
+              * 256).cast("int"))))
+      val hist = binned.groupBy(col("source"), col("bin"))
+        .agg(sum(col("w")).as("bw"))
+      val targets = st.select(col("source"), col("n_docs"), col("tw"))
+        .withColumn("t", explode(array(
+          struct(lit("wp50").as("tgt"), expr("(tw + 1) DIV 2").as("k")),
+          struct(lit("wp90").as("tgt"), expr("(9 * tw + 9) DIV 10").as("k")))))
+        .select(col("source"), col("n_docs"), col("tw"),
+          col("t.tgt").as("tgt"), col("t.k").as("k"))
+      val wb = Window.partitionBy(col("source"), col("tgt"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = hist.join(broadcast(targets), "source")
+        .withColumn("cum", sum(col("bw")).over(wb))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("source"), col("tgt"))
+        .agg(min_by(struct(col("bin").as("bbin"),
+          (col("k") - col("cum") + col("bw")).as("kk")), col("bin")).as("b"))
+        .select(col("source"), col("tgt"), col("b.bbin").as("bbin"),
+          col("b.kk").as("kk"))
+      val members = binned.join(broadcast(bounds), "source")
+        .filter(col("bin") === col("bbin"))
+        .withColumn("__grp", concat(col("source"), lit(":"), col("tgt")))
+      graft.operators.ScanSum
+        .runningSum(members, "__grp", "n_chars", "w", outCol = "cw")
+        .filter(col("cw") >= col("kk") && col("cw") - col("w") < col("kk"))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("tw")).as("token_mass"),
+          max(when(col("tgt") === "wp50", col("n_chars"))).as("wp50"),
+          max(when(col("tgt") === "wp90", col("n_chars"))).as("wp90"))
+    }),
+
     // Corpus stats per (lang, source) — A9.
     "q20_text_stats" -> ((s, d) => {
       documents(s, d)
@@ -1891,6 +1950,42 @@ object TextQueries {
            FROM cnt WHERE c1 + c2 >= $TrendMinN)
          SELECT token, c1, c2, score FROM sc
          ORDER BY score DESC, token ASC LIMIT $TrendTopK""",
+
+    // q254: the INDEPENDENT brute weighted rank — full per-source
+    // ordered cumsum, arg_min at the first row reaching each target
+    // mass; no histogram machinery shared with the plan.
+    "q254_weighted_quantiles" ->
+      """WITH d AS (
+           SELECT source, doc_id, n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+               AS BIGINT) AS w
+           FROM documents),
+         st AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS tw
+           FROM d GROUP BY 1),
+         r AS (
+           SELECT source, n_chars, w,
+             CAST(sum(w) OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cw
+           FROM d),
+         t AS (
+           SELECT source, n_docs, tw, (tw + 1) // 2 AS k50,
+             (9 * tw + 9) // 10 AS k90
+           FROM st),
+         w50 AS (
+           SELECT r.source, arg_min(r.n_chars, r.cw) AS wp50
+           FROM r JOIN t ON t.source = r.source
+           WHERE r.cw >= t.k50 GROUP BY 1),
+         w90 AS (
+           SELECT r.source, arg_min(r.n_chars, r.cw) AS wp90
+           FROM r JOIN t ON t.source = r.source
+           WHERE r.cw >= t.k90 GROUP BY 1)
+         SELECT t.source, t.n_docs, t.tw AS token_mass, w50.wp50, w90.wp90
+         FROM t
+         JOIN w50 ON w50.source = t.source
+         JOIN w90 ON w90.source = t.source""",
 
     // q248: identical ranks (row_number in the same n_chars order —
     // tie order is aggregate-invariant), the same exact ceil-ordinal

@@ -221,6 +221,48 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("q253: color profile equals a driver pixel replay; octants non-degenerate") {
+    import graft.operators.MediaCodecs
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).filter(_ % 3 == 0)
+    // driver replay: decode every PNG and recount octants exactly
+    val perAsset = ids.map { id =>
+      val nearDup = id >= 3 && (id / 3) % 5 == 1
+      val png = if (nearDup) MediaCodecs.makePng(id - 3, flipPixels = 3)
+                else MediaCodecs.makePng(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val counts = new Array[Long](8)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val b = (if (((rgb >> 16) & 0xff) >= 128) 4 else 0) +
+                (if (((rgb >> 8) & 0xff) >= 128) 2 else 0) +
+                (if ((rgb & 0xff) >= 128) 1 else 0)
+        counts(b) += 1
+      }
+      counts
+    }
+    val nPx = (0 until 8).map(b => perAsset.map(_(b)).sum)
+    val tPx = nPx.sum
+    val nDom = (0 until 8).map(b => perAsset.count { c =>
+      val best = c.zipWithIndex.maxBy { case (px, bk) => (px, -bk) }._2
+      best == b
+    }.toLong)
+    val got = SparkEntry.queries("q253_color_profile")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == (0L to 7L).toSet, "all 8 octants must report")
+    (0 until 8).foreach { b =>
+      val share = BigInt(nPx(b)) * 1000000 / tPx
+      assert(got(b.toLong) == ((nPx(b), share.toLong, nDom(b))),
+        s"bucket $b: ${got(b.toLong)} != ${(nPx(b), share.toLong, nDom(b))}")
+    }
+    // the generator's per-octant structure must actually spread —
+    // a one-bucket corpus would leave the argmax and grid paths idle
+    assert(nPx.count(_ > 0) >= 3, s"degenerate octant spread: $nPx")
+    assert(nDom.count(_ > 0) >= 2, s"degenerate dominant spread: $nDom")
+  }
+
   test("q232: ZCR segmentation equals a driver replay; both classes occur corpus-wide") {
     import graft.operators.{MediaCodecs, Multimodal}
     val got = SparkEntry.queries("q232_audio_zcr")(spark, sf).collect()

@@ -160,6 +160,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q249_tolerant_asof",    // key-windowed fill + integer tolerance
     "q250_trending_tokens",  // half counts + total-order TakeOrdered
     "q252_churn_halflife",   // KM ScanSum chain + decimal OLS
+    "q253_color_profile",    // real decode + argmax + zero-filled grid
+    "q254_weighted_quantiles", // weighted histogram + ScanSum selection
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

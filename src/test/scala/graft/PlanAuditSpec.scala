@@ -1259,6 +1259,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the 1-row corpus-edge broadcast may nest-loop:\n$p")
   }
 
+  test("q253 color profile: bounded grid joins; only the 1-row total may nest-loop") {
+    val p = plan("q253_color_profile")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"the color rollup must not window:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row corpus-total broadcast may nest-loop:\n$p")
+  }
+
+  test("q254 weighted quantiles: windows over the bin histogram or ScanSum slices only") {
+    val p = plan("q254_weighted_quantiles")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(l =>
+        l.contains("__pid") || l.contains("bin#")),
+      s"corpus-cardinality window partition:\n${specs.mkString("\n")}")
+  }
+
   test("q237 Sen slope: the median selection rides ScanSum's __pid scans") {
     val p = plan("q237_sen_slope")
     assert(!p.contains("CartesianProduct"), p)

@@ -590,6 +590,37 @@ class TrendStatsSpec extends SparkTestBase {
     }
   }
 
+  test("q254: weighted quantiles equal a brute weighted-rank replay; weighting matters") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = rows("q254_weighted_quantiles")
+      .map(r => r.getString(0) -> r).toMap
+    var weightMoved = false
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val ordered = xs.sortBy(d => (d._3, d._2))
+      val tw = ordered.map(_._4).sum
+      def wq(k: Long): Long = {
+        var cum = 0L
+        ordered.find { d => cum += d._4; cum >= k }.get._3
+      }
+      val k50 = (tw + 1) / 2; val k90 = (9 * tw + 9) / 10
+      val r = got(src)
+      assert(r.getLong(1) == xs.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == tw, s"$src token_mass")
+      assert(r.getLong(3) == wq(k50), s"$src wp50 ${r.getLong(3)} != ${wq(k50)}")
+      assert(r.getLong(4) == wq(k90), s"$src wp90")
+      assert(r.getLong(4) >= r.getLong(3), s"$src wp90 < wp50")
+      // the UNWEIGHTED median for contrast — weighting must actually
+      // move the answer somewhere, or the operator adds nothing
+      val n = ordered.length
+      val unw50 = ordered((n + 1) / 2 - 1)._3
+      if (wq(k50) != unw50) weightMoved = true
+    }
+    assert(weightMoved, "weighted == unweighted median everywhere — vacuous")
+  }
+
   test("q237: Sen slope equals a sorted full-pair replay at the lower median") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
