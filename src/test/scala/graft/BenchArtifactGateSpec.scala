@@ -199,8 +199,9 @@ object BenchArtifactGateSpec {
     11 -> Map(
       "q207_stratified_sample" -> ("r10 verdict ask #3: reworked from a " +
         "per-source rank window (single-reducer at 100 TB) onto " +
-        "histogram-threshold + ScanSum — the scale-safe plan pays ~2x " +
-        "at sf0.1; intentional trade, plan pinned by PlanAuditSpec")),
+        "histogram-threshold + ScanSum — the scale-safe plan pays " +
+        "2-6x at sf0.1 (run-to-run variance from its localCheckpoint " +
+        "barriers); intentional trade, plan pinned by PlanAuditSpec")),
     10 -> Map(
       "q108_mmr_diverse"       -> "r10 session-pressure creep (verdict); reap lands r11",
       "q114_semantic_clusters" -> "r10 session-pressure creep (verdict); reap lands r11",
