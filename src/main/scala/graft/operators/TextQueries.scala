@@ -1570,49 +1570,54 @@ object TextQueries {
     // (the old per-source row_number window funneled every doc of a
     // ~20-way operational axis through one reducer each; at 100 TB
     // with SampleDen=4 that was a ~5 TB single-task sort).
+    //
+    // The quota + boundary arithmetic runs DRIVER-SIDE over the
+    // collected strata×256 histogram (bounded: the source axis is a
+    // ~20-way operational dimension, never corpus-proportional — the
+    // same model-sized-collect class as the k-means centroids). BigInt
+    // mirrors the oracle's HUGEINT chain exactly (budget·n_docs wraps
+    // BIGINT at 100 TB — the q159 discipline). r11 shipped this chain
+    // as three localCheckpointed strata frames; the barriers cost 2–6×
+    // run-to-run variance at sf0.1 (the one waived bench regression),
+    // while recomputing ~5 k rows on the driver costs microseconds —
+    // so the distributed plan is now exactly two corpus passes
+    // (histogram, survivors) plus ScanSum's pinned scan.
     "q207_stratified_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val docs = documents(s, d).select(col("doc_id"), col("source"))
-      val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint() // strata rows; feeds the total + the quota chain
-      val tot = cnt.agg(sum(col("n_docs")).as("total"))
-      // budget·n_docs routes DECIMAL(38,0) (HUGEINT in the oracle): at
-      // 100 TB (n_docs ~1e12, budget ~total/4) the BIGINT product
-      // wraps — the q159 discipline applied to apportionment. `div`
-      // over decimals returns the exact integral quotient as BIGINT.
-      val q0 = cnt.crossJoin(broadcast(tot))
-        .withColumn("budget", expr(s"total DIV $SampleDen"))
-        .withColumn("prod", col("budget").cast(dec) * col("n_docs").cast(dec))
-        .withColumn("base", expr("prod DIV total"))
-        .withColumn("rem", (col("prod") -
-          col("base").cast(dec) * col("total").cast(dec)).cast("long"))
-        .localCheckpoint() // strata rows; feeds leftover + the rank
-      val leftover = q0.agg(
-        (first(col("budget")) - sum(col("base"))).as("leftover"))
-      val quotas = q0.crossJoin(broadcast(leftover))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem").desc, col("source").asc)))
-        .select(col("source"),
-          (col("base") + when(col("rk") <= col("leftover"), 1L)
-            .otherwise(0L)).as("quota"))
       val withH = docs
         .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
         .withColumn("bin", expr("CAST(conv(substr(h, 1, 2), 16, 10) AS INT)"))
-      // boundary bin per source: first (ascending-h) bin whose
-      // cumulative count reaches the quota — computed over the
-      // strata×256 histogram, never over docs (bin ASC == h-prefix
-      // ASC: fixed-width lowercase hex)
-      val bounds = withH.groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("bn"))
-        .join(broadcast(quotas), "source")
-        .withColumn("cum", sum(col("bn")).over(
-          Window.partitionBy(col("source")).orderBy(col("bin"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("cum") >= col("quota"))
-        .groupBy(col("source"))
-        .agg(min(col("bin")).as("bbin"), max(col("quota")).as("quota"))
-      val survivors = withH.join(broadcast(bounds), "source")
+      val hist: Map[String, Seq[(Int, Long)]] = withH
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("bn"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      val nDocs: Map[String, Long] =
+        hist.view.mapValues(_.map(_._2).sum).toMap
+      val total = nDocs.values.sum
+      val budget = total / SampleDen
+      val base = nDocs.view.mapValues(n =>
+        (BigInt(budget) * n / total).toLong).toMap
+      val rem = nDocs.view.mapValues(n =>
+        (BigInt(budget) * n % total).toLong).toMap
+      val leftover = budget - base.values.sum
+      val seats = nDocs.keys.toSeq
+        .sortBy(src => (-rem(src), src)).take(leftover.toInt).toSet
+      // boundary bin: first (ascending md5-prefix) bin whose cumulative
+      // count reaches the quota — bin ASC == h-prefix ASC (fixed-width
+      // lowercase hex), so "bin <= bbin" keeps ~quota + one bin-width
+      val bounds = nDocs.keys.toSeq.sorted.map { src =>
+        val quota = base(src) + (if (seats(src)) 1L else 0L)
+        val cum = hist(src).scanLeft((0, 0L)) {
+          case ((_, c), (b, n)) => (b, c + n) }.tail
+        val bbin = cum.find(_._2 >= quota).map(_._1)
+          .getOrElse(cum.last._1)
+        (src, quota, bbin)
+      }
+      import s.implicits._
+      val boundsDf = bounds.toDF("source", "quota", "bbin")
+      val survivors = withH.join(broadcast(boundsDf), "source")
         .filter(col("bin") <= col("bbin"))
         .withColumn("__ord", struct(col("h"), col("doc_id")))
         .withColumn("__one", lit(1L))
