@@ -132,9 +132,15 @@ object TextQueries {
     // from ONE rollup, growth score = (c2+1)/(c1+1) as ONE IEEE
     // division of exact integers (add-one so births rank above
     // steady-state), support gate c1+c2 ≥ [[TrendMinN]], and the
-    // global top-[[TrendTopK]] under the (score DESC, token ASC)
+    // global top-[[TrendTopK]] under a (score_ppm DESC, token ASC)
     // TOTAL order via TakeOrdered — the O3 shape, no window, no
-    // second scan.
+    // second scan. The CUT key is the exact integer
+    // (c2+1)·10⁶ DIV (c1+1) — ppm resolution, DECIMAL(38,0)/HUGEINT
+    // routed so the product can't wrap at 100 TB token counts
+    // (c2 ~1e12 · 1e6 grazes the BIGINT edge) — per the house "no
+    // float before the cut" rule; the IEEE-divided double stays as
+    // DISPLAY only. ppm ties fall to token ASC in both engines, so
+    // the order stays total and engine-identical.
     "q250_trending_tokens" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       val span = docs.agg(min(col("doc_id")).as("i0"),
@@ -148,10 +154,13 @@ object TextQueries {
         .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("c1"),
           sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
         .filter(col("c1") + col("c2") >= TrendMinN)
+        .withColumn("score_ppm", expr(
+          "CAST(c2 + 1 AS DECIMAL(38,0)) * 1000000 DIV (c1 + 1)"))
         .withColumn("score",
           (col("c2") + 1).cast("double") / (col("c1") + 1).cast("double"))
-        .orderBy(col("score").desc, col("token").asc)
+        .orderBy(col("score_ppm").desc, col("token").asc)
         .limit(TrendTopK)
+        .select(col("token"), col("c1"), col("c2"), col("score"))
     }),
 
     // Token-weighted exact quantiles (A14 — "the median document
@@ -1935,8 +1944,9 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     // q250: identical doc-id midpoint split, per-token half counts,
-    // the same add-one IEEE ratio and (score DESC, token ASC) total
-    // order + cut.
+    // the EXACT integer ppm cut key ((c2+1)·10⁶ // (c1+1), HUGEINT ==
+    // Spark's DECIMAL(38,0) DIV) under the (ppm DESC, token ASC)
+    // total order; the IEEE ratio is display only.
     "q250_trending_tokens" ->
       s"""WITH span AS (
            SELECT min(doc_id) AS i0, max(doc_id) AS i1 FROM documents),
@@ -1951,10 +1961,11 @@ object TextQueries {
            FROM tok WHERE len(token) > 0 GROUP BY 1),
          sc AS (
            SELECT token, c1, c2,
+             CAST(c2 + 1 AS HUGEINT) * 1000000 // (c1 + 1) AS ppm,
              CAST(c2 + 1 AS DOUBLE) / CAST(c1 + 1 AS DOUBLE) AS score
            FROM cnt WHERE c1 + c2 >= $TrendMinN)
          SELECT token, c1, c2, score FROM sc
-         ORDER BY score DESC, token ASC LIMIT $TrendTopK""",
+         ORDER BY ppm DESC, token ASC LIMIT $TrendTopK""",
 
     // q254: the INDEPENDENT brute weighted rank — full per-source
     // ordered cumsum, arg_min at the first row reaching each target

@@ -385,6 +385,30 @@ class TrendStatsSpec extends SparkTestBase {
     }
   }
 
+  test("events.value sits on the cent grid at every SF (q244/q245/q246 exactness precondition)") {
+    // r11 ADVICE: the DECIMAL(12,2)·100 cents route assumes both
+    // engines round each stored double to the SAME 2-dp decimal.
+    // Spark rounds the shortest-decimal representation HALF_UP while
+    // DuckDB rounds the scaled binary double — these diverge for
+    // values OFF the cent grid near .xx5 ties (2.675 → 2.68 vs 2.67).
+    // The claim holds because every events.value is the nearest
+    // double of an exact 2-dp decimal; this guard PINS that corpus
+    // property (value == round(value, 2) is exactly "v is the
+    // nearest-double of a 2-dp decimal") at all three SFs, so a
+    // regenerated corpus with finer-grained values fails loudly here
+    // instead of silently flipping the oracle gate.
+    Seq("0.001", "0.01", "0.1").foreach { s =>
+      val dir = s"/root/testdata/sf$s"
+      if (new java.io.File(dir).isDirectory) {
+        val off = Tables.events(spark, dir)
+          .filter(col("value") =!= round(col("value"), 2)).count()
+        assert(off == 0L,
+          s"sf$s: $off events rows off the cent grid — the q244/q245/" +
+            "q246 cents exactness precondition no longer holds")
+      }
+    }
+  }
+
   test("q244: delta-method ratio A/B equals a BigInt sufficient-stats replay") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("user_id"),
@@ -525,13 +549,17 @@ class TrendStatsSpec extends SparkTestBase {
         cnt(t) = if (id >= mid) (a, b + 1) else (a + 1, b)
       }
     }
+    // the cut key is the EXACT integer ppm ratio (BigInt mirrors the
+    // DECIMAL(38,0)/HUGEINT chain); the IEEE double is display only
     val want = cnt.toSeq
       .filter { case (_, (c1, c2)) =>
         c1 + c2 >= graft.operators.TextQueries.TrendMinN }
       .map { case (t, (c1, c2)) =>
-        (t, c1, c2, (c2 + 1).toDouble / (c1 + 1).toDouble) }
-      .sortBy { case (t, _, _, s) => (-s, t) }
+        (t, c1, c2, (BigInt(c2 + 1) * 1000000 / (c1 + 1)).toLong,
+          (c2 + 1).toDouble / (c1 + 1).toDouble) }
+      .sortBy { case (t, _, _, ppm, _) => (-ppm, t) }
       .take(graft.operators.TextQueries.TrendTopK)
+      .map { case (t, c1, c2, _, s) => (t, c1, c2, s) }
     val got = rows("q250_trending_tokens")
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == want.toSeq,
@@ -759,15 +787,40 @@ class TrendStatsSpec extends SparkTestBase {
       cur :: rest
     }.reverse
     val pava = stack.flatMap(bl =>
-      bl.bins.map(_ -> bl.pos.toDouble / bl.nb.toDouble)).toMap
+      bl.bins.map(_ -> (bl.pos, bl.nb))).toMap
+    // r11 ADVICE: before trusting double equality, prove the minimax
+    // identity in EXACT integers — min over k≥b of max over j≤b of
+    // mean(j..k), all comparisons and the final equality as BigInt
+    // cross-multiplies. This removes the rational-tie fragility: a
+    // non-block segment can tie the block mean as a RATIONAL (and
+    // correctly-rounded division then yields the identical double
+    // regardless of which representation min/max surfaced), so once
+    // the rationals agree, the double assertion below cannot be
+    // 1-ulp flaky.
+    val idx = bins.map(_._1).zipWithIndex.toMap
+    val pn = bins.scanLeft(BigInt(0))(_ + _._2)
+    val pp = bins.scanLeft(BigInt(0))(_ + _._3)
+    def mean(j: Int, k: Int): (BigInt, BigInt) =
+      (pp(k + 1) - pp(j), pn(k + 1) - pn(j))
+    def lt(a: (BigInt, BigInt), b: (BigInt, BigInt)): Boolean =
+      a._1 * b._2 < b._1 * a._2
+    bins.indices.foreach { i =>
+      val minimax = (i until bins.size).map { k =>
+        (0 to i).map(j => mean(j, k)).reduce((a, b) => if (lt(a, b)) b else a)
+      }.reduce((a, b) => if (lt(b, a)) b else a)
+      val (bp, bn) = pava(bins(i)._1)
+      assert(minimax._1 * bn == BigInt(bp) * minimax._2,
+        s"bin ${bins(i)._1}: minimax rational ${minimax} != PAVA block ($bp, $bn)")
+    }
     val got = rows("q241_isotonic").map(r => r.getLong(0) -> r).toMap
     assert(got.keySet == bins.map(_._1).toSet, "bin sets differ")
     bins.foreach { case (b, nb, pos) =>
       val r = got(b)
       assert(r.getLong(1) == nb, s"bin $b n_b")
       assert(r.getDouble(2) == pos.toDouble / nb.toDouble, s"bin $b acc_raw")
-      assert(r.getDouble(3) == pava(b),
-        s"bin $b minimax ${r.getDouble(3)} != PAVA ${pava(b)}")
+      val (bp, bn) = pava(b)
+      assert(r.getDouble(3) == bp.toDouble / bn.toDouble,
+        s"bin $b minimax ${r.getDouble(3)} != PAVA ${bp.toDouble / bn.toDouble}")
     }
     val curve = bins.map(b => got(b._1).getDouble(3))
     assert(curve.zip(curve.tail).forall { case (a, c) => c >= a },
