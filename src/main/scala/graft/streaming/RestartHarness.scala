@@ -100,6 +100,21 @@ object RestartHarness {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
+    // `vocab` = the q229/q230 per-(source, token) count store — the
+    // mergeable unit whose KEY SPACE grows with the corpus. A kill
+    // between the batch_id partition write and the commit log forces
+    // the resume to REPLAY that batch; dynamic overwrite must land the
+    // replay in its own partition so the merge-on-read SUM never
+    // double-counts a token.
+    else if (kind == "vocab")
+      s.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) =>
+          StreamingVocab.processBatch(s, outDir)(b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
     else
       build(s, kind, landing, schemaFrom).writeStream.format("parquet")
         .option("path", outDir)
@@ -174,6 +189,8 @@ object RestartHarness {
     })
     val schemaFrom =
       if (kind == "ivfappend") graft.operators.VectorQueries.emb(spark, sfDir)
+      else if (kind == "vocab") graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "text")
       else graft.Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
     start(spark, kind, landing, ckpt, outDir, schemaFrom).awaitTermination()
