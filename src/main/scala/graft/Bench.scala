@@ -241,7 +241,7 @@ object Bench {
     // ("server_probe_loadavg") so a contended probe is visible.
     settle(300000L)
     val probeLoad = loadavg()
-    val serverRps: Double = {
+    val (serverRps: Double, serverRounds: Seq[Double]) = {
       import spark.implicits._
       import graft.chess._
       val games = ChessIngest.parseGames(spark,
@@ -254,15 +254,34 @@ object Bench {
         s"""{"token":"b1","query":{"positions":[{"fen":"${Position.StartFen}"}],"fetchChildren":true}}""",
         s"""{"token":"b2","query":{"positions":[{"fen":"${Position.StartFen}","move":"e2e4"}],"fetchChildren":true}}""",
         s"""{"token":"b3","retractions":{"fen":"$e2e4","synthesize":true}}""")
-      val rounds = (1 to 3).map { r =>
+      // 2 warm-up + 3 measured rounds, median of the measured: the
+      // probe path is JIT-cold-start dominated (measured r12: round 1
+      // reads 12–14 rps, round 3+ reads 19–28 in the same JVM — a
+      // >2× within-JVM warm-up), so a 3-round median samples compile
+      // maturity, not server throughput, and reads LOWER the slower
+      // the machine ran the early rounds — the r10/r11 driver-vs-idle
+      // spread's measurable component. A real deployment serves
+      // JIT-warm; the steady-state number is the honest claim. ALL
+      // rounds (warm-up included) land in the artifact under
+      // "server_rps_rounds" so a regime where even late rounds sit
+      // low (a genuine serving regression, or an execution-wrapper
+      // throttle) is visible from the artifact alone. Bisection notes
+      // (r12): bare-java vs sbt-forked probe identical; 2 busy cores
+      // cost <15%; 3 GB of dirty-page writeback costs ~25% — none
+      // reproduces the r11 driver's flat 3.77, which leaves the
+      // round-driver's execution wrapper; the per-round record makes
+      // that diagnosable next time it appears.
+      val warmup = 2
+      val rounds = (1 to warmup + 3).map { r =>
         System.gc()
         val (rps, _) = ChessServer.throughput(spark, agg, lines,
           clients = 8, perClient = 12, games = Some(games))
-        System.err.println(f"[bench] server probe round $r: $rps%.2f req/s")
+        System.err.println(f"[bench] server probe round $r: $rps%.2f req/s" +
+          (if (r <= warmup) " (warm-up)" else ""))
         rps
       }
       agg.unpersist(blocking = false)
-      median(rounds)
+      (median(rounds.drop(warmup)), rounds)
     }
     // let the probe's own load decay so it cannot contaminate the
     // board's loadavg_pre / contended self-certification
@@ -271,7 +290,8 @@ object Bench {
     val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries,
       stageWarm = Some(graft.operators.SharedStages.warm),
       serverBench = Some(() => serverRps),
-      extra = Seq("server_probe_loadavg" -> probeLoad))
+      extra = Seq("server_probe_loadavg" -> probeLoad,
+        "server_rps_rounds" -> serverRounds.mkString("[", ",", "]")))
     // artifact first, own line, flushed — then a file mirror, THEN teardown
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
