@@ -76,7 +76,10 @@ object ClusterVerify {
     "q242_seasonal_mk", "q244_delta_ratio", "q246_digit_audit",
     "q247_cramers_v", "q248_quantile_norm", "q249_tolerant_asof",
     "q250_trending_tokens", "q252_churn_halflife",
-    "q253_color_profile", "q254_weighted_quantiles")
+    "q253_color_profile", "q254_weighted_quantiles",
+    "q255_kruskal_wallis", "q256_cliffs_delta", "q257_simpson_diversity",
+    "q258_nelson_aalen", "q259_logrank", "q260_kendall_tau",
+    "q261_cohens_d")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

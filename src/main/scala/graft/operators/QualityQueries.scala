@@ -1082,7 +1082,123 @@ object QualityQueries {
       (grand - half).as("ci_lo"), (grand + half).as("ci_hi"))
   }
 
+  /** χ² 95 % critical values for df 1..31 — shared with the oracle as
+    * a literal lookup (both engines 1-index the SAME list; a df past
+    * the table yields NULL significance in BOTH engines and the spec's
+    * non-vacuity guard trips loudly). The source axis is a ~20-way
+    * operational dimension, so df = k−1 sits comfortably inside. */
+  private[graft] val Chi2Crit95: Seq[Double] = Seq(
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919,
+    18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296, 27.587,
+    28.869, 30.144, 31.410, 32.671, 33.924, 35.172, 36.415, 37.652,
+    38.885, 40.113, 41.337, 42.557, 43.773, 44.985)
+
+  /** Kruskal–Wallis H across sources on document length (D33 —
+    * Kruskal & Wallis '52: the k-sample generalization of q235's
+    * Mann–Whitney — "do the sources draw lengths from one
+    * distribution", the one-number balance audit a mixture rebuild
+    * runs before q69's domain mixing). Pooled midranks come from ONE
+    * ScanSum pass over the value-count table (doubled to stay
+    * integral under ties — the q235 discipline); per-source doubled
+    * rank sums are exact DECIMAL(38,0) (R₂ ≤ 2N·n_s ~ 10²³ at 10¹²
+    * docs); the Σ R₂²/n_s terms are per-source IEEE divisions of
+    * exact integers accumulated by dsum (order-independent; term ≤
+    * 4N³/k ~ 10³² of DECIMAL(38,6)'s integral range at N ~ 8·10¹⁰
+    * pooled docs — the documented cap; past it route dsum at scale
+    * 0); tie correction is the cleared Σ(c³−c) / (N³−N) chain, both
+    * factors DECIMAL(38,0)-exact; H, the correction and the
+    * [[Chi2Crit95]] lookup are the identical IEEE chain in both
+    * engines. One global row. */
+  private[graft] def kruskalWallis(docs: DataFrame): DataFrame = {
+    import graft.functions.Num.dsum
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = docs.select(col("source"), col("n_chars"))
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cs"))
+    val vtot = cnt.groupBy(col("n_chars")).agg(sum(col("cs")).as("c"))
+      .withColumn("g", lit("all"))
+    val mr = graft.operators.ScanSum
+      .runningSum(vtot, "g", "n_chars", "c", outCol = "cumc")
+      .select(col("n_chars"),
+        ((col("cumc") - col("c")) * 2 + col("c") + 1).as("mr2"))
+    val rs = cnt.join(mr, "n_chars")
+      .groupBy(col("source"))
+      .agg(sum((col("cs").cast(dec19) * col("mr2").cast(dec19)).cast(dec))
+          .cast(dec).as("r2"),
+        sum(col("cs")).as("ns"))
+    val ties = vtot.agg(
+      sum((col("c").cast(dec19) * col("c").cast(dec19) * col("c"))
+        .cast(dec) - col("c").cast(dec)).cast(dec).as("tie_t"))
+    rs.agg(count(lit(1)).as("n_groups"), sum(col("ns")).as("n_total"),
+        dsum(col("r2").cast("double") * col("r2").cast("double") /
+          col("ns").cast("double")).as("t_sum"))
+      .crossJoin(broadcast(ties))
+      .withColumn("df", col("n_groups") - 1)
+      .withColumn("h",
+        lit(3.0) * col("t_sum") /
+          (col("n_total").cast(dec19) * (col("n_total") + 1).cast(dec19))
+            .cast(dec).cast("double") -
+          lit(3.0) * (col("n_total") + 1).cast("double"))
+      .withColumn("c1",
+        lit(1.0) - col("tie_t").cast("double") /
+          (col("n_total").cast(dec19) * col("n_total").cast(dec19) *
+            col("n_total").cast(dec19) - col("n_total").cast(dec19))
+            .cast(dec).cast("double"))
+      .withColumn("h_tie_corrected",
+        when(col("c1") > 0.0, col("h") / col("c1")).otherwise(lit(0.0)))
+      .withColumn("significant",
+        when(col("df").between(1, Chi2Crit95.size),
+          col("h_tie_corrected") >
+            element_at(array(Chi2Crit95.map(lit): _*),
+              col("df").cast("int")))
+          .otherwise(lit(null).cast("boolean")))
+      .select(col("n_groups"), col("n_total"), col("df"), col("h"),
+        col("h_tie_corrected"), col("significant"))
+  }
+
+  /** Simpson concentration / Gini–Simpson diversity per source over
+    * tokens (D35 — Simpson '49: λ = Σc(c−1)/(N(N−1)), the probability
+    * two tokens drawn WITHOUT replacement are the same type; 1−λ is
+    * the Gini–Simpson diversity and 1/λ the effective vocabulary —
+    * the concentration audit that flags a source collapsing onto
+    * boilerplate even when q225's richness still looks healthy).
+    * Exact: Σc(c−1) and N(N−1) route DECIMAL(38,0)/HUGEINT (c² ~
+    * 10²⁴ at 10¹² same-type tokens wraps BIGINT); ONE IEEE division,
+    * the inverse as display. Pure function of the per-(source, token)
+    * counts ⇒ the streaming twin (q263) reads the SAME view over the
+    * vocabulary store — its THIRD tail. */
+  private[graft] def simpsonDiversityView(cnt: DataFrame): DataFrame = {
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    cnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum((col("c").cast(dec19) * (col("c") - 1).cast(dec19)).cast(dec))
+          .cast(dec).as("lam_num"))
+      .withColumn("simpson_lambda",
+        when(col("n_tokens") > 1,
+          col("lam_num").cast("double") /
+            (col("n_tokens").cast(dec19) * (col("n_tokens") - 1)
+              .cast(dec19)).cast(dec).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("gini_simpson", lit(1.0) - col("simpson_lambda"))
+      .withColumn("effective_vocab",
+        when(col("simpson_lambda") > 0.0,
+          lit(1.0) / col("simpson_lambda")).otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("simpson_lambda"), col("gini_simpson"),
+        col("effective_vocab"))
+  }
+
+  private[graft] def simpsonDiversity(docs: DataFrame): DataFrame =
+    simpsonDiversityView(docs.select(col("source"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_kruskal_wallis" -> ((s, d) => kruskalWallis(documents(s, d))),
+    "q257_simpson_diversity" -> ((s, d) =>
+      simpsonDiversity(documents(s, d))),
     "q234_bootstrap_ci" -> ((s, d) => bootstrapCi(documents(s, d))),
     "q225_chao1" -> ((s, d) => chao1Audit(documents(s, d))),
     "q221_spearman" -> ((s, d) => spearmanAudit(documents(s, d))),
@@ -1106,6 +1222,85 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q255: identical pooled doubled-midrank prefix (a window over
+    // the value-count rows — unique per value), HUGEINT rank sums,
+    // the dsum mirror for Σ R₂²/n, the same tie/H/lookup IEEE chain
+    // (list_extract OOB → NULL == the Spark guard's NULL).
+    "q255_kruskal_wallis" ->
+      s"""WITH cnt AS (
+           SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cs
+           FROM documents GROUP BY 1, 2),
+         vtot AS (
+           SELECT n_chars, CAST(sum(cs) AS BIGINT) AS c
+           FROM cnt GROUP BY 1),
+         cum AS (
+           SELECT n_chars, c, CAST(sum(c) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cumc
+           FROM vtot),
+         mr AS (SELECT n_chars, (cumc - c) * 2 + c + 1 AS mr2 FROM cum),
+         rs AS (
+           SELECT c2.source,
+             CAST(sum(CAST(c2.cs AS HUGEINT) * m.mr2) AS HUGEINT) AS r2,
+             CAST(sum(c2.cs) AS BIGINT) AS ns
+           FROM cnt c2 JOIN mr m ON m.n_chars = c2.n_chars GROUP BY 1),
+         tie AS (
+           SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT)
+             AS tie_t
+           FROM vtot),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(ns) AS BIGINT) AS n_total,
+             CAST(sum(CAST(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+               / CAST(ns AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+               AS t_sum
+           FROM rs),
+         f AS (
+           SELECT n_groups, n_total,
+             CAST(n_groups - 1 AS BIGINT) AS df,
+             3.0 * t_sum / CAST(CAST(n_total AS HUGEINT) * (n_total + 1)
+               AS DOUBLE) - 3.0 * CAST(n_total + 1 AS DOUBLE) AS h,
+             1.0 - CAST(tie_t AS DOUBLE)
+               / CAST(CAST(n_total AS HUGEINT) * n_total * n_total
+                 - n_total AS DOUBLE) AS c1
+           FROM a CROSS JOIN tie)
+         SELECT n_groups, n_total, df, h,
+           CASE WHEN c1 > 0.0 THEN h / c1 ELSE 0.0 END
+             AS h_tie_corrected,
+           CASE WHEN c1 > 0.0 THEN h / c1 ELSE 0.0 END
+             > list_extract([${Chi2Crit95.mkString(", ")}],
+                 CAST(df AS INT)) AS significant
+         FROM f""",
+
+    // q257: one token rollup; HUGEINT Σc(c−1) and N(N−1); the same
+    // single-division λ and display chain.
+    "q257_simpson_diversity" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE len(tok) > 0 GROUP BY 1, 2),
+         a AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT)
+               AS lam_num
+           FROM cnt GROUP BY 1),
+         l AS (
+           SELECT *, CASE WHEN n_tokens > 1
+             THEN CAST(lam_num AS DOUBLE)
+               / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)
+                 AS DOUBLE)
+             ELSE 0.0 END AS simpson_lambda
+           FROM a)
+         SELECT source, n_tokens, vocab, simpson_lambda,
+           1.0 - simpson_lambda AS gini_simpson,
+           CASE WHEN simpson_lambda > 0.0 THEN 1.0 / simpson_lambda
+                ELSE 0.0 END AS effective_vocab
+         FROM l""",
+
     // q234: identical md5 buckets, single-division bucket means,
     // decimal-accumulated moments, the same IEEE CI chain.
     "q234_bootstrap_ci" ->

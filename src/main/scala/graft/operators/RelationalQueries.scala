@@ -632,16 +632,70 @@ object RelationalQueries {
     * a pure function of the summed (type, day) grid and counts add,
     * so the streaming twin (q240) reads the SAME view over the
     * daily-count store — stream == batch BY ALGEBRA. */
-  def mannKendallView(daily0: DataFrame): DataFrame = {
+  /** The zero-filled (type, day, y) calendar grid both rank-trend
+    * views (q236 MK, q260 τ-b) pair-join over — calendar-bounded, so
+    * the pair fan-out never grows with the corpus. */
+  private def dailyGrid(daily0: DataFrame): DataFrame = {
     val daily = daily0.localCheckpoint() // feeds span + types + grid
     val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val grid = daily.select(col("event_type")).distinct()
+    daily.select(col("event_type")).distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("y"))
       .localCheckpoint() // feeds both pair legs + ties + n_days
+  }
+
+  /** Kendall τ-b over the daily-count grid (W37 — Kendall '38 with
+    * the τ-b tie correction: the EFFECT SIZE companion of q236's
+    * Mann–Kendall decision — S answers "is there a trend", τ-b puts
+    * the series' concordance with time on a [−1, 1] scale a dashboard
+    * can compare across types). Same broadcast calendar-grid pair
+    * join as q236 (an axis that does NOT grow with the corpus); C, D
+    * and the doubled tie/pair totals are exact BIGINTs under the
+    * [[MaxGridDays]] cap (2n₀ ≤ 4·10⁸ ⇒ the 4·(n₀−n₁)·n₀ radicand ≤
+    * 1.6·10¹⁷ ≪ 2⁶³); the day axis has NO ties (grid days are
+    * distinct) so the x-tie term is zero BY CONSTRUCTION and
+    * τ-b = S/√((n₀−n₁)·n₀) = 2S/√(4(n₀−n₁)n₀) — ONE IEEE
+    * division-by-sqrt over the same exact integers in both engines.
+    * Pure function of the summed grid ⇒ the streaming twin (q262)
+    * reads the SAME view over the daily-count store — its TENTH
+    * tail. */
+  def kendallTauView(daily0: DataFrame): DataFrame = {
+    val grid = dailyGrid(daily0)
+    val pairs = grid
+      .select(col("event_type"), col("day").as("da"), col("y").as("ya"))
+      .join(broadcast(grid.select(col("event_type").as("et2"),
+        col("day").as("db"), col("y").as("yb"))),
+        col("event_type") === col("et2") && col("da") < col("db"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("yb") > col("ya"), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("yb") < col("ya"), 1L).otherwise(0L))
+          .as("discordant"))
+    val nd = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val ties = grid.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tie2")) // = 2·n₁
+    pairs
+      .join(broadcast(nd), "event_type")
+      .join(broadcast(ties), "event_type")
+      .withColumn("n0x2", col("n_days") * (col("n_days") - 1)) // = 2·n₀
+      .withColumn("s_stat", col("concordant") - col("discordant"))
+      .withColumn("den4", (col("n0x2") - col("tie2")) * col("n0x2"))
+      .withColumn("tau_b",
+        when(col("den4") > 0,
+          col("s_stat").cast("double") * 2.0 /
+            sqrt(col("den4").cast("double")))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n_days"), col("concordant"),
+        col("discordant"), col("s_stat"), col("tau_b"))
+  }
+
+  def mannKendallView(daily0: DataFrame): DataFrame = {
+    val grid = dailyGrid(daily0)
     val sstat = grid
       .select(col("event_type"), col("day").as("da"), col("y").as("ya"))
       .join(broadcast(grid.select(col("event_type").as("et2"),
@@ -2575,6 +2629,209 @@ object RelationalQueries {
         .select(col("event_type"), col("n").as("n_points"),
           col("lambda_per_day"), col("half_life_days"),
           (col("lambda_per_day") > 0.0).as("decaying"))
+    }),
+
+    // Cliff's delta effect size (D34 — Cliff '93: the DOMINANCE
+    // companion of q235's Mann–Whitney decision — δ = P(x>y) − P(x<y)
+    // on [−1, 1], the magnitude readout a significance flag alone
+    // can't give). Same weekend/weekday split and per-(type, value)
+    // count table as q235; strictly-greater pairs come from ONE
+    // ScanSum prefix over the weekday counts (gt = Σ_v cwe(v) ·
+    // wd-mass strictly below v), equal pairs are the value-level
+    // product, lt is the exact complement — all pair counts
+    // DECIMAL(38,0)/HUGEINT (n_we·n_wd ~ 10²⁴ at 10¹² events wraps
+    // BIGINT; the display doubles are the identical cast chain, exact
+    // to 2⁵³). δ is ONE IEEE division; the Romano '06 magnitude
+    // ladder compares the identical double in both engines.
+    "q256_cliffs_delta" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"), col("value"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .withColumn("we", (col("day") + 4) % 7 >= 5)
+      val cnt = ev.groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("we"), 1L).otherwise(0L)).as("cwe"),
+             sum(when(!col("we"), 1L).otherwise(0L)).as("cwd"))
+      val cum = graft.operators.ScanSum
+        .runningSum(cnt, "event_type", "value", "cwd", outCol = "cumwd")
+      cum.groupBy(col("event_type"))
+        .agg(sum(col("cwe")).as("n_weekend"),
+          sum(col("cwd")).as("n_weekday"),
+          sum((col("cwe").cast(dec19) *
+            (col("cumwd") - col("cwd")).cast(dec19)).cast(dec))
+            .cast(dec).as("gt"),
+          sum((col("cwe").cast(dec19) * col("cwd").cast(dec19)).cast(dec))
+            .cast(dec).as("eq"))
+        .withColumn("np",
+          (col("n_weekend").cast(dec19) * col("n_weekday").cast(dec19))
+            .cast(dec))
+        .withColumn("lt", col("np") - col("gt") - col("eq"))
+        .withColumn("delta",
+          when(col("n_weekend") === 0 || col("n_weekday") === 0, lit(0.0))
+            .otherwise((col("gt") - col("lt")).cast("double") /
+              col("np").cast("double")))
+        .withColumn("magnitude",
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large"))
+        .select(col("event_type"), col("n_weekend"), col("n_weekday"),
+          col("gt").cast("double").as("n_gt"),
+          col("lt").cast("double").as("n_lt"),
+          col("eq").cast("double").as("n_eq"),
+          col("delta"), col("magnitude"))
+    }),
+
+    // Nelson–Aalen cumulative hazard (W35): see [[nelsonAalenView]] —
+    // the q239 KM table's additive-increment sibling, exact ppb
+    // integers end-to-end. The streaming twin (q264) is the SECOND
+    // tail of the q211 first-seen store.
+    "q258_nelson_aalen" -> ((s, d) =>
+      nelsonAalenView(survivalView(events(s, d).select(col("event_type"),
+        col("user_id"), expr("unix_micros(ts) DIV 86400000000")
+          .as("day"))))),
+
+    // Log-rank test (W36 — Mantel '66/Peto '72: "do the two variants
+    // CHURN at the same rate" — the survival-curve A/B readout q239
+    // alone can't decide; the standard primary endpoint test for
+    // retention experiments). Per (type, variant = user_id % 2, the
+    // q166 assignment): lifetimes and churn flags exactly as q239;
+    // risk sets per variant ride ONE ScanSum over the zero-filled
+    // (type, variant) × distinct-lifetime grid (grid rows ≤ 2 ×
+    // calendar per type — bounded); at each death time the
+    // hypergeometric terms E₁ += d·n₁/n and V += d·n₁·n₀·(n−d) /
+    // (n²(n−1)) are the identical IEEE chain both engines evaluate
+    // over the same exact integers, accumulated by dsum
+    // (order-independent); O₁ stays BIGINT exact. Z = (O₁−E₁)/√V,
+    // one final comparison.
+    "q259_logrank" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      val ev = events(s, d).select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val pu0 = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+        .withColumn("variant", col("user_id") % 2)
+      val dmax = pu0.agg(max(col("lday")).as("d1"))
+      val dur = pu0.crossJoin(broadcast(dmax))
+        .select(col("event_type"), col("variant"),
+          (col("lday") - col("fday")).as("t"),
+          (col("lday") <= col("d1") - KmCensorDays).as("churned"))
+        .groupBy(col("event_type"), col("variant"), col("t"))
+        .agg(count(lit(1)).as("ct"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+        .localCheckpoint() // calendar-bounded; feeds grid + ntot
+      val grid = dur.select(col("event_type"), col("t")).distinct()
+        .crossJoin(broadcast(s.range(0, 2).toDF("variant")))
+        .join(dur, Seq("event_type", "variant", "t"), "left")
+        .select(col("event_type"), col("variant"), col("t"),
+          coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("d"), lit(0L)).as("d"))
+        .withColumn("tv",
+          concat(col("event_type"), lit("|"), col("variant")))
+      val ntot = dur.groupBy(col("event_type"), col("variant"))
+        .agg(sum(col("ct")).as("n_users"))
+      val risk = graft.operators.ScanSum
+        .runningSum(grid, "tv", "t", "ct", outCol = "cumct")
+        .join(broadcast(ntot), Seq("event_type", "variant"), "left")
+        .withColumn("n_risk",
+          coalesce(col("n_users"), lit(0L)) - (col("cumct") - col("ct")))
+      val byT = risk.groupBy(col("event_type"), col("t"))
+        .agg(sum(when(col("variant") === 1, col("n_risk")).otherwise(0L))
+            .as("n1"),
+          sum(when(col("variant") === 0, col("n_risk")).otherwise(0L))
+            .as("n0"),
+          sum(when(col("variant") === 1, col("d")).otherwise(0L)).as("d1"),
+          sum(when(col("variant") === 0, col("d")).otherwise(0L)).as("d0"))
+        .withColumn("nt", col("n0") + col("n1"))
+        .withColumn("dt", col("d0") + col("d1"))
+        .filter(col("dt") > 0)
+      byT.groupBy(col("event_type"))
+        .agg(sum(col("d1")).as("o1"),
+          dsum(col("dt").cast("double") * col("n1").cast("double") /
+            col("nt").cast("double")).as("e1"),
+          dsum(when(col("nt") > 1,
+            col("dt").cast("double") * col("n1").cast("double") *
+              col("n0").cast("double") *
+              (col("nt") - col("dt")).cast("double") /
+              (col("nt").cast("double") * col("nt").cast("double") *
+                (col("nt") - 1).cast("double"))).otherwise(lit(0.0)))
+            .as("var_lr"))
+        .withColumn("z",
+          when(col("var_lr") > 0.0,
+            (col("o1").cast("double") - col("e1")) / sqrt(col("var_lr")))
+            .otherwise(lit(0.0)))
+        .withColumn("significant", abs(col("z")) > 1.96)
+        .select(col("event_type"), col("o1").as("observed_1"),
+          col("e1").as("expected_1"), col("var_lr"), col("z"),
+          col("significant"))
+    }),
+
+    // Kendall τ-b daily trend (W37): see [[kendallTauView]] — q236's
+    // effect-size companion over the same broadcast calendar grid.
+    // The streaming twin (q262) is the TENTH daily-count-store tail.
+    "q260_kendall_tau" -> ((s, d) =>
+      kendallTauView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Cohen's d / Hedges' g effect size (D36 — Cohen '88, Hedges '81:
+    // the standardized mean difference between the q166 variants on
+    // value cents — the PRACTICAL-significance readout the q166/q244
+    // z flags can't give, and the number a power analysis consumes).
+    // THREE exact sufficient statistics per (type, variant) in
+    // DECIMAL(38,0)/HUGEINT (Σc² ~ 10³⁰ at 10¹² events wraps BIGINT;
+    // cents exact through the q244 DECIMAL(12,2)·100 route, pinned by
+    // the cent-grid corpus guard); the cleared-numerator n·Σc² − S²
+    // stays decimal-exact; means, pooled variance, d, and the Hedges
+    // small-sample correction J = 1 − 3/(4n−9) are the identical IEEE
+    // chain in both engines; the Cohen '88 magnitude ladder compares
+    // the shared double.
+    "q261_cohens_d" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = events(s, d).select(col("event_type"),
+          (col("user_id") % 2).as("variant"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast(dec).as("sc"),
+          sum((col("cents").cast(dec19) * col("cents").cast(dec19))
+            .cast(dec)).cast(dec).as("scc"))
+        .withColumn("nv_num",
+          col("n").cast(dec) * col("scc") - col("sc") * col("sc"))
+      st.groupBy(col("event_type"))
+        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          max(when(col("variant") === 0, col("sc"))).as("s0"),
+          max(when(col("variant") === 1, col("sc"))).as("s1"),
+          max(when(col("variant") === 0, col("nv_num"))).as("q0"),
+          max(when(col("variant") === 1, col("nv_num"))).as("q1"))
+        .withColumn("mean0",
+          col("s0").cast("double") / col("n0").cast("double"))
+        .withColumn("mean1",
+          col("s1").cast("double") / col("n1").cast("double"))
+        .withColumn("sp2",
+          (col("q0").cast("double") / col("n0").cast("double") +
+            col("q1").cast("double") / col("n1").cast("double")) /
+            (col("n0") + col("n1") - 2).cast("double"))
+        .withColumn("cohens_d",
+          when(col("n0") > 0 && col("n1") > 0 &&
+              col("n0") + col("n1") > 2 && col("sp2") > 0.0,
+            (col("mean1") - col("mean0")) / sqrt(col("sp2")))
+            .otherwise(lit(0.0)))
+        .withColumn("hedges_g", col("cohens_d") *
+          (lit(1.0) - lit(3.0) /
+            ((col("n0") + col("n1")) * 4 - 9).cast("double")))
+        .withColumn("magnitude",
+          when(abs(col("cohens_d")) < 0.2, "negligible")
+            .when(abs(col("cohens_d")) < 0.5, "small")
+            .when(abs(col("cohens_d")) < 0.8, "medium")
+            .otherwise("large"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          col("mean0").as("mean0_cents"), col("mean1").as("mean1_cents"),
+          col("cohens_d"), col("hedges_g"), col("magnitude"))
     })
   )
 
@@ -2583,10 +2840,22 @@ object RelationalQueries {
     * sets and the ln-product prefix both through ScanSum. Shared with
     * q252, which fits the exponential-decay line through the exact
     * ln_surv_ppb integers this view emits. */
-  def survivalView(ev: DataFrame): DataFrame = {
-    val dmax = ev.agg(max(col("day")).as("d1"))
-    val pu = ev.groupBy(col("event_type"), col("user_id"))
+  def survivalView(ev: DataFrame): DataFrame =
+    survivalFromLifetimes(perUserLifetimes(ev))
+
+  /** Per-(type, user) lifetime rollup — min/max day are MERGEABLE, so
+    * the streaming twins (q264) read the SAME shape off the q211
+    * first-seen store's merge-on-read (MIN, MAX). */
+  private[graft] def perUserLifetimes(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("user_id"))
       .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+
+  /** The KM chain from per-user (fday, lday) lifetimes: the censor
+    * horizon derives from max(lday) — identical to max(day) over raw
+    * events, so batch and store-fed runs see the same edge. */
+  private[graft] def survivalFromLifetimes(pu0: DataFrame): DataFrame = {
+    val dmax = pu0.agg(max(col("lday")).as("d1"))
+    val pu = pu0
       .crossJoin(broadcast(dmax))
       .select(col("event_type"), (col("lday") - col("fday")).as("t"),
         (col("lday") <= col("d1") - KmCensorDays).as("churned"))
@@ -2614,6 +2883,34 @@ object RelationalQueries {
         when(col("n_risk") === col("d"), lit(0.0))
           .otherwise(exp(col("ln_surv_ppb").cast("double") / 1.0e9))
           .as("survival"))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the q239 KM table (W35 —
+    * Nelson '72 / Aalen '78: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, the estimator
+    * whose INCREMENTS ADD — the integral of churn intensity, stabler
+    * than −ln Ŝ near exhausted risk sets and the standard companion
+    * curve to KM). Each increment is the exact integer ppb
+    * (dᵢ·10⁹) DIV nᵢ — DECIMAL(38,0)-routed because d·10⁹ ~ 10²¹ at
+    * 10¹² users wraps BIGINT (HUGEINT in the oracle) — and the prefix
+    * sum rides ScanSum's two-pass scan, so the whole curve is exact
+    * integers with the single IEEE division deferred to the display
+    * column. Pure function of the per-user (fday, lday) rollup ⇒ the
+    * streaming twin (q264) feeds the SAME chain from the q211
+    * first-seen store (min/max are mergeable — stream == batch BY
+    * ALGEBRA). At 100 TB: risk rows are lifetimes ≤ the calendar
+    * (grid-bounded), cum_haz_ppb ≤ t_max·10⁹ ≤ 2·10¹³ — BIGINT-safe
+    * under [[MaxGridDays]]. */
+  def nelsonAalenView(km: DataFrame): DataFrame = {
+    val hz = km.select(col("event_type"), col("t_days"), col("n_risk"),
+        col("d_churn"))
+      .withColumn("hz_ppb", expr(
+        "CAST(d_churn AS DECIMAL(38,0)) * 1000000000 DIV n_risk"))
+    graft.operators.ScanSum
+      .runningSum(hz, "event_type", "t_days", "hz_ppb",
+        outCol = "cum_haz_ppb")
+      .select(col("event_type"), col("t_days"), col("n_risk"),
+        col("d_churn"), col("hz_ppb"), col("cum_haz_ppb"),
+        (col("cum_haz_ppb").cast("double") / 1.0e9).as("cum_hazard"))
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -4207,6 +4504,263 @@ object RelationalQueries {
                 ELSE 0.0 END AS half_life_days,
            lambda_per_day > 0.0 AS decaying
          FROM z""",
+
+    // q256: identical weekend split and value-count table; gt comes
+    // from the same strictly-below prefix (a window over the
+    // value-count rows — unique per (type, value)); HUGEINT pair
+    // counts mirror DECIMAL(38,0); identical δ division + ladder.
+    "q256_cliffs_delta" ->
+      """WITH ev AS (
+           SELECT event_type, value,
+             (epoch_us(ts) // 86400000000 + 4) % 7 >= 5 AS we
+           FROM events),
+         cnt AS (
+           SELECT event_type, value,
+             CAST(count(*) FILTER (we) AS BIGINT) AS cwe,
+             CAST(count(*) FILTER (NOT we) AS BIGINT) AS cwd
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT *, CAST(sum(cwd) OVER (PARTITION BY event_type
+             ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cumwd
+           FROM cnt),
+         a AS (
+           SELECT event_type,
+             CAST(sum(cwe) AS BIGINT) AS n_weekend,
+             CAST(sum(cwd) AS BIGINT) AS n_weekday,
+             CAST(sum(CAST(cwe AS HUGEINT) * (cumwd - cwd)) AS HUGEINT)
+               AS gt,
+             CAST(sum(CAST(cwe AS HUGEINT) * cwd) AS HUGEINT) AS eq
+           FROM cum GROUP BY 1),
+         b AS (
+           SELECT *, CAST(n_weekend AS HUGEINT) * n_weekday AS np
+           FROM a),
+         c AS (
+           SELECT *, np - gt - eq AS lt,
+             CASE WHEN n_weekend = 0 OR n_weekday = 0 THEN 0.0
+                  ELSE CAST(gt - (np - gt - eq) AS DOUBLE)
+                     / CAST(np AS DOUBLE) END AS delta
+           FROM b)
+         SELECT event_type, n_weekend, n_weekday,
+           CAST(gt AS DOUBLE) AS n_gt, CAST(lt AS DOUBLE) AS n_lt,
+           CAST(eq AS DOUBLE) AS n_eq, delta,
+           CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33 THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+         FROM c""",
+
+    // q258: the q239 lifetimes/censor/risk-set chain + the additive
+    // hazard tail — increments as the same (d·10⁹) // n integral
+    // division (HUGEINT == DECIMAL(38,0) DIV), prefix-summed exactly.
+    "q258_nelson_aalen" ->
+      s"""WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dm AS (SELECT max(day) AS d1 FROM ev),
+         pu AS (
+           SELECT event_type, user_id, min(day) AS fday, max(day) AS lday
+           FROM ev GROUP BY 1, 2),
+         pc AS (
+           SELECT p.event_type, p.lday - p.fday AS t,
+             p.lday <= d.d1 - $KmCensorDays AS churned
+           FROM pu p CROSS JOIN dm d),
+         dur AS (
+           SELECT event_type, t, CAST(count(*) AS BIGINT) AS ct,
+             CAST(count(*) FILTER (churned) AS BIGINT) AS d
+           FROM pc GROUP BY 1, 2),
+         ntot AS (SELECT event_type, CAST(sum(ct) AS BIGINT) AS n_users
+                  FROM dur GROUP BY 1),
+         r AS (
+           SELECT du.event_type, du.t, du.ct, du.d,
+             CAST(n.n_users - (sum(du.ct) OVER w - du.ct) AS BIGINT)
+               AS n_risk
+           FROM dur du JOIN ntot n ON n.event_type = du.event_type
+           WINDOW w AS (PARTITION BY du.event_type ORDER BY du.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         h AS (
+           SELECT event_type, t, n_risk, d,
+             CAST(CAST(d AS HUGEINT) * 1000000000 // n_risk AS BIGINT)
+               AS hz_ppb
+           FROM r)
+         SELECT event_type, t AS t_days, n_risk, d AS d_churn, hz_ppb,
+           CAST(sum(hz_ppb) OVER (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_haz_ppb,
+           CAST(CAST(sum(hz_ppb) OVER (PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS DOUBLE) / 1.0e9 AS cum_hazard
+         FROM h""",
+
+    // q259: identical per-variant lifetimes/censor rule; risk sets as
+    // the same prefix over the zero-filled (variant × lifetime) grid;
+    // the hypergeometric E/V terms are the identical IEEE chain over
+    // the same exact integers, accumulated through the dsum mirror.
+    "q259_logrank" ->
+      s"""WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dm AS (SELECT max(day) AS d1 FROM ev),
+         pu AS (
+           SELECT event_type, user_id % 2 AS variant,
+             min(day) AS fday, max(day) AS lday
+           FROM ev GROUP BY 1, 2, user_id),
+         pc AS (
+           SELECT p.event_type, p.variant, p.lday - p.fday AS t,
+             p.lday <= d.d1 - $KmCensorDays AS churned
+           FROM pu p CROSS JOIN dm d),
+         dur AS (
+           SELECT event_type, variant, t,
+             CAST(count(*) AS BIGINT) AS ct,
+             CAST(count(*) FILTER (churned) AS BIGINT) AS d
+           FROM pc GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT g.event_type, v.variant, g.t,
+             CAST(coalesce(du.ct, 0) AS BIGINT) AS ct,
+             CAST(coalesce(du.d, 0) AS BIGINT) AS d
+           FROM (SELECT DISTINCT event_type, t FROM dur) g
+           CROSS JOIN (SELECT unnest([0, 1]) AS variant) v
+           LEFT JOIN dur du ON du.event_type = g.event_type
+             AND du.variant = v.variant AND du.t = g.t),
+         ntot AS (
+           SELECT event_type, variant, CAST(sum(ct) AS BIGINT) AS n_users
+           FROM dur GROUP BY 1, 2),
+         r AS (
+           SELECT g.event_type, g.variant, g.t, g.ct, g.d,
+             CAST(coalesce(n.n_users, 0)
+               - (sum(g.ct) OVER w - g.ct) AS BIGINT) AS n_risk
+           FROM grid g LEFT JOIN ntot n
+             ON n.event_type = g.event_type AND n.variant = g.variant
+           WINDOW w AS (PARTITION BY g.event_type, g.variant ORDER BY g.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         bt AS (
+           SELECT event_type, t,
+             CAST(sum(CASE WHEN variant = 1 THEN n_risk ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN variant = 0 THEN n_risk ELSE 0 END)
+               AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN d ELSE 0 END)
+               AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN variant = 0 THEN d ELSE 0 END)
+               AS BIGINT) AS d0
+           FROM r GROUP BY 1, 2),
+         ft AS (
+           SELECT *, n0 + n1 AS nt, d0 + d1 AS dt FROM bt
+           WHERE d0 + d1 > 0),
+         a AS (
+           SELECT event_type, CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(CAST(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(nt AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS e1,
+             CAST(sum(CAST(CASE WHEN nt > 1 THEN
+               CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 * CAST(n0 AS DOUBLE) * CAST(nt - dt AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                   * CAST(nt - 1 AS DOUBLE))
+               ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS var_lr
+           FROM ft GROUP BY 1),
+         z AS (
+           SELECT event_type, o1, e1, var_lr,
+             CASE WHEN var_lr > 0.0
+               THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(var_lr)
+               ELSE 0.0 END AS z
+           FROM a)
+         SELECT event_type, o1 AS observed_1, e1 AS expected_1, var_lr,
+           z, abs(z) > 1.96 AS significant
+         FROM z""",
+
+    // q260: identical zero-filled grid + pair join; C/D/tie counts
+    // BIGINT exact; the same doubled-total radicand and 2S/√den4
+    // division.
+    "q260_kendall_tau" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         p AS (
+           SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant
+           FROM g a JOIN g b
+             ON b.event_type = a.event_type AND a.day < b.day
+           GROUP BY 1),
+         nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM g GROUP BY 1),
+         ties AS (
+           SELECT event_type, CAST(sum(t * (t - 1)) AS BIGINT) AS tie2
+           FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+                 FROM g GROUP BY 1, 2) GROUP BY 1),
+         f AS (
+           SELECT p.event_type, nd.n_days, p.concordant, p.discordant,
+             p.concordant - p.discordant AS s_stat,
+             nd.n_days * (nd.n_days - 1) AS n0x2, t.tie2
+           FROM p JOIN nd ON nd.event_type = p.event_type
+           JOIN ties t ON t.event_type = p.event_type)
+         SELECT event_type, n_days, concordant, discordant, s_stat,
+           CASE WHEN (n0x2 - tie2) * n0x2 > 0
+             THEN CAST(s_stat AS DOUBLE) * 2.0
+               / sqrt(CAST((n0x2 - tie2) * n0x2 AS DOUBLE))
+             ELSE 0.0 END AS tau_b
+         FROM f""",
+
+    // q261: identical cents route and variant split; HUGEINT
+    // sufficient statistics; the same cleared-numerator pooled
+    // variance, d, J-correction and ladder IEEE chain.
+    "q261_cohens_d" ->
+      """WITH ev AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         st AS (
+           SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS sc,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS scc
+           FROM ev GROUP BY 1, 2),
+         nv AS (SELECT *, n * scc - sc * sc AS nv_num FROM st),
+         p AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+             max(CASE WHEN variant = 0 THEN sc END) AS s0,
+             max(CASE WHEN variant = 1 THEN sc END) AS s1,
+             max(CASE WHEN variant = 0 THEN nv_num END) AS q0,
+             max(CASE WHEN variant = 1 THEN nv_num END) AS q1
+           FROM nv GROUP BY 1),
+         m AS (
+           SELECT *, CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             (CAST(q0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+              + CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / CAST(n0 + n1 - 2 AS DOUBLE) AS sp2
+           FROM p),
+         dd AS (
+           SELECT *, CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 2
+               AND sp2 > 0.0
+             THEN (mean1 - mean0) / sqrt(sp2) ELSE 0.0 END AS cohens_d
+           FROM m)
+         SELECT event_type, n0, n1, mean0 AS mean0_cents,
+           mean1 AS mean1_cents, cohens_d,
+           cohens_d * (1.0 - 3.0 / CAST((n0 + n1) * 4 - 9 AS DOUBLE))
+             AS hedges_g,
+           CASE WHEN abs(cohens_d) < 0.2 THEN 'negligible'
+                WHEN abs(cohens_d) < 0.5 THEN 'small'
+                WHEN abs(cohens_d) < 0.8 THEN 'medium'
+                ELSE 'large' END AS magnitude
+         FROM dd""",
 
     // q242: identical grid + arithmetic dow; pairs restricted to the
     // same stratum; per-stratum variance terms summed exactly; the

@@ -785,6 +785,72 @@ object StreamingQueries {
         StreamingUserMetrics.metrics(s, store))
     }),
 
+    // ST31 × W37: q260's Kendall τ-b as a STREAM — the TENTH read
+    // tail of the shared daily-count store: C, D and the tie totals
+    // are pure functions of the summed (type, day) grid, and counts
+    // add, so stream == batch BY ALGEBRA; oracle IS q260's batch SQL.
+    "q262_stream_kendall" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q262-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q262-store"))
+      val ckpt = tmp("graft-q262-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.kendallTauView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
+    // ST32 × D35: q257's Simpson diversity as a STREAM — the THIRD
+    // tail of the vocabulary store: λ's numerator Σc(c−1) and N are
+    // pure functions of the merged per-(source, token) counts, and
+    // counts add, so stream == batch BY ALGEBRA; oracle IS q257's
+    // batch SQL.
+    "q263_stream_simpson" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val landing = tmp("graft-q263-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w &&
+          col("doc_id") < mn + (i + 1) * w), landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q263-store"))
+      val ckpt = tmp("graft-q263-ckpt")
+      withCompactionEvery2(s) {
+        StreamingVocab.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.QualityQueries.simpsonDiversityView(
+        StreamingVocab.counts(s, store))
+    }),
+
+    // ST33 × W35: q258's Nelson–Aalen cumulative hazard as a STREAM —
+    // the SECOND tail of the q211 first-seen store: the KM risk sets
+    // and the additive hazard are pure functions of the per-user
+    // (fday, lday) rollup, min/max are mergeable, and the censor
+    // horizon derives from max(lday) — so however the event drops
+    // were sliced the folded store feeds the IDENTICAL
+    // survivalFromLifetimes → nelsonAalenView chain; oracle IS q258's
+    // batch SQL.
+    "q264_stream_nelson_aalen" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q264-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q264-store"))
+      val ckpt = tmp("graft-q264-ckpt")
+      withCompactionEvery2(s) {
+        StreamingFirstSeen.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.nelsonAalenView(
+        graft.operators.RelationalQueries.survivalFromLifetimes(
+          StreamingFirstSeen.perUser(s, store)))
+    }),
+
     // ST × W23: q210's cumulative-distinct curve as a STREAM — a NEW
     // mergeable unit (per-(type, user) MIN first-seen / MAX last-seen
     // day partials under batch_id, LSM-folded), merge-on-read
@@ -1053,6 +1119,22 @@ object StreamingQueries {
     // derivation to the q244 batch chain.
     "q245_stream_delta_ratio" ->
       graft.operators.RelationalQueries.oracleSql("q244_delta_ratio"),
+
+    // q262: C/D/ties are pure functions of the summed daily grid —
+    // identical derivation to the q260 batch chain.
+    "q262_stream_kendall" ->
+      graft.operators.RelationalQueries.oracleSql("q260_kendall_tau"),
+
+    // q263: λ is a pure function of the merged per-(source, token)
+    // counts — identical derivation to the q257 batch chain.
+    "q263_stream_simpson" ->
+      graft.operators.QualityQueries.oracleSql("q257_simpson_diversity"),
+
+    // q264: the KM/NA chain is a pure function of the merged per-user
+    // (MIN, MAX) lifetimes — identical derivation to the q258 batch
+    // chain.
+    "q264_stream_nelson_aalen" ->
+      graft.operators.RelationalQueries.oracleSql("q258_nelson_aalen"),
 
     // q229/q230: the vocabulary store's merge-on-read sums feed the
     // identical chao1/zipf tails — per-token counts are all they see.

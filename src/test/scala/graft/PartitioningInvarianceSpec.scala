@@ -162,6 +162,13 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q252_churn_halflife",   // KM ScanSum chain + decimal OLS
     "q253_color_profile",    // real decode + argmax + zero-filled grid
     "q254_weighted_quantiles", // weighted histogram + ScanSum selection
+    "q255_kruskal_wallis",   // pooled ScanSum midranks + dsum H terms
+    "q256_cliffs_delta",     // ScanSum weekday prefix + decimal pair counts
+    "q257_simpson_diversity", // decimal c(c-1) rollup + one division
+    "q258_nelson_aalen",     // KM ScanSum chain + ppb DIV hazard prefix
+    "q259_logrank",          // per-variant ScanSum risk sets + dsum E/V
+    "q260_kendall_tau",      // broadcast-grid pair join, integer C/D/ties
+    "q261_cohens_d",         // decimal sufficient stats + closed-form d
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1376,6 +1376,83 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the span scalar may nest-loop:\n$p")
   }
 
+  test("q255 Kruskal–Wallis: pooled midranks ride ScanSum; scalar-only nest-loops") {
+    val p = plan("q255_kruskal_wallis")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a rank pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    // the rank join is value-keyed hash; only the 1-row tie/total
+    // scalars may nest-loop
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row tie scalar may nest-loop:\n$p")
+  }
+
+  test("q256 Cliff's delta: weekday prefix rides ScanSum — no value-pair join") {
+    val p = plan("q256_cliffs_delta")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the dominance counts come from a prefix, never a pair join:\n$p")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"the weekday prefix bypassed ScanSum:\n${specs.mkString("\n")}")
+  }
+
+  test("q257 Simpson diversity: one rollup — ZERO window nodes") {
+    val p = plan("q257_simpson_diversity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"Simpson is a pure rollup:\n$p")
+  }
+
+  test("q258 Nelson–Aalen: risk sets and the hazard prefix all ride ScanSum") {
+    val p = plan("q258_nelson_aalen")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a KM/NA pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row corpus-edge broadcast may nest-loop:\n$p")
+  }
+
+  test("q259 log-rank: per-variant risk sets ride ScanSum; bounded nest-loops") {
+    val p = plan("q259_logrank")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a risk-set pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    // the 1-row corpus-edge scalar and the 2-row variant grid are the
+    // only permitted nest-loops — both bounded by constants
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
+      s"only the edge scalar + 2-row variant grid may nest-loop:\n$p")
+  }
+
+  test("q260 Kendall τ-b: broadcast-grid pair join — ZERO window nodes") {
+    val p = plan("q260_kendall_tau")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"τ-b must not window:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q261 Cohen's d: two rollups — ZERO window nodes, ZERO nest-loops") {
+    val p = plan("q261_cohens_d")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"Cohen's d is closed-form over rollups:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

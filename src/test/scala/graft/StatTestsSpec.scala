@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver replays for the round-12 statistics family: Kruskal–Wallis
+  * (q255/D33), Cliff's delta (q256/D34), Simpson diversity (q257/D35),
+  * Nelson–Aalen (q258/W35), log-rank (q259/W36), Kendall τ-b
+  * (q260/W37) and Cohen's d (q261/D36). Every replay recomputes the
+  * answer from the raw parquet in plain Scala (BigInt where the plan
+  * routes DECIMAL(38,0), BigDecimal setScale where it routes dsum/ppb)
+  * and compares EXACTLY — the doubles must be bit-identical because
+  * both sides perform the same IEEE ops on the same exact integers.
+  * Non-vacuity guards make sure each statistic discriminates on this
+  * corpus (conditional where sf0.001 cannot guarantee the branch).
+  */
+class StatTestsSpec extends SparkTestBase {
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  private def dsum6(xs: Seq[Double]): Double =
+    xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  test("q255: Kruskal–Wallis equals a pooled-midrank BigInt replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vtot = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    val mr2 = vtot.keys.toSeq.sorted.map { v =>
+      cum += vtot(v); v -> ((cum - vtot(v)) * 2 + vtot(v) + 1)
+    }.toMap
+    val terms = docs.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.map(x => BigInt(mr2(x._2))).sum, xs.size.toLong)
+    }
+    val k = terms.size.toLong
+    val nn = BigInt(docs.length)
+    val tSum = dsum6(terms.map { case (r2, ns) =>
+      r2.toDouble * r2.toDouble / ns.toDouble })
+    val h = 3.0 * tSum / (nn * (nn + 1)).toDouble - 3.0 * (nn + 1).toDouble
+    val tieT = vtot.values.map(c => BigInt(c) * c * c - c).sum
+    val c1 = 1.0 - tieT.toDouble / (nn * nn * nn - nn).toDouble
+    val hc = if (c1 > 0.0) h / c1 else 0.0
+    val df = (k - 1).toInt
+    val out = rows("q255_kruskal_wallis")
+    assert(out.length == 1, "one global row")
+    val r = out.head
+    assert(r.getLong(0) == k && r.getLong(1) == nn.toLong &&
+      r.getLong(2) == df.toLong, "shape")
+    assert(r.getDouble(3) == h, s"h ${r.getDouble(3)} != $h")
+    assert(r.getDouble(4) == hc, s"h_corr ${r.getDouble(4)} != $hc")
+    // the df lookup must be IN RANGE and produce a real decision —
+    // the loud guard behind the Chi2Crit95 31-entry cap
+    assert(df >= 1 && df <= graft.operators.QualityQueries.Chi2Crit95.size,
+      s"df $df outside the shared lookup table")
+    assert(!r.isNullAt(5) && r.getBoolean(5) ==
+      (hc > graft.operators.QualityQueries.Chi2Crit95(df - 1)),
+      "significance lookup")
+    // ranks must discriminate: identical per-source rank sums would
+    // mean the pooled ranking carries nothing
+    assert(terms.map(_._1).distinct.size > 1,
+      "all per-source rank sums equal — vacuous")
+  }
+
+  test("q256: Cliff's delta equals a BigInt pair replay; pairs conserve") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        ((expr("unix_micros(ts) DIV 86400000000") + 4) % 7 >= 5).as("we"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val got = rows("q256_cliffs_delta").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      var cumwd = BigInt(0); var gt = BigInt(0); var eq = BigInt(0)
+      var nwe = 0L; var nwd = 0L
+      xs.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        val cwe = g.count(_._3).toLong
+        val cwd = g.count(!_._3).toLong
+        gt += BigInt(cwe) * cumwd
+        eq += BigInt(cwe) * cwd
+        cumwd += cwd; nwe += cwe; nwd += cwd
+      }
+      val np = BigInt(nwe) * nwd
+      val lt = np - gt - eq
+      val delta =
+        if (nwe == 0 || nwd == 0) 0.0 else (gt - lt).toDouble / np.toDouble
+      val mag =
+        if (math.abs(delta) < 0.147) "negligible"
+        else if (math.abs(delta) < 0.33) "small"
+        else if (math.abs(delta) < 0.474) "medium" else "large"
+      val r = got(t)
+      assert(r.getLong(1) == nwe && r.getLong(2) == nwd, s"$t n")
+      assert(r.getDouble(3) == gt.toDouble, s"$t gt")
+      assert(r.getDouble(4) == lt.toDouble, s"$t lt")
+      assert(r.getDouble(5) == eq.toDouble, s"$t eq")
+      assert(r.getDouble(6) == delta, s"$t delta ${r.getDouble(6)} != $delta")
+      assert(r.getString(7) == mag, s"$t magnitude")
+      assert(gt + lt + eq == np, s"$t pair conservation")
+      assert(delta >= -1.0 && delta <= 1.0, s"$t delta out of range")
+      assert(nwe > 0 && nwd > 0, s"$t a split side is empty — vacuous")
+    }
+  }
+
+  test("q257: Simpson diversity equals a BigInt count replay; bounded") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val got = rows("q257_simpson_diversity")
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == toks.map(_._1).toSet)
+    toks.groupBy(_._1).foreach { case (src, xs) =>
+      val cnt = xs.groupBy(_._2).view.mapValues(g => BigInt(g.size)).toMap
+      val n = BigInt(xs.size)
+      val lamNum = cnt.values.map(c => c * (c - 1)).sum
+      val lam = if (n > 1) lamNum.toDouble / (n * (n - 1)).toDouble else 0.0
+      val r = got(src)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == cnt.size.toLong,
+        s"$src shape")
+      assert(r.getDouble(3) == lam, s"$src lambda ${r.getDouble(3)} != $lam")
+      assert(r.getDouble(4) == 1.0 - lam, s"$src gini")
+      assert(r.getDouble(5) == (if (lam > 0.0) 1.0 / lam else 0.0),
+        s"$src effective vocab")
+      assert(lam > 0.0 && lam <= 1.0, s"$src lambda out of (0,1]")
+    }
+    // concentration must discriminate across sources or the audit
+    // reads nothing
+    assert(got.values.map(_.getDouble(3)).toSeq.distinct.size > 1,
+      "flat lambda across sources — vacuous")
+  }
+
+  /** Shared KM risk-set replay: per type, the (t, ct, d, n_risk) rows
+    * in lifetime order — the q239/q252 chain re-derived. */
+  private def riskRows(ev: Seq[(String, Long, Long)])
+      : Map[String, Seq[(Long, Long, Long, Long)]] = {
+    val d1 = ev.map(_._3).max
+    val censor = graft.operators.RelationalQueries.KmCensorDays
+    ev.groupBy(_._1).view.mapValues { xs =>
+      val lifetimes = xs.groupBy(_._2).toSeq.map { case (_, es) =>
+        val f = es.map(_._3).min; val l = es.map(_._3).max
+        (l - f, l <= d1 - censor)
+      }
+      val nUsers = lifetimes.size.toLong
+      var before = 0L
+      lifetimes.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        val ct = g.size.toLong; val d = g.count(_._2).toLong
+        val nRisk = nUsers - before
+        before += ct
+        (t, ct, d, nRisk)
+      }
+    }.toMap
+  }
+
+  test("q258: Nelson–Aalen equals a risk-set replay; dominated by −ln S") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = rows("q258_nelson_aalen")
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    var anyHazard = false
+    riskRows(ev).foreach { case (t, rws) =>
+      var cumH = 0L; var cumLn = 0L; var i = 0
+      rws.foreach { case (tt, _, d, nRisk) =>
+        val hz = (BigInt(d) * 1000000000L / nRisk).toLong
+        cumH += hz; i += 1
+        val lnPpb = if (d == 0 || nRisk == d) 0L
+          else (BigDecimal(math.log((nRisk - d).toDouble / nRisk.toDouble))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(1000000000)).toLongExact
+        cumLn += lnPpb
+        val r = got((t, tt))
+        assert(r.getLong(2) == nRisk && r.getLong(3) == d, s"$t/$tt risk")
+        assert(r.getLong(4) == hz, s"$t/$tt hz_ppb")
+        assert(r.getLong(5) == cumH, s"$t/$tt cum_haz_ppb")
+        assert(r.getDouble(6) == cumH.toDouble / 1.0e9, s"$t/$tt display")
+        // Nelson–Aalen is dominated by −ln Ŝ (x ≤ −ln(1−x)); each
+        // floored DIV can only push H down, each ln ppb rounds within
+        // half a unit — so the identity holds up to one ppb per row
+        assert(cumH <= -cumLn + i, s"$t/$tt H ${cumH} > −lnS ${-cumLn}")
+      }
+      if (cumH > 0) anyHazard = true
+    }
+    assert(got.size == riskRows(ev).values.map(_.size).sum, "row count")
+    assert(anyHazard, "no churn hazard anywhere — vacuous")
+  }
+
+  test("q259: log-rank equals a per-variant risk-set replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d1 = ev.map(_._3).max
+    val censor = graft.operators.RelationalQueries.KmCensorDays
+    val got = rows("q259_logrank").map(r => r.getString(0) -> r).toMap
+    var anyVar = false
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val lifetimes = xs.groupBy(_._2).toSeq.map { case (u, es) =>
+        val f = es.map(_._3).min; val l = es.map(_._3).max
+        (u % 2, l - f, l <= d1 - censor)
+      }
+      val nV = Map(0L -> lifetimes.count(_._1 == 0).toLong,
+                   1L -> lifetimes.count(_._1 == 1).toLong)
+      assert(nV(0L) > 0 && nV(1L) > 0, s"$t one variant empty — vacuous")
+      val times = lifetimes.map(_._2).distinct.sorted
+      def at(v: Long, tt: Long): (Long, Long) = {
+        val mine = lifetimes.filter(_._1 == v)
+        val nRisk = nV(v) - mine.count(_._2 < tt)
+        val d = mine.count(x => x._2 == tt && x._3).toLong
+        (nRisk, d)
+      }
+      var o1 = 0L; var anyDeath = false
+      val eTerms = scala.collection.mutable.ListBuffer.empty[Double]
+      val vTerms = scala.collection.mutable.ListBuffer.empty[Double]
+      times.foreach { tt =>
+        val (n0, d0) = at(0L, tt); val (n1, d0b) = at(1L, tt)
+        val d1t = d0b; val dt = d0 + d1t; val nt = n0 + n1
+        if (dt > 0) {
+          anyDeath = true
+          o1 += d1t
+          eTerms += dt.toDouble * n1.toDouble / nt.toDouble
+          vTerms += (if (nt > 1)
+            dt.toDouble * n1.toDouble * n0.toDouble * (nt - dt).toDouble /
+              (nt.toDouble * nt.toDouble * (nt - 1).toDouble)
+          else 0.0)
+        }
+      }
+      if (!anyDeath) {
+        // a type with ZERO churned users has no death times — both
+        // engines emit no row for it (the dt > 0 filter), and the
+        // replay must mirror that
+        assert(!got.contains(t), s"$t has no deaths but emitted a row")
+      } else {
+        val e1 = dsum6(eTerms.toSeq); val vlr = dsum6(vTerms.toSeq)
+        val z = if (vlr > 0.0) (o1.toDouble - e1) / math.sqrt(vlr) else 0.0
+        val r = got(t)
+        assert(r.getLong(1) == o1, s"$t O1 ${r.getLong(1)} != $o1")
+        assert(r.getDouble(2) == e1, s"$t E1 ${r.getDouble(2)} != $e1")
+        assert(r.getDouble(3) == vlr, s"$t V ${r.getDouble(3)} != $vlr")
+        assert(r.getDouble(4) == z, s"$t z")
+        assert(r.getBoolean(5) == (math.abs(z) > 1.96), s"$t significant")
+        if (vlr > 0.0) anyVar = true
+      }
+    }
+    assert(anyVar, "zero log-rank variance everywhere — vacuous")
+  }
+
+  test("q260: Kendall τ-b equals a BigInt pair replay; sign-coherent") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min; val dM = daily.keys.map(_._2).max
+    val got = rows("q260_kendall_tau").map(r => r.getString(0) -> r).toMap
+    val types = daily.keys.map(_._1).toSeq.distinct
+    assert(got.keySet == types.toSet)
+    var anySignal = false
+    types.foreach { t =>
+      val ys = (d0 to dM).map(d => daily.getOrElse((t, d), 0L))
+      var c = 0L; var disc = 0L
+      for (i <- ys.indices; j <- (i + 1) until ys.size) {
+        if (ys(j) > ys(i)) c += 1 else if (ys(j) < ys(i)) disc += 1
+      }
+      val n = ys.size.toLong
+      val n0x2 = n * (n - 1)
+      val tie2 = ys.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      val s = c - disc
+      val den4 = (n0x2 - tie2) * n0x2
+      val tau = if (den4 > 0) s.toDouble * 2.0 / math.sqrt(den4.toDouble)
+                else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == n && r.getLong(2) == c &&
+        r.getLong(3) == disc && r.getLong(4) == s, s"$t counts")
+      assert(r.getDouble(5) == tau, s"$t tau ${r.getDouble(5)} != $tau")
+      assert(math.abs(tau) <= 1.0, s"$t tau out of range")
+      assert(den4 == 0 || math.signum(tau) == math.signum(s.toDouble),
+        s"$t sign mismatch")
+      if (s != 0) anySignal = true
+    }
+    assert(anySignal, "every series perfectly balanced — vacuous")
+  }
+
+  test("q261: Cohen's d equals a BigInt sufficient-stats replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = rows("q261_cohens_d").map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      def side(v: Long): (Long, BigInt, BigInt) = {
+        val cs = xs.filter(_._2 == v).map(_._3)
+        val s = cs.map(BigInt(_)).sum
+        val scc = cs.map(c => BigInt(c) * c).sum
+        (cs.size.toLong, s, BigInt(cs.size) * scc - s * s)
+      }
+      val (num0, s0, q0) = side(0); val (num1, s1, q1) = side(1)
+      val mean0 = s0.toDouble / num0.toDouble
+      val mean1 = s1.toDouble / num1.toDouble
+      val sp2 = (q0.toDouble / num0.toDouble + q1.toDouble / num1.toDouble) /
+        (num0 + num1 - 2).toDouble
+      val d = if (num0 > 0 && num1 > 0 && num0 + num1 > 2 && sp2 > 0.0)
+        (mean1 - mean0) / math.sqrt(sp2) else 0.0
+      val g = d * (1.0 - 3.0 / ((num0 + num1) * 4 - 9).toDouble)
+      val r = got(t)
+      assert(r.getLong(1) == num0 && r.getLong(2) == num1, s"$t n")
+      assert(r.getDouble(3) == mean0 && r.getDouble(4) == mean1, s"$t means")
+      assert(r.getDouble(5) == d, s"$t d ${r.getDouble(5)} != $d")
+      assert(r.getDouble(6) == g, s"$t g")
+      assert(sp2 > 0.0, s"$t zero pooled variance — vacuous")
+    }
+  }
+}

@@ -172,6 +172,27 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q243")
   }
 
+  test("q262: streamed Kendall τ-b equals the one-shot batch effect size") {
+    val got = q("q262_stream_kendall")
+    val want = SparkEntry.queries("q260_kendall_tau")(spark, sf)
+    assert(got.count() > 0, "no Kendall rows streamed")
+    assertSame(got, want, "q262")
+  }
+
+  test("q263: streamed Simpson diversity equals the one-shot batch audit") {
+    val got = q("q263_stream_simpson")
+    val want = SparkEntry.queries("q257_simpson_diversity")(spark, sf)
+    assert(got.count() > 0, "no Simpson rows streamed")
+    assertSame(got, want, "q263")
+  }
+
+  test("q264: streamed Nelson–Aalen equals the one-shot batch hazard curve") {
+    val got = q("q264_stream_nelson_aalen")
+    val want = SparkEntry.queries("q258_nelson_aalen")(spark, sf)
+    assert(got.count() > 0, "no hazard rows streamed")
+    assertSame(got, want, "q264")
+  }
+
   test("q245: streamed delta-ratio A/B equals the one-shot batch readout") {
     val got = q("q245_stream_delta_ratio")
     val want = SparkEntry.queries("q244_delta_ratio")(spark, sf)
