@@ -2,13 +2,16 @@
 """Local approximation of the driver's t2 correctness gate:
 run each oracle SQL in DuckDB over the sf parquet tables, canonicalize
 both sides (columns sorted by name, rows sorted, doubles rounded), and
-compare. Usage: oracle_check.py <sfDir> <verifyOutDir>
+compare. Usage: oracle_check.py <sfDir> <verifyOutDir> [jsonOut]
+(jsonOut: also write a per-query {"status", "rows"} JSON artifact —
+the committed-correctness format, e.g. CORRECTNESS_SF01_r12.json.)
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
@@ -61,4 +64,16 @@ print(f"ROWS-ONLY {len(rows_only)}: {' '.join(f'{n}({r})' for n, r in rows_only)
 print(f"FAIL {len(fails)}:")
 for n, msg in fails:
     print(f"--- {n}: {msg}")
+if json_out:
+    art = {}
+    for n in passes:
+        art[n] = {"status": "PASS"}
+    for n, r in rows_only:
+        art[n] = {"status": "ROWS_ONLY", "rows": int(r)}
+    for n, msg in fails:
+        art[n] = {"status": "FAIL", "detail": msg.splitlines()[0][:300]}
+    with open(json_out, "w") as f:
+        json.dump({"sf": sfdir, "n_pass": len(passes),
+                   "n_rows_only": len(rows_only), "n_fail": len(fails),
+                   "queries": art}, f, indent=0, sort_keys=True)
 sys.exit(1 if fails else 0)
