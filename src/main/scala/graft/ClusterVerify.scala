@@ -79,7 +79,8 @@ object ClusterVerify {
     "q253_color_profile", "q254_weighted_quantiles",
     "q255_kruskal_wallis", "q256_cliffs_delta", "q257_simpson_diversity",
     "q258_nelson_aalen", "q259_logrank", "q260_kendall_tau",
-    "q261_cohens_d")
+    "q261_cohens_d", "q265_seasonal_strength", "q266_runs_test",
+    "q267_char_entropy")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

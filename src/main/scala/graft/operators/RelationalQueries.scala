@@ -694,6 +694,48 @@ object RelationalQueries {
         col("discordant"), col("s_stat"), col("tau_b"))
   }
 
+  /** Seasonal-strength η² over the daily-count grid (W38 — the
+    * one-number "how much of this series is the weekly rhythm": the
+    * ANOVA decomposition SS_between(dow)/SS_total, the effect-size
+    * companion to q188's per-dow profile and q224's lag-7 ACF read).
+    * All sufficient statistics are exact integers over the zero-filled
+    * calendar grid (Σy² ≤ N·max_y² ~ 10²⁸ at 10¹² rows/day routes
+    * DECIMAL(38,0)/HUGEINT); the seven per-dow T_d²/n_d terms are IEEE
+    * divisions of exact integers accumulated by dsum
+    * (order-independent), and η² is the identical final chain in both
+    * engines. ZERO windows, zero pair joins — two rollups over the
+    * grid. Pure function of the summed (type, day) counts ⇒ the
+    * streaming twin (q268) reads the SAME view — the ELEVENTH
+    * daily-count-store tail. */
+  def seasonalStrengthView(daily0: DataFrame): DataFrame = {
+    import graft.functions.Num.dsum
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grid = dailyGrid(daily0)
+      .withColumn("dow", (col("day") + 4) % 7)
+    val byDow = grid.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("y")).cast(dec).as("td"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).cast(dec).as("t"),
+        sum((col("y").cast(dec19) * col("y").cast(dec19)).cast(dec))
+          .cast(dec).as("syy"))
+    byDow.groupBy(col("event_type"))
+      .agg(dsum(col("td").cast("double") * col("td").cast("double") /
+        col("nd").cast("double")).as("b"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("tt",
+        col("t").cast("double") * col("t").cast("double") /
+          col("n_days").cast("double"))
+      .withColumn("ss_total", col("syy").cast("double") - col("tt"))
+      .withColumn("ss_between", col("b") - col("tt"))
+      .withColumn("eta2",
+        when(col("ss_total") > 0.0, col("ss_between") / col("ss_total"))
+          .otherwise(lit(0.0)))
+      .withColumn("seasonal", col("eta2") > 0.2)
+      .select(col("event_type"), col("n_days"), col("ss_between"),
+        col("ss_total"), col("eta2"), col("seasonal"))
+  }
+
   def mannKendallView(daily0: DataFrame): DataFrame = {
     val grid = dailyGrid(daily0)
     val sstat = grid
@@ -2776,6 +2818,79 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n")))),
 
+    // Seasonal-strength η² (W38): see [[seasonalStrengthView]]. The
+    // streaming twin (q268) is the ELEVENTH daily-count-store tail.
+    "q265_seasonal_strength" -> ((s, d) =>
+      seasonalStrengthView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Wald–Wolfowitz runs test (D37 — Wald & Wolfowitz '40: "is the
+    // daily series RANDOM around its median, or does it streak" — the
+    // autocorrelation-free randomness read that flags regime shifts
+    // and sticky outages q124's pointwise z-score can't see). Over
+    // the zero-filled calendar grid: the lower median comes from ONE
+    // ScanSum rank over the bounded grid (rank (n+1) DIV 2 under the
+    // (y, day) total order); median-valued days are DISCARDED (the
+    // standard rule); the retained days re-index through a second
+    // ScanSum and adjacency is an EQUI-JOIN on consecutive indices —
+    // no window, no lag. n₁/n₂/R are BIGINT-exact under the
+    // [[MaxGridDays]] cap (2n₁n₂·(2n₁n₂−m) ≤ 10¹⁸); μ, σ², z are the
+    // identical IEEE chain in both engines.
+    "q266_runs_test" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val g = dailyGrid(daily)
+      val ranked = graft.operators.ScanSum.runningSum(
+        g.withColumn("ord", struct(col("y"), col("day")))
+          .withColumn("one", lit(1L)),
+        "event_type", "ord", "one", outCol = "rk")
+      val nd = g.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val med = ranked.join(broadcast(nd), "event_type")
+        .filter(col("rk") === expr("(n_days + 1) DIV 2"))
+        .select(col("event_type"), col("y").as("med"))
+      val kept = g.join(broadcast(med), "event_type")
+        .filter(col("y") =!= col("med"))
+        .withColumn("above", col("y") > col("med"))
+      val idx = graft.operators.ScanSum.runningSum(
+        kept.withColumn("one", lit(1L)),
+        "event_type", "day", "one", outCol = "i")
+      val changes = idx
+        .select(col("event_type"), col("i"), col("above"))
+        .join(idx.select(col("event_type").as("et2"),
+          (col("i") - 1).as("i2"), col("above").as("above2")),
+          col("event_type") === col("et2") && col("i") === col("i2"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("above") =!= col("above2"), 1L).otherwise(0L))
+          .as("chg"))
+      kept.groupBy(col("event_type"))
+        .agg(sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(!col("above"), 1L).otherwise(0L)).as("n_below"))
+        .join(broadcast(changes), Seq("event_type"), "left")
+        .withColumn("runs", coalesce(col("chg"), lit(0L)) + 1)
+        .withColumn("m", col("n_above") + col("n_below"))
+        .withColumn("p", col("n_above") * col("n_below"))
+        .withColumn("mu", lit(1.0) +
+          (col("p") * 2).cast("double") / col("m").cast("double"))
+        .withColumn("var_r",
+          when(col("m") > 1,
+            (col("p") * 2 * (col("p") * 2 - col("m"))).cast("double") /
+              (col("m") * col("m") * (col("m") - 1)).cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("z",
+          when(col("n_above") > 0 && col("n_below") > 0 &&
+              col("var_r") > 0.0,
+            (col("runs").cast("double") - col("mu")) / sqrt(col("var_r")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n_above"), col("n_below"),
+          col("runs"), col("z"), (abs(col("z")) <= 1.96).as("random"))
+    }),
+
     // Cohen's d / Hedges' g effect size (D36 — Cohen '88, Hedges '81:
     // the standardized mean difference between the q166 variants on
     // value cents — the PRACTICAL-significance readout the q166/q244
@@ -4761,6 +4876,127 @@ object RelationalQueries {
                 WHEN abs(cohens_d) < 0.8 THEN 'medium'
                 ELSE 'large' END AS magnitude
          FROM dd""",
+
+    // q265: identical zero-filled grid + arithmetic dow; HUGEINT
+    // sufficient statistics, the dsum mirror for the seven per-dow
+    // terms, the same η² final chain.
+    "q265_seasonal_strength" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day, (g.day + 4) % 7 AS dow,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         bd AS (
+           SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(y) AS HUGEINT) AS td
+           FROM g GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS HUGEINT) AS t,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           FROM g GROUP BY 1),
+         b AS (
+           SELECT event_type,
+             CAST(sum(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE)
+               / CAST(nd AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS b
+           FROM bd GROUP BY 1),
+         f AS (
+           SELECT t.event_type, t.n_days,
+             b.b - CAST(t.t AS DOUBLE) * CAST(t.t AS DOUBLE)
+               / CAST(t.n_days AS DOUBLE) AS ss_between,
+             CAST(t.syy AS DOUBLE) - CAST(t.t AS DOUBLE)
+               * CAST(t.t AS DOUBLE) / CAST(t.n_days AS DOUBLE)
+               AS ss_total
+           FROM tot t JOIN b ON b.event_type = t.event_type)
+         SELECT event_type, n_days, ss_between, ss_total,
+           CASE WHEN ss_total > 0.0 THEN ss_between / ss_total
+                ELSE 0.0 END AS eta2,
+           CASE WHEN ss_total > 0.0 THEN ss_between / ss_total
+                ELSE 0.0 END > 0.2 AS seasonal
+         FROM f""",
+
+    // q266: identical grid, lower-median rank under the same (y, day)
+    // total order, the same discard rule, adjacency as the
+    // consecutive-index join, the same μ/σ²/z chain.
+    "q266_runs_test" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM g GROUP BY 1),
+         rk AS (
+           SELECT g.*, CAST(row_number() OVER (PARTITION BY g.event_type
+             ORDER BY g.y, g.day) AS BIGINT) AS rk
+           FROM g),
+         med AS (
+           SELECT r.event_type, r.y AS med
+           FROM rk r JOIN nd ON nd.event_type = r.event_type
+           WHERE r.rk = (nd.n_days + 1) // 2),
+         kept AS (
+           SELECT g.event_type, g.day, g.y > m.med AS above
+           FROM g JOIN med m ON m.event_type = g.event_type
+           WHERE g.y <> m.med),
+         idx AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+             ORDER BY day) AS BIGINT) AS i
+           FROM kept),
+         chg AS (
+           SELECT a.event_type,
+             CAST(sum(CASE WHEN a.above <> b.above THEN 1 ELSE 0 END)
+               AS BIGINT) AS chg
+           FROM idx a JOIN idx b
+             ON b.event_type = a.event_type AND a.i = b.i - 1
+           GROUP BY 1),
+         cnt AS (
+           SELECT event_type,
+             CAST(count(*) FILTER (above) AS BIGINT) AS n_above,
+             CAST(count(*) FILTER (NOT above) AS BIGINT) AS n_below
+           FROM kept GROUP BY 1),
+         f AS (
+           SELECT c.event_type, c.n_above, c.n_below,
+             coalesce(h.chg, 0) + 1 AS runs,
+             c.n_above + c.n_below AS m,
+             c.n_above * c.n_below AS p
+           FROM cnt c LEFT JOIN chg h ON h.event_type = c.event_type),
+         zf AS (
+           SELECT *, 1.0 + CAST(p * 2 AS DOUBLE) / CAST(m AS DOUBLE)
+               AS mu,
+             CASE WHEN m > 1 THEN
+               CAST(p * 2 * (p * 2 - m) AS DOUBLE)
+                 / CAST(m * m * (m - 1) AS DOUBLE)
+             ELSE 0.0 END AS var_r
+           FROM f),
+         zz AS (
+           SELECT *, CASE WHEN n_above > 0 AND n_below > 0
+               AND var_r > 0.0
+             THEN (CAST(runs AS DOUBLE) - mu) / sqrt(var_r)
+             ELSE 0.0 END AS z
+           FROM zf)
+         SELECT event_type, n_above, n_below, CAST(runs AS BIGINT)
+             AS runs, z, abs(z) <= 1.96 AS random
+         FROM zz""",
 
     // q242: identical grid + arithmetic dow; pairs restricted to the
     // same stratum; per-stratum variance terms summed exactly; the

@@ -1562,6 +1562,57 @@ object TextQueries {
             .cast("double")).as("ln_k"))
     }),
 
+    // Character-class entropy profile (L5hh — the byte-level health
+    // read boilerplate/markup/base64 contamination shows up in first:
+    // a source whose character mass collapses onto one class, or
+    // grows an unusual digit/other share, drifts from prose — the
+    // composition audit under q27's word-level quality score). One
+    // projection pass counts the FIVE class masses per doc (regex
+    // keep-length, codegen'd built-ins), one rollup per source;
+    // entropy in nats rides the house ppb-ln route: H = ln N −
+    // (Σ c·ln c)/N with each ln rounded in DECIMAL(20,9) space, the
+    // Σ exact DECIMAL(38,0) (c·ln_ppb ~ 10²⁵ at 10¹⁵ chars — wraps
+    // BIGINT, HUGEINT in the oracle), ONE integral division, double
+    // only as display. Zero-mass classes contribute zero BY RULE
+    // (lim x·ln x = 0), identically in both engines.
+    "q267_char_entropy" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      def keep(p: String) =
+        length(col("text")) - length(regexp_replace(col("text"), p, ""))
+      def lnppb(c: Column) =
+        (log(c.cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)) *
+          1000000000).cast("long")
+      def term(c: Column) =
+        when(c > 0, (c.cast(dec19) * lnppb(c).cast(dec19)).cast(dec))
+          .otherwise(lit(0L).cast(dec))
+      documents(s, d)
+        .select(col("source"), length(col("text")).as("nc"),
+          keep("[a-z]").as("lo"), keep("[A-Z]").as("up"),
+          keep("[0-9]").as("di"), keep(" ").as("sp"))
+        .groupBy(col("source"))
+        .agg(sum(col("nc")).as("n_chars_total"),
+          sum(col("lo")).as("n_lower"), sum(col("up")).as("n_upper"),
+          sum(col("di")).as("n_digit"), sum(col("sp")).as("n_space"))
+        .withColumn("n_other",
+          col("n_chars_total") - col("n_lower") - col("n_upper") -
+            col("n_digit") - col("n_space"))
+        .withColumn("tsum",
+          (term(col("n_lower")) + term(col("n_upper")) +
+            term(col("n_digit")) + term(col("n_space")) +
+            term(col("n_other"))).cast(dec))
+        .withColumn("entropy_ppb",
+          when(col("n_chars_total") > 0,
+            lnppb(col("n_chars_total")) -
+              expr("tsum DIV n_chars_total")).otherwise(lit(0L)))
+        .withColumn("entropy",
+          col("entropy_ppb").cast("double") / 1.0e9)
+        .select(col("source"), col("n_chars_total"), col("n_lower"),
+          col("n_upper"), col("n_digit"), col("n_space"),
+          col("n_other"), col("entropy_ppb"), col("entropy"))
+    }),
+
     // Stratified quota sampling (L5ee — the per-source subsample every
     // eval set and data ablation starts from): the global budget
     // (total/[[SampleDen]]) apportions across sources by Hamilton's
@@ -1943,6 +1994,62 @@ object TextQueries {
            FROM c)"""
 
   val oracleSql: Map[String, String] = Map(
+    // q267: identical keep-length class masses (regexp_replace with
+    // the 'g' flag == Spark's replace-all), the same ppb-ln rounding,
+    // HUGEINT Σ c·ln_ppb, the same integral division.
+    "q267_char_entropy" ->
+      """WITH per AS (
+           SELECT source, CAST(len(text) AS BIGINT) AS nc,
+             CAST(len(text) - len(regexp_replace(text, '[a-z]', '', 'g'))
+               AS BIGINT) AS lo,
+             CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))
+               AS BIGINT) AS up,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+               AS BIGINT) AS di,
+             CAST(len(text) - len(regexp_replace(text, ' ', '', 'g'))
+               AS BIGINT) AS sp
+           FROM documents),
+         a AS (
+           SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars_total,
+             CAST(sum(lo) AS BIGINT) AS n_lower,
+             CAST(sum(up) AS BIGINT) AS n_upper,
+             CAST(sum(di) AS BIGINT) AS n_digit,
+             CAST(sum(sp) AS BIGINT) AS n_space
+           FROM per GROUP BY 1),
+         b AS (
+           SELECT *, n_chars_total - n_lower - n_upper - n_digit
+             - n_space AS n_other
+           FROM a),
+         t AS (
+           SELECT *,
+             (CASE WHEN n_lower > 0 THEN CAST(n_lower AS HUGEINT)
+                * CAST(CAST(ln(CAST(n_lower AS DOUBLE)) AS DECIMAL(20,9))
+                  * 1000000000 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN n_upper > 0 THEN CAST(n_upper AS HUGEINT)
+                * CAST(CAST(ln(CAST(n_upper AS DOUBLE)) AS DECIMAL(20,9))
+                  * 1000000000 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN n_digit > 0 THEN CAST(n_digit AS HUGEINT)
+                * CAST(CAST(ln(CAST(n_digit AS DOUBLE)) AS DECIMAL(20,9))
+                  * 1000000000 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN n_space > 0 THEN CAST(n_space AS HUGEINT)
+                * CAST(CAST(ln(CAST(n_space AS DOUBLE)) AS DECIMAL(20,9))
+                  * 1000000000 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN n_other > 0 THEN CAST(n_other AS HUGEINT)
+                * CAST(CAST(ln(CAST(n_other AS DOUBLE)) AS DECIMAL(20,9))
+                  * 1000000000 AS BIGINT) ELSE 0 END) AS tsum
+           FROM b),
+         h AS (
+           SELECT *, CASE WHEN n_chars_total > 0
+             THEN CAST(CAST(ln(CAST(n_chars_total AS DOUBLE))
+                 AS DECIMAL(20,9)) * 1000000000 AS BIGINT)
+               - CAST(tsum // n_chars_total AS BIGINT)
+             ELSE 0 END AS entropy_ppb
+           FROM t)
+         SELECT source, n_chars_total, n_lower, n_upper, n_digit,
+           n_space, n_other, entropy_ppb,
+           CAST(entropy_ppb AS DOUBLE) / 1.0e9 AS entropy
+         FROM h""",
+
     // q250: identical doc-id midpoint split, per-token half counts,
     // the EXACT integer ppm cut key ((c2+1)·10⁶ // (c1+1), HUGEINT ==
     // Spark's DECIMAL(38,0) DIV) under the (ppm DESC, token ASC)

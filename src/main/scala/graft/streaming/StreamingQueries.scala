@@ -803,6 +803,25 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST34 × W38: q265's seasonal-strength η² as a STREAM — the
+    // ELEVENTH read tail of the shared daily-count store: the per-dow
+    // and total sufficient statistics are pure functions of the
+    // summed (type, day) grid, and counts add, so stream == batch BY
+    // ALGEBRA; oracle IS q265's batch SQL.
+    "q268_stream_seasonal_strength" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q268-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q268-store"))
+      val ckpt = tmp("graft-q268-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.seasonalStrengthView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
     // ST32 × D35: q257's Simpson diversity as a STREAM — the THIRD
     // tail of the vocabulary store: λ's numerator Σc(c−1) and N are
     // pure functions of the merged per-(source, token) counts, and
@@ -1124,6 +1143,12 @@ object StreamingQueries {
     // identical derivation to the q260 batch chain.
     "q262_stream_kendall" ->
       graft.operators.RelationalQueries.oracleSql("q260_kendall_tau"),
+
+    // q268: the per-dow/total sufficient statistics are pure
+    // functions of the summed daily grid — identical derivation to
+    // the q265 batch chain.
+    "q268_stream_seasonal_strength" ->
+      graft.operators.RelationalQueries.oracleSql("q265_seasonal_strength"),
 
     // q263: λ is a pure function of the merged per-(source, token)
     // counts — identical derivation to the q257 batch chain.

@@ -169,6 +169,9 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q259_logrank",          // per-variant ScanSum risk sets + dsum E/V
     "q260_kendall_tau",      // broadcast-grid pair join, integer C/D/ties
     "q261_cohens_d",         // decimal sufficient stats + closed-form d
+    "q265_seasonal_strength", // dow rollups + dsum terms + closed eta2
+    "q266_runs_test",        // ScanSum median rank + adjacency equi-join
+    "q267_char_entropy",     // class-mass rollup + ppb-ln division
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1453,6 +1453,38 @@ class PlanAuditSpec extends SparkTestBase {
       s"Cohen's d is closed-form over rollups:\n$p")
   }
 
+  test("q265 seasonal strength: two grid rollups — ZERO window nodes") {
+    val p = plan("q265_seasonal_strength")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"the ANOVA decomposition is rollups + closed forms:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q266 runs test: median rank and re-index ride ScanSum; adjacency equi-joins") {
+    val p = plan("q266_runs_test")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a rank pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q267 char entropy: one projection + one rollup — ZERO windows, ZERO joins") {
+    val p = plan("q267_char_entropy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the entropy profile is a single rollup:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"no window belongs here:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

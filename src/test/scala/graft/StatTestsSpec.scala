@@ -282,6 +282,117 @@ class StatTestsSpec extends SparkTestBase {
     assert(anySignal, "every series perfectly balanced — vacuous")
   }
 
+  test("q265: seasonal strength equals a dow-decomposition replay; bounded") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min; val dM = daily.keys.map(_._2).max
+    val got = rows("q265_seasonal_strength")
+      .map(r => r.getString(0) -> r).toMap
+    val etas = daily.keys.map(_._1).toSeq.distinct.map { t =>
+      val ys = (d0 to dM).map(d => (d, daily.getOrElse((t, d), 0L)))
+      val n = BigInt(ys.size)
+      val tt = ys.map(y => BigInt(y._2)).sum
+      val syy = ys.map(y => BigInt(y._2) * y._2).sum
+      val byDow = ys.groupBy(y => (y._1 + 4) % 7)
+      val b = dsum6(byDow.values.toSeq.map { g =>
+        val td = g.map(y => BigInt(y._2)).sum
+        td.toDouble * td.toDouble / g.size.toDouble
+      })
+      val ttd = tt.toDouble * tt.toDouble / n.toDouble
+      val ssT = syy.toDouble - ttd
+      val ssB = b - ttd
+      val eta2 = if (ssT > 0.0) ssB / ssT else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == ys.size.toLong, s"$t n_days")
+      assert(r.getDouble(2) == ssB, s"$t ss_between ${r.getDouble(2)} != $ssB")
+      assert(r.getDouble(3) == ssT, s"$t ss_total")
+      assert(r.getDouble(4) == eta2, s"$t eta2 ${r.getDouble(4)} != $eta2")
+      assert(r.getBoolean(5) == (eta2 > 0.2), s"$t seasonal")
+      assert(eta2 >= -1e-9 && eta2 <= 1.0 + 1e-9, s"$t eta2 out of [0,1]")
+      eta2
+    }
+    assert(etas.exists(_ > 0.0), "zero weekly structure everywhere — vacuous")
+  }
+
+  test("q266: runs test equals a sequential median/streak replay") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min; val dM = daily.keys.map(_._2).max
+    val got = rows("q266_runs_test").map(r => r.getString(0) -> r).toMap
+    var anyTested = false
+    daily.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val ys = (d0 to dM).map(d => (d, daily.getOrElse((t, d), 0L)))
+      // lower median under the (y, day) total order
+      val med = ys.sortBy(y => (y._2, y._1)).apply((ys.size + 1) / 2 - 1)._2
+      val kept: Seq[Boolean] = ys.filter(_._2 != med).map(_._2 > med)
+      if (kept.isEmpty) {
+        // every day sits on the median: nothing retained — both
+        // engines emit no row for the type and the replay mirrors it
+        assert(!got.contains(t), s"$t empty but emitted")
+      } else {
+        val n1 = kept.count(identity).toLong
+        val n2 = kept.count(b => !b).toLong
+        val runs = 1L + kept.zip(kept.tail).count { case (a, b) => a != b }
+        val m = n1 + n2; val p = n1 * n2
+        val mu = 1.0 + (p * 2).toDouble / m.toDouble
+        val vr = if (m > 1)
+          (p * 2 * (p * 2 - m)).toDouble / (m * m * (m - 1)).toDouble
+        else 0.0
+        val z = if (n1 > 0 && n2 > 0 && vr > 0.0)
+          (runs.toDouble - mu) / math.sqrt(vr) else 0.0
+        val r = got(t)
+        assert(r.getLong(1) == n1 && r.getLong(2) == n2, s"$t sides")
+        assert(r.getLong(3) == runs, s"$t runs ${r.getLong(3)} != $runs")
+        assert(r.getDouble(4) == z, s"$t z ${r.getDouble(4)} != $z")
+        assert(r.getBoolean(5) == (math.abs(z) <= 1.96), s"$t random")
+        if (n1 > 0 && n2 > 0) anyTested = true
+        // the discard rule must have removed the median days
+        assert(kept.size.toLong == n1 + n2 &&
+          kept.size < ys.size, s"$t discard rule did not fire")
+      }
+    }
+    assert(anyTested, "no type with both sides populated — vacuous")
+  }
+
+  test("q267: char-class entropy equals a ppb-ln replay; masses conserve") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val got = rows("q267_char_entropy").map(r => r.getString(0) -> r).toMap
+    def lnppb(c: Long): Long =
+      (BigDecimal(math.log(c.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1000000000)).toLongExact
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val text = xs.map(_._2)
+      val nc = text.map(_.length.toLong).sum
+      val lo = text.map(_.count(c => c >= 'a' && c <= 'z').toLong).sum
+      val up = text.map(_.count(c => c >= 'A' && c <= 'Z').toLong).sum
+      val di = text.map(_.count(c => c >= '0' && c <= '9').toLong).sum
+      val sp = text.map(_.count(_ == ' ').toLong).sum
+      val ot = nc - lo - up - di - sp
+      val tsum = Seq(lo, up, di, sp, ot).filter(_ > 0)
+        .map(c => BigInt(c) * lnppb(c)).sum
+      val hPpb = if (nc > 0) lnppb(nc) - (tsum / nc).toLong else 0L
+      val r = got(src)
+      assert(r.getLong(1) == nc && r.getLong(2) == lo &&
+        r.getLong(3) == up && r.getLong(4) == di &&
+        r.getLong(5) == sp && r.getLong(6) == ot, s"$src class masses")
+      assert(r.getLong(7) == hPpb, s"$src ppb ${r.getLong(7)} != $hPpb")
+      assert(r.getDouble(8) == hPpb.toDouble / 1.0e9, s"$src display")
+      assert(ot >= 0, s"$src negative other mass — classes overlap")
+      // entropy of a 5-class distribution lies in [0, ln 5]; the ppb
+      // rounding can stray at most a few units past the bound
+      assert(hPpb >= -8 && hPpb <= 1609437913L, s"$src entropy out of bounds")
+    }
+    assert(got.values.map(_.getLong(7)).toSeq.distinct.size > 1,
+      "flat entropy across sources — vacuous")
+  }
+
   test("q261: Cohen's d equals a BigInt sufficient-stats replay") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), (col("user_id") % 2).as("variant"),

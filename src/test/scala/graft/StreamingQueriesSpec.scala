@@ -179,6 +179,13 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q262")
   }
 
+  test("q268: streamed seasonal strength equals the one-shot batch decomposition") {
+    val got = q("q268_stream_seasonal_strength")
+    val want = SparkEntry.queries("q265_seasonal_strength")(spark, sf)
+    assert(got.count() > 0, "no seasonal-strength rows streamed")
+    assertSame(got, want, "q268")
+  }
+
   test("q263: streamed Simpson diversity equals the one-shot batch audit") {
     val got = q("q263_stream_simpson")
     val want = SparkEntry.queries("q257_simpson_diversity")(spark, sf)
