@@ -37,6 +37,33 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
     catch { case _: Throwable => "-1" }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line —
+    * the host-contention axis loadavg cannot see inside a VM. */
+  private def stealTicks(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (f.lift(7).getOrElse(0L), f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Deterministic single-thread CPU canary (SHA-256 over 64 MB,
+    * ~100–300 ms): a fixed workload whose wall time tracks the HOST's
+    * effective per-core speed. Measured r12 on this idle VM: the same
+    * commit's JIT-warm server probe read 22–28 rps in one hour and
+    * 8–10 in the next (boards drifting ×1.1–1.4 with it, recorded
+    * steal up to ~1.5%) — host weather an in-VM loadavg never shows.
+    * The canary lands in the artifact so a slow board is attributable
+    * from the JSON alone. */
+  private def canaryMs(): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 20)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 64) { md.update(buf); i += 1 }
+    md.digest()
+    (System.nanoTime() - t0) / 1e6
+  }
+
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   def timeQuery(spark: SparkSession, sfDir: String, name: String,
@@ -241,6 +268,8 @@ object Bench {
     // ("server_probe_loadavg") so a contended probe is visible.
     settle(300000L)
     val probeLoad = loadavg()
+    val canaryPre = canaryMs()
+    val (steal0, total0) = stealTicks()
     val (serverRps: Double, serverRounds: Seq[Double]) = {
       import spark.implicits._
       import graft.chess._
@@ -287,11 +316,23 @@ object Bench {
     // board's loadavg_pre / contended self-certification
     settle(240000L)
 
-    val (json, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries,
+    val (json0, exitCode) = run(spark, sfDir, batch, SparkEntry.streamingQueries,
       stageWarm = Some(graft.operators.SharedStages.warm),
       serverBench = Some(() => serverRps),
       extra = Seq("server_probe_loadavg" -> probeLoad,
-        "server_rps_rounds" -> serverRounds.mkString("[", ",", "]")))
+        "server_rps_rounds" -> serverRounds.mkString("[", ",", "]"),
+        "machine_canary_ms_pre" -> f"$canaryPre%.1f"))
+    // host-regime postscript: the canary again plus the steal share
+    // over the whole run — appended after `run` so the fields reflect
+    // the board the artifact times
+    val canaryPost = canaryMs()
+    val (steal1, total1) = stealTicks()
+    val stealPct =
+      if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0)
+      else 0.0
+    val json = json0.stripSuffix("}") +
+      f""","machine_canary_ms_post":$canaryPost%.1f""" +
+      f""","steal_pct":$stealPct%.2f}"""
     // artifact first, own line, flushed — then a file mirror, THEN teardown
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
