@@ -330,6 +330,12 @@ object Bench {
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0)
       else 0.0
+    // the splice assumes run() emits a bare object with no trailer; if
+    // its shape ever changes, fail loudly rather than emitting an
+    // unparseable artifact the gates would then mis-read
+    require(json0.endsWith("}"),
+      s"bench artifact no longer ends with '}' — fix the host-regime " +
+        s"splice before emitting: ...${json0.takeRight(40)}")
     val json = json0.stripSuffix("}") +
       f""","machine_canary_ms_post":$canaryPost%.1f""" +
       f""","steal_pct":$stealPct%.2f}"""

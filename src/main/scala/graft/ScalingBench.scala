@@ -37,12 +37,27 @@ object ScalingBench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Scale factor from a testdata dir name ("…/sf0.01" → 0.01). The
+    * data ratio is DERIVED from the chosen pair, not assumed 10×: run
+    * against a non-default SF pair (SPARK_GRAFT_SF_SMALL/BIG) and the
+    * artifact's data_ratio — which ScalingGateSpec scales its bar by —
+    * follows the dirs instead of silently mis-gating. */
+  def sfOf(dir: String): Double = {
+    val m = "sf([0-9.]+)/?$".r.findFirstMatchIn(dir)
+    require(m.isDefined && m.get.group(1).toDoubleOption.exists(_ > 0),
+      s"cannot derive a scale factor from '$dir' — SF dirs must end in sf<number>")
+    m.get.group(1).toDouble
+  }
+
   /** Pure assembly so a spec can exercise the JSON shape. */
   def render(sfSmall: String, sfBig: String,
              small: Seq[Bench.QResult], big: Seq[Bench.QResult],
              stageBuild: Map[String, Double],
              loadPre: String, loadPost: String,
              contended: Boolean): (String, Int) = {
+    val dataRatio = sfOf(sfBig) / sfOf(sfSmall)
+    require(dataRatio > 1.0,
+      s"sf_big ($sfBig) must be larger than sf_small ($sfSmall)")
     val bigM = big.map(r => r.name -> r).toMap
     val ok = small.filter(s => s.err.isEmpty &&
       bigM.get(s.name).exists(_.err.isEmpty))
@@ -59,7 +74,7 @@ object ScalingBench {
       .map { case (n, t) => s"${jsonStr(n)}:$t" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scaling","sf_small":${jsonStr(sfSmall)},""" +
-        s""""sf_big":${jsonStr(sfBig)},"data_ratio":10.0,""" +
+        s""""sf_big":${jsonStr(sfBig)},"data_ratio":$dataRatio,""" +
         s""""queries":$entries,"stage_build":$stages,""" +
         s""""errors":$errs,"n_failed":${(small ++ big).count(_.err.isDefined)},""" +
         s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +

@@ -22,14 +22,15 @@ import org.json4s.jackson.JsonMethods
   *    per-round waiver list (same discipline as BenchArtifactGateSpec:
   *    every waiver names a cause, stale names are themselves red).
   *
-  * Calibration (SCALING_r12.json, 225 queries, measured twice): the
-  * ratio distribution is p50 1.15, p90 2.62, p99 5.78, max 8.59
-  * (q53's prefix-filtered inverted index — genuine algorithmic work,
+  * Calibration (the committed SCALING_r12.json, 228 queries): the
+  * ratio distribution is p50 1.27, p90 2.27, p99 5.17, max 8.27
+  * (q82's real media decode — genuine per-row algorithmic work,
   * still under the data ratio) — fixed session overhead keeps
-  * everything UNDER the 10× data ratio. The bar at 1.5× the data
-  * ratio (15×) leaves ~2× headroom over the healthiest board's max
-  * while a quadratic plan reads ~50–100× between these SFs; the 1 s
-  * absolute floor ignores sub-second noise on tiny denominators.
+  * everything UNDER the 10× data ratio. The bar at 1.5× the
+  * artifact's own data_ratio (15× for the default sf0.01→sf0.1 pair)
+  * leaves ~2× headroom over the healthiest board's max while a
+  * quadratic plan reads ~50–100× between these SFs; the 1 s absolute
+  * floor ignores sub-second noise on tiny denominators.
   */
 class ScalingGateSpec extends AnyFunSuite {
   import ScalingGateSpec._
@@ -85,12 +86,18 @@ class ScalingGateSpec extends AnyFunSuite {
     val round = newest.getName
       .stripPrefix("SCALING_r").stripSuffix(".json").toInt
     val waived = Waivers.getOrElse(round, Map.empty).keySet
+    // the bar scales with the artifact's OWN data ratio (derived by
+    // ScalingBench from the SF dir pair), so a run against a non-10×
+    // pair is gated against ITS ratio, not a hardcoded 10×
+    val dataRatio = num(artifact \ "data_ratio")
+    assert(dataRatio > 1.0, s"artifact data_ratio $dataRatio is not a scale-up")
+    val bar = BarOverDataRatio * dataRatio
     val hits = outliers(
       entries.view.mapValues { case (s, b, _) => (s, b) }.toMap,
-      RatioBar, AbsFloorSec, waived)
+      bar, AbsFloorSec, waived)
     assert(hits.isEmpty,
-      s"superlinear scaling vs the 10x data ratio (waive with a cause " +
-        s"in ScalingGateSpec.Waivers($round) or fix the plan):\n" +
+      f"superlinear scaling vs the $dataRatio%.1fx data ratio (waive with " +
+        s"a cause in ScalingGateSpec.Waivers($round) or fix the plan):\n" +
         hits.mkString("\n"))
   }
 
@@ -118,10 +125,12 @@ class ScalingGateSpec extends AnyFunSuite {
 
 object ScalingGateSpec {
   /** A query "scales superlinearly" when its big-SF time exceeds BOTH
-    * the ratio bar (1.5× the 10× data ratio — the measured r12 max on
-    * a healthy board was 8.59×) and an absolute floor (ratios on
-    * sub-second denominators are session noise, not plans). */
-  val RatioBar = 15.0
+    * the ratio bar — 1.5× the artifact's data_ratio (the committed r12
+    * max on a healthy board was 8.27× against a 10× data ratio) — and
+    * an absolute floor (ratios on sub-second denominators are session
+    * noise, not plans). */
+  val BarOverDataRatio = 1.5
+  val RatioBar = BarOverDataRatio * 10.0 // the default sf0.01→sf0.1 pair
   val AbsFloorSec = 1.0
 
   /** Pure detector, red-tested with the planted quadratic above. */
