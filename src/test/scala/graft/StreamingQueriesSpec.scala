@@ -439,6 +439,84 @@ class StreamingQueriesSpec extends SparkTestBase {
     Seq(landing, ckpt).foreach(SQ.rmTree)
   }
 
+  /** Slice the events table into four event_id-range drops under a
+    * fresh landing dir — the restart tests' input shape (each drop one
+    * micro-batch under maxFilesPerTrigger=1). */
+  private def eventDrops(label: String): String = {
+    import streaming.{StreamingQueries => SQ}
+    val landing = SQ.tmp(s"graft-$label-landing")
+    val r = events.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / 4 + 1
+    (0 until 4).foreach { i =>
+      SQ.drop(events.filter(col("event_id") >= mn + i * w &&
+        col("event_id") < mn + (i + 1) * w), landing, i)
+    }
+    landing
+  }
+
+  test("q245 restart: the user-metric store killed mid-run resumes to the uninterrupted answer") {
+    // r12 verdict ask #5 (1/2): the per-(type, user) metric store is
+    // the SUM-shaped one — a replay that double-landed a batch would
+    // double (ne, sc) for every user in it, so this is the
+    // discriminating store for the batch_id dynamic-overwrite
+    // idempotence argument. Child JVM halts with two commits done (an
+    // in-flight batch may have written its partition but not its
+    // commit-log entry); the resumer must replay that batch into ITS
+    // OWN partition without double-counting any user.
+    import streaming.{RestartHarness, StreamingUserMetrics, StreamingQueries => SQ}
+    val landing = eventDrops("q245r")
+    val store = TempDirs.register(SQ.tmp("graft-q245r-store"))
+    val ckpt = SQ.tmp("graft-q245r-ckpt")
+    val code = RestartHarness.launchKilled("usermetrics", landing, ckpt,
+      store, sf, killAfter = 2)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    RestartHarness.start(spark, "usermetrics", landing, ckpt, store, events)
+      .awaitTermination()
+    // the folded store == the one-shot batch sufficient statistics
+    val got = StreamingUserMetrics.metrics(spark, store)
+    val want = events
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("ne"), sum(col("cents")).as("sc"))
+    assertSame(got, want, "q245-restart")
+    // and the q245 read tail over the recovered store equals the
+    // uninterrupted batch q244 answer bit-for-bit
+    assertSame(graft.operators.RelationalQueries.deltaRatioView(got),
+      SparkEntry.queries("q244_delta_ratio")(spark, sf), "q245-restart-tail")
+    Seq(landing, ckpt).foreach(SQ.rmTree)
+  }
+
+  test("q211 restart: the first-seen store killed mid-run resumes to the uninterrupted answer") {
+    // r12 verdict ask #5 (2/2): (MIN, MAX) are idempotent under a
+    // doubled replay, so the interesting failure here is LOST state —
+    // a resume whose offset WAL forgot a committed drop would read a
+    // too-late first-seen day and shift the whole cumulative curve.
+    import streaming.{RestartHarness, StreamingFirstSeen, StreamingQueries => SQ}
+    val landing = eventDrops("q211r")
+    val store = TempDirs.register(SQ.tmp("graft-q211r-store"))
+    val ckpt = SQ.tmp("graft-q211r-ckpt")
+    val code = RestartHarness.launchKilled("firstseen", landing, ckpt,
+      store, sf, killAfter = 2)
+    assert(code == RestartHarness.KilledExit || code == 0,
+      s"restart child JVM failed with exit code $code")
+    RestartHarness.start(spark, "firstseen", landing, ckpt, store, events)
+      .awaitTermination()
+    val got = StreamingFirstSeen.perUser(spark, store)
+    val want = events
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+    assertSame(got, want, "q211-restart")
+    assertSame(graft.operators.RelationalQueries.cumulativeDistinctView(got),
+      SparkEntry.queries("q210_cumulative_distinct")(spark, sf),
+      "q211-restart-tail")
+    Seq(landing, ckpt).foreach(SQ.rmTree)
+  }
+
   test("q81: streamed sliding windows equal the batch windows, finals included") {
     val got = q("q81_stream_sliding")
     val want = EventStreams.windowedCounts(events,
