@@ -80,7 +80,10 @@ object ClusterVerify {
     "q255_kruskal_wallis", "q256_cliffs_delta", "q257_simpson_diversity",
     "q258_nelson_aalen", "q259_logrank", "q260_kendall_tau",
     "q261_cohens_d", "q265_seasonal_strength", "q266_runs_test",
-    "q267_char_entropy")
+    "q267_char_entropy",
+    "q269_welch_t", "q270_anova_f", "q271_mcnemar", "q272_cox_stuart",
+    "q273_turning_point", "q274_wasserstein", "q275_readability",
+    "q276_yule_k", "q277_odds_ratio", "q278_gehan_wilcoxon")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>

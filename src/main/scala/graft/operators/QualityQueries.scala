@@ -1195,7 +1195,43 @@ object QualityQueries {
       .filter(length(col("tok")) > 0)
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
 
+  /** Yule's characteristic K over a per-(source, token) count table
+    * (D42 — Yule '44: vocabulary RICHNESS as repeat-rate per 10⁴
+    * token pairs, K = 10⁴·(Σc² − N)/N². Unlike q227's Heaps exponent
+    * it is SIZE-INVARIANT by construction — K of a text and of the
+    * text doubled are equal in expectation — so it separates "this
+    * source repeats itself" from "this source is just bigger", the
+    * axis q257's Simpson λ (which K is an unnormalized sibling of)
+    * and q225's Chao1 both conflate with corpus size). Σc² routes
+    * DECIMAL(38,0)/HUGEINT (c ~ 10¹² wraps BIGINT when squared); K is
+    * ONE IEEE chain over the exact integers, identical in both
+    * engines. Pure function of the merged per-(source, token) counts
+    * ⇒ the streaming twin (q281) reads the SAME view over the
+    * vocabulary store — its FOURTH tail. */
+  private[graft] def yuleKView(cnt: DataFrame): DataFrame = {
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    cnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum((col("c").cast(dec19) * col("c").cast(dec19)).cast(dec))
+          .cast(dec).as("s2"))
+      .withColumn("yule_k",
+        when(col("n_tokens") > 0,
+          (col("s2") - col("n_tokens").cast(dec)).cast("double") *
+            10000.0 /
+            (col("n_tokens").cast(dec19) * col("n_tokens").cast(dec19))
+              .cast(dec).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("s2").cast("double").as("sum_c2"), col("yule_k"))
+  }
+  private[graft] def yuleK(docs: DataFrame): DataFrame =
+    yuleKView(docs.select(col("source"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_yule_k" -> ((s, d) => yuleK(documents(s, d))),
     "q255_kruskal_wallis" -> ((s, d) => kruskalWallis(documents(s, d))),
     "q257_simpson_diversity" -> ((s, d) =>
       simpsonDiversity(documents(s, d))),
@@ -1222,6 +1258,28 @@ object QualityQueries {
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // q276: one token rollup; HUGEINT Σc² and N; the same single
+    // ×10⁴ division chain.
+    "q276_yule_k" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE len(tok) > 0 GROUP BY 1, 2),
+         a AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+           FROM cnt GROUP BY 1)
+         SELECT source, n_tokens, vocab, CAST(s2 AS DOUBLE) AS sum_c2,
+           CASE WHEN n_tokens > 0
+             THEN CAST(s2 - n_tokens AS DOUBLE) * 10000.0
+               / CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE)
+             ELSE 0.0 END AS yule_k
+         FROM a""",
+
     // q255: identical pooled doubled-midrank prefix (a window over
     // the value-count rows — unique per value), HUGEINT rank sums,
     // the dsum mirror for Σ R₂²/n, the same tie/H/lookup IEEE chain

@@ -736,6 +736,90 @@ object RelationalQueries {
         col("ss_total"), col("eta2"), col("seasonal"))
   }
 
+  /** Cox–Stuart trend test over the daily-count grid (W39 — Cox &
+    * Stuart '55: the SIGN-test-cheap monotone-trend read — where q236
+    * Mann–Kendall pays a pair join over the calendar², this pairs each
+    * day with its half-series partner ONCE, the screening-grade test a
+    * dashboard can afford on every series). Convention: offset
+    * h = (n+1) DIV 2, pairing day i with day i+h for the first
+    * n DIV 2 days (odd n drops the middle day — the standard rule).
+    * The pair table is ONE equi-join on day+h over the zero-filled
+    * grid (calendar-bounded, broadcast); S = 2·plus − m on tie-dropped
+    * pairs is BIGINT exact; the continuity-corrected z = (S ∓ 1)/√m is
+    * the identical IEEE chain in both engines (the q236 S∓1 pattern).
+    * Pure function of the summed (type, day) counts ⇒ the streaming
+    * twin (q279) reads the SAME view — a daily-count-store tail. */
+  def coxStuartView(daily0: DataFrame): DataFrame = {
+    val grid = dailyGrid(daily0)
+    val nd = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val a = grid.join(broadcast(nd), "event_type")
+      .withColumn("h", expr("(n_days + 1) DIV 2"))
+    val pairs = a.select(col("event_type"), col("n_days"),
+        col("day").as("da"), (col("day") + col("h")).as("db_want"),
+        col("y").as("ya"))
+      .join(broadcast(grid.select(col("event_type").as("et2"),
+        col("day").as("db"), col("y").as("yb"))),
+        col("event_type") === col("et2") && col("db") === col("db_want"))
+    pairs.groupBy(col("event_type"), col("n_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("yb") > col("ya"), 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("yb") < col("ya"), 1L).otherwise(0L)).as("n_minus"))
+      .withColumn("m", col("n_plus") + col("n_minus"))
+      .withColumn("s_stat", col("n_plus") * 2 - col("m"))
+      .withColumn("z",
+        when(col("m") > 0 && col("s_stat") =!= 0,
+          (col("s_stat") - when(col("s_stat") > 0, 1L).otherwise(-1L))
+            .cast("double") / sqrt(col("m").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing").otherwise("none"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("n_plus"), col("n_minus"), col("z"), col("trend"))
+  }
+
+  /** Turning-point randomness test over the daily-count grid (W40 —
+    * Kendall's classic local-extrema count: a series that is random
+    * around its level turns ~2(n−2)/3 times; a trending or sticky
+    * series turns less, an oscillating one more — the complement to
+    * q266's runs test, which sees level-stickiness but not
+    * oscillation). Interior days join their two neighbors by
+    * consecutive-day EQUI-JOINS over the zero-filled grid (both legs
+    * broadcast, calendar-bounded — no window, no lag); a turning
+    * point is a STRICT local extremum (a flat neighbor breaks it).
+    * T is BIGINT exact; μ = 2(n−2)/3, σ² = (16n−29)/90 and z are the
+    * identical IEEE chain over exact integers in both engines. Pure
+    * function of the summed (type, day) counts ⇒ the streaming twin
+    * (q280) reads the SAME view — a daily-count-store tail. */
+  def turningPointView(daily0: DataFrame): DataFrame = {
+    val grid = dailyGrid(daily0)
+    val triples = grid
+      .select(col("event_type"), col("day"), col("y"))
+      .join(broadcast(grid.select(col("event_type").as("etl"),
+        col("day").as("dl"), col("y").as("yl"))),
+        col("event_type") === col("etl") && col("dl") === col("day") - 1)
+      .join(broadcast(grid.select(col("event_type").as("etr"),
+        col("day").as("dr"), col("y").as("yr"))),
+        col("event_type") === col("etr") && col("dr") === col("day") + 1)
+    val nd = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    triples.groupBy(col("event_type"))
+      .agg(sum(when((col("yl") < col("y") && col("y") > col("yr")) ||
+          (col("yl") > col("y") && col("y") < col("yr")), 1L)
+        .otherwise(0L)).as("turning_points"))
+      .join(broadcast(nd), "event_type")
+      .withColumn("mu",
+        (col("n_days") - 2).cast("double") * 2.0 / 3.0)
+      .withColumn("var_t",
+        (col("n_days") * 16 - 29).cast("double") / 90.0)
+      .withColumn("z",
+        when(col("n_days") > 3,
+          (col("turning_points").cast("double") - col("mu")) /
+            sqrt(col("var_t")))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n_days"), col("turning_points"),
+        col("z"), (abs(col("z")) <= 1.96).as("random"))
+  }
+
   def mannKendallView(daily0: DataFrame): DataFrame = {
     val grid = dailyGrid(daily0)
     val sstat = grid
@@ -2748,46 +2832,7 @@ object RelationalQueries {
     // one final comparison.
     "q259_logrank" -> ((s, d) => {
       import graft.functions.Num.dsum
-      val ev = events(s, d).select(col("event_type"), col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
-      val pu0 = ev.groupBy(col("event_type"), col("user_id"))
-        .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
-        .withColumn("variant", col("user_id") % 2)
-      val dmax = pu0.agg(max(col("lday")).as("d1"))
-      val dur = pu0.crossJoin(broadcast(dmax))
-        .select(col("event_type"), col("variant"),
-          (col("lday") - col("fday")).as("t"),
-          (col("lday") <= col("d1") - KmCensorDays).as("churned"))
-        .groupBy(col("event_type"), col("variant"), col("t"))
-        .agg(count(lit(1)).as("ct"),
-          sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
-        .localCheckpoint() // calendar-bounded; feeds grid + ntot
-      val grid = dur.select(col("event_type"), col("t")).distinct()
-        .crossJoin(broadcast(s.range(0, 2).toDF("variant")))
-        .join(dur, Seq("event_type", "variant", "t"), "left")
-        .select(col("event_type"), col("variant"), col("t"),
-          coalesce(col("ct"), lit(0L)).as("ct"),
-          coalesce(col("d"), lit(0L)).as("d"))
-        .withColumn("tv",
-          concat(col("event_type"), lit("|"), col("variant")))
-      val ntot = dur.groupBy(col("event_type"), col("variant"))
-        .agg(sum(col("ct")).as("n_users"))
-      val risk = graft.operators.ScanSum
-        .runningSum(grid, "tv", "t", "ct", outCol = "cumct")
-        .join(broadcast(ntot), Seq("event_type", "variant"), "left")
-        .withColumn("n_risk",
-          coalesce(col("n_users"), lit(0L)) - (col("cumct") - col("ct")))
-      val byT = risk.groupBy(col("event_type"), col("t"))
-        .agg(sum(when(col("variant") === 1, col("n_risk")).otherwise(0L))
-            .as("n1"),
-          sum(when(col("variant") === 0, col("n_risk")).otherwise(0L))
-            .as("n0"),
-          sum(when(col("variant") === 1, col("d")).otherwise(0L)).as("d1"),
-          sum(when(col("variant") === 0, col("d")).otherwise(0L)).as("d0"))
-        .withColumn("nt", col("n0") + col("n1"))
-        .withColumn("dt", col("d0") + col("d1"))
-        .filter(col("dt") > 0)
-      byT.groupBy(col("event_type"))
+      variantRiskSets(s, events(s, d)).groupBy(col("event_type"))
         .agg(sum(col("d1")).as("o1"),
           dsum(col("dt").cast("double") * col("n1").cast("double") /
             col("nt").cast("double")).as("e1"),
@@ -2947,8 +2992,304 @@ object RelationalQueries {
         .select(col("event_type"), col("n0"), col("n1"),
           col("mean0").as("mean0_cents"), col("mean1").as("mean1_cents"),
           col("cohens_d"), col("hedges_g"), col("magnitude"))
+    }),
+
+    // Welch's unequal-variance t (D38 — Welch '47: the default
+    // two-sample mean test when the variants' variances differ, which
+    // q261's pooled-variance d quietly assumes away; the
+    // Welch–Satterthwaite df is the number a sequential-testing
+    // harness consumes). Identical exact sufficient statistics to
+    // q261 (cents through DECIMAL(12,2)·100; n·Σc² − S² cleared in
+    // DECIMAL(38,0) — Σc² ~ 10³⁰ at 10¹² events wraps BIGINT); each
+    // variant's sample variance is ONE IEEE division of the exact
+    // numerator by n·(n−1) (itself DECIMAL — n² ~ 10²⁴); means, the
+    // two standard-error legs, t, and the Satterthwaite df are the
+    // identical IEEE chain in both engines.
+    "q269_welch_t" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = events(s, d).select(col("event_type"),
+          (col("user_id") % 2).as("variant"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast(dec).as("sc"),
+          sum((col("cents").cast(dec19) * col("cents").cast(dec19))
+            .cast(dec)).cast(dec).as("scc"))
+        .withColumn("nv_num",
+          col("n").cast(dec) * col("scc") - col("sc") * col("sc"))
+        .withColumn("nn1",
+          (col("n").cast(dec19) * (col("n") - 1).cast(dec19)).cast(dec))
+      st.groupBy(col("event_type"))
+        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          max(when(col("variant") === 0, col("sc"))).as("s0"),
+          max(when(col("variant") === 1, col("sc"))).as("s1"),
+          max(when(col("variant") === 0, col("nv_num"))).as("q0"),
+          max(when(col("variant") === 1, col("nv_num"))).as("q1"),
+          max(when(col("variant") === 0, col("nn1"))).as("m0"),
+          max(when(col("variant") === 1, col("nn1"))).as("m1"))
+        .withColumn("mean0",
+          col("s0").cast("double") / col("n0").cast("double"))
+        .withColumn("mean1",
+          col("s1").cast("double") / col("n1").cast("double"))
+        .withColumn("v0", col("q0").cast("double") / col("m0").cast("double"))
+        .withColumn("v1", col("q1").cast("double") / col("m1").cast("double"))
+        .withColumn("se0", col("v0") / col("n0").cast("double"))
+        .withColumn("se1", col("v1") / col("n1").cast("double"))
+        .withColumn("se2", col("se0") + col("se1"))
+        .withColumn("t_welch",
+          when(col("n0") > 1 && col("n1") > 1 && col("se2") > 0.0,
+            (col("mean1") - col("mean0")) / sqrt(col("se2")))
+            .otherwise(lit(0.0)))
+        .withColumn("df_welch",
+          when(col("n0") > 1 && col("n1") > 1 && col("se2") > 0.0,
+            col("se2") * col("se2") /
+              (col("se0") * col("se0") / (col("n0") - 1).cast("double") +
+                col("se1") * col("se1") / (col("n1") - 1).cast("double")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n0"), col("n1"),
+          col("mean0").as("mean0_cents"), col("mean1").as("mean1_cents"),
+          col("v0").as("var0"), col("v1").as("var1"),
+          col("t_welch"), col("df_welch"),
+          (abs(col("t_welch")) > 1.96).as("significant"))
+    }),
+
+    // One-way ANOVA F across event types (D39 — Fisher: "do the K
+    // event types have the same mean ticket" in ONE global test,
+    // where running K² pairwise q269s inflates the false-positive
+    // rate; the K-group omnibus gate run before any pairwise dig).
+    // Per-type exact sufficient statistics as q269; Σ S_t²/n_t
+    // accumulates per-type IEEE terms of exact integers through dsum
+    // (order-independent, the q265 pattern); SS decomposition, F, and
+    // the large-N significance cut (k−1)·F > χ²₉₅(k−1) — the shared
+    // Chi2Crit95 ladder, denominator df being corpus-sized — are the
+    // identical IEEE chain in both engines.
+    "q270_anova_f" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = events(s, d).select(col("event_type"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast(dec).as("sc"),
+          sum((col("cents").cast(dec19) * col("cents").cast(dec19))
+            .cast(dec)).cast(dec).as("scc"))
+      st.agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_total"),
+          sum(col("sc")).cast(dec).as("t"),
+          sum(col("scc")).cast(dec).as("qtot"),
+          dsum(col("sc").cast("double") * col("sc").cast("double") /
+            col("n").cast("double")).as("b"))
+        .withColumn("tt",
+          col("t").cast("double") * col("t").cast("double") /
+            col("n_total").cast("double"))
+        .withColumn("ss_between", col("b") - col("tt"))
+        .withColumn("ss_within", col("qtot").cast("double") - col("b"))
+        .withColumn("df1", col("n_groups") - 1)
+        .withColumn("f_stat",
+          when(col("df1") >= 1 && col("n_total") > col("n_groups") &&
+              col("ss_within") > 0.0,
+            (col("ss_between") / col("df1").cast("double")) /
+              (col("ss_within") /
+                (col("n_total") - col("n_groups")).cast("double")))
+            .otherwise(lit(0.0)))
+        .withColumn("significant_asymp",
+          when(col("df1").between(1, QualityQueries.Chi2Crit95.size),
+            col("f_stat") * col("df1").cast("double") >
+              element_at(array(QualityQueries.Chi2Crit95.map(lit): _*),
+                col("df1").cast("int")))
+            .otherwise(lit(null).cast("boolean")))
+        .select(col("n_groups"), col("n_total"), col("ss_between"),
+          col("ss_within"), col("f_stat"), col("significant_asymp"))
+    }),
+
+    // McNemar's paired test (D40 — McNemar '47: "did individual USERS
+    // change behavior between the halves of the window" — the paired
+    // read q166's independent-samples z cannot make, because the same
+    // user sits in both periods and the pairing removes the
+    // between-user variance). Per (type, user): active in the first /
+    // second calendar half (the midpoint is an exact integer from the
+    // 1-row broadcast day span); only the discordant cells carry
+    // information — χ² = (|b−c|−1)²/(b+c) with the standard continuity
+    // correction, exact BIGINTs up to ONE IEEE division, cut at
+    // χ²₉₅(1) = 3.8415 on the identical double in both engines.
+    "q271_mcnemar" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val pu = ev.crossJoin(broadcast(span))
+        .withColumn("mid", expr("(d0 + d1 + 1) DIV 2"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(max(when(col("day") < col("mid"), 1L).otherwise(0L))
+            .as("first_half"),
+          max(when(col("day") >= col("mid"), 1L).otherwise(0L))
+            .as("second_half"))
+      pu.groupBy(col("event_type"))
+        .agg(sum(when(col("first_half") === 1 && col("second_half") === 0,
+            1L).otherwise(0L)).as("n_first_only"),
+          sum(when(col("first_half") === 0 && col("second_half") === 1,
+            1L).otherwise(0L)).as("n_second_only"),
+          sum(when(col("first_half") === 1 && col("second_half") === 1,
+            1L).otherwise(0L)).as("n_both"))
+        .withColumn("disc", col("n_first_only") + col("n_second_only"))
+        .withColumn("cc", abs(col("n_first_only") - col("n_second_only")) - 1)
+        .withColumn("chi2_mcnemar",
+          when(col("disc") > 0,
+            (col("cc").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+              col("cc").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .cast("double") / col("disc").cast("double"))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n_first_only"),
+          col("n_second_only"), col("n_both"), col("chi2_mcnemar"),
+          (col("chi2_mcnemar") > 3.8415).as("significant"))
+    }),
+
+    // Cox–Stuart trend test (W39): see [[coxStuartView]]. The
+    // streaming twin (q279) is a daily-count-store tail.
+    "q272_cox_stuart" -> ((s, d) =>
+      coxStuartView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Turning-point randomness test (W40): see [[turningPointView]].
+    // The streaming twin (q280) is a daily-count-store tail.
+    "q273_turning_point" -> ((s, d) =>
+      turningPointView(events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
+    // Conversion odds ratio with Woolf CI (W41 — Woolf '55 with the
+    // Haldane–Anscombe ½ smoothing: the EFFECT-SIZE companion to
+    // q166's two-proportion z — an interval a decision-maker can read,
+    // robust to zero cells, and the log-scale quantity meta-analyses
+    // pool). The 2×2 is EXACTLY q166's (variant = user_id % 2,
+    // converter = user with ≥ AbConvK events of the type, via
+    // abTestView); all four cells are exact BIGINTs; the smoothed
+    // cells a+½ … are exact doubles; ln(OR) goes through the
+    // decimal(20,9) rounding route (both engines round their libm ln
+    // to the same 9 decimals — the lnR trick), and the CI is reported
+    // on the LOG scale (ln_lo, ln_hi): exp's cross-engine ulps never
+    // enter the compared columns.
+    "q277_odds_ratio" -> ((s, d) => {
+      val lnR = (c: Column) => log(c)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 9)).cast("double")
+      val t22 = abTestView(events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("k")))
+        .select(col("event_type"), col("n1"), col("c1"),
+          col("n2"), col("c2"))
+      t22
+        .withColumn("a", col("c1").cast("double") + 0.5)
+        .withColumn("b", (col("n1") - col("c1")).cast("double") + 0.5)
+        .withColumn("c", col("c2").cast("double") + 0.5)
+        .withColumn("dd", (col("n2") - col("c2")).cast("double") + 0.5)
+        .withColumn("odds_ratio",
+          col("a") * col("dd") / (col("b") * col("c")))
+        .withColumn("ln_or", lnR(col("odds_ratio")))
+        .withColumn("se_ln",
+          sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("dd")))
+        .withColumn("ln_lo", col("ln_or") - lit(1.96) * col("se_ln"))
+        .withColumn("ln_hi", col("ln_or") + lit(1.96) * col("se_ln"))
+        .select(col("event_type"),
+          col("c1").as("conv_a"), col("n1").as("n_a"),
+          col("c2").as("conv_b"), col("n2").as("n_b"),
+          col("odds_ratio"), col("ln_or"), col("ln_lo"), col("ln_hi"),
+          (col("ln_lo") > 0.0 || col("ln_hi") < 0.0).as("significant"))
+    }),
+
+    // Gehan–Wilcoxon weighted log-rank (W42 — Gehan '65/Breslow '70:
+    // the EARLY-difference survival test — weighting each death time
+    // by the number still at risk makes it sensitive to churn-rate
+    // gaps in the first days, where q259's unweighted log-rank —
+    // which this complements over the SAME [[variantRiskSets]]
+    // table — spreads its power over the whole curve). With weight
+    // w_t = n_t the per-time term n_t·d1 − d_t·n1 is an exact
+    // integer, so U stays DECIMAL(38,0)-exact end-to-end (products
+    // ~ 10²⁴ at 10¹² users wrap BIGINT); the variance terms
+    // d·n1·n0·(n−d)/(n−1) are the identical IEEE chain over the same
+    // exact integers, accumulated by dsum; z = U/√V is one final
+    // division.
+    "q278_gehan_wilcoxon" -> ((s, d) => {
+      import graft.functions.Num.dsum
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      variantRiskSets(s, events(s, d)).groupBy(col("event_type"))
+        .agg(sum((col("nt").cast(dec19) * col("d1").cast(dec19)).cast(dec) -
+            (col("dt").cast(dec19) * col("n1").cast(dec19)).cast(dec))
+          .cast(dec).as("u"),
+          dsum(when(col("nt") > 1,
+            col("dt").cast("double") * col("n1").cast("double") *
+              col("n0").cast("double") *
+              (col("nt") - col("dt")).cast("double") /
+              (col("nt") - 1).cast("double")).otherwise(lit(0.0)))
+            .as("var_gehan"))
+        .withColumn("z",
+          when(col("var_gehan") > 0.0,
+            col("u").cast("double") / sqrt(col("var_gehan")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("u").cast("double").as("u_gehan"),
+          col("var_gehan"), col("z"),
+          (abs(col("z")) > 1.96).as("significant"))
     })
   )
+
+  /** Per-(type, lifetime) two-variant risk-set table shared by the
+    * log-rank (q259) and Gehan–Wilcoxon (q278) tests: lifetimes and
+    * churn flags exactly as q239 (variant = user_id % 2, the q166
+    * assignment), risk sets per variant through ONE ScanSum over the
+    * zero-filled (type, variant) × distinct-lifetime grid
+    * (calendar-bounded rows, 2-row broadcast variant axis). Emits one
+    * row per death time: (event_type, t, n1, n0, d1, d0, nt, dt). */
+  private[graft] def variantRiskSets(s: SparkSession,
+                                     ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("event_type"), col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val pu0 = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("fday"), max(col("day")).as("lday"))
+      .withColumn("variant", col("user_id") % 2)
+    val dmax = pu0.agg(max(col("lday")).as("d1"))
+    val dur = pu0.crossJoin(broadcast(dmax))
+      .select(col("event_type"), col("variant"),
+        (col("lday") - col("fday")).as("t"),
+        (col("lday") <= col("d1") - KmCensorDays).as("churned"))
+      .groupBy(col("event_type"), col("variant"), col("t"))
+      .agg(count(lit(1)).as("ct"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+      .localCheckpoint() // calendar-bounded; feeds grid + ntot
+    val grid = dur.select(col("event_type"), col("t")).distinct()
+      .crossJoin(broadcast(s.range(0, 2).toDF("variant")))
+      .join(dur, Seq("event_type", "variant", "t"), "left")
+      .select(col("event_type"), col("variant"), col("t"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .withColumn("tv",
+        concat(col("event_type"), lit("|"), col("variant")))
+    val ntot = dur.groupBy(col("event_type"), col("variant"))
+      .agg(sum(col("ct")).as("n_users"))
+    val risk = graft.operators.ScanSum
+      .runningSum(grid, "tv", "t", "ct", outCol = "cumct")
+      .join(broadcast(ntot), Seq("event_type", "variant"), "left")
+      .withColumn("n_risk",
+        coalesce(col("n_users"), lit(0L)) - (col("cumct") - col("ct")))
+    risk.groupBy(col("event_type"), col("t"))
+      .agg(sum(when(col("variant") === 1, col("n_risk")).otherwise(0L))
+          .as("n1"),
+        sum(when(col("variant") === 0, col("n_risk")).otherwise(0L))
+          .as("n0"),
+        sum(when(col("variant") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("variant") === 0, col("d")).otherwise(0L)).as("d0"))
+      .withColumn("nt", col("n0") + col("n1"))
+      .withColumn("dt", col("d0") + col("d1"))
+      .filter(col("dt") > 0)
+  }
 
   /** The q239 Kaplan–Meier table over ANY (event_type, user_id, day)
     * event projection — lifetimes, censoring at the corpus edge, risk
@@ -4876,6 +5217,352 @@ object RelationalQueries {
                 WHEN abs(cohens_d) < 0.8 THEN 'medium'
                 ELSE 'large' END AS magnitude
          FROM dd""",
+
+    // q269: identical per-variant exact sufficient statistics
+    // (HUGEINT cleared numerators, n·(n−1) HUGEINT), the same
+    // per-variant variance division, se legs, t, and Satterthwaite df
+    // IEEE chain.
+    "q269_welch_t" ->
+      """WITH ev AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         st AS (
+           SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS sc,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS scc
+           FROM ev GROUP BY 1, 2),
+         nv AS (
+           SELECT *, n * scc - sc * sc AS nv_num,
+             CAST(n AS HUGEINT) * (n - 1) AS nn1
+           FROM st),
+         p AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+             max(CASE WHEN variant = 0 THEN sc END) AS s0,
+             max(CASE WHEN variant = 1 THEN sc END) AS s1,
+             max(CASE WHEN variant = 0 THEN nv_num END) AS q0,
+             max(CASE WHEN variant = 1 THEN nv_num END) AS q1,
+             max(CASE WHEN variant = 0 THEN nn1 END) AS m0,
+             max(CASE WHEN variant = 1 THEN nn1 END) AS m1
+           FROM nv GROUP BY 1),
+         m AS (
+           SELECT *, CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             CAST(q0 AS DOUBLE) / CAST(m0 AS DOUBLE) AS v0,
+             CAST(q1 AS DOUBLE) / CAST(m1 AS DOUBLE) AS v1
+           FROM p),
+         se AS (
+           SELECT *, v0 / CAST(n0 AS DOUBLE) AS se0,
+             v1 / CAST(n1 AS DOUBLE) AS se1,
+             v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE) AS se2
+           FROM m),
+         t AS (
+           SELECT *, CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+               THEN (mean1 - mean0) / sqrt(se2) ELSE 0.0 END AS t_welch,
+             CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+               THEN se2 * se2 / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
+                 + se1 * se1 / CAST(n1 - 1 AS DOUBLE))
+               ELSE 0.0 END AS df_welch
+           FROM se)
+         SELECT event_type, n0, n1, mean0 AS mean0_cents,
+           mean1 AS mean1_cents, v0 AS var0, v1 AS var1, t_welch,
+           df_welch, abs(t_welch) > 1.96 AS significant
+         FROM t""",
+
+    // q270: identical per-type exact sufficient statistics, the dsum
+    // mirror for Σ S²/n, the same SS decomposition / F / ladder-lookup
+    // chain (list_extract OOB → NULL == the Spark guard's NULL).
+    "q270_anova_f" ->
+      s"""WITH ev AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS sc,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS scc
+           FROM ev GROUP BY 1),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(sc) AS HUGEINT) AS t,
+             CAST(sum(scc) AS HUGEINT) AS qtot,
+             CAST(sum(CAST(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+               / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS b
+           FROM st),
+         f AS (
+           SELECT *, CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS tt,
+             n_groups - 1 AS df1
+           FROM a),
+         g AS (
+           SELECT n_groups, n_total, b - tt AS ss_between,
+             CAST(qtot AS DOUBLE) - b AS ss_within, df1
+           FROM f),
+         h AS (
+           SELECT *, CASE WHEN df1 >= 1 AND n_total > n_groups
+               AND ss_within > 0.0
+             THEN (ss_between / CAST(df1 AS DOUBLE))
+               / (ss_within / CAST(n_total - n_groups AS DOUBLE))
+             ELSE 0.0 END AS f_stat
+           FROM g)
+         SELECT n_groups, n_total, ss_between, ss_within, f_stat,
+           f_stat * CAST(df1 AS DOUBLE)
+             > list_extract([${QualityQueries.Chi2Crit95.mkString(", ")}],
+                 CAST(df1 AS INT)) AS significant_asymp
+         FROM h""",
+
+    // q271: identical 1-row span midpoint, per-(type, user) half
+    // flags, and the continuity-corrected (|b−c|−1)²/(b+c) chain.
+    "q271_mcnemar" ->
+      """WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         pu AS (
+           SELECT e.event_type, e.user_id,
+             CAST(max(CASE WHEN e.day < (s.d0 + s.d1 + 1) // 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS first_half,
+             CAST(max(CASE WHEN e.day >= (s.d0 + s.d1 + 1) // 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS second_half
+           FROM ev e CROSS JOIN span s GROUP BY 1, 2),
+         c AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN first_half = 1 AND second_half = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_first_only,
+             CAST(sum(CASE WHEN first_half = 0 AND second_half = 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_second_only,
+             CAST(sum(CASE WHEN first_half = 1 AND second_half = 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+           FROM pu GROUP BY 1),
+         x AS (
+           SELECT *, n_first_only + n_second_only AS disc,
+             CASE WHEN n_first_only + n_second_only > 0
+               THEN CAST(CAST(abs(n_first_only - n_second_only) - 1
+                   AS HUGEINT)
+                 * (abs(n_first_only - n_second_only) - 1) AS DOUBLE)
+                 / CAST(n_first_only + n_second_only AS DOUBLE)
+               ELSE 0.0 END AS chi2_mcnemar
+           FROM c)
+         SELECT event_type, n_first_only, n_second_only, n_both,
+           chi2_mcnemar, chi2_mcnemar > 3.8415 AS significant
+         FROM x""",
+
+    // q272: identical zero-filled grid, the same (n+1) DIV 2 offset
+    // pairing, tie-dropped sign counts, and the S∓1 continuity chain.
+    "q272_cox_stuart" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM g GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type, nd.n_days, a.y AS ya, b.y AS yb
+           FROM g a JOIN nd ON nd.event_type = a.event_type
+           JOIN g b ON b.event_type = a.event_type
+             AND b.day = a.day + (nd.n_days + 1) // 2),
+         c AS (
+           SELECT event_type, n_days,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN yb > ya THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(sum(CASE WHEN yb < ya THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus
+           FROM pairs GROUP BY 1, 2),
+         zc AS (
+           SELECT *, n_plus + n_minus AS m,
+             n_plus * 2 - (n_plus + n_minus) AS s_stat
+           FROM c),
+         z AS (
+           SELECT *, CASE WHEN m > 0 AND s_stat <> 0
+             THEN CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)
+               AS DOUBLE) / sqrt(CAST(m AS DOUBLE))
+             ELSE 0.0 END AS z
+           FROM zc)
+         SELECT event_type, n_days, n_pairs, n_plus, n_minus, z,
+           CASE WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+         FROM z""",
+
+    // q273: identical grid, consecutive-day triple joins, strict
+    // extremum rule, and the 2(n−2)/3, (16n−29)/90 z chain.
+    "q273_turning_point" ->
+      s"""WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         grid AS (
+           SELECT t.event_type, s.d0 + r.range AS day
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN span s CROSS JOIN range(0, $MaxGridDays) r
+           WHERE $oracleGridWhere),
+         g AS (
+           SELECT g.event_type, g.day,
+             CAST(coalesce(d.n, 0) AS BIGINT) AS y
+           FROM grid g LEFT JOIN daily d
+             ON d.event_type = g.event_type AND d.day = g.day),
+         nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM g GROUP BY 1),
+         tp AS (
+           SELECT c.event_type,
+             CAST(sum(CASE WHEN (l.y < c.y AND c.y > r.y)
+               OR (l.y > c.y AND c.y < r.y) THEN 1 ELSE 0 END)
+               AS BIGINT) AS turning_points
+           FROM g c
+           JOIN g l ON l.event_type = c.event_type AND l.day = c.day - 1
+           JOIN g r ON r.event_type = c.event_type AND r.day = c.day + 1
+           GROUP BY 1),
+         z AS (
+           SELECT t.event_type, nd.n_days, t.turning_points,
+             CASE WHEN nd.n_days > 3
+               THEN (CAST(t.turning_points AS DOUBLE)
+                 - CAST(nd.n_days - 2 AS DOUBLE) * 2.0 / 3.0)
+                 / sqrt(CAST(nd.n_days * 16 - 29 AS DOUBLE) / 90.0)
+               ELSE 0.0 END AS z
+           FROM tp t JOIN nd ON nd.event_type = t.event_type)
+         SELECT event_type, n_days, turning_points, z,
+           abs(z) <= 1.96 AS random
+         FROM z""",
+
+    // q277: q166's exact 2×2 (same ut/users/conv/grid CTEs), the
+    // Haldane-smoothed cells, the decimal(20,9) ln rounding, and the
+    // log-scale Woolf interval — exp never enters the compared
+    // columns.
+    "q277_odds_ratio" ->
+      s"""WITH ut AS (
+           SELECT user_id, event_type, count(*) AS k
+           FROM events GROUP BY 1, 2),
+         users AS (
+           SELECT user_id % 2 AS variant,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+           FROM ut GROUP BY 1),
+         conv AS (
+           SELECT event_type, user_id % 2 AS variant,
+             CAST(count(*) AS BIGINT) AS c
+           FROM ut WHERE k >= $AbConvK GROUP BY 1, 2),
+         grid AS (
+           SELECT t.event_type, u.variant, u.n
+           FROM (SELECT DISTINCT event_type FROM ut) t CROSS JOIN users u),
+         wide AS (
+           SELECT g.event_type,
+             CAST(sum(CASE WHEN g.variant = 0
+               THEN coalesce(c.c, 0) END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g.variant = 0 THEN g.n END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g.variant = 1
+               THEN coalesce(c.c, 0) END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN g.variant = 1 THEN g.n END) AS BIGINT) AS n2
+           FROM grid g LEFT JOIN conv c
+             ON c.event_type = g.event_type AND c.variant = g.variant
+           GROUP BY 1),
+         sm AS (
+           SELECT *, CAST(c1 AS DOUBLE) + 0.5 AS a,
+             CAST(n1 - c1 AS DOUBLE) + 0.5 AS b,
+             CAST(c2 AS DOUBLE) + 0.5 AS c,
+             CAST(n2 - c2 AS DOUBLE) + 0.5 AS dd
+           FROM wide),
+         o AS (
+           SELECT *, a * dd / (b * c) AS odds_ratio,
+             CAST(CAST(ln(a * dd / (b * c)) AS DECIMAL(20,9)) AS DOUBLE)
+               AS ln_or,
+             sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd) AS se_ln
+           FROM sm)
+         SELECT event_type, c1 AS conv_a, n1 AS n_a, c2 AS conv_b,
+           n2 AS n_b, odds_ratio, ln_or,
+           ln_or - 1.96 * se_ln AS ln_lo, ln_or + 1.96 * se_ln AS ln_hi,
+           ln_or - 1.96 * se_ln > 0.0 OR ln_or + 1.96 * se_ln < 0.0
+             AS significant
+         FROM o""",
+
+    // q278: q259's exact risk-set CTEs, then the integer-weighted
+    // Gehan terms (HUGEINT U) and the same dsum-accumulated variance
+    // and z chain.
+    "q278_gehan_wilcoxon" ->
+      s"""WITH ev AS (
+           SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dm AS (SELECT max(day) AS d1 FROM ev),
+         pu AS (
+           SELECT event_type, user_id % 2 AS variant,
+             min(day) AS fday, max(day) AS lday
+           FROM ev GROUP BY 1, 2, user_id),
+         pc AS (
+           SELECT p.event_type, p.variant, p.lday - p.fday AS t,
+             p.lday <= d.d1 - $KmCensorDays AS churned
+           FROM pu p CROSS JOIN dm d),
+         dur AS (
+           SELECT event_type, variant, t,
+             CAST(count(*) AS BIGINT) AS ct,
+             CAST(count(*) FILTER (churned) AS BIGINT) AS d
+           FROM pc GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT g.event_type, v.variant, g.t,
+             CAST(coalesce(du.ct, 0) AS BIGINT) AS ct,
+             CAST(coalesce(du.d, 0) AS BIGINT) AS d
+           FROM (SELECT DISTINCT event_type, t FROM dur) g
+           CROSS JOIN (SELECT unnest([0, 1]) AS variant) v
+           LEFT JOIN dur du ON du.event_type = g.event_type
+             AND du.variant = v.variant AND du.t = g.t),
+         ntot AS (
+           SELECT event_type, variant, CAST(sum(ct) AS BIGINT) AS n_users
+           FROM dur GROUP BY 1, 2),
+         r AS (
+           SELECT g.event_type, g.variant, g.t, g.ct, g.d,
+             CAST(coalesce(n.n_users, 0)
+               - (sum(g.ct) OVER w - g.ct) AS BIGINT) AS n_risk
+           FROM grid g LEFT JOIN ntot n
+             ON n.event_type = g.event_type AND n.variant = g.variant
+           WINDOW w AS (PARTITION BY g.event_type, g.variant ORDER BY g.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         bt AS (
+           SELECT event_type, t,
+             CAST(sum(CASE WHEN variant = 1 THEN n_risk ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN variant = 0 THEN n_risk ELSE 0 END)
+               AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN d ELSE 0 END)
+               AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN variant = 0 THEN d ELSE 0 END)
+               AS BIGINT) AS d0
+           FROM r GROUP BY 1, 2),
+         ft AS (
+           SELECT *, n0 + n1 AS nt, d0 + d1 AS dt FROM bt
+           WHERE d0 + d1 > 0),
+         a AS (
+           SELECT event_type,
+             CAST(sum(CAST(nt AS HUGEINT) * d1
+               - CAST(dt AS HUGEINT) * n1) AS HUGEINT) AS u,
+             CAST(sum(CAST(CASE WHEN nt > 1 THEN
+               CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 * CAST(n0 AS DOUBLE) * CAST(nt - dt AS DOUBLE)
+                 / CAST(nt - 1 AS DOUBLE)
+               ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS var_gehan
+           FROM ft GROUP BY 1)
+         SELECT event_type, CAST(u AS DOUBLE) AS u_gehan, var_gehan,
+           CASE WHEN var_gehan > 0.0
+             THEN CAST(u AS DOUBLE) / sqrt(var_gehan)
+             ELSE 0.0 END AS z,
+           abs(CASE WHEN var_gehan > 0.0
+             THEN CAST(u AS DOUBLE) / sqrt(var_gehan)
+             ELSE 0.0 END) > 1.96 AS significant
+         FROM a""",
 
     // q265: identical zero-filled grid + arithmetic dow; HUGEINT
     // sufficient statistics, the dsum mirror for the seven per-dow

@@ -84,6 +84,115 @@ object TextQueries {
         element_at(ts, i + 2), element_at(ts, i + 3)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1-D Wasserstein (earth-mover's) distance matrix between the
+    // per-source length distributions (D43 — Vaserstein '69 /
+    // Rubner's EMD in the one case it is closed-form: on the line,
+    // W₁ = ∫|F_a − F_b|. The curation read q214's JSD cannot give:
+    // JSD on binned lengths saturates at ln 2 for disjoint supports,
+    // while W₁ says HOW FAR apart in characters two sources' length
+    // profiles sit — the number a mixture planner can trade off).
+    // Shape: value-count table per source, ONE global ScanSum over
+    // the distinct-length support to index it (support is
+    // domain-bounded — distinct lengths, not docs), gaps by
+    // consecutive-index equi-join, per-source CDFs by ScanSum over
+    // the zero-filled source×support grid, then the 45-pair join on
+    // value. |F_a − F_b| clears denominators: |cum_a·n_b − cum_b·n_a|
+    // is DECIMAL(38,0)-exact (10²⁴ at 10¹² docs wraps BIGINT), ×gap
+    // stays decimal-exact, and W₁ is ONE final IEEE division by
+    // n_a·n_b per pair.
+    "q274_wasserstein" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = documents(s, d).select(col("source"), col("n_chars"))
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds support, srcN, and the filled grid
+      val support = cnt.select(col("n_chars")).distinct()
+        .withColumn("g", lit("all")).withColumn("one", lit(1L))
+      val idx = graft.operators.ScanSum
+        .runningSum(support, "g", "n_chars", "one", outCol = "i")
+        .select(col("n_chars"), col("i"))
+        .localCheckpoint() // feeds the grid, both gap legs
+      val gap = idx
+        .join(idx.select((col("i") - 1).as("i2"), col("n_chars").as("nv")),
+          col("i") === col("i2"))
+        .select(col("n_chars"), (col("nv") - col("n_chars")).as("gap"))
+      val srcN = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val filled = idx.select(col("n_chars"))
+        .crossJoin(broadcast(cnt.select(col("source")).distinct()))
+        .join(cnt, Seq("source", "n_chars"), "left")
+        .select(col("source"), col("n_chars"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val cum = graft.operators.ScanSum
+        .runningSum(filled, "source", "n_chars", "c", outCol = "cum")
+      val a = cum.select(col("source").as("source_a"), col("n_chars"),
+          col("cum").as("cum_a"))
+        .join(broadcast(srcN.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+      val b = cum.select(col("source").as("source_b"), col("n_chars"),
+          col("cum").as("cum_b"))
+        .join(broadcast(srcN.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+      a.join(b, "n_chars").filter(col("source_a") < col("source_b"))
+        .join(broadcast(gap), "n_chars") // inner: the last support
+        // value has no gap and contributes zero (both CDFs are 1)
+        .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+        .agg(sum((abs((col("cum_a").cast(dec19) * col("n_b").cast(dec19))
+            .cast(dec) -
+            (col("cum_b").cast(dec19) * col("n_a").cast(dec19)).cast(dec))
+          * col("gap").cast(dec19)).cast(dec)).cast(dec).as("num"))
+        .withColumn("w1_chars",
+          col("num").cast("double") /
+            (col("n_a").cast(dec19) * col("n_b").cast(dec19)).cast(dec)
+              .cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("w1_chars"))
+    }),
+
+    // Flesch readability profile per source (L5ii — Flesch '48 /
+    // Kincaid '75: the curation-grade reading-level read — quality
+    // filters like Gopher gate on repetition and symbol ratios
+    // (q119), but a training-mix planner also wants "how HARD is this
+    // source", and Flesch/FK is the standard deterministic proxy).
+    // All three inputs are exact BIGINT counts in one pass: words
+    // (the corpus tokenizer), sentences (regexp [.!?]+ runs, floored
+    // at 1/doc), syllables (vowel-group [aeiouy]+ runs per word,
+    // floored at 1/word — the classic heuristic; summed per doc by a
+    // higher-order aggregate, so no token explode reaches the plan).
+    // The two score chains are the identical IEEE ops over the exact
+    // sums in both engines.
+    "q275_readability" -> ((s, d) => {
+      val per = documents(s, d)
+        .select(col("source"), lower(col("text")).as("t"))
+        .select(col("source"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("t"), lit("[.!?]+"), lit(0)))
+              .cast("long")).as("sents"),
+          filter(split(trim(col("t")), "\\s+"),
+            w => length(w) > 0).as("ws"))
+        .select(col("source"), col("sents"),
+          size(col("ws")).cast("long").as("wc"),
+          aggregate(col("ws"), lit(0L), (acc, w) =>
+            acc + greatest(lit(1L),
+              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+                .cast("long"))).as("syl"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_words"),
+          sum(col("sents")).as("n_sentences"),
+          sum(col("syl")).as("n_syllables"))
+        .withColumn("wps",
+          col("n_words").cast("double") / col("n_sentences").cast("double"))
+        .withColumn("spw",
+          col("n_syllables").cast("double") / col("n_words").cast("double"))
+        .withColumn("flesch_ease",
+          lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+        .withColumn("fk_grade",
+          lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sentences"), col("n_syllables"), col("flesch_ease"),
+          col("fk_grade"))
+    }),
+
     // Cross-source quantile normalization (L5gg — Bolstad '03's
     // microarray recipe applied to corpus curation: before comparing
     // per-source quality/length statistics, align each source's
@@ -1994,6 +2103,87 @@ object TextQueries {
            FROM c)"""
 
   val oracleSql: Map[String, String] = Map(
+    // q274: identical value-count table; the support index / gaps /
+    // per-source CDFs ride windows (unique per (source, value)), the
+    // HUGEINT cleared numerator |cum_a·n_b − cum_b·n_a|·gap, the same
+    // single division per pair.
+    "q274_wasserstein" ->
+      """WITH cnt AS (
+           SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         sup AS (SELECT DISTINCT n_chars FROM cnt),
+         gap AS (
+           SELECT n_chars,
+             lead(n_chars) OVER (ORDER BY n_chars) - n_chars AS gap
+           FROM sup),
+         srcn AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n
+           FROM cnt GROUP BY 1),
+         filled AS (
+           SELECT s.source, v.n_chars, CAST(coalesce(c.c, 0) AS BIGINT)
+               AS c
+           FROM (SELECT DISTINCT source FROM cnt) s
+           CROSS JOIN sup v
+           LEFT JOIN cnt c
+             ON c.source = s.source AND c.n_chars = v.n_chars),
+         cum AS (
+           SELECT source, n_chars, CAST(sum(c) OVER (
+             PARTITION BY source ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+           FROM filled),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             a.n_chars, a.cum AS cum_a, b.cum AS cum_b
+           FROM cum a JOIN cum b
+             ON b.n_chars = a.n_chars AND a.source < b.source),
+         j AS (
+           SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b,
+             abs(CAST(p.cum_a AS HUGEINT) * nb.n
+               - CAST(p.cum_b AS HUGEINT) * na.n) * g.gap AS term
+           FROM p
+           JOIN gap g ON g.n_chars = p.n_chars AND g.gap IS NOT NULL
+           JOIN srcn na ON na.source = p.source_a
+           JOIN srcn nb ON nb.source = p.source_b)
+         SELECT source_a, source_b, n_a, n_b,
+           CAST(CAST(sum(term) AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS w1_chars
+         FROM j GROUP BY 1, 2, 3, 4""",
+
+    // q275: identical tokenizer, sentence/syllable regexp runs with
+    // the same 1-floors, BIGINT sums, the same two score chains.
+    "q275_readability" ->
+      """WITH d AS (
+           SELECT source, lower(text) AS t FROM documents),
+         sents AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(greatest(1,
+               len(regexp_extract_all(t, '[.!?]+')))) AS BIGINT)
+               AS n_sentences
+           FROM d GROUP BY 1),
+         w AS (
+           SELECT source,
+             unnest(regexp_split_to_array(trim(t), '\s+')) AS w
+           FROM d),
+         wc AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(greatest(1,
+               len(regexp_extract_all(w, '[aeiouy]+')))) AS BIGINT)
+               AS n_syllables
+           FROM w WHERE len(w) > 0 GROUP BY 1),
+         a AS (
+           SELECT s.source, s.n_docs, wc.n_words, s.n_sentences,
+             wc.n_syllables,
+             CAST(wc.n_words AS DOUBLE) / CAST(s.n_sentences AS DOUBLE)
+               AS wps,
+             CAST(wc.n_syllables AS DOUBLE) / CAST(wc.n_words AS DOUBLE)
+               AS spw
+           FROM sents s JOIN wc ON wc.source = s.source)
+         SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * wps - 84.6 * spw AS flesch_ease,
+           0.39 * wps + 11.8 * spw - 15.59 AS fk_grade
+         FROM a""",
+
     // q267: identical keep-length class masses (regexp_replace with
     // the 'g' flag == Spark's replace-all), the same ppb-ln rounding,
     // HUGEINT Σ c·ln_ppb, the same integral division.

@@ -822,6 +822,67 @@ object StreamingQueries {
         StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
     }),
 
+    // ST35 × W39: q272's Cox–Stuart trend test as a STREAM — the
+    // TWELFTH read tail of the shared daily-count store: the pairing,
+    // sign counts and z are pure functions of the summed (type, day)
+    // grid, and counts add, so stream == batch BY ALGEBRA; oracle IS
+    // q272's batch SQL.
+    "q279_stream_cox_stuart" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q279-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q279-store"))
+      val ckpt = tmp("graft-q279-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.coxStuartView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
+    // ST36 × W40: q273's turning-point test as a STREAM — the
+    // THIRTEENTH read tail of the shared daily-count store: the
+    // neighbor triples and the μ/σ²/z chain are pure functions of the
+    // summed grid; oracle IS q273's batch SQL.
+    "q280_stream_turning_point" -> ((s, d) => {
+      val events = ev(s, d)
+      val landing = tmp("graft-q280-landing")
+      splitByTime(events, landing, 3)
+      val store = graft.TempDirs.register(tmp("graft-q280-store"))
+      val ckpt = tmp("graft-q280-ckpt")
+      withCompactionEvery2(s) {
+        StreamingDailyCounts.run(s, landing, events, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.RelationalQueries.turningPointView(
+        StreamingDailyCounts.daily(s, store).withColumnRenamed("x", "n"))
+    }),
+
+    // ST37 × D42: q276's Yule's K as a STREAM — the FOURTH tail of
+    // the vocabulary store: Σc² and N are pure functions of the
+    // merged per-(source, token) counts, and counts add, so
+    // stream == batch BY ALGEBRA; oracle IS q276's batch SQL.
+    "q281_stream_yule_k" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+        .select("doc_id", "source", "text")
+      val landing = tmp("graft-q281-landing")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 3 + 1
+      (0 until 3).foreach { i =>
+        drop(docs.filter(col("doc_id") >= mn + i * w &&
+          col("doc_id") < mn + (i + 1) * w), landing, i)
+      }
+      val store = graft.TempDirs.register(tmp("graft-q281-store"))
+      val ckpt = tmp("graft-q281-ckpt")
+      withCompactionEvery2(s) {
+        StreamingVocab.run(s, landing, docs, store, ckpt)
+      }
+      rmTree(landing); rmTree(ckpt)
+      graft.operators.QualityQueries.yuleKView(StreamingVocab.counts(s, store))
+    }),
+
     // ST32 × D35: q257's Simpson diversity as a STREAM — the THIRD
     // tail of the vocabulary store: λ's numerator Σc(c−1) and N are
     // pure functions of the merged per-(source, token) counts, and
@@ -1154,6 +1215,19 @@ object StreamingQueries {
     // counts — identical derivation to the q257 batch chain.
     "q263_stream_simpson" ->
       graft.operators.QualityQueries.oracleSql("q257_simpson_diversity"),
+
+    // q279/q280: the pairing / neighbor triples are pure functions of
+    // the summed daily grid — identical derivations to the q272/q273
+    // batch chains.
+    "q279_stream_cox_stuart" ->
+      graft.operators.RelationalQueries.oracleSql("q272_cox_stuart"),
+    "q280_stream_turning_point" ->
+      graft.operators.RelationalQueries.oracleSql("q273_turning_point"),
+
+    // q281: Σc² and N are pure functions of the merged per-(source,
+    // token) counts — identical derivation to the q276 batch chain.
+    "q281_stream_yule_k" ->
+      graft.operators.QualityQueries.oracleSql("q276_yule_k"),
 
     // q264: the KM/NA chain is a pure function of the merged per-user
     // (MIN, MAX) lifetimes — identical derivation to the q258 batch

@@ -172,6 +172,16 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q265_seasonal_strength", // dow rollups + dsum terms + closed eta2
     "q266_runs_test",        // ScanSum median rank + adjacency equi-join
     "q267_char_entropy",     // class-mass rollup + ppb-ln division
+    "q269_welch_t",          // decimal sufficient stats + Satterthwaite chain
+    "q270_anova_f",          // per-type stats + dsum between-terms
+    "q271_mcnemar",          // broadcast midpoint + discordant counts
+    "q272_cox_stuart",       // grid half-offset pair join + sign counts
+    "q273_turning_point",    // consecutive-day triple joins + extrema count
+    "q274_wasserstein",      // ScanSum support/CDFs + decimal pair terms
+    "q275_readability",      // HOF syllable aggregate + exact sums
+    "q276_yule_k",           // decimal c^2 rollup + one division
+    "q277_odds_ratio",       // 2x2 grid + lnR + log-scale CI
+    "q278_gehan_wilcoxon",   // shared risk sets + decimal U + dsum var
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

@@ -1485,6 +1485,112 @@ class PlanAuditSpec extends SparkTestBase {
       s"no window belongs here:\n$p")
   }
 
+  test("q269 Welch t: two rollups — ZERO window nodes, ZERO nest-loops") {
+    val p = plan("q269_welch_t")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"Welch t is closed-form over rollups:\n$p")
+  }
+
+  test("q270 ANOVA F: one rollup pair to a global row — ZERO windows, ZERO joins") {
+    val p = plan("q270_anova_f")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the omnibus F is rollups only:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"no window belongs here:\n$p")
+  }
+
+  test("q271 McNemar: per-user half flags — only the 1-row span scalar nest-loops") {
+    val p = plan("q271_mcnemar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"McNemar is rollups over half flags:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q272 Cox–Stuart: half-offset pair equi-join over the grid — ZERO windows") {
+    val p = plan("q272_cox_stuart")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"the sign pairing must not window:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q273 turning point: consecutive-day triple equi-joins — ZERO windows") {
+    val p = plan("q273_turning_point")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"adjacency is equi-joins, not lag windows:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the 1-row span broadcast may nest-loop:\n$p")
+  }
+
+  test("q274 Wasserstein: support index and CDFs ride ScanSum; pair join equi") {
+    val p = plan("q274_wasserstein")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a CDF pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    // the source axis (bounded vocabulary of sources) is the one
+    // permitted nest-loop broadcast against the support grid
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      s"only the bounded source-axis broadcast may nest-loop:\n$p")
+  }
+
+  test("q275 readability: one projection + one rollup — ZERO windows, ZERO joins") {
+    val p = plan("q275_readability")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the readability profile is a single pass + rollup:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"no window belongs here:\n$p")
+  }
+
+  test("q276 Yule's K: one token rollup — ZERO windows, ZERO joins") {
+    val p = plan("q276_yule_k")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"Yule's K is a counts-of-counts rollup:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"no window belongs here:\n$p")
+  }
+
+  test("q277 odds ratio: the q166 2x2 grid — bounded broadcasts only, ZERO windows") {
+    val p = plan("q277_odds_ratio")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"the 2x2 is rollups + a bounded grid:\n$p")
+    // type-axis × 2-row variant grid — the same bounded nest-loops
+    // the audited q166 plan carries
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
+      s"only the bounded type×variant grids may nest-loop:\n$p")
+  }
+
+  test("q278 Gehan–Wilcoxon: risk sets ride ScanSum; bounded nest-loops only") {
+    val p = plan("q278_gehan_wilcoxon")
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+      s"a risk-set pass bypassed ScanSum:\n${specs.mkString("\n")}")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
+      s"only the edge scalar + 2-row variant grid may nest-loop:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

@@ -422,4 +422,373 @@ class StatTestsSpec extends SparkTestBase {
       assert(sp2 > 0.0, s"$t zero pooled variance — vacuous")
     }
   }
+
+  test("q269: Welch's t equals a BigInt sufficient-stats replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = rows("q269_welch_t").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      def side(v: Long): (Long, BigInt, BigInt) = {
+        val cs = xs.filter(_._2 == v).map(_._3)
+        val s = cs.map(BigInt(_)).sum
+        val scc = cs.map(c => BigInt(c) * c).sum
+        (cs.size.toLong, s, BigInt(cs.size) * scc - s * s)
+      }
+      val (n0, s0, q0) = side(0); val (n1, s1, q1) = side(1)
+      val mean0 = s0.toDouble / n0.toDouble
+      val mean1 = s1.toDouble / n1.toDouble
+      val v0 = q0.toDouble / (BigInt(n0) * (n0 - 1)).toDouble
+      val v1 = q1.toDouble / (BigInt(n1) * (n1 - 1)).toDouble
+      val se0 = v0 / n0.toDouble; val se1 = v1 / n1.toDouble
+      val se2 = se0 + se1
+      val ok = n0 > 1 && n1 > 1 && se2 > 0.0
+      val tW = if (ok) (mean1 - mean0) / math.sqrt(se2) else 0.0
+      val df = if (ok) se2 * se2 /
+        (se0 * se0 / (n0 - 1).toDouble + se1 * se1 / (n1 - 1).toDouble)
+      else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == n0 && r.getLong(2) == n1, s"$t n")
+      assert(r.getDouble(3) == mean0 && r.getDouble(4) == mean1, s"$t means")
+      assert(r.getDouble(5) == v0 && r.getDouble(6) == v1, s"$t variances")
+      assert(r.getDouble(7) == tW, s"$t t ${r.getDouble(7)} != $tW")
+      assert(r.getDouble(8) == df, s"$t df")
+      assert(r.getBoolean(9) == (math.abs(tW) > 1.96), s"$t cut")
+      // unequal variances are the whole point — if both sides ever
+      // read identical the Welch/pooled distinction is vacuous here
+      assert(v0 != v1, s"$t equal variances — vacuous")
+    }
+  }
+
+  test("q270: one-way ANOVA F equals a BigInt sufficient-stats replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val by = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = by.size.toLong
+    val nTot = ev.length.toLong
+    val tSum = by.values.map(_.map(BigInt(_)).sum).sum
+    val qTot = by.values.map(_.map(c => BigInt(c) * c).sum).sum
+    val b = dsum6(by.values.toSeq.map { cs =>
+      val s = cs.map(BigInt(_)).sum
+      s.toDouble * s.toDouble / cs.size.toDouble
+    })
+    val tt = tSum.toDouble * tSum.toDouble / nTot.toDouble
+    val ssB = b - tt
+    val ssW = qTot.toDouble - b
+    val df1 = (k - 1).toInt
+    val f = if (df1 >= 1 && nTot > k && ssW > 0.0)
+      (ssB / df1.toDouble) / (ssW / (nTot - k).toDouble) else 0.0
+    val out = rows("q270_anova_f")
+    assert(out.length == 1, "one global row")
+    val r = out.head
+    assert(r.getLong(0) == k && r.getLong(1) == nTot, "shape")
+    assert(r.getDouble(2) == ssB, s"ss_between ${r.getDouble(2)} != $ssB")
+    assert(r.getDouble(3) == ssW, s"ss_within")
+    assert(r.getDouble(4) == f, s"f ${r.getDouble(4)} != $f")
+    assert(df1 >= 1 && df1 <= graft.operators.QualityQueries.Chi2Crit95.size,
+      s"df $df1 outside the shared lookup table")
+    assert(!r.isNullAt(5) && r.getBoolean(5) ==
+      (f * df1.toDouble > graft.operators.QualityQueries.Chi2Crit95(df1 - 1)),
+      "significance lookup")
+    assert(ssB > 0.0 && ssW > 0.0, "degenerate decomposition — vacuous")
+  }
+
+  test("q271: McNemar equals a paired-flags replay; the pairing discriminates") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d0 = ev.map(_._3).min; val d1 = ev.map(_._3).max
+    val mid = Math.floorDiv(d0 + d1 + 1, 2L)
+    val got = rows("q271_mcnemar").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == ev.map(_._1).toSet)
+    var anyDisc = false
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val flags = xs.groupBy(_._2).view.mapValues { es =>
+        (es.exists(_._3 < mid), es.exists(_._3 >= mid))
+      }.toMap
+      val b = flags.values.count { case (f, s) => f && !s }.toLong
+      val c = flags.values.count { case (f, s) => !f && s }.toLong
+      val both = flags.values.count { case (f, s) => f && s }.toLong
+      val cc = BigInt(math.abs(b - c) - 1)
+      val chi2 = if (b + c > 0) (cc * cc).toDouble / (b + c).toDouble else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == b && r.getLong(2) == c &&
+        r.getLong(3) == both, s"$t cells")
+      assert(r.getDouble(4) == chi2, s"$t chi2 ${r.getDouble(4)} != $chi2")
+      assert(r.getBoolean(5) == (chi2 > 3.8415), s"$t cut")
+      if (b + c > 0) anyDisc = true
+    }
+    // sf0.001's ~100 users are all active in both halves, so the
+    // discordant branch can be empty here — the consistency demand is
+    // then that EVERY chi2 reads exactly 0 (the sf0.01 oracle corpus
+    // exercises the live branch)
+    assert(anyDisc || got.values.forall(_.getDouble(4) == 0.0),
+      "no discordant users, yet a nonzero chi2 appeared")
+  }
+
+  /** Zero-filled per-type daily-count grid over the GLOBAL day span —
+    * the q272/q273 replays' shared input (mirrors dailyGrid). */
+  private def dailyGridLocal(): Map[String, Array[Long]] = {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min; val d1 = daily.keys.map(_._2).max
+    daily.keys.map(_._1).toSeq.distinct.map { t =>
+      t -> (d0 to d1).map(d => daily.getOrElse((t, d), 0L)).toArray
+    }.toMap
+  }
+
+  test("q272: Cox–Stuart equals a half-offset pairing replay") {
+    val grids = dailyGridLocal()
+    val got = rows("q272_cox_stuart").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == grids.keySet)
+    var anyTrend = false
+    grids.foreach { case (t, ys) =>
+      val n = ys.length
+      val h = (n + 1) / 2
+      val pairs = (0 until n - h).map(i => (ys(i), ys(i + h)))
+      val plus = pairs.count { case (a, b) => b > a }.toLong
+      val minus = pairs.count { case (a, b) => b < a }.toLong
+      val m = plus + minus
+      val sStat = plus * 2 - m
+      val z = if (m > 0 && sStat != 0)
+        (sStat - (if (sStat > 0) 1L else -1L)).toDouble /
+          math.sqrt(m.toDouble)
+      else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == pairs.size.toLong,
+        s"$t shape")
+      assert(r.getLong(3) == plus && r.getLong(4) == minus, s"$t signs")
+      assert(r.getDouble(5) == z, s"$t z ${r.getDouble(5)} != $z")
+      val trend = if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"
+      assert(r.getString(6) == trend, s"$t trend")
+      if (m > 0) anyTrend = true
+    }
+    assert(anyTrend, "every pair tied everywhere — vacuous")
+  }
+
+  test("q273: turning-point test equals a strict-extrema replay") {
+    val grids = dailyGridLocal()
+    val got = rows("q273_turning_point").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == grids.keySet)
+    grids.foreach { case (t, ys) =>
+      val n = ys.length
+      val tp = (1 until n - 1).count(i =>
+        (ys(i - 1) < ys(i) && ys(i) > ys(i + 1)) ||
+        (ys(i - 1) > ys(i) && ys(i) < ys(i + 1))).toLong
+      val mu = (n - 2).toDouble * 2.0 / 3.0
+      val vr = (n * 16 - 29).toDouble / 90.0
+      val z = if (n > 3) (tp.toDouble - mu) / math.sqrt(vr) else 0.0
+      val r = got(t)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == tp, s"$t counts")
+      assert(r.getDouble(3) == z, s"$t z ${r.getDouble(3)} != $z")
+      assert(r.getBoolean(4) == (math.abs(z) <= 1.96), s"$t cut")
+      assert(tp > 0, s"$t zero turning points — vacuous")
+    }
+  }
+
+  test("q274: Wasserstein matrix equals a BigInt CDF replay; W1 is a metric sample") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val support = docs.map(_._2).distinct.sorted
+    val gaps = support.zip(support.drop(1)).map { case (v, nv) => v -> (nv - v) }.toMap
+    def cdf(src: String): Map[Long, Long] = {
+      var cum = 0L
+      support.map { v =>
+        cum += bySrc(src).getOrElse(v, 0L); v -> cum
+      }.toMap
+    }
+    val cums = bySrc.keys.map(s => s -> cdf(s)).toMap
+    val ns = bySrc.view.mapValues(_.values.sum).toMap
+    val got = rows("q274_wasserstein")
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val wantPairs = (for (a <- srcs; b <- srcs if a < b) yield (a, b)).toSet
+    assert(got.keySet == wantPairs, s"pair coverage ${got.keySet} != $wantPairs")
+    var anyPositive = false
+    wantPairs.foreach { case (a, b) =>
+      val num = support.dropRight(1).map { v =>
+        (BigInt(cums(a)(v)) * ns(b) - BigInt(cums(b)(v)) * ns(a)).abs *
+          gaps(v)
+      }.sum
+      val w1 = num.toDouble / (BigInt(ns(a)) * ns(b)).toDouble
+      val r = got((a, b))
+      assert(r.getLong(2) == ns(a) && r.getLong(3) == ns(b), s"($a,$b) n")
+      assert(r.getDouble(4) == w1, s"($a,$b) w1 ${r.getDouble(4)} != $w1")
+      assert(w1 >= 0.0, s"($a,$b) negative distance")
+      if (w1 > 0.0) anyPositive = true
+    }
+    assert(anyPositive, "all sources identically distributed — vacuous")
+  }
+
+  test("q275: readability equals a tokenizer/syllable replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val sentRe = "[.!?]+".r
+    val sylRe = "[aeiouy]+".r
+    val got = rows("q275_readability").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    var totNd = 0L; var totWc = 0L; var totSc = 0L; var totSyl = 0L
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      var nd = 0L; var wc = 0L; var sc = 0L; var syl = 0L
+      xs.foreach { case (_, text0) =>
+        val t = text0.toLowerCase
+        nd += 1
+        sc += math.max(1L, sentRe.findAllIn(t).size.toLong)
+        t.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+          wc += 1
+          syl += math.max(1L, sylRe.findAllIn(w).size.toLong)
+        }
+      }
+      val wps = wc.toDouble / sc.toDouble
+      val spw = syl.toDouble / wc.toDouble
+      val ease = 206.835 - 1.015 * wps - 84.6 * spw
+      val grade = 0.39 * wps + 11.8 * spw - 15.59
+      val r = got(src)
+      assert(r.getLong(1) == nd && r.getLong(2) == wc &&
+        r.getLong(3) == sc && r.getLong(4) == syl, s"$src counts")
+      assert(r.getDouble(5) == ease, s"$src ease ${r.getDouble(5)} != $ease")
+      assert(r.getDouble(6) == grade, s"$src grade")
+      totNd += nd; totWc += wc; totSc += sc; totSyl += syl
+    }
+    // the synthetic corpus has NO sentence punctuation at any SF
+    // (verified: zero [.!?] matches at sf0.01), so the sentence leg
+    // floors to 1/doc BY CORPUS — wps degrades to words-per-doc,
+    // which still varies. The discriminating structure the guard can
+    // demand here: multi-syllable words (vowel runs) and a score that
+    // actually separates the sources.
+    assert(totSyl > totWc,
+      s"syllable floor dominates — vacuous ($totSyl syllables/$totWc words)")
+    assert(got.values.map(_.getDouble(5)).toSeq.distinct.size > 1,
+      "all sources read identically — vacuous")
+  }
+
+  test("q276: Yule's K equals a BigInt counts-of-counts replay and is size-invariant") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val got = rows("q276_yule_k").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    val ks = docs.groupBy(_._1).map { case (src, xs) =>
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      xs.foreach(_._2.trim.split("\\s+").filter(_.nonEmpty)
+        .foreach(tok => cnt.update(tok, cnt.getOrElse(tok, 0L) + 1)))
+      val n = cnt.values.sum
+      val s2 = cnt.values.map(c => BigInt(c) * c).sum
+      val k = if (n > 0)
+        (s2 - n).toDouble * 10000.0 / (BigInt(n) * n).toDouble else 0.0
+      val r = got(src)
+      assert(r.getLong(1) == n && r.getLong(2) == cnt.size.toLong,
+        s"$src shape")
+      assert(r.getDouble(3) == s2.toDouble, s"$src sum_c2")
+      assert(r.getDouble(4) == k, s"$src K ${r.getDouble(4)} != $k")
+      // size-invariance — the property that distinguishes K from raw
+      // repeat counts: doubling the text leaves K within O(1/N)
+      val n2 = n * 2
+      val s2x = cnt.values.map(c => BigInt(2 * c) * (2 * c)).sum
+      val kDoubled = (s2x - n2).toDouble * 10000.0 /
+        (BigInt(n2) * n2).toDouble
+      assert(math.abs(kDoubled - k) <= 10000.0 / n.toDouble * 2,
+        s"$src K not size-stable: $k vs doubled $kDoubled")
+      k
+    }.toSeq
+    assert(ks.distinct.size > 1, "all sources equally rich — vacuous")
+  }
+
+  test("q277: odds ratio equals a smoothed 2x2 replay with the lnR rounding") {
+    import graft.operators.RelationalQueries.AbConvK
+    val ut = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val users = ut.keys.map(_._1).toSeq.distinct
+    val nByV = users.groupBy(_ % 2).view.mapValues(_.size.toLong).toMap
+    val types = ut.keys.map(_._2).toSeq.distinct
+    val got = rows("q277_odds_ratio").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == types.toSet)
+    var anyConv = false
+    types.foreach { t =>
+      def conv(v: Long): Long = ut.count { case ((u, tt), k) =>
+        tt == t && u % 2 == v && k >= AbConvK }.toLong
+      val (c1, n1) = (conv(0), nByV(0)); val (c2, n2) = (conv(1), nByV(1))
+      val a = c1.toDouble + 0.5; val b = (n1 - c1).toDouble + 0.5
+      val c = c2.toDouble + 0.5; val dd = (n2 - c2).toDouble + 0.5
+      val or = a * dd / (b * c)
+      val lnOr = BigDecimal(math.log(or))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)
+      val lo = lnOr - 1.96 * se; val hi = lnOr + 1.96 * se
+      val r = got(t)
+      assert(r.getLong(1) == c1 && r.getLong(2) == n1 &&
+        r.getLong(3) == c2 && r.getLong(4) == n2, s"$t cells")
+      assert(r.getDouble(5) == or, s"$t OR ${r.getDouble(5)} != $or")
+      assert(r.getDouble(6) == lnOr, s"$t lnOR")
+      assert(r.getDouble(7) == lo && r.getDouble(8) == hi, s"$t CI")
+      assert(r.getBoolean(9) == (lo > 0.0 || hi < 0.0), s"$t cut")
+      if (c1 > 0 && c2 > 0) anyConv = true
+    }
+    assert(anyConv, "no converters in either variant — vacuous")
+  }
+
+  test("q278: Gehan–Wilcoxon equals a BigInt risk-set replay") {
+    import graft.operators.RelationalQueries.KmCensorDays
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pu = ev.groupBy(x => (x._1, x._2)).map { case ((t, u), xs) =>
+      (t, u % 2, xs.map(_._3).min, xs.map(_._3).max)
+    }.toSeq
+    val dmax = pu.map(_._4).max
+    val durs = pu.map { case (t, v, f, l) =>
+      (t, v, l - f, l <= dmax - KmCensorDays) }
+    val got = rows("q278_gehan_wilcoxon").map(r => r.getString(0) -> r).toMap
+    // a type with zero churn deaths has no dt>0 row and is absent by
+    // construction (the q259 convention over the same risk-set table)
+    val withDeaths = durs.groupBy(_._1).collect {
+      case (t, xs) if xs.exists(_._4) => t
+    }.toSet
+    assert(got.keySet == withDeaths,
+      s"key set ${got.keySet} != types-with-deaths $withDeaths")
+    var anyVar = false
+    durs.groupBy(_._1).filter(g => withDeaths(g._1)).foreach { case (t, xs) =>
+      val times = xs.map(_._3).distinct.sorted
+      def nRisk(v: Long, tt: Long): Long = xs.count(x => x._2 == v && x._3 >= tt).toLong
+      def deaths(v: Long, tt: Long): Long =
+        xs.count(x => x._2 == v && x._3 == tt && x._4).toLong
+      var u = BigInt(0); val varTerms = scala.collection.mutable.ListBuffer.empty[Double]
+      times.foreach { tt =>
+        val n1 = nRisk(1, tt); val n0 = nRisk(0, tt)
+        val d1 = deaths(1, tt); val d0 = deaths(0, tt)
+        val nt = n0 + n1; val dt = d0 + d1
+        if (dt > 0) {
+          u += BigInt(nt) * d1 - BigInt(dt) * n1
+          varTerms += (if (nt > 1)
+            dt.toDouble * n1.toDouble * n0.toDouble * (nt - dt).toDouble /
+              (nt - 1).toDouble
+          else 0.0)
+        }
+      }
+      val vg = dsum6(varTerms.toSeq)
+      val z = if (vg > 0.0) u.toDouble / math.sqrt(vg) else 0.0
+      val r = got(t)
+      assert(r.getDouble(1) == u.toDouble, s"$t U ${r.getDouble(1)} != $u")
+      assert(r.getDouble(2) == vg, s"$t var")
+      assert(r.getDouble(3) == z, s"$t z ${r.getDouble(3)} != $z")
+      assert(r.getBoolean(4) == (math.abs(z) > 1.96), s"$t cut")
+      if (vg > 0.0) anyVar = true
+    }
+    assert(anyVar, "zero Gehan variance everywhere — vacuous")
+  }
 }

@@ -200,6 +200,27 @@ class StreamingQueriesSpec extends SparkTestBase {
     assertSame(got, want, "q264")
   }
 
+  test("q279: streamed Cox–Stuart equals the one-shot batch trend test") {
+    val got = q("q279_stream_cox_stuart")
+    val want = SparkEntry.queries("q272_cox_stuart")(spark, sf)
+    assert(got.count() > 0, "no trend rows streamed")
+    assertSame(got, want, "q279")
+  }
+
+  test("q280: streamed turning-point test equals the one-shot batch answer") {
+    val got = q("q280_stream_turning_point")
+    val want = SparkEntry.queries("q273_turning_point")(spark, sf)
+    assert(got.count() > 0, "no turning-point rows streamed")
+    assertSame(got, want, "q280")
+  }
+
+  test("q281: streamed Yule's K equals the one-shot batch richness profile") {
+    val got = q("q281_stream_yule_k")
+    val want = SparkEntry.queries("q276_yule_k")(spark, sf)
+    assert(got.count() > 0, "no richness rows streamed")
+    assertSame(got, want, "q281")
+  }
+
   test("q245: streamed delta-ratio A/B equals the one-shot batch readout") {
     val got = q("q245_stream_delta_ratio")
     val want = SparkEntry.queries("q244_delta_ratio")(spark, sf)
