@@ -22,15 +22,16 @@ import org.json4s.jackson.JsonMethods
   *    per-round waiver list (same discipline as BenchArtifactGateSpec:
   *    every waiver names a cause, stale names are themselves red).
   *
-  * Calibration (the committed SCALING_r12.json, 228 queries): the
-  * ratio distribution is p50 1.27, p90 2.27, p99 5.17, max 8.27
+  * Calibration (the committed SCALING_r13.json, 238 queries): the
+  * ratio distribution is p50 1.08, p90 1.91, p99 3.91, max 6.12
   * (q82's real media decode — genuine per-row algorithmic work,
-  * still under the data ratio) — fixed session overhead keeps
-  * everything UNDER the 10× data ratio. The bar at 1.5× the
-  * artifact's own data_ratio (15× for the default sf0.01→sf0.1 pair)
-  * leaves ~2× headroom over the healthiest board's max while a
-  * quadratic plan reads ~50–100× between these SFs; the 1 s absolute
-  * floor ignores sub-second noise on tiny denominators.
+  * still under the data ratio; r12 measured p50 1.27 / max 8.27 on
+  * the same bar) — fixed session overhead keeps everything UNDER the
+  * 10× data ratio. The bar at 1.5× the artifact's own data_ratio
+  * (15× for the default sf0.01→sf0.1 pair) leaves >2× headroom over
+  * the healthiest board's max while a quadratic plan reads ~50–100×
+  * between these SFs; the 1 s absolute floor ignores sub-second noise
+  * on tiny denominators.
   */
 class ScalingGateSpec extends AnyFunSuite {
   import ScalingGateSpec._
@@ -125,10 +126,10 @@ class ScalingGateSpec extends AnyFunSuite {
 
 object ScalingGateSpec {
   /** A query "scales superlinearly" when its big-SF time exceeds BOTH
-    * the ratio bar — 1.5× the artifact's data_ratio (the committed r12
-    * max on a healthy board was 8.27× against a 10× data ratio) — and
-    * an absolute floor (ratios on sub-second denominators are session
-    * noise, not plans). */
+    * the ratio bar — 1.5× the artifact's data_ratio (committed healthy
+    * boards max out at 6.12× (r13) / 8.27× (r12) against a 10× data
+    * ratio) — and an absolute floor (ratios on sub-second denominators
+    * are session noise, not plans). */
   val BarOverDataRatio = 1.5
   val RatioBar = BarOverDataRatio * 10.0 // the default sf0.01→sf0.1 pair
   val AbsFloorSec = 1.0
