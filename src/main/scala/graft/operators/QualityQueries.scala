@@ -620,6 +620,164 @@ object QualityQueries {
         col("pass_rep"), col("pass_rare"), col("first_fail"), col("keep"))
   }
 
+  // ---- q282 learned quality filter (L6) -------------------------------
+  // Distributed batch-gradient-descent logistic regression over exact
+  // integer surface features — the fastText/CCNet-style LEARNED
+  // combiner production pipelines gate on, where q143's cascade is the
+  // hand-tuned ancestor. The q105/q239 doctrine applied to
+  // optimization: every per-row quantity is an exact integer (features
+  // in centered/scaled ppm, weights in ppb), the ONLY transcendental
+  // is the sigmoid, computed on a double and immediately rounded to
+  // DECIMAL(20,9) ppb (the lnR route) so both engines agree
+  // bit-for-bit; gradients are exact Σ r_ppb·x_ppm in
+  // DECIMAL(38,0)/HUGEINT; the update is an exact sign-handled
+  // integral division. Magnitudes at 100 TB: |r|≤10⁹, |x|≤7.2·10⁶ ⇒
+  // per-row product ≤7.2·10¹⁵, Σ over 10¹² docs ≤10²⁸ — inside
+  // DECIMAL(38,0) with 10 orders of headroom. |Δw_ppb| per step is
+  // bounded by the rate alone (the corpus size cancels in G/(10⁶·n)),
+  // so weights never leave ~10¹⁰ and the z dot product stays ≤10¹⁷
+  // regardless of scale.
+
+  /** GD iteration count (unrolled in the oracle CTE chain). Chosen
+    * with [[LrRateNum]] on the monotone-descent region measured at
+    * every test SF (StatTestsSpec's replay guards the monotonicity). */
+  val LrIters = 8
+  /** Learning rate η = [[LrRateNum]] (an exact small integer — the
+    * denominator 10⁶·n is folded into the update's integral division). */
+  val LrRateNum = 2L
+  /** Feature names, index-aligned with x0..x3. */
+  val LrFeatureNames = Seq("bias", "length", "diversity", "tok_len")
+
+  /** Per-doc exact feature/label table. Features are CENTERED at fixed
+    * constants and rescaled to comparable ±10⁶ ranges — without this
+    * the bias coordinate (|x₀| = 10⁶ vs centered spreads ~10⁵)
+    * dominates every gradient and full-batch GD oscillates (measured;
+    * the standard conditioning argument):
+    *   x0 bias = 10⁶ (ppm of 1.0)
+    *   x1 (saturated length − 100k ppm)·2 — wc·2000 capped at 10⁶,
+    *      centered at 50 tokens
+    *   x2 (lexical diversity − 500k ppm)·5 — distinct·10⁶ DIV wc,
+    *      centered at ½
+    *   x3 (mean token length/16 − 280k ppm)·10 — tokchars·10⁶ DIV
+    *      (wc·16) capped, centered at 4.5 chars
+    * (No digit/char-class feature: the synthetic corpus has ZERO
+    * digits at every SF, a dead coordinate.) Label y = the
+    * q143-style cascade verdict "wc ≥ FcMinTokens AND distinct·2 ≥ wc"
+    * (length + repetition gate) — deterministic, and only PARTIALLY
+    * expressible in the saturated/centered feature view, so held-out
+    * accuracy beating the majority class is a learned result, not an
+    * identity (the corpus's closed vocabulary makes diversity ≈ V/wc,
+    * so the label is a wc-interval no single linear cut reproduces).
+    * One map-only projection, no shuffle. */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("ws",
+        filter(split(trim(col("text")), "\\s+"), w => length(w) > 0))
+      .withColumn("wc", size(col("ws")).cast("long"))
+      .filter(col("wc") > 0)
+      .withColumn("dist", size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("tokchars",
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+          .cast("long") % 10)
+      .select(col("doc_id"), col("source"), col("h"),
+        ((col("wc") >= FcMinTokens) && (col("dist") * 2 >= col("wc")))
+          .cast("long").as("y"),
+        lit(1000000L).as("x0"),
+        ((least(lit(1000000L), col("wc") * 2000L) - 100000L) * 2L)
+          .as("x1"),
+        ((expr("dist * 1000000 DIV wc") - 500000L) * 5L).as("x2"),
+        ((least(lit(1000000L),
+          expr("tokchars * 1000000 DIV (wc * 16)")) - 280000L) * 10L)
+          .as("x3"))
+
+  /** z numerator Σ w_ppb·x_ppm as DECIMAL(38,0) (HUGEINT mirror) —
+    * z(real) = znum/10¹⁵. */
+  private def lrZNum(w: Array[Long]): Column =
+    LrFeatureNames.indices.map(i =>
+      col(s"x$i").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        lit(w(i)))
+      .reduce(_ + _)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
+  /** σ(z) in exact ppb: the double sigmoid rounded through
+    * DECIMAL(20,9) — the house ln/exp route, so the last-ulp freedom
+    * of exp() never reaches a compared or accumulated value. */
+  private def lrSigPpb(znum: Column): Column =
+    ((lit(1.0) / (lit(1.0) +
+      exp(-(znum.cast("double") / lit(1.0E15)))))
+      .cast(org.apache.spark.sql.types.DecimalType(20, 9)) *
+      lit(1000000000L)).cast("long")
+
+  /** ONE GD step's gradient sums — the per-iteration job: scan →
+    * per-row residual (weights folded in as literals) → one aggregate
+    * with the k gradient columns. Factored out so PlanAuditSpec pins
+    * the iteration's plan shape (no join, no window, one fact scan). */
+  private[graft] def lrGradients(tr: DataFrame, w: Array[Long]): DataFrame = {
+    val r = lrSigPpb(lrZNum(w)) - col("y") * lit(1000000000L)
+    tr.select(LrFeatureNames.indices.map(i =>
+      sum(r.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col(s"x$i")).as(s"g$i")): _*)
+  }
+
+  /** [[LrIters]] exact batch-GD steps from w=0 over the feature table
+    * `tr` (n = its exact row count). One fact scan per iteration (the
+    * 5 gradient sums share a single aggregate); the model is 5 longs,
+    * collected driver-side like KMeans.lloydModel's centroids and
+    * updated with BigInt arithmetic identical to the oracle's HUGEINT
+    * chain (sign-handled truncating division — DuckDB // floors, so
+    * negative numerators are routed through -((-g) // den) in BOTH
+    * engines). Returns the weight trajectory, one Array per iteration. */
+  private[graft] def trainLogReg(tr: DataFrame, n: Long): Seq[Array[Long]] = {
+    val k = LrFeatureNames.size
+    val den = BigInt(1000000L) * BigInt(n)
+    var w = Array.fill(k)(0L)
+    val traj = Seq.newBuilder[Array[Long]]
+    for (_ <- 1 to LrIters) {
+      val sums = lrGradients(tr, w).head()
+      w = w.indices.map { i =>
+        val gi = BigInt(sums.getDecimal(i).toBigInteger) * LrRateNum
+        val d = if (gi.signum >= 0) gi / den else -((-gi) / den)
+        (BigInt(w(i)) - d).toLong
+      }.toArray
+      traj += w.clone()
+    }
+    traj.result()
+  }
+
+  /** The registered q282 body: train on the md5(doc_id)%10<8 slice
+    * (a hash split — a doc_id-range split correlates with `source` in
+    * the testdata and starves the holdout of sources), apply the
+    * learned weights to the HELD-OUT slice, report per source. All
+    * compared columns are exact BIGINTs (the prediction is the integer
+    * sign test znum ≥ 0 ⇔ σ ≥ ½; the mean predicted probability is an
+    * exact ppb integral division). */
+  private[graft] def learnedFilter(s: SparkSession, docs: DataFrame,
+                                   cacheKey: String): DataFrame = {
+    val f = lrFeatures(docs)
+    val tr = f.filter(col("h") < 8)
+    val w = StageCache.valueFor(s, s"lr282:$cacheKey") {
+      trainLogReg(tr, tr.count()).last
+    }
+    val znum = lrZNum(w)
+    f.filter(col("h") >= 8)
+      .select(col("source"), col("y"), znum.as("znum"),
+        lrSigPpb(znum).as("sppb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("znum") >= 0, 1L).otherwise(0L)).as("n_pred_pass"),
+        sum(col("y")).as("n_label_pass"),
+        sum(when((col("znum") >= 0) === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(col("sppb").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sp"))
+      .select(col("source"), col("n_docs"), col("n_pred_pass"),
+        col("n_label_pass"), col("n_correct"),
+        expr("CAST(sp DIV CAST(n_docs AS DECIMAL(19,0)) AS BIGINT)")
+          .as("mean_prob_ppb"))
+  }
+
   /** Good-Turing count-of-counts smoothing (q168 — Good '53, the
     * Gale & Sampson '95 estimator's exact integer core): how much
     * probability mass belongs to UNSEEN tokens, and what a count of r
@@ -1231,6 +1389,11 @@ object QualityQueries {
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Learned quality-filter combiner (L6): LrIters exact GD steps,
+    // applied to the held-out slice. See the q282 block above for the
+    // 100 TB magnitude/caps argument.
+    "q282_learned_filter" -> ((s, d) =>
+      learnedFilter(s, documents(s, d), d)),
     "q276_yule_k" -> ((s, d) => yuleK(documents(s, d))),
     "q255_kruskal_wallis" -> ((s, d) => kruskalWallis(documents(s, d))),
     "q257_simpson_diversity" -> ((s, d) =>
@@ -1257,7 +1420,97 @@ object QualityQueries {
     "q109_novelty" -> ((s, d) => trigramNovelty(documents(s, d))),
     "q119_repetition" -> ((s, d) => repetitionStats(documents(s, d))))
 
+  /** Σ w_i·x_i over HUGEINT for the weight row alias `w` — the oracle
+    * twin of [[lrZNum]]. */
+  private def lrZNumSql(w: String): String =
+    LrFeatureNames.indices
+      .map(i => s"CAST($w.w$i AS HUGEINT) * x$i").mkString(" + ")
+
+  /** The oracle twin of [[lrSigPpb]] over a znum SQL expression. */
+  private def lrSigPpbSql(znum: String): String =
+    s"CAST(CAST(1.0 / (1.0 + exp(-(CAST($znum AS DOUBLE) / 1.0e15)))" +
+      s" AS DECIMAL(20,9)) * 1000000000 AS BIGINT)"
+
+  /** Sign-handled truncating update step (DuckDB // floors, so the
+    * negative branch routes through -((-g) // den), matching BigInt's
+    * truncation toward zero). */
+  private def lrDeltaSql(g: String): String =
+    s"""CASE WHEN $g >= 0
+          THEN CAST(($LrRateNum * $g) // (1000000 * nn.n) AS BIGINT)
+          ELSE -CAST(($LrRateNum * (-($g))) // (1000000 * nn.n) AS BIGINT)
+        END"""
+
+  /** The full q282 oracle: the exact feature CTE, then EVERY GD step
+    * unrolled (s/g/w CTE triple per iteration — iteration count, rate,
+    * mass and rounding all shared constants with the Scala loop), then
+    * the held-out application. */
+  private def lrOracle: String = {
+    val k = LrFeatureNames.size
+    val w0 = (0 until k).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")
+    val steps = (1 to LrIters).map { t =>
+      val gs = (0 until k)
+        .map(i => s"sum(CAST(r AS HUGEINT) * x$i) AS g$i").mkString(", ")
+      val ws = (0 until k)
+        .map(i => s"w.w$i - ${lrDeltaSql(s"g.g$i")} AS w$i").mkString(", ")
+      s"""s$t AS (
+           SELECT tr.*, ${lrSigPpbSql(lrZNumSql("w"))}
+             - y * 1000000000 AS r
+           FROM tr CROSS JOIN w${t - 1} w),
+         g$t AS (SELECT $gs FROM s$t),
+         w$t AS (SELECT $ws FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN nn)"""
+    }.mkString(",\n         ")
+    s"""WITH tk AS (
+           SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents),
+         ag AS (
+           SELECT doc_id, any_value(source) AS source,
+             CAST(count(*) AS BIGINT) AS wc,
+             CAST(count(DISTINCT w) AS BIGINT) AS dist,
+             CAST(sum(len(w)) AS BIGINT) AS tokchars
+           FROM tk WHERE len(w) > 0 GROUP BY doc_id),
+         f AS (
+           SELECT doc_id, source,
+             ((instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+              + (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+              + (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) % 10
+               AS h,
+             CAST(CASE WHEN wc >= $FcMinTokens AND dist * 2 >= wc
+               THEN 1 ELSE 0 END AS BIGINT) AS y,
+             CAST(1000000 AS BIGINT) AS x0,
+             (least(1000000, wc * 2000) - 100000) * 2 AS x1,
+             (dist * 1000000 // wc - 500000) * 5 AS x2,
+             (least(1000000, tokchars * 1000000 // (wc * 16)) - 280000)
+               * 10 AS x3
+           FROM ag),
+         tr AS (SELECT * FROM f WHERE h < 8),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+         w0 AS (SELECT $w0),
+         $steps,
+         sc AS (
+           SELECT f.source, f.y, ${lrZNumSql("w")} AS znum,
+             ${lrSigPpbSql(lrZNumSql("w"))} AS sppb
+           FROM f CROSS JOIN w$LrIters w
+           WHERE f.h >= 8)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN znum >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_pass,
+           CAST(sum(y) AS BIGINT) AS n_label_pass,
+           CAST(sum(CASE WHEN (znum >= 0) = (y = 1) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(sum(CAST(sppb AS HUGEINT)) // count(*) AS BIGINT)
+             AS mean_prob_ppb
+         FROM sc GROUP BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // q282: the feature table, all LrIters GD steps as generated CTE
+    // triples, and the held-out application — see [[lrOracle]].
+    "q282_learned_filter" -> lrOracle,
+
     // q276: one token rollup; HUGEINT Σc² and N; the same single
     // ×10⁴ division chain.
     "q276_yule_k" ->

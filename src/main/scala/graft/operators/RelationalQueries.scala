@@ -3112,8 +3112,9 @@ object RelationalQueries {
     // between-user variance). Per (type, user): active in the first /
     // second calendar half (the midpoint is an exact integer from the
     // 1-row broadcast day span); only the discordant cells carry
-    // information — χ² = (|b−c|−1)²/(b+c) with the standard continuity
-    // correction, exact BIGINTs up to ONE IEEE division, cut at
+    // information — χ² = (max(|b−c|−1, 0))²/(b+c) with the standard
+    // continuity correction (floored at zero so b == c reads χ² = 0,
+    // not 1/(b+c)), exact BIGINTs up to ONE IEEE division, cut at
     // χ²₉₅(1) = 3.8415 on the identical double in both engines.
     "q271_mcnemar" -> ((s, d) => {
       val ev = events(s, d).select(col("event_type"), col("user_id"),
@@ -3134,7 +3135,8 @@ object RelationalQueries {
           sum(when(col("first_half") === 1 && col("second_half") === 1,
             1L).otherwise(0L)).as("n_both"))
         .withColumn("disc", col("n_first_only") + col("n_second_only"))
-        .withColumn("cc", abs(col("n_first_only") - col("n_second_only")) - 1)
+        .withColumn("cc",
+          greatest(lit(0L), abs(col("n_first_only") - col("n_second_only")) - 1))
         .withColumn("chi2_mcnemar",
           when(col("disc") > 0,
             (col("cc").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
@@ -5315,7 +5317,8 @@ object RelationalQueries {
          FROM h""",
 
     // q271: identical 1-row span midpoint, per-(type, user) half
-    // flags, and the continuity-corrected (|b−c|−1)²/(b+c) chain.
+    // flags, and the zero-floored continuity chain
+    // (max(|b−c|−1, 0))²/(b+c).
     "q271_mcnemar" ->
       """WITH ev AS (
            SELECT event_type, user_id,
@@ -5341,9 +5344,10 @@ object RelationalQueries {
          x AS (
            SELECT *, n_first_only + n_second_only AS disc,
              CASE WHEN n_first_only + n_second_only > 0
-               THEN CAST(CAST(abs(n_first_only - n_second_only) - 1
-                   AS HUGEINT)
-                 * (abs(n_first_only - n_second_only) - 1) AS DOUBLE)
+               THEN CAST(CAST(greatest(0,
+                     abs(n_first_only - n_second_only) - 1) AS HUGEINT)
+                 * greatest(0, abs(n_first_only - n_second_only) - 1)
+                   AS DOUBLE)
                  / CAST(n_first_only + n_second_only AS DOUBLE)
                ELSE 0.0 END AS chi2_mcnemar
            FROM c)

@@ -180,6 +180,10 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_words"),
           sum(col("sents")).as("n_sentences"),
           sum(col("syl")).as("n_syllables"))
+        // a source whose documents are ALL empty/whitespace has no
+        // word leg in the oracle (its inner join drops it) — mirror
+        // that here so degenerate corpora agree by construction
+        .filter(col("n_words") > 0)
         .withColumn("wps",
           col("n_words").cast("double") / col("n_sentences").cast("double"))
         .withColumn("spw",

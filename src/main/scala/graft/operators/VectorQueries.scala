@@ -1151,6 +1151,42 @@ object VectorQueries {
              coalesce(sum(col("rm")), lit(0L)).as("n_removed"))
     }),
 
+    // Semantic eval-set decontamination (L5jj — the embedding-space
+    // twin of q63: a benchmark document PARAPHRASED past token-trigram
+    // overlap still lands next to its source in embedding space, so
+    // eval hygiene needs a semantic pass too; cf. the contamination
+    // analyses in GPT-3 §4 / PaLM app. and SemDeDup's cluster-bucketed
+    // candidate rule). The eval slice is q63's held-out convention
+    // (vec_id % 97 == 0 — eval sets are a few MB against 100 TB, so
+    // the eval embeddings BROADCAST); candidates are corpus×eval pairs
+    // within one frozen q89 cell (per-cell volume ≈ SemTargetClusterRows
+    // × |eval∩cell| — linear in n, never n²); a corpus doc is flagged
+    // when some eval vector sits within SemEps cosine. Output: per-lang
+    // flag counts + the max flagged cosine (round-4, the q104 read).
+    // The oracle replays the SAME 2-round Lloyd chain + the pair scan
+    // relationally, so the check is exact. The paraphrase non-vacuity
+    // guard (a planted neighbor q63's trigrams miss, caught here) lives
+    // in SemDecontamSpec — testdata has no labeled paraphrases.
+    "q283_sem_decontam" -> ((s, d) => {
+      val e = emb(s, d)
+      val assigned = KMeans.lloyd(e, semK(e.count()), iters = 2)
+        .select(col("cid"), col("vec_id"), col("emb"))
+      val ev = assigned.filter(col("vec_id") % 97 === 0)
+        .select(col("cid"), col("emb").as("ee"))
+      val corp = assigned.filter(col("vec_id") % 97 =!= 0)
+      val flagged = corp.join(broadcast(ev), "cid")
+        .select(col("vec_id"), cosine(col("emb"), col("ee")).as("cos"))
+        .filter(col("cos") >= SemEps)
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("mc"))
+      corp.select(col("vec_id"))
+        .join(documents(s, d).select(col("doc_id").as("vec_id"), col("lang")),
+          "vec_id")
+        .join(flagged, Seq("vec_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), count(col("mc")).as("n_flagged"),
+          round(max(col("mc")), 4).as("max_cos"))
+    }),
+
     // Product quantization (Jégou et al. 2011, "Product Quantization
     // for Nearest Neighbor Search") — the memory-compressed member of
     // the ANN family (brute q31, LSH q33, IVF q37/q79): split each
@@ -2033,6 +2069,28 @@ object VectorQueries {
          SELECT CAST(a2.cid AS BIGINT) AS cluster_id,
            count(*) AS n_docs, count(rm.ib) AS n_removed
          FROM a2 LEFT JOIN rm ON a2.vec_id = rm.ib
+         GROUP BY 1""",
+
+    // q283: the same frozen-cell chain as q89 (identical k derivation),
+    // the eval-slice modulus, the within-cell corpus×eval pair scan at
+    // the same threshold, and the per-lang rollup over documents.
+    "q283_sem_decontam" ->
+      s"""WITH ${kmLloyd2CtesExpr(kSqlDerived)},
+         av AS (SELECT a2.cid, a2.vec_id, e.v
+                FROM a2 JOIN e USING (vec_id)),
+         ev AS (SELECT cid, v AS ee FROM av WHERE vec_id % 97 = 0),
+         co AS (SELECT cid, vec_id, v FROM av WHERE vec_id % 97 <> 0),
+         fl AS (
+           SELECT co.vec_id,
+             max(list_cosine_similarity(co.v, ev.ee)) AS mc
+           FROM co JOIN ev ON ev.cid = co.cid
+           WHERE list_cosine_similarity(co.v, ev.ee) >= $SemEps
+           GROUP BY 1)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(fl.mc) AS BIGINT) AS n_flagged,
+           round(max(fl.mc), 4) AS max_cos
+         FROM co JOIN documents d ON d.doc_id = co.vec_id
+         LEFT JOIN fl ON fl.vec_id = co.vec_id
          GROUP BY 1""",
 
     // Every subspace codebook replayed through a suffixed 2-round

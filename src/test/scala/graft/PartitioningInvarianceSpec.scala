@@ -182,6 +182,8 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q276_yule_k",           // decimal c^2 rollup + one division
     "q277_odds_ratio",       // 2x2 grid + lnR + log-scale CI
     "q278_gehan_wilcoxon",   // shared risk sets + decimal U + dsum var
+    "q282_learned_filter",   // decimal GD gradients + sign-test apply
+    "q283_sem_decontam",     // frozen cells + broadcast eval pair scan
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
   test("query results are invariant to the shuffle partitioning") {

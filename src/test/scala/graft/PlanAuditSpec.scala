@@ -1591,6 +1591,43 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the edge scalar + 2-row variant grid may nest-loop:\n$p")
   }
 
+  test("q282 learned filter: the APPLY pass is one scan + one rollup — " +
+    "the model is literal weights, ZERO joins, ZERO windows") {
+    val p = plan("q282_learned_filter")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the learned model must fold into the projection as literals:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"no window belongs in a scan+rollup apply:\n$p")
+  }
+
+  test("q282 learned filter: each GD step is ONE fact aggregate over the " +
+    "feature scan (the iteration never joins or windows)") {
+    import graft.operators.QualityQueries
+    val tr = QualityQueries.lrFeatures(Tables.documents(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("h") < 8)
+    // the EXACT per-iteration job trainLogReg runs, mid-training weights
+    val step = QualityQueries.lrGradients(tr, Array(1L, 2L, -3L, 4L))
+    val p = step.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"),
+      s"a GD step is scan → partial agg → final agg:\n$p")
+  }
+
+  test("q283 semantic decontamination: eval side broadcasts; candidates " +
+    "stay cell-bounded — no cartesian, no nest-loop, no windows") {
+    val p = plan("q283_sem_decontam")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the eval probe must stay a broadcast equi-join on cell id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the model-sized eval slice should broadcast:\n$p")
+    assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
+      s"flagging is joins + rollups, never a window:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation path") {
     // AQE only materializes codegen stages on execution; the '*(n)'
     // markers appear in the executed plan's simple string.

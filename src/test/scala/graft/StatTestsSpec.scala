@@ -514,7 +514,7 @@ class StatTestsSpec extends SparkTestBase {
       val b = flags.values.count { case (f, s) => f && !s }.toLong
       val c = flags.values.count { case (f, s) => !f && s }.toLong
       val both = flags.values.count { case (f, s) => f && s }.toLong
-      val cc = BigInt(math.abs(b - c) - 1)
+      val cc = BigInt(math.max(math.abs(b - c) - 1, 0L))
       val chi2 = if (b + c > 0) (cc * cc).toDouble / (b + c).toDouble else 0.0
       val r = got(t)
       assert(r.getLong(1) == b && r.getLong(2) == c &&
@@ -638,9 +638,9 @@ class StatTestsSpec extends SparkTestBase {
     val sentRe = "[.!?]+".r
     val sylRe = "[aeiouy]+".r
     val got = rows("q275_readability").map(r => r.getString(0) -> r).toMap
-    assert(got.keySet == docs.map(_._1).toSet)
-    var totNd = 0L; var totWc = 0L; var totSc = 0L; var totSyl = 0L
-    docs.groupBy(_._1).foreach { case (src, xs) =>
+    // per-source local counts; a source whose docs are ALL
+    // empty/whitespace (wc == 0) is dropped by BOTH engines
+    val local = docs.groupBy(_._1).map { case (src, xs) =>
       var nd = 0L; var wc = 0L; var sc = 0L; var syl = 0L
       xs.foreach { case (_, text0) =>
         val t = text0.toLowerCase
@@ -651,6 +651,11 @@ class StatTestsSpec extends SparkTestBase {
           syl += math.max(1L, sylRe.findAllIn(w).size.toLong)
         }
       }
+      (src, nd, wc, sc, syl)
+    }
+    assert(got.keySet == local.filter(_._3 > 0).map(_._1).toSet)
+    var totNd = 0L; var totWc = 0L; var totSc = 0L; var totSyl = 0L
+    local.filter(_._3 > 0).foreach { case (src, nd, wc, sc, syl) =>
       val wps = wc.toDouble / sc.toDouble
       val spw = syl.toDouble / wc.toDouble
       val ease = 206.835 - 1.015 * wps - 84.6 * spw
@@ -790,5 +795,110 @@ class StatTestsSpec extends SparkTestBase {
       if (vg > 0.0) anyVar = true
     }
     assert(anyVar, "zero Gehan variance everywhere — vacuous")
+  }
+
+  test("q282: GD trajectory + held-out apply equal a BigInt replay; " +
+    "train loss descends; the filter beats the majority class") {
+    import graft.operators.QualityQueries.{LrIters, LrRateNum}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5h(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 3), 16) % 10
+    }
+    // (source, h, y, x0..x3) — the exact integer feature view
+    val feats = docs.flatMap { case (id, src, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val wc = ws.length.toLong
+      if (wc == 0) None else {
+        val dist = ws.distinct.length.toLong
+        val tokchars = ws.map(_.length.toLong).sum
+        val y = if (wc >= graft.operators.QualityQueries.FcMinTokens &&
+          dist * 2 >= wc) 1L else 0L
+        val x1 = (math.min(1000000L, wc * 2000L) - 100000L) * 2L
+        val x2 = (dist * 1000000L / wc - 500000L) * 5L
+        val x3 = (math.min(1000000L,
+          tokchars * 1000000L / (wc * 16L)) - 280000L) * 10L
+        Some((src, md5h(id), y, Array(1000000L, x1, x2, x3)))
+      }
+    }
+    val trn = feats.filter(_._2 < 8)
+    val ho = feats.filter(_._2 >= 8)
+    val n = trn.length.toLong
+    val den = BigInt(1000000L) * n
+    def sig(znum: BigInt): Long = {
+      val z = znum.toDouble / 1.0E15
+      val s = 1.0 / (1.0 + math.exp(-z))
+      (BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1000000000L)).toLongExact
+    }
+    var w = Array.fill(4)(0L)
+    val losses = scala.collection.mutable.ListBuffer.empty[Double]
+    def trainLoss(): Double = dsum6(trn.toSeq.map { case (_, _, y, x) =>
+      val znum = x.indices.map(i => BigInt(w(i)) * x(i)).sum
+      val s = sig(znum).toDouble / 1.0e9
+      // clamp: the rounded sigmoid can reach exactly 0/1 ppb
+      val sc = math.min(1.0 - 1e-10, math.max(1e-10, s))
+      -(y * math.log(sc) + (1 - y) * math.log(1.0 - sc))
+    }) / n.toDouble
+    losses += trainLoss()
+    for (_ <- 1 to LrIters) {
+      val g = Array.fill(4)(BigInt(0))
+      trn.foreach { case (_, _, y, x) =>
+        val znum = x.indices.map(i => BigInt(w(i)) * x(i)).sum
+        val r = BigInt(sig(znum) - y * 1000000000L)
+        x.indices.foreach(i => g(i) += r * x(i))
+      }
+      w = w.indices.map { i =>
+        val gi = g(i) * LrRateNum
+        val d = if (gi.signum >= 0) gi / den else -((-gi) / den)
+        (BigInt(w(i)) - d).toLong
+      }.toArray
+      losses += trainLoss()
+    }
+    // the same trajectory the registered query trains (StageCache key)
+    val spark2 = graft.operators.QualityQueries
+    val traj = spark2.trainLogReg(
+      spark2.lrFeatures(Tables.documents(spark, sf))
+        .filter(col("h") < 8), n)
+    assert(traj.length == LrIters)
+    assert(traj.last.toSeq == w.toSeq,
+      s"final weights ${traj.last.toSeq} != replay ${w.toSeq}")
+    // held-out apply replay == the registered output
+    val got = rows("q282_learned_filter").map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == ho.map(_._1).toSet)
+    ho.groupBy(_._1).foreach { case (src, xs) =>
+      val stats = xs.map { case (_, _, y, x) =>
+        val znum = x.indices.map(i => BigInt(w(i)) * x(i)).sum
+        (y, znum.signum >= 0, sig(znum))
+      }
+      val r = got(src)
+      assert(r.getLong(1) == xs.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == stats.count(_._2).toLong, s"$src n_pred_pass")
+      assert(r.getLong(3) == stats.map(_._1).sum, s"$src n_label_pass")
+      assert(r.getLong(4) ==
+        stats.count(t => t._2 == (t._1 == 1L)).toLong, s"$src n_correct")
+      assert(r.getLong(5) ==
+        (stats.map(t => BigInt(t._3)).sum / xs.length).toLong,
+        s"$src mean_prob_ppb")
+    }
+    // non-vacuity: GD actually descends, learns nonzero structure,
+    // predicts BOTH classes held-out, and beats the majority class
+    assert(losses.toSeq.sliding(2).forall(p => p(1) < p(0)),
+      s"train loss not monotone: $losses")
+    assert(w.exists(_ != 0L), "all-zero weights — GD vacuous")
+    val preds = ho.map { case (_, _, y, x) =>
+      (y, x.indices.map(i => BigInt(w(i)) * x(i)).sum.signum >= 0)
+    }
+    assert(preds.exists(_._2) && preds.exists(!_._2),
+      "single-class predictor — the sign test is vacuous")
+    val acc = preds.count(p => p._2 == (p._1 == 1L)).toDouble / preds.length
+    val maj = math.max(preds.count(_._1 == 1L), preds.count(_._1 == 0L))
+      .toDouble / preds.length
+    assert(acc >= maj,
+      s"held-out accuracy $acc below the majority baseline $maj")
   }
 }
