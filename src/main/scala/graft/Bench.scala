@@ -223,14 +223,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // backstop for the per-query reap in timeQuery: the streaming
       // pipelines run long enough between timeQuery calls that the
       // cleaner's own periodic trigger (default 30 MINUTES) matters
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val streamingNames = SparkEntry.streamingQueries.keySet

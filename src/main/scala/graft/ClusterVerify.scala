@@ -83,7 +83,8 @@ object ClusterVerify {
     "q267_char_entropy",
     "q269_welch_t", "q270_anova_f", "q271_mcnemar", "q272_cox_stuart",
     "q273_turning_point", "q274_wasserstein", "q275_readability",
-    "q276_yule_k", "q277_odds_ratio", "q278_gehan_wilcoxon")
+    "q276_yule_k", "q277_odds_ratio", "q278_gehan_wilcoxon",
+    "q282_learned_filter", "q283_sem_decontam")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     Queries.map { name =>
@@ -153,10 +154,10 @@ object ClusterVerify {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
 
-    val local = SparkSession.builder()
+    val local = GraftSession.tune(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     local.sparkContext.setLogLevel("WARN")
     val expected = runAll(local, sfDir)
@@ -165,8 +166,8 @@ object ClusterVerify {
     // executors are fresh JVMs launched from SPARK_HOME's jars — they
     // need this build's classes on their classpath explicitly
     val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-    val cluster = SparkSession.builder()
-      .master("local-cluster[2,4,2048]")
+    val cluster = GraftSession.tune(SparkSession.builder()
+      .master("local-cluster[2,4,2048]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", "2g")

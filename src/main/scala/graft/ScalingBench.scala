@@ -88,11 +88,11 @@ object ScalingBench {
     val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val streamingNames = SparkEntry.streamingQueries.keySet

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * six-batch AvailableNow run is ~0.8 s/batch of scheduling and
   * checkpoint IO, so the SF pair reads flat ~1.0× and measures nothing
   * (the first cut of this bench confirmed that: every store 0.8–1.4×
-  * against 10× data). Replication multiplies the WORK while holding
+  * against 10× data). Round 14 closes the residual vacuity the r13
+  * ADVICE identified (at Repl=8 even the REPLICATION ratio was
+  * fixed-cost-dominated): Repl is now 32 AND every run is paired with
+  * a ZERO-ROW baseline through the identical harness, so the artifact
+  * reports MARGINAL fold work (t − t_base) and the gate bars the
+  * marginal ratio — the fixed micro-batch cost can no longer hide a
+  * superlinear fold. Replication multiplies the WORK while holding
   * the harness constant — and it grows the key spaces the stores fold:
   * user_id is offset per replica (first-seen and metric stores get
   * [[Repl]]× keys), and every token is suffix-salted per replica (the
@@ -46,8 +52,13 @@ object StoreScalingBench {
   /** The four mergeable stores under test — the gate pins this set. */
   val StoreNames: Seq[String] = Seq("daily", "vocab", "firstseen", "usermetrics")
 
-  /** Corpus ratio between the two measured runs (1× vs Repl×). */
-  val Repl = 8
+  /** Corpus ratio between the two measured runs (1× vs Repl×).
+    * Raised 8 → 32 in round 14: at Repl=8 the marginal ingest
+    * (≤ 0.9 s) sat far inside the ~3–4 s fixed micro-batch cost, so
+    * the ratio measured the harness, not the fold (the r13 ADVICE
+    * finding) — at 32× the marginal work dominates the fixed cost and
+    * a superlinear fold has room to show. */
+  val Repl = 32
 
   /** Landing drops per run: six slices → compaction (every 2 batches)
     * folds the store twice mid-run plus once at the end-tail, so the
@@ -102,16 +113,22 @@ object StoreScalingBench {
     }.reduce(_.unionAll(_))
   }
 
-  /** Slice `df` into `n` contiguous ranges of long column `byCol`. */
+  /** Slice `df` into `n` contiguous ranges of long column `byCol`.
+    * An EMPTY frame still writes `n` empty slices — the zero-row
+    * baseline run must drive the exact same n-batch harness. */
   private def splitByRange(df: DataFrame, byCol: String, landing: String,
                            n: Int): Unit = {
     import graft.streaming.{StreamingQueries => SQ}
     val r = df.agg(min(col(byCol)), max(col(byCol))).head()
-    val (mn, mx) = (r.getLong(0), r.getLong(1))
-    val w = (mx - mn) / n + 1
-    (0 until n).foreach { i =>
-      SQ.drop(df.filter(col(byCol) >= mn + i * w &&
-        col(byCol) < mn + (i + 1) * w), landing, i)
+    if (r.isNullAt(0)) {
+      (0 until n).foreach(i => SQ.drop(df, landing, i))
+    } else {
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / n + 1
+      (0 until n).foreach { i =>
+        SQ.drop(df.filter(col(byCol) >= mn + i * w &&
+          col(byCol) < mn + (i + 1) * w), landing, i)
+      }
     }
   }
 
@@ -119,6 +136,11 @@ object StoreScalingBench {
     * (untimed — replication and slicing are test scaffolding, not
     * store cost), timed ingest+fold, timed merge-on-read. Scratch dirs
     * are deleted before returning so the two sizes never share state. */
+  /** `repl = 0` is the ZERO-ROW BASELINE: the same [[Drops]]-batch
+    * AvailableNow harness, checkpoints and compaction cadence, driven
+    * over empty slices — it measures the fixed per-run scheduling +
+    * checkpoint cost that used to pad both sides' ratios, so the
+    * artifact can report MARGINAL fold work (the r13 ADVICE ask). */
   def timeStore(spark: SparkSession, sfDir: String, name: String,
                 repl: Int): StoreTiming = {
     import graft.streaming.{StreamingDailyCounts, StreamingFirstSeen,
@@ -126,25 +148,27 @@ object StoreScalingBench {
     val landing = SQ.tmp(s"graft-storescale-$name-landing")
     val store = TempDirs.register(SQ.tmp(s"graft-storescale-$name-store"))
     val ckpt = SQ.tmp(s"graft-storescale-$name-ckpt")
+    def sized(df: DataFrame): DataFrame =
+      if (repl == 0) df.limit(0) else df
     try {
       val (run, read) = name match {
         case "daily" =>
-          val ev = replicatedEvents(spark, sfDir, repl)
+          val ev = sized(replicatedEvents(spark, sfDir, math.max(repl, 1)))
           splitByRange(ev, "event_id", landing, Drops)
           (() => StreamingDailyCounts.run(spark, landing, ev, store, ckpt),
             () => StreamingDailyCounts.daily(spark, store))
         case "vocab" =>
-          val docs = replicatedDocs(spark, sfDir, repl)
+          val docs = sized(replicatedDocs(spark, sfDir, math.max(repl, 1)))
           splitByRange(docs, "doc_id", landing, Drops)
           (() => StreamingVocab.run(spark, landing, docs, store, ckpt),
             () => StreamingVocab.counts(spark, store))
         case "firstseen" =>
-          val ev = replicatedEvents(spark, sfDir, repl)
+          val ev = sized(replicatedEvents(spark, sfDir, math.max(repl, 1)))
           splitByRange(ev, "event_id", landing, Drops)
           (() => StreamingFirstSeen.run(spark, landing, ev, store, ckpt),
             () => StreamingFirstSeen.perUser(spark, store))
         case "usermetrics" =>
-          val ev = replicatedEvents(spark, sfDir, repl)
+          val ev = sized(replicatedEvents(spark, sfDir, math.max(repl, 1)))
           splitByRange(ev, "event_id", landing, Drops)
           (() => StreamingUserMetrics.run(spark, landing, ev, store, ckpt),
             () => StreamingUserMetrics.metrics(spark, store))
@@ -166,43 +190,59 @@ object StoreScalingBench {
     } finally Seq(landing, store, ckpt).foreach(SQ.rmTree)
   }
 
+  /** Denominator floor for the marginal ratio: a 1×-corpus marginal
+    * under this is measurement noise, not a unit of fold work. */
+  val MargFloorSec = 0.2
+
   /** Pure assembly (mirrors ScalingBench.render) so a spec can
-    * exercise the JSON shape. */
-  def render(sfDir: String, dataRatio: Double,
+    * exercise the JSON shape. `base` is the zero-row harness baseline
+    * per store; the gate reads the MARGINAL pair (t − t_base), which
+    * is the fold work itself — the raw lifecycle times stay in the
+    * artifact for context. */
+  def render(sfDir: String, dataRatio: Double, base: Seq[StoreTiming],
              small: Seq[StoreTiming], big: Seq[StoreTiming],
              loadPre: String, loadPost: String,
              contended: Boolean): (String, Int) = {
     val bigM = big.map(t => t.name -> t).toMap
+    val baseM = base.map(t => t.name -> t).toMap
     val ok = small.filter(s => s.err.isEmpty &&
-      bigM.get(s.name).exists(_.err.isEmpty))
+      bigM.get(s.name).exists(_.err.isEmpty) &&
+      baseM.get(s.name).exists(_.err.isEmpty))
     val entries = ok.map { s =>
       val b = bigM(s.name)
+      val z = baseM(s.name)
       val ratio = b.totalSec / math.max(s.totalSec, 1e-3)
+      val margS = math.max(s.totalSec - z.totalSec, 0.0)
+      val margB = math.max(b.totalSec - z.totalSec, 0.0)
+      val margRatio = margB / math.max(margS, MargFloorSec)
       s"${jsonStr(s.name)}:{" +
+        s""""t_base":${z.totalSec},""" +
         s""""t_small":${s.totalSec},"t_big":${b.totalSec},"ratio":$ratio,""" +
+        s""""marg_small":$margS,"marg_big":$margB,"marg_ratio":$margRatio,""" +
         s""""ingest_small":${s.ingestSec},"ingest_big":${b.ingestSec},""" +
         s""""read_small":${s.readSec},"read_big":${b.readSec}}"""
     }.mkString("{", ",", "}")
-    val errs = (small ++ big).filter(_.err.isDefined)
+    val all = base ++ small ++ big
+    val errs = all.filter(_.err.isDefined)
       .map(t => s"${jsonStr(t.name)}:${jsonStr(t.err.get)}")
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"store_scaling","sf":${jsonStr(sfDir)},""" +
         s""""data_ratio":$dataRatio,"drops":$Drops,"stores":$entries,""" +
-        s""""errors":$errs,"n_failed":${(small ++ big).count(_.err.isDefined)},""" +
+        s""""errors":$errs,"n_failed":${all.count(_.err.isDefined)},""" +
         s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
         s""""contended":$contended}"""
-    (json, if ((small ++ big).exists(_.err.isDefined)) 1 else 0)
+    (json, if (all.exists(_.err.isDefined)) 1 else 0)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the pipelines' own fold cadence: compaction every 2 batches
@@ -221,9 +261,10 @@ object StoreScalingBench {
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(Bench.MaxLoadDefault)
     val contended = loadPre.toDoubleOption.exists(_ > maxLoad)
+    val base = StoreNames.map(n => timeStore(spark, sfDir, n, 0))
     val small = StoreNames.map(n => timeStore(spark, sfDir, n, 1))
     val big = StoreNames.map(n => timeStore(spark, sfDir, n, Repl))
-    val (json, exitCode) = render(sfDir, Repl.toDouble, small, big,
+    val (json, exitCode) = render(sfDir, Repl.toDouble, base, small, big,
       loadPre, loadavg(), contended)
     println(); println(json); Console.out.flush()
     try java.nio.file.Files.writeString(

@@ -1172,8 +1172,12 @@ object RelationalQueries {
     }),
 
     // Bounded range (theta) join: suppliers × customers on acctbal band.
-    // Build side is small → broadcast nested loop stays cheap and the
-    // pattern survives scale-up as long as one side is dimension-sized.
+    // Written as the NAIVE range join on purpose: under the session
+    // posture (GraftSession) the BinnedIntervalJoinRule rewrites it to
+    // the binned equi-join automatically (PlanAuditSpec pins the
+    // rewritten shape), so this query is the registry's live proof the
+    // automatic rewrite path works — and at scale the binned plan is
+    // what keeps two fact-sized sides off a nested loop.
     "q15_range_join" -> ((s, d) => {
       val su = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
       customer(s, d)

@@ -306,11 +306,21 @@ object VectorQueries {
     * Memoized per corpus via [[bruteTruth]] for the consumers that
     * share it (q31, q141's recall, q170's NDCG): the brute pass is the
     * expensive truth scan — at 100 TB the audits must share one, not
-    * re-run it per metric. */
-  private[graft] def bruteTruth(s: SparkSession, d: String): DataFrame =
-    StageCache.getOrCompute(s, s"brute_topk:$d") {
-      bruteTopK(emb(s, d)).localCheckpoint()
+    * re-run it per metric. Materialized to SCRATCH PARQUET (the
+    * q79-index staging idiom) rather than localCheckpoint: the block-
+    * manager barrier was q170's recurring bench-variance source
+    * (waived r10 and r13 — the r13 verdict's #4 ask), and a 10×AnnK-row
+    * parquet read is both stable and what a deployed audit would do. */
+  private[graft] def bruteTruth(s: SparkSession, d: String): DataFrame = {
+    val dir = StageCache.dirFor(s, s"brute_topk_dir:$d") {
+      val out = graft.TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft_brute_topk").toString) + "/truth"
+      // probes × AnnK rows — one file, one stable scan per consumer
+      bruteTopK(emb(s, d)).coalesce(1).write.parquet(out)
+      out
     }
+    s.read.parquet(dir)
+  }
 
   private[graft] def bruteTopK(e: DataFrame): DataFrame = {
     val probes = e.filter(col("vec_id") < 10)

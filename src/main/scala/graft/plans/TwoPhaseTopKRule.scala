@@ -45,11 +45,15 @@ case class TwoPhaseTopKRule(session: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond,
           w @ Window(Seq(rnAlias @ Alias(
             we @ WindowExpression(_: RowNumber, spec), _)), ps, os, child, _))
-          // the two self-guards that keep fixpoint iterations from
+          // the self-guards that keep fixpoint iterations from
           // stacking: never rewrite our own phase-1 window (its alias
-          // IS LocalRn) and never re-split a final window whose child
-          // is already the survivors shape
+          // IS LocalRn), never re-split a window that is ALREADY a
+          // local phase (its partition spec carries a per-input-
+          // partition id — ours or the declarative GroupedTopK's),
+          // and never re-split a final window whose child is already
+          // the survivors shape
           if w.resolved && rnAlias.name != LocalRn &&
+            !isLocalPhase(rnAlias.name, ps) &&
             !alreadyRewritten(child) =>
         boundOf(cond, rnAlias.toAttribute) match {
           case Some(k) if k > 0 && k <= maxK =>
@@ -75,10 +79,44 @@ case class TwoPhaseTopKRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The rewrite's own final shape — the guard that keeps the rule
-    * idempotent across fixpoint iterations. */
+  /** The declarative two-phase operator's phase-1 naming
+    * (GroupedTopK.topK): its local rank alias and partition-id column.
+    * The rule must treat GroupedTopK plans as already two-phase — the
+    * session-wide posture runs this rule over EVERY registered query,
+    * and re-splitting an already-localized rank only stacks windows
+    * (caught by the q130/q141/q150 plan audits when the rule first
+    * went session-wide). */
+  private val GroupedTopKRn = "__lrn"
+  private val PidNames = Set("__pid", "__graft_pid")
+
+  /** A window whose partition spec already includes a per-input-
+    * partition id IS a local phase — ours or the declarative one. */
+  private def isLocalPhase(rnName: String, ps: Seq[Expression]): Boolean =
+    rnName == GroupedTopKRn || ps.exists {
+      case a: Attribute => PidNames(a.name)
+      case _ => false
+    }
+
+  /** The survivors shape of EITHER two-phase form (this rule's or
+    * GroupedTopK's) — the guard that keeps the rule idempotent across
+    * fixpoint iterations and away from final windows that already
+    * rank pruned survivors. Descends ONLY through the pass-through
+    * shapes that can sit between the final window and its local phase:
+    * Project (column pruning), Filter (the local rank cut), and
+    * WindowGroupLimit (Spark's own InferWindowGroupLimit inserts one
+    * below a rank-filtered window MID-fixpoint — without descending
+    * through it, the injected copy of this rule re-split its own final
+    * window on the next iteration). */
+  @annotation.tailrec
   private def alreadyRewritten(child: LogicalPlan): Boolean = child match {
-    case Project(_, Filter(_, Window(Seq(Alias(_, LocalRn)), _, _, _, _))) => true
+    case Window(Seq(Alias(_, n)), ps, _, _, _) =>
+      n == LocalRn || n == GroupedTopKRn || ps.exists {
+        case a: Attribute => PidNames(a.name)
+        case _ => false
+      }
+    case p: Project => alreadyRewritten(p.child)
+    case f: Filter => alreadyRewritten(f.child)
+    case w: WindowGroupLimit => alreadyRewritten(w.child)
     case _ => false
   }
 

@@ -38,21 +38,31 @@ class BenchHelpersSpec extends AnyFunSuite {
 
   test("store-scaling render: errors poison the exit code and drop the store") {
     import StoreScalingBench.StoreTiming
+    val zero = StoreTiming("vocab", 0.4, 0.1, None)
     val ok = StoreTiming("vocab", 2.0, 0.5, None)
     val okBig = StoreTiming("vocab", 4.0, 1.0, None)
     val bad = StoreTiming("daily", -1.0, -1.0, Some("boom"))
     val (json, rc) = StoreScalingBench.render("/t/sf0.1", 8.0,
+      Seq(zero, StoreTiming("daily", 0.5, 0.1, None)),
       Seq(ok, bad), Seq(okBig, StoreTiming("daily", 1.0, 0.1, None)),
       "0.5", "0.6", contended = false)
     assert(rc == 1, "an errored store must poison the exit code")
     assert(json.contains("\"n_failed\":1"), json)
     assert(json.contains("\"vocab\"") && json.contains("\"ratio\":2.0"), json)
+    // marginal fields: (2.5−0.5)=2.0 small, (5.0−0.5)=4.5 big → 2.25
+    assert(json.contains("\"marg_small\":2.0") &&
+      json.contains("\"marg_big\":4.5") &&
+      json.contains("\"marg_ratio\":2.25"), json)
     // the errored store contributes NO timing entry (a broken store
     // must never make the artifact look healthy)
     assert(!json.contains("\"daily\":{"), json)
     val clean = StoreScalingBench.render("/t/sf0.1", 8.0,
-      Seq(ok), Seq(okBig), "0.5", "0.6", contended = false)
+      Seq(zero), Seq(ok), Seq(okBig), "0.5", "0.6", contended = false)
     assert(clean._2 == 0)
+    // a store missing its baseline run is dropped, not mis-ratioed
+    val noBase = StoreScalingBench.render("/t/sf0.1", 8.0,
+      Nil, Seq(ok), Seq(okBig), "0.5", "0.6", contended = false)
+    assert(!noBase._1.contains("\"vocab\":{"), noBase._1)
   }
 
   test("driver-regime parser reads both the clean and the log-tail wrapper shapes") {

@@ -33,6 +33,22 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(naive.nonEmpty)
   }
 
+  /** Run `f` with the bin-width conf in an explicit state, restoring
+    * the session-wide posture (GraftSession.tune sets it to 50)
+    * afterwards so later suites keep the board's rewrite-on regime. */
+  private def withWidth[T](v: Option[String])(f: => T): T = {
+    val key = "spark.graft.intervalJoin.binWidth"
+    val saved = spark.conf.getOption(key)
+    v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+    try f finally saved match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("optimizer rule rewrites a pure range join to the binned equi-join") {
     import graft.plans.BinnedIntervalJoinRule
     val rnd = new scala.util.Random(11)
@@ -43,13 +59,15 @@ class IntervalJoinSpec extends SparkTestBase {
       .toDF("iid", "lo", "hi")
     def rangeJoin = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
 
-    val naive = rangeJoin.select("pid", "iid").as[(Long, Long)].collect().toSet
-    assert(rangeJoin.queryExecution.sparkPlan.toString
-      .contains("BroadcastNestedLoopJoin"), "without the rule this is a BNLJ")
+    val naive = withWidth(None) {
+      val n = rangeJoin.select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(rangeJoin.queryExecution.sparkPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "without the rule this is a BNLJ")
+      n
+    }
 
     spark.experimental.extraOptimizations = Seq(BinnedIntervalJoinRule(spark))
-    spark.conf.set("spark.graft.intervalJoin.binWidth", "16")
-    try {
+    try withWidth(Some("16")) {
       val rewritten = rangeJoin
       val plan = rewritten.queryExecution.sparkPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
@@ -69,15 +87,13 @@ class IntervalJoinSpec extends SparkTestBase {
         col("x") >= col("lo") && col("x") <= col("hi"))
       assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
         "rule must not fire when an equi key exists")
-    } finally {
-      spark.conf.unset("spark.graft.intervalJoin.binWidth")
-      spark.experimental.extraOptimizations = Nil
-    }
+    } finally spark.experimental.extraOptimizations = Nil
     // conf unset -> rule inert even while registered
     spark.experimental.extraOptimizations = Seq(BinnedIntervalJoinRule(spark))
-    try assert(rangeJoin.queryExecution.sparkPlan.toString
-      .contains("BroadcastNestedLoopJoin"), "rule must be opt-in")
-    finally spark.experimental.extraOptimizations = Nil
+    try withWidth(None) {
+      assert(rangeJoin.queryExecution.sparkPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "rule must be opt-in")
+    } finally spark.experimental.extraOptimizations = Nil
   }
 
   test("optimizer rule rewrites date and timestamp BETWEEN joins from SQL") {
@@ -96,31 +112,32 @@ class IntervalJoinSpec extends SparkTestBase {
     ivs.createOrReplaceTempView("bin_ivs")
     def sqlJoin = spark.sql(
       "SELECT pid, iid FROM bin_pts JOIN bin_ivs ON d BETWEEN dlo AND dhi")
-    val naive = sqlJoin.as[(Long, Long)].collect().toSet
-    assert(sqlJoin.queryExecution.sparkPlan.toString
-      .contains("BroadcastNestedLoopJoin"), "without the rule this is a BNLJ")
+    val naive = withWidth(None) {
+      val n = sqlJoin.as[(Long, Long)].collect().toSet
+      assert(sqlJoin.queryExecution.sparkPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "without the rule this is a BNLJ")
+      n
+    }
 
     spark.experimental.extraOptimizations = Seq(BinnedIntervalJoinRule(spark))
-    spark.conf.set("spark.graft.intervalJoin.binWidth", "7") // days
     try {
-      val plan = sqlJoin.queryExecution.sparkPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
-        s"date axis must qualify for the binned rewrite:\n$plan")
-      assert(sqlJoin.as[(Long, Long)].collect().toSet == naive)
-
-      // timestamp axis: binWidth means SECONDS
-      val tpts = pts.select(col("pid"), col("d").cast("timestamp").as("t"))
-      val tivs = ivs.select(col("iid"), col("dlo").cast("timestamp").as("tlo"),
-        col("dhi").cast("timestamp").as("thi"))
-      spark.conf.set("spark.graft.intervalJoin.binWidth", (7 * 86400).toString)
-      val tj = tpts.join(tivs, col("t") >= col("tlo") && col("t") <= col("thi"))
-      assert(!tj.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
-        "timestamp axis must qualify for the binned rewrite")
-      assert(tj.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
-    } finally {
-      spark.conf.unset("spark.graft.intervalJoin.binWidth")
-      spark.experimental.extraOptimizations = Nil
-    }
+      withWidth(Some("7")) { // days
+        val plan = sqlJoin.queryExecution.sparkPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+          s"date axis must qualify for the binned rewrite:\n$plan")
+        assert(sqlJoin.as[(Long, Long)].collect().toSet == naive)
+      }
+      withWidth(Some((7 * 86400).toString)) {
+        // timestamp axis: binWidth means SECONDS
+        val tpts = pts.select(col("pid"), col("d").cast("timestamp").as("t"))
+        val tivs = ivs.select(col("iid"), col("dlo").cast("timestamp").as("tlo"),
+          col("dhi").cast("timestamp").as("thi"))
+        val tj = tpts.join(tivs, col("t") >= col("tlo") && col("t") <= col("thi"))
+        assert(!tj.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+          "timestamp axis must qualify for the binned rewrite")
+        assert(tj.select("pid", "iid").as[(Long, Long)].collect().toSet == naive)
+      }
+    } finally spark.experimental.extraOptimizations = Nil
   }
 
   test("timestamps discretize on epoch seconds") {

@@ -301,10 +301,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
       "vote counting must stay on graph-key equi-joins\n" + p)
-    // the only window is the per-src argmax over ≤ KnnGraphK vote rows
-    // (WindowGroupLimit nodes are the rank-limit pushdown — welcome)
-    assert(p.linesIterator.count(
-        _.trim.matches("""\(\d+\) Window""")) <= 1,
+    // the only RANK is the per-src argmax over ≤ KnnGraphK vote rows
+    // (WindowGroupLimit nodes are the rank-limit pushdown — welcome).
+    // Under the session-wide TwoPhaseTopKRule the argmax idiom plans
+    // as the local+final window PAIR; any window beyond that pair is
+    // a regression.
+    val nw = p.linesIterator.count(_.trim.matches("""\(\d+\) Window"""))
+    assert(nw <= 1 || (nw == 2 && p.contains("__graft_lrn")),
       "extra windows crept into the vote chain\n" + p)
   }
 
@@ -1626,6 +1629,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"the model-sized eval slice should broadcast:\n$p")
     assert(p.linesIterator.forall(l => !l.trim.matches("""\(\d+\) Window""")),
       s"flagging is joins + rollups, never a window:\n$p")
+  }
+
+  test("q15 range join: the session-wide BinnedIntervalJoinRule rewrites " +
+    "the pure range join to the binned equi path — no nested loop") {
+    val p = plan("q15_range_join")
+    assert(p.contains("__graft_bin"),
+      s"the binned rewrite did not fire under the session posture:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the range join must not nested-loop with the rule on:\n$p")
+  }
+
+  test("q09 window rank: the session-wide TwoPhaseTopKRule splits the " +
+    "top-k window into local prune + exact final") {
+    val p = plan("q09_window_rank")
+    assert(p.contains("__graft_lrn"),
+      s"the two-phase rewrite did not fire under the session posture:\n$p")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Window""")) == 2,
+      s"expected the local + final window pair:\n$p")
   }
 
   test("whole-stage codegen covers the q01 aggregation path") {

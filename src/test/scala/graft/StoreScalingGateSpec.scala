@@ -17,11 +17,12 @@ import org.json4s.jackson.JsonMethods
   * The outlier rule is [[ScalingGateSpec.outliers]] — already
   * red-tested there with a planted quadratic — applied at the same
   * 1.5×data_ratio bar (the artifact's data_ratio is the replication
-  * factor between the two measured corpora). The absolute floor is
-  * higher (5 s) because a store lifecycle is micro-batch-harness-
-  * dominated at the 1× corpus (six AvailableNow batches of scheduling
-  * + checkpoint IO ≈ fixed ~4–8 s), which deflates denominators the
-  * way sub-second noise does for batch queries.
+  * factor between the two measured corpora), over the MARGINAL pair
+  * (lifecycle minus the zero-row harness baseline the bench now
+  * measures per store): the raw pairs are micro-batch-fixed-cost-
+  * dominated at test scale, which is exactly how the r13 artifact's
+  * 1.05–1.33× ratios could have hidden a quadratic fold (the r13
+  * ADVICE finding this round closes).
   */
 class StoreScalingGateSpec extends AnyFunSuite {
   import StoreScalingGateSpec._
@@ -47,10 +48,15 @@ class StoreScalingGateSpec extends AnyFunSuite {
     case other      => fail(s"non-numeric field: $other")
   }
 
+  /** MARGINAL lifecycle pairs (t − t_base): the r13 ADVICE showed the
+    * raw pairs are fixed-cost-dominated at test scale (marginal ingest
+    * ≤ 0.9 s inside a ~3–4 s harness floor), so the gate bars the
+    * corrected denominators — a round-13-or-older artifact without the
+    * marg fields fails here loudly: regenerate. */
   private lazy val entries: Map[String, (Double, Double)] =
     artifact \ "stores" match {
       case JObject(fields) => fields.map { case (k, v) =>
-        k -> ((num(v \ "t_small"), num(v \ "t_big")))
+        k -> ((num(v \ "marg_small"), num(v \ "marg_big")))
       }.toMap
       case other => fail(s"artifact 'stores' is not an object: $other")
     }
@@ -92,11 +98,14 @@ class StoreScalingGateSpec extends AnyFunSuite {
 }
 
 object StoreScalingGateSpec {
-  /** Store lifecycles at sf0.01 are harness-dominated (~4–8 s of
-    * micro-batch scheduling + checkpoint IO); the floor keeps a
-    * big-SF time that is still inside that fixed-cost band from
-    * tripping a ratio computed on a deflated denominator. */
-  val AbsFloorSec = 5.0
+  /** Floor on the MARGINAL big-corpus time: with the zero-row harness
+    * baseline already subtracted, a big-side fold under 2 s of actual
+    * work is trivially cheap at test scale whatever its ratio reads —
+    * recalibrated from the old 5 s raw-lifecycle floor (which, with
+    * every r13 t_big under it, made the gate vacuous — the r13 ADVICE
+    * finding). StoreScalingBench.MargFloorSec floors the denominator
+    * side inside the artifact itself. */
+  val AbsFloorSec = 2.0
 
   /** Waivers keyed by the artifact round; each entry needs a cause. */
   val Waivers: Map[Int, Map[String, String]] = Map()

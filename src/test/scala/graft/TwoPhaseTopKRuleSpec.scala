@@ -17,13 +17,23 @@ class TwoPhaseTopKRuleSpec extends SparkTestBase {
   private lazy val rule = TwoPhaseTopKRule(spark)
 
   private def withRule[T](confs: (String, String)*)(f: => T): T = {
+    // the shared session runs with the rule ON (GraftSession.tune), so
+    // each test starts from an explicit OFF state and the finally
+    // RESTORES the session-wide posture for later suites
+    val touched =
+      (confs.map(_._1) :+ rule.EnabledConf :+ rule.MaxKConf).distinct
+    val saved = touched.map(k => k -> spark.conf.getOption(k))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ rule
+    touched.foreach(spark.conf.unset)
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
-      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 
