@@ -4,34 +4,49 @@ import org.apache.spark.sql.SparkSession
 
 /** The engine's standard session posture — applied by every runtime
   * main (Verify, Bench, ScalingBench, ClusterVerify) and the shared
-  * test session, closing the r13 verdict's #5 ask ("the two opt-in
-  * Catalyst rules stay off by default ... no registered query runs
-  * with them enabled"):
+  * test session:
   *
   *  - `graft.plans.GraftExtensions` injected (SQL-surface vector
   *    functions + both optimizer rules);
-  *  - `TwoPhaseTopKRule` ENABLED — the `row_number ≤ k`
-  *    filter-over-window idiom rewrites to GroupedTopK's local-prune +
-  *    exact-final two phases (answer-preserving, red-tested
-  *    bit-identical in TwoPhaseTopKRuleSpec; maxK default 1000 bounds
-  *    survivor volume);
   *  - `BinnedIntervalJoinRule` ENABLED at bin width 50 — the one pure
   *    point-in-interval inner join in the registry is q15's ±50
   *    acctbal band join, so 50 bins each interval to ≤ 3 buckets; any
   *    OTHER pure range join a user writes in this session gets the
-  *    same binned equi path instead of a quadratic nested loop. The
-  *    rewrites remain conf-gated so a consumer embedding the library
-  *    can still opt out per session.
+  *    same binned equi path instead of a quadratic nested loop
+  *    (Catalyst's only native plan for a pure range join). Local cost
+  *    at sf0.1 is inside board noise (q15 0.36→0.50 s, q51 1.11→1.38 s
+  *    on a 1.17× drifted board pair, BENCH_BASELINE_r14); the
+  *    quadratic-to-linear rewrite is what survives at 100 TB, so the
+  *    posture keeps it on.
+  *  - `TwoPhaseTopKRule` OFF (back to opt-in) — REVERSED by the r14
+  *    optimization round's measurement. The r13 verdict's #5 ask
+  *    ("turn the rules on for the board ... no bench regression") was
+  *    half-landed by the interrupted build round: the conf went
+  *    session-wide but the board was never re-run. The r14 baseline
+  *    board (BENCH_BASELINE_r14.json vs BENCH_IDLE_r13.json) shows the
+  *    session-wide rewrite REGRESSES every `row_number ≤ k` /
+  *    `rn = 1` argmax idiom well past the 1.17× board drift — q09
+  *    0.46→1.27 s (2.8×), q254 1.05→3.18 s (3.0×), q255 0.52→1.72 s
+  *    (3.3×), q257 0.24→0.76 s (3.2×), q190 0.34→0.90 s (2.7×) — with
+  *    zero measured wins. Cause: Spark 4's native
+  *    InferWindowGroupLimit already prunes each map partition to the
+  *    group top-k BEFORE the shuffle (a partial WindowGroupLimit
+  *    node), bounding the per-group reducer at k × map-partitions
+  *    rows with ONE exchange; the rewrite re-does that prune as an
+  *    extra (group, pid)-keyed exchange + window pair on top. The
+  *    declarative GroupedTopK stays on the paths that need the
+  *    explicit two-phase shape (per-probe ANN ranks, PlanAudit-pinned);
+  *    the blanket rewrite is redundant with the engine and strictly
+  *    more expensive. The rule itself stays registered + red-tested
+  *    (TwoPhaseTopKRuleSpec) for sessions that opt in.
   *
-  * Correctness posture: both rules are fixpoint-idempotent and
-  * bit-identical to the naive plans (their specs prove rewrite ==
-  * naive on data), and the full oracle board runs with them ON — so
-  * the automatic-rewrite path is exercised by all 280 oracle rows
-  * every round, not only by specs.
+  * Correctness posture: the binned rewrite is fixpoint-idempotent and
+  * bit-identical to the naive plan (spec-proven), and the full oracle
+  * board runs with it ON — the automatic-rewrite path is exercised by
+  * all 280 oracle rows every round, not only by specs.
   */
 object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.graft.intervalJoin.binWidth", "50")
-      .config("spark.graft.topk.twoPhase", "true")
 }

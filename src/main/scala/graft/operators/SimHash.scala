@@ -27,9 +27,16 @@ object SimHash {
         t => xxhash64(t)).as("hs"))
     val hs = col("hs")
     val nTok = size(hs)
-    // bit i set iff 2 * |{h : bit_i(h)=1}| > |tokens|
+    // bit i set iff 2 * |{h : bit_i(h)=1}| > |tokens|. The per-bit one
+    // count is aggregate(+bit), not size(filter(...)): filter
+    // materializes a fresh token-sized array per bit — 64 array
+    // allocations per document of pure GC pressure in the hottest map
+    // stage (guide §1.2 step 2: per-task work) — while the aggregate
+    // form folds the same bit tests into a long with zero allocation.
+    // ones_i is identical arithmetic, so signatures are bit-equal.
     val bits: Seq[Column] = (0 until 64).map { i =>
-      val ones = size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)))
       when(ones * 2 > nTok, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     hashed.select(col("doc_id"),

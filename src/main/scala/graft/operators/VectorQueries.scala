@@ -1021,15 +1021,25 @@ object VectorQueries {
     // MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
     // re-ranking of each probe's top-MmrPool relevance pool — pick 1 =
     // best relevance, pick k = argmax λ·rel − (1−λ)·max cosine to the
-    // already-picked set. The sequential-greedy part runs over the
-    // BOUNDED pool (≤ MmrPool rows/probe regardless of corpus size), so
-    // it unrolls into AnnK relational steps on a localCheckpoint'd
-    // 200-row frame — the corpus is touched exactly once, by the pool
-    // cut (brute rescore + two-phase GroupedTopK). Every score is a
-    // pure function of bit-identical cosines (no accumulated sums), so
-    // the oracle's identical unroll matches without tolerance.
+    // already-picked set. The corpus is touched exactly once, by the
+    // pool cut (brute rescore + two-phase GroupedTopK); the pool's
+    // pairwise cosines are one more distributed pass over the
+    // checkpointed ≤ probes×MmrPool rows. The sequential-greedy tail
+    // then runs DRIVER-SIDE over those collected scores — they are
+    // BOUNDED by construction (≤ probes×MmrPool rel rows and
+    // ≤ probes×MmrPool² sim rows, independent of corpus size — the
+    // q207-quota / CC-union-find doctrine), where the r13 form
+    // unrolled AnnK−1 relational rounds of anti-join + join + window +
+    // localCheckpoint over the same ≤ 200-row frame: ~20 near-empty
+    // jobs of pure scheduling fixed cost (guide §1.2/§5 — the driver
+    // should do exactly the work that does NOT scale with data).
+    // Every driver arithmetic step (λ·rel − (1−λ)·max ps, argmax by
+    // (score desc, vec_id asc)) is the identical IEEE op chain on the
+    // identical Spark-computed cosines, so picks and scores are
+    // bit-equal to the relational unroll — and the oracle re-derives
+    // the whole greedy in DuckDB every round regardless.
     "q108_mmr_diverse" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val e = emb(s, d)
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
@@ -1037,8 +1047,8 @@ object VectorQueries {
         .select(col("probe_id"), col("vec_id"), col("emb"),
                 cosine(col("pemb"), col("emb")).as("rel"))
       // the pool is ≤ probes×MmrPool rows however big the corpus —
-      // coalesce(1) so the greedy tail's joins/windows don't schedule
-      // a full shuffle-partition fan of near-empty tasks per step
+      // coalesce(1) so the pairwise-cosine pass is one task, not a
+      // shuffle-partition fan of near-empty tasks
       val pool = GroupedTopK.topK(scored, Seq("probe_id"),
           Seq(col("rel").desc, col("vec_id").asc), MmrPool, "rp")
         .drop("rp").coalesce(1).localCheckpoint()
@@ -1049,39 +1059,32 @@ object VectorQueries {
         .filter(col("va") =!= col("vb"))
         .select(col("probe_id"), col("va"), col("vb"),
                 cosine(col("ea"), col("eb")).as("ps"))
-        .localCheckpoint()
-      val w1 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("rel").desc, col("vec_id").asc)
-      var selected = pool.withColumn("r", row_number().over(w1))
-        .filter(col("r") === 1)
-        .select(col("probe_id"), col("vec_id"), lit(1L).as("pick"),
-                (lit(MmrLambda) * col("rel")).as("score"))
-      for (k <- 2 to AnnK) {
-        val cand = pool.join(selected.select("probe_id", "vec_id"),
-          Seq("probe_id", "vec_id"), "left_anti")
-        val mx = sims
-          .join(selected.select(col("probe_id"), col("vec_id").as("vb")),
-            Seq("probe_id", "vb"))
-          .groupBy(col("probe_id"), col("va")).agg(max(col("ps")).as("mxs"))
-        val scoredK = cand
-          .join(mx.withColumnRenamed("va", "vec_id"), Seq("probe_id", "vec_id"))
-          .select(col("probe_id"), col("vec_id"),
-            (lit(MmrLambda) * col("rel") -
-              lit(1 - MmrLambda) * col("mxs")).as("score"))
-        val wk = Window.partitionBy(col("probe_id"))
-          .orderBy(col("score").desc, col("vec_id").asc)
-        // materialize each round: `selected` is referenced three times
-        // by the NEXT round (anti-join, vb join, union) — without the
-        // checkpoint the lineage re-executes the whole prefix ~3^k
-        // times (measured 6s at sf0.1; 0.3s materialized). Bounded:
-        // ≤ probes×AnnK rows.
-        selected = selected.unionByName(
-          scoredK.withColumn("r", row_number().over(wk)).filter(col("r") === 1)
-            .select(col("probe_id"), col("vec_id"), lit(k.toLong).as("pick"),
-                    col("score"))).localCheckpoint()
+      val relRows = pool.select(col("probe_id"), col("vec_id"), col("rel"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val simRows = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      val out = relRows.groupBy(_._1).toSeq.flatMap { case (p, rows) =>
+        // candidates in (rel desc, vec_id asc) order — pick 1's argmax
+        // and every tie-break read straight off this total order
+        val cand = scala.collection.mutable.LinkedHashMap(
+          rows.sortBy(t => (-t._3, t._2)).map(t => t._2 -> t._3): _*)
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to AnnK).iterator.takeWhile(_ => cand.nonEmpty).map { k =>
+          val (v, score) =
+            if (k == 1) { val (v0, r0) = cand.head; (v0, MmrLambda * r0) }
+            else cand.iterator.map { case (v0, r0) =>
+              val mxs = picked.iterator
+                .map(pv => simRows((p, v0, pv))).max
+              (v0, MmrLambda * r0 - (1 - MmrLambda) * mxs)
+            }.maxBy { case (v0, s0) => (s0, -v0) } // score desc, vec_id asc
+          cand.remove(v); picked += v
+          (p, v, k.toLong, score)
+        }.toSeq
       }
-      selected.select(col("probe_id"), col("vec_id"), col("pick"),
-        round(col("score"), 4).as("score"))
+      out.toDF("probe_id", "vec_id", "pick", "score")
+        .select(col("probe_id"), col("vec_id"), col("pick"),
+          round(col("score"), 4).as("score"))
     }),
 
     // Embedding-cosine near-dup, ALL pairs (L2 dedup mode): candidates

@@ -84,17 +84,93 @@ object StreamingQueries {
     ()
   }
 
+  /** ONE-JOB landing writer shared by [[splitByTime]]/[[splitById]]:
+    * `df` carries a precomputed int `__slice` (0..n-1); a single
+    * single-task partitioned write emits one file per slice, which is
+    * then moved into the flat `drop_NNNN.parquet` layout with the same
+    * minute-spaced mtimes [[drop]] sets. Replaces the per-slice loop
+    * that paid one full input scan plus one parquet commit round PER
+    * DROP — pure landing-harness fixed cost inside the timed query
+    * (guide §2.4: remove redundant passes; §1.2: fix the job shape
+    * first). Slice boundaries, file-per-drop layout and replay order
+    * are identical to the loop (FileFormatWriter's dynamic-partition
+    * sort is stable, so within-slice row order is the scan order the
+    * filters preserved); every streaming oracle row re-proves the
+    * equivalence each round. */
+  private def writeSlicedLanding(df: DataFrame, landing: String, n: Int): Unit = {
+    val scratch = tmp("graft-split")
+    df.coalesce(1).write.partitionBy("__slice").mode("overwrite").parquet(scratch)
+    (0 until n).foreach { i =>
+      val dir = new java.io.File(s"$scratch/__slice=$i")
+      val dest = Paths.get(landing, f"drop_$i%04d.parquet")
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .find(_.getName.endsWith(".parquet")) match {
+        case Some(p) => Files.move(p.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // empty slice writes no dir under partitionBy — preserve the
+          // old loop's one-file-per-drop contract (and the micro-batch
+          // count) with an explicit empty single-file write
+          val empty = tmp("graft-split-empty")
+          df.filter(lit(false)).drop("__slice").coalesce(1)
+            .write.mode("overwrite").parquet(empty)
+          val p = new java.io.File(empty).listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $empty"))
+          Files.move(p.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+          rmTree(empty)
+      }
+      dest.toFile.setLastModified(System.currentTimeMillis() - (1000 - i) * 60000L)
+    }
+    // a slice id outside 0..n-1 would be silently left behind — that is
+    // a caller bug (bad width), so fail loudly instead of losing rows
+    val stray = Option(new java.io.File(scratch).listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+      .filter(_.startsWith("__slice="))
+      .map(_.stripPrefix("__slice=").toInt).filter(i => i < 0 || i >= n)
+    require(stray.isEmpty,
+      s"landing slices outside 0..${n - 1}: ${stray.mkString(",")}")
+    rmTree(scratch)
+  }
+
   /** Split `df` into `n` contiguous time slices (landing drops 0..n-1).
-    * Slices are CLOSED-OPEN on epoch micros and cover min..max. */
-  private[graft] def splitByTime(df: DataFrame, landing: String, n: Int): Unit = {
-    val r = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    * Slices are CLOSED-OPEN on epoch micros and cover min..max — the
+    * same boundaries as the historical per-slice filter loop, now one
+    * stats job + ONE write job. With `flush` set the two far-future
+    * watermark sentinels ([[flushDrops]]'s rows, verbatim) ride the
+    * same write as slices n and n+1, saving their max-ts re-scan and
+    * two more single-row write jobs. */
+  private[graft] def splitByTime(df: DataFrame, landing: String, n: Int,
+                                 flush: Boolean = false): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    val r = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      max(col("ts"))).head()
     val (mn, mx) = (r.getLong(0), r.getLong(1))
     val w = (mx - mn) / n + 1
-    (0 until n).foreach { i =>
-      val lo = mn + i * w
-      drop(df.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < lo + w),
-        landing, i)
+    val sliced = df.withColumn("__slice",
+      expr(s"CAST((unix_micros(ts) - ${mn}L) DIV ${w}L AS INT)"))
+    val all = if (!flush) sliced else {
+      val mxTs = r.getTimestamp(2)
+      val sentinels = (0 until 2).map { i =>
+        (-1L - i, new java.sql.Timestamp(mxTs.getTime + (30L + i) * 86400000L),
+          -1L, Flush, 0.0, n + i)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "__slice")
+      sliced.unionByName(sentinels)
     }
+    writeSlicedLanding(all, landing, if (flush) n + 2 else n)
+  }
+
+  /** Split `df` into `n` contiguous `idCol` slices (landing drops
+    * 0..n-1) — the doc_id/vec_id sibling of [[splitByTime]], same
+    * closed-open `mn + i*w` boundaries as the per-slice filter loops it
+    * replaces, one stats job + one write job. */
+  private[graft] def splitById(df: DataFrame, idCol: String, landing: String,
+                               n: Int): Unit = {
+    val r = df.agg(min(col(idCol)), max(col(idCol))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / n + 1
+    writeSlicedLanding(df.withColumn("__slice",
+      expr(s"CAST(($idCol - ${mn}L) DIV ${w}L AS INT)")), landing, n)
   }
 
   /** The five event columns the streaming ops consume. */
@@ -189,8 +265,7 @@ object StreamingQueries {
       // optional longs per user, so 32 stores of per-batch delta-file
       // I/O were pure fixed cost at sf0.1. Oracle (q112's batch SQL)
       // and semantics unchanged.
-      splitByTime(events, landing, 2)
-      flushDrops(s, events, landing, 2)
+      splitByTime(events, landing, 2, flush = true)
       val out = runAppend(
         StreamingFunnel.funnel(s, readLanding(s, landing, events)).toDF(),
         "q115", Seq(landing), statePartitions = Some(8))
@@ -208,9 +283,9 @@ object StreamingQueries {
     "q163_stream_markov" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q163-landing")
-      splitByTime(events, landing, 3)
-      flushDrops(s, events, landing, 3)
-      runLandingMarkov(s, landing, events)
+      splitByTime(events, landing, 3, flush = true)
+      // q71's state-width treatment: one last-event row per user
+      runLandingMarkov(s, landing, events, statePartitions = Some(8))
     }),
 
     // ST × W6: q124's rolling z-score anomaly as a STREAM — per-user
@@ -221,9 +296,9 @@ object StreamingQueries {
     "q131_stream_anomaly" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q131-landing")
-      splitByTime(events, landing, 3)
-      flushDrops(s, events, landing, 3)
-      runLandingAnomaly(s, landing, events)
+      splitByTime(events, landing, 3, flush = true)
+      // q71's state-width treatment: one trailing window per user
+      runLandingAnomaly(s, landing, events, statePartitions = Some(8))
     }),
 
     "q71_stream_sessions" -> ((s, d) => {
@@ -239,8 +314,7 @@ object StreamingQueries {
       // r10 idle board caught q71 under (25.5 s idle vs 9.9 s driver,
       // same commit — see Bench.timeQuery's zombie-provider reap for
       // the mechanism). Oracle (the q60 batch derivation) unchanged.
-      splitByTime(events, landing, 2)
-      flushDrops(s, events, landing, 2)
+      splitByTime(events, landing, 2, flush = true)
       val out = runAppend(
         StatefulSessions.sessionStats(s, readLanding(s, landing, events)).toDF(),
         "q71", Seq(landing), statePartitions = Some(8))
@@ -258,13 +332,7 @@ object StreamingQueries {
     "q72_stream_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val landing = tmp("graft-q72-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
-          landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val storeDir = tmp("graft-q72-store")
       val pairsDir = graft.TempDirs.register(tmp("graft-q72-pairs"))
       val ckpt = tmp("graft-q72-ckpt")
@@ -289,13 +357,7 @@ object StreamingQueries {
     "q229_stream_chao1" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source", "text")
       val landing = tmp("graft-q229-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w &&
-          col("doc_id") < mn + (i + 1) * w), landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q229-store"))
       val ckpt = tmp("graft-q229-ckpt")
       withCompactionEvery2(s) {
@@ -313,13 +375,7 @@ object StreamingQueries {
     "q230_stream_zipf" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source", "text")
       val landing = tmp("graft-q230-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w &&
-          col("doc_id") < mn + (i + 1) * w), landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q230-store"))
       val ckpt = tmp("graft-q230-ckpt")
       withCompactionEvery2(s) {
@@ -339,13 +395,7 @@ object StreamingQueries {
       val benchDocs = docs.filter(col("doc_id") % 97 === 0)
       val rest = docs.filter(col("doc_id") % 97 =!= 0)
       val landing = tmp("graft-q73-landing")
-      val r = rest.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(rest.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
-          landing, i)
-      }
+      splitById(rest, "doc_id", landing, 3)
       val bl = StreamingDecontaminate.blocklist(benchDocs)
       val out = runAppend(
         StreamingDecontaminate.tag(readLanding(s, landing, rest), bl), "q73",
@@ -359,11 +409,13 @@ object StreamingQueries {
     "q74_stream_windows" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q74-landing")
-      splitByTime(events, landing, 3)
-      flushDrops(s, events, landing, 3)
+      splitByTime(events, landing, 3, flush = true)
       val out = runAppend(
         EventStreams.windowedCounts(readLanding(s, landing, events)), "q74",
-        Seq(landing))
+        // the q71/q115 state-width treatment: per-(window, type) agg
+        // state is a handful of rows, so 32 stores of per-batch
+        // delta-file I/O were pure fixed cost at sf0.1
+        Seq(landing), statePartitions = Some(8))
       out.filter(col("event_type") =!= Flush)
         .select("win_start", "win_end", "event_type", "n", "v")
     }),
@@ -418,8 +470,7 @@ object StreamingQueries {
       // extra micro-batch pays the full 4-store state-commit round.
       // The two sentinels stay — outer emission REQUIRES the two-step
       // watermark advance (one per side, see pmod note below).
-      splitByTime(events, landing, 2)
-      flushDrops(s, events, landing, 2)
+      splitByTime(events, landing, 2, flush = true)
       def side(parity: Int, suffix: String) =
         readLanding(s, landing, events)
           .filter(pmod(col("event_id"), lit(2)) === parity)
@@ -462,12 +513,13 @@ object StreamingQueries {
     "q81_stream_sliding" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q81-landing")
-      splitByTime(events, landing, 3)
-      flushDrops(s, events, landing, 3)
+      splitByTime(events, landing, 3, flush = true)
       val out = runAppend(
         EventStreams.windowedCounts(readLanding(s, landing, events),
           width = "10 minutes", slide = Some("5 minutes")), "q81",
-        Seq(landing))
+        // q74's state-width note applies — sliding doubles the window
+        // rows, still a handful per store
+        Seq(landing), statePartitions = Some(8))
       out.filter(col("event_type") =!= Flush)
         .select("win_start", "win_end", "event_type", "n", "v")
     }),
@@ -507,13 +559,7 @@ object StreamingQueries {
     "q140_stream_heavy" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val landing = tmp("graft-q140-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
-          landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q140-store"))
       val ckpt = tmp("graft-q140-ckpt")
       withCompactionEvery2(s) {
@@ -536,13 +582,7 @@ object StreamingQueries {
       import graft.operators.SketchQueries
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       val landing = tmp("graft-q146-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
-          landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q146-store"))
       val ckpt = tmp("graft-q146-ckpt")
       withCompactionEvery2(s) {
@@ -566,13 +606,7 @@ object StreamingQueries {
       import graft.operators.SketchQueries
       val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
       val landing = tmp("graft-q153-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w && col("doc_id") < mn + (i + 1) * w),
-          landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q153-store"))
       val ckpt = tmp("graft-q153-ckpt")
       withCompactionEvery2(s) {
@@ -593,13 +627,7 @@ object StreamingQueries {
       import graft.operators.SketchQueries
       val docs = Tables.documents(s, d).select("doc_id", "source", "text")
       val landing = tmp("graft-q217-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w &&
-          col("doc_id") < mn + (i + 1) * w), landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q217-store"))
       val ckpt = tmp("graft-q217-ckpt")
       withCompactionEvery2(s) {
@@ -867,13 +895,7 @@ object StreamingQueries {
       val docs = graft.Tables.documents(s, d)
         .select("doc_id", "source", "text")
       val landing = tmp("graft-q281-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w &&
-          col("doc_id") < mn + (i + 1) * w), landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q281-store"))
       val ckpt = tmp("graft-q281-ckpt")
       withCompactionEvery2(s) {
@@ -891,13 +913,7 @@ object StreamingQueries {
     "q263_stream_simpson" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source", "text")
       val landing = tmp("graft-q263-landing")
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(docs.filter(col("doc_id") >= mn + i * w &&
-          col("doc_id") < mn + (i + 1) * w), landing, i)
-      }
+      splitById(docs, "doc_id", landing, 3)
       val store = graft.TempDirs.register(tmp("graft-q263-store"))
       val ckpt = tmp("graft-q263-ckpt")
       withCompactionEvery2(s) {
@@ -992,17 +1008,17 @@ object StreamingQueries {
     "q76_stream_dedup" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q76-landing")
-      val r = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 3 + 1
-      (0 until 3).foreach { i =>
-        val chunk = events.filter(
-          unix_micros(col("ts")) >= mn + i * w && unix_micros(col("ts")) < mn + (i + 1) * w)
-        drop(chunk.unionAll(chunk), landing, i)
-      }
+      // each drop carries its rows TWICE (the dedup invariant): the
+      // doubled union keeps the historic per-file layout — the stable
+      // slice sort leaves branch-1 rows ahead of branch-2 rows, exactly
+      // the chunk-then-chunk order the per-slice loop wrote
+      splitByTime(events.unionAll(events), landing, 3)
       val out = runAppend(
         EventStreams.dedupedStream(readLanding(s, landing, events)), "q76",
-        Seq(landing))
+        // q71's state-width note: dedup keeps one row per key — hash
+        // partitioning is width-independent, 8 stores cut the per-batch
+        // delta-file fixed cost 4×
+        Seq(landing), statePartitions = Some(8))
       out.select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
@@ -1047,10 +1063,11 @@ object StreamingQueries {
       val model = KMeans.lloydModel(e, VectorQueries.semK(e.count()), iters = 2)
       val landing = tmp("graft-q92-landing")
       val w = e.count() / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w),
-          landing, i)
-      }
+      // zero-origin fixed-width slices: w doubles as the q90 bootstrap
+      // cut, so the historic `count/3 + 1` width is kept verbatim (a
+      // min/max-derived width would move the frozen-centroid grid)
+      writeSlicedLanding(e.withColumn("__slice",
+        expr(s"CAST(vec_id DIV ${w}L AS INT)")), landing, 3)
       val root = graft.TempDirs.register(tmp("graft-q92"))
       val (store, removedDir) = (s"$root/store", s"$root/removed")
       val ckpt = tmp("graft-q92-ckpt")
@@ -1081,10 +1098,11 @@ object StreamingQueries {
       val dir0 = graft.LakeDirs.resolve(s, IncIndexDirConf, "q90_ivf_inc", d)
       val landing = tmp("graft-q90-landing")
       val w = e.count() / 3 + 1
-      (0 until 3).foreach { i =>
-        drop(e.filter(col("vec_id") >= i * w && col("vec_id") < (i + 1) * w),
-          landing, i)
-      }
+      // zero-origin fixed-width slices: w doubles as the q90 bootstrap
+      // cut, so the historic `count/3 + 1` width is kept verbatim (a
+      // min/max-derived width would move the frozen-centroid grid)
+      writeSlicedLanding(e.withColumn("__slice",
+        expr(s"CAST(vec_id DIV ${w}L AS INT)")), landing, 3)
       // grid derived from the bootstrap slice — all the stream knows at
       // freeze time (ApproxOracle derives the same value from the same w)
       IvfIndex.bootstrapAppendable(e.filter(col("vec_id") < w), dir0,
@@ -1105,11 +1123,13 @@ object StreamingQueries {
     * the drop-count-invariance spec (the keyed last-event state makes
     * batch boundaries invisible to the transition multiset). */
   private[graft] def runLandingMarkov(s: SparkSession, landing: String,
-                                      schemaFrom: DataFrame): DataFrame =
+                                      schemaFrom: DataFrame,
+                                      statePartitions: Option[Int] = None): DataFrame =
     graft.operators.RelationalQueries.markovView(
       runAppend(
         StreamingMarkov.transitions(s, readLanding(s, landing, schemaFrom)).toDF(),
-        s"q163-${new java.io.File(landing).getName}", Seq(landing))
+        s"q163-${new java.io.File(landing).getName}", Seq(landing),
+        statePartitions = statePartitions)
         .filter(col("user_id") >= 0)
         .select(col("prev_type"), col("next_type")))
 
@@ -1117,10 +1137,12 @@ object StreamingQueries {
     * the drop-count-invariance spec (one drop vs three must be
     * invisible in the output). */
   private[graft] def runLandingAnomaly(s: SparkSession, landing: String,
-                                       schemaFrom: DataFrame): DataFrame =
+                                       schemaFrom: DataFrame,
+                                       statePartitions: Option[Int] = None): DataFrame =
     runAppend(
       StreamingAnomaly.anomalies(s, readLanding(s, landing, schemaFrom)).toDF(),
-      s"q131-${new java.io.File(landing).getName}", Seq(landing))
+      s"q131-${new java.io.File(landing).getName}", Seq(landing),
+      statePartitions = statePartitions)
       .filter(col("user_id") >= 0)
       .select("event_id", "user_id", "event_type", "v_scaled", "win_n",
         "zsq_num", "zsq_den")

@@ -1641,14 +1641,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"the range join must not nested-loop with the rule on:\n$p")
   }
 
-  test("q09 window rank: the session-wide TwoPhaseTopKRule splits the " +
-    "top-k window into local prune + exact final") {
+  test("q09 window rank: native WindowGroupLimit prunes before the " +
+    "shuffle; the blanket two-phase rewrite stays off") {
+    // r14 posture: TwoPhaseTopKRule is opt-in again — the session-wide
+    // rewrite measured 2.4–3.3× slower on every rn≤k / rn=1 idiom
+    // (BENCH_BASELINE_r14 vs BENCH_IDLE_r13) because Spark 4's
+    // InferWindowGroupLimit already does the pre-shuffle prune with
+    // one exchange. Pin BOTH halves of that posture: the native prune
+    // is present, and the rewrite's extra window pair is not.
     val p = plan("q09_window_rank")
-    assert(p.contains("__graft_lrn"),
-      s"the two-phase rewrite did not fire under the session posture:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"native rank-limit pushdown missing — the top-k window would " +
+        s"ship every group row through its reducer:\n$p")
+    assert(!p.contains("__graft_lrn"),
+      s"the blanket two-phase rewrite fired — it is redundant with " +
+        s"WindowGroupLimit and costs an extra exchange:\n$p")
     assert(p.linesIterator.count(
-        _.trim.matches("""\(\d+\) Window""")) == 2,
-      s"expected the local + final window pair:\n$p")
+        _.trim.matches("""\(\d+\) Window""")) == 1,
+      s"expected the single exact window over the pruned stream:\n$p")
   }
 
   test("whole-stage codegen covers the q01 aggregation path") {
