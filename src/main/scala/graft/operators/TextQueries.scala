@@ -157,25 +157,33 @@ object TextQueries {
     // All three inputs are exact BIGINT counts in one pass: words
     // (the corpus tokenizer), sentences (regexp [.!?]+ runs, floored
     // at 1/doc), syllables (vowel-group [aeiouy]+ runs per word,
-    // floored at 1/word — the classic heuristic; summed per doc by a
-    // higher-order aggregate, so no token explode reaches the plan).
-    // The two score chains are the identical IEEE ops over the exact
-    // sums in both engines.
+    // floored at 1/word — the classic heuristic). The syllable sum is
+    // computed at DOC level: a vowel run never crosses whitespace, so
+    // Σ_w runs(w) == runs(text), and the per-word ≥1 floor adds
+    // exactly one per vowel-less word — syl = runs(text) +
+    // |{w : w has no vowel}|. Same exact BIGINT as the old per-word
+    // regexp_extract_all fold, WITHOUT materializing a match array
+    // per word (one extract_all per doc + one cheap rlike per word —
+    // the r14 map-stage fix for the hottest regex in the battery;
+    // guide §1.2 step 2). The two score chains are the identical IEEE
+    // ops over the exact sums in both engines.
     "q275_readability" -> ((s, d) => {
       val per = documents(s, d)
         .select(col("source"), lower(col("text")).as("t"))
         .select(col("source"),
           greatest(lit(1L),
-            size(regexp_extract_all(col("t"), lit("[.!?]+"), lit(0)))
-              .cast("long")).as("sents"),
-          filter(split(trim(col("t")), "\\s+"),
-            w => length(w) > 0).as("ws"))
-        .select(col("source"), col("sents"),
-          size(col("ws")).cast("long").as("wc"),
-          aggregate(col("ws"), lit(0L), (acc, w) =>
-            acc + greatest(lit(1L),
-              size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
-                .cast("long"))).as("syl"))
+            regexp_count(col("t"), lit("[.!?]+")).cast("long")).as("sents"),
+          // wc: a word is a maximal \S+ run — identical to the old
+          // split-and-filter count, no array materialized
+          regexp_count(col("t"), lit("\\S+")).cast("long").as("wc"),
+          // syl = vowel runs in the doc + one per vowel-less word
+          // (a maximal \S+ run containing no vowel); the bounded-width
+          // lookaround anchors the run without consuming either
+          // boundary, so adjacent vowel-less words both count
+          (regexp_count(col("t"), lit("[aeiouy]+")).cast("long") +
+            regexp_count(col("t"),
+              lit("(?<=^|\\s)[^aeiouy\\s]+(?=\\s|$)")).cast("long"))
+            .as("syl"))
       per.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_words"),
           sum(col("sents")).as("n_sentences"),

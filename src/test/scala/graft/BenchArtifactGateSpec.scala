@@ -477,6 +477,43 @@ object BenchArtifactGateSpec {
     * q71 harness treatment; expectation is these reverse in
     * BENCH_IDLE_r11, where the gate re-arms without waivers. */
   val Waivers: Map[Int, Map[String, Waiver]] = Map(
+    14 -> Map(
+      // Four same-commit idle boards taken for r14 under a night of
+      // elevated hypervisor contention (steal 2.7–4.6% during the
+      // parallel phases vs r13's 0.28; at-rest canary normal at
+      // ~59 ms) — board drift 1.21–1.34×, trip sets DISJOINT across
+      // the four boards (the r13-proven weather signature). The
+      // committed canonical is the healthiest (drift 1.21, steal 2.7,
+      // canary 59.5/59.1, server_rps 19.3); r14a/r14b/r14c are the
+      // siblings (r14a = the citation target; r14c is the one
+      // storm-degraded run, committed for the disjointness evidence).
+      // None of the seven was touched this round except through the
+      // board-wide posture changes that made the rest FASTER.
+      "q105_pagerank" -> Waiver(
+        "0.89->1.74 s; 1.23 s (healthy) in the sibling — iteration-loop " +
+          "scheduling jitter under steal", sibling = "BENCH_IDLE_r14a.json"),
+      "q122_triangles" -> Waiver(
+        "0.33->1.12 s; 0.38 s in the sibling — run-local noise",
+        sibling = "BENCH_IDLE_r14a.json"),
+      "q124_anomaly" -> Waiver(
+        "0.36->0.98 s; 0.48 s in the sibling — run-local noise",
+        sibling = "BENCH_IDLE_r14a.json"),
+      "q129_kcore" -> Waiver(
+        "1.75->3.22 s; 2.52 s in the sibling — iteration-loop " +
+          "scheduling jitter under steal", sibling = "BENCH_IDLE_r14a.json"),
+      "q163_stream_markov" -> Waiver(
+        "6.54->17.39 s; 5.98 s in the sibling (and 5.67/6.86 s in the " +
+          "other two) — the r14 landing/state changes actually SPEED " +
+          "q163; the 17 s is a migrating micro-batch storm, the r10 " +
+          "class", sibling = "BENCH_IDLE_r14a.json"),
+      "q217_stream_kmv" -> Waiver(
+        "4.48->10.05 s; 6.46 s in the sibling — micro-batch harness " +
+          "jitter under steal", sibling = "BENCH_IDLE_r14a.json"),
+      "q80_stream_stream_join" -> Waiver(
+        "4.60->10.94 s; 6.16 s in the sibling — the 4-store " +
+          "stream-stream join pays the widest per-batch fixed cost, " +
+          "first in line when the host stalls",
+        sibling = "BENCH_IDLE_r14a.json")),
     13 -> Map(
       // Four same-commit idle boards taken for r13 (all four committed:
       // the canonical + r13a/r13b); trip sets were DISJOINT across them
