@@ -181,7 +181,16 @@ object StoreScalingBench {
       val t0 = System.nanoTime()
       run()
       val t1 = System.nanoTime()
-      read().count()
+      // the ZERO-ROW baseline's store holds no parquet footer (six
+      // empty batches write only partition scaffolding), so the
+      // merge-on-read scan cannot infer the store schema — that is the
+      // empty-store boundary condition of the HARNESS baseline, not a
+      // store defect, and the listing+planning cost up to the failure
+      // is still the read-side fixed cost being measured. At any REAL
+      // size the same exception still fails the run loudly.
+      try read().count()
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if repl == 0 && e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => }
       val t2 = System.nanoTime()
       StoreTiming(name, (t1 - t0) / 1e9, (t2 - t1) / 1e9, None)
     } catch { case e: Throwable =>
@@ -247,10 +256,17 @@ object StoreScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     // the pipelines' own fold cadence: compaction every 2 batches
     spark.conf.set(graft.streaming.BatchStore.CompactBatchesConf, "2")
-    // JVM/codegen/state-machinery warm-up (a throwaway 1× daily run)
-    // so the first timed store doesn't absorb session startup
-    try { timeStore(spark, sfDir, "daily", 1); () }
-    catch { case _: Throwable => }
+    // JVM/codegen/state-machinery warm-up — a throwaway 1× run of
+    // EVERY store kind: each kind compiles its own ingest/fold/read
+    // plans on first use, and warming only "daily" (the first cut)
+    // left the other three kinds' cold-start inside their ZERO-ROW
+    // baseline leg (which runs first), inflating t_base past t_small
+    // and clamping the marginal pairs to a vacuous 0/0 — observed on
+    // the first r14 run (usermetrics t_base 14.2 s vs t_small 4.6 s).
+    StoreNames.foreach { n =>
+      try { timeStore(spark, sfDir, n, 1); () }
+      catch { case _: Throwable => }
+    }
     val deadline = System.currentTimeMillis() + 300000L
     while (System.currentTimeMillis() < deadline &&
            loadavg().toDoubleOption.exists(_ > Bench.MaxLoadDefault)) {
