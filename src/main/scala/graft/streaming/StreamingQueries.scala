@@ -192,10 +192,19 @@ object StreamingQueries {
     }
   }
 
+  /** Landing-file stream source. `maxFiles` is the micro-batch width:
+    * 1 = one batch per drop (the default — pipelines that prove
+    * cross-batch state semantics need real batch boundaries), larger =
+    * the engine coalesces drops into one batch (r15, guide §1.2 —
+    * each micro-batch pays a fixed offset-WAL + commit + state-store
+    * lifecycle round, so a pipeline whose answer is batch-boundary-
+    * invariant by construction should not buy boundaries it doesn't
+    * need). Only ever raised where the oracle pins NO boundary
+    * semantics (q73's stateless tag). */
   private def readLanding(s: SparkSession, landing: String,
-                          schemaFrom: DataFrame): DataFrame =
+                          schemaFrom: DataFrame, maxFiles: Int = 1): DataFrame =
     s.readStream.schema(schemaFrom.schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .option("maxFilesPerTrigger", maxFiles).parquet(landing)
 
   /** Run an append-mode stream to completion, parquet sink; returns the
     * emitted rows. The checkpoint and any caller-passed input dirs
@@ -283,7 +292,12 @@ object StreamingQueries {
     "q163_stream_markov" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q163-landing")
-      splitByTime(events, landing, 3, flush = true)
+      // the q71/q115/q117 harness treatment (r15): TWO real drops — one
+      // batch boundary inside the data is all the cross-batch
+      // last-event chaining needs (the drop-count-invariance spec
+      // proves 1 drop == 3 drops outright), and each extra micro-batch
+      // pays a full keyed-state commit round of pure fixed cost
+      splitByTime(events, landing, 2, flush = true)
       // q71's state-width treatment: one last-event row per user
       runLandingMarkov(s, landing, events, statePartitions = Some(8))
     }),
@@ -296,7 +310,10 @@ object StreamingQueries {
     "q131_stream_anomaly" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q131-landing")
-      splitByTime(events, landing, 3, flush = true)
+      // q163's r15 treatment: TWO real drops — one boundary exercises
+      // the cross-batch trailing-window carry (drop-count-invariance
+      // spec proves 1 == 3), each extra batch is a state-commit round
+      splitByTime(events, landing, 2, flush = true)
       // q71's state-width treatment: one trailing window per user
       runLandingAnomaly(s, landing, events, statePartitions = Some(8))
     }),
@@ -397,9 +414,15 @@ object StreamingQueries {
       val landing = tmp("graft-q73-landing")
       splitById(rest, "doc_id", landing, 3)
       val bl = StreamingDecontaminate.blocklist(benchDocs)
+      // stateless stream–static tag: every doc's flag is a pure function
+      // of (doc, broadcast blocklist), so micro-batch boundaries are
+      // invisible BY CONSTRUCTION — let the engine take all three drops
+      // in ONE batch instead of paying three offset/commit rounds for
+      // the same rows (r15, guide §1.2: fix the job count first). The
+      // landing layout is unchanged; only the reader's batch width.
       val out = runAppend(
-        StreamingDecontaminate.tag(readLanding(s, landing, rest), bl), "q73",
-        Seq(landing))
+        StreamingDecontaminate.tag(readLanding(s, landing, rest, maxFiles = 3),
+          bl), "q73", Seq(landing))
       out.select("doc_id", "contaminated")
     }),
 
@@ -409,7 +432,11 @@ object StreamingQueries {
     "q74_stream_windows" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q74-landing")
-      splitByTime(events, landing, 3, flush = true)
+      // q163's r15 treatment: TWO real drops — one boundary exercises
+      // windows straddling a micro-batch edge; the sentinels still
+      // drive the two-step watermark flush. Window contents are
+      // boundary-invariant (watermarked agg state), oracle unchanged.
+      splitByTime(events, landing, 2, flush = true)
       val out = runAppend(
         EventStreams.windowedCounts(readLanding(s, landing, events)), "q74",
         // the q71/q115 state-width treatment: per-(window, type) agg
@@ -491,7 +518,15 @@ object StreamingQueries {
     "q80_stream_stream_join" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q80-landing")
-      splitByTime(events, landing, 3)
+      // q117's harness treatment, extended r15: TWO real drops — one
+      // batch boundary exercises the cross-batch buffered-state match
+      // (a ±5-min pair straddling the time slice), and each extra
+      // micro-batch pays the FULL 4-store commit round (2 keyed stores
+      // per side × statePartitions) — the widest per-batch fixed cost
+      // on the board and the first thing to stall under host steal
+      // (the r13/r14 q80 board-trip mechanism). Inner join: matches
+      // emit eagerly, no sentinel needed. Output multiset unchanged.
+      splitByTime(events, landing, 2)
       def side(parity: Int, suffix: String) =
         readLanding(s, landing, events)
           .filter(col("event_id") % 2 === parity)
@@ -513,7 +548,9 @@ object StreamingQueries {
     "q81_stream_sliding" -> ((s, d) => {
       val events = ev(s, d)
       val landing = tmp("graft-q81-landing")
-      splitByTime(events, landing, 3, flush = true)
+      // q74's r15 treatment: TWO real drops (one cross-batch window
+      // boundary) + the semantic sentinel pair
+      splitByTime(events, landing, 2, flush = true)
       val out = runAppend(
         EventStreams.windowedCounts(readLanding(s, landing, events),
           width = "10 minutes", slide = Some("5 minutes")), "q81",
@@ -1011,8 +1048,11 @@ object StreamingQueries {
       // each drop carries its rows TWICE (the dedup invariant): the
       // doubled union keeps the historic per-file layout — the stable
       // slice sort leaves branch-1 rows ahead of branch-2 rows, exactly
-      // the chunk-then-chunk order the per-slice loop wrote
-      splitByTime(events.unionAll(events), landing, 3)
+      // the chunk-then-chunk order the per-slice loop wrote. TWO real
+      // drops (r15, the q163 treatment): one boundary exercises the
+      // cross-batch seen-key suppression; dedup output is the distinct
+      // row set whatever the slicing.
+      splitByTime(events.unionAll(events), landing, 2)
       val out = runAppend(
         EventStreams.dedupedStream(readLanding(s, landing, events)), "q76",
         // q71's state-width note: dedup keeps one row per key — hash
