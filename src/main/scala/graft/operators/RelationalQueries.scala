@@ -2075,38 +2075,58 @@ object RelationalQueries {
     // values), so the binning needs no cross-engine agreement — only
     // the selected values must match.
     "q223_exact_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // r15 fused form (guide §1.2 job count; §5 driver doctrine): the
+      // stats and histogram tables are bounded by GEOMETRY (types,
+      // types×256), so they collect to the driver and the target/
+      // boundary arithmetic (BinSelect) runs there — replacing the old
+      // localCheckpoint + three broadcast-subplan jobs + cumulative
+      // window + min_by with two aggregation jobs and plain arithmetic.
+      // Same bin expression, same k and kk derivations, same ScanSum
+      // tail — the selected values are identical (oracle is the
+      // independent brute rank; BinSelectSpec pins the walk against the
+      // old relational boundary form).
       val ev = events(s, d).select(col("event_type"), col("value"))
-        .localCheckpoint() // feeds stats + histogram + boundary members
-      val st = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      val stAgg = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
-      val binned = ev.join(broadcast(st), "event_type")
-        .withColumn("bin", when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(lit(255), floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * 256).cast("int"))))
-      val hist = binned.groupBy(col("event_type"), col("bin"))
+      val stRows = stAgg.collect() // one row per event_type
+      val stLocal = broadcast(
+        s.createDataFrame(java.util.Arrays.asList(stRows: _*), stAgg.schema))
+      def binned(base: org.apache.spark.sql.DataFrame) =
+        base.join(stLocal, "event_type")
+          .withColumn("bin", when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(255), floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * 256).cast("int"))))
+      val histAgg = binned(ev).groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("bn"))
+      val hist = histAgg.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
       // two target ranks per type: k_p50 = ceil(n/2), k_p90 = ceil(.9n)
-      val targets = st.select(col("event_type"), col("n"))
-        .withColumn("t", explode(array(
-          struct(lit("p50").as("tgt"), expr("(n + 1) DIV 2").as("k")),
-          struct(lit("p90").as("tgt"), expr("(9 * n + 9) DIV 10").as("k")))))
-        .select(col("event_type"), col("n"), col("t.tgt").as("tgt"),
-          col("t.k").as("k"))
-      val wb = Window.partitionBy(col("event_type"), col("tgt"))
-        .orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // boundary bin per (type, target): first bin whose cumulative
-      // count reaches k — over the types×256 histogram, never rows
-      val bounds = hist.join(broadcast(targets), "event_type")
-        .withColumn("cum", sum(col("bn")).over(wb))
-        .filter(col("cum") >= col("k"))
-        .groupBy(col("event_type"), col("tgt"))
-        .agg(min_by(struct(col("bin").as("bbin"),
-          (col("k") - col("cum") + col("bn")).as("kk")), col("bin")).as("b"))
-        .select(col("event_type"), col("tgt"), col("b.bbin").as("bbin"),
-          col("b.kk").as("kk"))
-      val members = binned.join(broadcast(bounds), "event_type")
+      val targets = stRows.toSeq.flatMap { r =>
+        val (ty, n) = (r.getString(0), r.getLong(1))
+        Seq(BinSelect.Target(ty, "p50", (n + 1) / 2),
+          BinSelect.Target(ty, "p90", (9 * n + 9) / 10))
+      }
+      val nOf = stRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bounds = BinSelect.boundary(hist, targets)
+      val boundRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(bounds.map(b =>
+          org.apache.spark.sql.Row(b.group, b.tgt, b.bbin, b.kk,
+            nOf(b.group))): _*)
+      val boundSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tgt",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bbin",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("kk",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val boundLocal = broadcast(s.createDataFrame(boundRows, boundSchema))
+      val members = binned(ev.select(col("event_type"), col("value")))
+        .select(col("event_type"), col("value"), col("bin"))
+        .join(boundLocal, "event_type")
         .filter(col("bin") === col("bbin"))
         .withColumn("__grp", concat(col("event_type"), lit(":"), col("tgt")))
         .withColumn("__one", lit(1L))

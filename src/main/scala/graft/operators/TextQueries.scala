@@ -299,38 +299,54 @@ object TextQueries {
     // oracle is the INDEPENDENT brute weighted rank — full ordered
     // cumsum, no histogram shared.
     "q254_weighted_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.{Row, types => T}
+      // r15 fused form — q223's treatment, weighted: the stats and
+      // histogram tables are bounded by GEOMETRY (sources, sources×256)
+      // so they collect and the target/boundary arithmetic runs on the
+      // driver (graft.operators.BinSelect, guide §5); the checkpoint
+      // stays because every pass reuses the tokenize-derived w. Same
+      // bin/k/kk arithmetic, same ScanSum weighted-interval tail —
+      // identical picks (independent brute-rank oracle + BinSelectSpec).
       val docs = documents(s, d).select(col("source"), col("doc_id"),
           col("n_chars"), size(toks).cast("long").as("w"))
         .localCheckpoint() // feeds stats + histogram + boundary members
-      val st = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+      val stAgg = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
         sum(col("w")).as("tw"), min(col("n_chars")).as("lo"),
         max(col("n_chars")).as("hi"))
-      val binned = docs.join(broadcast(st), "source")
+      val stRows = stAgg.collect() // one row per source
+      val stLocal = broadcast(
+        s.createDataFrame(java.util.Arrays.asList(stRows: _*), stAgg.schema))
+      val binned = docs.join(stLocal, "source")
         .withColumn("bin", when(col("hi") === col("lo"), lit(0))
           .otherwise(least(lit(255),
             floor((col("n_chars") - col("lo")) / (col("hi") - col("lo"))
               * 256).cast("int"))))
       val hist = binned.groupBy(col("source"), col("bin"))
-        .agg(sum(col("w")).as("bw"))
-      val targets = st.select(col("source"), col("n_docs"), col("tw"))
-        .withColumn("t", explode(array(
-          struct(lit("wp50").as("tgt"), expr("(tw + 1) DIV 2").as("k")),
-          struct(lit("wp90").as("tgt"), expr("(9 * tw + 9) DIV 10").as("k")))))
-        .select(col("source"), col("n_docs"), col("tw"),
-          col("t.tgt").as("tgt"), col("t.k").as("k"))
-      val wb = Window.partitionBy(col("source"), col("tgt"))
-        .orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bounds = hist.join(broadcast(targets), "source")
-        .withColumn("cum", sum(col("bw")).over(wb))
-        .filter(col("cum") >= col("k"))
-        .groupBy(col("source"), col("tgt"))
-        .agg(min_by(struct(col("bin").as("bbin"),
-          (col("k") - col("cum") + col("bw")).as("kk")), col("bin")).as("b"))
-        .select(col("source"), col("tgt"), col("b.bbin").as("bbin"),
-          col("b.kk").as("kk"))
-      val members = binned.join(broadcast(bounds), "source")
+        .agg(sum(col("w")).as("bw")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      val targets = stRows.toSeq.flatMap { r =>
+        val (src, tw) = (r.getString(0), r.getLong(2))
+        Seq(graft.operators.BinSelect.Target(src, "wp50", (tw + 1) / 2),
+          graft.operators.BinSelect.Target(src, "wp90", (9 * tw + 9) / 10))
+      }
+      val statOf = stRows.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val bounds = graft.operators.BinSelect.boundary(hist, targets)
+      val boundLocal = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(bounds.map { b =>
+          val (nDocs, tw) = statOf(b.group)
+          Row(b.group, b.tgt, b.bbin, b.kk, nDocs, tw)
+        }: _*),
+        T.StructType(Seq(
+          T.StructField("source", T.StringType, nullable = false),
+          T.StructField("tgt", T.StringType, nullable = false),
+          T.StructField("bbin", T.IntegerType, nullable = false),
+          T.StructField("kk", T.LongType, nullable = false),
+          T.StructField("n_docs", T.LongType, nullable = false),
+          T.StructField("tw", T.LongType, nullable = false)))))
+      val members = binned
+        .select(col("source"), col("n_chars"), col("w"), col("bin"))
+        .join(boundLocal, "source")
         .filter(col("bin") === col("bbin"))
         .withColumn("__grp", concat(col("source"), lit(":"), col("tgt")))
       graft.operators.ScanSum
