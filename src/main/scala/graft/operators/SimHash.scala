@@ -9,38 +9,38 @@ import org.apache.spark.sql.functions._
   * 64 bits; bit i of the signature is 1 iff more token-hashes have bit i
   * set than not. Near-dups then cluster by low Hamming distance.
   *
-  * Computed in two stacked projections per doc — no explode, no
-  * shuffle. The split is load-bearing: the token-hash array MUST
-  * materialize in its own projection, because the 64 majority votes
-  * reference it 128 times and Catalyst's lambda-scoped subtrees defeat
-  * common-subexpression elimination — inlining (the old one-projection
-  * form) re-tokenized and re-hashed every doc 128×, which showed up as
-  * 10× wall on the q100 probe join (where the fused stage also fell
-  * out of whole-stage codegen). CollapseProject keeps the producer
-  * separate precisely because the reference is non-cheap and
-  * multiply-used.
+  * Computed in one projection per doc — no explode, no shuffle: the
+  * token-hash array feeds the compiled [[graft.functions.SimHashSig]]
+  * kernel, which references it exactly ONCE (r15 — the historic
+  * stacked-projection guard existed because the old 64 per-bit votes
+  * referenced the array 128 times and lambda-scoped subtrees defeat
+  * CSE; with a single reference CollapseProject may safely inline the
+  * tokenize+hash producer).
   */
 object SimHash {
+
+  import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+
+  /** r15: the 64 per-bit majority `aggregate` passes became ONE
+    * compiled expression ([[graft.functions.SimHashSig]]). Higher-order
+    * array functions are CodegenFallback, so the old form paid 64
+    * interpreted traversals of each doc's token-hash array (the r14
+    * `aggregate` rewrite had already removed the 64 per-bit array
+    * ALLOCATIONS, but not the 64 interpreted passes); the kernel does
+    * the exact count-and-compare in one primitive-long loop. A
+    * bit-sliced SQL-expression variant (ripple-carry planes +
+    * bit-sliced compare) was built and MEASURED SLOWER than the
+    * aggregate form at sf0.1 (array-accumulator boxing per token ate
+    * the pass savings) — discarded per guide §1; the compiled kernel
+    * is the form that wins. Signatures are bit-equal (SimHashSpec pins
+    * the kernel against the old expression form; q26/q100/q102 oracle
+    * rows re-prove it every round). */
   def signatures(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
       transform(array_distinct(split(trim(col("text")), "\\s+")),
         t => xxhash64(t)).as("hs"))
-    val hs = col("hs")
-    val nTok = size(hs)
-    // bit i set iff 2 * |{h : bit_i(h)=1}| > |tokens|. The per-bit one
-    // count is aggregate(+bit), not size(filter(...)): filter
-    // materializes a fresh token-sized array per bit — 64 array
-    // allocations per document of pure GC pressure in the hottest map
-    // stage (guide §1.2 step 2: per-task work) — while the aggregate
-    // form folds the same bit tests into a long with zero allocation.
-    // ones_i is identical arithmetic, so signatures are bit-equal.
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      val ones = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)))
-      when(ones * 2 > nTok, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
     hashed.select(col("doc_id"),
-      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      toCol(graft.functions.SimHashSig(toExpr(col("hs")))).as("simhash"))
   }
 
   /** All-pairs near-dup candidates at Hamming distance <= maxHamming,

@@ -22,6 +22,43 @@ class SimHashSpec extends SparkTestBase {
     assert(h(2L) > h(1L), "unrelated doc should be farther than near-dup")
   }
 
+  /** The pre-r15 per-bit aggregate majority, verbatim — the executable
+    * definition the bit-sliced counter is pinned against. */
+  private def oldFormSignatures(docs: org.apache.spark.sql.DataFrame) = {
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(trim(col("text")), "\\s+")),
+        t => xxhash64(t)).as("hs"))
+    val hs = col("hs")
+    val nTok = size(hs)
+    val bits = (0 until 64).map { i =>
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)))
+      when(ones * 2 > nTok, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    hashed.select(col("doc_id"),
+      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  test("compiled kernel signatures are bit-equal to the per-bit aggregate form") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 400).map(i => s"tok$i")
+    val random = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(120)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plus exact tie/edge shapes: 1-token docs (every ones_i ∈ {0,1},
+    // majority = the hash itself), even-count exact-tie docs (ones = n/2
+    // must NOT set the bit), and a wide doc (5k distinct tokens)
+    val edges = Seq(
+      (1000L, "solo"),
+      (1001L, "alpha beta"),
+      (1002L, (0 until 5000).map(i => s"wide$i").mkString(" ")))
+    val docs = (random ++ edges).toDF("doc_id", "text")
+    val got = SimHash.signatures(docs).as[(Long, Long)].collect().toMap
+    val want = oldFormSignatures(docs).as[(Long, Long)].collect().toMap
+    assert(got === want, "compiled kernel vs per-bit aggregate majority")
+  }
+
   test("banded all-pairs finds every pair within hamming 3, never misses") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today and stays"
     val docs = Seq(
