@@ -599,20 +599,26 @@ object TextQueries {
     // token hashes (the one engine-specific input): mod/sign/sum/dense
     // grid/cosine/cut all replayed relationally.
     "q101_feature_hash" -> ((s, d) => {
-      val D = FeatureHashDim
-      val f = documents(s, d)
-        .select(col("doc_id"), explode(toks).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("term")))
-        .groupBy(col("doc_id"), pmod(col("h"), lit(D.toLong)).cast("int").as("dim"))
-        .agg(sum(when(shiftright(col("h"), 32).bitwiseAND(lit(1L)) === 0,
-          col("tf")).otherwise(-col("tf"))).as("val"))
-      val dense = f.groupBy(col("doc_id"))
-        .agg(map_from_entries(collect_list(struct(col("dim"), col("val"))))
-               .as("m"),
-             sum(when(col("val") =!= 0, 1).otherwise(0)).cast("long").as("nnz"))
-        .withColumn("fv", transform(sequence(lit(0), lit(D - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")))
+      // r15 (guide §2.4): the signed-tf vector is a pure per-document
+      // function of the token array, but the relational form shuffled
+      // token-scale rows THREE times (explode → (doc, term) tf →
+      // (doc, dim) sum → collect_map per doc) for zero cross-document
+      // information. One compiled kernel (FeatureHashVec — the same
+      // xxhash64/seed-42, pmod and bit-32 sign, with sign·tf folded to
+      // per-occurrence ±1) builds fv and nnz in the scan projection:
+      // ZERO exchanges before the top-10 cut. Oracle (DuckDB re-derives
+      // tf/mod/sign/grid/cosine from the hashed_tokens export)
+      // unchanged — solo PASS; FeatureHashSpec pins kernel == the old
+      // relational chain on random corpora.
+      import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+      // stacked projection: the struct is referenced twice (fv, nnz) —
+      // keep the non-cheap producer in its own select (the SimHash hs
+      // idiom) so it is computed once per doc
+      val dense = documents(s, d)
+        .select(col("doc_id"),
+          toCol(graft.functions.FeatureHashVec(toExpr(toks), FeatureHashDim))
+            .as("f"))
+        .select(col("doc_id"), col("f.fv").as("fv"), col("f.nnz").as("nnz"))
       val qv = dense.filter(col("doc_id") === 0).select(col("fv"))
         .head().getSeq[Double](0)
       dense
