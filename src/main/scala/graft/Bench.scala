@@ -207,6 +207,46 @@ object Bench {
     (json, if (errs.nonEmpty) 1 else 0)
   }
 
+  /** Compact tail-survivable summary line (r15, the bench-contract
+    * fix — r14 verdict ask #3): the full artifact line is ~7 kB for
+    * 280 queries and has NEVER fit the round driver's 2000-char tail
+    * capture, so the driver's round-over-round comparison has parsed
+    * nothing since r01. This second line re-states the headline
+    * totals in well under 500 chars so at least the totals, failure
+    * count and host-regime fields parse from the tail alone. It
+    * carries NO per-query map ON PURPOSE: a truncated "queries" map
+    * in the tail could be read as the full registry and flag every
+    * missing query as dropped. Additions-only — the full artifact
+    * line and the bench_out.json mirror are byte-identical to the
+    * historic contract; this line follows it. */
+  private[graft] def compactLine(json: String): String = {
+    def f(key: String): String =
+      ("\"" + key + "\":(-?[0-9.eE+-]+|true|false)").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("null")
+    // failed-query NAMES only (messages stay in the full line); the
+    // errors map is {} on a clean run
+    val errBody = "\"errors\":\\{([^}]*)".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val failed = "\"([^\"]+)\":".r.findAllMatchIn(errBody)
+      .map(_.group(1)).take(10).toSeq
+    val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val stageTotal = "\"stage_build\":\\{([^}]*)".r.findFirstMatchIn(json)
+      .map(m => ":(-?[0-9.eE+]+)".r.findAllMatchIn(m.group(1))
+        .map(_.group(1).toDouble).sum).getOrElse(0.0)
+    s"""{"compact":true,"metric":"total","value":${f("value")},""" +
+      s""""unit":"sec","streaming_total":${f("streaming_total")},""" +
+      s""""stage_build_total":$stageTotal,""" +
+      s""""server_rps":${f("server_rps")},""" +
+      s""""n_failed":${f("n_failed")},""" +
+      (if (failed.nonEmpty)
+        s""""failed":[${failed.map(jsonStr).mkString(",")}],""" else "") +
+      s""""loadavg_pre":${f("loadavg_pre")},""" +
+      s""""contended":${f("contended")},""" +
+      s""""machine_canary_ms_post":${f("machine_canary_ms_post")},""" +
+      s""""steal_pct":${f("steal_pct")},"sf":${jsonStr(sf)}}"""
+  }
+
   /** Block (up to `budgetMs`) until loadavg drops under the contention
     * threshold — used before the server probe and again before the
     * board, so BOTH measurements happen in the idle regime the
@@ -339,8 +379,9 @@ object Bench {
     val json = json0.stripSuffix("}") +
       f""","machine_canary_ms_post":$canaryPost%.1f""" +
       f""","steal_pct":$stealPct%.2f}"""
-    // artifact first, own line, flushed — then a file mirror, THEN teardown
-    println(); println(json); Console.out.flush()
+    // artifact first, own line, flushed — then the tail-survivable
+    // compact summary (see compactLine), a file mirror, THEN teardown
+    println(); println(json); println(compactLine(json)); Console.out.flush()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     catch { case _: Throwable => }
     spark.stop()

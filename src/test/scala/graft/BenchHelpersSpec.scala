@@ -65,6 +65,47 @@ class BenchHelpersSpec extends AnyFunSuite {
     assert(!noBase._1.contains("\"vocab\":{"), noBase._1)
   }
 
+  test("compact bench line: tail-sized, totals verbatim, failures named, no queries map") {
+    // representative full artifact shape (per-query maps elided to a
+    // few entries — the real ones are ~7 kB, which is the problem)
+    val full = """{"metric":"total","value":157.22032342,"unit":"sec",""" +
+      """"queries":{"q01_pricing_summary":0.28,"q02_filter_pushdown":0.23},""" +
+      """"stage_build":{"bpe_encode":2.5,"ivf_index":1.5},""" +
+      """"streaming":{"q71_stream_sessions":3.6},""" +
+      """"streaming_total":153.432955,"server_rps":18.28,""" +
+      """"server_probe_loadavg":0.81,"server_rps_rounds":[11.3,18.6],""" +
+      """"machine_canary_ms_pre":65.2,""" +
+      """"errors":{"q99_broken":"SparkException: boom"},"n_failed":1,""" +
+      """"loadavg_pre":1.95,"loadavg_post":2.22,"contended":false,""" +
+      """"max_loadavg":2.0,"sf":"/root/testdata/sf0.1",""" +
+      """"machine_canary_ms_post":47.6,"steal_pct":1.23}"""
+    val c = Bench.compactLine(full)
+    assert(c.length < 500, s"compact line must survive a 2000-char tail: $c")
+    assert(c.contains("\"value\":157.22032342") &&
+      c.contains("\"streaming_total\":153.432955") &&
+      c.contains("\"stage_build_total\":4.0") &&
+      c.contains("\"server_rps\":18.28") &&
+      c.contains("\"n_failed\":1") &&
+      c.contains("\"failed\":[\"q99_broken\"]") &&
+      c.contains("\"contended\":false") &&
+      c.contains("\"steal_pct\":1.23") &&
+      c.contains("\"sf\":\"/root/testdata/sf0.1\""), c)
+    // no per-query map: a truncated one could be misread as the full
+    // registry and flag every missing query as dropped
+    assert(!c.contains("\"queries\"") && !c.contains("q01_pricing_summary"), c)
+    // clean run: no failed list at all
+    val clean = Bench.compactLine(full
+      .replace(""""errors":{"q99_broken":"SparkException: boom"},"n_failed":1""",
+        """"errors":{},"n_failed":0"""))
+    assert(clean.contains("\"n_failed\":0") && !clean.contains("\"failed\":"),
+      clean)
+    // the committed artifact parses the same way (real 280-query shape)
+    val real = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_BASELINE_r15.json"))
+    val cr = Bench.compactLine(real)
+    assert(cr.length < 500 && cr.contains("\"value\":157.22032342"), cr)
+  }
+
   test("driver-regime parser reads both the clean and the log-tail wrapper shapes") {
     import BenchArtifactGateSpec.parseDriverRegime
     val clean = """{"metric":"total","machine_canary_ms_pre":52.2,
