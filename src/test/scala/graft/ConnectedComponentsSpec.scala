@@ -110,7 +110,10 @@ class ConnectedComponentsSpec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
-  test("distributed path at 1M edges: exact labels, pinned round count") {
+  // Slow (r15): the 1M-edge closed-form sweep is ~20 s of pure volume;
+  // the same exact-labels + pinned-round-count invariant gates at 100k
+  // edges in the untagged sibling below.
+  test("distributed path at 1M edges: exact labels, pinned round count", Slow) {
     // 100k disjoint 10-edge chains — 1M edges of the ADVERSARIAL regime
     // (maximum diameter per edge count; dense graphs contract faster by
     // construction). Labels are known in closed form (each node joins
@@ -128,6 +131,25 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // diameter-10 chains contract in a handful of rounds; pin the
     // envelope so a regression to linear convergence is loud
     info(s"1M-edge distributed CC converged in $rounds rounds")
+    assert(rounds <= 6, s"expected <=6 contraction rounds, got $rounds")
+  }
+
+  test("distributed path at 100k edges: exact labels, pinned round count") {
+    // the untagged sibling of the 1M sweep above: same adversarial
+    // disjoint-chain geometry and closed-form labels at a tenth the
+    // volume, so the default suite still gates the distributed path's
+    // exactness and contraction envelope
+    import spark.implicits._
+    val chains = spark.range(100000L)
+      .selectExpr("(id div 10) * 11 + (id % 10) as src",
+                  "(id div 10) * 11 + (id % 10) + 1 as dst")
+    val (lab, rounds) = ConnectedComponents.labelsWithRounds(
+      spark, chains, driverThreshold = 0L)
+    val bad = lab.filter(org.apache.spark.sql.functions.expr(
+      "comp_id != (doc_id div 11) * 11")).count()
+    assert(bad == 0L, "every node must label to its chain head")
+    assert(lab.count() == 110000L)
+    info(s"100k-edge distributed CC converged in $rounds rounds")
     assert(rounds <= 6, s"expected <=6 contraction rounds, got $rounds")
   }
 }

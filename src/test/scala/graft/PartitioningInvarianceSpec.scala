@@ -186,12 +186,37 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     "q283_sem_decontam",     // frozen cells + broadcast eval pair scan
     "q193_windowed_funnel")  // bounded min-chain, integer micros
 
-  test("query results are invariant to the shuffle partitioning") {
+  /** The highest-risk subset for the DEFAULT suite (r15, verdict ask
+    * #2 — the full ~170-query double sweep ran ~4 minutes and was the
+    * single largest block in the driver's expiring test budget): every
+    * ITERATIVE operator (partition-layout-dependent state), every
+    * ScanSum consumer (the two-pass scan is the order-sensitive
+    * machinery), the keep-first / total-order-argmax rules, the
+    * decimal-sum spine, and every query whose internals changed this
+    * round. The FULL list still runs under the [[Slow]] tag (once per
+    * round, quoted in OPTIMIZATION_r15.md). */
+  private val core = Seq(
+    "q01_pricing_summary", "q53_ngram_neardup", "q55_tfidf_terms",
+    "q60_session_stats", "q64_bm25", "q65_kmeans", "q70_bpe_merges",
+    "q83_budget_select", "q86_dsir_weights", "q87_bpe_encode",
+    "q88_dup_spans", "q89_semdedup", "q95_pq_codes", "q99_hybrid_retrieval",
+    "q100_hamming_ann", "q101_feature_hash", "q102_binary_rerank",
+    "q105_pagerank", "q108_mmr_diverse", "q110_label_prop",
+    "q111_chunk_dedup", "q116_nn_descent", "q120_graph_greedy",
+    "q129_kcore", "q144_scd2", "q158_random_walks", "q160_kcenter",
+    "q175_attribution", "q192_set_cover", "q207_stratified_sample",
+    "q209_session_paths", "q221_spearman", "q222_ks_audit",
+    "q223_exact_quantiles", "q235_mwu_audit", "q237_sen_slope",
+    "q239_survival", "q248_quantile_norm", "q252_churn_halflife",
+    "q254_weighted_quantiles", "q255_kruskal_wallis", "q258_nelson_aalen",
+    "q266_runs_test", "q274_wasserstein")
+
+  private def checkInvariance(qs: Seq[String]): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val orig = spark.conf.get(key)
     def runAll(parts: Int): Map[String, Seq[String]] = {
       spark.conf.set(key, parts.toString)
-      names.map { n =>
+      qs.map { n =>
         n -> SparkEntry.queries(n)(spark, sf).collect()
           .map(_.toString).sorted.toSeq
       }.toMap
@@ -199,12 +224,21 @@ class PartitioningInvarianceSpec extends SparkTestBase {
     try {
       val at3 = runAll(3)
       val at17 = runAll(17)
-      names.foreach { n =>
+      qs.foreach { n =>
         assert(at3(n) == at17(n),
           s"$n differs between 3 and 17 shuffle partitions — " +
             "order-dependent computation would be nondeterministic at scale")
         assert(at3(n).nonEmpty, s"$n returned no rows; the check is vacuous")
       }
     } finally spark.conf.set(key, orig)
+  }
+
+  test("core query results are invariant to the shuffle partitioning") {
+    assert(core.forall(names.contains), "core must be a subset of the full list")
+    checkInvariance(core)
+  }
+
+  test("query results are invariant to the shuffle partitioning", Slow) {
+    checkInvariance(names.filterNot(core.contains))
   }
 }
