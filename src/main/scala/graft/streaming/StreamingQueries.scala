@@ -103,8 +103,16 @@ object StreamingQueries {
     (0 until n).foreach { i =>
       val dir = new java.io.File(s"$scratch/__slice=$i")
       val dest = Paths.get(landing, f"drop_$i%04d.parquet")
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .find(_.getName.endsWith(".parquet")) match {
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      // r14 ADVICE #1: the move below takes THE part file — if a session
+      // conf (e.g. spark.sql.files.maxRecordsPerFile) ever made the
+      // single-task write emit several parts per slice, taking the first
+      // would silently drop rows from the landing. Fail loudly instead.
+      require(parts.length <= 1,
+        s"slice $i wrote ${parts.length} parquet parts under $dir — " +
+          "the one-file-per-drop landing contract is broken")
+      parts.headOption match {
         case Some(p) => Files.move(p.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
         case None =>
           // empty slice writes no dir under partitionBy — preserve the
