@@ -49,13 +49,39 @@ object StreamingQueries {
     * partitions (instead of the production default): the 3-drop
     * incremental dedup runs then compact their stores MID-RUN, so the
     * q72/q92 oracle hashes re-prove the fold exact on every round. */
+  /** Shuffle width for the per-batch jobs INSIDE the store pipelines'
+    * foreachBatch (partial-count aggregation + fold rewrite) — the
+    * foreachBatch sibling of `runAppend`'s statePartitions knob (r15).
+    * Every store's per-batch partial is tiny BY CONSTRUCTION (a
+    * (type, day) grid, a per-user rollup, a k-min sketch), yet the
+    * inner jobs inherited the session's full shuffle width and AQE
+    * does not coalesce them (streaming plans disable it), so each
+    * micro-batch paid a session-wide fan-out of near-empty tasks plus
+    * that many part files into the store partition (re-read by every
+    * later batch and fold). Per-pipeline sizing knob exactly like
+    * choosing spark.sql.shuffle.partitions per job on a cluster;
+    * production sizing is a deployment choice via this conf. Counts /
+    * mins / maxes / k-min cuts are width-independent (the
+    * PartitioningInvarianceSpec property), and every store oracle row
+    * re-proves output equality each round. A/B at sf0.1 (6 pipelines,
+    * same session order): 35.3 → 27.7 s (0.78×), all six faster. */
+  val BatchShufflePartitionsConf = "spark.graft.stream.batchShufflePartitions"
+  val DefaultBatchShufflePartitions = 8
+
   private def withCompactionEvery2[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.getOption(BatchStore.CompactBatchesConf)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set(BatchStore.CompactBatchesConf, "2")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get(BatchShufflePartitionsConf,
+        DefaultBatchShufflePartitions.toString))
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(BatchStore.CompactBatchesConf, v)
-      case None    => s.conf.unset(BatchStore.CompactBatchesConf)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => s.conf.set(BatchStore.CompactBatchesConf, v)
+        case None    => s.conf.unset(BatchStore.CompactBatchesConf)
+      }
     }
   }
 
